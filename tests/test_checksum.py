@@ -1,0 +1,63 @@
+"""Checksum operator tests: monoid laws, equal/mutated verdicts, crc64 vectors."""
+
+from pyspark.sql import functions as F
+
+from tikv_data_compare_spark.functions.hashes import crc64_xz
+from tikv_data_compare_spark.model import Keyed
+from tikv_data_compare_spark.operators.checksum import checksum, checksum_verdict, compare_checksum
+
+
+def test_crc64_check_value():
+    # published CRC-64/XZ check value
+    assert crc64_xz(b"123456789") == 0x995DC9BBDF1939FA
+    assert crc64_xz(b"") == 0
+
+
+def test_checksum_equal_on_identical(kv_pair):
+    src, _ = kv_pair
+    v = checksum_verdict(src, src)
+    assert v["equal"]
+    assert v["src"]["total_kvs"] > 0
+
+
+def test_checksum_detects_mutation(kv_pair):
+    src, dst = kv_pair
+    v = checksum_verdict(src, dst)
+    assert not v["equal"]
+    assert v["src"]["total_kvs"] > v["dst"]["total_kvs"]  # dst had deletions
+
+
+def test_checksum_monoid_split_merge(spark, kv_pair):
+    """checksum(A ∪ B) == merge(checksum(A), checksum(B)) — the per-region
+    merge law the reference relies on (checksum/checksum.go:25-29)."""
+    src, _ = kv_pair
+    mid = bytes(sorted(r["key"] for r in src.df.select("key").limit(2000).collect())[1000])
+    lo = Keyed(src.df.filter(F.col("key") < F.lit(mid)))
+    hi = Keyed(src.df.filter(F.col("key") >= F.lit(mid)))
+    whole = checksum(src).collect()[0]
+    a = checksum(lo).collect()[0]
+    b = checksum(hi).collect()[0]
+    assert a["total_kvs"] + b["total_kvs"] == whole["total_kvs"]
+    assert a["total_bytes"] + b["total_bytes"] == whole["total_bytes"]
+    assert (a["checksum"] or 0) ^ (b["checksum"] or 0) == whole["checksum"]
+
+
+def test_checksum_order_independent(kv_pair):
+    src, _ = kv_pair
+    shuffled = Keyed(src.df.orderBy(F.rand(seed=7)))
+    assert checksum(src).collect() == checksum(shuffled).collect()
+
+
+def test_checksum_algos_agree_on_verdict(kv_pair):
+    src, dst = kv_pair
+    small_src = Keyed(src.df.limit(500))
+    small_dst = Keyed(dst.df.limit(500))
+    for algo in ("xxhash64", "md5i64", "crc64"):
+        assert checksum_verdict(small_src, small_src, algo=algo)["equal"], algo
+    assert not checksum_verdict(src, dst, "xxhash64")["equal"]
+
+
+def test_compare_checksum_two_rows(kv_pair):
+    src, dst = kv_pair
+    rows = compare_checksum(src, dst).collect()
+    assert [r["side"] for r in rows] == ["src", "dst"]

@@ -1,0 +1,92 @@
+"""Metamorphic diff tests (SURVEY.md §5.3): diff(df,df)=∅; known mutations
+produce exactly the expected keyed findings; checksum equality ⟺ empty diff."""
+
+from pyspark.sql import functions as F
+
+from tikv_data_compare_spark.model import Keyed, to_kv
+from tikv_data_compare_spark.operators.checksum import checksum_verdict
+from tikv_data_compare_spark.operators.diff import (
+    diff,
+    diff_count,
+    diff_positional,
+    only_in_dst,
+    only_in_src,
+)
+
+
+def test_diff_self_empty(kv_pair):
+    src, _ = kv_pair
+    assert diff(src, src).count() == 0
+
+
+def test_diff_exact_findings(spark, lineitem):
+    """Perturb k rows / delete m ⇒ exactly k changed + m only_src findings."""
+    from tikv_data_compare_spark.model import unique_by_key
+
+    base = unique_by_key(lineitem, ["l_orderkey", "l_linenumber"]).cache()
+    changed_keys = base.filter((F.col("l_orderkey") % 97 == 0)).count()
+    deleted_keys = base.filter((F.col("l_orderkey") % 101 == 0) & (F.col("l_linenumber") == 1)).count()
+    # a key can be both %97 (all linenumbers) and deleted (%101, ln=1)
+    overlap = base.filter(
+        (F.col("l_orderkey") % 97 == 0) & (F.col("l_orderkey") % 101 == 0) & (F.col("l_linenumber") == 1)
+    ).count()
+
+    dst = (
+        base.filter(~((F.col("l_orderkey") % 101 == 0) & (F.col("l_linenumber") == 1)))
+        .withColumn(
+            "l_quantity",
+            F.when(F.col("l_orderkey") % 97 == 0, F.col("l_quantity") + 1).otherwise(F.col("l_quantity")),
+        )
+    )
+    s = Keyed.of(base, keys=("l_orderkey", "l_linenumber"))
+    d = Keyed.of(dst, keys=("l_orderkey", "l_linenumber"))
+    counts = {r["status"]: r["n"] for r in diff_count(s, d).collect()}
+    assert counts.get("only_src", 0) == deleted_keys
+    assert counts.get("changed", 0) == changed_keys - overlap
+    assert "only_dst" not in counts
+
+    assert only_in_src(s, d).count() == deleted_keys
+    assert only_in_dst(s, d).count() == 0
+
+
+def test_diff_detects_inserts(spark, lineitem):
+    from tikv_data_compare_spark.model import unique_by_key
+
+    base = unique_by_key(lineitem, ["l_orderkey", "l_linenumber"])
+    extra = base.limit(5).withColumn("l_orderkey", F.col("l_orderkey") + F.lit(10_000_000))
+    d = Keyed.of(base.unionByName(extra), keys=("l_orderkey", "l_linenumber"))
+    s = Keyed.of(base, keys=("l_orderkey", "l_linenumber"))
+    counts = {r["status"]: r["n"] for r in diff_count(s, d).collect()}
+    assert counts == {"only_dst": 5}
+
+
+def test_checksum_iff_diff_empty(kv_pair):
+    src, dst = kv_pair
+    assert checksum_verdict(src, src)["equal"] == (diff(src, src).count() == 0)
+    assert checksum_verdict(src, dst)["equal"] == (diff(src, dst).count() == 0)
+
+
+def test_positional_diff_value_mutation(spark, lineitem):
+    """With equal cardinality and aligned keys, positional == keyed findings."""
+    from tikv_data_compare_spark.model import unique_by_key
+
+    base = unique_by_key(lineitem, ["l_orderkey", "l_linenumber"]).limit(1000).cache()
+    mutated = base.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 50 == 0, F.col("l_quantity") + 9).otherwise(F.col("l_quantity")),
+    )
+    s = Keyed(to_kv(base, ["l_orderkey", "l_linenumber"]))
+    d = Keyed(to_kv(mutated, ["l_orderkey", "l_linenumber"]))
+    pos = diff_positional(s, d).count()
+    keyed = diff(s, d).count()
+    assert pos == keyed > 0
+
+
+def test_positional_diff_misalignment_quirk(spark):
+    """Documented reference quirk (SURVEY.md §4): one deletion desynchronizes
+    the positional tail, while keyed diff reports exactly one finding."""
+    rows = [(bytes([i]), bytes([i])) for i in range(10)]
+    src = Keyed(spark.createDataFrame(rows, "key binary, value binary"))
+    dst = Keyed(spark.createDataFrame(rows[:3] + rows[4:], "key binary, value binary"))
+    assert diff(src, dst).count() == 1
+    assert diff_positional(src, dst).count() == 6  # positions 3..8 misaligned

@@ -1,0 +1,54 @@
+"""Range-scan / export tests: range semantics, global counter density, hex format."""
+
+from pyspark.sql import functions as F
+
+from tikv_data_compare_spark.model import Keyed
+from tikv_data_compare_spark.operators.scan import export_hex, range_scan, with_global_index
+
+
+def test_range_scan_half_open(kv_pair):
+    src, _ = kv_pair
+    keys = sorted(r["key"] for r in src.df.select("key").limit(100).collect())
+    start, end = bytes(keys[10]), bytes(keys[20])
+    got = [bytes(r["key"]) for r in range_scan(src, start, end).collect()]
+    assert got == sorted(got)
+    assert all(start <= k < end for k in got)
+    assert bytes(keys[10]) in got and bytes(keys[20]) not in got  # [start, end)
+
+
+def test_range_scan_unbounded(kv_pair):
+    src, _ = kv_pair
+    assert range_scan(src).count() == src.df.count()
+
+
+def test_global_index_dense_and_ordered(spark, lineitem):
+    df = lineitem.select("l_orderkey", "l_linenumber").distinct()
+    n = df.count()
+    idx = with_global_index(df, ["l_orderkey", "l_linenumber"])
+    rows = idx.orderBy("cnt").collect()
+    assert [r["cnt"] for r in rows] == list(range(1, n + 1))
+    keys = [(r["l_orderkey"], r["l_linenumber"]) for r in rows]
+    assert keys == sorted(keys)  # cnt order == key order
+
+
+def test_export_hex_kv(tmp_path, kv_pair):
+    src, _ = kv_pair
+    small = Keyed(src.df.orderBy("key").limit(50))
+    out = export_hex(small, path=str(tmp_path / "dump"))
+    rows = out.collect()
+    assert [r["cnt"] for r in rows] == list(range(1, 51))
+    assert all(set(r["key_hex"]) <= set("0123456789ABCDEF") for r in rows)
+    text = spark_read_lines(small.df.sparkSession, str(tmp_path / "dump"))
+    assert len(text) == 50
+    assert text[0].startswith("key:") and ", cnt:" in text[0]
+
+
+def spark_read_lines(spark, path):
+    return [r["value"] for r in spark.read.text(path).collect()]
+
+
+def test_export_hex_typed(lineitem):
+    k = Keyed.of(lineitem.limit(20), keys=("l_orderkey", "l_linenumber"))
+    rows = export_hex(k).collect()
+    assert len(rows) == 20
+    assert all(r["cnt"] >= 1 for r in rows)

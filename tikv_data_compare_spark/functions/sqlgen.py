@@ -1,0 +1,207 @@
+"""Cross-engine SQL fragment generation (Spark SQL + DuckDB).
+
+The driver's correctness gate runs each Spark query side-by-side with a DuckDB
+oracle and hash-compares the result values, so every *value-producing*
+expression used in an oracle-checked operator must be computable bit-for-bit
+identically in both engines.  This module generates those fragments from one
+source of truth, parameterized by engine, covering:
+
+- ``canon``      — canonical string rendering per column type (doubles via
+                   fixed-point scaling, timestamps via explicit format — both
+                   chosen because plain double/timestamp→string formatting
+                   differs between Java and DuckDB).
+- ``row_canon``  — '|'-joined canonical row string (the typed-table analogue
+                   of the reference's ``key ++ value`` byte string fed to
+                   crc64, checksum semantics per SURVEY.md §1.4).
+- ``md5_i64``    — deterministic 60-bit integer hash: first 15 hex chars of
+                   md5, folded via per-char CASE arithmetic.  Pure ANSI SQL,
+                   identical in both engines — the engine's oracle-checkable
+                   hash primitive (xxhash64 is Spark-only, so it's kept for
+                   the fast path with a rows-only check).
+- small operator shims (xor / shiftright) where the engines' syntax differs.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+# column-type tags understood by canon()
+INT = "int"
+DOUBLE = "double"
+STRING = "string"
+TIMESTAMP = "timestamp"
+BINARY = "binary"
+
+NULL_SENTINEL = "␀"  # ␀ — renders nulls distinctly from empty strings
+
+#: fixed-point scale for canonical doubles (see canon() doc)
+DOUBLE_SCALE = 10_000
+
+
+def cast_string(expr: str, engine: str) -> str:
+    return f"CAST({expr} AS STRING)" if engine == SPARK else f"CAST({expr} AS VARCHAR)"
+
+
+def canon(expr: str, tag: str, engine: str) -> str:
+    """Canonical string for one column, identical across engines.
+
+    Doubles: ``CAST(ROUND(x*10000) AS BIGINT)`` — integer formatting is
+    engine-stable, unlike shortest-round-trip double formatting (Java flips to
+    E-notation at 1e7; DuckDB doesn't).  Both engines round half away from
+    zero; exact .5 ties after scaling are impossible for non-dyadic scaled
+    values, so the engines agree.
+
+    Timestamps: explicit millisecond format (Java pattern vs strftime).
+    """
+    if tag == INT:
+        inner = cast_string(expr, engine)
+    elif tag == DOUBLE:
+        inner = cast_string(f"CAST(ROUND(({expr}) * {DOUBLE_SCALE}) AS BIGINT)", engine)
+    elif tag == TIMESTAMP:
+        if engine == SPARK:
+            inner = f"date_format({expr}, 'yyyy-MM-dd HH:mm:ss.SSS')"
+        else:
+            inner = f"strftime({expr}, '%Y-%m-%d %H:%M:%S.%g')"
+    elif tag == STRING:
+        inner = f"({expr})"
+    elif tag == BINARY:
+        # uppercase hex — the reference's rendering (scan/scan.go:52)
+        inner = f"upper(hex({expr}))" if engine == SPARK else f"upper(hex({expr}))"
+    else:
+        raise ValueError(f"unknown canon tag {tag!r}")
+    return f"coalesce({inner}, '{NULL_SENTINEL}')"
+
+
+def row_canon(cols: list[tuple[str, str]], engine: str) -> str:
+    """'|'-joined canonical row string over (expr, tag) columns."""
+    parts = ", ".join(canon(e, t, engine) for e, t in cols)
+    return f"concat_ws('|', {parts})"
+
+
+def hexfold_i64(expr: str) -> str:
+    """Fold the first 15 hex chars of an (already computed) lowercase-hex
+    string expression into a 60-bit integer.
+
+    hexval(c) = ascii(c) - (97..102 → 87, else 48): maps '0'-'9'/'a'-'f' to
+    0-15 without a 16-way CASE.  Same text runs in Spark SQL and DuckDB.
+
+    NOTE: ``expr`` is textually repeated 30×, so pass a *column reference*
+    (project the md5 into a column first) — inlining a big expression here
+    blows up whole-stage codegen (observed 90s+ compile for a 1k-row agg).
+    """
+    terms = []
+    for i in range(1, 16):
+        c = f"substr({expr}, {i}, 1)"
+        hexval = f"(ascii({c}) - (CASE WHEN ascii({c}) >= 97 THEN 87 ELSE 48 END))"
+        shift = 16 ** (15 - i)
+        # CAST keeps DuckDB from doing INT32 multiplication (overflow error)
+        terms.append(f"{hexval} * CAST({shift} AS BIGINT)" if shift > 1 else hexval)
+    return "(" + " + ".join(terms) + ")"
+
+
+def md5_i64(expr: str, engine: str = SPARK) -> str:
+    """60-bit integer from the first 15 hex chars of ``md5(expr)``.
+
+    Only for *small* ``expr`` (a column name or short concat) — see
+    :func:`hexfold_i64` for why.  In oracle SQL, prefer computing
+    ``md5(...) AS _m`` in a subquery and folding ``_m``.
+    """
+    return hexfold_i64(f"md5({expr})")
+
+
+def xor(a: str, b: str, engine: str) -> str:
+    """Bitwise xor of two bigints (DuckDB's ``^`` is exponentiation)."""
+    return f"({a} ^ {b})" if engine == SPARK else f"xor({a}, {b})"
+
+
+def shiftright(a: str, n: int, engine: str) -> str:
+    return f"shiftright({a}, {n})" if engine == SPARK else f"({a} >> {n})"
+
+
+def split_words(expr: str, engine: str) -> str:
+    """Split on single spaces → array/list of tokens (same empties both sides)."""
+    return f"split({expr}, ' ')" if engine == SPARK else f"string_split({expr}, ' ')"
+
+
+def ts_ms(expr: str, engine: str) -> str:
+    """Epoch milliseconds from a timestamp, identical both engines."""
+    if engine == SPARK:
+        return f"(unix_timestamp({expr}) * 1000 + CAST(date_format({expr}, 'SSS') AS BIGINT))"
+    return f"CAST(epoch_ms({expr}) AS BIGINT)"
+
+
+# canonical column tag maps for the fixture tables (FIXTURES.md §2)
+TABLE_TAGS: dict[str, dict[str, str]] = {
+    "lineitem": {
+        "l_orderkey": INT,
+        "l_partkey": INT,
+        "l_suppkey": INT,
+        "l_linenumber": INT,
+        "l_quantity": DOUBLE,
+        "l_extendedprice": DOUBLE,
+        "l_discount": DOUBLE,
+        "l_tax": DOUBLE,
+        "l_returnflag": STRING,
+        "l_linestatus": STRING,
+        "l_shipdate": TIMESTAMP,
+    },
+    "orders": {
+        "o_orderkey": INT,
+        "o_custkey": INT,
+        "o_orderstatus": STRING,
+        "o_totalprice": DOUBLE,
+        "o_orderdate": TIMESTAMP,
+        "o_orderpriority": STRING,
+    },
+    "customer": {
+        "c_custkey": INT,
+        "c_name": STRING,
+        "c_nationkey": INT,
+        "c_acctbal": DOUBLE,
+        "c_mktsegment": STRING,
+    },
+    "supplier": {"s_suppkey": INT, "s_name": STRING, "s_nationkey": INT, "s_acctbal": DOUBLE},
+    "part": {
+        "p_partkey": INT,
+        "p_name": STRING,
+        "p_brand": STRING,
+        "p_type": STRING,
+        "p_size": INT,
+        "p_retailprice": DOUBLE,
+    },
+    "nation": {"n_nationkey": INT, "n_name": STRING, "n_regionkey": INT},
+    "region": {"r_regionkey": INT, "r_name": STRING},
+    "events": {
+        "event_id": INT,
+        "ts": TIMESTAMP,
+        "user_id": INT,
+        "event_type": STRING,
+        "value": DOUBLE,
+        "props": STRING,
+    },
+    "documents": {"doc_id": INT, "text": STRING, "lang": STRING, "source": STRING, "n_chars": INT},
+}
+
+
+def tags_from_spark_schema(df) -> dict[str, str]:
+    """Infer canon tags from a Spark DataFrame's schema."""
+    out = {}
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        if t in ("long", "integer", "short", "byte"):
+            out[f.name] = INT
+        elif t in ("double", "float", "decimal"):
+            out[f.name] = DOUBLE
+        elif t == "timestamp":
+            out[f.name] = TIMESTAMP
+        elif t == "binary":
+            out[f.name] = BINARY
+        else:
+            out[f.name] = STRING
+    return out
+
+
+def table_canon(table: str, cols: list[str], engine: str) -> str:
+    tags = TABLE_TAGS[table]
+    return row_canon([(c, tags[c]) for c in cols], engine)

@@ -1,0 +1,139 @@
+"""Checksum operators — the reference's flagship (`checksum` subcommand).
+
+Reference semantics (checksum/checksum.go:118-179): compute an
+order-independent triple ``{Crc64Xor, TotalKvs, TotalBytes}`` over a key
+range on each cluster, region-parallel, merged as a commutative monoid
+``(XOR, +, +)`` (checksum/checksum.go:25-29), then compare the triples.
+
+Spark mapping (SURVEY.md §2.4): one ``groupBy().agg(bit_xor(hash), count,
+sum(len))`` — Catalyst's partial+final HashAggregate replaces the reference's
+per-region worker pool + mutex merge (checksum/checksum.go:78-95) with
+map-side partial aggregation, which is exactly the right 100 TB shape: the
+only shuffle is 24 bytes per partition.
+
+Hash algorithms (per-row contribution, XOR-combined):
+- ``xxhash64`` (default): Spark built-in, JVM/codegen, the fast path.
+- ``md5i64``:   cross-engine md5-fold (functions/sqlgen.py) — DuckDB-oracle
+                checkable bit-for-bit.
+- ``crc64``:    CRC-64/XZ over ``key ++ value`` bytes via Pandas UDF —
+                byte-compatible with real TiKV cluster checksums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from tikv_data_compare_spark.functions import sqlgen
+from tikv_data_compare_spark.model import Keyed, check_comparable
+
+ALGOS = ("xxhash64", "md5i64", "crc64")
+
+
+def _with_hash(keyed: Keyed, algo: str, tags: dict[str, str] | None) -> tuple[DataFrame, str]:
+    """Return (df, hash_col_name) with a per-row hash column appended.
+
+    md5i64 is staged through projected columns (canon → md5 → hexfold) so the
+    md5 is computed once per row; inlining it 30× into one expression blows up
+    whole-stage codegen compile time (observed 90s for a 1k-row aggregate).
+    """
+    df = keyed.df
+    cols = list(keyed.columns)
+    if algo == "xxhash64":
+        return df.withColumn("_h", F.xxhash64(*[F.col(c) for c in cols])), "_h"
+    if algo == "md5i64":
+        canon = _row_canon_expr(keyed, cols, tags)
+        df = df.withColumn("_canon", F.expr(canon)).withColumn("_m", F.md5(F.col("_canon")))
+        return df.withColumn("_h", F.expr(sqlgen.hexfold_i64("_m"))), "_h"
+    if algo == "crc64":
+        from tikv_data_compare_spark.functions.hashes import crc64_pandas_udf
+
+        payload = F.concat(*[F.coalesce(F.col(c), F.lit(b"")).cast("binary") for c in cols])
+        return df.withColumn("_h", crc64_pandas_udf()(payload)), "_h"
+    raise ValueError(f"algo must be one of {ALGOS}, got {algo!r}")
+
+
+def _row_canon_expr(keyed: Keyed, cols: list[str], tags: dict[str, str] | None) -> str:
+    inferred = sqlgen.tags_from_spark_schema(keyed.df)
+    tags = {**inferred, **(tags or {})}
+    pairs = [(c, tags.get(c, sqlgen.STRING)) for c in cols]
+    return sqlgen.row_canon(pairs, sqlgen.SPARK)
+
+
+def _byte_len(keyed: Keyed, tags: dict[str, str] | None) -> Column:
+    """Per-row byte contribution.
+
+    KV mode (all-binary): ``len(key)+len(value)`` — exactly the reference's
+    TotalBytes (checksum/checksum.go:28).  Typed mode: length of the
+    canonical row string (deterministic, oracle-matchable).
+    """
+    binary_cols = [
+        f.name
+        for f in keyed.df.schema.fields
+        if f.dataType.typeName() == "binary" and f.name in keyed.columns
+    ]
+    if len(binary_cols) == len(keyed.columns):
+        total = None
+        for c in keyed.columns:
+            term = F.length(F.col(c))
+            total = term if total is None else total + term
+        return total
+    if "_canon" in keyed.df.columns:  # md5i64 path already projected it
+        return F.length(F.col("_canon"))
+    return F.length(F.expr(_row_canon_expr(keyed, list(keyed.columns), tags)))
+
+
+def checksum(
+    keyed: Keyed,
+    algo: str = "xxhash64",
+    tags: dict[str, str] | None = None,
+) -> DataFrame:
+    """One-row DataFrame ``(checksum, total_kvs, total_bytes)`` over ``keyed``.
+
+    Order-independent: ``bit_xor`` of per-row hashes (the reference's Crc64Xor
+    merge rule, checksum/checksum.go:26).  Scale: single full scan, partial
+    aggregation per partition, no wide shuffle.
+    """
+    df, h = _with_hash(keyed, algo, tags)
+    return df.agg(
+        F.bit_xor(F.col(h)).alias("checksum"),
+        F.count(F.lit(1)).alias("total_kvs"),
+        F.sum(_byte_len(Keyed(df, keyed.keys, keyed.values), tags)).alias("total_bytes"),
+    )
+
+
+def compare_checksum(
+    src: Keyed,
+    dst: Keyed,
+    algo: str = "xxhash64",
+    tags: dict[str, str] | None = None,
+) -> DataFrame:
+    """Two-row per-side checksum report, one Spark job.
+
+    Instead of running src and dst concurrently from two threads (reference
+    checksum/checksum.go:140-168 uses an errgroup), union both sides under a
+    ``side`` label and aggregate by it — one job, one pass, same parallelism
+    (SURVEY.md §3.1).
+    """
+    check_comparable(src, dst)
+    s = src.df.select(*src.columns).withColumn("side", F.lit("src"))
+    d = dst.df.select(*dst.columns).withColumn("side", F.lit("dst"))
+    both = Keyed(s.unionByName(d), src.keys, src.values)
+    df, h = _with_hash(both, algo, tags)
+    return (
+        df.groupBy("side")
+        .agg(
+            F.bit_xor(F.col(h)).alias("checksum"),
+            F.count(F.lit(1)).alias("total_kvs"),
+            F.sum(_byte_len(Keyed(df, both.keys, both.values), tags)).alias("total_bytes"),
+        )
+        .orderBy(F.desc("side"))  # src before dst, deterministic report order
+    )
+
+
+def checksum_verdict(src: Keyed, dst: Keyed, algo: str = "xxhash64", tags=None) -> dict:
+    """Driver-side verdict — the reference's final triple comparison and
+    pass/fail report (checksum/checksum.go:173-178)."""
+    rows = {r["side"]: r for r in compare_checksum(src, dst, algo, tags).collect()}
+    s, d = rows["src"], rows["dst"]
+    equal = all(s[k] == d[k] for k in ("checksum", "total_kvs", "total_bytes"))
+    return {"equal": equal, "src": s.asDict(), "dst": d.asDict()}

@@ -1,0 +1,112 @@
+"""Diff operators — the reference's `diff` subcommand, done right.
+
+Reference semantics (diff/diff.go:18-63): lock-step scan both clusters and
+print every position where key or value differs.  That algorithm is
+*positional* — one insertion desynchronizes the tail, and dst pagination is
+driven by src's last key (diff/diff.go:59), so inserts/deletes garble the
+report.  SURVEY.md §4 flags this as a quirk not to replicate.
+
+This engine's canonical diff is **keyed**: a full-outer join on the key
+columns with a status classification — strictly more correct (one-sided rows
+are reported as only_src/only_dst instead of corrupting the tail) and exactly
+Spark's sweet spot: a sort-merge join on the key, both sides shuffled once on
+the same key, AQE handling skew.  The reference's lock-step merge loop *is* a
+hand-written sort-merge join (SURVEY.md §4); we let Spark plan it.
+
+``diff_positional`` is kept as a documented compatibility mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from tikv_data_compare_spark.model import Keyed, check_comparable
+
+STATUS_CHANGED = "changed"
+STATUS_ONLY_SRC = "only_src"
+STATUS_ONLY_DST = "only_dst"
+STATUS_EQUAL = "equal"
+
+
+def diff(src: Keyed, dst: Keyed, include_equal: bool = False) -> DataFrame:
+    """Keyed full-outer diff.
+
+    Returns ``[*keys, status, src_<v>..., dst_<v>...]`` with status ∈
+    {changed, only_src, only_dst} (plus equal when ``include_equal``).
+
+    The mismatch predicate is the reference's F2 (diff/diff.go:49) applied
+    per value column with null-safe equality; one-sided rows replace the
+    reference's cardinality warning (diff/diff.go:44-46) with exact findings.
+    """
+    check_comparable(src, dst)
+    keys = list(src.keys)
+    s = src.df.select(
+        *keys,
+        *[F.col(v).alias(f"src_{v}") for v in src.values],
+        F.lit(True).alias("_in_src"),
+    )
+    d = dst.df.select(
+        *keys,
+        *[F.col(v).alias(f"dst_{v}") for v in dst.values],
+        F.lit(True).alias("_in_dst"),
+    )
+    j = s.join(d, on=keys, how="full_outer")
+
+    value_mismatch = F.lit(False)
+    for v in src.values:
+        value_mismatch = value_mismatch | ~F.col(f"src_{v}").eqNullSafe(F.col(f"dst_{v}"))
+
+    status = (
+        F.when(F.col("_in_dst").isNull(), F.lit(STATUS_ONLY_SRC))
+        .when(F.col("_in_src").isNull(), F.lit(STATUS_ONLY_DST))
+        .when(value_mismatch, F.lit(STATUS_CHANGED))
+        .otherwise(F.lit(STATUS_EQUAL))
+    )
+    out = j.withColumn("status", status).drop("_in_src", "_in_dst")
+    if not include_equal:
+        out = out.filter(F.col("status") != STATUS_EQUAL)
+    return out.select(*keys, "status", *[f"src_{v}" for v in src.values], *[f"dst_{v}" for v in dst.values])
+
+
+def only_in_src(src: Keyed, dst: Keyed) -> DataFrame:
+    """Keys present in src but not dst (reference J2, the explicit form of the
+    count warning at diff/diff.go:44-46).  left_anti — no wide row payload
+    crosses the shuffle for the dst side."""
+    check_comparable(src, dst)
+    return src.df.join(dst.df.select(*dst.keys), on=list(src.keys), how="left_anti")
+
+
+def only_in_dst(src: Keyed, dst: Keyed) -> DataFrame:
+    return dst.df.join(src.df.select(*src.keys), on=list(dst.keys), how="left_anti")
+
+
+def diff_count(src: Keyed, dst: Keyed) -> DataFrame:
+    """Aggregate diff summary: count per status — cheap verdict without
+    materializing per-row findings."""
+    return diff(src, dst).groupBy("status").agg(F.count(F.lit(1)).alias("n")).orderBy("status")
+
+
+def diff_positional(src: Keyed, dst: Keyed) -> DataFrame:
+    """Reference-compatible positional diff (diff/diff.go:35-60).
+
+    Pairs the i-th src row with the i-th dst row in global key order and
+    reports positions where key or value differs.  Kept as a compatibility
+    mode: positional semantics misalign after an insert/delete (SURVEY.md §4
+    quirks).  Positions are assigned per-side with a global-order window —
+    report-sized use only; the scalable path is ``diff`` (keyed).
+    """
+    check_comparable(src, dst)
+
+    def with_pos(k: Keyed, side: str) -> DataFrame:
+        w = Window.orderBy(*[F.col(c) for c in k.keys])
+        return k.df.select(
+            (F.row_number().over(w) - 1).alias("pos"),
+            *[F.col(c).alias(f"{side}_{c}") for c in (*k.keys, *k.values)],
+        )
+
+    s, d = with_pos(src, "src"), with_pos(dst, "dst")
+    j = s.join(d, on="pos", how="inner")  # reference compares min(len) positions
+    mismatch = F.lit(False)
+    for c in (*src.keys, *src.values):
+        mismatch = mismatch | ~F.col(f"src_{c}").eqNullSafe(F.col(f"dst_{c}"))
+    return j.filter(mismatch).orderBy("pos")

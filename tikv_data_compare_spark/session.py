@@ -1,0 +1,54 @@
+"""SparkSession construction and per-session tuning.
+
+Local testing runs ``local[N]`` in one JVM; the configs below are chosen so
+the same logical plans scale to a real cluster (AQE on, shuffle partitions
+sized to cores locally — on a 1000-executor cluster these come from the
+cluster conf instead).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "tikv-data-compare-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a tuned local SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-created session.
+
+    The driver harness passes us its own SparkSession; these four are
+    runtime-configurable and required for deterministic oracle comparison
+    (UTC timestamps, non-ANSI arithmetic so 64-bit hash mixing wraps instead
+    of raising) and for scale (AQE).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    return spark
