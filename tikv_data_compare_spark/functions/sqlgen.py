@@ -193,7 +193,7 @@ def tags_from_spark_schema(df) -> dict[str, str]:
             out[f.name] = INT
         elif t in ("double", "float", "decimal"):
             out[f.name] = DOUBLE
-        elif t == "timestamp":
+        elif t in ("timestamp", "timestamp_ntz"):  # parquet without TZ loads as NTZ in Spark 4
             out[f.name] = TIMESTAMP
         elif t == "binary":
             out[f.name] = BINARY

@@ -1,0 +1,98 @@
+"""Multimodal column plumbing: opaque binary payloads with typed metadata.
+
+Images/audio/video are carried as ``binary`` columns plus metadata.  The
+image/audio decode libraries are not in this container, so the decode step is
+STUBBED (NotImplementedError for real decode; a deterministic fake feature
+extractor exercises the full Spark plumbing — schema, Arrow batching,
+mapInPandas signature, partitioning).  Everything around the stub is real
+and tested.
+
+Scale shape: mapInPandas streams Arrow batches through Python once, with all
+metadata extraction staying JVM-side where possible (payload_meta is pure
+builtins — no Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from tikv_data_compare_spark.functions import sqlgen
+
+#: schema of the decoded-feature output of decode_features()
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, byte_mean double, byte_histogram_head array<long>, "
+    "decoded boolean"
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Render a text column as an opaque binary payload column (the fixture
+    stand-in for real media bytes) plus a mime tag."""
+    return df.withColumn("payload", F.col(text_col).cast("binary")).withColumn(
+        "mime", F.lit("application/octet-stream")
+    )
+
+
+def payload_meta(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Typed metadata over the payload, fully JVM-side: byte length, 60-bit
+    content id, 1 KiB chunk count."""
+    with_m = df.withColumn("_m", F.md5(F.col(text_col)))
+    return with_m.select(
+        id_col,
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        F.expr(sqlgen.hexfold_i64("_m")).cast("long").alias("content_id"),
+        F.expr(f"CAST(ceil(octet_length({text_col}) / 1024.0) AS BIGINT)").alias("n_chunks"),
+    )
+
+
+def decode_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Feature extraction over binary payloads via Arrow-batched mapInPandas.
+
+    ``real_decode=True`` raises NotImplementedError inside the workers (the
+    decode libraries — PIL/ffmpeg/torchaudio — are not installed); the
+    default deterministic fake computes byte-level features with numpy so the
+    whole distributed path (binary Arrow transfer, batch iteration, schema)
+    is exercised for real.
+    """
+    payloads = attach_payload(df)
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if real_decode:
+                    raise NotImplementedError(
+                        "media decode requires PIL/ffmpeg — not available in this environment"
+                    )
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(b % 16, minlength=16)[:4]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_bytes": int(b.size),
+                        "byte_mean": float(b.mean()) if b.size else 0.0,
+                        "byte_histogram_head": [int(x) for x in hist],
+                        "decoded": not real_decode,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return payloads.select("doc_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' stand-in: one row per sampled chunk offset — the
+    Spark shape of video frame extraction (posexplode of offsets computed
+    JVM-side; the per-frame decode itself would be a mapInPandas stub)."""
+    payloads = attach_payload(df)
+    return payloads.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"sequence(0, greatest(octet_length(text) - 1, 0), {every_n_bytes})")
+        ).alias("frame_idx", "byte_offset"),
+    )

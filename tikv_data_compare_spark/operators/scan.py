@@ -72,17 +72,16 @@ def export_hex(keyed: Keyed, start=None, end=None, path: str | None = None) -> D
     df = keyed.in_range(start, end).df
 
     def hex_of(cols: tuple[str, ...]) -> F.Column:
+        from tikv_data_compare_spark.functions import sqlgen
+
         types = {fld.name: fld.dataType.typeName() for fld in df.schema.fields}
         if len(cols) == 1 and types[cols[0]] == "binary":
             return F.upper(F.hex(F.col(cols[0])))
-        parts = [
-            F.upper(F.hex(F.col(c)))
-            if types[c] == "binary"
-            else F.coalesce(F.col(c).cast("string"), F.lit("␀"))
-            for c in cols
-        ]
-        # hex of a string hexes its UTF-8 bytes in both Spark and DuckDB
-        return F.upper(F.hex(F.concat_ws("|", *parts)))
+        tags = sqlgen.tags_from_spark_schema(df)
+        canon = sqlgen.row_canon([(c, tags[c]) for c in cols], sqlgen.SPARK)
+        # hex of a string hexes its UTF-8 bytes in both Spark and DuckDB;
+        # canonical rendering (not raw casts) keeps it engine-stable
+        return F.upper(F.hex(F.expr(canon)))
 
     hexed = df.select(
         *[F.col(c) for c in keyed.keys],

@@ -1,0 +1,103 @@
+"""Text-analysis operators: stats/quality, language ID, fingerprinting.
+
+All built from JVM-side array/string builtins (split/filter/transform — no
+Python UDFs), so they run at full codegen speed over 100 TB of documents and
+remain DuckDB-oracle checkable via the shared canon/hash primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tikv_data_compare_spark.functions import sqlgen
+
+
+def _stopwords():
+    from tikv_data_compare_spark.queries import STOPWORDS
+
+    return STOPWORDS
+
+
+def _sw_in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality stats: token count, char count, mean word length
+    (scaled ×10000), stopword count, punctuation count."""
+    sw = sorted({w for ws in _stopwords().values() for w in ws})
+    ws = f"split({text_col}, ' ')"
+    return df.select(
+        id_col,
+        F.expr(f"CAST(size({ws}) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST(length({text_col}) AS BIGINT)").alias("n_chars"),
+        F.expr(
+            f"CAST(ROUND(10000.0 * (length({text_col}) - size({ws}) + 1) / size({ws})) AS BIGINT)"
+        ).alias("mean_word_len_c"),
+        F.expr(
+            f"CAST(size(filter({ws}, x -> x IN ({_sw_in_list(sw)}))) AS BIGINT)"
+        ).alias("n_stopwords"),
+        F.expr(
+            f"CAST(length({text_col}) - length(replace(replace(replace({text_col}, '.', ''), ',', ''), '!', '')) AS BIGINT)"
+        ).alias("n_punct"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: score = |words ∩ stopwords(lang)|,
+    prediction = argmax with alphabetical tie-break."""
+    stop = _stopwords()
+    langs = sorted(stop)
+    ws = f"split({text_col}, ' ')"
+    score_cols = [
+        F.expr(
+            f"CAST(size(filter({ws}, x -> x IN ({_sw_in_list(stop[la])}))) AS BIGINT)"
+        ).alias(f"c_{la}")
+        for la in langs
+    ]
+    scored = df.select(id_col, F.col("lang").alias("labeled_lang"), *score_cols)
+    argmax = "CASE " + " ".join(
+        f"WHEN c_{la} >= greatest({', '.join('c_' + lb for lb in langs if lb != la)}) THEN '{la}'"
+        for la in langs
+    ) + " END"
+    return scored.select(
+        id_col, "labeled_lang", F.expr(argmax).alias("pred_lang"), *[f"c_{la}" for la in langs]
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Order-independent document fingerprint: XOR of md5-fold hashes of the
+    distinct word 3-shingles (rolling n-gram set; whole text when < 3 tokens).
+
+    Scale: explode + distinct + partial-agg XOR — one shuffle keyed by doc."""
+    shingles = df.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split({text_col}, ' ')) >= 3 THEN "
+                f"transform(sequence(0, size(split({text_col}, ' ')) - 3), "
+                f"i -> concat_ws(' ', split({text_col}, ' ')[i], split({text_col}, ' ')[i+1], split({text_col}, ' ')[i+2])) "
+                f"ELSE array({text_col}) END"
+            )
+        ).alias("sh"),
+    ).distinct()
+    hashed = shingles.withColumn("_m", F.md5("sh")).withColumn(
+        "_h", F.expr(sqlgen.hexfold_i64("_m"))
+    )
+    return hashed.groupBy(id_col).agg(F.bit_xor("_h").cast("long").alias("fingerprint"))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish subword token estimate: words plus extra tokens
+    for long words (≈ 1 per 6 chars beyond the first 6) — a cheap stand-in
+    for a real tokenizer, JVM-side."""
+    ws = f"split({text_col}, ' ')"
+    return df.withColumn(
+        "n_words", F.expr(f"CAST(size({ws}) AS BIGINT)")
+    ).withColumn(
+        "n_tokens_bpe",
+        F.expr(
+            f"CAST(aggregate({ws}, CAST(0 AS BIGINT), "
+            f"(acc, w) -> acc + 1 + CAST(greatest(length(w) - 6, 0) / 6 AS BIGINT)) AS BIGINT)"
+        ),
+    )

@@ -1,0 +1,591 @@
+"""Driver-contract query registry: (spark_fn, oracle_sql) pairs.
+
+Every operator from SURVEY.md §2 (plus the LLM-pipeline extensions) is
+registered here as a named query.  Each entry pairs a PySpark implementation
+(running the library operators) with an ANSI-SQL DuckDB oracle computing the
+same result bit-for-bit; the shared constants (mutation spec, minhash
+permutations, stopword lists, canonicalization) live at the top so both
+engines derive from one source of truth.
+
+Output-column discipline (driver hashes values after sorting columns by
+name): only BIGINT / INT / STRING outputs — doubles are projected through the
+fixed-point canon (functions/sqlgen.py) and timestamps through explicit
+formats, because raw double/timestamp rendering differs between engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from tikv_data_compare_spark.functions import sqlgen
+from tikv_data_compare_spark.functions.sqlgen import DUCK, SPARK
+from tikv_data_compare_spark.model import Keyed, unique_by_key
+from tikv_data_compare_spark.operators import diff as diff_ops
+from tikv_data_compare_spark.operators.checksum import checksum, compare_checksum
+from tikv_data_compare_spark.operators.scan import export_hex, with_global_index
+from tikv_data_compare_spark.session import tune
+
+# ----------------------------------------------------------------- shared spec
+
+#: deterministic mutation spec applied to `orders` to build the dst side
+DELETE_MOD = 101
+UPDATE_MOD = 97
+INSERT_MOD = 499
+INSERT_SHIFT = 10_000_000
+
+#: minhash: 8 permutations (a*h + b) mod P over 30-bit word hashes
+MINHASH_PERMS = [
+    (726148213, 923567891),
+    (330566581, 137662459),
+    (877905481, 611945761),
+    (205356007, 894561893),
+    (971148377, 319056523),
+    (567823519, 762339749),
+    (143985551, 429867761),
+    (683442151, 258973571),
+]
+MINHASH_P = 2_147_483_647
+H30_MASK = (1 << 30) - 1
+
+#: simhash width (bits) and near-dup hamming threshold
+SIMHASH_BITS = 32
+SIMHASH_HAMMING = 3
+
+#: stopword lists for the language-ID heuristic (alphabetical tie-break)
+STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "es": ["el", "la", "que", "y", "en", "un", "se", "no"],
+    "fr": ["le", "les", "des", "et", "du", "une", "dans", "pour"],
+    "zh": ["de", "shi", "le", "wo", "ni", "ta", "zai", "you"],
+}
+
+SCALE = sqlgen.DOUBLE_SCALE  # 10_000
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dc(expr: str) -> str:
+    """Fixed-point canon of a double expression (same text both engines)."""
+    return f"CAST(ROUND(({expr}) * {SCALE}) AS BIGINT)"
+
+
+# ---------------------------------------------------------------- orders dst
+
+
+ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+ORDER_VALUE_COLS = ORDER_COLS[1:]
+
+
+def mutated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dst = orders minus deletes, with price updates, plus shifted inserts."""
+    o = _load(spark, sf_dir, "orders")
+    upd = o.filter(F.col("o_orderkey") % DELETE_MOD != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % UPDATE_MOD == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    ins = o.filter(F.col("o_orderkey") % INSERT_MOD == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(INSERT_SHIFT)
+    )
+    return upd.unionByName(ins)
+
+
+DST_ORDERS_SQL = f"""
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % {UPDATE_MOD} = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % {DELETE_MOD} <> 0
+  UNION ALL
+  SELECT o_orderkey + {INSERT_SHIFT}, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % {INSERT_MOD} = 0
+"""
+
+
+def _orders_keyed(df: DataFrame) -> Keyed:
+    return Keyed.of(df, keys=("o_orderkey",))
+
+
+# ================================================================ parity: scan
+
+
+def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/S1/O1: half-open key-range scan [1000, 5000) on orders (reference
+    scan/scan.go:44-60 range semantics; pushdown checked in tests)."""
+    tune(spark)
+    k = _orders_keyed(_load(spark, sf_dir, "orders"))
+    df = k.in_range(1000, 5000).df
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr(_dc("o_totalprice")).alias("o_totalprice_c"),
+        F.expr(sqlgen.canon("o_orderdate", sqlgen.TIMESTAMP, SPARK)).alias("o_orderdate_s"),
+        "o_orderpriority",
+    )
+
+
+ORACLE_RANGE_SCAN = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       {_dc("o_totalprice")} AS o_totalprice_c,
+       {sqlgen.canon("o_orderdate", sqlgen.TIMESTAMP, DUCK)} AS o_orderdate_s,
+       o_orderpriority
+FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 5000
+"""
+
+
+def q_scan_export_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/C1/A5: sorted hex dump with dense global running counter over a key
+    range (reference scan/scan.go:52 line format, scalable counter)."""
+    tune(spark)
+    orders = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    out = export_hex(_orders_keyed(orders))
+    return out.withColumn("cnt", F.col("cnt").cast("long"))
+
+
+def _oracle_export_hex() -> str:
+    tags = sqlgen.TABLE_TAGS["orders"]
+    key_canon = sqlgen.row_canon([("o_orderkey", tags["o_orderkey"])], DUCK)
+    val_canon = sqlgen.row_canon([(c, tags[c]) for c in ORDER_VALUE_COLS], DUCK)
+    return f"""
+SELECT upper(hex({key_canon})) AS key_hex,
+       upper(hex({val_canon})) AS value_hex,
+       CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS cnt
+FROM orders WHERE o_orderkey < 3000
+"""
+
+
+# ================================================================ parity: diff
+
+
+def _diff_project(d: DataFrame) -> DataFrame:
+    """Project diff output to engine-stable columns."""
+    return d.select(
+        "o_orderkey",
+        "status",
+        F.col("src_o_custkey").alias("src_custkey"),
+        F.col("dst_o_custkey").alias("dst_custkey"),
+        F.expr(_dc("src_o_totalprice")).alias("src_totalprice_c"),
+        F.expr(_dc("dst_o_totalprice")).alias("dst_totalprice_c"),
+        F.col("src_o_orderstatus").alias("src_status_f"),
+        F.col("dst_o_orderstatus").alias("dst_status_f"),
+    )
+
+
+def q_diff_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (canonical keyed form): full-outer diff with status classification
+    (reference diff/diff.go:18-63, corrected semantics per SURVEY.md §4)."""
+    tune(spark)
+    src = _orders_keyed(_load(spark, sf_dir, "orders"))
+    dst = _orders_keyed(mutated_orders(spark, sf_dir))
+    return _diff_project(diff_ops.diff(src, dst))
+
+
+ORACLE_DIFF_KEYED = f"""
+WITH dst AS ({DST_ORDERS_SQL})
+SELECT coalesce(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+       CASE WHEN d.o_orderkey IS NULL THEN 'only_src'
+            WHEN s.o_orderkey IS NULL THEN 'only_dst'
+            ELSE 'changed' END AS status,
+       s.o_custkey AS src_custkey, d.o_custkey AS dst_custkey,
+       {_dc("s.o_totalprice")} AS src_totalprice_c,
+       {_dc("d.o_totalprice")} AS dst_totalprice_c,
+       s.o_orderstatus AS src_status_f, d.o_orderstatus AS dst_status_f
+FROM orders s FULL OUTER JOIN dst d ON s.o_orderkey = d.o_orderkey
+WHERE d.o_orderkey IS NULL OR s.o_orderkey IS NULL
+   OR (s.o_custkey IS DISTINCT FROM d.o_custkey)
+   OR (s.o_orderstatus IS DISTINCT FROM d.o_orderstatus)
+   OR (s.o_totalprice IS DISTINCT FROM d.o_totalprice)
+   OR (s.o_orderdate IS DISTINCT FROM d.o_orderdate)
+   OR (s.o_orderpriority IS DISTINCT FROM d.o_orderpriority)
+"""
+
+
+def q_diff_only_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: anti-join 'only in src' (explicit form of diff/diff.go:44-46)."""
+    tune(spark)
+    src = _orders_keyed(_load(spark, sf_dir, "orders"))
+    dst = _orders_keyed(mutated_orders(spark, sf_dir))
+    out = diff_ops.only_in_src(src, dst)
+    return out.select("o_orderkey", "o_custkey", F.expr(_dc("o_totalprice")).alias("o_totalprice_c"))
+
+
+ORACLE_DIFF_ONLY_SRC = f"""
+WITH dst AS ({DST_ORDERS_SQL})
+SELECT o_orderkey, o_custkey, {_dc("o_totalprice")} AS o_totalprice_c
+FROM orders s WHERE NOT EXISTS (SELECT 1 FROM dst d WHERE d.o_orderkey = s.o_orderkey)
+"""
+
+
+def q_diff_only_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    src = _orders_keyed(_load(spark, sf_dir, "orders"))
+    dst = _orders_keyed(mutated_orders(spark, sf_dir))
+    out = diff_ops.only_in_dst(src, dst)
+    return out.select("o_orderkey", "o_custkey", F.expr(_dc("o_totalprice")).alias("o_totalprice_c"))
+
+
+ORACLE_DIFF_ONLY_DST = f"""
+WITH dst AS ({DST_ORDERS_SQL})
+SELECT o_orderkey, o_custkey, {_dc("o_totalprice")} AS o_totalprice_c
+FROM dst d WHERE NOT EXISTS (SELECT 1 FROM orders s WHERE s.o_orderkey = d.o_orderkey)
+"""
+
+
+def q_diff_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 compatibility mode: lock-step positional diff (diff/diff.go:35-60) —
+    reference-faithful, order-fragile by design (quirk documented)."""
+    tune(spark)
+    src = _orders_keyed(_load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000))
+    dst = _orders_keyed(mutated_orders(spark, sf_dir).filter(F.col("o_orderkey") < 2000))
+    out = diff_ops.diff_positional(src, dst)
+    return out.select(
+        F.col("pos").cast("long").alias("pos"),
+        F.col("src_o_orderkey").alias("src_key"),
+        F.col("dst_o_orderkey").alias("dst_key"),
+        F.expr(_dc("src_o_totalprice")).alias("src_totalprice_c"),
+        F.expr(_dc("dst_o_totalprice")).alias("dst_totalprice_c"),
+    )
+
+
+ORACLE_DIFF_POSITIONAL = f"""
+WITH dst0 AS ({DST_ORDERS_SQL}),
+s AS (SELECT *, CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) - 1 AS pos
+      FROM orders WHERE o_orderkey < 2000),
+d AS (SELECT *, CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) - 1 AS pos
+      FROM dst0 WHERE o_orderkey < 2000)
+SELECT s.pos AS pos, s.o_orderkey AS src_key, d.o_orderkey AS dst_key,
+       {_dc("s.o_totalprice")} AS src_totalprice_c,
+       {_dc("d.o_totalprice")} AS dst_totalprice_c
+FROM s JOIN d ON s.pos = d.pos
+WHERE s.o_orderkey <> d.o_orderkey
+   OR (s.o_custkey IS DISTINCT FROM d.o_custkey)
+   OR (s.o_orderstatus IS DISTINCT FROM d.o_orderstatus)
+   OR (s.o_totalprice IS DISTINCT FROM d.o_totalprice)
+   OR (s.o_orderdate IS DISTINCT FROM d.o_orderdate)
+   OR (s.o_orderpriority IS DISTINCT FROM d.o_orderpriority)
+"""
+
+
+# ============================================================ parity: checksum
+
+
+def _orders_canon(engine: str, alias: str = "") -> str:
+    p = f"{alias}." if alias else ""
+    tags = sqlgen.TABLE_TAGS["orders"]
+    return sqlgen.row_canon([(p + c, tags[c]) for c in ORDER_COLS], engine)
+
+
+def q_checksum_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4: order-independent checksum triple, oracle-checkable md5-fold
+    algo (checksum/checksum.go:25-29 monoid; partial agg does the region
+    merge)."""
+    tune(spark)
+    k = _orders_keyed(_load(spark, sf_dir, "orders"))
+    return checksum(k, algo="md5i64")
+
+
+ORACLE_CHECKSUM_MD5 = f"""
+SELECT CAST(bit_xor({sqlgen.hexfold_i64('_m')}) AS BIGINT) AS checksum,
+       CAST(count(*) AS BIGINT) AS total_kvs,
+       CAST(sum(length(_c)) AS BIGINT) AS total_bytes
+FROM (SELECT _c, md5(_c) AS _m FROM (SELECT {_orders_canon(DUCK)} AS _c FROM orders))
+"""
+
+
+def q_checksum_compare_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: side-by-side src/dst checksum triples in one pass (union+groupBy
+    replaces the reference's two concurrent cluster jobs,
+    checksum/checksum.go:140-168)."""
+    tune(spark)
+    src = _orders_keyed(_load(spark, sf_dir, "orders"))
+    dst = _orders_keyed(mutated_orders(spark, sf_dir))
+    return compare_checksum(src, dst, algo="md5i64")
+
+
+ORACLE_CHECKSUM_COMPARE_MD5 = f"""
+WITH dst AS ({DST_ORDERS_SQL}),
+both_sides AS (
+  SELECT 'src' AS side, {_orders_canon(DUCK)} AS _c FROM orders
+  UNION ALL
+  SELECT 'dst' AS side, {_orders_canon(DUCK)} AS _c FROM dst
+)
+SELECT side, CAST(bit_xor({sqlgen.hexfold_i64('_m')}) AS BIGINT) AS checksum,
+       CAST(count(*) AS BIGINT) AS total_kvs,
+       CAST(sum(length(_c)) AS BIGINT) AS total_bytes
+FROM (SELECT side, _c, md5(_c) AS _m FROM both_sides)
+GROUP BY side ORDER BY side DESC
+"""
+
+
+def q_checksum_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 fast path: xxhash64 checksum triple over lineitem — Spark-built-in
+    hash (no DuckDB equivalent → rows-only check)."""
+    tune(spark)
+    li = _load(spark, sf_dir, "lineitem")
+    k = Keyed.of(li, keys=("l_orderkey", "l_linenumber"))
+    return checksum(k, algo="xxhash64")
+
+
+def q_agg_count_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 + grouped aggregation: per (returnflag, linestatus) count and
+    canonical byte-size totals over lineitem (exact integer math — doubles
+    scaled before summation)."""
+    tune(spark)
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr(_dc("l_quantity"))).alias("sum_qty_c"),
+            F.sum(F.expr(_dc("l_extendedprice"))).alias("sum_price_c"),
+            F.sum(F.expr(_dc("l_extendedprice * (1 - l_discount)"))).alias("sum_disc_price_c"),
+            F.sum(F.length(F.expr(sqlgen.table_canon("lineitem", list(sqlgen.TABLE_TAGS["lineitem"]), SPARK)))).alias(
+                "sum_bytes"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "sum_qty_c",
+            "sum_price_c",
+            "sum_disc_price_c",
+            F.col("sum_bytes").cast("long").alias("sum_bytes"),
+        )
+    )
+
+
+ORACLE_AGG_COUNT_BYTES = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum({_dc("l_quantity")}) AS BIGINT) AS sum_qty_c,
+       CAST(sum({_dc("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+       CAST(sum({_dc("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS sum_disc_price_c,
+       CAST(sum(length({sqlgen.table_canon("lineitem", list(sqlgen.TABLE_TAGS["lineitem"]), DUCK)})) AS BIGINT) AS sum_bytes
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ============================================================ parity: KV view
+
+
+def q_kv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+C1+C3-flavored: render lineitem as the canonical ordered KV view —
+    big-endian order-preserving hex keys (sign-bit flip = the engine's
+    memcomparable integer encoding, model.to_kv) + canonical value hex.
+    Deduplicated to unique keys first (TiKV keys are unique)."""
+    tune(spark)
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    uniq = unique_by_key(li, ["l_orderkey", "l_linenumber"])
+    value_cols = [c for c in li.columns if c not in ("l_orderkey", "l_linenumber")]
+    tags = sqlgen.TABLE_TAGS["lineitem"]
+    val_canon = sqlgen.row_canon([(c, tags[c]) for c in value_cols], SPARK)
+    flip = -(1 << 63)
+    return uniq.select(
+        F.concat(
+            F.lpad(F.hex(F.col("l_orderkey").bitwiseXOR(F.lit(flip))), 16, "0"),
+            F.lpad(F.hex(F.col("l_linenumber").cast("long").bitwiseXOR(F.lit(flip))), 16, "0"),
+        ).alias("key_hex"),
+        F.upper(F.hex(F.expr(val_canon))).alias("value_hex"),
+    )
+
+
+def _oracle_kv_scan() -> str:
+    tags = sqlgen.TABLE_TAGS["lineitem"]
+    value_cols = [c for c in tags if c not in ("l_orderkey", "l_linenumber")]
+    val_canon = sqlgen.row_canon([(c, tags[c]) for c in value_cols], DUCK)
+    order_rest = ", ".join(value_cols)
+    return f"""
+WITH uniq AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY {order_rest}) AS _rn
+    FROM lineitem WHERE l_orderkey < 500
+  ) WHERE _rn = 1
+)
+SELECT upper(lpad(hex(xor(CAST(l_orderkey AS BIGINT), CAST(-9223372036854775808 AS BIGINT))), 16, '0')) ||
+       upper(lpad(hex(xor(CAST(l_linenumber AS BIGINT), CAST(-9223372036854775808 AS BIGINT))), 16, '0')) AS key_hex,
+       upper(hex({val_canon})) AS value_hex
+FROM uniq
+"""
+
+
+# ========================================================= extension: windows
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per priority — window ranking coverage."""
+    tune(spark)
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            F.col("rnk").cast("long").alias("rnk"),
+            "o_orderkey",
+            F.expr(_dc("o_totalprice")).alias("o_totalprice_c"),
+        )
+    )
+
+
+ORACLE_TOPK_PER_GROUP = f"""
+SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey, {_dc("o_totalprice")} AS o_totalprice_c
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def _events_ms(spark: SparkSession, sf_dir: str):
+    """events with an epoch-ms column.
+
+    The fixture's ts is TIMESTAMP(NANOS) parquet, which Spark 4 reads only as
+    nanosecond longs (legacy.parquet.nanosAsLong, set in tune()); DuckDB
+    truncates ns → µs natively, so both engines agree at ms resolution.
+    """
+    e = _load(spark, sf_dir, "events")
+    ts_type = dict((f.name, f.dataType.typeName()) for f in e.schema.fields)["ts"]
+    if ts_type in ("long", "bigint"):
+        ms = F.expr("CAST(ts DIV 1000000 AS BIGINT)")
+    else:
+        ms = F.expr(sqlgen.ts_ms("ts", SPARK))
+    return e, ms
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split on >30 min gaps (lag + cumsum
+    windows) — the batch form of the streaming session_window."""
+    tune(spark)
+    e, ms = _events_ms(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    base = e.select("user_id", "event_id", ms.alias("ms"))
+    gapped = base.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ms").over(w).isNull() | ((F.col("ms") - F.lag("ms").over(w)) > 1_800_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = gapped.withColumn(
+        "session_idx", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ms") - F.min("ms")).alias("duration_ms"),
+            F.min("event_id").alias("first_event"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "duration_ms",
+            "first_event",
+        )
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = f"""
+WITH base AS (SELECT user_id, event_id, {sqlgen.ts_ms("ts", DUCK)} AS ms FROM events),
+gapped AS (
+  SELECT *, CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM gapped
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(ms) - min(ms) AS BIGINT) AS duration_ms, CAST(min(event_id) AS BIGINT) AS first_event
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type (batch form of the streaming
+    windowed aggregation; exact integer math via pre-scaled values)."""
+    tune(spark)
+    e, ms = _events_ms(spark, sf_dir)
+    return (
+        e.select(
+            (ms - (ms % F.lit(3_600_000))).alias("window_start_ms"),
+            "event_type",
+            F.expr(_dc("value")).alias("v_c"),
+        )
+        .groupBy("window_start_ms", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v_c").alias("sum_value_c"))
+        .select(
+            "window_start_ms",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "sum_value_c",
+        )
+    )
+
+
+ORACLE_EVENTS_WINDOW_AGG = f"""
+WITH base AS (SELECT {sqlgen.ts_ms("ts", DUCK)} AS ms, event_type, {_dc("value")} AS v_c FROM events)
+SELECT ms - (ms % 3600000) AS window_start_ms, event_type,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(v_c) AS BIGINT) AS sum_value_c
+FROM base GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------- registry
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from tikv_data_compare_spark import queries_ext
+
+    base = {
+        "range_scan": q_range_scan,
+        "scan_export_hex": q_scan_export_hex,
+        "diff_keyed": q_diff_keyed,
+        "diff_only_src": q_diff_only_src,
+        "diff_only_dst": q_diff_only_dst,
+        "diff_positional": q_diff_positional,
+        "checksum_md5": q_checksum_md5,
+        "checksum_compare_md5": q_checksum_compare_md5,
+        "checksum_xxhash64": q_checksum_xxhash64,
+        "agg_count_bytes": q_agg_count_bytes,
+        "kv_scan": q_kv_scan,
+        "topk_per_group": q_topk_per_group,
+        "events_sessionize": q_events_sessionize,
+        "events_window_agg": q_events_window_agg,
+    }
+    base.update(queries_ext.queries())
+    return base
+
+
+def oracle_sql() -> dict[str, str]:
+    from tikv_data_compare_spark import queries_ext
+
+    base = {
+        "range_scan": ORACLE_RANGE_SCAN,
+        "scan_export_hex": _oracle_export_hex(),
+        "diff_keyed": ORACLE_DIFF_KEYED,
+        "diff_only_src": ORACLE_DIFF_ONLY_SRC,
+        "diff_only_dst": ORACLE_DIFF_ONLY_DST,
+        "diff_positional": ORACLE_DIFF_POSITIONAL,
+        "checksum_md5": ORACLE_CHECKSUM_MD5,
+        "checksum_compare_md5": ORACLE_CHECKSUM_COMPARE_MD5,
+        # checksum_xxhash64: intentionally no oracle (Spark-only hash)
+        "agg_count_bytes": ORACLE_AGG_COUNT_BYTES,
+        "kv_scan": _oracle_kv_scan(),
+        "topk_per_group": ORACLE_TOPK_PER_GROUP,
+        "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+        "events_window_agg": ORACLE_EVENTS_WINDOW_AGG,
+    }
+    base.update(queries_ext.oracle_sql())
+    return base

@@ -1,0 +1,344 @@
+"""Extension queries: dedup, similarity search, text analysis, multimodal.
+
+These are the LLM-training-data-pipeline operators beyond the reference's
+surface (SURVEY.md §2.7/§7.4), built on the same cross-engine canon/hash
+primitives so almost all of them are DuckDB-oracle checkable.  The Spark
+implementations live in tikv_data_compare_spark/operators/{dedup,similarity,
+text}.py; this module wires them to the driver contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from tikv_data_compare_spark.functions import sqlgen
+from tikv_data_compare_spark.functions.sqlgen import DUCK, SPARK
+from tikv_data_compare_spark.operators import dedup as dd
+from tikv_data_compare_spark.operators import similarity as sim
+from tikv_data_compare_spark.operators import text as tx
+from tikv_data_compare_spark.queries import MINHASH_P, MINHASH_PERMS, STOPWORDS, _dc, _load
+from tikv_data_compare_spark.session import tune
+
+# ========================================================== dedup: exact
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group documents by content fingerprint; keep canonical
+    representative (min doc_id) + duplicate count."""
+    tune(spark)
+    return dd.exact_groups(_load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT CAST({sqlgen.hexfold_i64('_m')} AS BIGINT) AS content_id,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM (SELECT doc_id, md5(text) AS _m FROM documents)
+GROUP BY 1
+"""
+
+
+# ========================================================== dedup: minhash
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 perms over the distinct-word set)."""
+    tune(spark)
+    return dd.minhash_signatures(_load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _oracle_minhash_sig_cte() -> str:
+    mins = ", ".join(
+        f"CAST(min((CAST({a} AS BIGINT) * _h1 + {b}) % {MINHASH_P}) AS BIGINT) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    return f"""
+  SELECT doc_id, {mins}
+  FROM (
+    SELECT doc_id, ({sqlgen.hexfold_i64('_m')}) & 1073741823 AS _h1
+    FROM (SELECT DISTINCT doc_id, md5(w) AS _m
+          FROM (SELECT doc_id, unnest({sqlgen.split_words('text', DUCK)}) AS w FROM documents))
+  )
+  GROUP BY doc_id
+"""
+
+
+ORACLE_DEDUP_MINHASH_SIG = f"SELECT * FROM (\n{_oracle_minhash_sig_cte()}\n)"
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing ≥1 of 4 two-perm LSH bands.
+    Spark path is the scalable band-explode equi-join (shuffle on band hash,
+    no cartesian); the oracle states the same set declaratively."""
+    tune(spark)
+    return dd.minhash_pairs(_load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_DEDUP_MINHASH_PAIRS = f"""
+WITH sig AS ({_oracle_minhash_sig_cte()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+     (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3)
+  OR (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard for the minhash candidate pairs (verify stage
+    of the near-dup pipeline)."""
+    tune(spark)
+    return dd.jaccard_pairs(_load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH sig AS ({_oracle_minhash_sig_cte()}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+       (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3)
+    OR (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))
+),
+words AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest({sqlgen.split_words('text', DUCK)}) AS w FROM documents)),
+sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ninter
+  FROM cand c JOIN words wa ON wa.doc_id = c.doc_a JOIN words wb ON wb.doc_id = c.doc_b AND wa.w = wb.w
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(ROUND(10000.0 * coalesce(i.ninter, 0) / (sa.n + sb.n - coalesce(i.ninter, 0))) AS BIGINT) AS jaccard_c
+FROM cand c
+JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+"""
+
+
+# ========================================================== dedup: simhash
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over the word multiset (per-bit majority vote)."""
+    tune(spark)
+    return dd.simhash(_load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _oracle_simhash_cte() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (({sqlgen.shiftright('_h', i, DUCK)}) & 1) = 1 THEN 1 ELSE -1 END) >= 0"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""
+  SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id, {sqlgen.hexfold_i64('_m')} AS _h
+    FROM (SELECT doc_id, md5(w) AS _m
+          FROM (SELECT doc_id, unnest({sqlgen.split_words('text', DUCK)}) AS w FROM documents))
+  )
+  GROUP BY doc_id
+"""
+
+
+ORACLE_DEDUP_SIMHASH = f"SELECT * FROM (\n{_oracle_simhash_cte()}\n)"
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: share ≥1 of 4 8-bit bands AND hamming ≤ 3."""
+    tune(spark)
+    return dd.simhash_pairs(_load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_DEDUP_SIMHASH_PAIRS = f"""
+WITH sig AS ({_oracle_simhash_cte()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+     (a.simhash & 255) = (b.simhash & 255)
+  OR (({sqlgen.shiftright('a.simhash', 8, DUCK)}) & 255) = (({sqlgen.shiftright('b.simhash', 8, DUCK)}) & 255)
+  OR (({sqlgen.shiftright('a.simhash', 16, DUCK)}) & 255) = (({sqlgen.shiftright('b.simhash', 16, DUCK)}) & 255)
+  OR (({sqlgen.shiftright('a.simhash', 24, DUCK)}) & 255) = (({sqlgen.shiftright('b.simhash', 24, DUCK)}) & 255))
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ====================================================== similarity search
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 10),
+    ranked on the *rounded* score so both engines rank identically."""
+    tune(spark)
+    return sim.topk_bruteforce(_load(spark, sf_dir, "embeddings"), k=5, n_queries=10)
+
+
+ORACLE_SIMILARITY_TOPK = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings WHERE vec_id < 10),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(ROUND(10000.0 * list_dot_product(q.embedding, e.embedding) /
+              (sqrt(list_dot_product(q.embedding, q.embedding)) * sqrt(list_dot_product(e.embedding, e.embedding)))) AS BIGINT) AS cosine_c
+  FROM q JOIN e ON e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_c DESC, neighbor_id ASC) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_c, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_similarity_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate embedding detection via canonical vector fingerprint."""
+    tune(spark)
+    return sim.embedding_exact_dup(_load(spark, sf_dir, "embeddings"))
+
+
+ORACLE_SIMILARITY_EMBED_DUP = f"""
+SELECT CAST({sqlgen.hexfold_i64('_m')} AS BIGINT) AS vec_fp,
+       CAST(min(vec_id) AS BIGINT) AS keep_vec_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM (SELECT vec_id,
+             md5(array_to_string(list_transform(embedding,
+                 x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS VARCHAR)), ',')) AS _m
+      FROM embeddings)
+GROUP BY 1
+"""
+
+
+# =========================================================== text analysis
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring stats: tokens, chars, mean word length, stopword and
+    punctuation counts."""
+    tune(spark)
+    return tx.text_stats(_load(spark, sf_dir, "documents"))
+
+
+def _sw_list_sql(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+ORACLE_TEXT_STATS = f"""
+WITH base AS (SELECT doc_id, text, {sqlgen.split_words('text', DUCK)} AS ws FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(ROUND(10000.0 * (length(text) - len(ws) + 1) / len(ws)) AS BIGINT) AS mean_word_len_c,
+       CAST(len(list_filter(ws, x -> x IN ({_sw_list_sql(ALL_STOPWORDS)}))) AS BIGINT) AS n_stopwords,
+       CAST(length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', '')) AS BIGINT) AS n_punct
+FROM base
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (argmax score, alphabetical tie-break)."""
+    tune(spark)
+    return tx.lang_id(_load(spark, sf_dir, "documents"))
+
+
+def _oracle_langid() -> str:
+    scores = ", ".join(
+        f"CAST(len(list_filter(ws, x -> x IN ({_sw_list_sql(ws_list)}))) AS BIGINT) AS c_{lang}"
+        for lang, ws_list in sorted(STOPWORDS.items())
+    )
+    langs = sorted(STOPWORDS)
+    armax = "CASE " + " ".join(
+        f"WHEN c_{la} >= greatest({', '.join('c_' + lb for lb in langs if lb != la)}) THEN '{la}'"
+        for la in langs
+    ) + " END"
+    return f"""
+WITH base AS (SELECT doc_id, lang, {sqlgen.split_words('text', DUCK)} AS ws FROM documents),
+scored AS (SELECT doc_id, lang, {scores} FROM base)
+SELECT doc_id, lang AS labeled_lang, {armax} AS pred_lang,
+       {", ".join("c_" + la for la in langs)}
+FROM scored
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent document fingerprint: XOR of hashes of distinct word
+    3-shingles (whole text when shorter than 3 tokens)."""
+    tune(spark)
+    return tx.fingerprint(_load(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+WITH base AS (SELECT doc_id, text, {sqlgen.split_words('text', DUCK)} AS ws FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+        THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        ELSE [text] END) AS sh
+    FROM base
+  )
+)
+SELECT doc_id, CAST(bit_xor({sqlgen.hexfold_i64('_m')}) AS BIGINT) AS fingerprint
+FROM (SELECT doc_id, md5(sh) AS _m FROM shingles)
+GROUP BY doc_id
+"""
+
+
+# ============================================================== multimodal
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat text payloads as opaque binary, extract
+    typed metadata (byte length, content id, chunk count).  The decode /
+    feature-extraction UDFs live in operators/multimodal.py (stubbed decode,
+    real Spark plumbing)."""
+    tune(spark)
+    from tikv_data_compare_spark.operators import multimodal as mm
+
+    return mm.payload_meta(_load(spark, sf_dir, "documents"))
+
+
+ORACLE_MULTIMODAL_META = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST({sqlgen.hexfold_i64('_m')} AS BIGINT) AS content_id,
+       CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS n_chunks
+FROM (SELECT doc_id, text, md5(text) AS _m FROM documents)
+"""
+
+
+# ------------------------------------------------------------------- registry
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "similarity_topk": q_similarity_topk,
+        "similarity_embed_dup": q_similarity_embed_dup,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_minhash_sig": ORACLE_DEDUP_MINHASH_SIG,
+        "dedup_minhash_pairs": ORACLE_DEDUP_MINHASH_PAIRS,
+        "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+        "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+        "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
+        "similarity_topk": ORACLE_SIMILARITY_TOPK,
+        "similarity_embed_dup": ORACLE_SIMILARITY_EMBED_DUP,
+        "text_stats": ORACLE_TEXT_STATS,
+        "text_langid": _oracle_langid(),
+        "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+        "multimodal_meta": ORACLE_MULTIMODAL_META,
+    }

@@ -31,6 +31,7 @@ def get_spark(app_name: str = "tikv-data-compare-spark", cpus: int | None = None
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
@@ -51,4 +52,10 @@ def tune(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # Spark 4 rejects TIMESTAMP(NANOS) parquet (the events fixture); read the
+    # column as raw nanosecond longs instead and convert explicitly.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — conf removed in some builds; events reader falls back
+        pass
     return spark
