@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline operator wall-clock at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Queries benched are the engine's headline operators at their fast settings
+(xxhash64 checksum — the md5 oracle mode exists for correctness checking,
+not throughput; keyed diff; hex export; minhash near-dup; cosine top-k;
+sessionization).  Each is collected (or counted) to force full execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from tikv_data_compare_spark import queries as q
+    from tikv_data_compare_spark.model import Keyed
+    from tikv_data_compare_spark.operators import dedup as dd
+    from tikv_data_compare_spark.operators import similarity as sim
+    from tikv_data_compare_spark.operators import text as tx
+    from tikv_data_compare_spark.operators.checksum import compare_checksum
+    from tikv_data_compare_spark.operators.diff import diff
+    from tikv_data_compare_spark.operators.scan import export_hex
+    from tikv_data_compare_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark("bench", cpus=cpus)
+
+    lineitem = q._load(spark, sf_dir, "lineitem")
+    orders = q._load(spark, sf_dir, "orders")
+    documents = q._load(spark, sf_dir, "documents")
+    embeddings = q._load(spark, sf_dir, "embeddings")
+
+    # warm the JVM/codegen once so bench numbers measure the operators
+    lineitem.limit(1).count()
+
+    li_keyed = Keyed.of(lineitem, keys=("l_orderkey", "l_linenumber"))
+    li_mut = Keyed.of(
+        lineitem.withColumn(
+            "l_quantity",
+            F.when(F.col("l_orderkey") % 97 == 0, F.col("l_quantity") + 1).otherwise(
+                F.col("l_quantity")
+            ),
+        ),
+        keys=("l_orderkey", "l_linenumber"),
+    )
+    ord_src = Keyed.of(orders, keys=("o_orderkey",))
+    ord_dst = Keyed.of(q.mutated_orders(spark, sf_dir), keys=("o_orderkey",))
+
+    benches = {
+        "checksum_compare_xxh": lambda: compare_checksum(li_keyed, li_mut).collect(),
+        "diff_keyed": lambda: diff(ord_src, ord_dst).count(),
+        "export_hex": lambda: export_hex(ord_src).count(),
+        "dedup_minhash_pairs": lambda: dd.minhash_pairs(documents, "doc_id", "text").count(),
+        "dedup_simhash": lambda: dd.simhash(documents, "doc_id", "text").count(),
+        "similarity_topk": lambda: sim.topk_bruteforce(embeddings, k=5, n_queries=10).count(),
+        "text_stats": lambda: tx.text_stats(documents).count(),
+        "sessionize": lambda: q.q_events_sessionize(spark, sf_dir).count(),
+    }
+
+    timings = {}
+    for name, fn in benches.items():
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_operator_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

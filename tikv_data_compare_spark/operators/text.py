@@ -24,10 +24,23 @@ def _sw_in_list(words: list[str]) -> str:
 
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document quality stats: token count, char count, mean word length
-    (scaled ×10000), stopword count, punctuation count."""
+    (scaled ×10000), stopword count, punctuation count.
+
+    Scale shape: the stopword count is an explode → broadcast-join → groupBy
+    (fully codegen'd) rather than a per-element array-lambda — higher-order
+    functions are interpreted in Spark and ~100× slower per token.
+    """
+    spark = df.sparkSession
     sw = sorted({w for ws in _stopwords().values() for w in ws})
+    swdf = spark.createDataFrame([(w,) for w in sw], "w string")
+    words = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    sw_counts = (
+        words.join(F.broadcast(swdf), "w")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_stopwords"))
+    )
     ws = f"split({text_col}, ' ')"
-    return df.select(
+    scalar = df.select(
         id_col,
         F.expr(f"CAST(size({ws}) AS BIGINT)").alias("n_tokens"),
         F.expr(f"CAST(length({text_col}) AS BIGINT)").alias("n_chars"),
@@ -35,27 +48,49 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
             f"CAST(ROUND(10000.0 * (length({text_col}) - size({ws}) + 1) / size({ws})) AS BIGINT)"
         ).alias("mean_word_len_c"),
         F.expr(
-            f"CAST(size(filter({ws}, x -> x IN ({_sw_in_list(sw)}))) AS BIGINT)"
-        ).alias("n_stopwords"),
-        F.expr(
             f"CAST(length({text_col}) - length(replace(replace(replace({text_col}, '.', ''), ',', ''), '!', '')) AS BIGINT)"
         ).alias("n_punct"),
+    )
+    return scalar.join(sw_counts, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "n_chars",
+        "mean_word_len_c",
+        F.coalesce(F.col("n_stopwords"), F.lit(0)).cast("long").alias("n_stopwords"),
+        "n_punct",
     )
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-overlap language ID: score = |words ∩ stopwords(lang)|,
-    prediction = argmax with alphabetical tie-break."""
+    prediction = argmax with alphabetical tie-break.
+
+    Scale shape: one explode, one broadcast join against the (word, lang)
+    stopword table, one pivot-style conditional aggregation — all codegen'd,
+    no array lambdas."""
+    spark = df.sparkSession
     stop = _stopwords()
     langs = sorted(stop)
-    ws = f"split({text_col}, ' ')"
-    score_cols = [
-        F.expr(
-            f"CAST(size(filter({ws}, x -> x IN ({_sw_in_list(stop[la])}))) AS BIGINT)"
-        ).alias(f"c_{la}")
-        for la in langs
-    ]
-    scored = df.select(id_col, F.col("lang").alias("labeled_lang"), *score_cols)
+    swdf = spark.createDataFrame(
+        [(w, la) for la in langs for w in stop[la]], "w string, sw_lang string"
+    )
+    words = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    counts = (
+        words.join(F.broadcast(swdf), "w")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("sw_lang") == la, 1).otherwise(0)).alias(f"c_{la}")
+                for la in langs
+            ]
+        )
+    )
+    base = df.select(id_col, F.col("lang").alias("labeled_lang"))
+    scored = base.join(counts, id_col, "left").select(
+        id_col,
+        "labeled_lang",
+        *[F.coalesce(F.col(f"c_{la}"), F.lit(0)).cast("long").alias(f"c_{la}") for la in langs],
+    )
     argmax = "CASE " + " ".join(
         f"WHEN c_{la} >= greatest({', '.join('c_' + lb for lb in langs if lb != la)}) THEN '{la}'"
         for la in langs
