@@ -1,0 +1,67 @@
+"""Dedup operator tests: determinism, metamorphic duplicate detection, bounds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tikv_data_compare_spark.operators import dedup as dd
+
+
+@pytest.fixture(scope="module")
+def docs(documents):
+    return documents.limit(60).cache()
+
+
+def test_exact_groups_all_unique(docs):
+    n = docs.count()
+    groups = dd.exact_groups(docs, "doc_id", "text")
+    assert groups.count() == n  # fixture has no exact dups
+    assert groups.agg(F.sum("n_dups")).collect()[0][0] == n
+
+
+def test_exact_dedup_finds_planted_dup(spark, docs):
+    planted = docs.unionByName(
+        docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    out = dd.dedup_exact(planted, "doc_id", "text")
+    assert out.count() == docs.count()  # the 3 copies collapse
+    # representatives are the min ids — none of the shifted ids survive
+    assert out.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_signature_deterministic(docs):
+    a = dd.minhash_signatures(docs, "doc_id", "text").collect()
+    b = dd.minhash_signatures(docs, "doc_id", "text").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a[0]) == 9  # doc_id + 8 perms
+
+
+def test_minhash_identical_docs_pair(spark, docs):
+    planted = docs.unionByName(docs.limit(1).withColumn("doc_id", F.lit(999999)))
+    pairs = dd.minhash_pairs(planted, "doc_id", "text")
+    first_id = docs.select(F.min("doc_id")).collect()[0][0]
+    # identical text → identical signature → all bands match → pair found
+    assert pairs.filter((F.col("doc_a") == first_id) & (F.col("doc_b") == 999999)).count() == 1
+
+
+def test_minhash_pairs_canonical_order(docs):
+    pairs = dd.minhash_pairs(docs, "doc_id", "text")
+    assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_jaccard_bounds_and_identity(spark, docs):
+    planted = docs.unionByName(docs.limit(1).withColumn("doc_id", F.lit(999999)))
+    j = dd.jaccard_pairs(planted, "doc_id", "text").cache()
+    assert j.filter((F.col("jaccard_c") < 0) | (F.col("jaccard_c") > 10000)).count() == 0
+    first_id = docs.select(F.min("doc_id")).collect()[0][0]
+    ident = j.filter((F.col("doc_a") == first_id) & (F.col("doc_b") == 999999)).collect()
+    assert ident and ident[0]["jaccard_c"] == 10000  # identical word sets
+
+
+def test_simhash_range_and_near_dup(spark, docs):
+    sig = dd.simhash(docs, "doc_id", "text")
+    bad = sig.filter((F.col("simhash") < 0) | (F.col("simhash") >= (1 << 32))).count()
+    assert bad == 0
+    planted = docs.unionByName(docs.limit(1).withColumn("doc_id", F.lit(999999)))
+    pairs = dd.simhash_pairs(planted, "doc_id", "text")
+    hit = pairs.filter(F.col("doc_b") == 999999).collect()
+    assert hit and hit[0]["hamming"] == 0  # identical text → distance 0

@@ -1,0 +1,57 @@
+"""Plan-quality tests: the scale-critical physical-plan properties.
+
+These assert the plans we designed for (SURVEY.md §4): range predicates reach
+the parquet scan, checksums use partial→final aggregation, keyed diff uses a
+real join strategy (never cartesian), LSH candidate generation is an
+equi-join.
+"""
+
+from pyspark.sql import functions as F
+
+from tikv_data_compare_spark import plans
+from tikv_data_compare_spark.model import Keyed
+from tikv_data_compare_spark.operators import dedup as dd
+from tikv_data_compare_spark.operators.checksum import checksum, compare_checksum
+from tikv_data_compare_spark.operators.diff import diff
+
+
+def test_range_filter_pushed_to_scan(spark, lineitem):
+    k = Keyed.of(lineitem, keys=("l_orderkey",)).in_range(100, 200)
+    assert plans.has_pushed_filter(k.df, "l_orderkey")
+
+
+def test_column_pruning_reaches_scan(spark, lineitem):
+    two = lineitem.select("l_orderkey", "l_quantity")
+    s = plans.plan_string(two)
+    read_schema = [l for l in s.splitlines() if "ReadSchema" in l]
+    assert read_schema and "l_partkey" not in read_schema[0]
+
+
+def test_checksum_uses_partial_aggregation(kv_pair):
+    src, _ = kv_pair
+    assert plans.has_partial_aggregation(checksum(src))
+    assert plans.has_partial_aggregation(compare_checksum(src, src))
+
+
+def test_diff_join_strategy_no_cartesian(kv_pair):
+    src, dst = kv_pair
+    d = diff(src, dst)
+    strategies = plans.join_strategies(d)
+    assert not plans.has_cartesian(d)
+    assert strategies & {"SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"}
+
+
+def test_minhash_pairs_equi_join(documents):
+    pairs = dd.minhash_pairs(documents.limit(50), "doc_id", "text")
+    assert not plans.has_cartesian(pairs)
+    assert plans.join_strategies(pairs) & {
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastHashJoin",
+    }
+
+
+def test_broadcast_used_for_small_dim(spark, lineitem):
+    small = spark.createDataFrame([(1,)], "l_orderkey long")
+    j = lineitem.join(F.broadcast(small), "l_orderkey")
+    assert "BroadcastHashJoin" in plans.join_strategies(j)

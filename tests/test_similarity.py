@@ -1,0 +1,57 @@
+"""Similarity search tests: numpy path ≡ SQL path, metamorphic duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tikv_data_compare_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(embeddings):
+    return embeddings.cache()
+
+
+def test_numpy_equals_sql_path(emb):
+    np_rows = sorted(map(tuple, sim.topk_bruteforce(emb, k=5, n_queries=5).collect()))
+    sql_rows = sorted(map(tuple, sim.topk_bruteforce_sql(emb, k=5, n_queries=5).collect()))
+    assert np_rows == sql_rows
+
+
+def test_topk_excludes_self_and_respects_k(emb):
+    out = sim.topk_bruteforce(emb, k=3, n_queries=4).cache()
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    per_q = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in per_q)
+    assert out.filter(F.col("rnk") > 3).count() == 0
+
+
+def test_planted_duplicate_is_top1(spark, emb):
+    dup = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(777777))
+    planted = emb.unionByName(dup)
+    out = sim.topk_bruteforce(planted, k=1, n_queries=1).collect()
+    assert out[0]["neighbor_id"] == 777777
+    assert out[0]["cosine_c"] == 10000  # cosine(v, v) == 1
+
+
+def test_lsh_recall_reasonable(emb):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_bruteforce(emb, k=5, n_queries=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_lsh(emb, k=5, n_queries=5, n_planes=2).collect()
+    }
+    # 2 planes → 4 buckets → recall well above chance; sanity floor only
+    assert len(approx & exact) >= len(exact) // 4
+
+
+def test_embed_dup_fingerprints(spark, emb):
+    base = sim.embedding_exact_dup(emb)
+    assert base.filter(F.col("n_dups") > 1).count() == 0  # fixture unique
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") == 1).withColumn("vec_id", F.lit(888888))
+    )
+    dups = sim.embedding_exact_dup(planted).filter(F.col("n_dups") == 2)
+    assert dups.count() == 1
+    assert dups.collect()[0]["keep_vec_id"] == 1

@@ -1,0 +1,60 @@
+"""Text operator tests: closed-form checks on constructed docs + invariances."""
+
+from pyspark.sql import functions as F
+
+from tikv_data_compare_spark.operators import text as tx
+
+
+def test_text_stats_closed_form(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat."), (2, "a b"), (3, "word")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.text_stats(df).collect()}
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["n_chars"] == 12
+    assert rows[1]["n_stopwords"] == 1  # 'the'
+    assert rows[1]["n_punct"] == 1
+    # mean word len: (12 - 3 + 1) / 3 = 10/3 → 33333
+    assert rows[1]["mean_word_len_c"] == 33333
+    assert rows[2]["n_stopwords"] == 1  # 'a'
+    assert rows[3]["n_tokens"] == 1 and rows[3]["n_stopwords"] == 0
+
+
+def test_langid_prefers_matching_stopwords(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog", "en"), (2, "der hund und die katze", "de")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["doc_id"]: r for r in tx.lang_id(df).collect()}
+    assert rows[1]["pred_lang"] == "en"
+    assert rows[2]["pred_lang"] == "de"
+
+
+def test_fingerprint_deterministic_and_content_keyed(spark, documents):
+    docs = documents.limit(30)
+    a = {r["doc_id"]: r["fingerprint"] for r in tx.fingerprint(docs).collect()}
+    b = {r["doc_id"]: r["fingerprint"] for r in tx.fingerprint(docs.orderBy(F.rand(3))).collect()}
+    assert a == b  # row order irrelevant
+    # same text under a different id → same fingerprint
+    moved = docs.limit(1).withColumn("doc_id", F.lit(424242))
+    fp_orig = tx.fingerprint(docs.limit(1)).collect()[0]["fingerprint"]
+    fp_moved = tx.fingerprint(moved).collect()[0]["fingerprint"]
+    assert fp_orig == fp_moved
+
+
+def test_fingerprint_short_docs(spark):
+    df = spark.createDataFrame([(1, "hi"), (2, "one two")], "doc_id long, text string")
+    rows = tx.fingerprint(df).collect()
+    assert len(rows) == 2  # < 3 tokens → whole-text shingle, no crash
+
+
+def test_token_count_bpe_ish(spark):
+    df = spark.createDataFrame(
+        [(1, "short words only"), (2, "supercalifragilistic word")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.token_count(df).collect()}
+    assert rows[1]["n_words"] == 3 and rows[1]["n_tokens_bpe"] == 3
+    # 'supercalifragilistic' (20 chars) → 1 + (20-6)//6 = 3 tokens
+    assert rows[2]["n_tokens_bpe"] == 3 + 1

@@ -1,0 +1,134 @@
+"""CLI veneer — the reference's six subcommands, Spark-backed.
+
+Reference: cmd/main.go:23-28 registers checksum / scan / diff / format /
+decodets / encodekey with shared flags (config/config.go:10-18: src-pd,
+dst-pd, start-key, end-key, format, concurrency).  Here clusters are
+parquet paths (or any Spark-readable path); keys are parsed per --format
+exactly like br's ParseKey (config/config.go:59-63).
+
+Usage examples:
+  python -m tikv_data_compare_spark.cli checksum --src S.parquet --dst D.parquet
+  python -m tikv_data_compare_spark.cli diff --src S.parquet --dst D.parquet --start-key 00 --end-key ff --format hex
+  python -m tikv_data_compare_spark.cli scan --src S.parquet --out /tmp/dump
+  python -m tikv_data_compare_spark.cli format --key 'abc' --format raw
+  python -m tikv_data_compare_spark.cli decodets --key 00000000000000FF --format hex
+  python -m tikv_data_compare_spark.cli encodekey --key 'abc' --format raw
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from tikv_data_compare_spark import codec
+
+
+def _add_common(p: argparse.ArgumentParser, dual: bool) -> None:
+    p.add_argument("--src", required=True, help="src parquet path (key/value or typed)")
+    if dual:
+        p.add_argument("--dst", required=True, help="dst parquet path")
+    p.add_argument("--keys", default="key", help="comma-separated key columns")
+    p.add_argument("--start-key", default="", help="range start (inclusive); empty = unbounded")
+    p.add_argument("--end-key", default="", help="range end (exclusive); empty = unbounded")
+    p.add_argument("--format", default="hex", choices=["raw", "hex", "escaped"], dest="key_format")
+    p.add_argument("--concurrency", type=int, default=0, help="cpus (0 = all)")
+
+
+def _parse_bound(args, name: str):
+    v = getattr(args, name)
+    if not v:
+        return None
+    b = codec.parse_key(args.key_format, v)
+    # binary keys take bytes; typed integer keys take the int rendering
+    return b
+
+
+def _keyed(spark, path: str, keys: list[str], start, end):
+    from tikv_data_compare_spark.model import Keyed
+
+    df = spark.read.parquet(path)
+    k = Keyed.of(df, keys=tuple(keys))
+    first_type = dict((f.name, f.dataType.typeName()) for f in df.schema.fields)[keys[0]]
+    if start is not None or end is not None:
+        if first_type != "binary":  # typed tables: interpret bounds as integers
+            start = int.from_bytes(start, "big") if start else None
+            end = int.from_bytes(end, "big") if end else None
+        k = k.in_range(start, end)
+    return k
+
+
+def main(argv: list[str] | None = None) -> int:
+    top = argparse.ArgumentParser(prog="tikv-data-compare-spark")
+    sub = top.add_subparsers(dest="cmd", required=True)
+
+    for name, dual in (("checksum", True), ("diff", True), ("scan", False)):
+        p = sub.add_parser(name)
+        _add_common(p, dual)
+        if name == "checksum":
+            p.add_argument("--algo", default="xxhash64", choices=["xxhash64", "md5i64", "crc64"])
+        if name == "scan":
+            p.add_argument("--out", default="", help="output dir (default: {src}_scan.log.<ts>)")
+
+    for name in ("format", "decodets", "encodekey"):
+        p = sub.add_parser(name)
+        p.add_argument("--key", required=True)
+        p.add_argument("--format", default="hex", choices=["raw", "hex", "escaped"], dest="key_format")
+
+    args = top.parse_args(argv)
+
+    # codec subcommands are pure driver-side (reference codec/codec.go:14-54)
+    if args.cmd == "format":
+        b = codec.parse_key(args.key_format, args.key)
+        print(json.dumps({"raw": b.decode("utf-8", "replace"), "hex": codec.hex_upper(b)}))
+        return 0
+    if args.cmd == "decodets":
+        b = codec.parse_key(args.key_format, args.key)
+        print(json.dumps({"ts": codec.decode_ts(b)}))
+        return 0
+    if args.cmd == "encodekey":
+        b = codec.parse_key(args.key_format, args.key)
+        print(json.dumps({"encoded_hex": codec.hex_upper(codec.encode_key_v2(b))}))
+        return 0
+
+    from tikv_data_compare_spark.session import get_spark
+
+    spark = get_spark("cli", cpus=args.concurrency or None)
+    keys = args.keys.split(",")
+    start, end = _parse_bound(args, "start_key"), _parse_bound(args, "end_key")
+    src = _keyed(spark, args.src, keys, start, end)
+
+    if args.cmd == "checksum":
+        from tikv_data_compare_spark.operators.checksum import checksum_verdict
+
+        dst = _keyed(spark, args.dst, keys, start, end)
+        v = checksum_verdict(src, dst, algo=args.algo)
+        print(json.dumps(v, default=str))
+        return 0 if v["equal"] else 1
+
+    if args.cmd == "diff":
+        from tikv_data_compare_spark.operators.diff import diff
+
+        dst = _keyed(spark, args.dst, keys, start, end)
+        findings = diff(src, dst)
+        n = 0
+        for row in findings.toLocalIterator():
+            n += 1
+            print(json.dumps(row.asDict(), default=str))
+        print(f"# {n} findings", file=sys.stderr)
+        return 0 if n == 0 else 1
+
+    if args.cmd == "scan":
+        from tikv_data_compare_spark.operators.scan import export_hex
+
+        out = args.out or f"{args.src.rstrip('/')}_scan.log.{int(time.time())}"
+        export_hex(src, path=out)
+        print(json.dumps({"out": out}))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
