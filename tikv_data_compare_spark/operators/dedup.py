@@ -56,6 +56,25 @@ def _distinct_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).distinct()
 
 
+def _distinct_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct word 3-shingles per doc (whole text when < 3 tokens).
+
+    Shingles, not words: with a small vocabulary, word *sets* of long docs
+    converge to the whole vocabulary and word-minhash collides on nearly
+    every pair; 3-gram sequences stay diverse (standard shingling)."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split({text_col}, ' ')) >= 3 THEN "
+                f"transform(sequence(0, size(split({text_col}, ' ')) - 3), "
+                f"i -> concat_ws(' ', split({text_col}, ' ')[i], split({text_col}, ' ')[i+1], split({text_col}, ' ')[i+2])) "
+                f"ELSE array({text_col}) END"
+            )
+        ).alias("w"),
+    ).distinct()
+
+
 def _word_hash30(words: DataFrame) -> DataFrame:
     return words.withColumn("_m", F.md5("w")).withColumn(
         "_h1", F.expr(f"({sqlgen.hexfold_i64('_m')}) & {H30_MASK}")
@@ -63,9 +82,9 @@ def _word_hash30(words: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """8-permutation MinHash signature of each document's distinct-word set."""
+    """8-permutation MinHash signature of each document's 3-shingle set."""
     perms, p = _minhash_constants()
-    hashed = _word_hash30(_distinct_words(df, id_col, text_col))
+    hashed = _word_hash30(_distinct_shingles(df, id_col, text_col))
     aggs = [
         F.min((F.lit(a).cast("long") * F.col("_h1") + F.lit(b)) % F.lit(p))
         .cast("long")
@@ -112,9 +131,9 @@ def minhash_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Exact word-set Jaccard (scaled ×10000) for minhash candidate pairs."""
+    """Exact shingle-set Jaccard (scaled ×10000) for minhash candidate pairs."""
     cand = minhash_pairs(df, id_col, text_col)
-    words = _distinct_words(df, id_col, text_col)
+    words = _distinct_shingles(df, id_col, text_col)
     sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     wa = words.select(F.col(id_col).alias("doc_a"), "w")
     wb = words.select(F.col(id_col).alias("doc_b"), "w")

@@ -169,6 +169,38 @@ def topk_lsh(emb: DataFrame, k: int = 5, n_queries: int = 10, n_planes: int = 6)
     )
 
 
+def embedding_near_dup(
+    emb: DataFrame, threshold_c: int = 4000, n_planes: int = 2
+) -> DataFrame:
+    """Approximate cosine near-duplicate pairs: LSH bucket equi-join, exact
+    cosine verification within buckets, keep pairs with scaled cosine ≥
+    ``threshold_c``.
+
+    Scale shape: candidates meet in a shuffle on the bucket id (no n²);
+    recall is tunable via n_planes (fewer planes → larger buckets → higher
+    recall).  Approximate by construction — pairs in different buckets are
+    not scored.
+    """
+    b = lsh_buckets(emb, n_planes)
+    left = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
+    right = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
+    pairs = left.join(right, on="bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.expr(
+            "CAST(ROUND(10000.0 * "
+            + _dot("emb_a", "emb_b")
+            + " / (sqrt("
+            + _dot("emb_a", "emb_a")
+            + ") * sqrt("
+            + _dot("emb_b", "emb_b")
+            + "))) AS BIGINT)"
+        ).alias("cosine_c"),
+    )
+    return scored.filter(F.col("cosine_c") >= threshold_c).distinct()
+
+
 def embedding_exact_dup(emb: DataFrame) -> DataFrame:
     """Exact-duplicate embeddings via canonical fingerprint.
 

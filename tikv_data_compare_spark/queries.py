@@ -542,6 +542,141 @@ FROM base GROUP BY 1, 2
 """
 
 
+# ====================================================== streaming (oracle'd)
+
+
+def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: the tumbling-window aggregation executed as an
+    actual streaming query (file source → watermark → window → memory sink,
+    availableNow trigger), then hash-compared against the same batch SQL —
+    an oracle-checked streaming result.
+    """
+    tune(spark)
+    from tikv_data_compare_spark.streaming.diff_stream import windowed_counts
+
+    import os
+    import tempfile
+
+    schema = _load(spark, sf_dir, "events").schema
+    # the file stream source requires a directory: expose the single parquet
+    # file through a scratch dir (symlink — no data copy)
+    d = tempfile.mkdtemp(prefix="tdc_stream_events_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), os.path.join(d, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(d)
+    ts_type = dict((f.name, f.dataType.typeName()) for f in stream.schema.fields)["ts"]
+    if ts_type in ("long", "bigint"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = windowed_counts(stream, ts_col="ts", window="1 hour", watermark="24 hours")
+    name = "stream_window_agg_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    ms = F.expr(sqlgen.ts_ms("window_start", SPARK))
+    return out.select(
+        ms.alias("window_start_ms"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_value_c").cast("long").alias("sum_value_c"),
+    )
+
+
+# streaming result must equal the batch window aggregation
+ORACLE_STREAM_WINDOW_AGG = ORACLE_EVENTS_WINDOW_AGG
+
+
+def q_stream_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming incremental diff: stream the orders table against
+    the static mutated reference via foreachBatch; findings accumulate across
+    micro-batches.  Arriving rows are upserts, so statuses are changed /
+    only_dst (missing keys are not deletions per batch) — and the total
+    equals the batch left-join diff, which is the DuckDB oracle.
+    """
+    import os
+    import tempfile
+
+    tune(spark)
+    from tikv_data_compare_spark.streaming.diff_stream import diff_stream
+
+    schema = _load(spark, sf_dir, "orders").schema
+    d = tempfile.mkdtemp(prefix="tdc_stream_orders_")
+    os.symlink(os.path.abspath(f"{sf_dir}/orders.parquet"), os.path.join(d, "orders.parquet"))
+    stream = spark.readStream.schema(schema).parquet(d)
+    reference = _orders_keyed(mutated_orders(spark, sf_dir))
+
+    rows: list = []
+
+    def on_batch(findings: DataFrame, epoch_id: int) -> None:
+        projected = findings.select(
+            "o_orderkey",
+            "status",
+            F.expr(_dc("src_o_totalprice")).alias("ref_totalprice_c"),
+            F.expr(_dc("dst_o_totalprice")).alias("arr_totalprice_c"),
+        )
+        rows.extend((r[0], r[1], r[2], r[3]) for r in projected.collect())
+
+    q = diff_stream(stream, reference, keys=("o_orderkey",), on_batch=on_batch)
+    q.awaitTermination(300)
+    return spark.createDataFrame(
+        rows, "o_orderkey long, status string, ref_totalprice_c long, arr_totalprice_c long"
+    )
+
+
+ORACLE_STREAM_DIFF = f"""
+WITH ref AS ({DST_ORDERS_SQL})
+SELECT o.o_orderkey,
+       CASE WHEN r.o_orderkey IS NULL THEN 'only_dst' ELSE 'changed' END AS status,
+       {_dc("r.o_totalprice")} AS ref_totalprice_c,
+       {_dc("o.o_totalprice")} AS arr_totalprice_c
+FROM orders o LEFT JOIN ref r ON o.o_orderkey = r.o_orderkey
+WHERE r.o_orderkey IS NULL
+   OR (r.o_custkey IS DISTINCT FROM o.o_custkey)
+   OR (r.o_orderstatus IS DISTINCT FROM o.o_orderstatus)
+   OR (r.o_totalprice IS DISTINCT FROM o.o_totalprice)
+   OR (r.o_orderdate IS DISTINCT FROM o.o_orderdate)
+   OR (r.o_orderpriority IS DISTINCT FROM o.o_orderpriority)
+"""
+
+
+# ============================================================ codec (§2.6)
+
+
+def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec layer exercised distributedly (C3/C4/C5): encode orders keys to
+    APIv2 wire format, decode back, decode inverted timestamps — returns the
+    roundtrip verification summary.  Rows-only check (binary codecs are not
+    expressible in the DuckDB oracle)."""
+    tune(spark)
+    from tikv_data_compare_spark.codec import register_codec_udfs
+
+    register_codec_udfs(spark)
+    o = _load(spark, sf_dir, "orders")
+    enc = o.select(
+        "o_orderkey",
+        F.expr("kv_encode_key_v2(CAST(CAST(o_orderkey AS STRING) AS BINARY))").alias("wire"),
+        F.expr(sqlgen.ts_ms("o_orderdate", SPARK)).alias("ts_ms"),
+    )
+    dec = enc.withColumn("back", F.expr("kv_decode_key_v2(wire)")).withColumn(
+        "rt_ok",
+        F.col("back").eqNullSafe(F.col("o_orderkey").cast("string").cast("binary")),
+    )
+    ts = dec.withColumn(
+        "ts_rt_ok",
+        F.expr("kv_decode_ts(unhex(lpad(hex(CAST(ts_ms AS BIGINT) ^ -1), 16, '0')))")
+        == F.col("ts_ms"),
+    )
+    return ts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("rt_ok"), 1).otherwise(0)).cast("long").alias("n_roundtrip_ok"),
+        F.sum(F.when(F.col("ts_rt_ok"), 1).otherwise(0)).cast("long").alias("n_ts_ok"),
+    )
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -563,6 +698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "events_sessionize": q_events_sessionize,
         "events_window_agg": q_events_window_agg,
+        "stream_window_agg": q_stream_window_agg,
+        "stream_diff": q_stream_diff,
+        "codec_roundtrip": q_codec_roundtrip,
     }
     base.update(queries_ext.queries())
     return base
@@ -586,6 +724,9 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": ORACLE_TOPK_PER_GROUP,
         "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
         "events_window_agg": ORACLE_EVENTS_WINDOW_AGG,
+        "stream_window_agg": ORACLE_STREAM_WINDOW_AGG,
+        "stream_diff": ORACLE_STREAM_DIFF,
+        # codec_roundtrip: intentionally no oracle (binary codecs, rows-only)
     }
     base.update(queries_ext.oracle_sql())
     return base

@@ -44,9 +44,19 @@ GROUP BY 1
 
 
 def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 perms over the distinct-word set)."""
+    """MinHash signatures (8 perms over the distinct 3-shingle set)."""
     tune(spark)
     return dd.minhash_signatures(_load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+DUCK_SHINGLES = f"""
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+        THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        ELSE [text] END) AS w
+    FROM (SELECT doc_id, text, {sqlgen.split_words('text', DUCK)} AS ws FROM documents)
+  )
+"""
 
 
 def _oracle_minhash_sig_cte() -> str:
@@ -58,8 +68,7 @@ def _oracle_minhash_sig_cte() -> str:
   SELECT doc_id, {mins}
   FROM (
     SELECT doc_id, ({sqlgen.hexfold_i64('_m')}) & 1073741823 AS _h1
-    FROM (SELECT DISTINCT doc_id, md5(w) AS _m
-          FROM (SELECT doc_id, unnest({sqlgen.split_words('text', DUCK)}) AS w FROM documents))
+    FROM (SELECT doc_id, md5(w) AS _m FROM ({DUCK_SHINGLES}))
   )
   GROUP BY doc_id
 """
@@ -100,7 +109,7 @@ cand AS (
        (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3)
     OR (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))
 ),
-words AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest({sqlgen.split_words('text', DUCK)}) AS w FROM documents)),
+words AS ({DUCK_SHINGLES}),
 sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS ninter
@@ -188,6 +197,14 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine_c, rnk FROM ranked WHERE rnk <= 5
 """
+
+
+def q_similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed + exact verify).
+    Approximate by construction → rows-only check (an exact SQL oracle would
+    assert recall the LSH path intentionally trades away)."""
+    tune(spark)
+    return sim.embedding_near_dup(_load(spark, sf_dir, "embeddings"), threshold_c=3000, n_planes=2)
 
 
 def q_similarity_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "similarity_topk": q_similarity_topk,
+        "similarity_near_dup": q_similarity_near_dup,
         "similarity_embed_dup": q_similarity_embed_dup,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
