@@ -1,0 +1,45 @@
+"""Skew utilities: salted aggregation/join must equal their unsalted forms."""
+
+from pyspark.sql import functions as F
+
+from tikv_data_compare_spark.operators.skew import salted_agg, salted_join, with_salt
+
+
+def test_salt_deterministic_and_bounded(spark, lineitem):
+    a = with_salt(lineitem.limit(500), 8).select("_salt").collect()
+    b = with_salt(lineitem.limit(500), 8).select("_salt").collect()
+    assert [r["_salt"] for r in a] == [r["_salt"] for r in b]
+    assert all(0 <= r["_salt"] < 8 for r in a)
+
+
+def test_salted_agg_equals_plain(spark, lineitem):
+    df = lineitem.withColumn("h", F.xxhash64("l_orderkey", "l_quantity"))
+    plain = {
+        (r["l_returnflag"],): (r["n"], r["x"])
+        for r in df.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.bit_xor("h").alias("x"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"],): (r["n"], r["x"])
+        for r in salted_agg(
+            df,
+            ["l_returnflag"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "x": (F.bit_xor("h"), F.bit_xor("x")),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark, lineitem):
+    big = lineitem.select("l_orderkey", "l_quantity").limit(2000)
+    small = (
+        lineitem.select("l_orderkey").distinct().limit(50).withColumn("tag", F.lit("t"))
+    )
+    plain = big.join(small, on=["l_orderkey"]).count()
+    salted = salted_join(big, small, on=["l_orderkey"], n_salts=4).count()
+    assert plain == salted

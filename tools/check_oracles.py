@@ -65,6 +65,10 @@ def main():
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # session hygiene: without this, accumulated executor state inflates
+        # later queries 10-30x in long sessions (see BASELINE.md note)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
