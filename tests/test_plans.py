@@ -51,6 +51,18 @@ def test_minhash_pairs_equi_join(documents):
     }
 
 
+def test_analytic_joins_broadcast_dims(spark):
+    import os
+
+    from tikv_data_compare_spark.queries import q_join_region_revenue, q_join_revenue_topn
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    for q in (q_join_revenue_topn, q_join_region_revenue):
+        df = q(spark, sf)
+        assert "BroadcastHashJoin" in plans.join_strategies(df), q.__name__
+        assert not plans.has_cartesian(df)
+
+
 def test_broadcast_used_for_small_dim(spark, lineitem):
     small = spark.createDataFrame([(1,)], "l_orderkey long")
     j = lineitem.join(F.broadcast(small), "l_orderkey")

@@ -88,13 +88,14 @@ def export_hex(keyed: Keyed, start=None, end=None, path: str | None = None) -> D
         hex_of(keyed.keys).alias("key_hex"),
         hex_of(keyed.values).alias("value_hex"),
     )
-    numbered = (
-        with_global_index(hexed, list(keyed.keys), "cnt")
-        .select("key_hex", "value_hex", "cnt")
-        .orderBy("cnt")
+    numbered = with_global_index(hexed, list(keyed.keys), "cnt").select(
+        "key_hex", "value_hex", "cnt"
     )
     if path:
-        lines = numbered.select(
+        # global sort only on the file-writing path (ordered part files);
+        # the returned DataFrame skips that exchange — callers needing order
+        # sort on cnt themselves
+        lines = numbered.orderBy("cnt").select(
             F.format_string("key:%s, value:%s, cnt:%d.", "key_hex", "value_hex", "cnt").alias("value")
         )
         lines.write.mode("overwrite").text(path)

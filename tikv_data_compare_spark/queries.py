@@ -542,6 +542,84 @@ FROM base GROUP BY 1, 2
 """
 
 
+# ==================================================== analytic joins (TPC-H-ish)
+
+
+def q_join_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-style: top-10 orders by revenue for one market segment — 3-way join
+    with the small dimension broadcast, revenue summed exactly over
+    pre-scaled integers."""
+    tune(spark)
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(F.expr(_dc("l_extendedprice * (1 - l_discount)"))).alias("revenue_c"))
+    )
+    return (
+        j.orderBy(F.desc("revenue_c"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderpriority", F.col("revenue_c").cast("long").alias("revenue_c"))
+    )
+
+
+ORACLE_JOIN_REVENUE_TOPN = f"""
+SELECT o_orderkey, o_orderpriority, CAST(sum({_dc("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue_c DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style: revenue per nation — star join with every dimension
+    broadcast (region→nation→customer chain), one shuffle for the final
+    aggregation."""
+    tune(spark)
+    region = _load(spark, sf_dir, "region")
+    nation = _load(spark, sf_dir, "nation")
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.expr(_dc("l_extendedprice * (1 - l_discount)"))).alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return j.select(
+        "r_name", "n_name", "revenue_c", F.col("n_items").cast("long").alias("n_items")
+    )
+
+
+ORACLE_JOIN_REGION_REVENUE = f"""
+SELECT r_name, n_name,
+       CAST(sum({_dc("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
 # ====================================================== streaming (oracle'd)
 
 
@@ -696,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_count_bytes": q_agg_count_bytes,
         "kv_scan": q_kv_scan,
         "topk_per_group": q_topk_per_group,
+        "join_revenue_topn": q_join_revenue_topn,
+        "join_region_revenue": q_join_region_revenue,
         "events_sessionize": q_events_sessionize,
         "events_window_agg": q_events_window_agg,
         "stream_window_agg": q_stream_window_agg,
@@ -722,6 +802,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_count_bytes": ORACLE_AGG_COUNT_BYTES,
         "kv_scan": _oracle_kv_scan(),
         "topk_per_group": ORACLE_TOPK_PER_GROUP,
+        "join_revenue_topn": ORACLE_JOIN_REVENUE_TOPN,
+        "join_region_revenue": ORACLE_JOIN_REGION_REVENUE,
         "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
         "events_window_agg": ORACLE_EVENTS_WINDOW_AGG,
         "stream_window_agg": ORACLE_STREAM_WINDOW_AGG,
