@@ -620,6 +620,94 @@ GROUP BY r_name, n_name
 """
 
 
+# ======================================================= as-of / range joins
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the user's latest order at-or-before the
+    event time (union-window implementation, one shuffle; DuckDB's native
+    ASOF JOIN is the oracle).  Right side deduped per (custkey, orderdate)
+    first so ties are deterministic in both engines."""
+    tune(spark)
+    from tikv_data_compare_spark.operators.asof import asof_join
+
+    e, ms = _events_ms(spark, sf_dir)
+    left = e.select("event_id", "user_id", ms.alias("ts_ms"))
+    o = _load(spark, sf_dir, "orders")
+    odate = F.expr(sqlgen.ts_ms("o_orderdate", SPARK))
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    right = (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", odate.alias("odate_ms"), "o_orderkey", "o_totalprice")
+    )
+    joined = asof_join(
+        left.withColumnRenamed("user_id", "k").withColumnRenamed("ts_ms", "t"),
+        right.withColumnRenamed("o_custkey", "k").withColumnRenamed("odate_ms", "t"),
+        on="k",
+        left_ts="t",
+        right_ts="t",
+        payload_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts_ms"),
+        "o_orderkey",
+        F.expr(_dc("o_totalprice")).alias("price_c"),
+    )
+
+
+ORACLE_ASOF_JOIN = f"""
+WITH r AS (
+  SELECT o_custkey, {sqlgen.ts_ms("o_orderdate", DUCK)} AS odate_ms, o_orderkey, o_totalprice
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS _rn
+    FROM orders
+  ) WHERE _rn = 1
+),
+l AS (SELECT event_id, user_id, {sqlgen.ts_ms("ts", DUCK)} AS ts_ms FROM events)
+SELECT l.event_id, l.user_id, l.ts_ms, r.o_orderkey, {_dc("r.o_totalprice")} AS price_c
+FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.ts_ms >= r.odate_ms
+"""
+
+
+PRICE_BANDS = [(0, 50_000), (50_000, 150_000), (150_000, 300_000), (300_000, 450_000), (450_000, 700_000)]
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: orders classified into irregular price bands via
+    bucketized equi-join (no cartesian/theta join), aggregated per band."""
+    tune(spark)
+    from tikv_data_compare_spark.operators.asof import range_join
+
+    o = _load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [(i, float(lo), float(hi)) for i, (lo, hi) in enumerate(PRICE_BANDS)],
+        "band_id long, lo double, hi double",
+    )
+    joined = range_join(o, bands, "o_totalprice", "lo", "hi", bucket_width=25_000.0)
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr(_dc("o_totalprice"))).alias("sum_price_c"),
+        )
+        .select("band_id", F.col("n_orders").cast("long").alias("n_orders"), "sum_price_c")
+    )
+
+
+def _oracle_range_join() -> str:
+    values = ", ".join(f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(PRICE_BANDS))
+    return f"""
+WITH bands(band_id, lo, hi) AS (VALUES {values})
+SELECT CAST(band_id AS BIGINT) AS band_id, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum({_dc("o_totalprice")}) AS BIGINT) AS sum_price_c
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_id
+"""
+
+
 # ====================================================== streaming (oracle'd)
 
 
@@ -776,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "join_revenue_topn": q_join_revenue_topn,
         "join_region_revenue": q_join_region_revenue,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "events_sessionize": q_events_sessionize,
         "events_window_agg": q_events_window_agg,
         "stream_window_agg": q_stream_window_agg,
@@ -804,6 +894,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": ORACLE_TOPK_PER_GROUP,
         "join_revenue_topn": ORACLE_JOIN_REVENUE_TOPN,
         "join_region_revenue": ORACLE_JOIN_REGION_REVENUE,
+        "asof_join": ORACLE_ASOF_JOIN,
+        "range_join": _oracle_range_join(),
         "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
         "events_window_agg": ORACLE_EVENTS_WINDOW_AGG,
         "stream_window_agg": ORACLE_STREAM_WINDOW_AGG,
