@@ -70,6 +70,8 @@ def main():
         "similarity_topk": lambda: sim.topk_bruteforce(embeddings, k=5, n_queries=10).count(),
         "text_stats": lambda: tx.text_stats(documents).count(),
         "sessionize": lambda: q.q_events_sessionize(spark, sf_dir).count(),
+        "asof_join": lambda: q.q_asof_join(spark, sf_dir).count(),
+        "join_region_revenue": lambda: q.q_join_region_revenue(spark, sf_dir).count(),
     }
 
     timings = {}

@@ -542,6 +542,130 @@ FROM base GROUP BY 1, 2
 """
 
 
+def q_checksum_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-range checksum report — the reference's per-region partial
+    checksums (checksum/checksum.go:78-95) surfaced as a result instead of
+    merged away: triples per key bucket, so two clusters can be compared
+    range-by-range to localize a mismatch before running a full diff."""
+    tune(spark)
+    o = _load(spark, sf_dir, "orders")
+    bucket = (F.col("o_orderkey") / F.lit(1000)).cast("long").alias("key_bucket")
+    canon = _orders_canon(SPARK)
+    hashed = (
+        o.withColumn("_canon", F.expr(canon))
+        .withColumn("_m", F.md5(F.col("_canon")))
+        .withColumn("_h", F.expr(sqlgen.hexfold_i64("_m")))
+    )
+    return (
+        hashed.groupBy(bucket)
+        .agg(
+            F.bit_xor("_h").alias("checksum"),
+            F.count(F.lit(1)).alias("total_kvs"),
+            F.sum(F.length("_canon")).alias("total_bytes"),
+        )
+        .select(
+            "key_bucket",
+            "checksum",
+            F.col("total_kvs").cast("long").alias("total_kvs"),
+            F.col("total_bytes").cast("long").alias("total_bytes"),
+        )
+    )
+
+
+ORACLE_CHECKSUM_BY_RANGE = f"""
+SELECT CAST(o_orderkey // 1000 AS BIGINT) AS key_bucket,
+       CAST(bit_xor({sqlgen.hexfold_i64('_m')}) AS BIGINT) AS checksum,
+       CAST(count(*) AS BIGINT) AS total_kvs,
+       CAST(sum(length(_c)) AS BIGINT) AS total_bytes
+FROM (SELECT o_orderkey, _c, md5(_c) AS _m
+      FROM (SELECT o_orderkey, {_orders_canon(DUCK)} AS _c FROM orders))
+GROUP BY 1
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators over key sets: src∪dst, src∩dst, src∖dst, dst∖src
+    cardinalities of the orders mutation pair in one result."""
+    tune(spark)
+    src = _load(spark, sf_dir, "orders").select("o_orderkey")
+    dst = mutated_orders(spark, sf_dir).select("o_orderkey")
+    rows = [
+        src.union(dst).distinct().select(F.lit("union").alias("op"), F.count(F.lit(1)).alias("n")),
+        src.intersect(dst).select(F.lit("intersect").alias("op"), F.count(F.lit(1)).alias("n")),
+        src.exceptAll(dst).select(F.lit("except_src").alias("op"), F.count(F.lit(1)).alias("n")),
+        dst.exceptAll(src).select(F.lit("except_dst").alias("op"), F.count(F.lit(1)).alias("n")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select("op", F.col("n").cast("long").alias("n"))
+
+
+ORACLE_SET_OPS = f"""
+WITH dst AS ({DST_ORDERS_SQL}),
+s AS (SELECT o_orderkey FROM orders), d AS (SELECT o_orderkey FROM dst)
+SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n FROM (SELECT o_orderkey FROM s UNION SELECT o_orderkey FROM d)
+UNION ALL SELECT 'intersect', CAST(count(*) AS BIGINT) FROM (SELECT o_orderkey FROM s INTERSECT SELECT o_orderkey FROM d)
+UNION ALL SELECT 'except_src', CAST(count(*) AS BIGINT) FROM (SELECT o_orderkey FROM s EXCEPT ALL SELECT o_orderkey FROM d)
+UNION ALL SELECT 'except_dst', CAST(count(*) AS BIGINT) FROM (SELECT o_orderkey FROM d EXCEPT ALL SELECT o_orderkey FROM s)
+"""
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation: order counts and exact scaled totals per
+    (priority, status) with subtotals and grand total."""
+    tune(spark)
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(_dc("o_totalprice"))).alias("sum_price_c"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.col("n").cast("long").alias("n"),
+            "sum_price_c",
+        )
+    )
+
+
+ORACLE_ROLLUP_AGG = f"""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_dc("o_totalprice")}) AS BIGINT) AS sum_price_c
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority pivoted by status columns."""
+    tune(spark)
+    o = _load(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"n_{s}") for s in statuses],
+    )
+
+
+ORACLE_PIVOT_AGG = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_F,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_O,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # ==================================================== analytic joins (TPC-H-ish)
 
 
@@ -859,6 +983,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checksum_md5": q_checksum_md5,
         "checksum_compare_md5": q_checksum_compare_md5,
         "checksum_xxhash64": q_checksum_xxhash64,
+        "checksum_by_range": q_checksum_by_range,
+        "set_ops": q_set_ops,
+        "rollup_agg": q_rollup_agg,
+        "pivot_agg": q_pivot_agg,
         "agg_count_bytes": q_agg_count_bytes,
         "kv_scan": q_kv_scan,
         "topk_per_group": q_topk_per_group,
@@ -889,6 +1017,10 @@ def oracle_sql() -> dict[str, str]:
         "checksum_md5": ORACLE_CHECKSUM_MD5,
         "checksum_compare_md5": ORACLE_CHECKSUM_COMPARE_MD5,
         # checksum_xxhash64: intentionally no oracle (Spark-only hash)
+        "checksum_by_range": ORACLE_CHECKSUM_BY_RANGE,
+        "set_ops": ORACLE_SET_OPS,
+        "rollup_agg": ORACLE_ROLLUP_AGG,
+        "pivot_agg": ORACLE_PIVOT_AGG,
         "agg_count_bytes": ORACLE_AGG_COUNT_BYTES,
         "kv_scan": _oracle_kv_scan(),
         "topk_per_group": ORACLE_TOPK_PER_GROUP,
