@@ -1,0 +1,39 @@
+"""Bucketed (pre-partitioned) comparison sources — the shuffle-free diff path.
+
+At 100 TB the dominant cost of a keyed diff is shuffling both sides on the
+key.  If the two snapshots are written bucketed on the key (`bucketBy` — the
+Spark analogue of both clusters sharing a region layout), the sort-merge join
+reads co-located buckets and the exchange disappears entirely: the diff
+becomes a zero-shuffle streaming merge per bucket.
+
+Use `write_bucketed` when materializing snapshots that will be compared
+repeatedly (the common consistency-check cadence); `read_bucketed` returns a
+Keyed over the catalog table so the optimizer sees the bucket spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tikv_data_compare_spark.model import Keyed
+
+
+def write_bucketed(
+    df: DataFrame, table: str, keys: list[str], n_buckets: int = 64, mode: str = "overwrite"
+) -> None:
+    """Materialize a snapshot bucketed+sorted on the comparison key.
+
+    Bucket count is a layout contract: both sides of a future diff must use
+    the same ``n_buckets`` for the exchange-free join to kick in.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, keys[0], *keys[1:])
+        .sortBy(keys[0], *keys[1:])
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed(spark: SparkSession, table: str, keys: tuple[str, ...]) -> Keyed:
+    return Keyed.of(spark.table(table), keys=keys)
