@@ -30,6 +30,10 @@ def get_spark(app_name: str = "tikv-data-compare-spark", cpus: int | None = None
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # local CPU-bound scans want more splits than the 128MB default
+        # (sf0.1 parquet yields 6 partitions for 32 cores otherwise); on a
+        # real cluster leave this at the I/O-friendly default
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
