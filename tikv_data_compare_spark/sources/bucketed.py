@@ -13,6 +13,9 @@ Keyed over the catalog table so the optimizer sees the bucket spec.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 from tikv_data_compare_spark.model import Keyed
@@ -26,6 +29,15 @@ def write_bucketed(
     Bucket count is a layout contract: both sides of a future diff must use
     the same ``n_buckets`` for the exchange-free join to kick in.
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # a stale warehouse dir from a previous session isn't in the fresh
+        # in-memory catalog, so overwrite alone can't reclaim the location
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.mode(mode)
         .bucketBy(n_buckets, keys[0], *keys[1:])
