@@ -324,6 +324,89 @@ FROM (SELECT doc_id, text, md5(text) AS _m FROM documents)
 """
 
 
+# ===================================================== pipeline capstone
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pipeline in one plan:
+    exact dedup → near-dup removal (minhash candidates verified by Jaccard ≥
+    0.8, keep the lower doc_id) → quality filter (token count ≥ 30) →
+    per-language corpus summary.  The composition a pipeline user actually
+    runs; every stage is the library operator, one lazily-optimized plan.
+    """
+    tune(spark)
+    docs = _load(spark, sf_dir, "documents")
+    deduped = dd.dedup_exact(docs, "doc_id", "text")
+    losers = (
+        dd.jaccard_pairs(docs, "doc_id", "text")
+        .filter(F.col("jaccard_c") >= 8000)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = deduped.join(losers, "doc_id", "left_anti")
+    stats = tx.text_stats(survivors)
+    quality = stats.filter(F.col("n_tokens") >= 30).select("doc_id", "n_tokens", "n_chars")
+    return (
+        survivors.select("doc_id", "lang")
+        .join(quality, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def _oracle_curation_pipeline() -> str:
+    return f"""
+WITH sig AS ({_oracle_minhash_sig_cte()}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+       (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3)
+    OR (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))
+),
+words AS ({DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ninter
+  FROM cand c JOIN words wa ON wa.doc_id = c.doc_a JOIN words wb ON wb.doc_id = c.doc_b AND wa.w = wb.w
+  GROUP BY c.doc_a, c.doc_b
+),
+losers AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cand c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  WHERE CAST(ROUND(10000.0 * coalesce(i.ninter, 0) / (sa.n + sb.n - coalesce(i.ninter, 0))) AS BIGINT) >= 8000
+),
+exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+survivors AS (
+  SELECT d.* FROM documents d
+  JOIN exact_keep k ON k.doc_id = d.doc_id
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+),
+quality AS (
+  SELECT doc_id, len({sqlgen.split_words('text', DUCK)}) AS n_tokens, length(text) AS n_chars
+  FROM survivors
+  WHERE len({sqlgen.split_words('text', DUCK)}) >= 30
+)
+SELECT s.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(q.n_chars) AS BIGINT) AS total_chars
+FROM survivors s JOIN quality q ON q.doc_id = s.doc_id
+GROUP BY s.lang
+"""
+
+
 # ------------------------------------------------------------------- registry
 
 
@@ -342,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -359,4 +443,5 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _oracle_langid(),
         "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
         "multimodal_meta": ORACLE_MULTIMODAL_META,
+        "curation_pipeline": _oracle_curation_pipeline(),
     }
