@@ -11,9 +11,13 @@ content hash; near-dup ≍ approximate diff — SURVEY.md §2.7) and designed fo
   via 8-bit band equi-join + hamming filter.
 - jaccard: exact verification restricted to LSH candidates.
 
-All hashes are the cross-engine md5-fold (functions/sqlgen.py) so every one
-of these is DuckDB-oracle checkable; swap ``hash_expr`` for xxhash64 for the
-pure-speed path.
+Every operator takes ``algo``:
+
+- ``md5i64`` (default): cross-engine md5-fold (functions/sqlgen.py) — every
+  query is DuckDB-oracle checkable bit-for-bit.
+- ``xxhash64``: Spark's built-in JVM hash — same plan shape, no md5/hexfold
+  expression tree, ~3-5× faster; the throughput path (bench.py uses it),
+  mirroring checksum.py's algo switch.
 """
 
 from __future__ import annotations
@@ -61,30 +65,44 @@ def _distinct_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Shingles, not words: with a small vocabulary, word *sets* of long docs
     converge to the whole vocabulary and word-minhash collides on nearly
-    every pair; 3-gram sequences stay diverse (standard shingling)."""
-    return df.select(
+    every pair; 3-gram sequences stay diverse (standard shingling).
+
+    ``split(text)`` is hoisted into a projected ``_toks`` column so the
+    tokenization runs once per row, not 5× inside the shingle expression.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    return toks.select(
         id_col,
         F.explode(
             F.expr(
-                f"CASE WHEN size(split({text_col}, ' ')) >= 3 THEN "
-                f"transform(sequence(0, size(split({text_col}, ' ')) - 3), "
-                f"i -> concat_ws(' ', split({text_col}, ' ')[i], split({text_col}, ' ')[i+1], split({text_col}, ' ')[i+2])) "
-                f"ELSE array({text_col}) END"
+                "CASE WHEN size(_toks) >= 3 THEN "
+                "transform(sequence(0, size(_toks) - 3), "
+                "i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2])) "
+                "ELSE array(_txt) END"
             )
         ).alias("w"),
     ).distinct()
 
 
-def _word_hash30(words: DataFrame) -> DataFrame:
+def _word_hash30(words: DataFrame, algo: str = "md5i64") -> DataFrame:
+    """30-bit token hash `_h1`: md5-fold (oracle-checkable) or xxhash64 (fast)."""
+    if algo == "xxhash64":
+        return words.withColumn("_h1", F.expr(f"xxhash64(w) & {H30_MASK}"))
     return words.withColumn("_m", F.md5("w")).withColumn(
         "_h1", F.expr(f"({sqlgen.hexfold_i64('_m')}) & {H30_MASK}")
     )
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, algo: str = "md5i64"
+) -> DataFrame:
     """8-permutation MinHash signature of each document's 3-shingle set."""
     perms, p = _minhash_constants()
-    hashed = _word_hash30(_distinct_shingles(df, id_col, text_col))
+    hashed = _word_hash30(_distinct_shingles(df, id_col, text_col), algo)
     aggs = [
         F.min((F.lit(a).cast("long") * F.col("_h1") + F.lit(b)) % F.lit(p))
         .cast("long")
@@ -111,14 +129,16 @@ def _band_rows(sig: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def minhash_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, algo: str = "md5i64"
+) -> DataFrame:
     """Candidate near-dup pairs sharing ≥1 LSH band.
 
     Scale shape: the self-join is an equi-join on (band, h1, h2) — each
     bucket meets in one shuffle partition; no O(n²) comparison.  Hot buckets
     (giant near-dup clusters) are the skew case AQE's skew-join handles.
     """
-    sig = minhash_signatures(df, id_col, text_col)
+    sig = minhash_signatures(df, id_col, text_col, algo)
     b = _band_rows(sig, id_col)
     a = b.select(F.col(id_col).alias("doc_a"), "band", "h1", "h2")
     c = b.select(F.col(id_col).alias("doc_b"), "band", "h1", "h2")
@@ -130,9 +150,11 @@ def minhash_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def jaccard_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, algo: str = "md5i64"
+) -> DataFrame:
     """Exact shingle-set Jaccard (scaled ×10000) for minhash candidate pairs."""
-    cand = minhash_pairs(df, id_col, text_col)
+    cand = minhash_pairs(df, id_col, text_col, algo)
     words = _distinct_shingles(df, id_col, text_col)
     sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     wa = words.select(F.col(id_col).alias("doc_a"), "w")
@@ -159,12 +181,15 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, algo: str = "md5i64") -> DataFrame:
     """32-bit SimHash over the word multiset (per-bit majority vote)."""
     words = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
-    hashed = words.withColumn("_m", F.md5("w")).withColumn(
-        "_h", F.expr(sqlgen.hexfold_i64("_m"))
-    )
+    if algo == "xxhash64":
+        hashed = words.withColumn("_h", F.xxhash64("w"))
+    else:
+        hashed = words.withColumn("_m", F.md5("w")).withColumn(
+            "_h", F.expr(sqlgen.hexfold_i64("_m"))
+        )
     bits = " + ".join(
         f"(CASE WHEN sum(CASE WHEN (({sqlgen.shiftright('_h', i, sqlgen.SPARK)}) & 1) = 1 THEN 1 ELSE -1 END) >= 0"
         f" THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
@@ -174,14 +199,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, algo: str = "md5i64"
 ) -> DataFrame:
     """Near-dup pairs: share ≥1 of four 8-bit simhash bands, hamming ≤ k.
 
     Same scale shape as minhash_pairs: band equi-join, then cheap bit_count
     verification on the candidates only.
     """
-    sig = simhash(df, id_col, text_col)
+    sig = simhash(df, id_col, text_col, algo)
     bands = F.array(
         *[
             F.struct(
