@@ -49,3 +49,75 @@ def test_range_join_no_cartesian(spark, lineitem):
     bands = spark.createDataFrame([(0, 0.0, 1e6)], "band_id long, lo double, hi double")
     out = range_join(pts, bands, "l_extendedprice", "lo", "hi", 50_000.0)
     assert not plans.has_cartesian(out)
+
+
+def test_asof_join_null_payload_atomic(spark):
+    """A matched right row with a NULL payload column must contribute its own
+    NULL — not that column back-filled from an *older* right row (the
+    per-column last(ignorenulls) stitching bug, VERDICT r2 item 1)."""
+    left = spark.createDataFrame([(1, 1, 100)], "event_id long, k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, 111, 222), (1, 50, 333, None)],
+        "k long, t long, a long, b long",
+    )
+    row = asof_join(left, right, "k", "t", "t", ["a", "b"]).collect()[0]
+    # the t=50 row is the match; its b is NULL and must stay NULL
+    assert (row["a"], row["b"]) == (333, None)
+
+
+def test_asof_join_inner_keeps_all_null_payload_match(spark):
+    """how='inner' must key off the match itself, not payload nullness: a
+    right row whose payload columns are all NULL is still a match."""
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 2, 100)], "event_id long, k long, t long"
+    )
+    right = spark.createDataFrame([(1, 10, None)], "k long, t long, payload long")
+    out = asof_join(left, right, "k", "t", "t", ["payload"], how="inner").collect()
+    # event 1 matched (payload NULL); event 2 has no right row at all
+    assert [(r["event_id"], r["payload"]) for r in out] == [(1, None)]
+
+
+def test_asof_join_nulls_vs_duckdb_asof(spark, tmp_path):
+    """Randomized NULL-heavy fixture against DuckDB's native ASOF JOIN."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(7)
+    lrows = [(i, rng.randrange(5), rng.randrange(1000)) for i in range(300)]
+    rrows = [
+        (
+            rng.randrange(5),
+            rng.randrange(1000),
+            rng.randrange(100) if rng.random() < 0.5 else None,
+            rng.randrange(100) if rng.random() < 0.5 else None,
+        )
+        for _ in range(200)
+    ]
+    # unique (k, t) on the right so the match among ties is well-defined
+    seen, rr = set(), []
+    for k, t, v1, v2 in rrows:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rr.append((k, t, v1, v2))
+    left = spark.createDataFrame(lrows, "event_id long, k long, t long")
+    right = spark.createDataFrame(rr, "k long, t long, a long, b long")
+    got = sorted(
+        (r["event_id"], r["a"], r["b"])
+        for r in asof_join(left, right, "k", "t", "t", ["a", "b"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE l(event_id BIGINT, k BIGINT, t BIGINT); "
+        "CREATE TABLE r(k BIGINT, t BIGINT, a BIGINT, b BIGINT)"
+    )
+    con.executemany("INSERT INTO l VALUES (?,?,?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?,?,?,?)", rr)
+    want = sorted(
+        (int(e), None if a is None else int(a), None if b is None else int(b))
+        for e, a, b in con.execute(
+            "SELECT l.event_id, r.a, r.b FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.t >= r.t"
+        ).fetchall()
+    )
+    assert got == want

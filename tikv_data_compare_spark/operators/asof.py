@@ -17,7 +17,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
 def asof_join(
@@ -37,19 +37,31 @@ def asof_join(
     ``how='left'``; matched-only when ``how='inner'``).
     """
     lcols = left.columns
+    # Payloads travel as ONE struct (match marker + all payload columns) so a
+    # single last(ignorenulls) propagates them atomically: a matched right row
+    # with NULLs in some payload columns still contributes exactly its own
+    # values, never a stitch of older rows — and an all-NULL-payload match is
+    # still a match (the marker is non-null for every right row).
+    p_struct = T.StructType(
+        [T.StructField("_matched", T.BooleanType(), False)]
+        + [T.StructField(c, right.schema[c].dataType, True) for c in payload_cols]
+    )
     l = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+        F.lit(None).cast(p_struct).alias("_p"),
     )
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.struct(
+            F.lit(True).alias("_matched"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        ).alias("_p"),
     )
     u = l.unionByName(r)
     # right rows sort before left rows at equal _t, so "at-or-before" matches
@@ -58,23 +70,13 @@ def asof_join(
         .orderBy(F.asc("_t"), F.asc("_is_left"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = u.select(
-        "*",
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in payload_cols
-        ],
-    )
-    out = filled.filter(F.col("_is_left") == 1).select(
-        *lcols, *[F.col(f"_f_{c}").alias(c) for c in payload_cols]
-    )
+    filled = u.select("*", F.last("_p", ignorenulls=True).over(w).alias("_f"))
+    out = filled.filter(F.col("_is_left") == 1)
     if how == "inner":
-        cond = None
-        for c in payload_cols:
-            term = F.col(c).isNotNull()
-            cond = term if cond is None else (cond | term)
-        out = out.filter(cond)
-    return out
+        out = out.filter(F.col("_f").getField("_matched").isNotNull())
+    return out.select(
+        *lcols, *[F.col("_f").getField(c).alias(c) for c in payload_cols]
+    )
 
 
 def range_join(
