@@ -55,3 +55,37 @@ def test_embed_dup_fingerprints(spark, emb):
     dups = sim.embedding_exact_dup(planted).filter(F.col("n_dups") == 2)
     assert dups.count() == 1
     assert dups.collect()[0]["keep_vec_id"] == 1
+
+
+def test_topk_large_k_equals_sql_path(emb):
+    """k above the old per-batch 64-candidate cap must still match the exact
+    SQL path (VERDICT r2 item 7)."""
+    np_rows = sorted(map(tuple, sim.topk_bruteforce(emb, k=100, n_queries=2).collect()))
+    sql_rows = sorted(map(tuple, sim.topk_bruteforce_sql(emb, k=100, n_queries=2).collect()))
+    assert len(np_rows) == 200
+    assert np_rows == sql_rows
+
+
+def test_lsh_buckets_high_dim_plan_builds(spark):
+    """dim=512 LSH bucketing must execute — the matmul path has O(1) plan
+    size, unlike the old O(dim×planes) generated SQL."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((40, 512))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # plant one near-dup: vec 100 = vec 0 + tiny noise
+    rows.append((100, (base[0] + 0.01 * rng.standard_normal(512)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bucketed = sim.lsh_buckets(emb, n_planes=12, n_tables=2)
+    assert bucketed.count() == 82  # one row per (vector, table)
+    pairs = sim.embedding_near_dup(emb, threshold_c=9000, n_planes=12, n_tables=2)
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    assert (0, 100) in got
+
+
+def test_near_dup_auto_planes_scales_with_corpus():
+    assert sim.auto_planes(500) == 2          # small corpus → floor
+    assert sim.auto_planes(256 * (2**10)) == 10
+    assert sim.auto_planes(10**9) == 22
+    assert sim.auto_planes(10**12) == 24      # capped

@@ -12,7 +12,9 @@ index order over doubles, so rankings match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from tikv_data_compare_spark.functions import sqlgen
 
@@ -74,7 +76,9 @@ def topk_bruteforce(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFram
                 col = c[:, j]
                 mask = ids != qid
                 cand_ids, cand_c = ids[mask], col[mask]
-                top = min(len(cand_ids), 64)
+                # per-batch candidate cap must cover the requested k, or the
+                # global merge sees a truncated candidate set for k > 64
+                top = min(len(cand_ids), max(k, 64))
                 # partial select then exact sort by (-score, id) for determinism
                 idx = np.argpartition(-cand_c, top - 1)[:top] if top else np.array([], int)
                 order = np.lexsort((cand_ids[idx], -cand_c[idx]))
@@ -116,24 +120,69 @@ def topk_bruteforce_sql(emb: DataFrame, k: int = 5, n_queries: int = 10) -> Data
     )
 
 
-def lsh_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 7) -> DataFrame:
+def _plane_matrix(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Deterministic Gaussian hyperplanes, one (dim, n_planes) block per
+    table, seeded — reproducible across runs/resumes with no driver-side
+    entropy leaking into the plan."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    p = rng.standard_normal((dim, n_planes * n_tables))
+    return p / np.linalg.norm(p, axis=0, keepdims=True)
+
+
+def auto_planes(n_rows: int, target_bucket_rows: int = 256, lo: int = 2, hi: int = 24) -> int:
+    """Plane count sized to the corpus: ~target_bucket_rows vectors per
+    bucket, so the intra-bucket self-join stays O(n · target) instead of
+    O(n²/2^planes) with a fixed tiny plane count."""
+    if n_rows <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows)))))
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    seed: int = 7,
+    n_tables: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
     """Random-hyperplane LSH bucket per vector (sign bits of projections).
 
-    Planes are deterministic pseudo-random unit-ish vectors derived from
-    xxhash64(seed, plane, dim) — no driver-side randomness, reproducible
-    across runs and resumable at any scale.
+    Projections are ONE numpy matmul per Arrow batch against a broadcast
+    (dim × planes·tables) plane matrix — O(1) plan size at any dim, unlike a
+    generated per-component SQL expression (which stops codegenning around
+    dim·planes ≈ a few thousand terms).  With ``n_tables > 1`` each row emits
+    one bucket per table (OR-amplification: pairs collide if they share ANY
+    table's bucket — recall survives a larger ``n_planes``); bucket ids are
+    disjoint across tables via a table-id prefix.
     """
-    dim = len(emb.select("embedding").first()["embedding"])
-    # plane p component d in [-0.5, 0.5): hash-based, computed JVM-side
-    bits = []
-    for p in range(n_planes):
-        terms = " + ".join(
-            f"CAST(embedding[{d}] AS DOUBLE) * "
-            f"((CAST(xxhash64({seed}, {p}, {d}) % 1000 AS DOUBLE)) / 1000.0)"
-            for d in range(dim)
-        )
-        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)")
-    return emb.withColumn("bucket", F.expr(" + ".join(bits)).cast("long"))
+    if n_planes * n_tables > 60:
+        raise ValueError(f"n_planes*n_tables={n_planes * n_tables} exceeds 60 sign bits")
+    spark = emb.sparkSession
+    first = emb.select(vec_col).first()
+    dim = len(first[vec_col]) if first else 1
+    bc = spark.sparkContext.broadcast(_plane_matrix(dim, n_planes, n_tables, seed))
+    out_schema = T.StructType(list(emb.schema.fields) + [T.StructField("bucket", T.LongType())])
+
+    def bucketize(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes = bc.value
+        weights = np.left_shift(np.int64(1), np.arange(n_planes, dtype=np.int64))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
+            signs = (mat @ planes) >= 0.0  # (batch, planes*tables)
+            for t in range(n_tables):
+                bits = signs[:, t * n_planes : (t + 1) * n_planes] @ weights
+                out = pdf.copy()
+                out["bucket"] = (np.int64(t) << np.int64(n_planes)) | bits
+                yield out
+
+    return emb.mapInPandas(bucketize, out_schema)
 
 
 def topk_lsh(emb: DataFrame, k: int = 5, n_queries: int = 10, n_planes: int = 6) -> DataFrame:
@@ -170,18 +219,26 @@ def topk_lsh(emb: DataFrame, k: int = 5, n_queries: int = 10, n_planes: int = 6)
 
 
 def embedding_near_dup(
-    emb: DataFrame, threshold_c: int = 4000, n_planes: int = 2
+    emb: DataFrame,
+    threshold_c: int = 4000,
+    n_planes: int | None = None,
+    n_tables: int = 2,
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """Approximate cosine near-duplicate pairs: LSH bucket equi-join, exact
     cosine verification within buckets, keep pairs with scaled cosine ≥
     ``threshold_c``.
 
-    Scale shape: candidates meet in a shuffle on the bucket id (no n²);
-    recall is tunable via n_planes (fewer planes → larger buckets → higher
-    recall).  Approximate by construction — pairs in different buckets are
-    not scored.
+    Scale shape: candidates meet in a shuffle on the bucket id (no n²), and
+    ``n_planes`` defaults to ``auto_planes(count)`` so buckets stay ~
+    ``target_bucket_rows`` deep as the corpus grows — the intra-bucket join
+    is O(n·target), never O(n²/constant).  ``n_tables`` OR-amplifies recall
+    (a pair is scored if it collides in ANY table).  Approximate by
+    construction — pairs colliding in no table are not scored.
     """
-    b = lsh_buckets(emb, n_planes)
+    if n_planes is None:
+        n_planes = auto_planes(emb.count(), target_bucket_rows)
+    b = lsh_buckets(emb, n_planes, n_tables=n_tables)
     left = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
     right = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
     pairs = left.join(right, on="bucket").filter(F.col("vec_a") < F.col("vec_b"))

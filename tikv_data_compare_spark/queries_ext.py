@@ -204,7 +204,9 @@ def q_similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate by construction → rows-only check (an exact SQL oracle would
     assert recall the LSH path intentionally trades away)."""
     tune(spark)
-    return sim.embedding_near_dup(_load(spark, sf_dir, "embeddings"), threshold_c=3000, n_planes=2)
+    # n_planes auto-derives from the corpus count (auto_planes) so bucket
+    # depth stays bounded as the corpus grows; 2 tables OR-amplify recall.
+    return sim.embedding_near_dup(_load(spark, sf_dir, "embeddings"), threshold_c=3000)
 
 
 def q_similarity_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
