@@ -65,8 +65,10 @@ def main():
         "checksum_compare_xxh": lambda: compare_checksum(li_keyed, li_mut).collect(),
         "diff_keyed": lambda: diff(ord_src, ord_dst).count(),
         "export_hex": lambda: export_hex(ord_src).count(),
-        "dedup_minhash_pairs": lambda: dd.minhash_pairs(documents, "doc_id", "text").count(),
-        "dedup_simhash": lambda: dd.simhash(documents, "doc_id", "text").count(),
+        "dedup_minhash_pairs": lambda: dd.minhash_pairs(
+            documents, "doc_id", "text", algo="xxhash64"
+        ).count(),
+        "dedup_simhash": lambda: dd.simhash(documents, "doc_id", "text", algo="xxhash64").count(),
         "similarity_topk": lambda: sim.topk_bruteforce(embeddings, k=5, n_queries=10).count(),
         "text_stats": lambda: tx.text_stats(documents).count(),
         "sessionize": lambda: q.q_events_sessionize(spark, sf_dir).count(),

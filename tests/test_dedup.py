@@ -65,3 +65,28 @@ def test_simhash_range_and_near_dup(spark, docs):
     pairs = dd.simhash_pairs(planted, "doc_id", "text")
     hit = pairs.filter(F.col("doc_b") == 999999).collect()
     assert hit and hit[0]["hamming"] == 0  # identical text → distance 0
+
+
+@pytest.mark.parametrize("algo", ["md5i64", "xxhash64"])
+def test_near_dup_operators_both_algos(spark, docs, algo):
+    """The fast xxhash64 path (hash masking, simhash bit math on signed
+    values) must find planted dups just like the oracle-checkable default."""
+    planted = docs.unionByName(docs.limit(1).withColumn("doc_id", F.lit(999999)))
+    first_id = docs.select(F.min("doc_id")).collect()[0][0]
+    mh = dd.minhash_pairs(planted, "doc_id", "text", algo=algo)
+    assert mh.filter((F.col("doc_a") == first_id) & (F.col("doc_b") == 999999)).count() == 1
+    sh = dd.simhash_pairs(planted, "doc_id", "text", algo=algo)
+    hit = sh.filter(F.col("doc_b") == 999999).collect()
+    assert hit and hit[0]["hamming"] == 0
+    sig = dd.simhash(planted, "doc_id", "text", algo=algo)
+    assert sig.filter((F.col("simhash") < 0) | (F.col("simhash") >= (1 << 32))).count() == 0
+    jc = dd.jaccard_pairs(planted, "doc_id", "text", algo=algo)
+    ident = jc.filter((F.col("doc_a") == first_id) & (F.col("doc_b") == 999999)).collect()
+    assert ident and ident[0]["jaccard_c"] == 10000
+
+
+def test_unknown_algo_raises(docs):
+    with pytest.raises(ValueError, match="unknown algo"):
+        dd.minhash_pairs(docs, "doc_id", "text", algo="crc64")
+    with pytest.raises(ValueError, match="unknown algo"):
+        dd.simhash(docs, "doc_id", "text", algo="xxhash")

@@ -11,7 +11,8 @@ content hash; near-dup ≍ approximate diff — SURVEY.md §2.7) and designed fo
   via 8-bit band equi-join + hamming filter.
 - jaccard: exact verification restricted to LSH candidates.
 
-Every operator takes ``algo``:
+The minhash/simhash/jaccard operators take ``algo`` (exact dedup is
+md5-only — its content hash must stay oracle-checkable):
 
 - ``md5i64`` (default): cross-engine md5-fold (functions/sqlgen.py) — every
   query is DuckDB-oracle checkable bit-for-bit.
@@ -27,6 +28,13 @@ from pyspark.sql import DataFrame, functions as F
 from tikv_data_compare_spark.functions import sqlgen
 
 H30_MASK = (1 << 30) - 1
+
+ALGOS = ("md5i64", "xxhash64")
+
+
+def _check_algo(algo: str) -> None:
+    if algo not in ALGOS:  # mirror checksum._with_hash: typos must not silently fall back
+        raise ValueError(f"unknown algo {algo!r}; expected one of {ALGOS}")
 
 
 def _minhash_constants():
@@ -90,6 +98,7 @@ def _distinct_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _word_hash30(words: DataFrame, algo: str = "md5i64") -> DataFrame:
     """30-bit token hash `_h1`: md5-fold (oracle-checkable) or xxhash64 (fast)."""
+    _check_algo(algo)
     if algo == "xxhash64":
         return words.withColumn("_h1", F.expr(f"xxhash64(w) & {H30_MASK}"))
     return words.withColumn("_m", F.md5("w")).withColumn(
@@ -183,6 +192,7 @@ def jaccard_pairs(
 
 def simhash(df: DataFrame, id_col: str, text_col: str, algo: str = "md5i64") -> DataFrame:
     """32-bit SimHash over the word multiset (per-bit majority vote)."""
+    _check_algo(algo)
     words = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
     if algo == "xxhash64":
         hashed = words.withColumn("_h", F.xxhash64("w"))
