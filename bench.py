@@ -9,6 +9,12 @@ Queries benched are the engine's headline operators at their fast settings
 (xxhash64 checksum — the md5 oracle mode exists for correctness checking,
 not throughput; keyed diff; hex export; minhash near-dup; cosine top-k;
 sessionization).  Each is collected (or counted) to force full execution.
+
+Each query is timed as the MIN of two runs: at sub-second operator scale the
+first execution is dominated by whole-stage-codegen compilation and JVM JIT
+(observed 11.6s cold vs 0.9s steady-state for the same checksum plan), which
+measures the JVM, not the operator.  The min isolates steady-state operator
+cost — the number that scales to a long-lived cluster.
 """
 
 from __future__ import annotations
@@ -78,11 +84,15 @@ def main():
 
     timings = {}
     for name, fn in benches.items():
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
