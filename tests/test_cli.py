@@ -59,6 +59,56 @@ def test_cli_diff_reports(capsys, two_tables):
     assert lines and all(json.loads(l)["status"] == "changed" for l in lines)
 
 
+def test_cli_typed_int_key_bounds(capsys, two_tables):
+    """Integer-keyed tables interpret --start/end-key as decimal integers.
+    Regression: bounds went through int.from_bytes(parse_key(...)), turning
+    '1000' into 825241648 and silently returning the wrong range."""
+    import duckdb
+
+    src, _, dst_eq = two_tables
+    keys = "l_orderkey,l_linenumber"
+    # pick decimal bounds straddling real data so the range is non-empty
+    lo, hi = duckdb.sql(
+        f"SELECT min(l_orderkey), median(l_orderkey)::BIGINT FROM read_parquet('{src}/*.parquet')"
+    ).fetchone()
+    expected = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{src}/*.parquet') "
+        f"WHERE l_orderkey >= {lo} AND l_orderkey < {hi}"
+    ).fetchone()[0]
+    assert expected > 0
+    rc = cli.main(
+        ["checksum", "--src", src, "--dst", dst_eq, "--keys", keys,
+         "--start-key", str(lo), "--end-key", str(hi)]
+    )
+    assert rc == 0
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["equal"] is True
+    assert v["src"]["total_kvs"] == expected
+
+
+def test_cli_typed_bound_rejects_non_decimal(two_tables):
+    src, dst, _ = two_tables
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli.main(
+            ["checksum", "--src", src, "--dst", dst, "--keys", "l_orderkey",
+             "--start-key", "0xFF"]
+        )
+
+
+def test_cli_checksum_crc64_typed(capsys, two_tables):
+    """--algo crc64 on a typed parquet table runs green (regression: crashed
+    with DATATYPE_MISMATCH since round 1)."""
+    src, _, dst_eq = two_tables
+    rc = cli.main(
+        ["checksum", "--src", src, "--dst", dst_eq,
+         "--keys", "l_orderkey,l_linenumber", "--algo", "crc64"]
+    )
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["equal"] is True
+
+
 def test_cli_scan_export(capsys, two_tables, tmp_path):
     src, _, _ = two_tables
     out_dir = str(tmp_path / "dump")

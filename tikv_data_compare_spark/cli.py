@@ -36,27 +36,51 @@ def _add_common(p: argparse.ArgumentParser, dual: bool) -> None:
     p.add_argument("--concurrency", type=int, default=0, help="cpus (0 = all)")
 
 
-def _parse_bound(args, name: str):
-    v = getattr(args, name)
-    if not v:
-        return None
-    b = codec.parse_key(args.key_format, v)
-    # binary keys take bytes; typed integer keys take the int rendering
-    return b
+_INT_TYPES = {"long", "integer", "short", "byte"}
 
 
-def _keyed(spark, path: str, keys: list[str], start, end):
+def _typed_bound(raw: str, col: str, type_name: str):
+    """Parse a range bound against the leading key column's actual type.
+
+    Binary keys go through ``codec.parse_key`` (handled by the caller); typed
+    keys take their natural literal form: decimal for integer columns, the raw
+    string for string columns.  Anything else is rejected loudly — silently
+    reinterpreting bytes as an integer (the old ``int.from_bytes``) turned
+    ``--start-key 1000`` into 825241648.
+    """
+    if type_name in _INT_TYPES:
+        try:
+            return int(raw, 10)
+        except ValueError:
+            raise SystemExit(
+                f"--start/end-key {raw!r} is not a decimal integer, but key column "
+                f"{col!r} has type {type_name}"
+            )
+    if type_name == "string":
+        return raw
+    raise SystemExit(
+        f"range bounds on key column {col!r} of type {type_name} are not supported; "
+        "use a binary, integer, or string key column"
+    )
+
+
+def _keyed(spark, path: str, keys: list[str], args):
     from tikv_data_compare_spark.model import Keyed
 
     df = spark.read.parquet(path)
     k = Keyed.of(df, keys=tuple(keys))
-    first_type = dict((f.name, f.dataType.typeName()) for f in df.schema.fields)[keys[0]]
-    if start is not None or end is not None:
-        if first_type != "binary":  # typed tables: interpret bounds as integers
-            start = int.from_bytes(start, "big") if start else None
-            end = int.from_bytes(end, "big") if end else None
-        k = k.in_range(start, end)
-    return k
+    raw_start, raw_end = args.start_key, args.end_key
+    if not raw_start and not raw_end:
+        return k
+    first = keys[0]
+    first_type = dict((f.name, f.dataType.typeName()) for f in df.schema.fields)[first]
+    if first_type == "binary":
+        start = codec.parse_key(args.key_format, raw_start) if raw_start else None
+        end = codec.parse_key(args.key_format, raw_end) if raw_end else None
+    else:
+        start = _typed_bound(raw_start, first, first_type) if raw_start else None
+        end = _typed_bound(raw_end, first, first_type) if raw_end else None
+    return k.in_range(start, end)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -96,13 +120,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("cli", cpus=args.concurrency or None)
     keys = args.keys.split(",")
-    start, end = _parse_bound(args, "start_key"), _parse_bound(args, "end_key")
-    src = _keyed(spark, args.src, keys, start, end)
+    src = _keyed(spark, args.src, keys, args)
 
     if args.cmd == "checksum":
         from tikv_data_compare_spark.operators.checksum import checksum_verdict
 
-        dst = _keyed(spark, args.dst, keys, start, end)
+        dst = _keyed(spark, args.dst, keys, args)
         v = checksum_verdict(src, dst, algo=args.algo)
         print(json.dumps(v, default=str))
         return 0 if v["equal"] else 1
@@ -110,7 +133,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "diff":
         from tikv_data_compare_spark.operators.diff import diff
 
-        dst = _keyed(spark, args.dst, keys, start, end)
+        dst = _keyed(spark, args.dst, keys, args)
         findings = diff(src, dst)
         n = 0
         for row in findings.toLocalIterator():

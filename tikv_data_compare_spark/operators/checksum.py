@@ -47,7 +47,16 @@ def _with_hash(keyed: Keyed, algo: str, tags: dict[str, str] | None) -> tuple[Da
     if algo == "crc64":
         from tikv_data_compare_spark.functions.hashes import crc64_pandas_udf
 
-        payload = F.concat(*[F.coalesce(F.col(c), F.lit(b"")).cast("binary") for c in cols])
+        # Typed columns must become binary BEFORE the coalesce — coalescing a
+        # bigint with a binary literal is a DATATYPE_MISMATCH AnalysisException.
+        # Binary columns pass through untouched (no lossy utf8 round-trip).
+        binary_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "binary"}
+
+        def _as_bytes(c: str) -> Column:
+            col = F.col(c) if c in binary_cols else F.col(c).cast("string").cast("binary")
+            return F.coalesce(col, F.lit(b""))
+
+        payload = F.concat(*[_as_bytes(c) for c in cols])
         return df.withColumn("_h", crc64_pandas_udf()(payload)), "_h"
     raise ValueError(f"algo must be one of {ALGOS}, got {algo!r}")
 
@@ -145,8 +154,15 @@ def compare_checksum(
 
 def checksum_verdict(src: Keyed, dst: Keyed, algo: str = "xxhash64", tags=None) -> dict:
     """Driver-side verdict — the reference's final triple comparison and
-    pass/fail report (checksum/checksum.go:173-178)."""
-    rows = {r["side"]: r for r in compare_checksum(src, dst, algo, tags).collect()}
-    s, d = rows["src"], rows["dst"]
+    pass/fail report (checksum/checksum.go:173-178).
+
+    A side with zero rows in range produces no groupBy row; it reports the
+    identity triple (checksum None, 0 kvs, 0 bytes) so empty == empty is a
+    pass, not a crash.
+    """
+    empty = {"checksum": None, "total_kvs": 0, "total_bytes": 0}
+    rows = {r["side"]: r.asDict() for r in compare_checksum(src, dst, algo, tags).collect()}
+    s = rows.get("src", {"side": "src", **empty})
+    d = rows.get("dst", {"side": "dst", **empty})
     equal = all(s[k] == d[k] for k in ("checksum", "total_kvs", "total_bytes"))
-    return {"equal": equal, "src": s.asDict(), "dst": d.asDict()}
+    return {"equal": equal, "src": s, "dst": d}
