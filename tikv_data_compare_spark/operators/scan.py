@@ -35,28 +35,76 @@ def range_scan(keyed: Keyed, start=None, end=None, sort: bool = True) -> DataFra
 def with_global_index(df: DataFrame, order_cols: list[str], name: str = "cnt", start: int = 1) -> DataFrame:
     """Dense global 1-based index in ``order_cols`` order, scalably.
 
-    Plan shape: range-repartition on the order columns (so partition i holds
-    a contiguous key range), local sort + local row_number per partition,
-    then add each partition's cumulative offset (a tiny broadcast join —
-    #partitions rows).  No global single-partition window; survives 100×
+    Plan shape: assign each row a *data-derived* range-bucket id (binary
+    search over sampled boundary literals), local row_number per bucket,
+    then add each bucket's cumulative offset (a tiny broadcast join —
+    #buckets rows).  No global single-partition window; survives 100×
     scale-up where ``Window.orderBy`` without partitioning would not.
+
+    The bucket id MUST be a pure function of the row, never
+    ``spark_partition_id`` over ``repartitionByRange``: range partitioning
+    samples its boundaries per-execution, so the offsets branch and the
+    ranks branch can see *different* partitionings unless the exchange
+    happens to be reused — observed as a corrupted counter on a 15k-row
+    table.  Boundary sampling here runs once, driver-side, and both
+    branches share the literal expression, so they agree by construction.
     """
     n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    part = df.repartitionByRange(n, *order_cols).withColumn("_pid", F.spark_partition_id())
-    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-    local = part.withColumn("_rn", F.row_number().over(w))
-    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    bucket = _range_bucket_expr(df, order_cols, n)
+    w = Window.partitionBy("_bid").orderBy(*[F.col(c) for c in order_cols])
+    local = df.withColumn("_bid", bucket).withColumn("_rn", F.row_number().over(w))
+    # offsets: #buckets rows — the single-partition window is on tiny data
+    woff = Window.orderBy("_bid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        local.groupBy("_pid")
+        local.groupBy("_bid")
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .withColumn("_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)))
-        .select("_pid", "_off")
+        .select("_bid", "_off")
     )
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), "_bid")
         .withColumn(name, F.col("_rn") + F.col("_off") + F.lit(start - 1))
-        .drop("_pid", "_rn", "_off")
+        .drop("_bid", "_rn", "_off")
     )
+
+
+def _range_bucket_expr(df: DataFrame, order_cols: list[str], n: int):
+    """Monotone bucket id from ``order_cols``: sampled boundaries → literal
+    comparison chain.  Bucket i holds rows < boundary i; ids increase with
+    key order, so cumulative bucket counts give global offsets.
+
+    Two cheap JVM-side jobs (pruned count + sampled collect of ~64·n key
+    tuples); boundaries are deduplicated so duplicate-heavy keys just yield
+    fewer, larger buckets (still correct).
+    """
+    keys = df.select(*order_cols)
+    total = keys.count()
+    target = 64 * n
+    if total <= 1 or n <= 1:
+        return F.lit(0)
+    frac = min(1.0, target / total)
+    sampled = sorted(tuple(r) for r in keys.sample(fraction=frac, seed=42).collect())
+    if not sampled:
+        return F.lit(0)
+    step = max(1, len(sampled) // n)
+    bounds = []
+    for i in range(step, len(sampled), step):
+        if not bounds or sampled[i] > bounds[-1]:
+            bounds.append(sampled[i])
+
+    dts = {f.name: f.dataType for f in df.schema.fields}
+
+    def tuple_lit(t):
+        lits = [F.lit(v).cast(dts[c]) for v, c in zip(t, order_cols)]
+        return lits[0] if len(order_cols) == 1 else F.struct(*lits)
+
+    probe = F.col(order_cols[0]) if len(order_cols) == 1 else F.struct(
+        *[F.col(c) for c in order_cols]
+    )
+    expr = F.lit(len(bounds))  # >= last boundary → final bucket
+    for i in range(len(bounds) - 1, -1, -1):
+        expr = F.when(probe < tuple_lit(bounds[i]), F.lit(i)).otherwise(expr)
+    return expr
 
 
 def export_hex(keyed: Keyed, start=None, end=None, path: str | None = None) -> DataFrame:

@@ -160,6 +160,71 @@ FROM orders WHERE o_orderkey < 3000
 """
 
 
+#: dump-roundtrip range (decimal orderkeys; half-open, reference-style)
+DUMP_RANGE = (1000, 5000)
+
+
+def _dump_key(orderkey: int) -> bytes:
+    """model.to_kv's memcomparable bigint encoding (sign-bit flip, 8B BE)."""
+    return (orderkey ^ (1 << 63)).to_bytes(8, "big")
+
+
+def q_scan_dump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S4 + the scan-dump *source*: write the reference's scan.log text
+    format (scan/scan.go:35-61) with ``export_hex``, re-open it through the
+    ``tikv_scandump`` Python DataSource (per-chunk partitions), and scan a
+    key range — the range predicate is absorbed by the reader's
+    ``pushFilters`` (the Spark analogue of the range riding inside the Scan
+    RPC, scan/scan.go:45).  Output = the dump rows in range, re-hexed, with
+    their original global running counters."""
+    import os
+    import tempfile
+
+    tune(spark)
+    from tikv_data_compare_spark.sources.scandump import load_scan_dump
+
+    tags = sqlgen.TABLE_TAGS["orders"]
+    val_canon = sqlgen.row_canon([(c, tags[c]) for c in ORDER_VALUE_COLS], SPARK)
+    flip = -(1 << 63)
+    kv = _load(spark, sf_dir, "orders").select(
+        F.unhex(F.lpad(F.hex(F.col("o_orderkey").bitwiseXOR(F.lit(flip))), 16, "0")).alias("key"),
+        F.expr(val_canon).cast("binary").alias("value"),
+    )
+    dump = os.path.join(
+        tempfile.gettempdir(), f"tikv_scandump_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    export_hex(Keyed(kv), path=dump)
+
+    lo, hi = (_dump_key(b) for b in DUMP_RANGE)
+    back = load_scan_dump(spark, dump, chunk_bytes=1 << 20)
+    return (
+        back.filter(F.col("key") >= F.lit(lo))
+        .filter(F.col("key") < F.lit(hi))
+        .select(
+            F.upper(F.hex("key")).alias("key_hex"),
+            F.upper(F.hex("value")).alias("value_hex"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+
+
+def _oracle_scan_dump() -> str:
+    tags = sqlgen.TABLE_TAGS["orders"]
+    val_canon = sqlgen.row_canon([(c, tags[c]) for c in ORDER_VALUE_COLS], DUCK)
+    lo, hi = DUMP_RANGE
+    return f"""
+WITH numbered AS (
+  SELECT o_orderkey,
+         upper(lpad(hex(xor(CAST(o_orderkey AS BIGINT), CAST(-9223372036854775808 AS BIGINT))), 16, '0')) AS key_hex,
+         upper(hex({val_canon})) AS value_hex,
+         CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS cnt
+  FROM orders
+)
+SELECT key_hex, value_hex, cnt FROM numbered
+WHERE o_orderkey >= {lo} AND o_orderkey < {hi}
+"""
+
+
 # ================================================================ parity: diff
 
 
@@ -976,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "range_scan": q_range_scan,
         "scan_export_hex": q_scan_export_hex,
+        "scan_dump_roundtrip": q_scan_dump_roundtrip,
         "diff_keyed": q_diff_keyed,
         "diff_only_src": q_diff_only_src,
         "diff_only_dst": q_diff_only_dst,
@@ -1010,6 +1076,7 @@ def oracle_sql() -> dict[str, str]:
     base = {
         "range_scan": ORACLE_RANGE_SCAN,
         "scan_export_hex": _oracle_export_hex(),
+        "scan_dump_roundtrip": _oracle_scan_dump(),
         "diff_keyed": ORACLE_DIFF_KEYED,
         "diff_only_src": ORACLE_DIFF_ONLY_SRC,
         "diff_only_dst": ORACLE_DIFF_ONLY_DST,

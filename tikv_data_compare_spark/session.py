@@ -38,6 +38,8 @@ def get_spark(app_name: str = "tikv-data-compare-spark", cpus: int | None = None
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let Python DataSources (sources/scandump.py) absorb range predicates
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -61,5 +63,9 @@ def tune(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001 — conf removed in some builds; events reader falls back
+        pass
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # noqa: BLE001 — absent pre-4.1; scandump falls back to post-scan Filter
         pass
     return spark

@@ -33,7 +33,8 @@ def load_tikv(spark, pd_addr: str, start=None, end=None, api_version: str = "V2"
         raise ImportError(
             "TiKV connector requires the tikv-client package (not bundled in "
             "this environment); use sources.parquet for file-backed sources, "
-            "or export the cluster with the reference's scan command and load "
-            "the dump"
+            "or export the cluster with the reference's scan command and open "
+            "the dump with sources.scandump.load_scan_dump (reads the "
+            "{NAME}_scan.log.<ts> format with range pushdown)"
         ) from e
     raise NotImplementedError("DataSource V2 TiKV connector: see module docstring for the design")
