@@ -271,6 +271,31 @@ WHERE d.o_orderkey IS NULL OR s.o_orderkey IS NULL
 """
 
 
+def q_bucketed_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 at the 100 TB layout: both snapshots materialized bucketed+sorted
+    on the key (sources/bucketed.py — the Spark analogue of two clusters
+    sharing a region layout), then keyed-diffed.  The sort-merge join reads
+    co-located buckets, so the diff runs with ZERO shuffle exchanges — the
+    layout that makes repeated consistency checks cheap at scale.  The plan
+    property is enforced at runtime: an Exchange before the scan is an error,
+    not a silent regression.  Findings are identical to ``diff_keyed``
+    (same oracle)."""
+    tune(spark)
+    from tikv_data_compare_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    keys = ("o_orderkey",)
+    write_bucketed(_load(spark, sf_dir, "orders"), "bq_src", list(keys), n_buckets=16)
+    write_bucketed(mutated_orders(spark, sf_dir), "bq_dst", list(keys), n_buckets=16)
+    findings = diff_ops.diff(
+        read_bucketed(spark, "bq_src", keys), read_bucketed(spark, "bq_dst", keys)
+    )
+    out = _diff_project(findings)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan.split("ReadSchema")[0].replace("BroadcastExchange", ""):
+        raise AssertionError(f"bucketed diff plan gained a shuffle exchange:\n{plan[:2000]}")
+    return out
+
+
 def q_diff_only_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: anti-join 'only in src' (explicit form of diff/diff.go:44-46)."""
     tune(spark)
@@ -1043,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_export_hex": q_scan_export_hex,
         "scan_dump_roundtrip": q_scan_dump_roundtrip,
         "diff_keyed": q_diff_keyed,
+        "bucketed_diff": q_bucketed_diff,
         "diff_only_src": q_diff_only_src,
         "diff_only_dst": q_diff_only_dst,
         "diff_positional": q_diff_positional,
@@ -1078,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
         "scan_export_hex": _oracle_export_hex(),
         "scan_dump_roundtrip": _oracle_scan_dump(),
         "diff_keyed": ORACLE_DIFF_KEYED,
+        "bucketed_diff": ORACLE_DIFF_KEYED,
         "diff_only_src": ORACLE_DIFF_ONLY_SRC,
         "diff_only_dst": ORACLE_DIFF_ONLY_DST,
         "diff_positional": ORACLE_DIFF_POSITIONAL,

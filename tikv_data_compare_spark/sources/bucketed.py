@@ -21,6 +21,31 @@ from pyspark.sql import DataFrame, SparkSession
 from tikv_data_compare_spark.model import Keyed
 
 
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    """Resolve a table's storage location from the catalog.
+
+    For a registered table, read the Location row of DESCRIBE EXTENDED (works
+    for custom locations too).  For an unregistered name (a stale directory
+    left by a previous session, which the fresh in-memory catalog has never
+    heard of), derive the *default* location from the owning database's
+    locationUri — correct for qualified ``db.tbl`` names, unlike gluing
+    ``warehouse/<table.lower()>`` together.
+    """
+    try:
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if r["col_name"] == "Location":
+                return r["data_type"].removeprefix("file:")
+    except Exception:  # noqa: BLE001 — not in the catalog; fall through
+        pass
+    parts = table.split(".")
+    try:
+        db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+        loc = spark.catalog.getDatabase(db).locationUri
+    except Exception:  # noqa: BLE001 — unknown database: nothing to clean
+        return None
+    return os.path.join(loc.removeprefix("file:"), parts[-1].lower())
+
+
 def write_bucketed(
     df: DataFrame, table: str, keys: list[str], n_buckets: int = 64, mode: str = "overwrite"
 ) -> None:
@@ -33,10 +58,9 @@ def write_bucketed(
     if mode == "overwrite":
         # a stale warehouse dir from a previous session isn't in the fresh
         # in-memory catalog, so overwrite alone can't reclaim the location
+        loc = _table_location(spark, table)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
-        if os.path.isdir(loc):
+        if loc and os.path.isdir(loc):
             shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.mode(mode)
