@@ -90,3 +90,18 @@ def test_unknown_algo_raises(docs):
         dd.minhash_pairs(docs, "doc_id", "text", algo="crc64")
     with pytest.raises(ValueError, match="unknown algo"):
         dd.simhash(docs, "doc_id", "text", algo="xxhash")
+
+
+def test_jaccard_with_shared_shingles(spark, docs):
+    """Passing a cached distinct_shingles frame yields identical results and
+    a plan that reads the shingles from cache (one text explode per corpus,
+    not one per pipeline stage)."""
+    shingles = dd.distinct_shingles(docs, "doc_id", "text").cache()
+    try:
+        base = dd.jaccard_pairs(docs, "doc_id", "text")
+        shared = dd.jaccard_pairs(docs, "doc_id", "text", shingles=shingles)
+        assert sorted(map(tuple, shared.collect())) == sorted(map(tuple, base.collect()))
+        plan = shared._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        shingles.unpersist()

@@ -104,19 +104,28 @@ def checksum(
     keyed: Keyed,
     algo: str = "xxhash64",
     tags: dict[str, str] | None = None,
+    canon_bytes: bool = False,
 ) -> DataFrame:
     """One-row DataFrame ``(checksum, total_kvs, total_bytes)`` over ``keyed``.
 
     Order-independent: ``bit_xor`` of per-row hashes (the reference's Crc64Xor
     merge rule, checksum/checksum.go:26).  Scale: single full scan, partial
     aggregation per partition, no wide shuffle.
+
+    ``canon_bytes=True`` forces the canonical (cross-engine, oracle-exact)
+    byte length even in xxhash64 mode, whose default fast path sums raw
+    string byte lengths (same change-detection power, Spark-only rendering).
     """
     df, h = _with_hash(keyed, algo, tags)
     return df.agg(
         F.bit_xor(F.col(h)).alias("checksum"),
         F.count(F.lit(1)).alias("total_kvs"),
         F.sum(
-            _byte_len(Keyed(df, keyed.keys, keyed.values), tags, fast=(algo == "xxhash64"))
+            _byte_len(
+                Keyed(df, keyed.keys, keyed.values),
+                tags,
+                fast=(algo == "xxhash64") and not canon_bytes,
+            )
         ).alias("total_bytes"),
     )
 

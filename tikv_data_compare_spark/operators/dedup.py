@@ -96,6 +96,10 @@ def _distinct_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).distinct()
 
 
+#: public name — pipelines precompute+cache this and pass it via ``shingles=``
+distinct_shingles = _distinct_shingles
+
+
 def _word_hash30(words: DataFrame, algo: str = "md5i64") -> DataFrame:
     """30-bit token hash `_h1`: md5-fold (oracle-checkable) or xxhash64 (fast)."""
     _check_algo(algo)
@@ -107,11 +111,21 @@ def _word_hash30(words: DataFrame, algo: str = "md5i64") -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, algo: str = "md5i64"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    algo: str = "md5i64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """8-permutation MinHash signature of each document's 3-shingle set."""
+    """8-permutation MinHash signature of each document's 3-shingle set.
+
+    ``shingles`` lets a pipeline pass a precomputed (typically cached)
+    ``distinct_shingles`` frame so composed plans explode the text once.
+    """
     perms, p = _minhash_constants()
-    hashed = _word_hash30(_distinct_shingles(df, id_col, text_col), algo)
+    if shingles is None:
+        shingles = _distinct_shingles(df, id_col, text_col)
+    hashed = _word_hash30(shingles, algo)
     aggs = [
         F.min((F.lit(a).cast("long") * F.col("_h1") + F.lit(b)) % F.lit(p))
         .cast("long")
@@ -139,7 +153,11 @@ def _band_rows(sig: DataFrame, id_col: str) -> DataFrame:
 
 
 def minhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, algo: str = "md5i64"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    algo: str = "md5i64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs sharing ≥1 LSH band.
 
@@ -147,7 +165,7 @@ def minhash_pairs(
     bucket meets in one shuffle partition; no O(n²) comparison.  Hot buckets
     (giant near-dup clusters) are the skew case AQE's skew-join handles.
     """
-    sig = minhash_signatures(df, id_col, text_col, algo)
+    sig = minhash_signatures(df, id_col, text_col, algo, shingles=shingles)
     b = _band_rows(sig, id_col)
     a = b.select(F.col(id_col).alias("doc_a"), "band", "h1", "h2")
     c = b.select(F.col(id_col).alias("doc_b"), "band", "h1", "h2")
@@ -160,11 +178,22 @@ def minhash_pairs(
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, algo: str = "md5i64"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    algo: str = "md5i64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard (scaled ×10000) for minhash candidate pairs."""
-    cand = minhash_pairs(df, id_col, text_col, algo)
-    words = _distinct_shingles(df, id_col, text_col)
+    """Exact shingle-set Jaccard (scaled ×10000) for minhash candidate pairs.
+
+    The shingle set feeds BOTH the minhash candidates and the exact verify;
+    pass a cached ``distinct_shingles`` frame (or let this function build
+    one) so the composed plan tokenizes each document once, not per stage.
+    """
+    if shingles is None:
+        shingles = _distinct_shingles(df, id_col, text_col)
+    cand = minhash_pairs(df, id_col, text_col, algo, shingles=shingles)
+    words = shingles
     sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     wa = words.select(F.col(id_col).alias("doc_a"), "w")
     wb = words.select(F.col(id_col).alias("doc_b"), "w")

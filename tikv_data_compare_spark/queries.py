@@ -414,12 +414,29 @@ GROUP BY side ORDER BY side DESC
 
 
 def q_checksum_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 fast path: xxhash64 checksum triple over lineitem — Spark-built-in
-    hash (no DuckDB equivalent → rows-only check)."""
+    """A1 fast path: xxhash64 checksum triple over lineitem.  The 64-bit
+    hash itself is Spark-built-in (no DuckDB equivalent), but the other two
+    monoid components ARE oracle-exact: project total_kvs/total_bytes (the
+    canonical byte length) plus a hash-presence flag, so the row gets a real
+    oracle check instead of rows-only (the hash *value* stays covered by the
+    pytest monoid/order-independence suite)."""
     tune(spark)
     li = _load(spark, sf_dir, "lineitem")
     k = Keyed.of(li, keys=("l_orderkey", "l_linenumber"))
-    return checksum(k, algo="xxhash64")
+    t = checksum(k, algo="xxhash64", canon_bytes=True)
+    return t.select(
+        F.col("total_kvs").cast("long").alias("total_kvs"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.col("checksum").isNotNull().cast("int").alias("checksum_present"),
+    )
+
+
+ORACLE_CHECKSUM_XXHASH64 = f"""
+SELECT CAST(count(*) AS BIGINT) AS total_kvs,
+       CAST(sum(length({sqlgen.table_canon("lineitem", list(sqlgen.TABLE_TAGS["lineitem"]), DUCK)})) AS BIGINT) AS total_bytes,
+       CAST(1 AS INTEGER) AS checksum_present
+FROM lineitem
+"""
 
 
 def q_agg_count_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -989,22 +1006,26 @@ def q_stream_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(schema).parquet(d)
     reference = _orders_keyed(mutated_orders(spark, sf_dir))
 
-    rows: list = []
+    # findings land in a distributed parquet sink, one directory per epoch
+    # (overwrite per epoch = idempotent on micro-batch retry) — never through
+    # the driver: per-batch collect() was the one remaining scale-killer here
+    sink = tempfile.mkdtemp(prefix="tdc_stream_findings_")
+    ddl = "o_orderkey long, status string, ref_totalprice_c long, arr_totalprice_c long"
 
     def on_batch(findings: DataFrame, epoch_id: int) -> None:
-        projected = findings.select(
+        findings.select(
             "o_orderkey",
             "status",
             F.expr(_dc("src_o_totalprice")).alias("ref_totalprice_c"),
             F.expr(_dc("dst_o_totalprice")).alias("arr_totalprice_c"),
-        )
-        rows.extend((r[0], r[1], r[2], r[3]) for r in projected.collect())
+        ).write.mode("overwrite").parquet(os.path.join(sink, f"epoch_{epoch_id}"))
 
     q = diff_stream(stream, reference, keys=("o_orderkey",), on_batch=on_batch)
     q.awaitTermination(300)
-    return spark.createDataFrame(
-        rows, "o_orderkey long, status string, ref_totalprice_c long, arr_totalprice_c long"
-    )
+    epochs = [os.path.join(sink, e) for e in sorted(os.listdir(sink)) if e.startswith("epoch_")]
+    if not epochs:
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(*epochs)
 
 
 ORACLE_STREAM_DIFF = f"""
@@ -1110,7 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "diff_positional": ORACLE_DIFF_POSITIONAL,
         "checksum_md5": ORACLE_CHECKSUM_MD5,
         "checksum_compare_md5": ORACLE_CHECKSUM_COMPARE_MD5,
-        # checksum_xxhash64: intentionally no oracle (Spark-only hash)
+        "checksum_xxhash64": ORACLE_CHECKSUM_XXHASH64,
         "checksum_by_range": ORACLE_CHECKSUM_BY_RANGE,
         "set_ops": ORACLE_SET_OPS,
         "rollup_agg": ORACLE_ROLLUP_AGG,

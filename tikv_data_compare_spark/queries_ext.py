@@ -339,8 +339,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
     deduped = dd.dedup_exact(docs, "doc_id", "text")
+    # shingle once: the near-dup stage needs the shingle set for BOTH the
+    # minhash candidates and the exact Jaccard verify — cache one frame and
+    # thread it through, instead of re-exploding the corpus per stage
+    shingles = dd.distinct_shingles(docs, "doc_id", "text").cache()
     losers = (
-        dd.jaccard_pairs(docs, "doc_id", "text")
+        dd.jaccard_pairs(docs, "doc_id", "text", shingles=shingles)
         .filter(F.col("jaccard_c") >= 8000)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
