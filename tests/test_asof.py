@@ -121,3 +121,16 @@ def test_asof_join_nulls_vs_duckdb_asof(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_asof_reserved_and_colliding_payload_names(spark):
+    left = spark.createDataFrame([(1, 10, "x")], "k int, t int, payload string")
+    right = spark.createDataFrame([(1, 5, "y")], "k int, t int, payload string")
+    import pytest as _pytest
+
+    from tikv_data_compare_spark.operators.asof import asof_join
+
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right.withColumnRenamed("payload", "_matched"), "k", "t", "t", ["_matched"])
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k", "t", "t", ["payload"])

@@ -89,3 +89,20 @@ def test_near_dup_auto_planes_scales_with_corpus():
     assert sim.auto_planes(256 * (2**10)) == 10
     assert sim.auto_planes(10**9) == 22
     assert sim.auto_planes(10**12) == 24      # capped
+
+
+def test_lsh_buckets_rejects_existing_bucket_column(spark, emb):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket"):
+        sim.lsh_buckets(emb.withColumn("bucket", F.lit(1)))
+    with _pytest.raises(ValueError, match="bucket"):
+        sim.lsh_buckets(emb.withColumnRenamed("embedding", "bucket"), vec_col="bucket")
+
+
+def test_lsh_buckets_explicit_dim_matches_probed(spark, emb):
+    probed = sim.lsh_buckets(emb, n_planes=4)
+    given = sim.lsh_buckets(emb, n_planes=4, dim=len(emb.first()["embedding"]))
+    assert sorted(r["bucket"] for r in probed.collect()) == sorted(
+        r["bucket"] for r in given.collect()
+    )

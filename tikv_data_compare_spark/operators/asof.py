@@ -37,6 +37,16 @@ def asof_join(
     ``how='left'``; matched-only when ``how='inner'``).
     """
     lcols = left.columns
+    if "_matched" in payload_cols:
+        raise ValueError(
+            "payload column name '_matched' is reserved for the as-of match marker"
+        )
+    clash = [c for c in payload_cols if c in lcols]
+    if clash:
+        raise ValueError(
+            f"payload columns {clash} collide with left columns; alias them on the "
+            "right side before joining (output keeps all left columns + payloads)"
+        )
     # Payloads travel as ONE struct (match marker + all payload columns) so a
     # single last(ignorenulls) propagates them atomically: a matched right row
     # with NULLs in some payload columns still contributes exactly its own

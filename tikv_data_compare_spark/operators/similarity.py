@@ -146,6 +146,7 @@ def lsh_buckets(
     seed: int = 7,
     n_tables: int = 1,
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket per vector (sign bits of projections).
 
@@ -156,12 +157,24 @@ def lsh_buckets(
     one bucket per table (OR-amplification: pairs collide if they share ANY
     table's bucket — recall survives a larger ``n_planes``); bucket ids are
     disjoint across tables via a table-id prefix.
+
+    Pass ``dim`` when known to skip the eager one-row probe job (which
+    otherwise recomputes the upstream lineage of an uncached ``emb``).  The
+    plane-matrix broadcast lives for the session (small: dim·planes·tables
+    doubles); callers looping over many ad-hoc bucketings can reclaim it
+    with ``SparkContext`` broadcast cleanup if that ever matters.
     """
     if n_planes * n_tables > 60:
         raise ValueError(f"n_planes*n_tables={n_planes * n_tables} exceeds 60 sign bits")
+    if "bucket" in emb.columns or vec_col == "bucket":
+        raise ValueError(
+            "input already has a 'bucket' column (or vec_col='bucket'); rename it — "
+            "lsh_buckets appends its own 'bucket' output column"
+        )
     spark = emb.sparkSession
-    first = emb.select(vec_col).first()
-    dim = len(first[vec_col]) if first else 1
+    if dim is None:
+        first = emb.select(vec_col).first()
+        dim = len(first[vec_col]) if first else 1
     bc = spark.sparkContext.broadcast(_plane_matrix(dim, n_planes, n_tables, seed))
     out_schema = T.StructType(list(emb.schema.fields) + [T.StructField("bucket", T.LongType())])
 
@@ -235,10 +248,17 @@ def embedding_near_dup(
     is O(n·target), never O(n²/constant).  ``n_tables`` OR-amplifies recall
     (a pair is scored if it collides in ANY table).  Approximate by
     construction — pairs colliding in no table are not scored.
+
+    Corpus count (for ``auto_planes``) and vector dim are probed in ONE
+    aggregate job instead of separate count()/first() passes, so an
+    expensive uncached upstream plan is recomputed once, not three times.
     """
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.min(F.size("embedding")).alias("dim")
+    ).first()
     if n_planes is None:
-        n_planes = auto_planes(emb.count(), target_bucket_rows)
-    b = lsh_buckets(emb, n_planes, n_tables=n_tables)
+        n_planes = auto_planes(stats["n"], target_bucket_rows)
+    b = lsh_buckets(emb, n_planes, n_tables=n_tables, dim=stats["dim"] or 1)
     left = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
     right = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
     pairs = left.join(right, on="bucket").filter(F.col("vec_a") < F.col("vec_b"))
