@@ -120,3 +120,57 @@ def test_cli_scan_export(capsys, two_tables, tmp_path):
     import glob
 
     assert glob.glob(f"{out_dir}/part-*")
+
+
+def test_cli_dump_to_dump_compare(capsys, two_tables, tmp_path):
+    """The reference's real workflow: scan both clusters to dump files, then
+    compare the dumps.  Our CLI scans each parquet 'cluster' to a
+    {NAME}_scan.log dump (with the _META.json handshake sidecar), reopens
+    both through the scandump source, and checksums/diffs them."""
+    src, dst, dst_eq = two_tables
+    keys = "l_orderkey,l_linenumber"
+    d_src = str(tmp_path / "SRC_scan.log.1")
+    d_eq = str(tmp_path / "EQ_scan.log.2")
+    d_mut = str(tmp_path / "MUT_scan.log.3")
+    for table, out in ((src, d_src), (dst_eq, d_eq), (dst, d_mut)):
+        assert cli.main(["scan", "--src", table, "--keys", keys, "--out", out]) == 0
+    capsys.readouterr()
+
+    # identical tables → identical dumps
+    assert cli.main(["checksum", "--src", d_src, "--dst", d_eq]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["equal"] is True
+    # mutated table → unequal checksum and non-empty diff
+    assert cli.main(["checksum", "--src", d_src, "--dst", d_mut]) == 1
+    capsys.readouterr()
+    assert cli.main(["diff", "--src", d_src, "--dst", d_mut]) == 1
+    out = capsys.readouterr().out
+    assert any(line.startswith("{") for line in out.splitlines())
+
+
+def test_cli_handshake_rejects_api_version_mismatch(capsys, two_tables, tmp_path):
+    import json as _json
+    import os
+
+    src, _, dst_eq = two_tables
+    keys = "l_orderkey,l_linenumber"
+    a = str(tmp_path / "A_scan.log.1")
+    b = str(tmp_path / "B_scan.log.2")
+    assert cli.main(["scan", "--src", src, "--keys", keys, "--out", a]) == 0
+    assert cli.main(["scan", "--src", dst_eq, "--keys", keys, "--out", b]) == 0
+    capsys.readouterr()
+    meta_path = os.path.join(b, "_META.json")
+    with open(meta_path, "w") as fh:
+        fh.write(_json.dumps({"kind": "dump", "api_version": "V1"}))
+    rc = cli.main(["checksum", "--src", a, "--dst", b])
+    assert rc == 2
+    assert "Different api version" in capsys.readouterr().err
+
+
+def test_cli_handshake_rejects_mixed_kinds(capsys, two_tables, tmp_path):
+    src, dst, _ = two_tables
+    d = str(tmp_path / "X_scan.log.9")
+    assert cli.main(["scan", "--src", src, "--keys", "l_orderkey,l_linenumber", "--out", d]) == 0
+    capsys.readouterr()
+    rc = cli.main(["checksum", "--src", d, "--dst", dst])
+    assert rc == 2
+    assert "kinds differ" in capsys.readouterr().err

@@ -66,9 +66,20 @@ def _typed_bound(raw: str, col: str, type_name: str):
 
 def _keyed(spark, path: str, keys: list[str], args):
     from tikv_data_compare_spark.model import Keyed
+    from tikv_data_compare_spark.sources import meta as meta_mod
 
-    df = spark.read.parquet(path)
-    k = Keyed.of(df, keys=tuple(keys))
+    if meta_mod.is_scan_dump(path):
+        # a reference-format scan dump ({NAME}_scan.log.<ts>, scan/scan.go:35)
+        # opens as the canonical binary KV pair; the running counter is a
+        # file artifact, not data — drop it from comparisons
+        from tikv_data_compare_spark.sources.scandump import load_scan_dump
+
+        df = load_scan_dump(spark, path).drop("cnt")
+        keys = ["key"]
+        k = Keyed.of(df, keys=("key",))
+    else:
+        df = spark.read.parquet(path)
+        k = Keyed.of(df, keys=tuple(keys))
     raw_start, raw_end = args.start_key, args.end_key
     if not raw_start and not raw_end:
         return k
@@ -120,6 +131,16 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("cli", cpus=args.concurrency or None)
     keys = args.keys.split(",")
+    if args.cmd in ("checksum", "diff"):
+        # source-level API-version handshake before any dual-source compare
+        # (reference utils/utils.go:13-26 via scan/checksum/diff preambles)
+        from tikv_data_compare_spark.sources import meta as meta_mod
+
+        try:
+            meta_mod.check_handshake(meta_mod.read_meta(args.src), meta_mod.read_meta(args.dst))
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
     src = _keyed(spark, args.src, keys, args)
 
     if args.cmd == "checksum":

@@ -147,4 +147,9 @@ def export_hex(keyed: Keyed, start=None, end=None, path: str | None = None) -> D
             F.format_string("key:%s, value:%s, cnt:%d.", "key_hex", "value_hex", "cnt").alias("value")
         )
         lines.write.mode("overwrite").text(path)
+        # metadata sidecar: the source-level API-version handshake
+        # (reference utils/utils.go:13-26) rides with the dump
+        from tikv_data_compare_spark.sources.meta import write_dump_meta
+
+        write_dump_meta(path)
     return numbered
