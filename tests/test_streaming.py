@@ -75,3 +75,62 @@ def test_windowed_counts_stream(spark, tmp_path):
     # 9 events at 20-min spacing → 3 per hour window
     assert sum(out.values()) == 9
     assert all(n == 3 for n in out.values())
+
+
+def test_stateful_sessionize_spans_batches(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a session OPEN at the end of batch
+    1 must absorb batch-2 events within the gap, and a >gap event opens
+    session 2 — state carries across micro-batches."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from tikv_data_compare_spark.streaming.stateful import (
+        latest_snapshots,
+        sessionize_stateful,
+    )
+
+    m = 60_000
+    d = tmp_path / "chunks"
+    d.mkdir()
+    # batch 1: two events 10 min apart; batch 2: +20 min (same session),
+    # then +2 h (new session); second user only in batch 2
+    c1 = pd.DataFrame({"user_id": [1, 1], "event_id": [10, 11], "ms": [0, 10 * m]})
+    c2 = pd.DataFrame(
+        {"user_id": [1, 1, 2], "event_id": [12, 13, 20], "ms": [30 * m, 150 * m, 5 * m]}
+    )
+    t0 = time.time() - 600
+    for i, c in enumerate((c1, c2)):
+        p = str(d / f"chunk_{i}.parquet")
+        c.to_parquet(p)
+        os.utime(p, (t0 + i * 60, t0 + i * 60))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ms long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    emissions = sessionize_stateful(stream, "user_id", "ms", "event_id", gap_ms=30 * m)
+    sink = str(tmp_path / "out")
+
+    def on_batch(b, epoch):
+        b.write.mode("overwrite").parquet(os.path.join(sink, f"epoch_{epoch}"))
+
+    q = (
+        emissions.writeStream.foreachBatch(on_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    epochs = [os.path.join(sink, p) for p in sorted(os.listdir(sink))]
+    ddl = "user_id long, session_idx long, n_events long, duration_ms long, first_event long, ver long"
+    final = latest_snapshots(spark.read.schema(ddl).parquet(*epochs), "user_id")
+    rows = {(r["user_id"], r["session_idx"]): r for r in final.collect()}
+    assert rows[(1, 1)]["n_events"] == 3  # 0, 10min, 30min — spans both batches
+    assert rows[(1, 1)]["duration_ms"] == 30 * m
+    assert rows[(1, 1)]["first_event"] == 10
+    assert rows[(1, 2)]["n_events"] == 1  # the 150min event, 2h gap
+    assert rows[(2, 1)]["n_events"] == 1
+    assert len(rows) == 3

@@ -987,6 +987,75 @@ def q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_WINDOW_AGG = ORACLE_EVENTS_WINDOW_AGG
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    sessionization whose sessions SPAN micro-batches.  The events table is
+    replayed as three time-ordered chunks (a backfill replay), one
+    micro-batch each; the operator keeps one open session per user in the
+    state store, emits snapshots, and the highest-version snapshot per
+    session equals the batch lag+cumsum sessionization — the same DuckDB
+    oracle as ``events_sessionize``."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    tune(spark)
+    from tikv_data_compare_spark.streaming.stateful import latest_snapshots, sessionize_stateful
+
+    e, ms = _events_ms(spark, sf_dir)
+    base = e.select("user_id", "event_id", ms.alias("ms"))
+    lo, hi = base.agg(F.min("ms"), F.max("ms")).first()
+    b1, b2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+
+    # three time-ordered chunk files with ascending mtimes → the file stream
+    # source (maxFilesPerTrigger=1) replays history in order, one batch each
+    d = tempfile.mkdtemp(prefix="tdc_stream_sess_")
+    scratch = tempfile.mkdtemp(prefix="tdc_stream_sess_w_")
+    bounds = [(None, b1), (b1, b2), (b2, None)]
+    t0 = time.time() - 3600
+    for i, (a, b) in enumerate(bounds):
+        chunk = base
+        if a is not None:
+            chunk = chunk.filter(F.col("ms") >= a)
+        if b is not None:
+            chunk = chunk.filter(F.col("ms") < b)
+        cdir = os.path.join(scratch, f"c{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(cdir)
+        part = glob.glob(os.path.join(cdir, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"chunk_{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+    stream = (
+        spark.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    emissions = sessionize_stateful(stream, "user_id", "ms", "event_id", gap_ms=1_800_000)
+    sink = tempfile.mkdtemp(prefix="tdc_stream_sess_out_")
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(sink, f"epoch_{epoch_id}"))
+
+    q = (
+        emissions.writeStream.foreachBatch(on_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    epochs = [os.path.join(sink, p) for p in sorted(os.listdir(sink)) if p.startswith("epoch_")]
+    ddl = "user_id long, session_idx long, n_events long, duration_ms long, first_event long, ver long"
+    if not epochs:
+        return spark.createDataFrame([], ddl).drop("ver")
+    final = latest_snapshots(spark.read.schema(ddl).parquet(*epochs), "user_id")
+    return final.select("user_id", "session_idx", "n_events", "duration_ms", "first_event")
+
+
+# streaming stateful sessionization must equal the batch lag+cumsum form
+ORACLE_STREAM_SESSIONIZE = ORACLE_EVENTS_SESSIONIZE
+
+
 def q_stream_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming incremental diff: stream the orders table against
     the static mutated reference via foreachBatch; findings accumulate across
@@ -1110,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_window_agg": q_events_window_agg,
         "stream_window_agg": q_stream_window_agg,
+        "stream_sessionize": q_stream_sessionize,
         "stream_diff": q_stream_diff,
         "codec_roundtrip": q_codec_roundtrip,
     }
@@ -1146,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
         "events_window_agg": ORACLE_EVENTS_WINDOW_AGG,
         "stream_window_agg": ORACLE_STREAM_WINDOW_AGG,
+        "stream_sessionize": ORACLE_STREAM_SESSIONIZE,
         "stream_diff": ORACLE_STREAM_DIFF,
         # codec_roundtrip: intentionally no oracle (binary codecs, rows-only)
     }
