@@ -106,3 +106,33 @@ def test_lsh_buckets_explicit_dim_matches_probed(spark, emb):
     assert sorted(r["bucket"] for r in probed.collect()) == sorted(
         r["bucket"] for r in given.collect()
     )
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(spark, emb):
+    """n_probe = n_cells scores every cell → must equal exact brute force."""
+    exact = sim.topk_bruteforce(emb, k=5, n_queries=5)
+    ivf = sim.topk_ivf(emb, k=5, n_queries=5, n_cells=4, n_probe=4)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ivf_selective_probe_recall(spark, emb):
+    """Probing half the cells keeps useful recall vs exact top-5 and returns
+    exactly k ranked rows per query."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_bruteforce(emb, k=5, n_queries=5).collect()
+    }
+    rows = sim.topk_ivf(emb, k=5, n_queries=5, n_cells=8, n_probe=4).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.4, recall
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in rows)
+    assert all(v == 5 for v in per_q.values())
+
+
+def test_ivf_deterministic(spark, emb):
+    a = sim.topk_ivf(emb, k=3, n_queries=3, n_cells=4, n_probe=2).collect()
+    b = sim.topk_ivf(emb, k=3, n_queries=3, n_cells=4, n_probe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

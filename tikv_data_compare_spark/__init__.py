@@ -22,6 +22,8 @@ from tikv_data_compare_spark.model import Keyed, check_comparable
 from tikv_data_compare_spark.operators.checksum import checksum, compare_checksum
 from tikv_data_compare_spark.operators.diff import diff, only_in_src, only_in_dst
 from tikv_data_compare_spark.operators.scan import range_scan, export_hex
+from tikv_data_compare_spark.sources.scandump import load_scan_dump
+from tikv_data_compare_spark.sources.meta import check_handshake, read_meta
 
 __all__ = [
     "get_spark",
@@ -34,6 +36,9 @@ __all__ = [
     "only_in_dst",
     "range_scan",
     "export_hex",
+    "load_scan_dump",
+    "read_meta",
+    "check_handshake",
 ]
 
 __version__ = "0.1.0"

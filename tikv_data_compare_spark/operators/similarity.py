@@ -278,6 +278,118 @@ def embedding_near_dup(
     return scored.filter(F.col("cosine_c") >= threshold_c).distinct()
 
 
+def _train_centroids(emb: DataFrame, n_cells: int, sample_rows: int, seed: int, vec_col: str):
+    """Seeded Lloyd's k-means on a driver-side sample → (n_cells, dim) array.
+
+    Coarse quantizers are trained on samples even at FAISS scale; ~64·cells
+    sampled vectors through one collect is the standard recipe.  Fully
+    deterministic: seeded sample, seeded init, fixed iteration count.
+    """
+    import numpy as np
+
+    total = emb.count()
+    frac = min(1.0, sample_rows / max(total, 1))
+    rows = emb.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    if not rows:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    x = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    n_cells = min(n_cells, len(x))
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=n_cells, replace=False)]
+    for _ in range(10):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def _assign_cells(emb: DataFrame, cent_bc, vec_col: str, out_col: str = "cell") -> DataFrame:
+    """Nearest-centroid cell id per vector: broadcast centroid matrix, one
+    numpy distance computation per Arrow batch (same shape as lsh_buckets)."""
+    out_schema = T.StructType(list(emb.schema.fields) + [T.StructField(out_col, T.LongType())])
+
+    def assign(batches):
+        import numpy as np
+
+        cent = cent_bc.value
+        c2 = (cent**2).sum(axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
+            d2 = (mat**2).sum(axis=1, keepdims=True) - 2.0 * (mat @ cent.T) + c2[None, :]
+            out = pdf.copy()
+            out[out_col] = d2.argmin(axis=1).astype("int64")
+            yield out
+
+    return emb.mapInPandas(assign, out_schema)
+
+
+def topk_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_rows: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer, score only vectors in
+    each query's ``n_probe`` nearest cells.
+
+    Scale shape: centroids train on a bounded seeded sample; cell assignment
+    is one broadcast-matmul pass over the corpus; candidates meet in an
+    equi-join on the cell id (queries broadcast — the corpus never
+    shuffles).  Recall is tuned by ``n_probe``; ``n_probe >= n_cells``
+    degenerates to exact brute force (the oracle-gate configuration).
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    cent = _train_centroids(emb, n_cells, sample_rows, seed, "embedding")
+    bc = spark.sparkContext.broadcast(cent)
+    corpus = _assign_cells(emb.select("vec_id", "embedding"), bc, "embedding")
+
+    qrows = emb.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, cosine_c long, rnk long")
+    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+    d2 = (qmat**2).sum(axis=1, keepdims=True) - 2.0 * (qmat @ cent.T) + (cent**2).sum(axis=1)[None, :]
+    probe = min(n_probe, cent.shape[0])
+    cells = np.argsort(d2, axis=1)[:, :probe]
+    q = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), list(map(float, r["embedding"])), int(c))
+            for r, row_cells in zip(qrows, cells)
+            for c in row_cells
+        ],
+        "query_id long, q_emb array<double>, cell long",
+    )
+    joined = corpus.join(F.broadcast(q), on="cell").filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            "CAST(ROUND(10000.0 * "
+            + _dot("q_emb", "embedding")
+            + " / (sqrt("
+            + _dot("q_emb", "q_emb")
+            + ") * sqrt("
+            + _dot("embedding", "embedding")
+            + "))) AS BIGINT)"
+        ).alias("cosine_c"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_c"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_c", "rnk")
+    )
+
+
 def embedding_exact_dup(emb: DataFrame) -> DataFrame:
     """Exact-duplicate embeddings via canonical fingerprint.
 

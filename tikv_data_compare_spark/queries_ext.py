@@ -199,6 +199,18 @@ SELECT query_id, neighbor_id, cosine_c, rnk FROM ranked WHERE rnk <= 5
 """
 
 
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k (k-means coarse quantizer + cell equi-join) run in
+    exhaustive-probe mode (n_probe = n_cells), where it must equal the exact
+    brute force — the oracle gates the quantizer/assignment/join/scoring
+    machinery; selective-probe recall is pytest-covered
+    (tests/test_similarity.py)."""
+    tune(spark)
+    return sim.topk_ivf(
+        _load(spark, sf_dir, "embeddings"), k=5, n_queries=10, n_cells=8, n_probe=8
+    )
+
+
 def q_similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH-bucketed + exact verify).
     Approximate by construction → rows-only check (an exact SQL oracle would
@@ -425,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "similarity_topk": q_similarity_topk,
+        "similarity_topk_ivf": q_similarity_topk_ivf,
         "similarity_near_dup": q_similarity_near_dup,
         "similarity_embed_dup": q_similarity_embed_dup,
         "text_stats": q_text_stats,
@@ -444,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
+        "similarity_topk_ivf": ORACLE_SIMILARITY_TOPK,
         "similarity_embed_dup": ORACLE_SIMILARITY_EMBED_DUP,
         "text_stats": ORACLE_TEXT_STATS,
         "text_langid": _oracle_langid(),
