@@ -134,3 +134,48 @@ def test_stateful_sessionize_spans_batches(spark, tmp_path):
     assert rows[(1, 2)]["n_events"] == 1  # the 150min event, 2h gap
     assert rows[(2, 1)]["n_events"] == 1
     assert len(rows) == 3
+
+
+def test_stream_dedup_suppresses_across_batches(spark, tmp_path):
+    """dropDuplicates state: rows whose content appeared in an EARLIER
+    micro-batch emit nothing in later batches."""
+    import os
+    import time
+
+    import pandas as pd
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    c1 = pd.DataFrame({"doc_id": [1, 2], "text": ["aaa", "bbb"]})
+    c2 = pd.DataFrame({"doc_id": [3, 4], "text": ["aaa", "ccc"]})  # 'aaa' is a cross-batch dup
+    t0 = time.time() - 600
+    for i, c in enumerate((c1, c2)):
+        p = str(d / f"chunk_{i}.parquet")
+        c.to_parquet(p)
+        os.utime(p, (t0 + 60 * i, t0 + 60 * i))
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    deduped = stream.dropDuplicates(["text"])
+    sink = str(tmp_path / "out")
+    counts = {}
+
+    def on_batch(b, epoch):
+        rows = b.select("text").collect()
+        counts[epoch] = sorted(r["text"] for r in rows)
+        b.write.mode("overwrite").parquet(os.path.join(sink, f"epoch_{epoch}"))
+
+    q = (
+        deduped.writeStream.foreachBatch(on_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert counts[0] == ["aaa", "bbb"]
+    assert counts[1] == ["ccc"]  # 'aaa' suppressed by batch-0 state

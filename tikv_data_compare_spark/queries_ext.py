@@ -40,6 +40,73 @@ GROUP BY 1
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup — the training-data ingestion shape: documents
+    arrive over micro-batches, Spark's built-in ``dropDuplicates`` state
+    suppresses content already seen in ANY earlier batch.  Replayed as two
+    chunks where chunk 2 is an exact copy of the corpus under shifted ids:
+    every chunk-2 row must be deduped *against chunk-1 state*, so the
+    surviving content-id set equals the batch DISTINCT (the oracle).  Only
+    the content-id set is projected — which physical row survives a dup
+    group is not deterministic, the set is."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    tune(spark)
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+
+    d = tempfile.mkdtemp(prefix="tdc_stream_dedup_")
+    scratch = tempfile.mkdtemp(prefix="tdc_stream_dedup_w_")
+    t0 = time.time() - 3600
+    for i, chunk in enumerate((docs, shifted)):
+        cdir = os.path.join(scratch, f"c{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(cdir)
+        part = glob.glob(os.path.join(cdir, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"chunk_{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    hashed = stream.withColumn("_m", F.md5("text")).withColumn(
+        "content_id", F.expr(sqlgen.hexfold_i64("_m")).cast("long")
+    )
+    deduped = hashed.dropDuplicates(["content_id"])
+    sink = tempfile.mkdtemp(prefix="tdc_stream_dedup_out_")
+
+    def on_batch(b: DataFrame, epoch_id: int) -> None:
+        b.select("content_id").write.mode("overwrite").parquet(
+            os.path.join(sink, f"epoch_{epoch_id}")
+        )
+
+    q = (
+        deduped.writeStream.foreachBatch(on_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    epochs = [os.path.join(sink, p) for p in sorted(os.listdir(sink)) if p.startswith("epoch_")]
+    if not epochs:
+        return spark.createDataFrame([], "content_id long")
+    # distinct defends only against epoch *retries* (idempotence); the state
+    # store already guarantees cross-batch uniqueness
+    return spark.read.schema("content_id long").parquet(*epochs).distinct()
+
+
+ORACLE_STREAM_DEDUP = f"""
+SELECT DISTINCT CAST({sqlgen.hexfold_i64('_m')} AS BIGINT) AS content_id
+FROM (SELECT md5(text) AS _m FROM documents)
+"""
+
+
 # ========================================================== dedup: minhash
 
 
@@ -431,6 +498,7 @@ GROUP BY s.lang
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
+        "stream_dedup": q_stream_dedup,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_jaccard": q_dedup_jaccard,
@@ -451,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": ORACLE_DEDUP_EXACT,
+        "stream_dedup": ORACLE_STREAM_DEDUP,
         "dedup_minhash_sig": ORACLE_DEDUP_MINHASH_SIG,
         "dedup_minhash_pairs": ORACLE_DEDUP_MINHASH_PAIRS,
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
