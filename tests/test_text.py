@@ -58,3 +58,33 @@ def test_token_count_bpe_ish(spark):
     assert rows[1]["n_words"] == 3 and rows[1]["n_tokens_bpe"] == 3
     # 'supercalifragilistic' (20 chars) → 1 + (20-6)//6 = 3 tokens
     assert rows[2]["n_tokens_bpe"] == 3 + 1
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing (k=5, w=4): any common substring of length >= w+k-1 = 8
+    chars must yield at least one shared fingerprint between two docs."""
+    common = "the quick brown fox jumps"
+    df = spark.createDataFrame(
+        [
+            (1, f"XXXX {common} YYYY padding words here"),
+            (2, f"completely different prefix {common} and suffix"),
+            (3, "nothing in common with the others at all zzzz"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = tx.winnow_fingerprints(df, "doc_id", "text", k=5, w=4)
+    rows = fps.collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert sets[1] & sets[2], "docs sharing a long substring must share a fingerprint"
+    # fingerprints are content-derived: identical docs → identical sets
+    df2 = spark.createDataFrame([(9, f"XXXX {common} YYYY padding words here")], "doc_id long, text string")
+    again = {r["fp"] for r in tx.winnow_fingerprints(df2, "doc_id", "text", k=5, w=4).collect()}
+    assert again == sets[1]
+
+
+def test_winnow_short_doc_has_fingerprint(spark):
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    rows = tx.winnow_fingerprints(df, "doc_id", "text", k=5, w=4).collect()
+    assert len(rows) == 1

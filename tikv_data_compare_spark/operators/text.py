@@ -122,6 +122,55 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return hashed.groupBy(id_col).agg(F.bit_xor("_h").cast("long").alias("fingerprint"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (MOSS-style, Schleimer et al.):
+    hash every character ``k``-gram, slide a window of ``w`` consecutive
+    gram hashes, keep each window's minimum; the distinct kept hashes are
+    the document's fingerprint set.  Guarantees every match of length
+    ``>= w+k-1`` between two documents shares a fingerprint.
+
+    Spark shape: one position explode, one ``min`` over a bounded following
+    ROWS window partitioned by doc (no global window), one distinct — all
+    JVM-side, and the identical window algebra runs in DuckDB for the
+    oracle.  Rows: ``(id, fp)`` — one row per distinct fingerprint hash.
+    """
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col),
+        F.expr(f"CAST(length({text_col}) AS INT)").alias("_len"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)), "
+                f"i -> substr({text_col}, i, {k}))"
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.withColumn("_m", F.md5("gram")).withColumn(
+        "h", F.expr(f"({sqlgen.hexfold_i64('_m')}) & {(1 << 30) - 1}")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    # only windows fully inside the gram sequence select a fingerprint;
+    # docs shorter than w+k-1 chars contribute their single full window
+    n_grams = F.greatest(F.col("_len") - F.lit(k - 1), F.lit(1))
+    # 0-based pos: window [pos, pos+w-1] is full iff pos <= n_grams - w;
+    # the pos==0 clause keeps one (truncated) window for docs shorter than
+    # w grams, so every doc has at least one fingerprint
+    sel = (
+        hashed.withColumn("wmin", F.min("h").over(win))
+        .filter((F.col("pos") <= n_grams - F.lit(w)) | (F.col("pos") == 0))
+        .select(id_col, F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    return sel
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish subword token estimate: words plus extra tokens
     for long words (≈ 1 per 6 chars beyond the first 6) — a cheap stand-in

@@ -385,6 +385,45 @@ GROUP BY doc_id
 # ============================================================== multimodal
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (char 5-grams, window 4) reduced
+    to a per-doc summary: fingerprint count + XOR — deterministic and
+    engine-stable."""
+    tune(spark)
+    fps = tx.winnow_fingerprints(_load(spark, sf_dir, "documents"), "doc_id", "text", k=5, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.bit_xor("fp").cast("long").alias("fp_xor"),
+    )
+
+
+ORACLE_TEXT_WINNOW = f"""
+WITH pos_exploded AS (
+  SELECT doc_id, text, length(text) AS _len,
+         unnest(generate_series(0, greatest(length(text) - 5, 0))) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, _len, pos, substr(text, pos + 1, 5) AS gram FROM pos_exploded
+),
+hashed AS (
+  SELECT doc_id, _len, pos, ({sqlgen.hexfold_i64('_m')}) & 1073741823 AS h
+  FROM (SELECT doc_id, _len, pos, md5(gram) AS _m FROM grams)
+),
+wins AS (
+  SELECT doc_id, pos, _len,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM hashed
+),
+sel AS (
+  SELECT DISTINCT doc_id, wmin AS fp FROM wins
+  WHERE pos <= greatest(_len - 4, 1) - 4 OR pos = 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, CAST(bit_xor(fp) AS BIGINT) AS fp_xor
+FROM sel GROUP BY doc_id
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: treat text payloads as opaque binary, extract
     typed metadata (byte length, content id, chunk count).  The decode /
@@ -511,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_winnow": q_text_winnow,
         "multimodal_meta": q_multimodal_meta,
         "curation_pipeline": q_curation_pipeline,
     }
@@ -531,6 +571,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": ORACLE_TEXT_STATS,
         "text_langid": _oracle_langid(),
         "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+        "text_winnow": ORACLE_TEXT_WINNOW,
         "multimodal_meta": ORACLE_MULTIMODAL_META,
         "curation_pipeline": _oracle_curation_pipeline(),
     }
