@@ -88,3 +88,20 @@ def test_winnow_short_doc_has_fingerprint(spark):
     df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     rows = tx.winnow_fingerprints(df, "doc_id", "text", k=5, w=4).collect()
     assert len(rows) == 1
+
+
+def test_quality_flags_rules(spark):
+    """Each rule flips independently; keep is the conjunction."""
+    long_ok = "the quick brown fox jumps over the lazy dog and runs far " * 3
+    df = spark.createDataFrame(
+        [
+            (1, long_ok),                       # passes everything
+            (2, "too short"),                   # fails ok_len
+            (3, ". , ! . , ! " * 40),           # punctuation-heavy
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.quality_flags(df).collect()}
+    assert rows[1]["keep"] == 1
+    assert rows[2]["ok_len"] == 0 and rows[2]["keep"] == 0
+    assert rows[3]["ok_punct"] == 0 and rows[3]["keep"] == 0

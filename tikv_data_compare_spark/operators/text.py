@@ -122,6 +122,51 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return hashed.groupBy(id_col).agg(F.bit_xor("_h").cast("long").alias("fingerprint"))
 
 
+def quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    mean_word_len_lo_c: int = 20_000,
+    mean_word_len_hi_c: int = 100_000,
+    max_punct_ratio_c: int = 1_000,
+    min_stopword_ratio_c: int = 200,
+) -> DataFrame:
+    """Gopher-style rule-based quality gate over :func:`text_stats`.
+
+    Emits one row per document with each rule's pass flag (1/0) and the
+    conjunction ``keep``: token-count bounds, mean-word-length band,
+    punctuation-ratio cap, stopword-ratio floor (ratios scaled ×10000 —
+    exact integer math, engine-stable).  This is the filter stage a
+    training-data pipeline composes in front of dedup; one pass over the
+    stats, no extra scan of the corpus.
+    """
+    s = text_stats(df, id_col, text_col)
+    punct_ratio = F.expr("CAST(ROUND(10000.0 * n_punct / greatest(n_chars, 1)) AS BIGINT)")
+    sw_ratio = F.expr("CAST(ROUND(10000.0 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT)")
+    flags = s.select(
+        id_col,
+        "n_tokens",
+        F.when(
+            (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens), 1
+        ).otherwise(0).cast("long").alias("ok_len"),
+        F.when(
+            (F.col("mean_word_len_c") >= mean_word_len_lo_c)
+            & (F.col("mean_word_len_c") <= mean_word_len_hi_c),
+            1,
+        ).otherwise(0).cast("long").alias("ok_word_len"),
+        F.when(punct_ratio <= max_punct_ratio_c, 1).otherwise(0).cast("long").alias("ok_punct"),
+        F.when(sw_ratio >= min_stopword_ratio_c, 1).otherwise(0).cast("long").alias("ok_stopwords"),
+    )
+    return flags.withColumn(
+        "keep",
+        (
+            F.col("ok_len") * F.col("ok_word_len") * F.col("ok_punct") * F.col("ok_stopwords")
+        ).cast("long"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

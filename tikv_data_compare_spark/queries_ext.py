@@ -334,6 +334,29 @@ FROM base
 """
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate: per-rule pass flags + keep
+    conjunction (token bounds, mean-word-length band, punctuation cap,
+    stopword floor) — the filter stage in front of dedup."""
+    tune(spark)
+    return tx.quality_flags(_load(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_QUALITY = f"""
+WITH stats AS ({ORACLE_TEXT_STATS})
+SELECT doc_id, n_tokens,
+       CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
+       CAST(CASE WHEN mean_word_len_c >= 20000 AND mean_word_len_c <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_word_len,
+       CAST(CASE WHEN CAST(ROUND(10000.0 * n_punct / greatest(n_chars, 1)) AS BIGINT) <= 1000 THEN 1 ELSE 0 END AS BIGINT) AS ok_punct,
+       CAST(CASE WHEN CAST(ROUND(10000.0 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT) >= 200 THEN 1 ELSE 0 END AS BIGINT) AS ok_stopwords,
+       CAST((CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END)
+          * (CASE WHEN mean_word_len_c >= 20000 AND mean_word_len_c <= 100000 THEN 1 ELSE 0 END)
+          * (CASE WHEN CAST(ROUND(10000.0 * n_punct / greatest(n_chars, 1)) AS BIGINT) <= 1000 THEN 1 ELSE 0 END)
+          * (CASE WHEN CAST(ROUND(10000.0 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT) >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS keep
+FROM stats
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language ID (argmax score, alphabetical tie-break)."""
     tune(spark)
@@ -548,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_near_dup": q_similarity_near_dup,
         "similarity_embed_dup": q_similarity_embed_dup,
         "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
@@ -569,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk_ivf": ORACLE_SIMILARITY_TOPK,
         "similarity_embed_dup": ORACLE_SIMILARITY_EMBED_DUP,
         "text_stats": ORACLE_TEXT_STATS,
+        "text_quality": ORACLE_TEXT_QUALITY,
         "text_langid": _oracle_langid(),
         "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
         "text_winnow": ORACLE_TEXT_WINNOW,
