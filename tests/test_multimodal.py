@@ -38,3 +38,57 @@ def test_frame_sample_offsets(spark):
     df = spark.createDataFrame([(1, "x" * 130)], "doc_id long, text string")
     rows = mm.frame_sample(df, every_n_bytes=64).collect()
     assert [(r["frame_idx"], r["byte_offset"]) for r in rows] == [(0, 0), (1, 64), (2, 128)]
+
+
+def _png_bytes(w, h):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00"
+    )
+
+
+def _jpeg_bytes(w, h):
+    # SOI + APP0 (JFIF, 16-byte segment) + SOF0 with dims + EOI
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00\x00\x00"
+
+
+def test_image_dims_header_parsing(spark):
+    """PNG/JPEG/GIF header parsing is REAL (struct offsets / SOF marker
+    walk), exercised through the distributed Arrow path; junk payloads map
+    to NULLs instead of failing the batch."""
+    from tikv_data_compare_spark.operators.multimodal import image_dims, parse_image_header
+
+    assert parse_image_header(_png_bytes(640, 480)) == ("png", 640, 480)
+    assert parse_image_header(_jpeg_bytes(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert parse_image_header(_gif_bytes(320, 200)) == ("gif", 320, 200)
+    assert parse_image_header(b"not an image") is None
+
+    rows = [
+        (1, bytearray(_png_bytes(640, 480))),
+        (2, bytearray(_jpeg_bytes(1920, 1080))),
+        (3, bytearray(_gif_bytes(320, 200))),
+        (4, bytearray(b"garbage payload")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in image_dims(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 640, 480)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 1920, 1080)
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("gif", 320, 200)
+    assert got[4]["format"] is None and got[4]["width"] is None

@@ -85,6 +85,63 @@ def decode_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
     return payloads.select("doc_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
 
 
+def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
+    """(format, width, height) from PNG/JPEG/GIF header bytes — pure struct
+    parsing, no image library.  Returns None for unrecognized payloads.
+
+    PNG: IHDR width/height at bytes 16..24 (big-endian u32 pair).
+    GIF: logical screen size at bytes 6..10 (little-endian u16 pair).
+    JPEG: walk the marker stream to the first SOF0-SOF15 frame header.
+    """
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+        w = int.from_bytes(data[16:20], "big")
+        h = int.from_bytes(data[20:24], "big")
+        return ("png", w, h)
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(data[6:8], "little")
+        h = int.from_bytes(data[8:10], "little")
+        return ("gif", w, h)
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                return None
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-payload markers
+                i += 2
+                continue
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):  # SOFn
+                h = int.from_bytes(data[i + 5 : i + 7], "big")
+                w = int.from_bytes(data[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+    return None
+
+
+def image_dims(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Decode-free image metadata: (id, format, width, height) parsed from
+    header bytes via an Arrow-batched mapInPandas — REAL parsing (PNG/GIF
+    fixed offsets, JPEG SOF marker walk), no image library involved.
+    Unrecognized payloads yield NULL format/dims rather than failing the
+    batch."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                parsed = parse_image_header(bytes(payload)) if payload is not None else None
+                fmt, w, h = parsed if parsed else (None, None, None)
+                rows.append({id_col: int(doc_id), "format": fmt, "width": w, "height": h})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, f"{id_col} long, format string, width long, height long"
+    )
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: one row per sampled chunk offset — the
     Spark shape of video frame extraction (posexplode of offsets computed
