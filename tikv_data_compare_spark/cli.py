@@ -34,6 +34,10 @@ def _add_common(p: argparse.ArgumentParser, dual: bool) -> None:
     p.add_argument("--end-key", default="", help="range end (exclusive); empty = unbounded")
     p.add_argument("--format", default="hex", choices=["raw", "hex", "escaped"], dest="key_format")
     p.add_argument("--concurrency", type=int, default=0, help="cpus (0 = all)")
+    # flag parity with the reference (config/config.go): its serial-vs-
+    # region-parallel switch is meaningless on Spark — execution is always
+    # partition-parallel — so the flag is accepted and ignored
+    p.add_argument("--use-parallel", action="store_true", help="accepted for reference flag parity (Spark is always parallel)")
 
 
 _INT_TYPES = {"long", "integer", "short", "byte"}

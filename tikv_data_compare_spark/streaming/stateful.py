@@ -73,6 +73,11 @@ def sessionize_stateful(
 
         (user,) = key
         rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:  # defensive: no data for this key in the batch
+            yield pd.DataFrame(
+                columns=[user_col, "session_idx", "n_events", "duration_ms", "first_event", "ver"]
+            )
+            return
         rows = rows.sort_values([ms_col, id_col])
         if state.exists:
             sidx, start, last, n, min_eid, ver = state.get
