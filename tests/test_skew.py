@@ -43,3 +43,26 @@ def test_salted_join_equals_plain(spark, lineitem):
     plain = big.join(small, on=["l_orderkey"]).count()
     salted = salted_join(big, small, on=["l_orderkey"], n_salts=4).count()
     assert plain == salted
+
+
+def test_skew_agg_query_equals_plain_groupby(spark):
+    """The driver query form: salted two-stage agg ≡ plain GROUP BY."""
+    from tests.conftest import SF_DIR
+    from tikv_data_compare_spark.queries import _dc, _events_ms, q_skew_agg
+
+    got = {
+        r["event_type"]: (r["n"], r["sum_value_c"], r["max_value_c"])
+        for r in q_skew_agg(spark, SF_DIR).collect()
+    }
+    e, _ = _events_ms(spark, SF_DIR)
+    want = {
+        r["event_type"]: (r["n"], r["s"], r["m"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(_dc("value"))).alias("s"),
+            F.max(F.expr(_dc("value"))).alias("m"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -179,3 +179,32 @@ def test_stream_dedup_suppresses_across_batches(spark, tmp_path):
     q.awaitTermination(120)
     assert counts[0] == ["aaa", "bbb"]
     assert counts[1] == ["ccc"]  # 'aaa' suppressed by batch-0 state
+
+
+def test_stream_late_data_drops_stragglers(spark):
+    """The watermark replay must converge to the on-time-only aggregation:
+    stragglers arriving two batches after the watermark was raised are
+    dropped, so the final per-window totals exclude them (and differ from
+    the full-corpus aggregation, proving the drop really happened)."""
+    from tests.conftest import SF_DIR
+    from tikv_data_compare_spark.queries import (
+        q_events_window_agg,
+        q_stream_late_data,
+        _dc,
+        _events_ms,
+    )
+
+    got = q_stream_late_data(spark, SF_DIR)
+    total_streamed = got.agg(F.sum("n")).first()[0]
+
+    e, ms = _events_ms(spark, SF_DIR)
+    base = e.select("event_id", ms.alias("ms"))
+    lo, hi = base.agg(F.min("ms"), F.max("ms")).first()
+    b1 = lo + (hi - lo) // 3
+    n_late = base.filter((F.col("ms") < b1) & (F.col("event_id") % 7 == 0)).count()
+    n_all = base.count()
+    assert n_late > 0
+    assert total_streamed == n_all - n_late  # every straggler dropped, nothing else
+
+    full = q_events_window_agg(spark, SF_DIR)
+    assert got.count() < full.count() or total_streamed < n_all

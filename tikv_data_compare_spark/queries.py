@@ -649,6 +649,102 @@ FROM base GROUP BY 1, 2
 """
 
 
+def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation as a user-visible query: per-event_type totals
+    via two-stage salted aggregation (operators/skew.py) — the handful of
+    event types are giant hot groups at 100 TB, so stage 1 splits each
+    across 16 sub-keys before the merge (the same commutative-monoid split
+    the reference's region-parallel checksum merge relies on,
+    checksum/checksum.go:25-29).  Must equal the plain GROUP BY (the
+    oracle)."""
+    tune(spark)
+    from tikv_data_compare_spark.operators.skew import salted_agg
+
+    e, _ = _events_ms(spark, sf_dir)
+    base = e.select("event_type", F.expr(_dc("value")).alias("v_c"))
+    out = salted_agg(
+        base,
+        ["event_type"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "sum_value_c": (F.sum("v_c"), F.sum("sum_value_c")),
+            "max_value_c": (F.max("v_c"), F.max("max_value_c")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_value_c").cast("long").alias("sum_value_c"),
+        F.col("max_value_c").cast("long").alias("max_value_c"),
+    )
+
+
+ORACLE_SKEW_AGG = f"""
+WITH base AS (SELECT event_type, {_dc("value")} AS v_c FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v_c) AS BIGINT) AS sum_value_c,
+       CAST(max(v_c) AS BIGINT) AS max_value_c
+FROM base GROUP BY event_type
+"""
+
+
+QUANTILE_PCTS = (50, 90, 99)
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group discrete quantiles (p50/p90/p99 of order totalprice per
+    priority) plus min/max/count — the profiling summary a data-curation
+    pass runs before filtering.
+
+    Discrete quantile = the value at row ceil(p·n/100) of the sorted group,
+    written as identical integer arithmetic ((p·n + 99) DIV 100) in both
+    engines, so the result is exact and hash-comparable (interpolating
+    forms differ in float rounding).  One shuffle: rank + count share a
+    single window partitioning, then a thin conditional agg.  At 100 TB the
+    exact form stays viable because groups are few and the sort is
+    per-group parallel; swap in approx_percentile when a t-digest sketch is
+    acceptable."""
+    tune(spark)
+    o = _load(spark, sf_dir, "orders")
+    base = o.select("o_orderpriority", F.expr(_dc("o_totalprice")).alias("price_c"))
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = base.withColumn("rn", F.row_number().over(wp.orderBy("price_c"))).withColumn(
+        "n", F.count(F.lit(1)).over(wp)
+    )
+    picks = [
+        F.max(
+            F.when(F.col("rn") == F.expr(f"CAST(({p} * n + 99) DIV 100 AS BIGINT)"), F.col("price_c"))
+        ).alias(f"p{p}_c")
+        for p in QUANTILE_PCTS
+    ]
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("price_c").alias("min_c"),
+        *picks,
+        F.max("price_c").alias("max_c"),
+    )
+
+
+def _oracle_quantiles() -> str:
+    picks = ",\n       ".join(
+        f"CAST(max(CASE WHEN rn = ({p} * n + 99) // 100 THEN price_c END) AS BIGINT) AS p{p}_c"
+        for p in QUANTILE_PCTS
+    )
+    return f"""
+WITH base AS (SELECT o_orderpriority, {_dc("o_totalprice")} AS price_c FROM orders),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY price_c) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM base
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, CAST(min(price_c) AS BIGINT) AS min_c,
+       {picks},
+       CAST(max(price_c) AS BIGINT) AS max_c
+FROM ranked GROUP BY o_orderpriority
+"""
+
+
 def q_checksum_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-range checksum report — the reference's per-region partial
     checksums (checksum/checksum.go:78-95) surfaced as a result instead of
@@ -1056,6 +1152,129 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_SESSIONIZE = ORACLE_EVENTS_SESSIONIZE
 
 
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, oracle-checked: the windowed
+    aggregation replayed as two micro-batches where batch 2 consists
+    entirely of stragglers from the oldest third of the timeline
+    (events with ``ms < lo + span/3`` and ``event_id % 7 == 0``,
+    withheld from batch 1).
+
+    Since SPARK-40925 (3.4+), watermarks are two-phase per batch: the
+    LATE-EVENT filter of batch N uses the watermark computed before
+    batch N−1 finished, while eviction uses the current value — so a
+    straggler arriving in the batch immediately after the one that
+    raised the watermark is still admitted.  The replay therefore uses
+    THREE batches: batch 0 carries the stream's max event time (raising
+    the watermark to ``max_ts − 1h`` — months past every straggler's
+    window), batch 1 is an on-time filler that lets that watermark
+    become the late-event filter, and batch 2 is the stragglers, every
+    one of which Structured Streaming must DROP on arrival.  The final
+    state then equals the batch aggregation over the on-time subset
+    only, which is the DuckDB oracle; had the engine admitted the late
+    rows, the early windows' counts would include them and the
+    value-hash would mismatch.  Late rows land in a real parquet file
+    fed through the file source, so the drop is exercised, not
+    simulated.
+
+    Update output mode via per-epoch parquet sinks (no driver
+    collect()); the final answer is the latest emission per
+    (window, event_type).  State stays bounded by the watermark — the
+    property that makes this run forever on an unbounded stream."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    tune(spark)
+    e, ms = _events_ms(spark, sf_dir)
+    base = e.select(
+        "event_id", "event_type", ms.alias("ms"), F.expr(_dc("value")).alias("v_c")
+    )
+    lo, hi = base.agg(F.min("ms"), F.max("ms")).first()
+    b1 = lo + (hi - lo) // 3
+    late_pred = (F.col("ms") < F.lit(b1)) & (F.col("event_id") % 7 == 0)
+    filler_pred = ~late_pred & (F.col("event_id") % 11 == 0)
+
+    d = tempfile.mkdtemp(prefix="tdc_stream_late_")
+    scratch = tempfile.mkdtemp(prefix="tdc_stream_late_w_")
+    t0 = time.time() - 3600
+    chunks = (
+        base.filter(~late_pred & ~filler_pred),
+        base.filter(filler_pred),
+        base.filter(late_pred),
+    )
+    for i, chunk in enumerate(chunks):
+        cdir = os.path.join(scratch, f"c{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(cdir)
+        part = glob.glob(os.path.join(cdir, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"chunk_{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+    stream = (
+        spark.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    agg = (
+        stream.withColumn("ts", F.timestamp_micros(F.col("ms") * 1000))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v_c").alias("sum_value_c"))
+        .select(
+            F.expr(sqlgen.ts_ms("window.start", SPARK)).alias("window_start_ms"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_value_c").cast("long").alias("sum_value_c"),
+        )
+    )
+    sink = tempfile.mkdtemp(prefix="tdc_stream_late_out_")
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(sink, f"epoch_{epoch_id}"))
+
+    q = (
+        agg.writeStream.foreachBatch(on_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    ddl = "window_start_ms long, event_type string, n long, sum_value_c long"
+    epochs = sorted(p for p in os.listdir(sink) if p.startswith("epoch_"))
+    if not epochs:
+        return spark.createDataFrame([], ddl)
+    per_epoch = [
+        spark.read.schema(ddl).parquet(os.path.join(sink, p)).withColumn("_e", F.lit(i))
+        for i, p in enumerate(epochs)
+    ]
+    allv = per_epoch[0]
+    for nxt in per_epoch[1:]:
+        allv = allv.unionByName(nxt)
+    w = Window.partitionBy("window_start_ms", "event_type").orderBy(F.desc("_e"))
+    return (
+        allv.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("window_start_ms", "event_type", "n", "sum_value_c")
+    )
+
+
+# final streaming state must equal the batch aggregation over on-time rows
+# only — the late third (event_id % 7 == 0 stragglers) is watermark-dropped
+ORACLE_STREAM_LATE_DATA = f"""
+WITH base AS (
+  SELECT event_id, event_type, {sqlgen.ts_ms("ts", DUCK)} AS ms, {_dc("value")} AS v_c FROM events
+),
+bounds AS (SELECT min(ms) AS lo, max(ms) AS hi FROM base),
+ontime AS (
+  SELECT b.* FROM base b, bounds
+  WHERE NOT (b.ms < lo + (hi - lo) // 3 AND b.event_id % 7 = 0)
+)
+SELECT ms - (ms % 3600000) AS window_start_ms, event_type,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(v_c) AS BIGINT) AS sum_value_c
+FROM ontime GROUP BY 1, 2
+"""
+
+
 def q_stream_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming incremental diff: stream the orders table against
     the static mutated reference via foreachBatch; findings accumulate across
@@ -1178,8 +1397,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "events_sessionize": q_events_sessionize,
         "events_window_agg": q_events_window_agg,
+        "skew_agg": q_skew_agg,
+        "quantiles": q_quantiles,
         "stream_window_agg": q_stream_window_agg,
         "stream_sessionize": q_stream_sessionize,
+        "stream_late_data": q_stream_late_data,
         "stream_diff": q_stream_diff,
         "codec_roundtrip": q_codec_roundtrip,
     }
@@ -1215,8 +1437,11 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _oracle_range_join(),
         "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
         "events_window_agg": ORACLE_EVENTS_WINDOW_AGG,
+        "skew_agg": ORACLE_SKEW_AGG,
+        "quantiles": _oracle_quantiles(),
         "stream_window_agg": ORACLE_STREAM_WINDOW_AGG,
         "stream_sessionize": ORACLE_STREAM_SESSIONIZE,
+        "stream_late_data": ORACLE_STREAM_LATE_DATA,
         "stream_diff": ORACLE_STREAM_DIFF,
         # codec_roundtrip: intentionally no oracle (binary codecs, rows-only)
     }

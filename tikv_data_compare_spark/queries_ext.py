@@ -334,6 +334,25 @@ FROM base
 """
 
 
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace words plus a
+    BPE-ish subword estimate (1 extra token per 6 chars beyond a word's
+    first 6) — all JVM-side higher-order array functions, no UDF."""
+    tune(spark)
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.token_count(docs).select("doc_id", "n_words", "n_tokens_bpe")
+
+
+ORACLE_TEXT_TOKENS = f"""
+WITH base AS (SELECT doc_id, {sqlgen.split_words('text', DUCK)} AS ws FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(ws) + list_sum(list_transform(ws,
+            w -> CAST(floor(greatest(length(w) - 6, 0) / 6.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe
+FROM base
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-based quality gate: per-rule pass flags + keep
     conjunction (token bounds, mean-word-length band, punctuation cap,
@@ -571,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_near_dup": q_similarity_near_dup,
         "similarity_embed_dup": q_similarity_embed_dup,
         "text_stats": q_text_stats,
+        "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -593,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk_ivf": ORACLE_SIMILARITY_TOPK,
         "similarity_embed_dup": ORACLE_SIMILARITY_EMBED_DUP,
         "text_stats": ORACLE_TEXT_STATS,
+        "text_tokens": ORACLE_TEXT_TOKENS,
         "text_quality": ORACLE_TEXT_QUALITY,
         "text_langid": _oracle_langid(),
         "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
