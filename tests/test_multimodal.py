@@ -92,3 +92,40 @@ def test_image_dims_header_parsing(spark):
     assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 1920, 1080)
     assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("gif", 320, 200)
     assert got[4]["format"] is None and got[4]["width"] is None
+
+
+def _wav_bytes(ch=2, sr=44100, bits=16, dsz=1000, extra_chunk=False):
+    import struct
+
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits)
+    chunks = fmt
+    if extra_chunk:
+        chunks += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    chunks += b"data" + struct.pack("<I", dsz)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_parse_wav_header():
+    from tikv_data_compare_spark.operators.multimodal import parse_wav_header
+
+    assert parse_wav_header(_wav_bytes(1, 8000, 8, 555)) == (1, 8000, 8, 555)
+    # chunk walk must skip unknown chunks between fmt and data
+    assert parse_wav_header(_wav_bytes(2, 48000, 16, 7, extra_chunk=True)) == (2, 48000, 16, 7)
+    assert parse_wav_header(b"RIFFxxxxWAVE") is None  # no fmt/data chunks
+    assert parse_wav_header(b"not audio at all") is None
+    assert parse_wav_header(b"") is None
+
+
+def test_audio_meta_distributed(spark):
+    from tikv_data_compare_spark.operators.multimodal import audio_meta
+
+    rows = [
+        (1, _wav_bytes(1, 16000, 8, 321)),
+        (2, _wav_bytes(2, 44100, 16, 4321, extra_chunk=True)),
+        (3, b"garbage payload"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in audio_meta(df).collect()}
+    assert (got[1]["channels"], got[1]["sample_rate"], got[1]["bits"], got[1]["data_size"]) == (1, 16000, 8, 321)
+    assert (got[2]["channels"], got[2]["sample_rate"], got[2]["bits"], got[2]["data_size"]) == (2, 44100, 16, 4321)
+    assert got[3]["channels"] is None and got[3]["data_size"] is None

@@ -142,6 +142,62 @@ def image_dims(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payloa
     )
 
 
+def parse_wav_header(data: bytes) -> tuple[int, int, int, int] | None:
+    """(channels, sample_rate, bits_per_sample, data_size) from a RIFF/WAVE
+    header — pure struct parsing, no audio library.  Walks the chunk list
+    (``fmt `` for the format fields, ``data`` for the payload size) so
+    extra chunks between them are handled; returns None when either chunk
+    is missing or the payload is not RIFF/WAVE."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    channels = sample_rate = bits = data_size = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        csz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and pos + 24 <= len(data):
+            channels = int.from_bytes(data[pos + 10 : pos + 12], "little")
+            sample_rate = int.from_bytes(data[pos + 12 : pos + 16], "little")
+            bits = int.from_bytes(data[pos + 22 : pos + 24], "little")
+        elif cid == b"data":
+            data_size = csz
+        pos += 8 + csz + (csz & 1)
+    if None in (channels, sample_rate, bits, data_size):
+        return None
+    return (channels, sample_rate, bits, data_size)
+
+
+def audio_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Decode-free audio metadata: (id, channels, sample_rate, bits,
+    data_size) parsed from RIFF/WAVE header bytes via Arrow-batched
+    mapInPandas — REAL chunk-walk parsing, no audio library.  Unrecognized
+    payloads yield NULL fields rather than failing the batch."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                parsed = parse_wav_header(bytes(payload)) if payload is not None else None
+                ch, sr, bits, dsz = parsed if parsed else (None, None, None, None)
+                rows.append(
+                    {
+                        id_col: int(doc_id),
+                        "channels": ch,
+                        "sample_rate": sr,
+                        "bits": bits,
+                        "data_size": dsz,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract,
+        f"{id_col} long, channels long, sample_rate long, bits long, data_size long",
+    )
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: one row per sampled chunk offset — the
     Spark shape of video frame extraction (posexplode of offsets computed

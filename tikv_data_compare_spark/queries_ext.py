@@ -486,6 +486,121 @@ FROM (SELECT doc_id, text, md5(text) AS _m FROM documents)
 """
 
 
+# Binary-synthesis helpers (Spark SQL): big/little-endian ints for building
+# real media headers JVM-side, so the Python parsers are tested against
+# payloads they did not construct.
+
+
+def _u32be(e: str) -> str:
+    return f"unhex(lpad(hex(CAST({e} AS BIGINT)), 8, '0'))"
+
+
+def _le(b: str, n: int) -> str:
+    """Reverse the n bytes of binary expr b (big→little endian)."""
+    parts = ", ".join(f"substring({b}, {i}, 1)" for i in range(n, 0, -1))
+    return f"concat({parts})"
+
+
+def _u32le(e: str) -> str:
+    return _le(_u32be(e), 4)
+
+
+def _u16le(e: str) -> str:
+    return _le(f"unhex(lpad(hex(CAST({e} AS BIGINT)), 4, '0'))", 2)
+
+
+IMG_W = "(doc_id % 640 + 16)"
+IMG_H = "(doc_id % 480 + 16)"
+
+
+def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image header metadata over synthesized binary payloads: a third of the
+    corpus gets a real PNG signature+IHDR (big-endian dims), a third a GIF89a
+    logical screen (little-endian dims), a third raw text bytes (parses to
+    NULLs).  The payload bytes are built JVM-side (concat/unhex/substring)
+    and parsed back by the decode-free Python header parser in an Arrow
+    batch (operators/multimodal.py image_dims) — the oracle recomputes the
+    expected dims arithmetically, so a parser endianness or offset bug
+    hash-mismatches."""
+    tune(spark)
+    from tikv_data_compare_spark.operators import multimodal as mm
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    png = (
+        "concat(unhex('89504E470D0A1A0A'), unhex('0000000D'), CAST('IHDR' AS BINARY), "
+        f"{_u32be(IMG_W)}, {_u32be(IMG_H)})"
+    )
+    gif = f"concat(CAST('GIF89a' AS BINARY), {_u16le(IMG_W)}, {_u16le(IMG_H)})"
+    synth = docs.withColumn(
+        "payload",
+        F.expr(
+            f"CASE WHEN doc_id % 3 = 0 THEN {png} WHEN doc_id % 3 = 1 THEN {gif} "
+            "ELSE CAST(text AS BINARY) END"
+        ),
+    )
+    return mm.image_dims(synth)
+
+
+ORACLE_MULTIMODAL_IMAGE = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'gif' END AS format,
+       CAST(CASE WHEN doc_id % 3 <= 1 THEN {IMG_W} END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 3 <= 1 THEN {IMG_H} END AS BIGINT) AS height
+FROM documents
+"""
+
+WAV_CH = "(1 + doc_id % 2)"
+WAV_SR = "(CASE WHEN doc_id % 3 = 0 THEN 8000 WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END)"
+WAV_BITS = "(CASE WHEN doc_id % 5 < 2 THEN 8 ELSE 16 END)"
+WAV_DSZ = "(octet_length(text) * 100 + 44)"
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio header metadata: RIFF/WAVE headers synthesized JVM-side with
+    per-doc channels/sample-rate/bit-depth/payload-size (all little-endian
+    fields built via concat/unhex/substring), one seventh of the corpus left
+    as raw text (parses to NULLs).  The chunk-walking Python parser
+    (operators/multimodal.py audio_meta) extracts the fields in an Arrow
+    batch; duration is derived JVM-side from the parsed fields.  The oracle
+    recomputes every field arithmetically."""
+    tune(spark)
+    from tikv_data_compare_spark.operators import multimodal as mm
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    byte_rate = f"(({WAV_SR} * {WAV_CH} * {WAV_BITS}) DIV 8)"
+    block_align = f"(({WAV_CH} * {WAV_BITS}) DIV 8)"
+    wav = (
+        f"concat(CAST('RIFF' AS BINARY), {_u32le(f'36 + {WAV_DSZ}')}, CAST('WAVE' AS BINARY), "
+        f"CAST('fmt ' AS BINARY), {_u32le('16')}, {_u16le('1')}, {_u16le(WAV_CH)}, "
+        f"{_u32le(WAV_SR)}, {_u32le(byte_rate)}, {_u16le(block_align)}, {_u16le(WAV_BITS)}, "
+        f"CAST('data' AS BINARY), {_u32le(WAV_DSZ)})"
+    )
+    synth = docs.withColumn(
+        "payload",
+        F.expr(f"CASE WHEN doc_id % 7 = 3 THEN CAST(text AS BINARY) ELSE {wav} END"),
+    )
+    return mm.audio_meta(synth).withColumn(
+        "duration_ms",
+        F.expr("CAST((data_size * 8000) DIV (sample_rate * channels * bits) AS BIGINT)"),
+    )
+
+
+ORACLE_MULTIMODAL_AUDIO = f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3 THEN NULL ELSE {WAV_CH} END AS channels,
+         CASE WHEN doc_id % 7 = 3 THEN NULL ELSE {WAV_SR} END AS sample_rate,
+         CASE WHEN doc_id % 7 = 3 THEN NULL ELSE {WAV_BITS} END AS bits,
+         CASE WHEN doc_id % 7 = 3 THEN NULL ELSE octet_length(encode(text)) * 100 + 44 END AS data_size
+  FROM documents
+)
+SELECT doc_id, CAST(channels AS BIGINT) AS channels, CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(bits AS BIGINT) AS bits, CAST(data_size AS BIGINT) AS data_size,
+       CAST((data_size * 8000) // (sample_rate * channels * bits) AS BIGINT) AS duration_ms
+FROM p
+"""
+
+
 # ===================================================== pipeline capstone
 
 
@@ -596,6 +711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_winnow": q_text_winnow,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_image": q_multimodal_image,
+        "multimodal_audio": q_multimodal_audio,
         "curation_pipeline": q_curation_pipeline,
     }
 
@@ -619,5 +736,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
         "text_winnow": ORACLE_TEXT_WINNOW,
         "multimodal_meta": ORACLE_MULTIMODAL_META,
+        "multimodal_image": ORACLE_MULTIMODAL_IMAGE,
+        "multimodal_audio": ORACLE_MULTIMODAL_AUDIO,
         "curation_pipeline": _oracle_curation_pipeline(),
     }
