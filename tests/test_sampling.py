@@ -1,0 +1,49 @@
+"""Deterministic sampling: replay-stable selection, quota bounds, guards."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tikv_data_compare_spark.operators.sampling import hash_sample, stratified_sample
+
+
+def test_hash_sample_deterministic_and_bounded(spark, documents):
+    docs = documents.select("doc_id", "text")
+    a = sorted(r["doc_id"] for r in hash_sample(docs, "text", pct=10).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(docs, "text", pct=10).collect())
+    assert a == b and len(a) > 0
+    total = docs.count()
+    assert len(a) < total  # a strict subset, not a pass-through
+    # buckets are a partition: pct=100 keeps everything, pct=0 nothing
+    assert hash_sample(docs, "text", pct=100).count() == total
+    assert hash_sample(docs, "text", pct=0).count() == 0
+
+
+def test_hash_sample_slices_are_disjoint(spark, documents):
+    docs = documents.select("doc_id", "text")
+    sampled = hash_sample(docs, "text", pct=100)
+    lo = {r["doc_id"] for r in sampled.filter(F.col("sample_bucket") < 10).collect()}
+    hi = {r["doc_id"] for r in sampled.filter(F.col("sample_bucket") >= 10).collect()}
+    assert lo.isdisjoint(hi)
+    assert len(lo) + len(hi) == docs.count()
+
+
+def test_stratified_sample_quota_and_determinism(spark, documents):
+    docs = documents.select("doc_id", "lang", "text")
+    out = stratified_sample(docs, ["lang"], k=5, tiebreak_cols=["doc_id"])
+    per_group = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per_group) == set(avail)
+    for lang, n in per_group.items():
+        assert n == min(5, avail[lang])
+    again = stratified_sample(docs, ["lang"], k=5, tiebreak_cols=["doc_id"])
+    key = lambda df: sorted((r["lang"], r["doc_id"], r["sample_rank"]) for r in df.collect())
+    assert key(out) == key(again)
+
+
+def test_sampling_guards(spark, documents):
+    with pytest.raises(ValueError):
+        hash_sample(documents, "text", pct=101)
+    with pytest.raises(ValueError):
+        stratified_sample(documents, ["lang"], k=0)
+    with pytest.raises(ValueError):
+        hash_sample(documents.withColumn("_sample_m", F.lit(1)), "text", pct=10)

@@ -1,0 +1,81 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Random sampling (``df.sample``/``rand()``) is not replay-safe: a retried
+task re-draws and the sample changes under failure.  At 100 TB every
+sampling decision must be a pure function of the row, so these operators
+key on a content hash instead — the same rows are selected on every run,
+on every cluster, and by the DuckDB oracle.
+
+- ``hash_sample``: Bernoulli p% sample keyed on md5(content) — a narrow
+  map-only filter, no shuffle.
+- ``stratified_sample``: k rows per group in content-hash order — one
+  window shuffle on the group key; skew-safe because k bounds each
+  group's output regardless of group size.
+
+The md5 is projected into a staging column before the hex-fold (the fold
+repeats its operand 30×; inlining md5 there would recompute it per hex
+digit and blow up whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from tikv_data_compare_spark.functions import sqlgen
+
+_STAGE = "_sample_m"
+
+
+def _with_hash(df: DataFrame, content_col: str) -> DataFrame:
+    if _STAGE in df.columns:
+        raise ValueError(f"column name {_STAGE!r} is reserved by the sampling operators")
+    return df.withColumn(_STAGE, F.md5(F.col(content_col).cast("string")))
+
+
+def hash_sample(
+    df: DataFrame,
+    content_col: str = "text",
+    pct: int = 10,
+    bucket_col: str = "sample_bucket",
+) -> DataFrame:
+    """Keep ~pct% of rows: content-hash bucket in [0, 100) compared against
+    the threshold.  Deterministic, shuffle-free, and stable under task
+    retry; exposes the bucket so downstream stages can take disjoint
+    slices (e.g. train/validation splits) from one pass."""
+    if not 0 <= pct <= 100:
+        raise ValueError(f"pct must be in [0, 100], got {pct}")
+    bucket = F.expr(f"(({sqlgen.hexfold_i64(_STAGE)} % 100) + 100) % 100")
+    return (
+        _with_hash(df, content_col)
+        .withColumn(bucket_col, bucket.cast("long"))
+        .filter(F.col(bucket_col) < pct)
+        .drop(_STAGE)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    content_col: str = "text",
+    tiebreak_cols: list[str] | None = None,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """First k rows per group in (content-hash, tiebreak) order — a
+    deterministic per-stratum quota.  One shuffle on the group key; output
+    is bounded by k per group so a giant stratum cannot skew the result
+    size.  Pass unique ``tiebreak_cols`` (e.g. the doc id) when contents
+    can repeat within a group, otherwise the rank among exact duplicates
+    is not deterministic."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    staged = _with_hash(df, content_col).withColumn(
+        "_sample_h", F.expr(sqlgen.hexfold_i64(_STAGE))
+    )
+    order = [F.col("_sample_h")] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        staged.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= k)
+        .drop(_STAGE, "_sample_h")
+    )

@@ -601,6 +601,77 @@ FROM p
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: one row per sampled 64-byte chunk offset of
+    each payload, offsets computed JVM-side via sequence+posexplode (the
+    Spark shape of video frame extraction — the per-frame decode itself
+    stays a mapInPandas stub, operators/multimodal.py frame_sample)."""
+    tune(spark)
+    from tikv_data_compare_spark.operators import multimodal as mm
+
+    fs = mm.frame_sample(_load(spark, sf_dir, "documents"), every_n_bytes=64)
+    return fs.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+    )
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+SELECT doc_id, CAST(off // 64 AS BIGINT) AS frame_idx, CAST(off AS BIGINT) AS byte_offset
+FROM (
+  SELECT doc_id,
+         unnest(generate_series(0, greatest(octet_length(encode(text)) - 1, 0), 64)) AS off
+  FROM documents
+)
+"""
+
+
+# ============================================================== sampling
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli corpus sample keyed on content hash
+    (operators/sampling.py) — replay-safe subsampling, the op every corpus
+    ablation starts with.  Map-only: no shuffle, no RNG state."""
+    tune(spark)
+    from tikv_data_compare_spark.operators.sampling import hash_sample
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return hash_sample(docs, "text", pct=10).select("doc_id", "lang", "sample_bucket")
+
+
+ORACLE_SAMPLE_HASH = f"""
+SELECT doc_id, lang, CAST((({sqlgen.hexfold_i64('_m')} % 100) + 100) % 100 AS BIGINT) AS sample_bucket
+FROM (SELECT doc_id, lang, md5(text) AS _m FROM documents)
+WHERE (({sqlgen.hexfold_i64('_m')} % 100) + 100) % 100 < 10
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: 20 docs per language in content-hash order with
+    doc_id tiebreak — the per-stratum quota that keeps low-resource
+    languages represented.  Bounded output per group regardless of group
+    size (skew-safe by construction)."""
+    tune(spark)
+    from tikv_data_compare_spark.operators.sampling import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = stratified_sample(docs, ["lang"], k=20, tiebreak_cols=["doc_id"])
+    return out.select("doc_id", "lang", "sample_rank")
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {sqlgen.hexfold_i64('_m')}, doc_id) AS rn
+  FROM (SELECT doc_id, lang, md5(text) AS _m FROM documents)
+)
+WHERE rn <= 20
+"""
+
+
 # ===================================================== pipeline capstone
 
 
@@ -713,6 +784,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image": q_multimodal_image,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_frames": q_multimodal_frames,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
         "curation_pipeline": q_curation_pipeline,
     }
 
@@ -738,5 +812,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": ORACLE_MULTIMODAL_META,
         "multimodal_image": ORACLE_MULTIMODAL_IMAGE,
         "multimodal_audio": ORACLE_MULTIMODAL_AUDIO,
+        "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+        "sample_hash": ORACLE_SAMPLE_HASH,
+        "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "curation_pipeline": _oracle_curation_pipeline(),
     }
