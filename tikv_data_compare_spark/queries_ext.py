@@ -294,6 +294,40 @@ def q_similarity_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_exact_dup(_load(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column profiling: per-vector dimension, L2 norm, mean and
+    min/max component — the sanity pass before any ANN build (catches
+    zero/denormal vectors and dimension drift).  All JVM-side higher-order
+    array functions (aggregate/size/array_min/array_max), no Python."""
+    tune(spark)
+    emb = _load(spark, sf_dir, "embeddings")
+    sumsq = (
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    total = "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
+    return emb.select(
+        "vec_id",
+        F.expr("CAST(size(embedding) AS BIGINT)").alias("dim"),
+        F.expr(f"CAST(ROUND(10000.0 * sqrt({sumsq})) AS BIGINT)").alias("norm_c"),
+        F.expr(f"CAST(ROUND(10000.0 * {total} / size(embedding)) AS BIGINT)").alias("mean_c"),
+        F.expr("CAST(ROUND(10000.0 * CAST(array_min(embedding) AS DOUBLE)) AS BIGINT)").alias("min_c"),
+        F.expr("CAST(ROUND(10000.0 * CAST(array_max(embedding) AS DOUBLE)) AS BIGINT)").alias("max_c"),
+    )
+
+
+ORACLE_EMBEDDING_STATS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(v) AS BIGINT) AS dim,
+       CAST(ROUND(10000.0 * sqrt(list_dot_product(v, v))) AS BIGINT) AS norm_c,
+       CAST(ROUND(10000.0 * list_sum(v) / len(v)) AS BIGINT) AS mean_c,
+       CAST(ROUND(10000.0 * list_min(v)) AS BIGINT) AS min_c,
+       CAST(ROUND(10000.0 * list_max(v)) AS BIGINT) AS max_c
+FROM e
+"""
+
+
 ORACLE_SIMILARITY_EMBED_DUP = f"""
 SELECT CAST({sqlgen.hexfold_i64('_m')} AS BIGINT) AS vec_fp,
        CAST(min(vec_id) AS BIGINT) AS keep_vec_id,
@@ -775,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_ivf": q_similarity_topk_ivf,
         "similarity_near_dup": q_similarity_near_dup,
         "similarity_embed_dup": q_similarity_embed_dup,
+        "embedding_stats": q_embedding_stats,
         "text_stats": q_text_stats,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -803,6 +838,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "similarity_topk_ivf": ORACLE_SIMILARITY_TOPK,
         "similarity_embed_dup": ORACLE_SIMILARITY_EMBED_DUP,
+        "embedding_stats": ORACLE_EMBEDDING_STATS,
         "text_stats": ORACLE_TEXT_STATS,
         "text_tokens": ORACLE_TEXT_TOKENS,
         "text_quality": ORACLE_TEXT_QUALITY,
