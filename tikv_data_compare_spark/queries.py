@@ -439,6 +439,33 @@ FROM lineitem
 """
 
 
+def q_checksum_crc64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 byte-compat path: CRC-64-XZ checksum triple over typed orders —
+    the algo the reference's TiKV checksum RPC speaks.  Exercises the
+    typed-column canonicalization fix (cast to string→binary BEFORE the
+    null-coalesce; a type-mismatch crash until round 4).  Like
+    ``checksum_xxhash64``, the count/bytes monoid components are
+    oracle-exact and the 64-bit value is covered by the pytest
+    monoid/byte-parity suite, so the row gets a real partial oracle."""
+    tune(spark)
+    o = _load(spark, sf_dir, "orders")
+    k = Keyed.of(o, keys=("o_orderkey",))
+    t = checksum(k, algo="crc64", canon_bytes=True)
+    return t.select(
+        F.col("total_kvs").cast("long").alias("total_kvs"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.col("checksum").isNotNull().cast("int").alias("checksum_present"),
+    )
+
+
+ORACLE_CHECKSUM_CRC64 = f"""
+SELECT CAST(count(*) AS BIGINT) AS total_kvs,
+       CAST(sum(length({sqlgen.table_canon("orders", list(sqlgen.TABLE_TAGS["orders"]), DUCK)})) AS BIGINT) AS total_bytes,
+       CAST(1 AS INTEGER) AS checksum_present
+FROM orders
+"""
+
+
 def q_agg_count_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A3 + grouped aggregation: per (returnflag, linestatus) count and
     canonical byte-size totals over lineitem (exact integer math — doubles
@@ -551,6 +578,87 @@ FROM (
   FROM orders
 ) WHERE rnk <= 3
 """
+
+
+FK_RELATIONS = [
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events.user_id->customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the relational face of the
+    reference's consistency checking: for each declared foreign-key
+    relation, count child rows whose key has no parent (left-anti join) next
+    to the child total.  Anti-joins ship only the key column of each side;
+    at 100 TB each relation is one keyed shuffle (or zero when both sides
+    are bucketed by the key) and AQE broadcasts the parent key set when it
+    is small."""
+    tune(spark)
+    out = None
+    for name, child, ck, parent, pk in FK_RELATIONS:
+        cdf = _load(spark, sf_dir, child)
+        pdf = _load(spark, sf_dir, parent).select(pk)
+        orphans = cdf.select(F.col(ck).alias(pk)).join(pdf, on=pk, how="left_anti")
+        n_orph = orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        n_tot = cdf.agg(F.count(F.lit(1)).cast("long").alias("n_child_rows"))
+        part = n_orph.crossJoin(n_tot).select(
+            F.lit(name).alias("relation"), "n_orphans", "n_child_rows"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _oracle_fk_orphans() -> str:
+    parts = []
+    for name, child, ck, parent, pk in FK_RELATIONS:
+        parts.append(
+            f"""SELECT '{name}' AS relation,
+       CAST((SELECT count(*) FROM {child} c WHERE NOT EXISTS
+             (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})) AS BIGINT) AS n_orphans,
+       CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child_rows"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling of orders: per-column null count and
+    exact distinct count in ONE aggregation pass (Catalyst expands the
+    multi-distinct into a single Expand+agg), then stack() pivots the wide
+    row into one row per column.  At 100 TB swap exact count_distinct for
+    approx_count_distinct (HLL) — the plan shape is otherwise identical;
+    exact is kept here because the oracle must hash-match."""
+    tune(spark)
+    o = _load(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"nn_{c}"))
+    aggs.append(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nd_{c}, nn_{c}" for c in PROFILE_COLS)
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS (col_name, n_distinct, n_nulls)"
+        ),
+        "n_rows",
+    )
+
+
+def _oracle_profile_orders() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name, CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM orders"""
+        for c in PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
 
 
 def _events_ms(spark: SparkSession, sf_dir: str):
@@ -1384,7 +1492,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checksum_md5": q_checksum_md5,
         "checksum_compare_md5": q_checksum_compare_md5,
         "checksum_xxhash64": q_checksum_xxhash64,
+        "checksum_crc64": q_checksum_crc64,
         "checksum_by_range": q_checksum_by_range,
+        "fk_orphans": q_fk_orphans,
+        "profile_orders": q_profile_orders,
         "set_ops": q_set_ops,
         "rollup_agg": q_rollup_agg,
         "pivot_agg": q_pivot_agg,
@@ -1424,7 +1535,10 @@ def oracle_sql() -> dict[str, str]:
         "checksum_md5": ORACLE_CHECKSUM_MD5,
         "checksum_compare_md5": ORACLE_CHECKSUM_COMPARE_MD5,
         "checksum_xxhash64": ORACLE_CHECKSUM_XXHASH64,
+        "checksum_crc64": ORACLE_CHECKSUM_CRC64,
         "checksum_by_range": ORACLE_CHECKSUM_BY_RANGE,
+        "fk_orphans": _oracle_fk_orphans(),
+        "profile_orders": _oracle_profile_orders(),
         "set_ops": ORACLE_SET_OPS,
         "rollup_agg": ORACLE_ROLLUP_AGG,
         "pivot_agg": ORACLE_PIVOT_AGG,
