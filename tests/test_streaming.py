@@ -208,3 +208,68 @@ def test_stream_late_data_drops_stragglers(spark):
 
     full = q_events_window_agg(spark, SF_DIR)
     assert got.count() < full.count() or total_streamed < n_all
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """The streamed interval self-join must emit exactly the batch join's
+    pair set on the fixture."""
+    from tests.conftest import SF_DIR
+    from tikv_data_compare_spark.queries import _events_ms, q_stream_stream_join
+
+    got = {
+        (r["click_id"], r["purchase_id"]): r["lag_ms"]
+        for r in q_stream_stream_join(spark, SF_DIR).collect()
+    }
+
+    e, ms = _events_ms(spark, SF_DIR)
+    base = e.select("user_id", "event_id", "event_type", ms.alias("ms"))
+    a = base.filter(F.col("event_type") == "click").toPandas()
+    b = base.filter(F.col("event_type") == "purchase").toPandas()
+    want = {}
+    for _, ra in a.iterrows():
+        for _, rb in b.iterrows():
+            if ra["user_id"] == rb["user_id"] and ra["ms"] <= rb["ms"] <= ra["ms"] + 3_600_000:
+                want[(ra["event_id"], rb["event_id"])] = rb["ms"] - ra["ms"]
+    assert got == want
+    assert len(want) > 0
+
+
+def test_stream_stream_join_spans_batches(spark, tmp_path):
+    """Constructed timeline where matches straddle both chunk boundaries:
+    the pairs can only be emitted if the buffered click survived in join
+    state across micro-batches."""
+    import datetime as dt
+
+    from tikv_data_compare_spark.queries import q_stream_stream_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # span 0..540 min → thirds at 180 and 360; pairs cross 0→1 and 1→2
+    rows = [
+        (1, 10, "click", at(0)),
+        (1, 11, "purchase", at(30)),       # same-chunk match
+        (2, 20, "click", at(170)),
+        (2, 21, "purchase", at(200)),      # crosses chunk 0 → 1
+        (3, 30, "click", at(350)),
+        (3, 31, "purchase", at(380)),      # crosses chunk 1 → 2
+        (4, 40, "click", at(420)),
+        (4, 41, "purchase", at(510)),      # 90 min apart: outside window
+        (5, 50, "view", at(540)),          # pins the max timestamp
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    sf_dir = str(tmp_path / "sf_synth")
+    import os
+
+    os.makedirs(sf_dir)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        (r["click_id"], r["purchase_id"]): r["lag_ms"]
+        for r in q_stream_stream_join(spark, sf_dir).collect()
+    }
+    assert got == {(10, 11): 1_800_000, (20, 21): 1_800_000, (30, 31): 1_800_000}

@@ -1383,6 +1383,112 @@ FROM ontime GROUP BY 1, 2
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join with watermarked state: click events
+    joined to the SAME user's purchase events arriving within the following
+    hour, replayed as three time-ordered micro-batches so matches genuinely
+    span batch boundaries through the join state store.
+
+    Both sides carry a 1-hour watermark; the time-range predicate
+    (``ts_b BETWEEN ts_a AND ts_a + 1h``) lets Spark bound state retention:
+    a buffered click is dropped once the watermark passes its match window
+    — and because the replay is in time order with delay ≥ the join
+    interval, eviction can never lose a future match (post-SPARK-40925 the
+    late filter lags one batch behind eviction, which only widens
+    admission).  Every matched pair is emitted exactly once in append mode,
+    so the union of the per-epoch parquet sinks equals the batch interval
+    join — the DuckDB oracle."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    tune(spark)
+    e, ms = _events_ms(spark, sf_dir)
+    base = e.select("user_id", "event_id", "event_type", ms.alias("ms"))
+    lo, hi = base.agg(F.min("ms"), F.max("ms")).first()
+    b1, b2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+
+    d = tempfile.mkdtemp(prefix="tdc_ss_join_")
+    scratch = tempfile.mkdtemp(prefix="tdc_ss_join_w_")
+    t0 = time.time() - 3600
+    for i, (a, b) in enumerate([(None, b1), (b1, b2), (b2, None)]):
+        chunk = base
+        if a is not None:
+            chunk = chunk.filter(F.col("ms") >= a)
+        if b is not None:
+            chunk = chunk.filter(F.col("ms") < b)
+        cdir = os.path.join(scratch, f"c{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(cdir)
+        part = glob.glob(os.path.join(cdir, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"chunk_{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+    stream = (
+        spark.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ms").alias("a_ms"),
+            F.timestamp_micros(F.col("ms") * 1000).alias("ts_a"),
+        )
+        .withWatermark("ts_a", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ms").alias("b_ms"),
+            F.timestamp_micros(F.col("ms") * 1000).alias("ts_b"),
+        )
+        .withWatermark("ts_b", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr("a_user = b_user AND ts_b >= ts_a AND ts_b <= ts_a + INTERVAL 1 HOUR"),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("a_user").alias("user_id"),
+        (F.col("b_ms") - F.col("a_ms")).cast("long").alias("lag_ms"),
+    )
+
+    sink = tempfile.mkdtemp(prefix="tdc_ss_join_out_")
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(sink, f"epoch_{epoch_id}"))
+
+    q = (
+        joined.writeStream.foreachBatch(on_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    ddl = "click_id long, purchase_id long, user_id long, lag_ms long"
+    epochs = [os.path.join(sink, p) for p in sorted(os.listdir(sink)) if p.startswith("epoch_")]
+    if not epochs:
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(*epochs)
+
+
+ORACLE_STREAM_STREAM_JOIN = f"""
+WITH e AS (SELECT user_id, event_id, event_type, {sqlgen.ts_ms("ts", DUCK)} AS ms FROM events),
+a AS (SELECT * FROM e WHERE event_type = 'click'),
+b AS (SELECT * FROM e WHERE event_type = 'purchase')
+SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+       CAST(b.ms - a.ms AS BIGINT) AS lag_ms
+FROM a JOIN b ON a.user_id = b.user_id AND b.ms >= a.ms AND b.ms <= a.ms + 3600000
+"""
+
+
 def q_stream_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming incremental diff: stream the orders table against
     the static mutated reference via foreachBatch; findings accumulate across
@@ -1513,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_agg": q_stream_window_agg,
         "stream_sessionize": q_stream_sessionize,
         "stream_late_data": q_stream_late_data,
+        "stream_stream_join": q_stream_stream_join,
         "stream_diff": q_stream_diff,
         "codec_roundtrip": q_codec_roundtrip,
     }
@@ -1556,6 +1663,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_window_agg": ORACLE_STREAM_WINDOW_AGG,
         "stream_sessionize": ORACLE_STREAM_SESSIONIZE,
         "stream_late_data": ORACLE_STREAM_LATE_DATA,
+        "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
         "stream_diff": ORACLE_STREAM_DIFF,
         # codec_roundtrip: intentionally no oracle (binary codecs, rows-only)
     }
