@@ -67,3 +67,53 @@ def test_broadcast_used_for_small_dim(spark, lineitem):
     small = spark.createDataFrame([(1,)], "l_orderkey long")
     j = lineitem.join(F.broadcast(small), "l_orderkey")
     assert "BroadcastHashJoin" in plans.join_strategies(j)
+
+
+def _simple(df):
+    return plans.plan_string(df, "simple")
+
+
+def test_hash_sample_is_map_only(spark, documents):
+    """Deterministic sampling must stay a narrow scan→project→filter plan:
+    zero shuffles at any corpus size."""
+    from tikv_data_compare_spark.operators.sampling import hash_sample
+
+    s = _simple(hash_sample(documents.select("doc_id", "text"), "text", pct=10))
+    assert "Exchange" not in s
+
+
+def test_quantiles_single_shuffle(spark):
+    """Rank + group-count + final agg all reuse ONE hash partitioning on the
+    group key — exactly one Exchange in the whole plan."""
+    import os
+
+    from tikv_data_compare_spark.queries import q_quantiles
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    s = _simple(q_quantiles(spark, sf))
+    assert s.count("Exchange") == 1, s
+
+
+def test_fk_orphans_anti_join_no_cartesian(spark):
+    import os
+
+    from tikv_data_compare_spark.queries import q_fk_orphans
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    df = q_fk_orphans(spark, sf)
+    s = _simple(df)
+    assert "LeftAnti" in s
+    assert not plans.has_cartesian(df)
+
+
+def test_profile_orders_one_scan_one_expand(spark):
+    """The multi-distinct profile reads orders ONCE (Expand fans out the
+    distinct groups), instead of one scan per profiled column."""
+    import os
+
+    from tikv_data_compare_spark.queries import q_profile_orders
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    s = _simple(q_profile_orders(spark, sf))
+    assert s.count("Scan parquet") == 1, s
+    assert "Expand" in s
