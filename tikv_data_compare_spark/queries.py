@@ -859,27 +859,8 @@ def q_checksum_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged away: triples per key bucket, so two clusters can be compared
     range-by-range to localize a mismatch before running a full diff."""
     tune(spark)
-    o = _load(spark, sf_dir, "orders")
-    bucket = (F.col("o_orderkey") / F.lit(1000)).cast("long").alias("key_bucket")
-    canon = _orders_canon(SPARK)
-    hashed = (
-        o.withColumn("_canon", F.expr(canon))
-        .withColumn("_m", F.md5(F.col("_canon")))
-        .withColumn("_h", F.expr(sqlgen.hexfold_i64("_m")))
-    )
-    return (
-        hashed.groupBy(bucket)
-        .agg(
-            F.bit_xor("_h").alias("checksum"),
-            F.count(F.lit(1)).alias("total_kvs"),
-            F.sum(F.length("_canon")).alias("total_bytes"),
-        )
-        .select(
-            "key_bucket",
-            "checksum",
-            F.col("total_kvs").cast("long").alias("total_kvs"),
-            F.col("total_bytes").cast("long").alias("total_bytes"),
-        )
+    return _bucket_triples(_load(spark, sf_dir, "orders")).select(
+        "key_bucket", "checksum", "total_kvs", "total_bytes"
     )
 
 
@@ -891,6 +872,80 @@ SELECT CAST(o_orderkey // 1000 AS BIGINT) AS key_bucket,
 FROM (SELECT o_orderkey, _c, md5(_c) AS _m
       FROM (SELECT o_orderkey, {_orders_canon(DUCK)} AS _c FROM orders))
 GROUP BY 1
+"""
+
+
+def _bucket_triples(df: DataFrame) -> DataFrame:
+    """Per-1000-key-bucket checksum triple (the reference's per-region
+    partials, checksum/checksum.go:78-95, keyed by range instead of merged)."""
+    bucket = (F.col("o_orderkey") / F.lit(1000)).cast("long").alias("key_bucket")
+    hashed = (
+        df.withColumn("_canon", F.expr(_orders_canon(SPARK)))
+        .withColumn("_m", F.md5(F.col("_canon")))
+        .withColumn("_h", F.expr(sqlgen.hexfold_i64("_m")))
+    )
+    return hashed.groupBy(bucket).agg(
+        F.bit_xor("_h").alias("checksum"),
+        F.count(F.lit(1)).cast("long").alias("total_kvs"),
+        F.sum(F.length("_canon")).cast("long").alias("total_bytes"),
+    )
+
+
+def q_checksum_range_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mismatch localization — the reference's actual ops workflow run
+    range-by-range: per-bucket checksum triples of BOTH clusters full-outer
+    joined on the bucket, keeping only buckets whose triples differ.  The
+    output is the target list for a focused keyed diff: at 100 TB this is
+    what turns 'the clusters differ' into 'diff these 12 regions', shuffling
+    only ~32 bytes per bucket per side instead of the data."""
+    tune(spark)
+    s = _bucket_triples(_load(spark, sf_dir, "orders"))
+    d = _bucket_triples(mutated_orders(spark, sf_dir))
+    pick = lambda side, c: F.col(f"{side}.{c}").alias(f"{side}_{c}")  # noqa: E731
+    j = s.alias("src").join(d.alias("dst"), on="key_bucket", how="full_outer")
+    out = j.select(
+        "key_bucket",
+        pick("src", "checksum"),
+        pick("dst", "checksum"),
+        pick("src", "total_kvs"),
+        pick("dst", "total_kvs"),
+        pick("src", "total_bytes"),
+        pick("dst", "total_bytes"),
+    )
+    same = (
+        F.col("src_checksum").eqNullSafe(F.col("dst_checksum"))
+        & F.col("src_total_kvs").eqNullSafe(F.col("dst_total_kvs"))
+        & F.col("src_total_bytes").eqNullSafe(F.col("dst_total_bytes"))
+    )
+    return out.filter(~same)
+
+
+ORACLE_CHECKSUM_RANGE_COMPARE = f"""
+WITH dstt AS ({DST_ORDERS_SQL}),
+s AS (
+  SELECT CAST(o_orderkey // 1000 AS BIGINT) AS key_bucket,
+         CAST(bit_xor({sqlgen.hexfold_i64('_m')}) AS BIGINT) AS checksum,
+         CAST(count(*) AS BIGINT) AS total_kvs, CAST(sum(length(_c)) AS BIGINT) AS total_bytes
+  FROM (SELECT o_orderkey, _c, md5(_c) AS _m
+        FROM (SELECT o_orderkey, {_orders_canon(DUCK)} AS _c FROM orders))
+  GROUP BY 1
+),
+d AS (
+  SELECT CAST(o_orderkey // 1000 AS BIGINT) AS key_bucket,
+         CAST(bit_xor({sqlgen.hexfold_i64('_m')}) AS BIGINT) AS checksum,
+         CAST(count(*) AS BIGINT) AS total_kvs, CAST(sum(length(_c)) AS BIGINT) AS total_bytes
+  FROM (SELECT o_orderkey, _c, md5(_c) AS _m
+        FROM (SELECT o_orderkey, {_orders_canon(DUCK)} AS _c FROM dstt))
+  GROUP BY 1
+)
+SELECT coalesce(s.key_bucket, d.key_bucket) AS key_bucket,
+       s.checksum AS src_checksum, d.checksum AS dst_checksum,
+       s.total_kvs AS src_total_kvs, d.total_kvs AS dst_total_kvs,
+       s.total_bytes AS src_total_bytes, d.total_bytes AS dst_total_bytes
+FROM s FULL OUTER JOIN d ON s.key_bucket = d.key_bucket
+WHERE s.checksum IS DISTINCT FROM d.checksum
+   OR s.total_kvs IS DISTINCT FROM d.total_kvs
+   OR s.total_bytes IS DISTINCT FROM d.total_bytes
 """
 
 
@@ -1600,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checksum_xxhash64": q_checksum_xxhash64,
         "checksum_crc64": q_checksum_crc64,
         "checksum_by_range": q_checksum_by_range,
+        "checksum_range_compare": q_checksum_range_compare,
         "fk_orphans": q_fk_orphans,
         "profile_orders": q_profile_orders,
         "set_ops": q_set_ops,
@@ -1644,6 +1700,7 @@ def oracle_sql() -> dict[str, str]:
         "checksum_xxhash64": ORACLE_CHECKSUM_XXHASH64,
         "checksum_crc64": ORACLE_CHECKSUM_CRC64,
         "checksum_by_range": ORACLE_CHECKSUM_BY_RANGE,
+        "checksum_range_compare": ORACLE_CHECKSUM_RANGE_COMPARE,
         "fk_orphans": _oracle_fk_orphans(),
         "profile_orders": _oracle_profile_orders(),
         "set_ops": ORACLE_SET_OPS,
