@@ -1007,6 +1007,36 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube aggregation: all 2^2 grouping sets over (status, priority) —
+    rollup's sibling, one Expand + one aggregation in the plan."""
+    tune(spark)
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(_dc("o_totalprice"))).alias("sum_price_c"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.col("n").cast("long").alias("n"),
+            "sum_price_c",
+        )
+    )
+
+
+ORACLE_CUBE_AGG = f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_dc("o_totalprice")}) AS BIGINT) AS sum_price_c
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts per priority pivoted by status columns."""
     tune(spark)
@@ -1660,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": q_profile_orders,
         "set_ops": q_set_ops,
         "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
         "pivot_agg": q_pivot_agg,
         "agg_count_bytes": q_agg_count_bytes,
         "kv_scan": q_kv_scan,
@@ -1705,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_orders": _oracle_profile_orders(),
         "set_ops": ORACLE_SET_OPS,
         "rollup_agg": ORACLE_ROLLUP_AGG,
+        "cube_agg": ORACLE_CUBE_AGG,
         "pivot_agg": ORACLE_PIVOT_AGG,
         "agg_count_bytes": ORACLE_AGG_COUNT_BYTES,
         "kv_scan": _oracle_kv_scan(),

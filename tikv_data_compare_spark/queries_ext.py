@@ -387,6 +387,33 @@ FROM base
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the pre-pass before exact dedup):
+    lowercase, strip sentence punctuation, collapse whitespace runs, trim.
+    Pure JVM string functions; the normalized text plus its byte delta are
+    returned so the oracle verifies the transform itself."""
+    tune(spark)
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    stripped = "replace(replace(replace(lower(text), '.', ''), ',', ''), '!', '')"
+    norm = f"trim(regexp_replace({stripped}, ' +', ' '))"
+    return docs.select(
+        "doc_id",
+        F.expr(norm).alias("norm_text"),
+        F.expr(f"CAST(length(text) - length({norm}) AS BIGINT)").alias("chars_removed"),
+    )
+
+
+ORACLE_TEXT_NORMALIZE = """
+SELECT doc_id, norm_text,
+       CAST(length(text) - length(norm_text) AS BIGINT) AS chars_removed
+FROM (
+  SELECT doc_id, text,
+         trim(regexp_replace(replace(replace(replace(lower(text), '.', ''), ',', ''), '!', ''), ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-based quality gate: per-rule pass flags + keep
     conjunction (token bounds, mean-word-length band, punctuation cap,
@@ -812,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": q_embedding_stats,
         "text_stats": q_text_stats,
         "text_tokens": q_text_tokens,
+        "text_normalize": q_text_normalize,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -841,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_stats": ORACLE_EMBEDDING_STATS,
         "text_stats": ORACLE_TEXT_STATS,
         "text_tokens": ORACLE_TEXT_TOKENS,
+        "text_normalize": ORACLE_TEXT_NORMALIZE,
         "text_quality": ORACLE_TEXT_QUALITY,
         "text_langid": _oracle_langid(),
         "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
