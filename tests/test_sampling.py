@@ -47,3 +47,14 @@ def test_sampling_guards(spark, documents):
         stratified_sample(documents, ["lang"], k=0)
     with pytest.raises(ValueError):
         hash_sample(documents.withColumn("_sample_m", F.lit(1)), "text", pct=10)
+
+
+def test_hash_sample_monotone_subset(spark, documents):
+    """A lower-pct sample must be a strict subset of any higher-pct sample
+    (buckets are stable, thresholds nest) — the property that makes
+    train/val splits reproducible across corpus versions."""
+    docs = documents.select("doc_id", "text")
+    s5 = {r["doc_id"] for r in hash_sample(docs, "text", pct=5).collect()}
+    s20 = {r["doc_id"] for r in hash_sample(docs, "text", pct=20).collect()}
+    assert s5 <= s20
+    assert len(s5) < len(s20)

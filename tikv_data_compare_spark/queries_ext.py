@@ -328,6 +328,50 @@ FROM e
 """
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroid summary: element-wise mean vector via
+    posexplode → (group, position) aggregation — the distributed
+    vector-reduce shape (map-side partial sums per component, one shuffle
+    keyed on (lang, pos)) that k-means assignment/update steps are built
+    from.  Reported as (n_vecs, dim, centroid L2 norm) per language."""
+    tune(spark)
+    emb = _load(spark, sf_dir, "embeddings")
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    j = emb.join(docs, "vec_id")
+    comp = j.select(
+        "lang", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("xd", F.expr("CAST(x AS DOUBLE)"))
+    cent = comp.groupBy("lang", "pos").agg(F.avg("xd").alias("m"))
+    norms = cent.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("dim"),
+        F.expr("CAST(ROUND(10000.0 * sqrt(sum(m * m))) AS BIGINT)").alias("centroid_norm_c"),
+    )
+    counts = j.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    return norms.join(counts, "lang").select("lang", "n_vecs", "dim", "centroid_norm_c")
+
+
+ORACLE_EMBEDDING_CENTROIDS = """
+WITH j AS (
+  SELECT e.vec_id, d.lang, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+comp AS (
+  SELECT lang, pos, v[pos] AS x
+  FROM (SELECT lang, v, unnest(generate_series(1, len(v))) AS pos FROM j)
+),
+cent AS (SELECT lang, pos, avg(x) AS m FROM comp GROUP BY lang, pos),
+norms AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS dim,
+         CAST(ROUND(10000.0 * sqrt(sum(m * m))) AS BIGINT) AS centroid_norm_c
+  FROM cent GROUP BY lang
+),
+counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_vecs FROM j GROUP BY lang)
+SELECT norms.lang, n_vecs, dim, centroid_norm_c FROM norms JOIN counts ON norms.lang = counts.lang
+"""
+
+
 ORACLE_SIMILARITY_EMBED_DUP = f"""
 SELECT CAST({sqlgen.hexfold_i64('_m')} AS BIGINT) AS vec_fp,
        CAST(min(vec_id) AS BIGINT) AS keep_vec_id,
@@ -837,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_near_dup": q_similarity_near_dup,
         "similarity_embed_dup": q_similarity_embed_dup,
         "embedding_stats": q_embedding_stats,
+        "embedding_centroids": q_embedding_centroids,
         "text_stats": q_text_stats,
         "text_tokens": q_text_tokens,
         "text_normalize": q_text_normalize,
@@ -867,6 +912,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk_ivf": ORACLE_SIMILARITY_TOPK,
         "similarity_embed_dup": ORACLE_SIMILARITY_EMBED_DUP,
         "embedding_stats": ORACLE_EMBEDDING_STATS,
+        "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
         "text_stats": ORACLE_TEXT_STATS,
         "text_tokens": ORACLE_TEXT_TOKENS,
         "text_normalize": ORACLE_TEXT_NORMALIZE,
