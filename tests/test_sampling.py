@@ -58,3 +58,10 @@ def test_hash_sample_monotone_subset(spark, documents):
     s20 = {r["doc_id"] for r in hash_sample(docs, "text", pct=20).collect()}
     assert s5 <= s20
     assert len(s5) < len(s20)
+
+
+def test_hash_sample_null_content_not_dropped(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None)], "doc_id long, text string")
+    assert hash_sample(df, "text", pct=100).count() == 2
+    with pytest.raises(ValueError):
+        hash_sample(df.withColumn("sample_bucket", F.lit(1)), "text", pct=10)

@@ -26,10 +26,15 @@ from tikv_data_compare_spark.functions import sqlgen
 _STAGE = "_sample_m"
 
 
-def _with_hash(df: DataFrame, content_col: str) -> DataFrame:
+def _with_hash(df: DataFrame, content_col: str, out_col: str) -> DataFrame:
     if _STAGE in df.columns:
         raise ValueError(f"column name {_STAGE!r} is reserved by the sampling operators")
-    return df.withColumn(_STAGE, F.md5(F.col(content_col).cast("string")))
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists on the input")
+    # NULL content hashes as the empty string — md5(NULL) is NULL, which
+    # would silently drop the row from even a pct=100 sample
+    content = F.coalesce(F.col(content_col).cast("string"), F.lit(""))
+    return df.withColumn(_STAGE, F.md5(content))
 
 
 def hash_sample(
@@ -46,7 +51,7 @@ def hash_sample(
         raise ValueError(f"pct must be in [0, 100], got {pct}")
     bucket = F.expr(f"(({sqlgen.hexfold_i64(_STAGE)} % 100) + 100) % 100")
     return (
-        _with_hash(df, content_col)
+        _with_hash(df, content_col, bucket_col)
         .withColumn(bucket_col, bucket.cast("long"))
         .filter(F.col(bucket_col) < pct)
         .drop(_STAGE)
@@ -69,7 +74,7 @@ def stratified_sample(
     is not deterministic."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    staged = _with_hash(df, content_col).withColumn(
+    staged = _with_hash(df, content_col, rank_col).withColumn(
         "_sample_h", F.expr(sqlgen.hexfold_i64(_STAGE))
     )
     order = [F.col("_sample_h")] + [F.col(c) for c in (tiebreak_cols or [])]
