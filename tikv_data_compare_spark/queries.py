@@ -225,6 +225,39 @@ WHERE o_orderkey >= {lo} AND o_orderkey < {hi}
 """
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format breadth: the documents corpus exported as JSON Lines
+    (the interchange format training corpora actually ship in), read back
+    through Spark's JSON source with an explicit schema, and verified
+    against the parquet original by keyed full-outer comparison — the same
+    dual-source equality discipline as the scan-dump roundtrip, over a
+    text-based source.  Distributed write and read; one summary row."""
+    import os
+    import tempfile
+
+    tune(spark)
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = os.path.join(tempfile.mkdtemp(prefix="tdc_jsonl_"), "docs")
+    docs.write.mode("overwrite").json(d)
+    back = spark.read.schema(docs.schema).json(d)
+    j = docs.alias("a").join(back.alias("b"), "doc_id", "full_outer")
+    ok = (
+        F.col("a.lang").eqNullSafe(F.col("b.lang"))
+        & F.col("a.text").eqNullSafe(F.col("b.text"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(ok.cast("long")).cast("long").alias("n_roundtrip_ok"),
+    )
+
+
+# JSONL write→read must preserve every row byte-identically
+ORACLE_JSONL_ROUNDTRIP = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_roundtrip_ok
+FROM documents
+"""
+
+
 # ================================================================ parity: diff
 
 
@@ -1433,7 +1466,11 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     ddl = "window_start_ms long, event_type string, n long, sum_value_c long"
-    epochs = sorted(p for p in os.listdir(sink) if p.startswith("epoch_"))
+    # numeric sort: lexical order breaks past epoch_9 and _e must follow time
+    epochs = sorted(
+        (p for p in os.listdir(sink) if p.startswith("epoch_")),
+        key=lambda p: int(p.rsplit("_", 1)[1]),
+    )
     if not epochs:
         return spark.createDataFrame([], ddl)
     per_epoch = [
@@ -1675,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_scan": q_range_scan,
         "scan_export_hex": q_scan_export_hex,
         "scan_dump_roundtrip": q_scan_dump_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "diff_keyed": q_diff_keyed,
         "bucketed_diff": q_bucketed_diff,
         "diff_only_src": q_diff_only_src,
@@ -1721,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "range_scan": ORACLE_RANGE_SCAN,
         "scan_export_hex": _oracle_export_hex(),
         "scan_dump_roundtrip": _oracle_scan_dump(),
+        "jsonl_roundtrip": ORACLE_JSONL_ROUNDTRIP,
         "diff_keyed": ORACLE_DIFF_KEYED,
         "bucketed_diff": ORACLE_DIFF_KEYED,
         "diff_only_src": ORACLE_DIFF_ONLY_SRC,
