@@ -117,3 +117,41 @@ def test_profile_orders_one_scan_one_expand(spark):
     s = _simple(q_profile_orders(spark, sf))
     assert s.count("Scan parquet") == 1, s
     assert "Expand" in s
+
+
+def test_runtime_bloom_filter_prunes_join(spark):
+    """With runtime Bloom pruning enabled, a selective non-broadcast join
+    must inject a bloom_filter_agg on the selective side — the row-level
+    scan pruning that matters at fact-table scale."""
+    import os
+
+    from tikv_data_compare_spark.session import enable_runtime_bloom
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        enable_runtime_bloom(spark)
+        # tiny local fixtures need the size gates opened to see the rewrite
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select("l_orderkey", "o_totalprice")
+        assert "bloom_filter_agg" in plans.plan_string(j, "formatted")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -46,6 +46,18 @@ def get_spark(app_name: str = "tikv-data-compare-spark", cpus: int | None = None
     return spark
 
 
+def enable_runtime_bloom(spark: SparkSession) -> SparkSession:
+    """Turn on Catalyst's runtime Bloom-filter join pruning (Spark 3.3+).
+
+    For a selective non-broadcast join, the optimizer builds a Bloom filter
+    over the creation side's join keys and pushes a ``might_contain`` probe
+    into the other side's scan — at 100 TB this skips most of the fact
+    table's rows before the shuffle.  Off by default upstream, so exposed
+    as an explicit opt-in; plan shape pinned in tests/test_plans.py."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    return spark
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally-created session.
 
