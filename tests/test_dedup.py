@@ -105,3 +105,39 @@ def test_jaccard_with_shared_shingles(spark, docs):
         assert "InMemoryTableScan" in plan
     finally:
         shingles.unpersist()
+
+
+def test_connected_components_constructed_graph(spark):
+    from tikv_data_compare_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_deep_chain(spark):
+    """A path graph has maximal diameter — the propagation loop must walk
+    it to the far end, exercising multiple checkpointed rounds."""
+    from tikv_data_compare_spark.operators.graph import connected_components
+
+    n = 30
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    import pytest
+
+    from tikv_data_compare_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError):
+        connected_components(edges, max_iter=2)

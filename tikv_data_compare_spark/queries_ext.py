@@ -161,6 +161,43 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the minhash
+    LSH candidate-pair graph (operators/graph.py min-label propagation,
+    localCheckpoint-ed per round).  A dup CLUSTER is the transitive closure
+    of pairwise candidates — keep min doc_id per component; the oracle
+    reproduces the closure with a recursive CTE."""
+    tune(spark)
+    from tikv_data_compare_spark.operators.graph import connected_components
+
+    pairs = dd.minhash_pairs(_load(spark, sf_dir, "documents"), "doc_id", "text")
+    comp = connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+ORACLE_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE sig AS ({_oracle_minhash_sig_cte()}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+       (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3)
+    OR (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.u
+)
+SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY u
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard for the minhash candidate pairs (verify stage
     of the near-dup pipeline)."""
@@ -874,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "similarity_topk": q_similarity_topk,
@@ -906,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sig": ORACLE_DEDUP_MINHASH_SIG,
         "dedup_minhash_pairs": ORACLE_DEDUP_MINHASH_PAIRS,
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+        "dedup_components": ORACLE_DEDUP_COMPONENTS,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
