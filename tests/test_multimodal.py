@@ -129,3 +129,48 @@ def test_audio_meta_distributed(spark):
     assert (got[1]["channels"], got[1]["sample_rate"], got[1]["bits"], got[1]["data_size"]) == (1, 16000, 8, 321)
     assert (got[2]["channels"], got[2]["sample_rate"], got[2]["bits"], got[2]["data_size"]) == (2, 44100, 16, 4321)
     assert got[3]["channels"] is None and got[3]["data_size"] is None
+
+
+def test_wav_header_roundtrip_property():
+    """Any synthesized RIFF/WAVE header must parse back to its own fields
+    (struct-pack → chunk-walk inverse), with or without an interposed
+    chunk."""
+    from hypothesis import given, settings, strategies as st
+
+    from tikv_data_compare_spark.operators.multimodal import parse_wav_header
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ch=st.integers(1, 8),
+        sr=st.integers(1, 384_000),
+        bits=st.sampled_from([8, 16, 24, 32]),
+        dsz=st.integers(0, 2**31 - 1),
+        extra=st.booleans(),
+    )
+    def check(ch, sr, bits, dsz, extra):
+        data = _wav_bytes(ch, sr, bits, dsz, extra_chunk=extra)
+        assert parse_wav_header(data) == (ch, sr, bits, dsz)
+
+    check()
+
+
+def test_image_header_roundtrip_property():
+    """PNG (big-endian) and GIF (little-endian) headers parse back to their
+    synthesized dimensions."""
+    import struct
+
+    from hypothesis import given, settings, strategies as st
+
+    from tikv_data_compare_spark.operators.multimodal import parse_image_header
+
+    @settings(max_examples=200, deadline=None)
+    @given(w=st.integers(0, 2**16 - 1), h=st.integers(0, 2**16 - 1), gif=st.booleans())
+    def check(w, h, gif):
+        if gif:
+            data = b"GIF89a" + struct.pack("<HH", w, h)
+        else:
+            data = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, h)
+        fmt, pw, ph = parse_image_header(data)
+        assert (fmt, pw, ph) == ("gif" if gif else "png", w, h)
+
+    check()
