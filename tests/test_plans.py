@@ -155,3 +155,56 @@ def test_runtime_bloom_filter_prunes_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partitioned_scan_prunes_partitions(spark):
+    """The hive-partitioned layout must answer a partition-column filter by
+    directory pruning: the filter appears as PartitionFilters on the scan
+    (not a post-scan data Filter over all partitions)."""
+    import os
+
+    from tikv_data_compare_spark.queries_more import q_partitioned_prune
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    s = plans.plan_string(q_partitioned_prune(spark, sf), "formatted")
+    pf = [l for l in s.splitlines() if "PartitionFilters" in l]
+    assert pf and "o_orderpriority" in pf[0], s
+
+
+def test_funnel_two_exchanges_only(spark):
+    """Four cascaded window-mins + per-user groupBy share ONE user_id
+    partitioning; only the final scalar rollup adds a single-partition
+    exchange — 2 Exchanges total regardless of stage count."""
+    import os
+
+    from tikv_data_compare_spark.queries_more import q_events_funnel
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    s = _simple(q_events_funnel(spark, sf))
+    assert s.count("Exchange") == 2, s
+
+
+def test_repair_plan_single_join(spark):
+    """repair_plan is one full-outer join read twice (upserts + deletes),
+    never a cartesian; the union must not introduce extra joins."""
+    import os
+
+    from tikv_data_compare_spark.queries_more import q_diff_repair
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    df = q_diff_repair(spark, sf)
+    assert not plans.has_cartesian(df)
+    assert plans.join_strategies(df) & {"SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"}
+
+
+def test_tfidf_broadcasts_doc_frequency(spark, documents):
+    """The document-frequency table (≤ vocabulary size) must broadcast back
+    onto the (doc, term) counts — no shuffle of the big side for the idf
+    join."""
+    from tikv_data_compare_spark.operators.text import tfidf_top_terms
+
+    df = tfidf_top_terms(documents.select("doc_id", "text"))
+    assert "BroadcastHashJoin" in plans.join_strategies(df)
+    # the scalar N-docs factor joins as a 1-row broadcast (BNLJ), never a
+    # shuffled cartesian
+    assert not plans.has_cartesian(df)

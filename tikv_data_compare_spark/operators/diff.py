@@ -80,6 +80,50 @@ def only_in_dst(src: Keyed, dst: Keyed) -> DataFrame:
     return dst.df.join(src.df.select(*src.keys), on=list(dst.keys), how="left_anti")
 
 
+ACTION_UPSERT = "upsert"
+ACTION_DELETE = "delete"
+
+
+def repair_plan(src: Keyed, dst: Keyed) -> DataFrame:
+    """Reconciliation plan: the minimal keyed action set that makes dst equal
+    src.
+
+    ``upsert`` rows carry the src payload for keys that are missing from dst
+    or whose values differ; ``delete`` rows carry typed NULL payloads for
+    keys present only in dst.  Extends the reference's report-only diff
+    (diff/diff.go:49-62) into an actionable MERGE-shaped output — same single
+    full-outer sort-merge join as :func:`diff`, one shuffle per side, no
+    extra passes.  :func:`apply_repair` proves the invariant
+    ``apply_repair(dst, repair_plan(src, dst)) == src``.
+    """
+    check_comparable(src, dst)
+    keys = list(src.keys)
+    d = diff(src, dst)
+    dtypes = {f.name: f.dataType for f in src.df.schema.fields}
+    ups = d.filter(F.col("status").isin(STATUS_CHANGED, STATUS_ONLY_SRC)).select(
+        *keys,
+        F.lit(ACTION_UPSERT).alias("action"),
+        *[F.col(f"src_{v}").alias(v) for v in src.values],
+    )
+    dels = d.filter(F.col("status") == STATUS_ONLY_DST).select(
+        *keys,
+        F.lit(ACTION_DELETE).alias("action"),
+        *[F.lit(None).cast(dtypes[v]).alias(v) for v in src.values],
+    )
+    return ups.unionByName(dels)
+
+
+def apply_repair(dst: Keyed, plan: DataFrame) -> DataFrame:
+    """Apply a :func:`repair_plan` to dst: drop every keyed row the plan
+    touches (both delete targets and upsert keys), then append the upsert
+    payloads.  One anti-join + one union — the batch analogue of MERGE INTO.
+    Returns a DataFrame with dst's column order."""
+    keys = list(dst.keys)
+    untouched = dst.df.join(plan.select(*keys), on=keys, how="left_anti")
+    ups = plan.filter(F.col("action") == ACTION_UPSERT).select(*keys, *dst.values)
+    return untouched.unionByName(ups)
+
+
 def diff_count(src: Keyed, dst: Keyed) -> DataFrame:
     """Aggregate diff summary: count per status — cheap verdict without
     materializing per-row findings."""

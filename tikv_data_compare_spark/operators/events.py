@@ -1,0 +1,93 @@
+"""Event-sequence analytics: ordered conversion funnels and inter-event gap
+profiles.
+
+Both operators are single-shuffle designs: every window and the follow-up
+groupBy share ONE user-partitioning, so at 100 TB the cost is one exchange of
+(user, type, ts) triples — no self-joins, no per-user collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def funnel_times(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ms",
+) -> DataFrame:
+    """Per-user first-touch cascade reach times.
+
+    ``t1`` = min ts of a stage-1 event; ``t_k`` = min ts of a stage-k event
+    at-or-after ``t_{k-1}`` — NULL from the first unreached stage onward (a
+    NULL ``t_{k-1}`` nulls the comparison, so later stages can't match).
+
+    Shape: len(stages) chained window-mins over the SAME user partitioning
+    (one exchange, one sort, Window operators back-to-back), then a groupBy
+    on the already-partitioned key (no second exchange) collapsing the
+    partition-constant columns.
+    """
+    if len(stages) < 1:
+        raise ValueError("funnel needs at least one stage")
+    w = Window.partitionBy(user_col)
+    cur = df.withColumn(
+        "t1", F.min(F.when(F.col(type_col) == stages[0], F.col(ts_col))).over(w)
+    )
+    for i, stage in enumerate(stages[1:], start=2):
+        cur = cur.withColumn(
+            f"t{i}",
+            F.min(
+                F.when(
+                    (F.col(type_col) == stage) & (F.col(ts_col) >= F.col(f"t{i-1}")),
+                    F.col(ts_col),
+                )
+            ).over(w),
+        )
+    return cur.groupBy(user_col).agg(
+        *[F.min(f"t{i}").alias(f"t{i}") for i in range(1, len(stages) + 1)]
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ms",
+) -> DataFrame:
+    """Scalar funnel rollup: total users plus, per stage, how many users
+    reached it (non-null cascade time) — columns ``n_users, n_<stage>...``."""
+    per_user = funnel_times(df, stages, user_col, type_col, ts_col)
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        *[
+            F.count(f"t{i}").cast("long").alias(f"n_{stage}")
+            for i, stage in enumerate(stages, start=1)
+        ],
+    )
+
+
+def gap_profile(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ms",
+    tiebreak_col: str = "event_id",
+    long_gap_ms: int = 1_800_000,
+) -> DataFrame:
+    """Per-user inter-event gap profile: event/gap counts, max/sum gap, and
+    the number of gaps above ``long_gap_ms`` (the sessionize threshold).
+    One lag window + one groupBy over the same user partitioning; exact
+    integer arithmetic throughout."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    gapped = df.withColumn("gap", F.col(ts_col) - F.lag(ts_col).over(w))
+    return gapped.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.max("gap").alias("max_gap_ms"),
+        F.sum("gap").alias("sum_gap_ms"),
+        F.count(F.when(F.col("gap") > long_gap_ms, 1)).cast("long").alias("n_long_gaps"),
+    )

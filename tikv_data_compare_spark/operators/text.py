@@ -7,7 +7,7 @@ remain DuckDB-oracle checkable via the shared canon/hash primitives.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from tikv_data_compare_spark.functions import sqlgen
 
@@ -229,4 +229,48 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
             f"CAST(aggregate({ws}, CAST(0 AS BIGINT), "
             f"(acc, w) -> acc + 1 + CAST(greatest(length(w) - 6, 0) / 6 AS BIGINT)) AS BIGINT)"
         ),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the classic corpus keyword
+    extractor for training-data curation (topic tagging, boilerplate
+    detection).
+
+    score_c = tf × ROUND(ln(N/df) × 1e6): the idf factor is frozen to a
+    scaled integer so ranking and output are bit-identical across engines
+    (raw double tf-idf is not hash-comparable).  Ties break on the term
+    string ascending, so top-k is fully deterministic.
+
+    Scale shape: one explode → (doc, term) count, then the document-
+    frequency table — tiny (≤ vocabulary size) — is broadcast back; the
+    corpus size N joins as a broadcast scalar.  Only the final row_number
+    window re-shuffles by document.  No UDFs, no driver-side collect.
+    """
+    words = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score_c",
+            F.col("tf")
+            * F.expr("CAST(ROUND(LN(CAST(n_docs AS DOUBLE) / df) * 1000000) AS BIGINT)"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(F.col("score_c").desc(), F.col("w").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("w").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            "score_c",
+        )
     )

@@ -1706,7 +1706,7 @@ def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from tikv_data_compare_spark import queries_ext
+    from tikv_data_compare_spark import queries_ext, queries_more
 
     base = {
         "range_scan": q_range_scan,
@@ -1749,11 +1749,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip": q_codec_roundtrip,
     }
     base.update(queries_ext.queries())
+    base.update(queries_more.queries())
     return base
 
 
 def oracle_sql() -> dict[str, str]:
-    from tikv_data_compare_spark import queries_ext
+    from tikv_data_compare_spark import queries_ext, queries_more
 
     base = {
         "range_scan": ORACLE_RANGE_SCAN,
@@ -1796,4 +1797,5 @@ def oracle_sql() -> dict[str, str]:
         # codec_roundtrip: intentionally no oracle (binary codecs, rows-only)
     }
     base.update(queries_ext.oracle_sql())
+    base.update(queries_more.oracle_sql())
     return base

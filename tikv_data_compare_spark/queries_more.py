@@ -1,0 +1,382 @@
+"""Round-4 extension queries: reconciliation, funnel/gap analytics, histograms,
+TF-IDF keywords, dedup canonicalization, and source-format roundtrips.
+
+Same driver contract as queries.py / queries_ext.py: every entry has a Spark
+implementation (operators/*) and a bit-identical DuckDB oracle built from the
+shared sqlgen canon primitives.  Registered via queries.queries() /
+queries.oracle_sql().
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tikv_data_compare_spark.functions import sqlgen
+from tikv_data_compare_spark.functions.sqlgen import DUCK, SPARK
+from tikv_data_compare_spark.model import Keyed
+from tikv_data_compare_spark.operators import diff as df_ops
+from tikv_data_compare_spark.operators import events as ev
+from tikv_data_compare_spark.operators import text as tx
+from tikv_data_compare_spark.queries import (
+    DST_ORDERS_SQL,
+    _dc,
+    _events_ms,
+    _load,
+    mutated_orders,
+)
+from tikv_data_compare_spark.session import tune
+
+# ===================================================== diff → reconciliation
+
+
+REPAIR_VALUE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+def q_diff_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation plan from the keyed diff: the action set (upsert with
+    src payload / delete with NULL payload) that makes the mutated dst equal
+    src again — the reference's diff report (diff/diff.go:49-62) upgraded to
+    an executable MERGE input.  One full-outer sort-merge join; the invariant
+    apply_repair(dst, plan) == src is pytest-proven (tests/test_repair.py)."""
+    tune(spark)
+    src = Keyed.of(
+        _load(spark, sf_dir, "orders").select("o_orderkey", *REPAIR_VALUE_COLS),
+        keys=("o_orderkey",),
+    )
+    dst = Keyed.of(
+        mutated_orders(spark, sf_dir).select("o_orderkey", *REPAIR_VALUE_COLS),
+        keys=("o_orderkey",),
+    )
+    plan = df_ops.repair_plan(src, dst)
+    return plan.select(
+        "o_orderkey",
+        "action",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr(_dc("o_totalprice")).alias("o_totalprice_c"),
+    )
+
+
+ORACLE_DIFF_REPAIR = f"""
+WITH s AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+d AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM ({DST_ORDERS_SQL}))
+SELECT s.o_orderkey, 'upsert' AS action, s.o_custkey, s.o_orderstatus,
+       {_dc("s.o_totalprice")} AS o_totalprice_c
+FROM s LEFT JOIN d ON s.o_orderkey = d.o_orderkey
+WHERE d.o_orderkey IS NULL
+   OR NOT (s.o_custkey IS NOT DISTINCT FROM d.o_custkey
+       AND s.o_orderstatus IS NOT DISTINCT FROM d.o_orderstatus
+       AND s.o_totalprice IS NOT DISTINCT FROM d.o_totalprice)
+UNION ALL
+SELECT d.o_orderkey, 'delete' AS action, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT)
+FROM d
+WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = d.o_orderkey)
+"""
+
+
+# ===================================================== dedup canonicalization
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup decision: every document mapped to its
+    transitive dup component (connected components over the minhash-LSH pair
+    graph) with a kept/dropped verdict — kept iff the doc is its component's
+    canonical (minimum) id; singletons keep themselves.  This is the row a
+    training-data pipeline actually acts on, completing the
+    pairs → components → decisions chain."""
+    tune(spark)
+    from tikv_data_compare_spark.operators import dedup as dd
+    from tikv_data_compare_spark.operators.graph import connected_components
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    pairs = dd.minhash_pairs(_load(spark, sf_dir, "documents"), "doc_id", "text")
+    comp = connected_components(pairs)
+    joined = docs.join(comp, docs.doc_id == comp.id, "left")
+    component = F.coalesce(F.col("component"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        component.cast("long").alias("component"),
+        (component == F.col("doc_id")).cast("long").alias("kept"),
+    )
+
+
+def _oracle_dedup_canonical() -> str:
+    from tikv_data_compare_spark.queries_ext import ORACLE_DEDUP_COMPONENTS
+
+    return f"""
+WITH comp AS ({ORACLE_DEDUP_COMPONENTS})
+SELECT d.doc_id,
+       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+       CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+# ============================================================ events: funnel
+
+
+FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → click → purchase: a user
+    reaches stage k iff an event of that type occurs at-or-after their
+    stage-(k-1) reach time (first-touch cascade).
+
+    Shape: four chained window-mins over the SAME user_id partitioning — one
+    exchange, one sort, four Window operators back-to-back — then a groupBy
+    on the already-partitioned key (no second exchange) and a scalar rollup.
+    No self-joins, no collect; at 100 TB this is a single shuffle of
+    (user_id, type, ms) triples."""
+    tune(spark)
+    e, ms = _events_ms(spark, sf_dir)
+    base = e.select("user_id", "event_type", ms.alias("ms"))
+    return ev.funnel_counts(base, FUNNEL_STAGES)
+
+
+ORACLE_EVENTS_FUNNEL = f"""
+WITH base AS (SELECT user_id, event_type, {sqlgen.ts_ms("ts", DUCK)} AS ms FROM events),
+w1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN ms END)
+                 OVER (PARTITION BY user_id) AS t1 FROM base),
+w2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND ms >= t1 THEN ms END)
+                 OVER (PARTITION BY user_id) AS t2 FROM w1),
+w3 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ms >= t2 THEN ms END)
+                 OVER (PARTITION BY user_id) AS t3 FROM w2),
+w4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ms >= t3 THEN ms END)
+                 OVER (PARTITION BY user_id) AS t4 FROM w3),
+per_user AS (
+  SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3, min(t4) AS t4
+  FROM w4 GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(t1) AS BIGINT) AS n_signup,
+       CAST(count(t2) AS BIGINT) AS n_view,
+       CAST(count(t3) AS BIGINT) AS n_click,
+       CAST(count(t4) AS BIGINT) AS n_purchase
+FROM per_user
+"""
+
+
+# ============================================================== events: gaps
+
+
+GAP_LONG_MS = 1_800_000  # same 30-min threshold as sessionize
+
+
+def q_events_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap profile: gap count, max/sum gap, and how many
+    gaps exceed the 30-min session threshold — the distribution that
+    motivates the sessionize cut-off.  One lag window + one groupBy over the
+    same user partitioning (single exchange), exact integer ms arithmetic."""
+    tune(spark)
+    e, ms = _events_ms(spark, sf_dir)
+    base = e.select("user_id", "event_id", ms.alias("ms"))
+    return ev.gap_profile(base, long_gap_ms=GAP_LONG_MS)
+
+
+ORACLE_EVENTS_GAPS = f"""
+WITH base AS (SELECT user_id, event_id, {sqlgen.ts_ms("ts", DUCK)} AS ms FROM events),
+gapped AS (
+  SELECT user_id, ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap
+  FROM base
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(max(gap) AS BIGINT) AS max_gap_ms,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_ms,
+       CAST(count(CASE WHEN gap > {GAP_LONG_MS} THEN 1 END) AS BIGINT) AS n_long_gaps
+FROM gapped GROUP BY user_id
+"""
+
+
+# ========================================================== price histogram
+
+
+HIST_BUCKET_CENTS = 2_000_000  # $20,000 equal-width buckets
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order totals in exact integer cents —
+    bucket = round(price×100) div 2,000,000 ($20k), so bucket edges are
+    engine-stable (no float floor at boundaries).  Pure map-side bucketing +
+    one tiny shuffle of ≤ ~30 partial rows per task: the 100 TB profile
+    primitive."""
+    tune(spark)
+    o = _load(spark, sf_dir, "orders")
+    cents = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    b = o.select(
+        F.expr(f"{cents} DIV {HIST_BUCKET_CENTS}").alias("bucket"),
+        F.expr(cents).alias("cents"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * (HIST_BUCKET_CENTS // 100)).alias("lo_dollars"),
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+ORACLE_PRICE_HISTOGRAM = f"""
+WITH b AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // {HIST_BUCKET_CENTS} AS bucket,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT bucket, CAST(bucket * {HIST_BUCKET_CENTS // 100} AS BIGINT) AS lo_dollars,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY bucket
+"""
+
+
+# ============================================================== text: tf-idf
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/text.py tfidf_top_terms):
+    idf frozen to ROUND(ln(N/df)×1e6) so the ranking and score are integer
+    and bit-identical across engines; term-ascending tie-break makes top-k
+    deterministic."""
+    tune(spark)
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+ORACLE_TEXT_TFIDF = f"""
+WITH words AS (
+  SELECT doc_id, unnest({sqlgen.split_words('text', DUCK)}) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+dfreq AS (SELECT w, count(*) AS dfq FROM tf GROUP BY w),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf,
+         tf.tf * CAST(ROUND(LN(CAST(n.n_docs AS DOUBLE) / dfreq.dfq) * 1000000) AS BIGINT) AS score_c
+  FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_c DESC, w ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, w AS term, CAST(tf AS BIGINT) AS tf, score_c
+FROM ranked WHERE rnk <= 3
+"""
+
+
+# ====================================================== sources: CSV roundtrip
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink→source roundtrip for the orders table: write with header
+    (timestamps pre-rendered to the canonical millisecond format, doubles as
+    shortest-roundtrip text), read back under an explicit schema, return the
+    canonical projection.  The oracle is the parquet original — any CSV
+    quote/parse/precision defect breaks the hash."""
+    tune(spark)
+    o = _load(spark, sf_dir, "orders")
+    staged = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.expr(sqlgen.canon("o_orderdate", sqlgen.TIMESTAMP, SPARK)).alias("o_orderdate_s"),
+        "o_orderpriority",
+    )
+    d = tempfile.mkdtemp(prefix="tdc_csv_")
+    staged.write.mode("overwrite").option("header", True).csv(d)
+    back = (
+        spark.read.option("header", True)
+        .schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate_s string, o_orderpriority string"
+        )
+        .csv(d)
+    )
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.expr(_dc("o_totalprice")).alias("o_totalprice_c"),
+        "o_orderdate_s",
+        "o_orderpriority",
+    )
+
+
+ORACLE_CSV_ROUNDTRIP = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       {_dc("o_totalprice")} AS o_totalprice_c,
+       {sqlgen.canon("o_orderdate", sqlgen.TIMESTAMP, DUCK)} AS o_orderdate_s,
+       o_orderpriority
+FROM orders
+"""
+
+
+# ============================================== sources: partitioned layout
+
+
+PRUNE_PRIORITY = "1-URGENT"
+
+
+def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet layout + partition pruning: write orders
+    partitioned by o_orderpriority, read back with a partition-column filter
+    — the scan must touch ONLY the matching directory (partition pruning,
+    plan-asserted in tests/test_plans.py), the 100 TB answer to 'compare only
+    this slice'.  Returns the per-status rollup of the pruned slice."""
+    tune(spark)
+    o = _load(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="tdc_part_")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(d)
+    back = spark.read.parquet(d).filter(F.col("o_orderpriority") == PRUNE_PRIORITY)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr(_dc("o_totalprice"))).alias("sum_price_c"),
+    )
+
+
+ORACLE_PARTITIONED_PRUNE = f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({_dc("o_totalprice")}) AS BIGINT) AS sum_price_c
+FROM orders WHERE o_orderpriority = '{PRUNE_PRIORITY}'
+GROUP BY o_orderstatus
+"""
+
+
+# ================================================================== registry
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "diff_repair": q_diff_repair,
+        "dedup_canonical": q_dedup_canonical,
+        "events_funnel": q_events_funnel,
+        "events_gaps": q_events_gaps,
+        "price_histogram": q_price_histogram,
+        "text_tfidf": q_text_tfidf,
+        "csv_roundtrip": q_csv_roundtrip,
+        "partitioned_prune": q_partitioned_prune,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "diff_repair": ORACLE_DIFF_REPAIR,
+        "dedup_canonical": _oracle_dedup_canonical(),
+        "events_funnel": ORACLE_EVENTS_FUNNEL,
+        "events_gaps": ORACLE_EVENTS_GAPS,
+        "price_histogram": ORACLE_PRICE_HISTOGRAM,
+        "text_tfidf": ORACLE_TEXT_TFIDF,
+        "csv_roundtrip": ORACLE_CSV_ROUNDTRIP,
+        "partitioned_prune": ORACLE_PARTITIONED_PRUNE,
+    }
