@@ -274,3 +274,63 @@ def tfidf_top_terms(
             "score_c",
         )
     )
+
+
+def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus-wide top-k adjacent word bigrams with fully deterministic
+    ranking (count desc, bigram asc) — collocation mining for boilerplate /
+    template detection in a training corpus.
+
+    Bigrams are built JVM-side from one ``split`` via a higher-order
+    ``transform`` over positions (guarded: texts with < 2 words contribute
+    nothing — Spark's ``sequence(1, 0)`` would otherwise count DOWN), then
+    exploded and counted.  The final global row_number window runs over the
+    AGGREGATED bigram domain, which is bounded by vocabulary², not corpus
+    size — the single-partition sort is over at most a few thousand rows at
+    any data scale, so this stays safe at 100 TB.
+    """
+    pairs = df.select(F.split(F.col(text_col), " ").alias("ws")).select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(ws) - 1), "
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) END"
+            )
+        ).alias("bigram")
+    )
+    counted = pairs.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    win = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counted.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("rnk").cast("long").alias("rnk"), "bigram", "n")
+    )
+
+
+# Shared with the DuckDB oracle (queries_more.py): Java regex and RE2 agree on
+# this restricted syntax — character classes, [.] instead of \., {m,} bounds.
+PII_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+PII_URL_RE = "https?://[a-z0-9./]+"
+PII_LONGNUM_RE = "[0-9]{6,}"
+
+
+def pii_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document PII-pattern audit: counts of email-like, URL-like, and
+    long-digit-run matches plus an overall flag — the redaction pre-pass a
+    training-data pipeline runs before release.
+
+    Pure map-side ``regexp_count`` (JVM regex, no UDF, no shuffle); the
+    patterns are deliberately restricted to syntax on which Java regex and
+    RE2 (DuckDB) agree, so the oracle runs the identical patterns.
+    """
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    n_url = F.regexp_count(t, F.lit(PII_URL_RE))
+    n_num = F.regexp_count(t, F.lit(PII_LONGNUM_RE))
+    return df.select(
+        id_col,
+        n_email.cast("long").alias("n_email"),
+        n_url.cast("long").alias("n_url"),
+        n_num.cast("long").alias("n_longnum"),
+        ((n_email > 0) | (n_url > 0) | (n_num > 0)).cast("long").alias("has_pii"),
+    )
