@@ -237,6 +237,8 @@ def embedding_near_dup(
     n_planes: int | None = None,
     n_tables: int = 2,
     target_bucket_rows: int = 256,
+    seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine near-duplicate pairs: LSH bucket equi-join, exact
     cosine verification within buckets, keep pairs with scaled cosine ≥
@@ -251,14 +253,19 @@ def embedding_near_dup(
 
     Corpus count (for ``auto_planes``) and vector dim are probed in ONE
     aggregate job instead of separate count()/first() passes, so an
-    expensive uncached upstream plan is recomputed once, not three times.
+    expensive uncached upstream plan is recomputed once, not three times —
+    and when the caller supplies BOTH ``n_planes`` and ``dim``, the probe
+    job is skipped entirely (zero extra scans of the input).
     """
-    stats = emb.agg(
-        F.count(F.lit(1)).alias("n"), F.min(F.size("embedding")).alias("dim")
-    ).first()
-    if n_planes is None:
-        n_planes = auto_planes(stats["n"], target_bucket_rows)
-    b = lsh_buckets(emb, n_planes, n_tables=n_tables, dim=stats["dim"] or 1)
+    if n_planes is None or dim is None:
+        stats = emb.agg(
+            F.count(F.lit(1)).alias("n"), F.min(F.size("embedding")).alias("dim")
+        ).first()
+        if n_planes is None:
+            n_planes = auto_planes(stats["n"], target_bucket_rows)
+        if dim is None:
+            dim = stats["dim"] or 1
+    b = lsh_buckets(emb, n_planes, seed=seed, n_tables=n_tables, dim=dim)
     left = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
     right = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
     pairs = left.join(right, on="bucket").filter(F.col("vec_a") < F.col("vec_b"))

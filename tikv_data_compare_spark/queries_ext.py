@@ -40,80 +40,7 @@ GROUP BY 1
 """
 
 
-def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup — the training-data ingestion shape: documents
-    arrive over micro-batches, Spark's built-in ``dropDuplicates`` state
-    suppresses content already seen in ANY earlier batch.  Replayed as two
-    chunks where chunk 2 is an exact copy of the corpus under shifted ids:
-    every chunk-2 row must be deduped *against chunk-1 state*, so the
-    surviving content-id set equals the batch DISTINCT (the oracle).  Only
-    the content-id set is projected — which physical row survives a dup
-    group is not deterministic, the set is."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-    import time
-
-    tune(spark)
-    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    shifted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
-
-    d = tempfile.mkdtemp(prefix="tdc_stream_dedup_")
-    scratch = tempfile.mkdtemp(prefix="tdc_stream_dedup_w_")
-    t0 = time.time() - 3600
-    for i, chunk in enumerate((docs, shifted)):
-        cdir = os.path.join(scratch, f"c{i}")
-        chunk.coalesce(1).write.mode("overwrite").parquet(cdir)
-        part = glob.glob(os.path.join(cdir, "part-*.parquet"))[0]
-        dst = os.path.join(d, f"chunk_{i}.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
-
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(d)
-    )
-    hashed = stream.withColumn("_m", F.md5("text")).withColumn(
-        "content_id", F.expr(sqlgen.hexfold_i64("_m")).cast("long")
-    )
-    deduped = hashed.dropDuplicates(["content_id"])
-    sink = tempfile.mkdtemp(prefix="tdc_stream_dedup_out_")
-
-    def on_batch(b: DataFrame, epoch_id: int) -> None:
-        b.select("content_id").write.mode("overwrite").parquet(
-            os.path.join(sink, f"epoch_{epoch_id}")
-        )
-
-    q = (
-        deduped.writeStream.foreachBatch(on_batch)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    epochs = [os.path.join(sink, p) for p in sorted(os.listdir(sink)) if p.startswith("epoch_")]
-    if not epochs:
-        return spark.createDataFrame([], "content_id long")
-    # distinct defends only against epoch *retries* (idempotence); the state
-    # store already guarantees cross-batch uniqueness
-    return spark.read.schema("content_id long").parquet(*epochs).distinct()
-
-
-ORACLE_STREAM_DEDUP = f"""
-SELECT DISTINCT CAST({sqlgen.hexfold_i64('_m')} AS BIGINT) AS content_id
-FROM (SELECT md5(text) AS _m FROM documents)
-"""
-
-
 # ========================================================== dedup: minhash
-
-
-def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 perms over the distinct 3-shingle set)."""
-    tune(spark)
-    return dd.minhash_signatures(_load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 DUCK_SHINGLES = f"""
@@ -141,38 +68,16 @@ def _oracle_minhash_sig_cte() -> str:
 """
 
 
-ORACLE_DEDUP_MINHASH_SIG = f"SELECT * FROM (\n{_oracle_minhash_sig_cte()}\n)"
-
-
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs: docs sharing ≥1 of 4 two-perm LSH bands.
-    Spark path is the scalable band-explode equi-join (shuffle on band hash,
-    no cartesian); the oracle states the same set declaratively."""
+    """MinHash near-dup pipeline, candidate + verify stages in one row: docs
+    sharing ≥1 of 4 two-perm LSH bands (scalable band-explode equi-join —
+    shuffle on band hash, no cartesian), each candidate pair verified with
+    its exact word-shingle Jaccard.  The oracle recomputes the signatures,
+    the banded pair set AND the Jaccard declaratively, so the signature
+    computation (minhash_signatures), the band join (minhash_pairs) and the
+    verify stage (jaccard_pairs) are all hash-gated by this single row."""
     tune(spark)
-    return dd.minhash_pairs(_load(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-ORACLE_DEDUP_MINHASH_PAIRS = f"""
-WITH sig AS ({_oracle_minhash_sig_cte()})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
-     (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3)
-  OR (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))
-"""
-
-
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dup clusters: connected components over the minhash
-    LSH candidate-pair graph (operators/graph.py min-label propagation,
-    localCheckpoint-ed per round).  A dup CLUSTER is the transitive closure
-    of pairwise candidates — keep min doc_id per component; the oracle
-    reproduces the closure with a recursive CTE."""
-    tune(spark)
-    from tikv_data_compare_spark.operators.graph import connected_components
-
-    pairs = dd.minhash_pairs(_load(spark, sf_dir, "documents"), "doc_id", "text")
-    comp = connected_components(pairs)
-    return comp.select(F.col("id").alias("doc_id"), "component")
+    return dd.jaccard_pairs(_load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 ORACLE_DEDUP_COMPONENTS = f"""
@@ -198,14 +103,7 @@ FROM reach GROUP BY u
 """
 
 
-def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-set Jaccard for the minhash candidate pairs (verify stage
-    of the near-dup pipeline)."""
-    tune(spark)
-    return dd.jaccard_pairs(_load(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-ORACLE_DEDUP_JACCARD = f"""
+ORACLE_DEDUP_MINHASH_PAIRS = f"""
 WITH sig AS ({_oracle_minhash_sig_cte()}),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -231,12 +129,6 @@ LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 # ========================================================== dedup: simhash
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash over the word multiset (per-bit majority vote)."""
-    tune(spark)
-    return dd.simhash(_load(spark, sf_dir, "documents"), "doc_id", "text")
-
-
 def _oracle_simhash_cte() -> str:
     bits = " + ".join(
         f"(CASE WHEN sum(CASE WHEN (({sqlgen.shiftright('_h', i, DUCK)}) & 1) = 1 THEN 1 ELSE -1 END) >= 0"
@@ -254,11 +146,11 @@ def _oracle_simhash_cte() -> str:
 """
 
 
-ORACLE_DEDUP_SIMHASH = f"SELECT * FROM (\n{_oracle_simhash_cte()}\n)"
-
-
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: share ≥1 of 4 8-bit bands AND hamming ≤ 3."""
+    """SimHash near-dup pairs: share ≥1 of 4 8-bit bands AND hamming ≤ 3.
+    The oracle recomputes the 32-bit majority-vote signatures (so the
+    ``simhash`` signature operator is hash-gated through this row too),
+    the band join, and the bit_count verify."""
     tune(spark)
     return dd.simhash_pairs(_load(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -315,14 +207,77 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed LSH geometry for the oracle-gated near-dup query: the seeded plane
+#: matrix is a pure function of (dim, planes, tables, seed), so the SAME
+#: normalized plane values can be embedded as literals in the DuckDB oracle
+#: — the emitted pair set is deterministic, not just "approximately right".
+NEAR_DUP_DIM = 64  # fixture embedding dim (all sf; asserted in the query)
+NEAR_DUP_PLANES = 4
+NEAR_DUP_TABLES = 2
+NEAR_DUP_SEED = 7
+NEAR_DUP_THRESHOLD_C = 3000
+
+
 def q_similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (LSH-bucketed + exact verify).
-    Approximate by construction → rows-only check (an exact SQL oracle would
-    assert recall the LSH path intentionally trades away)."""
+    """Embedding-cosine near-dup pairs (hyperplane-LSH bucket equi-join +
+    exact cosine verify, operators/similarity.py embedding_near_dup).
+
+    Run with FIXED plane geometry (dim/planes/tables/seed above) so the
+    candidate set is a deterministic function of the data: the oracle
+    rebuilds the same seeded hyperplanes as SQL literals, recomputes every
+    vector's sign-bit bucket per table, joins on bucket equality in either
+    table, and applies the same exact-cosine threshold — a full hash gate
+    on the bucketing, the pair join, and the verify stage (auto_planes
+    sizing stays pytest-covered)."""
     tune(spark)
-    # n_planes auto-derives from the corpus count (auto_planes) so bucket
-    # depth stays bounded as the corpus grows; 2 tables OR-amplify recall.
-    return sim.embedding_near_dup(_load(spark, sf_dir, "embeddings"), threshold_c=3000)
+    return sim.embedding_near_dup(
+        _load(spark, sf_dir, "embeddings"),
+        threshold_c=NEAR_DUP_THRESHOLD_C,
+        n_planes=NEAR_DUP_PLANES,
+        n_tables=NEAR_DUP_TABLES,
+        seed=NEAR_DUP_SEED,
+        dim=NEAR_DUP_DIM,
+    )
+
+
+def oracle_similarity_near_dup() -> str:
+    """DuckDB oracle for the fixed-geometry near-dup query: the normalized
+    seeded hyperplanes are embedded as double literals (shortest-roundtrip
+    repr — parses to the identical float64), buckets are recomputed as
+    sign-bit integers, and pairs must collide in ≥1 table AND pass the
+    exact rounded-cosine threshold."""
+    from tikv_data_compare_spark.operators.similarity import _plane_matrix
+
+    planes = _plane_matrix(NEAR_DUP_DIM, NEAR_DUP_PLANES, NEAR_DUP_TABLES, NEAR_DUP_SEED)
+    proj_cols = []
+    for j in range(NEAR_DUP_PLANES * NEAR_DUP_TABLES):
+        terms = " + ".join(
+            f"v[{i + 1}] * {planes[i, j]!r}" for i in range(NEAR_DUP_DIM)
+        )
+        proj_cols.append(f"({terms}) AS d{j}")
+    buckets = []
+    for t in range(NEAR_DUP_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN d{t * NEAR_DUP_PLANES + p} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(NEAR_DUP_PLANES)
+        )
+        buckets.append(f"({t} * {1 << NEAR_DUP_PLANES} + {bits}) AS b{t}")
+    collide = " OR ".join(f"a.b{t} = b.b{t}" for t in range(NEAR_DUP_TABLES))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+proj AS (SELECT vec_id, v, {", ".join(proj_cols)} FROM e),
+buck AS (SELECT vec_id, v, {", ".join(buckets)} FROM proj),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+  FROM buck a JOIN buck b ON a.vec_id < b.vec_id AND ({collide})
+)
+SELECT vec_a, vec_b,
+       CAST(ROUND(10000.0 * list_dot_product(va, vb) /
+            (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))) AS BIGINT) AS cosine_c
+FROM pairs
+WHERE CAST(ROUND(10000.0 * list_dot_product(va, vb) /
+      (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))) AS BIGINT) >= {NEAR_DUP_THRESHOLD_C}
+"""
 
 
 def q_similarity_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,67 +287,75 @@ def q_similarity_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-column profiling: per-vector dimension, L2 norm, mean and
-    min/max component — the sanity pass before any ANN build (catches
-    zero/denormal vectors and dimension drift).  All JVM-side higher-order
-    array functions (aggregate/size/array_min/array_max), no Python."""
+    """Per-language embedding-column profile, the sanity pass before any ANN
+    build, in one row per language:
+
+    - per-vector array profiling (JVM higher-order ``aggregate``/``size``/
+      ``array_min``/``array_max``, no Python): rounded L2 norms summed
+      exactly as integers, global min/max component, dimension drift check;
+    - the element-wise centroid via posexplode → (lang, pos) aggregation —
+      the distributed vector-reduce shape (map-side partial sums per
+      component, one shuffle keyed on (lang, pos)) k-means update steps are
+      built from — reported as the centroid L2 norm.
+
+    Catches zero/denormal vectors (sum_norm_c), dimension drift (dim_min ≠
+    dim_max), and component outliers (min_comp_c/max_comp_c)."""
     tune(spark)
     emb = _load(spark, sf_dir, "embeddings")
+    docs = _load(spark, sf_dir, "documents").select(F.col("doc_id").alias("vec_id"), "lang")
+    j = emb.join(docs, "vec_id")
     sumsq = (
         "aggregate(embedding, CAST(0.0 AS DOUBLE), "
         "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
     )
-    total = "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
-    return emb.select(
-        "vec_id",
+    per_vec = j.select(
+        "lang",
+        "embedding",
         F.expr("CAST(size(embedding) AS BIGINT)").alias("dim"),
         F.expr(f"CAST(ROUND(10000.0 * sqrt({sumsq})) AS BIGINT)").alias("norm_c"),
-        F.expr(f"CAST(ROUND(10000.0 * {total} / size(embedding)) AS BIGINT)").alias("mean_c"),
-        F.expr("CAST(ROUND(10000.0 * CAST(array_min(embedding) AS DOUBLE)) AS BIGINT)").alias("min_c"),
-        F.expr("CAST(ROUND(10000.0 * CAST(array_max(embedding) AS DOUBLE)) AS BIGINT)").alias("max_c"),
+        F.expr("CAST(ROUND(10000.0 * CAST(array_min(embedding) AS DOUBLE)) AS BIGINT)").alias("vmin_c"),
+        F.expr("CAST(ROUND(10000.0 * CAST(array_max(embedding) AS DOUBLE)) AS BIGINT)").alias("vmax_c"),
+    )
+    stats = per_vec.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("dim").alias("dim_min"),
+        F.max("dim").alias("dim_max"),
+        F.sum("norm_c").cast("long").alias("sum_norm_c"),
+        F.min("vmin_c").alias("min_comp_c"),
+        F.max("vmax_c").alias("max_comp_c"),
+    )
+    comp = j.select("lang", F.posexplode("embedding").alias("pos", "x")).withColumn(
+        "xd", F.expr("CAST(x AS DOUBLE)")
+    )
+    cent = comp.groupBy("lang", "pos").agg(F.avg("xd").alias("m"))
+    norms = cent.groupBy("lang").agg(
+        F.expr("CAST(ROUND(10000.0 * sqrt(sum(m * m))) AS BIGINT)").alias("centroid_norm_c"),
+    )
+    return stats.join(norms, "lang").select(
+        "lang", "n_vecs", "dim_min", "dim_max", "sum_norm_c",
+        "min_comp_c", "max_comp_c", "centroid_norm_c",
     )
 
 
 ORACLE_EMBEDDING_STATS = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT vec_id,
-       CAST(len(v) AS BIGINT) AS dim,
-       CAST(ROUND(10000.0 * sqrt(list_dot_product(v, v))) AS BIGINT) AS norm_c,
-       CAST(ROUND(10000.0 * list_sum(v) / len(v)) AS BIGINT) AS mean_c,
-       CAST(ROUND(10000.0 * list_min(v)) AS BIGINT) AS min_c,
-       CAST(ROUND(10000.0 * list_max(v)) AS BIGINT) AS max_c
-FROM e
-"""
-
-
-def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language embedding centroid summary: element-wise mean vector via
-    posexplode → (group, position) aggregation — the distributed
-    vector-reduce shape (map-side partial sums per component, one shuffle
-    keyed on (lang, pos)) that k-means assignment/update steps are built
-    from.  Reported as (n_vecs, dim, centroid L2 norm) per language."""
-    tune(spark)
-    emb = _load(spark, sf_dir, "embeddings")
-    docs = _load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("vec_id"), "lang"
-    )
-    j = emb.join(docs, "vec_id")
-    comp = j.select(
-        "lang", F.posexplode("embedding").alias("pos", "x")
-    ).withColumn("xd", F.expr("CAST(x AS DOUBLE)"))
-    cent = comp.groupBy("lang", "pos").agg(F.avg("xd").alias("m"))
-    norms = cent.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("dim"),
-        F.expr("CAST(ROUND(10000.0 * sqrt(sum(m * m))) AS BIGINT)").alias("centroid_norm_c"),
-    )
-    counts = j.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
-    return norms.join(counts, "lang").select("lang", "n_vecs", "dim", "centroid_norm_c")
-
-
-ORACLE_EMBEDDING_CENTROIDS = """
 WITH j AS (
   SELECT e.vec_id, d.lang, CAST(e.embedding AS DOUBLE[]) AS v
   FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+per_vec AS (
+  SELECT lang, v,
+         CAST(len(v) AS BIGINT) AS dim,
+         CAST(ROUND(10000.0 * sqrt(list_dot_product(v, v))) AS BIGINT) AS norm_c,
+         CAST(ROUND(10000.0 * list_min(v)) AS BIGINT) AS vmin_c,
+         CAST(ROUND(10000.0 * list_max(v)) AS BIGINT) AS vmax_c
+  FROM j
+),
+stats AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(min(dim) AS BIGINT) AS dim_min, CAST(max(dim) AS BIGINT) AS dim_max,
+         CAST(sum(norm_c) AS BIGINT) AS sum_norm_c,
+         CAST(min(vmin_c) AS BIGINT) AS min_comp_c, CAST(max(vmax_c) AS BIGINT) AS max_comp_c
+  FROM per_vec GROUP BY lang
 ),
 comp AS (
   SELECT lang, pos, v[pos] AS x
@@ -400,12 +363,11 @@ comp AS (
 ),
 cent AS (SELECT lang, pos, avg(x) AS m FROM comp GROUP BY lang, pos),
 norms AS (
-  SELECT lang, CAST(count(*) AS BIGINT) AS dim,
-         CAST(ROUND(10000.0 * sqrt(sum(m * m))) AS BIGINT) AS centroid_norm_c
+  SELECT lang, CAST(ROUND(10000.0 * sqrt(sum(m * m))) AS BIGINT) AS centroid_norm_c
   FROM cent GROUP BY lang
-),
-counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_vecs FROM j GROUP BY lang)
-SELECT norms.lang, n_vecs, dim, centroid_norm_c FROM norms JOIN counts ON norms.lang = counts.lang
+)
+SELECT stats.lang, n_vecs, dim_min, dim_max, sum_norm_c, min_comp_c, max_comp_c, centroid_norm_c
+FROM stats JOIN norms ON stats.lang = norms.lang
 """
 
 
@@ -450,81 +412,57 @@ FROM base
 
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting for training-data budgeting: whitespace words plus a
-    BPE-ish subword estimate (1 extra token per 6 chars beyond a word's
-    first 6) — all JVM-side higher-order array functions, no UDF."""
-    tune(spark)
-    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    return tx.token_count(docs).select("doc_id", "n_words", "n_tokens_bpe")
+    """Token counting + canonical normalization in one per-doc row:
 
-
-ORACLE_TEXT_TOKENS = f"""
-WITH base AS (SELECT doc_id, {sqlgen.split_words('text', DUCK)} AS ws FROM documents)
-SELECT doc_id,
-       CAST(len(ws) AS BIGINT) AS n_words,
-       CAST(len(ws) + list_sum(list_transform(ws,
-            w -> CAST(floor(greatest(length(w) - 6, 0) / 6.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe
-FROM base
-"""
-
-
-def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical text normalization (the pre-pass before exact dedup):
-    lowercase, strip sentence punctuation, collapse whitespace runs, trim.
-    Pure JVM string functions; the normalized text plus its byte delta are
-    returned so the oracle verifies the transform itself."""
+    - whitespace word count plus a BPE-ish subword estimate (1 extra token
+      per 6 chars beyond a word's first 6) for training-data budgeting —
+      JVM higher-order array functions, no UDF (``token_count``);
+    - the normalization pre-pass before exact dedup (lowercase, strip
+      sentence punctuation, collapse whitespace runs, trim) with its char
+      delta, so the oracle verifies the transform text itself."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     stripped = "replace(replace(replace(lower(text), '.', ''), ',', ''), '!', '')"
     norm = f"trim(regexp_replace({stripped}, ' +', ' '))"
-    return docs.select(
+    return tx.token_count(docs).select(
         "doc_id",
+        "n_words",
+        "n_tokens_bpe",
         F.expr(norm).alias("norm_text"),
         F.expr(f"CAST(length(text) - length({norm}) AS BIGINT)").alias("chars_removed"),
     )
 
 
-ORACLE_TEXT_NORMALIZE = """
-SELECT doc_id, norm_text,
-       CAST(length(text) - length(norm_text) AS BIGINT) AS chars_removed
-FROM (
-  SELECT doc_id, text,
+ORACLE_TEXT_TOKENS = f"""
+WITH base AS (
+  SELECT doc_id, text, {sqlgen.split_words('text', DUCK)} AS ws,
          trim(regexp_replace(replace(replace(replace(lower(text), '.', ''), ',', ''), '!', ''), ' +', ' ', 'g')) AS norm_text
   FROM documents
 )
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(ws) + list_sum(list_transform(ws,
+            w -> CAST(floor(greatest(length(w) - 6, 0) / 6.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe,
+       norm_text,
+       CAST(length(text) - length(norm_text) AS BIGINT) AS chars_removed
+FROM base
 """
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style rule-based quality gate: per-rule pass flags + keep
-    conjunction (token bounds, mean-word-length band, punctuation cap,
-    stopword floor) — the filter stage in front of dedup."""
+    """Quality gate + language ID in one per-doc row:
+
+    - Gopher-style rule flags + keep conjunction (token bounds,
+      mean-word-length band, punctuation cap, stopword floor) — the filter
+      stage in front of dedup (``quality_flags``);
+    - stopword-overlap language ID (argmax score, alphabetical tie-break)
+      with the per-language scores (``lang_id``)."""
     tune(spark)
-    return tx.quality_flags(_load(spark, sf_dir, "documents"))
+    docs = _load(spark, sf_dir, "documents")
+    return tx.quality_flags(docs).join(tx.lang_id(docs), "doc_id")
 
 
-ORACLE_TEXT_QUALITY = f"""
-WITH stats AS ({ORACLE_TEXT_STATS})
-SELECT doc_id, n_tokens,
-       CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
-       CAST(CASE WHEN mean_word_len_c >= 20000 AND mean_word_len_c <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_word_len,
-       CAST(CASE WHEN CAST(ROUND(10000.0 * n_punct / greatest(n_chars, 1)) AS BIGINT) <= 1000 THEN 1 ELSE 0 END AS BIGINT) AS ok_punct,
-       CAST(CASE WHEN CAST(ROUND(10000.0 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT) >= 200 THEN 1 ELSE 0 END AS BIGINT) AS ok_stopwords,
-       CAST((CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END)
-          * (CASE WHEN mean_word_len_c >= 20000 AND mean_word_len_c <= 100000 THEN 1 ELSE 0 END)
-          * (CASE WHEN CAST(ROUND(10000.0 * n_punct / greatest(n_chars, 1)) AS BIGINT) <= 1000 THEN 1 ELSE 0 END)
-          * (CASE WHEN CAST(ROUND(10000.0 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT) >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS keep
-FROM stats
-"""
-
-
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-overlap language ID (argmax score, alphabetical tie-break)."""
-    tune(spark)
-    return tx.lang_id(_load(spark, sf_dir, "documents"))
-
-
-def _oracle_langid() -> str:
+def _oracle_text_quality() -> str:
     scores = ", ".join(
         f"CAST(len(list_filter(ws, x -> x IN ({_sw_list_sql(ws_list)}))) AS BIGINT) AS c_{lang}"
         for lang, ws_list in sorted(STOPWORDS.items())
@@ -535,53 +473,54 @@ def _oracle_langid() -> str:
         for la in langs
     ) + " END"
     return f"""
-WITH base AS (SELECT doc_id, lang, {sqlgen.split_words('text', DUCK)} AS ws FROM documents),
-scored AS (SELECT doc_id, lang, {scores} FROM base)
-SELECT doc_id, lang AS labeled_lang, {armax} AS pred_lang,
-       {", ".join("c_" + la for la in langs)}
-FROM scored
-"""
-
-
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-independent document fingerprint: XOR of hashes of distinct word
-    3-shingles (whole text when shorter than 3 tokens)."""
-    tune(spark)
-    return tx.fingerprint(_load(spark, sf_dir, "documents"))
-
-
-ORACLE_TEXT_FINGERPRINT = f"""
-WITH base AS (SELECT doc_id, text, {sqlgen.split_words('text', DUCK)} AS ws FROM documents),
-shingles AS (
-  SELECT DISTINCT doc_id, sh FROM (
-    SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
-        THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-        ELSE [text] END) AS sh
-    FROM base
-  )
+WITH stats AS ({ORACLE_TEXT_STATS}),
+flags AS (
+  SELECT doc_id, n_tokens,
+       CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
+       CAST(CASE WHEN mean_word_len_c >= 20000 AND mean_word_len_c <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_word_len,
+       CAST(CASE WHEN CAST(ROUND(10000.0 * n_punct / greatest(n_chars, 1)) AS BIGINT) <= 1000 THEN 1 ELSE 0 END AS BIGINT) AS ok_punct,
+       CAST(CASE WHEN CAST(ROUND(10000.0 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT) >= 200 THEN 1 ELSE 0 END AS BIGINT) AS ok_stopwords,
+       CAST((CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END)
+          * (CASE WHEN mean_word_len_c >= 20000 AND mean_word_len_c <= 100000 THEN 1 ELSE 0 END)
+          * (CASE WHEN CAST(ROUND(10000.0 * n_punct / greatest(n_chars, 1)) AS BIGINT) <= 1000 THEN 1 ELSE 0 END)
+          * (CASE WHEN CAST(ROUND(10000.0 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT) >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS keep
+  FROM stats
+),
+langbase AS (SELECT doc_id, lang, {sqlgen.split_words('text', DUCK)} AS ws FROM documents),
+scored AS (SELECT doc_id, lang, {scores} FROM langbase),
+langid AS (
+  SELECT doc_id, lang AS labeled_lang, {armax} AS pred_lang,
+         {", ".join("c_" + la for la in langs)}
+  FROM scored
 )
-SELECT doc_id, CAST(bit_xor({sqlgen.hexfold_i64('_m')}) AS BIGINT) AS fingerprint
-FROM (SELECT doc_id, md5(sh) AS _m FROM shingles)
-GROUP BY doc_id
+SELECT f.*, l.labeled_lang, l.pred_lang, {", ".join("l.c_" + la for la in langs)}
+FROM flags f JOIN langid l ON f.doc_id = l.doc_id
 """
 
 
-# ============================================================== multimodal
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both document-fingerprint operators in one per-doc row:
 
-
-def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (char 5-grams, window 4) reduced
-    to a per-doc summary: fingerprint count + XOR — deterministic and
-    engine-stable."""
+    - ``fingerprint``: order-independent XOR of hashes of distinct word
+      3-shingles (whole text when shorter than 3 tokens);
+    - ``winnow_fingerprints``: MOSS-style winnowing (char 5-grams, window
+      4 rolling minima) reduced to fingerprint count + XOR — a match of
+      length ≥ w+k−1 guarantees a shared winnow fingerprint."""
     tune(spark)
-    fps = tx.winnow_fingerprints(_load(spark, sf_dir, "documents"), "doc_id", "text", k=5, w=4)
-    return fps.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_fp"),
-        F.bit_xor("fp").cast("long").alias("fp_xor"),
+    docs = _load(spark, sf_dir, "documents")
+    fp = tx.fingerprint(docs)
+    wn = (
+        tx.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fp"),
+            F.bit_xor("fp").cast("long").alias("fp_xor"),
+        )
     )
+    return fp.join(wn, "doc_id")
 
 
-ORACLE_TEXT_WINNOW = f"""
+_ORACLE_WINNOW_CTE = f"""
 WITH pos_exploded AS (
   SELECT doc_id, text, length(text) AS _len,
          unnest(generate_series(0, greatest(length(text) - 5, 0))) AS pos
@@ -607,25 +546,28 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, CAST(bit_xor(fp) AS BIGINT) AS 
 FROM sel GROUP BY doc_id
 """
 
-
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: treat text payloads as opaque binary, extract
-    typed metadata (byte length, content id, chunk count).  The decode /
-    feature-extraction UDFs live in operators/multimodal.py (stubbed decode,
-    real Spark plumbing)."""
-    tune(spark)
-    from tikv_data_compare_spark.operators import multimodal as mm
-
-    return mm.payload_meta(_load(spark, sf_dir, "documents"))
-
-
-ORACLE_MULTIMODAL_META = f"""
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST({sqlgen.hexfold_i64('_m')} AS BIGINT) AS content_id,
-       CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS n_chunks
-FROM (SELECT doc_id, text, md5(text) AS _m FROM documents)
+ORACLE_TEXT_FINGERPRINTS = f"""
+WITH base AS (SELECT doc_id, text, {sqlgen.split_words('text', DUCK)} AS ws FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+        THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        ELSE [text] END) AS sh
+    FROM base
+  )
+),
+fp AS (
+  SELECT doc_id, CAST(bit_xor({sqlgen.hexfold_i64('_m')}) AS BIGINT) AS fingerprint
+  FROM (SELECT doc_id, md5(sh) AS _m FROM shingles)
+  GROUP BY doc_id
+),
+wn AS ({_ORACLE_WINNOW_CTE})
+SELECT fp.doc_id, fp.fingerprint, wn.n_fp, wn.fp_xor
+FROM fp JOIN wn ON fp.doc_id = wn.doc_id
 """
+
+
+# ============================================================== multimodal
 
 
 # Binary-synthesis helpers (Spark SQL): big/little-endian ints for building
@@ -655,60 +597,53 @@ IMG_W = "(doc_id % 640 + 16)"
 IMG_H = "(doc_id % 480 + 16)"
 
 
-def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image header metadata over synthesized binary payloads: a third of the
-    corpus gets a real PNG signature+IHDR (big-endian dims), a third a GIF89a
-    logical screen (little-endian dims), a third raw text bytes (parses to
-    NULLs).  The payload bytes are built JVM-side (concat/unhex/substring)
-    and parsed back by the decode-free Python header parser in an Arrow
-    batch (operators/multimodal.py image_dims) — the oracle recomputes the
-    expected dims arithmetically, so a parser endianness or offset bug
-    hash-mismatches."""
-    tune(spark)
-    from tikv_data_compare_spark.operators import multimodal as mm
-
-    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    png = (
-        "concat(unhex('89504E470D0A1A0A'), unhex('0000000D'), CAST('IHDR' AS BINARY), "
-        f"{_u32be(IMG_W)}, {_u32be(IMG_H)})"
-    )
-    gif = f"concat(CAST('GIF89a' AS BINARY), {_u16le(IMG_W)}, {_u16le(IMG_H)})"
-    synth = docs.withColumn(
-        "payload",
-        F.expr(
-            f"CASE WHEN doc_id % 3 = 0 THEN {png} WHEN doc_id % 3 = 1 THEN {gif} "
-            "ELSE CAST(text AS BINARY) END"
-        ),
-    )
-    return mm.image_dims(synth)
-
-
-ORACLE_MULTIMODAL_IMAGE = f"""
-SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'gif' END AS format,
-       CAST(CASE WHEN doc_id % 3 <= 1 THEN {IMG_W} END AS BIGINT) AS width,
-       CAST(CASE WHEN doc_id % 3 <= 1 THEN {IMG_H} END AS BIGINT) AS height
-FROM documents
-"""
-
 WAV_CH = "(1 + doc_id % 2)"
 WAV_SR = "(CASE WHEN doc_id % 3 = 0 THEN 8000 WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END)"
 WAV_BITS = "(CASE WHEN doc_id % 5 < 2 THEN 8 ELSE 16 END)"
 WAV_DSZ = "(octet_length(text) * 100 + 44)"
 
 
-def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio header metadata: RIFF/WAVE headers synthesized JVM-side with
-    per-doc channels/sample-rate/bit-depth/payload-size (all little-endian
-    fields built via concat/unhex/substring), one seventh of the corpus left
-    as raw text (parses to NULLs).  The chunk-walking Python parser
-    (operators/multimodal.py audio_meta) extracts the fields in an Arrow
-    batch; duration is derived JVM-side from the parsed fields.  The oracle
-    recomputes every field arithmetically."""
+def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal plumbing surface in one per-doc row, joining all
+    four operators on doc_id:
+
+    - ``payload_meta``: opaque-binary metadata (byte length, content id,
+      chunk count);
+    - ``image_dims``: a third of the corpus gets a real PNG signature+IHDR
+      (big-endian dims), a third a GIF89a logical screen (little-endian
+      dims), a third raw text bytes (NULL dims) — payloads built JVM-side
+      (concat/unhex/substring) and parsed back by the decode-free Python
+      header parser in an Arrow batch, so an endianness or offset bug
+      hash-mismatches;
+    - ``audio_meta``: RIFF/WAVE headers synthesized with per-doc
+      channels/sample-rate/bit-depth/payload-size (little-endian fields),
+      one seventh left as raw text (NULL fields); duration derived
+      JVM-side from the parsed fields;
+    - ``frame_sample``: 64-byte chunk-offset sampling (sequence +
+      posexplode — the Spark shape of video frame extraction) reduced to
+      per-doc frame count + max offset.
+
+    The oracle recomputes every field arithmetically from doc_id/text."""
     tune(spark)
     from tikv_data_compare_spark.operators import multimodal as mm
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    meta = mm.payload_meta(_load(spark, sf_dir, "documents"))
+
+    png = (
+        "concat(unhex('89504E470D0A1A0A'), unhex('0000000D'), CAST('IHDR' AS BINARY), "
+        f"{_u32be(IMG_W)}, {_u32be(IMG_H)})"
+    )
+    gif = f"concat(CAST('GIF89a' AS BINARY), {_u16le(IMG_W)}, {_u16le(IMG_H)})"
+    img_synth = docs.withColumn(
+        "payload",
+        F.expr(
+            f"CASE WHEN doc_id % 3 = 0 THEN {png} WHEN doc_id % 3 = 1 THEN {gif} "
+            "ELSE CAST(text AS BINARY) END"
+        ),
+    )
+    img = mm.image_dims(img_synth)
+
     byte_rate = f"(({WAV_SR} * {WAV_CH} * {WAV_BITS}) DIV 8)"
     block_align = f"(({WAV_CH} * {WAV_BITS}) DIV 8)"
     wav = (
@@ -717,94 +652,110 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_u32le(WAV_SR)}, {_u32le(byte_rate)}, {_u16le(block_align)}, {_u16le(WAV_BITS)}, "
         f"CAST('data' AS BINARY), {_u32le(WAV_DSZ)})"
     )
-    synth = docs.withColumn(
+    wav_synth = docs.withColumn(
         "payload",
         F.expr(f"CASE WHEN doc_id % 7 = 3 THEN CAST(text AS BINARY) ELSE {wav} END"),
     )
-    return mm.audio_meta(synth).withColumn(
+    aud = mm.audio_meta(wav_synth).withColumn(
         "duration_ms",
         F.expr("CAST((data_size * 8000) DIV (sample_rate * channels * bits) AS BIGINT)"),
     )
 
-
-ORACLE_MULTIMODAL_AUDIO = f"""
-WITH p AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 7 = 3 THEN NULL ELSE {WAV_CH} END AS channels,
-         CASE WHEN doc_id % 7 = 3 THEN NULL ELSE {WAV_SR} END AS sample_rate,
-         CASE WHEN doc_id % 7 = 3 THEN NULL ELSE {WAV_BITS} END AS bits,
-         CASE WHEN doc_id % 7 = 3 THEN NULL ELSE octet_length(encode(text)) * 100 + 44 END AS data_size
-  FROM documents
-)
-SELECT doc_id, CAST(channels AS BIGINT) AS channels, CAST(sample_rate AS BIGINT) AS sample_rate,
-       CAST(bits AS BIGINT) AS bits, CAST(data_size AS BIGINT) AS data_size,
-       CAST((data_size * 8000) // (sample_rate * channels * bits) AS BIGINT) AS duration_ms
-FROM p
-"""
-
-
-def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling plumbing: one row per sampled 64-byte chunk offset of
-    each payload, offsets computed JVM-side via sequence+posexplode (the
-    Spark shape of video frame extraction — the per-frame decode itself
-    stays a mapInPandas stub, operators/multimodal.py frame_sample)."""
-    tune(spark)
-    from tikv_data_compare_spark.operators import multimodal as mm
-
-    fs = mm.frame_sample(_load(spark, sf_dir, "documents"), every_n_bytes=64)
-    return fs.select(
-        "doc_id",
-        F.col("frame_idx").cast("long").alias("frame_idx"),
-        F.col("byte_offset").cast("long").alias("byte_offset"),
+    frames = (
+        mm.frame_sample(_load(spark, sf_dir, "documents"), every_n_bytes=64)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.max("byte_offset").cast("long").alias("max_offset"),
+        )
     )
+    return meta.join(img, "doc_id").join(aud, "doc_id").join(frames, "doc_id")
 
 
-ORACLE_MULTIMODAL_FRAMES = """
-SELECT doc_id, CAST(off // 64 AS BIGINT) AS frame_idx, CAST(off AS BIGINT) AS byte_offset
-FROM (
+ORACLE_MULTIMODAL_PROBE = f"""
+WITH meta AS (
   SELECT doc_id,
-         unnest(generate_series(0, greatest(octet_length(encode(text)) - 1, 0), 64)) AS off
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST({sqlgen.hexfold_i64('_m')} AS BIGINT) AS content_id,
+         CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS n_chunks
+  FROM (SELECT doc_id, text, md5(text) AS _m FROM documents)
+),
+img AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'gif' END AS format,
+         CAST(CASE WHEN doc_id % 3 <= 1 THEN {IMG_W} END AS BIGINT) AS width,
+         CAST(CASE WHEN doc_id % 3 <= 1 THEN {IMG_H} END AS BIGINT) AS height
   FROM documents
+),
+aud AS (
+  SELECT doc_id, CAST(channels AS BIGINT) AS channels, CAST(sample_rate AS BIGINT) AS sample_rate,
+         CAST(bits AS BIGINT) AS bits, CAST(data_size AS BIGINT) AS data_size,
+         CAST((data_size * 8000) // (sample_rate * channels * bits) AS BIGINT) AS duration_ms
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 3 THEN NULL ELSE {WAV_CH} END AS channels,
+           CASE WHEN doc_id % 7 = 3 THEN NULL ELSE {WAV_SR} END AS sample_rate,
+           CASE WHEN doc_id % 7 = 3 THEN NULL ELSE {WAV_BITS} END AS bits,
+           CASE WHEN doc_id % 7 = 3 THEN NULL ELSE octet_length(encode(text)) * 100 + 44 END AS data_size
+    FROM documents
+  )
+),
+frames AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames, CAST(max(off) AS BIGINT) AS max_offset
+  FROM (
+    SELECT doc_id,
+           unnest(generate_series(0, greatest(octet_length(encode(text)) - 1, 0), 64)) AS off
+    FROM documents
+  )
+  GROUP BY doc_id
 )
+SELECT meta.doc_id, meta.n_bytes, meta.content_id, meta.n_chunks,
+       img.format, img.width, img.height,
+       aud.channels, aud.sample_rate, aud.bits, aud.data_size, aud.duration_ms,
+       frames.n_frames, frames.max_offset
+FROM meta
+JOIN img ON meta.doc_id = img.doc_id
+JOIN aud ON meta.doc_id = aud.doc_id
+JOIN frames ON meta.doc_id = frames.doc_id
 """
 
 
 # ============================================================== sampling
 
 
-def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 10% Bernoulli corpus sample keyed on content hash
-    (operators/sampling.py) — replay-safe subsampling, the op every corpus
-    ablation starts with.  Map-only: no shuffle, no RNG state."""
+def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both deterministic sampling operators in one method-labeled result:
+
+    - ``hash``: 10% Bernoulli corpus sample keyed on content hash —
+      replay-safe, map-only (no shuffle, no RNG state); metric = the
+      content-hash bucket, so downstream stages can take disjoint slices;
+    - ``stratified``: 20 docs per language in content-hash order with
+      doc_id tiebreak — the per-stratum quota that keeps low-resource
+      languages represented, output bounded by k per group regardless of
+      group size (skew-safe by construction); metric = the in-stratum
+      rank."""
     tune(spark)
-    from tikv_data_compare_spark.operators.sampling import hash_sample
+    from tikv_data_compare_spark.operators.sampling import hash_sample, stratified_sample
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    return hash_sample(docs, "text", pct=10).select("doc_id", "lang", "sample_bucket")
+    h = hash_sample(docs, "text", pct=10).select(
+        F.lit("hash").alias("method"), "doc_id", "lang",
+        F.col("sample_bucket").alias("metric"),
+    )
+    s = stratified_sample(docs, ["lang"], k=20, tiebreak_cols=["doc_id"]).select(
+        F.lit("stratified").alias("method"), "doc_id", "lang",
+        F.col("sample_rank").alias("metric"),
+    )
+    return h.unionByName(s)
 
 
-ORACLE_SAMPLE_HASH = f"""
-SELECT doc_id, lang, CAST((({sqlgen.hexfold_i64('_m')} % 100) + 100) % 100 AS BIGINT) AS sample_bucket
+ORACLE_SAMPLING = f"""
+SELECT 'hash' AS method, doc_id, lang,
+       CAST((({sqlgen.hexfold_i64('_m')} % 100) + 100) % 100 AS BIGINT) AS metric
 FROM (SELECT doc_id, lang, md5(text) AS _m FROM documents)
 WHERE (({sqlgen.hexfold_i64('_m')} % 100) + 100) % 100 < 10
-"""
-
-
-def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sample: 20 docs per language in content-hash order with
-    doc_id tiebreak — the per-stratum quota that keeps low-resource
-    languages represented.  Bounded output per group regardless of group
-    size (skew-safe by construction)."""
-    tune(spark)
-    from tikv_data_compare_spark.operators.sampling import stratified_sample
-
-    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    out = stratified_sample(docs, ["lang"], k=20, tiebreak_cols=["doc_id"])
-    return out.select("doc_id", "lang", "sample_rank")
-
-
-ORACLE_SAMPLE_STRATIFIED = f"""
-SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+UNION ALL
+SELECT 'stratified', doc_id, lang, CAST(rn AS BIGINT)
 FROM (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY lang ORDER BY {sqlgen.hexfold_i64('_m')}, doc_id) AS rn
@@ -901,69 +852,6 @@ GROUP BY s.lang
 """
 
 
-# ------------------------------------------------------------------- registry
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "dedup_exact": q_dedup_exact,
-        "stream_dedup": q_stream_dedup,
-        "dedup_minhash_sig": q_dedup_minhash_sig,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_components": q_dedup_components,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "similarity_topk": q_similarity_topk,
-        "similarity_topk_ivf": q_similarity_topk_ivf,
-        "similarity_near_dup": q_similarity_near_dup,
-        "similarity_embed_dup": q_similarity_embed_dup,
-        "embedding_stats": q_embedding_stats,
-        "embedding_centroids": q_embedding_centroids,
-        "text_stats": q_text_stats,
-        "text_tokens": q_text_tokens,
-        "text_normalize": q_text_normalize,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "text_winnow": q_text_winnow,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_image": q_multimodal_image,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_frames": q_multimodal_frames,
-        "sample_hash": q_sample_hash,
-        "sample_stratified": q_sample_stratified,
-        "curation_pipeline": q_curation_pipeline,
-    }
-
-
-def oracle_sql() -> dict[str, str]:
-    return {
-        "dedup_exact": ORACLE_DEDUP_EXACT,
-        "stream_dedup": ORACLE_STREAM_DEDUP,
-        "dedup_minhash_sig": ORACLE_DEDUP_MINHASH_SIG,
-        "dedup_minhash_pairs": ORACLE_DEDUP_MINHASH_PAIRS,
-        "dedup_jaccard": ORACLE_DEDUP_JACCARD,
-        "dedup_components": ORACLE_DEDUP_COMPONENTS,
-        "dedup_simhash": ORACLE_DEDUP_SIMHASH,
-        "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
-        "similarity_topk": ORACLE_SIMILARITY_TOPK,
-        "similarity_topk_ivf": ORACLE_SIMILARITY_TOPK,
-        "similarity_embed_dup": ORACLE_SIMILARITY_EMBED_DUP,
-        "embedding_stats": ORACLE_EMBEDDING_STATS,
-        "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
-        "text_stats": ORACLE_TEXT_STATS,
-        "text_tokens": ORACLE_TEXT_TOKENS,
-        "text_normalize": ORACLE_TEXT_NORMALIZE,
-        "text_quality": ORACLE_TEXT_QUALITY,
-        "text_langid": _oracle_langid(),
-        "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
-        "text_winnow": ORACLE_TEXT_WINNOW,
-        "multimodal_meta": ORACLE_MULTIMODAL_META,
-        "multimodal_image": ORACLE_MULTIMODAL_IMAGE,
-        "multimodal_audio": ORACLE_MULTIMODAL_AUDIO,
-        "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
-        "sample_hash": ORACLE_SAMPLE_HASH,
-        "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
-        "curation_pipeline": _oracle_curation_pipeline(),
-    }
+# Registration lives in queries.queries()/queries.oracle_sql() — the single
+# ordered 50-entry registry (the driver's checked window is 50 entries).
+ORACLE_TEXT_QUALITY = _oracle_text_quality()
