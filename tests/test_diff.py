@@ -90,3 +90,37 @@ def test_positional_diff_misalignment_quirk(spark):
     dst = Keyed(spark.createDataFrame(rows[:3] + rows[4:], "key binary, value binary"))
     assert diff(src, dst).count() == 1
     assert diff_positional(src, dst).count() == 6  # positions 3..8 misaligned
+
+
+def test_column_mismatch_profile(spark):
+    from tikv_data_compare_spark.operators.diff import column_mismatch_profile
+
+    src = Keyed.of(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "k long, s string, v long",
+        ),
+        keys=("k",),
+    )
+    dst = Keyed.of(
+        spark.createDataFrame(
+            # key 1 unchanged; key 2 differs in s; key 3 differs in both;
+            # key 5 only in dst (must not count toward any column)
+            [(1, "a", 10), (2, "B", 20), (3, "C", 31), (5, "e", 50)],
+            "k long, s string, v long",
+        ),
+        keys=("k",),
+    )
+    rows = {r["col_name"]: r for r in column_mismatch_profile(src, dst).collect()}
+    assert rows["s"]["n_mismatch"] == 2 and rows["v"]["n_mismatch"] == 1
+    assert all(r["n_both"] == 3 for r in rows.values())
+
+
+def test_column_mismatch_profile_rejects_keys_only(spark):
+    import pytest
+
+    from tikv_data_compare_spark.operators.diff import column_mismatch_profile
+
+    keys_only = Keyed.of(spark.createDataFrame([(1,), (2,)], "k long"), keys=("k",))
+    with pytest.raises(ValueError, match="value column"):
+        column_mismatch_profile(keys_only, keys_only)

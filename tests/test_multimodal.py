@@ -174,3 +174,32 @@ def test_image_header_roundtrip_property():
         assert (fmt, pw, ph) == ("gif" if gif else "png", w, h)
 
     check()
+
+
+def test_jpeg_fill_bytes_between_segments():
+    from tikv_data_compare_spark.operators.multimodal import parse_image_header
+
+    # SOI, APP0(len 4), a run of 0xFF fill bytes (legal padding, ITU T.81
+    # B.1.1.2), then SOF0 with height=7 width=9
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x04\x00\x00"
+        + b"\xff\xff\xff"  # fill bytes
+        + b"\xff\xc0\x00\x11\x08" + (7).to_bytes(2, "big") + (9).to_bytes(2, "big")
+        + b"\x00" * 8
+    )
+    assert parse_image_header(jpeg) == ("jpeg", 9, 7)
+
+
+def test_jpeg_walk_stops_at_sos():
+    from tikv_data_compare_spark.operators.multimodal import parse_image_header
+
+    # SOS before any SOF: the walk must stop (entropy-coded data follows),
+    # not keep scanning compressed bytes that may contain FF Cx sequences
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xda\x00\x04\x00\x00"  # SOS
+        + b"\xff\xc0\x00\x11\x08" + (7).to_bytes(2, "big") + (9).to_bytes(2, "big")
+        + b"\x00" * 8
+    )
+    assert parse_image_header(jpeg) is None

@@ -65,3 +65,15 @@ def test_hash_sample_null_content_not_dropped(spark):
     assert hash_sample(df, "text", pct=100).count() == 2
     with pytest.raises(ValueError):
         hash_sample(df.withColumn("sample_bucket", F.lit(1)), "text", pct=10)
+
+
+def test_stratified_sample_rejects_reserved_hash_column(spark):
+    import pytest
+
+    from tikv_data_compare_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "en", "x", 9)], "doc_id long, lang string, text string, _sample_h long"
+    )
+    with pytest.raises(ValueError, match="_sample_h"):
+        stratified_sample(df, ["lang"], k=1, tiebreak_cols=["doc_id"])

@@ -105,3 +105,33 @@ def test_quality_flags_rules(spark):
     assert rows[1]["keep"] == 1
     assert rows[2]["ok_len"] == 0 and rows[2]["keep"] == 0
     assert rows[3]["ok_punct"] == 0 and rows[3]["keep"] == 0
+
+
+def test_pii_counts_against_python_re(spark):
+    import re
+
+    texts = [
+        (1, "contact bob@example.com or visit https://example.com/page now"),
+        (2, "card 1234567890 and pin 12345 and code 999999"),
+        (3, "clean text with no identifiers at all"),
+        (4, "a@b.co a@b.co https://x.io 1234567"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in tx.pii_counts(df).collect()}
+    for doc_id, text in texts:
+        exp_email = len(re.findall(tx.PII_EMAIL_RE, text))
+        exp_url = len(re.findall(tx.PII_URL_RE, text))
+        exp_num = len(re.findall(tx.PII_LONGNUM_RE, text))
+        r = rows[doc_id]
+        assert (r["n_email"], r["n_url"], r["n_longnum"]) == (exp_email, exp_url, exp_num)
+        assert r["has_pii"] == int(exp_email + exp_url + exp_num > 0)
+
+
+def test_top_bigrams_ranking_and_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "single")],
+        "doc_id long, text string",
+    )
+    got = [(r["rnk"], r["bigram"], r["n"]) for r in tx.top_bigrams(df, k=3).collect()]
+    # bigrams: doc1 → (a b)×2, (b a)×1; doc2 → (a b), (b c); doc3 → none
+    assert got == [(1, "a b", 3), (2, "b a", 1), (3, "b c", 1)]

@@ -141,9 +141,15 @@ def column_mismatch_profile(src: Keyed, dst: Keyed) -> DataFrame:
     full-outer sort-merge join as :func:`diff`, collapsed by one conditional
     aggregate into a single row, then unpivoted driver-side-free via
     ``stack`` into one row per column.  At 100 TB: one shuffle per side,
-    constant-size output.
+    constant-size output.  Covered by tests/test_diff.py against hand-built
+    mismatch fixtures.
     """
     check_comparable(src, dst)
+    if not src.values:
+        raise ValueError(
+            "column_mismatch_profile needs at least one value column; a keys-only "
+            "Keyed has no columns to profile (use diff_count for presence-only diffs)"
+        )
     keys = list(src.keys)
     s = src.df.select(
         *keys,

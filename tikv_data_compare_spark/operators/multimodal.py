@@ -106,10 +106,20 @@ def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
         while i + 9 < len(data):
             if data[i] != 0xFF:
                 return None
+            # 0xFF fill/padding bytes are legal between segments (ITU T.81
+            # B.1.1.2): skip runs of 0xFF so the byte after the run is the
+            # marker code, instead of misreading a fill byte as a marker
+            # with a bogus length
+            while i + 1 < len(data) and data[i + 1] == 0xFF:
+                i += 1
+            if i + 9 >= len(data):
+                break
             marker = data[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-payload markers
                 i += 2
                 continue
+            if marker in (0xDA, 0xD9):  # SOS: entropy-coded data follows; EOI
+                return None  # no SOF seen before the scan — dims unknowable
             seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):  # SOFn
                 h = int.from_bytes(data[i + 5 : i + 7], "big")

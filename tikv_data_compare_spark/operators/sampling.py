@@ -74,6 +74,10 @@ def stratified_sample(
     is not deterministic."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if "_sample_h" in df.columns:
+        raise ValueError(
+            "column name '_sample_h' is reserved by stratified_sample; rename it"
+        )
     staged = _with_hash(df, content_col, rank_col).withColumn(
         "_sample_h", F.expr(sqlgen.hexfold_i64(_STAGE))
     )

@@ -286,17 +286,24 @@ def embedding_near_dup(
 
 
 def _train_centroids(emb: DataFrame, n_cells: int, sample_rows: int, seed: int, vec_col: str):
-    """Seeded Lloyd's k-means on a driver-side sample → (n_cells, dim) array.
+    """Lloyd's k-means on a driver-side sample → (n_cells, dim) array.
 
     Coarse quantizers are trained on samples even at FAISS scale; ~64·cells
     sampled vectors through one collect is the standard recipe.  Fully
-    deterministic: seeded sample, seeded init, fixed iteration count.
+    deterministic *by content*: the sample is the top-``sample_rows`` rows
+    by a content hash of the vector (orderBy + limit = TakeOrdered — one
+    job, independent of partition layout, unlike ``DataFrame.sample(seed)``
+    whose output shifts with the input partitioning), then seeded init and
+    a fixed iteration count.
     """
     import numpy as np
 
-    total = emb.count()
-    frac = min(1.0, sample_rows / max(total, 1))
-    rows = emb.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    rows = (
+        emb.select(vec_col, F.xxhash64(F.col(vec_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_rows)
+        .collect()
+    )
     if not rows:
         raise ValueError("cannot train IVF centroids on an empty corpus")
     x = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)

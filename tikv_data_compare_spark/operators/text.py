@@ -287,7 +287,8 @@ def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame
     exploded and counted.  The final global row_number window runs over the
     AGGREGATED bigram domain, which is bounded by vocabulary², not corpus
     size — the single-partition sort is over at most a few thousand rows at
-    any data scale, so this stays safe at 100 TB.
+    any data scale, so this stays safe at 100 TB.  Covered by
+    tests/test_text.py against a hand-built corpus.
     """
     pairs = df.select(F.split(F.col(text_col), " ").alias("ws")).select(
         F.explode(
@@ -307,8 +308,10 @@ def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame
     )
 
 
-# Shared with the DuckDB oracle (queries_more.py): Java regex and RE2 agree on
-# this restricted syntax — character classes, [.] instead of \., {m,} bounds.
+# Deliberately restricted regex syntax (character classes, [.] instead of
+# \., {m,} bounds) on which Java regex and RE2/DuckDB agree, so a SQL oracle
+# can run the identical patterns if one is ever wired up; until then the
+# semantics are pinned by tests/test_text.py against Python `re`.
 PII_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
 PII_URL_RE = "https?://[a-z0-9./]+"
 PII_LONGNUM_RE = "[0-9]{6,}"
@@ -319,9 +322,8 @@ def pii_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     long-digit-run matches plus an overall flag — the redaction pre-pass a
     training-data pipeline runs before release.
 
-    Pure map-side ``regexp_count`` (JVM regex, no UDF, no shuffle); the
-    patterns are deliberately restricted to syntax on which Java regex and
-    RE2 (DuckDB) agree, so the oracle runs the identical patterns.
+    Pure map-side ``regexp_count`` (JVM regex, no UDF, no shuffle);
+    covered by tests/test_text.py against a Python ``re`` reference.
     """
     t = F.col(text_col)
     n_email = F.regexp_count(t, F.lit(PII_EMAIL_RE))
