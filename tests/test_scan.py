@@ -52,3 +52,33 @@ def test_export_hex_typed(lineitem):
     rows = export_hex(k).collect()
     assert len(rows) == 20
     assert all(r["cnt"] >= 1 for r in rows)
+
+
+def test_global_index_precomputed_boundaries_no_jobs(spark, lineitem):
+    """With caller-supplied boundaries, building the indexed plan runs ZERO
+    Spark jobs (no count/sample pre-pass), and the index is identical to the
+    sampled-boundary result."""
+    df = lineitem.select("l_orderkey", "l_linenumber")
+    sc = spark.sparkContext
+    group = "wgi_boundaries_test"
+    sc.setJobGroup(group, "plan construction must be job-free")
+    try:
+        out = with_global_index(df, ["l_orderkey", "l_linenumber"], boundaries=[(100, 1), (500, 1), (1000, 1)])
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == [], f"plan construction ran jobs: {jobs}"
+    got = sorted((r["l_orderkey"], r["l_linenumber"], r["cnt"]) for r in out.collect())
+    ref = sorted(
+        (r["l_orderkey"], r["l_linenumber"], r["cnt"])
+        for r in with_global_index(df, ["l_orderkey", "l_linenumber"]).collect()
+    )
+    assert got == ref
+
+
+def test_global_index_rejects_unsorted_boundaries(spark, lineitem):
+    import pytest
+
+    df = lineitem.select("l_orderkey")
+    with pytest.raises(ValueError, match="ascending"):
+        with_global_index(df, ["l_orderkey"], boundaries=[(3000,), (1000,)])

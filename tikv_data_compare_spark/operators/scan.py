@@ -32,7 +32,13 @@ def range_scan(keyed: Keyed, start=None, end=None, sort: bool = True) -> DataFra
     return df.orderBy(*keyed.keys) if sort else df
 
 
-def with_global_index(df: DataFrame, order_cols: list[str], name: str = "cnt", start: int = 1) -> DataFrame:
+def with_global_index(
+    df: DataFrame,
+    order_cols: list[str],
+    name: str = "cnt",
+    start: int = 1,
+    boundaries: list[tuple] | None = None,
+) -> DataFrame:
     """Dense global 1-based index in ``order_cols`` order, scalably.
 
     Plan shape: assign each row a *data-derived* range-bucket id (binary
@@ -48,9 +54,17 @@ def with_global_index(df: DataFrame, order_cols: list[str], name: str = "cnt", s
     happens to be reused — observed as a corrupted counter on a 15k-row
     table.  Boundary sampling here runs once, driver-side, and both
     branches share the literal expression, so they agree by construction.
+
+    Pass ``boundaries`` (an ascending list of key tuples, e.g. derived from
+    parquet footer min/max stats or a previous run) to skip boundary
+    sampling entirely — plan construction then runs ZERO Spark jobs and the
+    index costs one scan of the input.  Without it, the key projection is
+    cached around the count+sample pass, so the upstream lineage is
+    computed once, not once per boundary job.  Boundaries only steer bucket
+    SIZES — any ascending subset of the key domain yields a correct index.
     """
     n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    bucket = _range_bucket_expr(df, order_cols, n)
+    bucket = _range_bucket_expr(df, order_cols, n, boundaries)
     w = Window.partitionBy("_bid").orderBy(*[F.col(c) for c in order_cols])
     local = df.withColumn("_bid", bucket).withColumn("_rn", F.row_number().over(w))
     # offsets: #buckets rows — the single-partition window is on tiny data
@@ -68,29 +82,44 @@ def with_global_index(df: DataFrame, order_cols: list[str], name: str = "cnt", s
     )
 
 
-def _range_bucket_expr(df: DataFrame, order_cols: list[str], n: int):
-    """Monotone bucket id from ``order_cols``: sampled boundaries → literal
-    comparison chain.  Bucket i holds rows < boundary i; ids increase with
-    key order, so cumulative bucket counts give global offsets.
+def _range_bucket_expr(df: DataFrame, order_cols: list[str], n: int, boundaries=None):
+    """Monotone bucket id from ``order_cols``: sampled (or caller-supplied)
+    boundaries → literal comparison chain.  Bucket i holds rows < boundary
+    i; ids increase with key order, so cumulative bucket counts give global
+    offsets.
 
-    Two cheap JVM-side jobs (pruned count + sampled collect of ~64·n key
-    tuples); boundaries are deduplicated so duplicate-heavy keys just yield
-    fewer, larger buckets (still correct).
+    Without ``boundaries``: one cached scan of the key projection feeding a
+    count + a sampled collect of ~64·n key tuples.  Boundaries are
+    deduplicated so duplicate-heavy keys just yield fewer, larger buckets
+    (still correct).
     """
-    keys = df.select(*order_cols)
-    total = keys.count()
-    target = 64 * n
-    if total <= 1 or n <= 1:
-        return F.lit(0)
-    frac = min(1.0, target / total)
-    sampled = sorted(tuple(r) for r in keys.sample(fraction=frac, seed=42).collect())
-    if not sampled:
-        return F.lit(0)
-    step = max(1, len(sampled) // n)
-    bounds = []
-    for i in range(step, len(sampled), step):
-        if not bounds or sampled[i] > bounds[-1]:
-            bounds.append(sampled[i])
+    if boundaries is not None:
+        bounds = [tuple(b) if not isinstance(b, tuple) else b for b in boundaries]
+        if any(bounds[i] >= bounds[i + 1] for i in range(len(bounds) - 1)):
+            raise ValueError("boundaries must be strictly ascending key tuples")
+        if not bounds:
+            return F.lit(0)
+    else:
+        # cache the key projection so the (possibly expensive, uncached)
+        # upstream plan is computed once for both boundary jobs, instead of
+        # once per job — at 100 TB that was two extra full scans per export
+        keys = df.select(*order_cols).persist()
+        try:
+            total = keys.count()
+            target = 64 * n
+            if total <= 1 or n <= 1:
+                return F.lit(0)
+            frac = min(1.0, target / total)
+            sampled = sorted(tuple(r) for r in keys.sample(fraction=frac, seed=42).collect())
+        finally:
+            keys.unpersist()
+        if not sampled:
+            return F.lit(0)
+        step = max(1, len(sampled) // n)
+        bounds = []
+        for i in range(step, len(sampled), step):
+            if not bounds or sampled[i] > bounds[-1]:
+                bounds.append(sampled[i])
 
     dts = {f.name: f.dataType for f in df.schema.fields}
 
@@ -107,7 +136,13 @@ def _range_bucket_expr(df: DataFrame, order_cols: list[str], n: int):
     return expr
 
 
-def export_hex(keyed: Keyed, start=None, end=None, path: str | None = None) -> DataFrame:
+def export_hex(
+    keyed: Keyed,
+    start=None,
+    end=None,
+    path: str | None = None,
+    boundaries: list[tuple] | None = None,
+) -> DataFrame:
     """Sorted hex dump with running counter — the reference's scan output line
     ``key:<HEX>, value:<HEX>, cnt:<n>`` (scan/scan.go:52), as a DataFrame
     ``[key_hex, value_hex, cnt]``.
@@ -136,9 +171,9 @@ def export_hex(keyed: Keyed, start=None, end=None, path: str | None = None) -> D
         hex_of(keyed.keys).alias("key_hex"),
         hex_of(keyed.values).alias("value_hex"),
     )
-    numbered = with_global_index(hexed, list(keyed.keys), "cnt").select(
-        "key_hex", "value_hex", "cnt"
-    )
+    numbered = with_global_index(
+        hexed, list(keyed.keys), "cnt", boundaries=boundaries
+    ).select("key_hex", "value_hex", "cnt")
     if path:
         # global sort only on the file-writing path (ordered part files);
         # the returned DataFrame skips that exchange — callers needing order
