@@ -1,0 +1,56 @@
+"""Connected-components tests: min-label vs large-star/small-star parity,
+and the O(log n) convergence property that motivates the star variant."""
+
+import random
+
+from tikv_data_compare_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
+
+
+def _labels(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_star_path_graph_converges_in_log_rounds(spark):
+    """A 1000-node path is the adversarial case for min-label (needs ~1000
+    rounds, would raise at max_iter=64).  The star algorithm must finish it
+    within 16 rounds — the O(log n) guarantee, not just eventual
+    convergence — and label every node with the path minimum."""
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = _labels(connected_components_star(edges, max_iter=16))
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_matches_min_label_on_random_graph(spark):
+    rng = random.Random(42)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = _labels(connected_components_star(df))
+    minl = _labels(connected_components(df, algo="min_label"))
+    assert star == minl
+
+
+def test_star_two_cliques_and_bridge(spark):
+    cliq1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    cliq2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    bridge = [(4, 10)]
+    df = spark.createDataFrame(cliq1 + cliq2 + bridge, "doc_a long, doc_b long")
+    got = _labels(connected_components_star(df))
+    assert set(got.values()) == {0}
+    assert len(got) == 10
+
+
+def test_connected_components_algo_dispatch(spark):
+    df = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    star = _labels(connected_components(df, algo="star"))
+    assert star == {1: 1, 2: 1, 3: 3, 4: 3}
+    import pytest
+
+    with pytest.raises(ValueError, match="algo"):
+        connected_components(df, algo="bogus")
