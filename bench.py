@@ -31,6 +31,7 @@ def main():
     from pyspark.sql import functions as F
 
     from tikv_data_compare_spark import queries as q
+    from tikv_data_compare_spark import queries_more as qm
     from tikv_data_compare_spark.model import Keyed
     from tikv_data_compare_spark.operators import dedup as dd
     from tikv_data_compare_spark.operators import similarity as sim
@@ -80,6 +81,10 @@ def main():
         "sessionize": lambda: q.q_events_sessionize(spark, sf_dir).count(),
         "asof_join": lambda: q.q_asof_join(spark, sf_dir).count(),
         "join_region_revenue": lambda: q.q_join_region_revenue(spark, sf_dir).count(),
+        "funnel_gaps": lambda: qm.q_events_funnel_gaps(spark, sf_dir).count(),
+        "tfidf": lambda: qm.q_text_tfidf(spark, sf_dir).count(),
+        "repair_plan": lambda: qm.q_diff_repair(spark, sf_dir).count(),
+        "price_histogram": lambda: qm.q_price_histogram(spark, sf_dir).count(),
     }
 
     timings = {}
