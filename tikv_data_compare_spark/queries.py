@@ -21,10 +21,10 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tikv_data_compare_spark.functions import sqlgen
 from tikv_data_compare_spark.functions.sqlgen import DUCK, SPARK
-from tikv_data_compare_spark.model import Keyed, unique_by_key
+from tikv_data_compare_spark.model import Keyed
 from tikv_data_compare_spark.operators import diff as diff_ops
 from tikv_data_compare_spark.operators.checksum import checksum, compare_checksum
-from tikv_data_compare_spark.operators.scan import export_hex, with_global_index
+from tikv_data_compare_spark.operators.scan import export_hex
 from tikv_data_compare_spark.session import tune
 
 # ----------------------------------------------------------------- shared spec

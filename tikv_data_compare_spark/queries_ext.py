@@ -9,16 +9,14 @@ text}.py; this module wires them to the driver contract.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tikv_data_compare_spark.functions import sqlgen
-from tikv_data_compare_spark.functions.sqlgen import DUCK, SPARK
+from tikv_data_compare_spark.functions.sqlgen import DUCK
 from tikv_data_compare_spark.operators import dedup as dd
 from tikv_data_compare_spark.operators import similarity as sim
 from tikv_data_compare_spark.operators import text as tx
-from tikv_data_compare_spark.queries import MINHASH_P, MINHASH_PERMS, STOPWORDS, _dc, _load
+from tikv_data_compare_spark.queries import MINHASH_P, MINHASH_PERMS, STOPWORDS, _load
 from tikv_data_compare_spark.session import tune
 
 # ========================================================== dedup: exact

@@ -10,12 +10,11 @@ queries.oracle_sql().
 from __future__ import annotations
 
 import tempfile
-from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tikv_data_compare_spark.functions import sqlgen
-from tikv_data_compare_spark.functions.sqlgen import DUCK, SPARK
+from tikv_data_compare_spark.functions.sqlgen import DUCK
 from tikv_data_compare_spark.model import Keyed
 from tikv_data_compare_spark.operators import diff as df_ops
 from tikv_data_compare_spark.operators import events as ev
