@@ -203,3 +203,55 @@ def test_jpeg_walk_stops_at_sos():
         + b"\x00" * 8
     )
     assert parse_image_header(jpeg) is None
+
+
+def test_media_probe_matches_single_modality_parsers(spark):
+    """media_probe (one Arrow pass over both payload columns) must agree
+    field-for-field with image_dims + audio_meta run separately."""
+    from pyspark.sql import functions as F
+
+    from tikv_data_compare_spark.operators.multimodal import (
+        audio_meta,
+        image_dims,
+        media_probe,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + (320).to_bytes(4, "big") + (240).to_bytes(4, "big")
+    )
+    gif = b"GIF89a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little")
+    wav = (
+        b"RIFF" + (36 + 8).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + (44100).to_bytes(4, "little")
+        + (176400).to_bytes(4, "little") + (4).to_bytes(2, "little")
+        + (16).to_bytes(2, "little") + b"data" + (8).to_bytes(4, "little")
+    )
+    rows = [
+        (1, "alpha", png, wav),
+        (2, "beta", gif, b"junkjunkjunkjunk"),
+        (3, "gamma", b"not an image", wav),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, image_payload binary, audio_payload binary"
+    )
+    probe = {r["doc_id"]: r for r in media_probe(df, passthrough_cols=["text"]).collect()}
+    img = {
+        r["doc_id"]: r
+        for r in image_dims(df.select("doc_id", F.col("image_payload").alias("payload"))).collect()
+    }
+    aud = {
+        r["doc_id"]: r
+        for r in audio_meta(df.select("doc_id", F.col("audio_payload").alias("payload"))).collect()
+    }
+    for doc_id, text, *_ in rows:
+        p = probe[doc_id]
+        assert p["text"] == text
+        assert (p["format"], p["width"], p["height"]) == (
+            img[doc_id]["format"], img[doc_id]["width"], img[doc_id]["height"],
+        )
+        assert (p["channels"], p["sample_rate"], p["bits"], p["data_size"]) == (
+            aud[doc_id]["channels"], aud[doc_id]["sample_rate"],
+            aud[doc_id]["bits"], aud[doc_id]["data_size"],
+        )

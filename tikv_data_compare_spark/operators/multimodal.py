@@ -208,6 +208,62 @@ def audio_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payloa
     )
 
 
+def media_probe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    image_col: str = "image_payload",
+    audio_col: str = "audio_payload",
+    passthrough_cols: list[str] | None = None,
+) -> DataFrame:
+    """Image AND audio header parsing in ONE Arrow pass — the heterogeneous-
+    corpus shape: a row may carry any mix of modalities, and probing them in
+    separate :func:`image_dims` / :func:`audio_meta` passes means one scan +
+    one join per modality.  This operator runs both struct parsers over each
+    row inside a single ``mapInPandas``, so the corpus is read once and no
+    join is needed; ``passthrough_cols`` ride along for downstream JVM-side
+    metadata projection (e.g. :func:`payload_meta`'s expressions applied to
+    the probe output instead of a third scan)."""
+    passthrough = list(passthrough_cols or [])
+    out_fields = ", ".join(
+        [f"{id_col} long"]
+        + [f"{c} string" for c in passthrough]
+        + [
+            "format string",
+            "width long",
+            "height long",
+            "channels long",
+            "sample_rate long",
+            "bits long",
+            "data_size long",
+        ]
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                img, wav = r[image_col], r[audio_col]
+                pi = parse_image_header(bytes(img)) if img is not None else None
+                fmt, w, h = pi if pi else (None, None, None)
+                pw = parse_wav_header(bytes(wav)) if wav is not None else None
+                ch, sr, bits, dsz = pw if pw else (None, None, None, None)
+                row = {id_col: int(r[id_col])}
+                for c in passthrough:
+                    row[c] = r[c]
+                row.update(
+                    format=fmt, width=w, height=h,
+                    channels=ch, sample_rate=sr, bits=bits, data_size=dsz,
+                )
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, *passthrough, image_col, audio_col).mapInPandas(
+        extract, out_fields
+    )
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: one row per sampled chunk offset — the
     Spark shape of video frame extraction (posexplode of offsets computed

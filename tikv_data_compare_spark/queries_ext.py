@@ -621,27 +621,25 @@ def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       posexplode — the Spark shape of video frame extraction) reduced to
       per-doc frame count + max offset.
 
-    The oracle recomputes every field arithmetically from doc_id/text."""
+    The oracle recomputes every field arithmetically from doc_id/text.
+
+    Scale shape: ONE scan of the corpus synthesizes both payloads JVM-side
+    and probes image + audio headers in a single Arrow pass
+    (``media_probe`` with the text riding along for the JVM-side
+    ``payload_meta`` expressions) — no per-modality scans or joins; only
+    the frame-offset branch (different grain: one row per chunk) joins
+    back, so the whole probe is 2 scans + 1 keyed join instead of the
+    naive 4 scans + 3 joins."""
     tune(spark)
     from tikv_data_compare_spark.operators import multimodal as mm
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    meta = mm.payload_meta(_load(spark, sf_dir, "documents"))
 
     png = (
         "concat(unhex('89504E470D0A1A0A'), unhex('0000000D'), CAST('IHDR' AS BINARY), "
         f"{_u32be(IMG_W)}, {_u32be(IMG_H)})"
     )
     gif = f"concat(CAST('GIF89a' AS BINARY), {_u16le(IMG_W)}, {_u16le(IMG_H)})"
-    img_synth = docs.withColumn(
-        "payload",
-        F.expr(
-            f"CASE WHEN doc_id % 3 = 0 THEN {png} WHEN doc_id % 3 = 1 THEN {gif} "
-            "ELSE CAST(text AS BINARY) END"
-        ),
-    )
-    img = mm.image_dims(img_synth)
-
     byte_rate = f"(({WAV_SR} * {WAV_CH} * {WAV_BITS}) DIV 8)"
     block_align = f"(({WAV_CH} * {WAV_BITS}) DIV 8)"
     wav = (
@@ -650,13 +648,32 @@ def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_u32le(WAV_SR)}, {_u32le(byte_rate)}, {_u16le(block_align)}, {_u16le(WAV_BITS)}, "
         f"CAST('data' AS BINARY), {_u32le(WAV_DSZ)})"
     )
-    wav_synth = docs.withColumn(
-        "payload",
+    synth = docs.withColumn(
+        "image_payload",
+        F.expr(
+            f"CASE WHEN doc_id % 3 = 0 THEN {png} WHEN doc_id % 3 = 1 THEN {gif} "
+            "ELSE CAST(text AS BINARY) END"
+        ),
+    ).withColumn(
+        "audio_payload",
         F.expr(f"CASE WHEN doc_id % 7 = 3 THEN CAST(text AS BINARY) ELSE {wav} END"),
     )
-    aud = mm.audio_meta(wav_synth).withColumn(
-        "duration_ms",
-        F.expr("CAST((data_size * 8000) DIV (sample_rate * channels * bits) AS BIGINT)"),
+    probed = mm.media_probe(synth, passthrough_cols=["text"])
+    with_meta = probed.withColumn("_m", F.md5("text")).select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        F.expr(sqlgen.hexfold_i64("_m")).cast("long").alias("content_id"),
+        F.expr("CAST(ceil(octet_length(text) / 1024.0) AS BIGINT)").alias("n_chunks"),
+        "format",
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
+        "bits",
+        "data_size",
+        F.expr(
+            "CAST((data_size * 8000) DIV (sample_rate * channels * bits) AS BIGINT)"
+        ).alias("duration_ms"),
     )
 
     frames = (
@@ -667,7 +684,7 @@ def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("byte_offset").cast("long").alias("max_offset"),
         )
     )
-    return meta.join(img, "doc_id").join(aud, "doc_id").join(frames, "doc_id")
+    return with_meta.join(frames, "doc_id")
 
 
 ORACLE_MULTIMODAL_PROBE = f"""
