@@ -384,11 +384,30 @@ GROUP BY 1
 # =========================================================== text analysis
 
 
+#: deterministic PII synthesis (the fixture corpus contains no natural
+#: emails/URLs/digit runs, so matches are planted per doc_id — the same
+#: expression text runs in both engines, like the multimodal payloads)
+PII_SYNTH = (
+    "concat(text,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' u', CAST(doc_id AS STRING), '@example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(' https://data.example.org/d/', CAST(doc_id AS STRING)) ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN concat(' id ', CAST(1000000 + doc_id AS STRING)) ELSE '' END)"
+)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-scoring stats: tokens, chars, mean word length, stopword and
-    punctuation counts."""
+    """Quality-scoring stats + PII audit in one per-doc row: tokens, chars,
+    mean word length, stopword and punctuation counts (``text_stats``), and
+    the ``pii_counts`` redaction pre-pass run over a deterministically
+    PII-augmented copy of the text (emails/URLs/long digit runs planted per
+    doc_id — the fixture corpus has none naturally, so the oracle genuinely
+    gates the match counting, with the patterns restricted to Java∩RE2
+    syntax)."""
     tune(spark)
-    return tx.text_stats(_load(spark, sf_dir, "documents"))
+    docs = _load(spark, sf_dir, "documents")
+    stats = tx.text_stats(docs)
+    aug = docs.select("doc_id", F.expr(PII_SYNTH).alias("text"))
+    return stats.join(tx.pii_counts(aug), "doc_id")
 
 
 def _sw_list_sql(words: list[str]) -> str:
@@ -398,14 +417,22 @@ def _sw_list_sql(words: list[str]) -> str:
 ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
 
 ORACLE_TEXT_STATS = f"""
-WITH base AS (SELECT doc_id, text, {sqlgen.split_words('text', DUCK)} AS ws FROM documents)
-SELECT doc_id,
+WITH base AS (SELECT doc_id, text, {sqlgen.split_words('text', DUCK)} AS ws FROM documents),
+aug AS (SELECT doc_id, {PII_SYNTH} AS atext FROM documents)
+SELECT b.doc_id,
        CAST(len(ws) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(ROUND(10000.0 * (length(text) - len(ws) + 1) / len(ws)) AS BIGINT) AS mean_word_len_c,
        CAST(len(list_filter(ws, x -> x IN ({_sw_list_sql(ALL_STOPWORDS)}))) AS BIGINT) AS n_stopwords,
-       CAST(length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', '')) AS BIGINT) AS n_punct
-FROM base
+       CAST(length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', '')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(atext, '{tx.PII_EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(atext, '{tx.PII_URL_RE}')) AS BIGINT) AS n_url,
+       CAST(len(regexp_extract_all(atext, '{tx.PII_LONGNUM_RE}')) AS BIGINT) AS n_longnum,
+       CAST(CASE WHEN len(regexp_extract_all(atext, '{tx.PII_EMAIL_RE}')) > 0
+                   OR len(regexp_extract_all(atext, '{tx.PII_URL_RE}')) > 0
+                   OR len(regexp_extract_all(atext, '{tx.PII_LONGNUM_RE}')) > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS has_pii
+FROM base b JOIN aug a ON b.doc_id = a.doc_id
 """
 
 
