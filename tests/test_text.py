@@ -135,3 +135,21 @@ def test_top_bigrams_ranking_and_short_doc_guard(spark):
     got = [(r["rnk"], r["bigram"], r["n"]) for r in tx.top_bigrams(df, k=3).collect()]
     # bigrams: doc1 → (a b)×2, (b a)×1; doc2 → (a b), (b c); doc3 → none
     assert got == [(1, "a b", 3), (2, "b a", 1), (3, "b c", 1)]
+
+
+def test_repetition_stats_closed_form(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),        # 4 words, 1 distinct; bigrams: 'a a' ×3 of 3
+            (2, "a b c d"),        # all distinct; each bigram once of 3
+            (3, "spam"),           # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.repetition_stats(df).collect()}
+    assert rows[1]["dup_word_frac_c"] == 7500      # (4-1)/4
+    assert rows[1]["top_bigram_frac_c"] == 10000   # 3/3
+    assert rows[2]["dup_word_frac_c"] == 0
+    assert rows[2]["top_bigram_frac_c"] == 3333    # 1/3
+    assert rows[3]["dup_word_frac_c"] == 0
+    assert rows[3]["top_bigram_frac_c"] == 0

@@ -167,6 +167,58 @@ def quality_flags(
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    use duplicate-line and top-n-gram fractions to drop boilerplate):
+
+    - ``dup_word_frac_c``: 1 − distinct/total words, ×10000 — high for
+      word-level copy-paste loops;
+    - ``top_bigram_frac_c``: share of all adjacent-word bigrams taken by
+      the single most frequent one, ×10000 (0 when < 2 words) — high for
+      templated/repeated phrasing.
+
+    Shape: one explode + two groupBys keyed by doc (map-side partial
+    aggregation; the per-doc domain is the doc's own vocabulary, so no
+    skew beyond document length).  Exact integer math — oracle-stable.
+    """
+    ws = f"split({text_col}, ' ')"
+    words = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    word_stats = words.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.count_distinct("w").alias("n_distinct"),
+    )
+    bigrams = df.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({ws}) < 2 THEN array() "
+                f"ELSE transform(sequence(1, size({ws}) - 1), "
+                f"i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1))) END"
+            )
+        ).alias("bigram"),
+    )
+    top_bi = (
+        bigrams.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(id_col)
+        .agg(F.max("n").alias("max_bi"), F.sum("n").alias("n_bi"))
+    )
+    return (
+        word_stats.join(top_bi, id_col, "left")
+        .select(
+            id_col,
+            F.expr(
+                "CAST(ROUND(10000.0 * (n_words - n_distinct) / n_words) AS BIGINT)"
+            ).alias("dup_word_frac_c"),
+            F.coalesce(
+                F.expr("CAST(ROUND(10000.0 * max_bi / n_bi) AS BIGINT)"), F.lit(0)
+            ).alias("top_bigram_frac_c"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

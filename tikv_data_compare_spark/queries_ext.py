@@ -475,16 +475,22 @@ FROM base
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality gate + language ID in one per-doc row:
+    """Quality gate + language ID + repetition signals in one per-doc row:
 
     - Gopher-style rule flags + keep conjunction (token bounds,
       mean-word-length band, punctuation cap, stopword floor) — the filter
       stage in front of dedup (``quality_flags``);
     - stopword-overlap language ID (argmax score, alphabetical tie-break)
-      with the per-language scores (``lang_id``)."""
+      with the per-language scores (``lang_id``);
+    - Gopher repetition fractions (``repetition_stats``): duplicate-word
+      and top-bigram shares, the boilerplate/template detectors."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
-    return tx.quality_flags(docs).join(tx.lang_id(docs), "doc_id")
+    return (
+        tx.quality_flags(docs)
+        .join(tx.lang_id(docs), "doc_id")
+        .join(tx.repetition_stats(docs), "doc_id")
+    )
 
 
 def _oracle_text_quality() -> str:
@@ -517,9 +523,30 @@ langid AS (
   SELECT doc_id, lang AS labeled_lang, {armax} AS pred_lang,
          {", ".join("c_" + la for la in langs)}
   FROM scored
+),
+wrd AS (
+  SELECT doc_id, unnest({sqlgen.split_words('text', DUCK)}) AS w FROM documents
+),
+word_stats AS (
+  SELECT doc_id, count(*) AS n_words, count(DISTINCT w) AS n_distinct
+  FROM wrd GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN []
+         ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END) AS bigram
+  FROM (SELECT doc_id, {sqlgen.split_words('text', DUCK)} AS ws FROM documents)
+),
+big_tf AS (SELECT doc_id, bigram, count(*) AS n FROM big GROUP BY doc_id, bigram),
+big_top AS (SELECT doc_id, max(n) AS max_bi, sum(n) AS n_bi FROM big_tf GROUP BY doc_id),
+rep AS (
+  SELECT w.doc_id,
+         CAST(ROUND(10000.0 * (w.n_words - w.n_distinct) / w.n_words) AS BIGINT) AS dup_word_frac_c,
+         CAST(coalesce(ROUND(10000.0 * b.max_bi / b.n_bi), 0) AS BIGINT) AS top_bigram_frac_c
+  FROM word_stats w LEFT JOIN big_top b ON w.doc_id = b.doc_id
 )
-SELECT f.*, l.labeled_lang, l.pred_lang, {", ".join("l.c_" + la for la in langs)}
-FROM flags f JOIN langid l ON f.doc_id = l.doc_id
+SELECT f.*, l.labeled_lang, l.pred_lang, {", ".join("l.c_" + la for la in langs)},
+       r.dup_word_frac_c, r.top_bigram_frac_c
+FROM flags f JOIN langid l ON f.doc_id = l.doc_id JOIN rep r ON f.doc_id = r.doc_id
 """
 
 
