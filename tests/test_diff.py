@@ -124,3 +124,33 @@ def test_column_mismatch_profile_rejects_keys_only(spark):
     keys_only = Keyed.of(spark.createDataFrame([(1,), (2,)], "k long"), keys=("k",))
     with pytest.raises(ValueError, match="value column"):
         column_mismatch_profile(keys_only, keys_only)
+
+
+def test_targeted_diff_equals_full_diff(spark):
+    """Checksum-localized diff must produce byte-identical findings to the
+    full keyed diff (no finding can hide inside a matching bucket), while
+    restricting the row join to mismatched buckets only."""
+    from tikv_data_compare_spark.operators.diff import targeted_diff
+
+    src_df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 1000).alias("v"),
+    )
+    # mutations concentrated in a few buckets: update %97, delete %251,
+    # insert shifted keys
+    dst_df = (
+        src_df.filter(F.col("k") % 251 != 0)
+        .withColumn(
+            "v", F.when(F.col("k") % 97 == 0, F.col("v") + 1).otherwise(F.col("v"))
+        )
+        .unionByName(
+            spark.range(0, 5).select(
+                (F.col("id") + 10_000).alias("k"), F.lit(-1).alias("v")
+            )
+        )
+    )
+    src, dst = Keyed.of(src_df, keys=("k",)), Keyed.of(dst_df, keys=("k",))
+    bucket = (F.col("k") / 100).cast("long")
+    got = sorted(tuple(r) for r in targeted_diff(src, dst, bucket).collect())
+    ref = sorted(tuple(r) for r in diff(src, dst).collect())
+    assert got == ref and len(ref) > 0

@@ -124,6 +124,54 @@ def apply_repair(dst: Keyed, plan: DataFrame) -> DataFrame:
     return untouched.unionByName(ups)
 
 
+def targeted_diff(src: Keyed, dst: Keyed, bucket, algo: str = "md5i64") -> DataFrame:
+    """Checksum-localized diff — the reference's actual large-scale ops
+    workflow (per-region checksums first, row diff second) as ONE operator:
+
+    1. per-bucket checksum triples of both sides (``bucket`` is a Column
+       expression over the key columns — e.g. a key range, a hash prefix,
+       or a region id), ~32 bytes per bucket per side across the shuffle;
+    2. full-outer compare of the triples → the (small) set of mismatched
+       buckets;
+    3. keyed :func:`diff`, with BOTH inputs pre-filtered by a broadcast
+       semi-join on the mismatched buckets — so the expensive full-outer
+       row join only ever reads the ranges that are actually different.
+
+    Findings are IDENTICAL to ``diff(src, dst)`` (any differing/one-sided
+    row makes its bucket's triple mismatch, so no finding can hide in a
+    matching bucket — pytest-proven equivalence), but at 100 TB with 0.1%
+    drift the row-level join touches ~0.1% of the data instead of all of
+    it.  The checksum pass still scans both sides once; the win is on the
+    wide shuffle + join, which dominates.
+    """
+    from tikv_data_compare_spark.operators.checksum import _with_hash
+
+    check_comparable(src, dst)
+
+    def triples(k: Keyed) -> DataFrame:
+        df, h = _with_hash(k, algo, None)
+        return df.withColumn("_bucket", bucket).groupBy("_bucket").agg(
+            F.bit_xor(F.col(h)).alias("_cksum"),
+            F.count(F.lit(1)).alias("_kvs"),
+        )
+    st, dt = triples(src), triples(dst)
+    joined = st.alias("s").join(dt.alias("d"), on="_bucket", how="full_outer")
+    same = F.col("s._cksum").eqNullSafe(F.col("d._cksum")) & F.col("s._kvs").eqNullSafe(
+        F.col("d._kvs")
+    )
+    bad = joined.filter(~same).select("_bucket")
+
+    def restrict(k: Keyed) -> Keyed:
+        filtered = (
+            k.df.withColumn("_bucket", bucket)
+            .join(F.broadcast(bad), on="_bucket", how="left_semi")
+            .drop("_bucket")
+        )
+        return Keyed(filtered, k.keys, k.values)
+
+    return diff(restrict(src), restrict(dst))
+
+
 def diff_count(src: Keyed, dst: Keyed) -> DataFrame:
     """Aggregate diff summary: count per status — cheap verdict without
     materializing per-row findings."""
