@@ -153,3 +153,38 @@ def test_repetition_stats_closed_form(spark):
     assert rows[2]["top_bigram_frac_c"] == 3333    # 1/3
     assert rows[3]["dup_word_frac_c"] == 0
     assert rows[3]["top_bigram_frac_c"] == 0
+
+
+def test_contamination_flags_benchmark_overlap(spark):
+    from tikv_data_compare_spark.operators.text import contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),   # contains probe
+            (2, "completely unrelated content about databases"),  # clean
+            (3, "quick brown fox"),                                # exactly one probe 3-gram
+            (4, "hi"),                                             # short doc, no probe match
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")],
+        "probe_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in contamination(docs, probes, n=3).collect()}
+    # doc 1: 7 grams, probe has 3 grams, all 3 appear in doc 1
+    assert rows[1]["n_grams"] == 7 and rows[1]["n_hit_grams"] == 3
+    assert rows[2]["n_hit_grams"] == 0
+    assert rows[3]["n_grams"] == 1 and rows[3]["n_hit_grams"] == 1
+    assert rows[3]["hit_frac_c"] == 10000
+    assert rows[4]["n_hit_grams"] == 0
+
+
+def test_contamination_self_probe_full_overlap(spark):
+    from tikv_data_compare_spark.operators.text import contamination
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w v u")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in contamination(docs, docs.withColumnRenamed("doc_id", "probe_id"), n=3).collect()}
+    assert all(r["hit_frac_c"] == 10000 for r in out.values())

@@ -167,6 +167,62 @@ def quality_flags(
     )
 
 
+def contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    probe_text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Test-set decontamination: per document, how many of its distinct word
+    ``n``-grams appear in ANY probe document (the benchmark/eval corpus) —
+    the overlap screen run before training to avoid leaking evaluation data
+    (texts shorter than ``n`` words fall back to the whole text, so exact
+    short matches still hit).
+
+    Returns ``(id, n_grams, n_hit_grams, hit_frac_c)`` for every document;
+    callers threshold ``n_hit_grams``/``hit_frac_c`` to drop or audit.
+
+    Scale shape: the probe set is benchmark-sized (thousands of docs) while
+    the corpus is the 100 TB side, so the distinct probe n-gram set is
+    **broadcast** and the corpus n-grams stream map-side through the hash
+    join — no corpus shuffle beyond the per-doc count aggregation.  Exact
+    integer output (hit fraction ×10000).
+    """
+
+    def grams(df: DataFrame, idc: str, tc: str) -> DataFrame:
+        ws = f"split({tc}, ' ')"
+        return df.select(
+            F.col(idc),
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size({ws}) >= {n} THEN "
+                    f"transform(sequence(0, size({ws}) - {n}), i -> concat_ws(' ', slice({ws}, i + 1, {n}))) "
+                    f"ELSE array({tc}) END"
+                )
+            ).alias("gram"),
+        ).distinct()
+
+    d = grams(docs, id_col, text_col)
+    p = grams(probes, probe_id_col, probe_text_col).select("gram").distinct()
+    totals = d.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    hits = (
+        d.join(F.broadcast(p), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_grams"))
+    )
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long").alias("n_hit_grams"),
+        F.expr(
+            "CAST(ROUND(10000.0 * coalesce(n_hit_grams, 0) / n_grams) AS BIGINT)"
+        ).alias("hit_frac_c"),
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
