@@ -208,3 +208,31 @@ def test_tfidf_broadcasts_doc_frequency(spark, documents):
     # the scalar N-docs factor joins as a 1-row broadcast (BNLJ), never a
     # shuffled cartesian
     assert not plans.has_cartesian(df)
+
+
+def test_contamination_broadcasts_probe_grams(spark, documents):
+    from tikv_data_compare_spark.operators.text import contamination
+
+    probes = documents.limit(5).withColumnRenamed("doc_id", "probe_id")
+    out = contamination(documents.limit(50), probes, n=3)
+    assert not plans.has_cartesian(out)
+    assert "BroadcastHashJoin" in plans.plan_string(out)
+
+
+def test_targeted_diff_semi_join_on_buckets(spark):
+    from tikv_data_compare_spark.operators.diff import targeted_diff
+
+    src_df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("v")
+    )
+    dst_df = src_df.withColumn(
+        "v", F.when(F.col("k") % 97 == 0, F.col("v") + 1).otherwise(F.col("v"))
+    )
+    out = targeted_diff(
+        Keyed.of(src_df, keys=("k",)),
+        Keyed.of(dst_df, keys=("k",)),
+        (F.col("k") / 100).cast("long"),
+    )
+    s = plans.plan_string(out)
+    assert not plans.has_cartesian(out)
+    assert "LeftSemi" in s and "BroadcastHashJoin" in s

@@ -136,3 +136,27 @@ def test_ivf_deterministic(spark, emb):
     a = sim.topk_ivf(emb, k=3, n_queries=3, n_cells=4, n_probe=2).collect()
     b = sim.topk_ivf(emb, k=3, n_queries=3, n_cells=4, n_probe=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_embedding_dedup_canonical_chain_and_singleton(spark):
+    """Near-dup pairs → transitive components → kept/dropped verdicts: a
+    tight 3-vector cluster collapses to its minimum id, an orthogonal
+    vector keeps itself (deterministic: seeded planes, fixed vectors)."""
+    from tikv_data_compare_spark.operators.similarity import embedding_dedup_canonical
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),
+        (2, [0.998, 0.06, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["component"], r["kept"])
+        for r in embedding_dedup_canonical(
+            emb, threshold_c=9900, n_planes=2, dim=4
+        ).collect()
+    }
+    assert out[0] == (0, 1)
+    assert out[1] == (0, 0) and out[2] == (0, 0)
+    assert out[10] == (10, 1)

@@ -404,6 +404,41 @@ def topk_ivf(
     )
 
 
+def embedding_dedup_canonical(
+    emb: DataFrame,
+    threshold_c: int = 4000,
+    n_planes: int | None = None,
+    n_tables: int = 2,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """End-to-end embedding near-dup decision, mirroring the text-side
+    ``dedup_canonical`` chain: LSH near-dup pairs → connected components
+    (transitive closure — a dup CLUSTER, not just pairwise hits) → one row
+    per vector with its component and a kept/dropped verdict (kept iff the
+    vector is its component's minimum id; singletons keep themselves).
+
+    This is the row an embedding-dedup pipeline acts on.  Scale shape is
+    the pair generation's (bucketed equi-join) plus O(rounds) label joins;
+    use ``connected_components(..., algo='star')`` semantics via the
+    default min-label (dup clusters are shallow)."""
+    from tikv_data_compare_spark.operators.graph import connected_components
+
+    pairs = embedding_near_dup(
+        emb, threshold_c=threshold_c, n_planes=n_planes,
+        n_tables=n_tables, seed=seed, dim=dim,
+    )
+    comp = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    vecs = emb.select("vec_id")
+    joined = vecs.join(comp, vecs.vec_id == comp.id, "left")
+    component = F.coalesce(F.col("component"), F.col("vec_id"))
+    return joined.select(
+        "vec_id",
+        component.cast("long").alias("component"),
+        (component == F.col("vec_id")).cast("long").alias("kept"),
+    )
+
+
 def embedding_exact_dup(emb: DataFrame) -> DataFrame:
     """Exact-duplicate embeddings via canonical fingerprint.
 
