@@ -100,6 +100,13 @@ def main():
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # the suite grew from 10 to 14 operators in r5 — report the original-10
+    # subtotal too so round-over-round totals stay comparable (BASELINE.md)
+    core10 = [
+        "checksum_compare_xxh", "diff_keyed", "export_hex", "dedup_minhash_pairs",
+        "dedup_simhash", "similarity_topk", "text_stats", "sessionize",
+        "asof_join", "join_region_revenue",
+    ]
     print(
         json.dumps(
             {
@@ -107,6 +114,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "core10_total": round(sum(timings[n] for n in core10 if n in timings), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
             }
