@@ -1,0 +1,96 @@
+"""TiKV connector tests: region planning, the paginated scan protocol, and
+the DataSource end-to-end over the in-memory fake client."""
+
+import pytest
+
+from tikv_data_compare_spark.sources.tikv import (
+    DEFAULT_BATCH,
+    FakeTikvClient,
+    load_tikv,
+    paginated_scan,
+    plan_ranges,
+)
+
+
+def k(i: int) -> bytes:
+    return i.to_bytes(8, "big")
+
+
+# ---------------------------------------------------------------- planning
+
+
+def test_plan_ranges_splits_at_region_boundaries():
+    bounds = [k(100), k(200), k(300)]
+    got = plan_ranges(bounds, k(50), k(250))
+    assert got == [(k(50), k(100)), (k(100), k(200)), (k(200), k(250))]
+
+
+def test_plan_ranges_unbounded_and_clamped():
+    bounds = [k(100), k(200)]
+    assert plan_ranges(bounds, None, None) == [
+        (None, k(100)), (k(100), k(200)), (k(200), None),
+    ]
+    # range inside one region: no splits
+    assert plan_ranges(bounds, k(110), k(120)) == [(k(110), k(120))]
+    # empty range
+    assert plan_ranges(bounds, k(150), k(150)) == []
+    assert plan_ranges(bounds, k(200), k(100)) == []
+
+
+# ------------------------------------------------------------- pagination
+
+
+def test_paginated_scan_resumes_with_short_batches():
+    client = FakeTikvClient(n=100, region_size=1000)
+    pairs = list(paginated_scan(client, None, None, batch=7))
+    assert len(pairs) == 100
+    assert [p[0] for p in pairs] == [k(i) for i in range(100)]
+    # half-open end respected across page boundaries
+    pairs = list(paginated_scan(client, k(10), k(24), batch=5))
+    assert [p[0] for p in pairs] == [k(i) for i in range(10, 24)]
+
+
+# ----------------------------------------------------------- end-to-end
+
+
+def test_datasource_reads_fake_cluster_region_aligned(spark):
+    keyed = load_tikv(spark, client="fake", fake_n=500, fake_region_size=64)
+    df = keyed.df
+    assert df.columns == ["key", "value"]
+    rows = df.collect()
+    assert len(rows) == 500
+    got = sorted(bytes(r["key"]) for r in rows)
+    assert got == [k(i) for i in range(500)]
+    # region-aligned parallelism: ceil(500/64) = 8 input partitions
+    assert df.rdd.getNumPartitions() == 8
+
+
+def test_datasource_range_pushdown(spark):
+    keyed = load_tikv(
+        spark, start=k(100), end=k(130), client="fake", fake_n=500, fake_region_size=64
+    )
+    got = sorted(bytes(r["key"]) for r in keyed.df.collect())
+    assert got == [k(i) for i in range(100, 130)]
+
+
+def test_datasource_small_batch_pagination(spark):
+    keyed = load_tikv(spark, client="fake", fake_n=200, fake_region_size=500, batch=9)
+    assert keyed.df.count() == 200
+
+
+def test_api_version_handshake_rejects_mismatch(spark):
+    keyed = load_tikv(
+        spark, api_version="V2", client="fake", fake_n=10, fake_api_version="V1"
+    )
+    with pytest.raises(Exception, match="API version"):
+        keyed.df.collect()
+
+
+def test_live_client_fails_loudly(spark):
+    keyed = load_tikv(spark, pd_addr="127.0.0.1:2379")
+    with pytest.raises(Exception, match="tikv-client"):
+        keyed.df.collect()
+
+
+def test_default_batch_is_reference_page_size():
+    assert DEFAULT_BATCH == 10240  # scan/scan.go:42

@@ -1,32 +1,137 @@
-"""TiKV RawKV connector boundary (stub).
+"""TiKV RawKV connector: region-aligned Python DataSource over a pluggable
+client.
 
-A real deployment would read live clusters the way the reference does
-(rawkv client Scan/Checksum RPCs, region-aligned parallelism — reference
-scan/scan.go:44-60, checksum/checksum.go:52-65).  The client library
-(`tikv-client` / a JVM DataSource V2) is not available in this environment,
-so this module documents the connector contract and fails loudly.
+The connector logic is REAL and tested — region→partition planning
+(the reference's PaginateScanRegion + ConvertToRawKey,
+checksum/checksum.go:52-65), the paginated ascending scan protocol with
+``lastKey + 0x00`` resume (scan/scan.go:44-60), the API-version handshake
+(utils/utils.go:13-26) — and only the wire client is absent: the
+``tikv-client`` package does not exist in this environment, so
+``load_tikv`` against a live PD address fails loudly with the same message
+as before.  Everything above the client boundary runs today against the
+in-process :class:`FakeTikvClient`, which implements the documented client
+contract over deterministic synthetic data — the connector's partition
+planning, pagination, and range clamping are exercised end-to-end through
+``spark.read.format("tikv_raw")`` in tests/test_tikv.py.
 
-Design (for when the dependency exists):
-- DataSource V2 with one ``InputPartition`` per region (the Spark analogue
-  of PaginateScanRegion, checksum/checksum.go:52-57) so scans are
-  region-aligned and data-local.
-- ``SupportsPushDownFilters`` for the key-range predicate (the range rides
-  into the Scan RPC exactly as in the reference).
-- ``SupportsPushDownAggregates`` optionally maps the checksum triple onto
-  TiKV's coprocessor checksum (checksum/checksum.go:83) so only 24 bytes per
-  region cross the network.
-- APIv2 key codec (codec.encode_key_v2/decode_key_v2) applied at the
-  boundary; API-version fetch (utils/utils.go:13-26) becomes the source's
-  schema/metadata handshake, enforced by model.check_comparable.
+Client contract (what a real ``tikv-client`` adapter must provide)::
+
+    class Client:
+        def api_version(self) -> str: ...            # "V1" | "V1TTL" | "V2"
+        def region_boundaries(self) -> list[bytes]:  # sorted split keys
+        def scan(self, start: bytes, end: bytes | None, limit: int)
+            -> list[tuple[bytes, bytes]]             # ascending, half-open
+
+Scale shape: one ``InputPartition`` per region sub-range intersecting the
+requested key range, so scans are region-aligned (data-local on a real
+cluster) and the range rides inside every scan call exactly as the
+reference ships it inside the Scan RPC.
 """
 
 from __future__ import annotations
 
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
 from tikv_data_compare_spark.model import Keyed
 
+#: reference batch size (scan/scan.go:42)
+DEFAULT_BATCH = 10240
 
-def load_tikv(spark, pd_addr: str, start=None, end=None, api_version: str = "V2") -> Keyed:
-    """Open a RawKV cluster as a keyed DataFrame.  Not available here."""
+
+def plan_ranges(
+    boundaries: list[bytes], start: bytes | None, end: bytes | None
+) -> list[tuple[bytes | None, bytes | None]]:
+    """Split ``[start, end)`` at every region boundary it crosses — the pure
+    planning core of the reference's region-parallel checksum
+    (checksum/checksum.go:52-65): each returned sub-range lies inside one
+    region, so one task per sub-range is region-aligned.
+
+    ``boundaries`` are the region SPLIT keys (region i covers
+    ``[boundaries[i-1], boundaries[i])``; the first region starts at -inf,
+    the last ends at +inf).  ``None`` bounds mean unbounded, as in the
+    reference's empty start/end keys (config/config.go:32-33).
+    """
+    cuts = sorted(
+        b
+        for b in boundaries
+        if (start is None or b > start) and (end is None or b < end)
+    )
+    points: list[bytes | None] = [start, *cuts, end]
+    if start is not None and end is not None and start >= end:
+        return []
+    return [(points[i], points[i + 1]) for i in range(len(points) - 1)]
+
+
+def paginated_scan(client, start: bytes | None, end: bytes | None, batch: int = DEFAULT_BATCH):
+    """The reference's scan loop (scan/scan.go:44-60): fetch ``batch``-sized
+    ascending pages, resume from ``lastKey + 0x00`` (the smallest key
+    strictly greater than lastKey under bytewise order), stop on a short
+    page.  Yields (key, value) pairs."""
+    cursor = start
+    while True:
+        page = client.scan(cursor, end, batch)
+        yield from page
+        if len(page) < batch:
+            return
+        cursor = page[-1][0] + b"\x00"
+
+
+class FakeTikvClient:
+    """In-memory client implementing the contract over deterministic
+    synthetic data: ``n`` pairs with 8-byte big-endian keys and md5-derived
+    values, region split keys every ``region_size`` keys.  Exists so the
+    connector above the wire boundary is runnable and testable in this
+    environment; a real deployment swaps in a ``tikv-client`` adapter with
+    the same three methods."""
+
+    def __init__(self, n: int = 1000, region_size: int = 100, api_version: str = "V2"):
+        self._api = api_version
+        self._keys = [i.to_bytes(8, "big") for i in range(n)]
+        self._kv = {k: hashlib.md5(k).digest() for k in self._keys}
+        self._bounds = [
+            (i).to_bytes(8, "big") for i in range(region_size, n, region_size)
+        ]
+
+    def api_version(self) -> str:
+        return self._api
+
+    def region_boundaries(self) -> list[bytes]:
+        return list(self._bounds)
+
+    def scan(self, start: bytes | None, end: bytes | None, limit: int):
+        out = []
+        for k in self._keys:  # sorted by construction
+            if start is not None and k < start:
+                continue
+            if end is not None and k >= end:
+                break
+            out.append((k, self._kv[k]))
+            if len(out) >= limit:
+                break
+        return out
+
+
+def _make_client(options):
+    """Resolve the client from reader options.  ``client=fake`` builds the
+    in-memory fake (options: fake_n, fake_region_size, fake_api_version);
+    ``client=module:callable`` imports a factory (a real tikv-client
+    adapter); anything else is the live-cluster path, which requires the
+    absent dependency and fails loudly."""
+    kind = options.get("client", "live")
+    if kind == "fake":
+        return FakeTikvClient(
+            n=int(options.get("fake_n", 1000)),
+            region_size=int(options.get("fake_region_size", 100)),
+            api_version=options.get("fake_api_version", "V2"),
+        )
+    if ":" in kind:
+        import importlib
+
+        mod, _, fn = kind.partition(":")
+        return getattr(importlib.import_module(mod), fn)(options)
     try:
         import tikv_client  # noqa: F401
     except ImportError as e:
@@ -35,6 +140,87 @@ def load_tikv(spark, pd_addr: str, start=None, end=None, api_version: str = "V2"
             "this environment); use sources.parquet for file-backed sources, "
             "or export the cluster with the reference's scan command and open "
             "the dump with sources.scandump.load_scan_dump (reads the "
-            "{NAME}_scan.log.<ts> format with range pushdown)"
+            "{NAME}_scan.log.<ts> format with range pushdown), or pass "
+            ".option('client', 'fake') / a module:factory adapter"
         ) from e
-    raise NotImplementedError("DataSource V2 TiKV connector: see module docstring for the design")
+    raise NotImplementedError("live tikv-client adapter: implement the 3-method contract")
+
+
+@dataclass
+class _RangePartition(InputPartition):
+    start: bytes | None
+    end: bytes | None
+
+
+def _parse_key(options, name: str) -> bytes | None:
+    v = options.get(name)
+    return bytes.fromhex(v) if v else None
+
+
+class TikvScanReader(DataSourceReader):
+    def __init__(self, options):
+        self.options = dict(options)
+        self.batch = int(options.get("batch", DEFAULT_BATCH))
+
+    def partitions(self):
+        client = _make_client(self.options)
+        start = _parse_key(self.options, "start_key")
+        end = _parse_key(self.options, "end_key")
+        want = self.options.get("api_version")
+        have = client.api_version()
+        if want and want != have:
+            # the reference aborts before scanning on a version mismatch
+            # (checksum/checksum.go:134-137 via utils/utils.go:13-26)
+            raise ValueError(f"cluster API version {have} != requested {want}")
+        ranges = plan_ranges(client.region_boundaries(), start, end)
+        return [_RangePartition(s, e) for s, e in ranges] or [_RangePartition(start, end)]
+
+    def read(self, partition: _RangePartition):
+        client = _make_client(self.options)
+        yield from paginated_scan(client, partition.start, partition.end, self.batch)
+
+
+class TikvDataSource(DataSource):
+    """``spark.read.format("tikv_raw")`` — (key binary, value binary) rows,
+    one input partition per region sub-range."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tikv_raw"
+
+    def schema(self) -> str:
+        return "key binary, value binary"
+
+    def reader(self, schema) -> TikvScanReader:
+        return TikvScanReader(self.options)
+
+
+def load_tikv(
+    spark,
+    pd_addr: str | None = None,
+    start: bytes | None = None,
+    end: bytes | None = None,
+    api_version: str = "V2",
+    client: str = "live",
+    batch: int = DEFAULT_BATCH,
+    **client_options,
+) -> Keyed:
+    """Open a RawKV cluster (or the in-process fake / a custom adapter) as a
+    keyed DataFrame.  The API-version handshake is enforced at planning
+    time; the key range is shipped into every scan call."""
+    spark.dataSource.register(TikvDataSource)
+    r = (
+        spark.read.format("tikv_raw")
+        .option("client", client)
+        .option("api_version", api_version)
+        .option("batch", str(batch))
+    )
+    if pd_addr:
+        r = r.option("pd_addr", pd_addr)
+    if start is not None:
+        r = r.option("start_key", start.hex())
+    if end is not None:
+        r = r.option("end_key", end.hex())
+    for k, v in client_options.items():
+        r = r.option(k, str(v))
+    return Keyed(r.load())
