@@ -188,3 +188,28 @@ def test_contamination_self_probe_full_overlap(spark):
     )
     out = {r["doc_id"]: r for r in contamination(docs, docs.withColumnRenamed("doc_id", "probe_id"), n=3).collect()}
     assert all(r["hit_frac_c"] == 10000 for r in out.values())
+
+
+def test_compression_ratio_matches_zlib_and_separates_tails(spark):
+    import zlib
+
+    from tikv_data_compare_spark.operators.text import compression_ratio
+
+    texts = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),  # repetitive
+        (2, "The quick brown fox jumps over the lazy dog near a river bank."),
+        (3, ""),  # empty → NULL ratio
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    for doc_id, text in texts:
+        raw = text.encode()
+        r = rows[doc_id]
+        assert r["n_bytes"] == len(raw)
+        assert r["n_compressed"] == len(zlib.compress(raw, 6))
+        if raw:
+            assert r["compression_ratio_c"] == round(10000 * len(zlib.compress(raw, 6)) / len(raw))
+        else:
+            assert r["compression_ratio_c"] is None
+    # the repetitive doc must compress strictly better than natural prose
+    assert rows[1]["compression_ratio_c"] < rows[2]["compression_ratio_c"]

@@ -7,6 +7,8 @@ remain DuckDB-oracle checkable via the shared canon/hash primitives.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from tikv_data_compare_spark.functions import sqlgen
@@ -165,6 +167,47 @@ def quality_flags(
             F.col("ok_len") * F.col("ok_word_len") * F.col("ok_punct") * F.col("ok_stopwords")
         ).cast("long"),
     )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio ×10000 (compressed/raw bytes) —
+    the entropy proxy corpus pipelines use alongside the Gopher rules:
+    boilerplate and repeated text compress far below natural prose, random
+    noise compresses above it, so both tails are drop candidates.
+
+    DEFLATE is bit-deterministic for a fixed library/level, so results are
+    retry-stable; zlib is stdlib (no environment gamble).  Runs as an
+    Arrow-batched mapInPandas — compression is genuinely per-row Python
+    work, but there is no JVM expression for it and the payload never
+    shuffles (map-only).  No SQL oracle (DuckDB has no zlib); semantics
+    pinned by tests against direct zlib calls."""
+    out_schema = f"{id_col} long, n_bytes long, n_compressed long, compression_ratio_c long"
+
+    def compress(batches: Iterator) -> Iterator:
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                rows.append(
+                    {
+                        id_col: int(doc_id),
+                        "n_bytes": len(raw),
+                        "n_compressed": len(comp),
+                        "compression_ratio_c": round(10000 * len(comp) / len(raw))
+                        if raw
+                        else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(compress, out_schema)
 
 
 def contamination(
