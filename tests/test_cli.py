@@ -174,3 +174,32 @@ def test_cli_handshake_rejects_mixed_kinds(capsys, two_tables, tmp_path):
     rc = cli.main(["checksum", "--src", d, "--dst", dst])
     assert rc == 2
     assert "kinds differ" in capsys.readouterr().err
+
+
+def test_cli_checksum_tikv_fake_source(spark, capsys):
+    """The reference's UX — compare two clusters by endpoint — through the
+    connector: identical fake clusters must report equal."""
+    from tikv_data_compare_spark import cli
+
+    rc = cli.main(
+        ["checksum", "--src", "tikv+fake://left", "--dst", "tikv+fake://right", "--keys", "key"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and '"equal": true' in out
+
+
+def test_cli_diff_tikv_fake_vs_dump(spark, tmp_path, capsys):
+    """Cross-source compare: a live(fake) cluster against a scan dump of
+    itself — the migration-check workflow."""
+    from tikv_data_compare_spark import cli
+    from tikv_data_compare_spark.model import Keyed
+    from tikv_data_compare_spark.operators.scan import export_hex
+    from tikv_data_compare_spark.sources.tikv import load_tikv
+
+    dump = str(tmp_path / "FAKE_scan.log.1")
+    # dump the default fake cluster (n=1000), then diff the cluster against
+    # its own dump: identical KV → empty diff → rc 0
+    export_hex(Keyed(load_tikv(spark, client="fake").df), path=dump)
+    rc = cli.main(["diff", "--src", "tikv+fake://x", "--dst", dump, "--keys", "key"])
+    capsys.readouterr()
+    assert rc == 0

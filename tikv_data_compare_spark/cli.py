@@ -72,7 +72,22 @@ def _keyed(spark, path: str, keys: list[str], args):
     from tikv_data_compare_spark.model import Keyed
     from tikv_data_compare_spark.sources import meta as meta_mod
 
-    if meta_mod.is_scan_dump(path):
+    if path.startswith("tikv://") or path.startswith("tikv+fake://"):
+        # a live cluster addressed by PD endpoint, exactly the reference's
+        # --src-pd/--dst-pd UX (config/config.go:10-18); tikv+fake:// drives
+        # the in-memory client for tests/demos.  The live path fails loudly
+        # until a tikv-client adapter exists (sources/tikv.py).
+        from tikv_data_compare_spark.sources.tikv import load_tikv
+
+        scheme, _, addr = path.partition("://")
+        k = load_tikv(
+            spark,
+            pd_addr=addr or None,
+            client="fake" if scheme == "tikv+fake" else "live",
+        )
+        keys = ["key"]
+        df = k.df
+    elif meta_mod.is_scan_dump(path):
         # a reference-format scan dump ({NAME}_scan.log.<ts>, scan/scan.go:35)
         # opens as the canonical binary KV pair; the running counter is a
         # file artifact, not data — drop it from comparisons

@@ -66,6 +66,10 @@ def read_meta(path: str) -> SourceMeta:
     version; anything else is a parquet/tabular source whose "version" is
     its schema, gated separately by ``model.check_comparable``.
     """
+    if path.startswith(("tikv://", "tikv+fake://")):
+        # a live cluster endpoint: the version is enforced again at scan
+        # planning time by the connector itself (sources/tikv.py)
+        return SourceMeta(kind="cluster", api_version=DEFAULT_API_VERSION)
     sidecar = os.path.join(path, _META_FILE)
     if os.path.isdir(path) and os.path.exists(sidecar):
         with open(sidecar) as fh:
@@ -88,8 +92,13 @@ def check_handshake(src: SourceMeta, dst: SourceMeta) -> None:
             f"Different api version between src:{src.api_version} and "
             f"dst:{dst.api_version}."
         )
-    if src.kind != dst.kind:
+    # dumps and live clusters are the same comparability class (canonical
+    # binary KV pairs — a dump IS a cluster export); typed tables are not
+    kv = {"dump", "cluster"}
+    src_class = "kv" if src.kind in kv else src.kind
+    dst_class = "kv" if dst.kind in kv else dst.kind
+    if src_class != dst_class:
         raise ValueError(
             f"source kinds differ: src is {src.kind}, dst is {dst.kind}; "
-            "compare dump-to-dump or table-to-table"
+            "compare KV sources (dump/cluster) together or tables together"
         )
