@@ -18,6 +18,34 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from tikv_data_compare_spark.functions import sqlgen
 
+#: handles to every broadcast this module created, so long-lived sessions
+#: (notebooks, services) can reclaim executor memory between workloads with
+#: :func:`release_broadcasts` — otherwise blocks live until Spark's
+#: ContextCleaner notices the (closure-held) handle is unreachable
+_LIVE_BROADCASTS: list = []
+
+
+def _track(bc):
+    _LIVE_BROADCASTS.append(bc)
+    return bc
+
+
+def release_broadcasts() -> int:
+    """Unpersist every broadcast created by this module's operators (plane
+    matrices, query matrices, IVF centroids) and drop the handles.  Safe to
+    call while returned DataFrames are still alive: ``unpersist()`` keeps
+    the driver copy, so a later action simply re-ships the blocks.
+    Returns the number released."""
+    n = 0
+    for bc in _LIVE_BROADCASTS:
+        try:
+            bc.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — a stopped context is fine
+            pass
+    _LIVE_BROADCASTS.clear()
+    return n
+
 DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -53,7 +81,7 @@ def topk_bruteforce(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFram
     qids = [int(r["vec_id"]) for r in qrows]
     qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((qids, qnorm))
+    bc = _track(spark.sparkContext.broadcast((qids, qnorm)))
 
     def score_batches(batches):
         import numpy as np
@@ -175,7 +203,7 @@ def lsh_buckets(
     if dim is None:
         first = emb.select(vec_col).first()
         dim = len(first[vec_col]) if first else 1
-    bc = spark.sparkContext.broadcast(_plane_matrix(dim, n_planes, n_tables, seed))
+    bc = _track(spark.sparkContext.broadcast(_plane_matrix(dim, n_planes, n_tables, seed)))
     out_schema = T.StructType(list(emb.schema.fields) + [T.StructField("bucket", T.LongType())])
 
     def bucketize(batches):
@@ -364,7 +392,7 @@ def topk_ivf(
 
     spark = emb.sparkSession
     cent = _train_centroids(emb, n_cells, sample_rows, seed, "embedding")
-    bc = spark.sparkContext.broadcast(cent)
+    bc = _track(spark.sparkContext.broadcast(cent))
     corpus = _assign_cells(emb.select("vec_id", "embedding"), bc, "embedding")
 
     qrows = emb.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
