@@ -94,3 +94,37 @@ def test_live_client_fails_loudly(spark):
 
 def test_default_batch_is_reference_page_size():
     assert DEFAULT_BATCH == 10240  # scan/scan.go:42
+
+
+# ------------------------------------------------------------- properties
+
+
+def test_plan_ranges_partition_property():
+    """For random boundary sets and ranges: the planned sub-ranges tile
+    [start, end) exactly — ordered, disjoint, gap-free, each within one
+    region."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        bounds=st.lists(st.integers(0, 1000), max_size=20),
+        lo=st.integers(0, 1000),
+        hi=st.integers(0, 1000),
+    )
+    def check(bounds, lo, hi):
+        bs = sorted({k(b) for b in bounds})
+        start, end = k(min(lo, hi)), k(max(lo, hi))
+        got = plan_ranges(bs, start, end)
+        if start == end:
+            assert got == []
+            return
+        # tiles exactly: first starts at start, last ends at end, adjacent
+        assert got[0][0] == start and got[-1][1] == end
+        for (a0, a1), (b0, b1) in zip(got, got[1:]):
+            assert a1 == b0 and a0 < a1
+        # every cut point is a region boundary strictly inside the range
+        inner = {r[0] for r in got[1:]}
+        assert inner == {b for b in bs if start < b < end}
+
+    check()
