@@ -154,3 +154,18 @@ def test_targeted_diff_equals_full_diff(spark):
     got = sorted(tuple(r) for r in targeted_diff(src, dst, bucket).collect())
     ref = sorted(tuple(r) for r in diff(src, dst).collect())
     assert got == ref and len(ref) > 0
+
+
+def test_schema_diff_itemizes_drift(spark):
+    from tikv_data_compare_spark.model import schema_diff
+
+    a = spark.createDataFrame([(1, "x", 1.0)], "k long, s string, v double")
+    b = spark.createDataFrame([(1, "x", 2)], "k long, s string, v long").withColumn(
+        "extra", F.lit(True)
+    )
+    got = schema_diff(a, b)
+    assert got == [
+        {"column": "extra", "status": "only_dst", "src_type": None, "dst_type": "boolean"},
+        {"column": "v", "status": "type_changed", "src_type": "double", "dst_type": "bigint"},
+    ]
+    assert schema_diff(a, a) == []

@@ -95,6 +95,25 @@ def check_comparable(src: Keyed, dst: Keyed) -> None:
         raise ValueError(f"schema mismatch (API-version gate): {s} vs {d}")
 
 
+def schema_diff(src: DataFrame, dst: DataFrame) -> list[dict]:
+    """Column-level schema drift report — what :func:`check_comparable`
+    refuses to compare, itemized so an operator can act on it: one entry per
+    drifted column with status ``only_src`` / ``only_dst`` /
+    ``type_changed`` and the type on each side.  Empty list = comparable
+    schemas.  Driver-side metadata only (no Spark job); the typed analogue
+    of diffing two clusters' API versions before touching data."""
+    s = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+    d = {f.name: f.dataType.simpleString() for f in dst.schema.fields}
+    out = []
+    for name in sorted(s.keys() | d.keys()):
+        st, dt = s.get(name), d.get(name)
+        if st == dt:
+            continue
+        status = "only_src" if dt is None else "only_dst" if st is None else "type_changed"
+        out.append({"column": name, "status": status, "src_type": st, "dst_type": dt})
+    return out
+
+
 def unique_by_key(df: DataFrame, keys: list[str], order_cols: list[str] | None = None) -> DataFrame:
     """Canonicalize to one row per key (deterministically).
 
