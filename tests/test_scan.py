@@ -82,3 +82,29 @@ def test_global_index_rejects_unsorted_boundaries(spark, lineitem):
     df = lineitem.select("l_orderkey")
     with pytest.raises(ValueError, match="ascending"):
         with_global_index(df, ["l_orderkey"], boundaries=[(3000,), (1000,)])
+
+
+def test_parquet_footer_boundaries_drive_jobfree_index(spark):
+    """Boundaries from parquet row-group stats (no Spark job, no data read)
+    feed with_global_index and reproduce the sampled-boundary numbering."""
+    from tikv_data_compare_spark.operators.scan import parquet_key_boundaries
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    bounds = parquet_key_boundaries(path, "o_orderkey")
+    df = spark.read.parquet(path).select("o_orderkey")
+    if bounds:  # stats present: strictly ascending, job-free construction
+        assert all(a < b for a, b in zip(bounds, bounds[1:]))
+        sc = spark.sparkContext
+        sc.setJobGroup("footer_bounds", "")
+        try:
+            out = with_global_index(df, ["o_orderkey"], boundaries=bounds)
+            assert list(sc.statusTracker().getJobIdsForGroup("footer_bounds")) == []
+        finally:
+            sc.setJobGroup(None, None)
+    else:  # stats absent in this fixture: fall back to sampling
+        out = with_global_index(df, ["o_orderkey"])
+    got = sorted((r["o_orderkey"], r["cnt"]) for r in out.collect())
+    ref = sorted(
+        (r["o_orderkey"], r["cnt"]) for r in with_global_index(df, ["o_orderkey"]).collect()
+    )
+    assert got == ref

@@ -136,6 +136,48 @@ def _range_bucket_expr(df: DataFrame, order_cols: list[str], n: int, boundaries=
     return expr
 
 
+def parquet_key_boundaries(path: str, col: str, max_boundaries: int = 256) -> list[tuple]:
+    """Ascending bucket boundaries for :func:`with_global_index` derived
+    from parquet ROW-GROUP FOOTER STATS — no Spark job, no data read: each
+    row group's min/max for ``col`` comes from the file metadata, so the
+    boundary pre-pass (count + sample) disappears entirely and the export
+    runs exactly one scan of the input.
+
+    Boundaries are row-group maxima (deduplicated, sorted, thinned to
+    ``max_boundaries``); any ascending subset of the key domain is correct
+    for bucketing (bucket sizes just follow the row-group layout).  Returns
+    ``[]`` when stats are absent — callers fall back to sampling."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            f for f in _glob.glob(os.path.join(path, "*")) if os.path.isfile(f)
+        )
+    else:
+        files = [path]
+    maxima = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if col not in idx:
+            raise ValueError(f"column {col!r} not in parquet schema of {f}")
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx[col]).statistics
+            if stats is None or not stats.has_min_max:
+                return []
+            maxima.append(stats.max)
+    bounds = sorted(set(maxima))
+    if len(bounds) > 1:
+        bounds = bounds[:-1]  # the global max bounds nothing to its right
+    if len(bounds) > max_boundaries:
+        step = len(bounds) / max_boundaries
+        bounds = [bounds[int(i * step)] for i in range(max_boundaries)]
+    return [(b,) for b in bounds]
+
+
 def export_hex(
     keyed: Keyed,
     start=None,
