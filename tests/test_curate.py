@@ -1,0 +1,72 @@
+"""End-to-end curation pipeline: each stage drops exactly the planted
+offenders, the attrition report reconciles, and survivors are clean."""
+
+from pyspark.sql import functions as F
+
+import pytest
+
+from tikv_data_compare_spark.operators.curate import curate
+
+
+@pytest.fixture(autouse=True)
+def _narrow_shuffles(spark):
+    """6-row fixtures through a many-stage pipeline: 32-wide shuffles are
+    pure scheduler overhead here (209s → ~60s with 4)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and it runs to the river "
+    "bank where a friendly old man is reading the morning paper in the sun"
+)
+GOOD2 = (
+    "a storm is coming over the hills and the farmers are bringing in the "
+    "harvest before the rain starts to fall on the open fields of wheat"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, GOOD),                       # keeper
+        (2, GOOD),                       # exact duplicate of 1 → exact_dedup
+        (3, GOOD + " extra tail words"), # near-dup of 1 → near_dedup
+        (4, "tiny"),                     # fails quality (too few tokens)
+        (5, " ".join(["the spam is here"] * 40)),  # repetition offender
+        (6, GOOD2),                      # keeper
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_stages_drop_planted_offenders(spark):
+    kept, attrition = curate(_docs(spark))
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {1, 6}
+    rep = {r["stage"]: (r["n_in"], r["n_out"], r["n_dropped"]) for r in attrition.collect()}
+    assert rep["exact_dedup"] == (6, 5, 1)        # doc 2
+    assert rep["near_dedup"] == (5, 4, 1)         # doc 3
+    assert rep["quality"][2] >= 1                 # doc 4 (and possibly 5)
+    # the funnel reconciles: each stage's n_in is the previous n_out
+    order = ["exact_dedup", "near_dedup", "quality", "repetition"]
+    for a, b in zip(order, order[1:]):
+        assert rep[a][1] == rep[b][0]
+    assert rep["repetition"][1] == 2
+
+
+def test_curate_pii_and_decontamination_stages(spark):
+    docs = _docs(spark).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 6, F.concat(F.col("text"), F.lit(" mail me at bob@leak.com"))
+        ).otherwise(F.col("text")),
+    )
+    probes = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "probe_id long, text string"
+    )
+    kept, attrition = curate(docs, drop_pii=True, probes=probes)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    # doc 6 dropped by pii, doc 1 dropped by decontamination → empty corpus
+    assert kept_ids == set()
+    rep = {r["stage"]: r["n_dropped"] for r in attrition.collect()}
+    assert rep["pii"] == 1 and rep["decontamination"] == 1
