@@ -18,25 +18,38 @@ Design rules (see SURVEY.md §4, §7):
 """
 
 from tikv_data_compare_spark.session import get_spark
-from tikv_data_compare_spark.model import Keyed, check_comparable
+from tikv_data_compare_spark.model import Keyed, check_comparable, schema_diff
 from tikv_data_compare_spark.operators.checksum import checksum, compare_checksum
-from tikv_data_compare_spark.operators.diff import diff, only_in_src, only_in_dst
+from tikv_data_compare_spark.operators.curate import curate
+from tikv_data_compare_spark.operators.diff import (
+    diff,
+    only_in_dst,
+    only_in_src,
+    repair_plan,
+    targeted_diff,
+)
 from tikv_data_compare_spark.operators.scan import range_scan, export_hex
 from tikv_data_compare_spark.sources.scandump import load_scan_dump
 from tikv_data_compare_spark.sources.meta import check_handshake, read_meta
+from tikv_data_compare_spark.sources.tikv import load_tikv
 
 __all__ = [
     "get_spark",
     "Keyed",
     "check_comparable",
+    "schema_diff",
     "checksum",
     "compare_checksum",
+    "curate",
     "diff",
     "only_in_src",
     "only_in_dst",
+    "repair_plan",
+    "targeted_diff",
     "range_scan",
     "export_hex",
     "load_scan_dump",
+    "load_tikv",
     "read_meta",
     "check_handshake",
 ]
