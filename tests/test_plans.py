@@ -236,3 +236,18 @@ def test_targeted_diff_semi_join_on_buckets(spark):
     s = plans.plan_string(out)
     assert not plans.has_cartesian(out)
     assert "LeftSemi" in s and "BroadcastHashJoin" in s
+
+
+def test_profile_columns_approx_within_tolerance(spark, lineitem):
+    """HLL approx profile: same plan shape/schema as exact, every distinct
+    estimate within 3·rsd of truth, null counts and row totals exact."""
+    from tikv_data_compare_spark.queries import profile_columns
+
+    cols = ["l_orderkey", "l_partkey", "l_quantity"]
+    exact = {r["col_name"]: r for r in profile_columns(lineitem, cols).collect()}
+    approx = {r["col_name"]: r for r in profile_columns(lineitem, cols, approx=True, rsd=0.05).collect()}
+    assert exact.keys() == approx.keys()
+    for c in cols:
+        e, a = exact[c], approx[c]
+        assert a["n_nulls"] == e["n_nulls"] and a["n_rows"] == e["n_rows"]
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(3, 0.15 * e["n_distinct"])

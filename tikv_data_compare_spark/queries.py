@@ -648,18 +648,30 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct (HLL) — the plan shape is otherwise identical;
     exact is kept here because the oracle must hash-match."""
     tune(spark)
-    o = _load(spark, sf_dir, "orders")
+    return profile_columns(_load(spark, sf_dir, "orders"), PROFILE_COLS)
+
+
+def profile_columns(df, cols: list[str], approx: bool = False, rsd: float = 0.05):
+    """Column-level profile (per-column distinct + null counts next to the
+    row total) in ONE aggregation pass — the operator form of the
+    ``profile_orders`` query.  ``approx=True`` swaps exact count_distinct
+    for approx_count_distinct (HyperLogLog++, relative sd ``rsd``): the
+    plan shape is identical but the shuffled state per column drops from
+    the full distinct set to a fixed ~1.5/rsd² byte sketch — the 100 TB
+    configuration (exact stays the oracle-checkable default)."""
+    distinct = (
+        (lambda c: F.approx_count_distinct(F.col(c), rsd)) if approx else
+        (lambda c: F.count_distinct(F.col(c)))
+    )
     aggs = []
-    for c in PROFILE_COLS:
-        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"))
+    for c in cols:
+        aggs.append(distinct(c).cast("long").alias(f"nd_{c}"))
         aggs.append(F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"nn_{c}"))
     aggs.append(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    wide = o.agg(*aggs)
-    stack_args = ", ".join(f"'{c}', nd_{c}, nn_{c}" for c in PROFILE_COLS)
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nd_{c}, nn_{c}" for c in cols)
     return wide.select(
-        F.expr(
-            f"stack({len(PROFILE_COLS)}, {stack_args}) AS (col_name, n_distinct, n_nulls)"
-        ),
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, n_distinct, n_nulls)"),
         "n_rows",
     )
 
