@@ -19,6 +19,7 @@ cost — the number that scales to a long-lived cluster.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -31,13 +32,14 @@ def main():
     from pyspark.sql import functions as F
 
     from tikv_data_compare_spark import queries as q
+    from tikv_data_compare_spark import queries_ext as qe
     from tikv_data_compare_spark import queries_more as qm
     from tikv_data_compare_spark.model import Keyed
     from tikv_data_compare_spark.operators import dedup as dd
     from tikv_data_compare_spark.operators import similarity as sim
     from tikv_data_compare_spark.operators import text as tx
     from tikv_data_compare_spark.operators.checksum import compare_checksum
-    from tikv_data_compare_spark.operators.diff import diff
+    from tikv_data_compare_spark.operators.diff import diff, targeted_diff
     from tikv_data_compare_spark.operators.scan import export_hex
     from tikv_data_compare_spark.session import get_spark
 
@@ -68,6 +70,23 @@ def main():
     ord_src = Keyed.of(orders, keys=("o_orderkey",))
     ord_dst = Keyed.of(q.mutated_orders(spark, sf_dir), keys=("o_orderkey",))
 
+    # targeted_diff scenario: drift localized to ONE contiguous 1% key range
+    # (the "one region drifted" ops case the operator exists for).  Bucket =
+    # 256 equal key ranges, so ~3 buckets mismatch and the row join reads
+    # ~1% of the data.  max(o_orderkey) is bench setup, not a timed query.
+    okmax = orders.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    drift_hi = okmax // 100
+    drifted = Keyed.of(
+        orders.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") <= drift_hi, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        ),
+        keys=("o_orderkey",),
+    )
+    bucket_expr = F.floor(F.col("o_orderkey") / F.lit(max(1, okmax // 256)))
+
     benches = {
         "checksum_compare_xxh": lambda: compare_checksum(li_keyed, li_mut).collect(),
         "diff_keyed": lambda: diff(ord_src, ord_dst).count(),
@@ -85,18 +104,45 @@ def main():
         "tfidf": lambda: qm.q_text_tfidf(spark, sf_dir).count(),
         "repair_plan": lambda: qm.q_diff_repair(spark, sf_dir).count(),
         "price_histogram": lambda: qm.q_price_histogram(spark, sf_dir).count(),
+        "targeted_diff_1pct": lambda: targeted_diff(ord_src, drifted, bucket_expr).count(),
+        "diff_full_1pct": lambda: diff(ord_src, drifted).count(),
+        "curation_pipeline": lambda: qe.q_curation_pipeline(spark, sf_dir).count(),
     }
 
+    debug = os.environ.get("SPARK_GRAFT_BENCH_DEBUG", "") not in ("", "0")
+    order = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "")
+    names = list(benches)
+    if order == "reverse":
+        names = names[::-1]
+    elif order:
+        names = [n for n in order.split(",") if n in benches]
+
+    # Inter-query hygiene, in order:
+    #   1. Python gc.collect() detaches dead py4j proxies, releasing the JVM
+    #      objects they pin — without it, JVM GC can't reclaim them and old-gen
+    #      pressure grows over the session;
+    #   2. System.gc() then compacts *outside* the timed region.  Caveat
+    #      (observed, r5 band-breach post-mortem): if an Arrow JNI critical
+    #      section holds the GCLocker, the full GC is DEFERRED and lands inside
+    #      the next timed run ("Retried waiting for GCLocker too often" in the
+    #      JVM log).  Min-of-3 exists to discard such a stalled run — one
+    #      deferred GC can't poison all three.
     timings = {}
-    for name, fn in benches.items():
+    for name in names:
+        fn = benches[name]
         best = None
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             spark.catalog.clearCache()
+            gc.collect()
             spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             fn()
             dt = time.time() - t0
+            runs.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
+        if debug:
+            print(f"[bench] {name}: runs={runs}", file=sys.stderr)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -858,11 +858,21 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     survivors = deduped.join(losers, "doc_id", "left_anti")
-    stats = tx.text_stats(survivors)
-    quality = stats.filter(F.col("n_tokens") >= 30).select("doc_id", "n_tokens", "n_chars")
+    # The quality gate uses only the map-side scalar columns of text_stats
+    # (n_tokens, n_chars) — inline them instead of calling text_stats, so the
+    # expensive survivors subtree (dedup groupBy + near-dup anti-join) is
+    # computed exactly ONCE.  text_stats's stopword branch would add a second
+    # scan of survivors plus a self-join back for `lang`, tripling the subtree
+    # (profiled 7.4 s → 3.5 s at sf0.1); at 100 TB the same restructure avoids
+    # recomputing the near-dup join per branch without caching full doc text.
+    ws = "split(text, ' ')"
     return (
-        survivors.select("doc_id", "lang")
-        .join(quality, "doc_id")
+        survivors.select(
+            "lang",
+            F.expr(f"CAST(size({ws}) AS BIGINT)").alias("n_tokens"),
+            F.expr("CAST(length(text) AS BIGINT)").alias("n_chars"),
+        )
+        .filter(F.col("n_tokens") >= 30)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
