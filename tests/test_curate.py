@@ -70,3 +70,23 @@ def test_curate_pii_and_decontamination_stages(spark):
     assert kept_ids == set()
     rep = {r["stage"]: r["n_dropped"] for r in attrition.collect()}
     assert rep["pii"] == 1 and rep["decontamination"] == 1
+
+
+def test_curate_releases_broadcasts_and_returns_persisted_handle(spark):
+    """After curate(): no live operator-module broadcasts (long-lived
+    sessions looping curate must not accumulate executor blocks), and the
+    returned kept frame is persisted — the caller's release handle."""
+    from tikv_data_compare_spark.operators import similarity as sim_mod
+
+    # plant a tracked broadcast from an unrelated operator in the session
+    sim_mod.lsh_buckets(
+        spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<double>"),
+        n_planes=2, dim=2,
+    ).count()
+    assert len(sim_mod._LIVE_BROADCASTS) >= 1
+    kept, attrition = curate(_docs(spark))
+    assert sim_mod._LIVE_BROADCASTS == []
+    assert kept.is_cached
+    assert {r["doc_id"] for r in kept.collect()} == {1, 6}
+    kept.unpersist()
+    assert not kept.is_cached

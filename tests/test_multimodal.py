@@ -255,3 +255,22 @@ def test_media_probe_matches_single_modality_parsers(spark):
             aud[doc_id]["channels"], aud[doc_id]["sample_rate"],
             aud[doc_id]["bits"], aud[doc_id]["data_size"],
         )
+
+
+def test_media_probe_passthrough_keeps_input_types(spark):
+    """Non-string passthrough columns (long, binary) must keep their input
+    types in the probe output — not be coerced to string."""
+    from tikv_data_compare_spark.operators.multimodal import media_probe
+
+    rows = [(1, 7, b"\x01\x02", None, None)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, rank long, blob binary, image_payload binary, audio_payload binary"
+    )
+    out = media_probe(df, passthrough_cols=["rank", "blob"])
+    dts = dict(out.dtypes)
+    assert dts["rank"] == "bigint" and dts["blob"] == "binary"
+    r = out.collect()[0]
+    assert r["rank"] == 7 and bytes(r["blob"]) == b"\x01\x02" and r["format"] is None
+
+    with pytest.raises(ValueError, match="passthrough_cols"):
+        media_probe(df, passthrough_cols=["nope"])

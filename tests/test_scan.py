@@ -108,3 +108,22 @@ def test_parquet_footer_boundaries_drive_jobfree_index(spark):
         (r["o_orderkey"], r["cnt"]) for r in with_global_index(df, ["o_orderkey"]).collect()
     )
     assert got == ref
+
+
+def test_empty_boundaries_fall_back_to_sampling(spark, lineitem):
+    """boundaries=[] is exactly what parquet_key_boundaries returns when
+    footer stats are absent — it must take the SAMPLING path (multi-bucket
+    index), not silently collapse to one bucket."""
+    from tikv_data_compare_spark.operators.scan import _range_bucket_expr, with_global_index
+
+    df = lineitem.select("l_orderkey")
+    sampled = _range_bucket_expr(df, ["l_orderkey"], 8, boundaries=None)
+    empty = _range_bucket_expr(df, ["l_orderkey"], 8, boundaries=[])
+    # both are the sampled CASE-chain, not the degenerate lit(0) bucket
+    assert "CASE WHEN" in str(empty)
+    assert str(empty) == str(sampled)
+    got = sorted((r["l_orderkey"], r["cnt"]) for r in
+                 with_global_index(df, ["l_orderkey"], boundaries=[]).collect())
+    ref = sorted((r["l_orderkey"], r["cnt"]) for r in
+                 with_global_index(df, ["l_orderkey"]).collect())
+    assert got == ref

@@ -172,3 +172,51 @@ def test_release_broadcasts_reclaims_and_refetches(spark, embeddings):
     assert buckets.count() == 50
     # idempotent
     assert sim_mod.release_broadcasts() == 0
+
+
+def test_topk_boundary_tie_determinism(spark):
+    """200 identical vectors → every candidate ties at the per-batch cut.
+    The kept top-k must be the smallest neighbor ids regardless of how
+    argpartition orders the tie, per the (score desc, id asc) contract."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    out = sim.topk_bruteforce(df, k=5, n_queries=1).orderBy("rnk").collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3, 4, 5]
+    assert all(r["cosine_c"] == 10000 for r in out)
+
+
+def test_lsh_projection_is_left_to_right_bit_exact(spark):
+    """lsh_buckets' sign bits must equal a pure-Python LEFT-TO-RIGHT float64
+    accumulation of v[i]*plane[i][j] — the evaluation order the SQL oracle
+    uses — bit-for-bit, so a projection near 0 can't flip sign across
+    engines."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim, n, planes_n, tables = 16, 64, 6, 2
+    vecs = rng.standard_normal((n, dim)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {}
+    for r in (
+        sim.lsh_buckets(df, n_planes=planes_n, n_tables=tables, seed=3, dim=dim)
+        .select("vec_id", "bucket")
+        .collect()
+    ):
+        got.setdefault(r["vec_id"], set()).add(r["bucket"])
+    planes = sim._plane_matrix(dim, planes_n, tables, 3)
+    want = {}
+    for i in range(n):
+        for t in range(tables):
+            bits = 0
+            for p in range(planes_n):
+                j = t * planes_n + p
+                acc = 0.0
+                for c in range(dim):  # strict left-to-right, one add per term
+                    acc = acc + float(vecs[i][c]) * float(planes[c, j])
+                if acc >= 0.0:
+                    bits |= 1 << p
+            want.setdefault(i, set()).add((t << planes_n) | bits)
+    assert got == want

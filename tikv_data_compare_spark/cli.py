@@ -160,37 +160,44 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 2
-    src = _keyed(spark, args.src, keys, args)
+    try:
+        src = _keyed(spark, args.src, keys, args)
 
-    if args.cmd == "checksum":
-        from tikv_data_compare_spark.operators.checksum import checksum_verdict
+        if args.cmd == "checksum":
+            from tikv_data_compare_spark.operators.checksum import checksum_verdict
 
-        dst = _keyed(spark, args.dst, keys, args)
-        v = checksum_verdict(src, dst, algo=args.algo)
-        print(json.dumps(v, default=str))
-        return 0 if v["equal"] else 1
+            dst = _keyed(spark, args.dst, keys, args)
+            v = checksum_verdict(src, dst, algo=args.algo)
+            print(json.dumps(v, default=str))
+            return 0 if v["equal"] else 1
 
-    if args.cmd == "diff":
-        from tikv_data_compare_spark.operators.diff import diff
+        if args.cmd == "diff":
+            from tikv_data_compare_spark.operators.diff import diff
 
-        dst = _keyed(spark, args.dst, keys, args)
-        findings = diff(src, dst)
-        n = 0
-        for row in findings.toLocalIterator():
-            n += 1
-            print(json.dumps(row.asDict(), default=str))
-        print(f"# {n} findings", file=sys.stderr)
-        return 0 if n == 0 else 1
+            dst = _keyed(spark, args.dst, keys, args)
+            findings = diff(src, dst)
+            n = 0
+            for row in findings.toLocalIterator():
+                n += 1
+                print(json.dumps(row.asDict(), default=str))
+            print(f"# {n} findings", file=sys.stderr)
+            return 0 if n == 0 else 1
 
-    if args.cmd == "scan":
-        from tikv_data_compare_spark.operators.scan import export_hex
+        if args.cmd == "scan":
+            from tikv_data_compare_spark.operators.scan import export_hex
 
-        out = args.out or f"{args.src.rstrip('/')}_scan.log.{int(time.time())}"
-        export_hex(src, path=out)
-        print(json.dumps({"out": out}))
-        return 0
+            out = args.out or f"{args.src.rstrip('/')}_scan.log.{int(time.time())}"
+            export_hex(src, path=out)
+            print(json.dumps({"out": out}))
+            return 0
 
-    return 2
+        return 2
+    finally:
+        # end-of-command hygiene: the session may be reused by the embedding
+        # caller — drop any operator-module broadcasts this command created
+        from tikv_data_compare_spark.operators.similarity import release_broadcasts
+
+        release_broadcasts()
 
 
 if __name__ == "__main__":

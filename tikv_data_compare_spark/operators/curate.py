@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from tikv_data_compare_spark.operators import dedup as dd
 from tikv_data_compare_spark.operators import text as tx
+from tikv_data_compare_spark.operators.similarity import release_broadcasts
 
 
 def curate(
@@ -47,6 +48,13 @@ def curate(
     Thresholds are scaled ×10000 like every engine fraction.  ``probes``
     enables the decontamination stage (docs with more than
     ``max_contamination_hits`` overlapping n-grams are dropped).
+
+    The returned kept-docs DataFrame is **persisted** (its stage count
+    already materialized it; unpersisting would make the caller's first
+    action recompute the whole funnel).  The frame itself is the release
+    handle: call ``kept.unpersist()`` when done with it.  All other
+    intermediates and any operator-module broadcasts are released before
+    returning.
     """
     spark = docs.sparkSession
     stages: list[tuple[str, int, int]] = []
@@ -108,6 +116,10 @@ def curate(
     for df in intermediates:
         if df is not cur:
             df.unpersist()
+    # drop any operator-module broadcasts created along the way (plane/query
+    # matrices etc.) — a long-lived session calling curate() in a loop must
+    # not accumulate executor-side broadcast blocks
+    release_broadcasts()
     attrition = spark.createDataFrame(
         [(name, n_in, n_out, n_in - n_out) for name, n_in, n_out in stages],
         "stage string, n_in long, n_out long, n_dropped long",

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from tikv_data_compare_spark.functions import sqlgen
 
@@ -224,17 +224,23 @@ def media_probe(
     metadata projection (e.g. :func:`payload_meta`'s expressions applied to
     the probe output instead of a third scan)."""
     passthrough = list(passthrough_cols or [])
-    out_fields = ", ".join(
-        [f"{id_col} long"]
-        + [f"{c} string" for c in passthrough]
+    # passthrough fields keep their INPUT types (a long id or binary payload
+    # hardcoded as `string` here would be an Arrow schema mismatch at runtime)
+    in_types = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in passthrough if c not in in_types]
+    if missing:
+        raise ValueError(f"passthrough_cols not in input schema: {missing}")
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())]
+        + [T.StructField(c, in_types[c]) for c in passthrough]
         + [
-            "format string",
-            "width long",
-            "height long",
-            "channels long",
-            "sample_rate long",
-            "bits long",
-            "data_size long",
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("bits", T.LongType()),
+            T.StructField("data_size", T.LongType()),
         ]
     )
 
@@ -260,7 +266,7 @@ def media_probe(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, *passthrough, image_col, audio_col).mapInPandas(
-        extract, out_fields
+        extract, out_schema
     )
 
 

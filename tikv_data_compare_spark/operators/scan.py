@@ -93,12 +93,15 @@ def _range_bucket_expr(df: DataFrame, order_cols: list[str], n: int, boundaries=
     deduplicated so duplicate-heavy keys just yield fewer, larger buckets
     (still correct).
     """
+    if boundaries is not None and len(boundaries) == 0:
+        # exactly what parquet_key_boundaries returns when footer stats are
+        # absent — fall through to the sampling path instead of silently
+        # collapsing the index to one bucket
+        boundaries = None
     if boundaries is not None:
         bounds = [tuple(b) if not isinstance(b, tuple) else b for b in boundaries]
         if any(bounds[i] >= bounds[i + 1] for i in range(len(bounds) - 1)):
             raise ValueError("boundaries must be strictly ascending key tuples")
-        if not bounds:
-            return F.lit(0)
     else:
         # cache the key projection so the (possibly expensive, uncached)
         # upstream plan is computed once for both boundary jobs, instead of

@@ -107,10 +107,17 @@ def topk_bruteforce(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFram
                 # per-batch candidate cap must cover the requested k, or the
                 # global merge sees a truncated candidate set for k > 64
                 top = min(len(cand_ids), max(k, 64))
-                # partial select then exact sort by (-score, id) for determinism
-                idx = np.argpartition(-cand_c, top - 1)[:top] if top else np.array([], int)
-                order = np.lexsort((cand_ids[idx], -cand_c[idx]))
-                for i in order[: max(top, 0)]:
+                if not top:
+                    continue
+                # partial select, then pull in ALL candidates tied at the cut
+                # score: argpartition alone keeps an arbitrary subset of the
+                # boundary ties, so the kept id-set would vary with Arrow
+                # batch layout; with the ties included, truncation is by the
+                # composite (score desc, id asc) key — deterministic.
+                idx = np.argpartition(-cand_c, top - 1)[:top]
+                idx = np.union1d(idx, np.nonzero(cand_c == cand_c[idx].min())[0])
+                order = np.lexsort((cand_ids[idx], -cand_c[idx]))[:top]
+                for i in order:
                     out.append((int(qid), int(cand_ids[idx[i]]), int(cand_c[idx[i]])))
             yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine_c"])
 
@@ -216,7 +223,18 @@ def lsh_buckets(
             if pdf.empty:
                 continue
             mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
-            signs = (mat @ planes) >= 0.0  # (batch, planes*tables)
+            # accumulate the projection LEFT-TO-RIGHT over components (each
+            # step one rounded multiply + one rounded add, vectorized across
+            # rows/planes) instead of one BLAS matmul: BLAS uses pairwise/SIMD
+            # summation with a different rounding order, and a projection
+            # within one ulp of 0 could then get a DIFFERENT sign here than in
+            # the SQL oracle's left-assoc `v[1]*p1 + v[2]*p2 + ...` — the sign
+            # bit is engine-stable by construction, not by luck.  Same flop
+            # count as the matmul; ~dim vectorized steps per batch.
+            proj = mat[:, 0:1] * planes[0:1, :]
+            for i in range(1, mat.shape[1]):
+                proj += mat[:, i : i + 1] * planes[i : i + 1, :]
+            signs = proj >= 0.0  # (batch, planes*tables)
             for t in range(n_tables):
                 bits = signs[:, t * n_planes : (t + 1) * n_planes] @ weights
                 out = pdf.copy()
