@@ -315,11 +315,21 @@ def _diff_project(d: DataFrame) -> DataFrame:
 
 def q_diff_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 (canonical keyed form): full-outer diff with status classification
-    (reference diff/diff.go:18-63, corrected semantics per SURVEY.md §4)."""
+    (reference diff/diff.go:18-63, corrected semantics per SURVEY.md §4).
+
+    Since r6 the row runs through ``targeted_diff`` (checksum-localized:
+    per-bucket triples → mismatched-bucket broadcast semi-join → keyed diff
+    of only the drifted ranges — the reference's actual large-scale ops
+    workflow).  Its findings contract is IDENTITY with ``diff`` (any
+    differing row makes its bucket mismatch; pytest-proven equivalence), so
+    the unchanged plain-diff oracle now hash-gates the whole localization
+    machinery end-to-end.  Plain ``diff`` itself stays driver-gated via
+    ``bucketed_diff`` / ``diff_only`` / ``diff_repair``."""
     tune(spark)
     src = _orders_keyed(_load(spark, sf_dir, "orders"))
     dst = _orders_keyed(mutated_orders(spark, sf_dir))
-    return _diff_project(diff_ops.diff(src, dst))
+    bucket = F.floor(F.col("o_orderkey") / F.lit(4096))
+    return _diff_project(diff_ops.targeted_diff(src, dst, bucket))
 
 
 ORACLE_DIFF_KEYED = f"""
@@ -1763,7 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": qe.ORACLE_SIMILARITY_TOPK,
         "similarity_topk_ivf": qe.ORACLE_SIMILARITY_TOPK,
         "similarity_near_dup": qe.oracle_similarity_near_dup(),
-        "similarity_embed_dup": qe.ORACLE_SIMILARITY_EMBED_DUP,
+        "similarity_embed_dup": qe.oracle_similarity_embed_dup(),
         "embedding_stats": qe.ORACLE_EMBEDDING_STATS,
         "text_stats": qe.ORACLE_TEXT_STATS,
         "text_tokens": qe.ORACLE_TEXT_TOKENS,

@@ -238,12 +238,14 @@ def q_similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def oracle_similarity_near_dup() -> str:
-    """DuckDB oracle for the fixed-geometry near-dup query: the normalized
-    seeded hyperplanes are embedded as double literals (shortest-roundtrip
-    repr — parses to the identical float64), buckets are recomputed as
-    sign-bit integers, and pairs must collide in ≥1 table AND pass the
-    exact rounded-cosine threshold."""
+def _near_dup_ctes() -> str:
+    """Shared CTE chain (e → proj → buck → pairs → verified) recomputing the
+    fixed-geometry LSH near-dup pair set in DuckDB: the normalized seeded
+    hyperplanes are embedded as double literals (shortest-roundtrip repr —
+    parses to the identical float64), buckets are recomputed as sign-bit
+    integers (summed left-to-right, the same accumulation order as
+    ``lsh_buckets``), and pairs must collide in ≥1 table AND pass the exact
+    rounded-cosine threshold."""
     from tikv_data_compare_spark.operators.similarity import _plane_matrix
 
     planes = _plane_matrix(NEAR_DUP_DIM, NEAR_DUP_PLANES, NEAR_DUP_TABLES, NEAR_DUP_SEED)
@@ -261,27 +263,64 @@ def oracle_similarity_near_dup() -> str:
         )
         buckets.append(f"({t} * {1 << NEAR_DUP_PLANES} + {bits}) AS b{t}")
     collide = " OR ".join(f"a.b{t} = b.b{t}" for t in range(NEAR_DUP_TABLES))
-    return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cos = (
+        "CAST(ROUND(10000.0 * list_dot_product(va, vb) / "
+        "(sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))) AS BIGINT)"
+    )
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 proj AS (SELECT vec_id, v, {", ".join(proj_cols)} FROM e),
 buck AS (SELECT vec_id, v, {", ".join(buckets)} FROM proj),
 pairs AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
   FROM buck a JOIN buck b ON a.vec_id < b.vec_id AND ({collide})
-)
-SELECT vec_a, vec_b,
-       CAST(ROUND(10000.0 * list_dot_product(va, vb) /
-            (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))) AS BIGINT) AS cosine_c
-FROM pairs
-WHERE CAST(ROUND(10000.0 * list_dot_product(va, vb) /
-      (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))) AS BIGINT) >= {NEAR_DUP_THRESHOLD_C}
-"""
+),
+verified AS (
+  SELECT vec_a, vec_b, {cos} AS cosine_c FROM pairs WHERE {cos} >= {NEAR_DUP_THRESHOLD_C}
+)"""
+
+
+def oracle_similarity_near_dup() -> str:
+    """DuckDB oracle for the fixed-geometry near-dup query (see
+    :func:`_near_dup_ctes`)."""
+    return f"WITH {_near_dup_ctes()} SELECT vec_a, vec_b, cosine_c FROM verified"
 
 
 def q_similarity_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate embedding detection via canonical vector fingerprint."""
+    """Embedding dedup decisions, both operators in one labeled row set:
+
+    - ``part='exact'``: exact-duplicate groups via canonical vector
+      fingerprint (``embedding_exact_dup``) — (fingerprint, kept id, group
+      size);
+    - ``part='near_canonical'``: the end-to-end near-dup decision
+      (``embedding_dedup_canonical``: fixed-geometry LSH pairs → connected
+      components → kept-iff-component-minimum), one verdict per vector —
+      (vec id, component, kept).
+
+    The oracle recomputes the exact fingerprints AND the transitive closure
+    of the SQL-recomputed LSH pair set (recursive CTE), so the closure +
+    verdict machinery is hash-gated, not just property-tested."""
     tune(spark)
-    return sim.embedding_exact_dup(_load(spark, sf_dir, "embeddings"))
+    emb = _load(spark, sf_dir, "embeddings")
+    exact = sim.embedding_exact_dup(emb).select(
+        F.lit("exact").alias("part"),
+        F.col("vec_fp").alias("a"),
+        F.col("keep_vec_id").alias("b"),
+        F.col("n_dups").alias("c"),
+    )
+    canon = sim.embedding_dedup_canonical(
+        emb,
+        threshold_c=NEAR_DUP_THRESHOLD_C,
+        n_planes=NEAR_DUP_PLANES,
+        n_tables=NEAR_DUP_TABLES,
+        seed=NEAR_DUP_SEED,
+        dim=NEAR_DUP_DIM,
+    ).select(
+        F.lit("near_canonical").alias("part"),
+        F.col("vec_id").alias("a"),
+        F.col("component").alias("b"),
+        F.col("kept").alias("c"),
+    )
+    return exact.unionByName(canon)
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,15 +408,35 @@ FROM stats JOIN norms ON stats.lang = norms.lang
 """
 
 
-ORACLE_SIMILARITY_EMBED_DUP = f"""
-SELECT CAST({sqlgen.hexfold_i64('_m')} AS BIGINT) AS vec_fp,
-       CAST(min(vec_id) AS BIGINT) AS keep_vec_id,
-       CAST(count(*) AS BIGINT) AS n_dups
+def oracle_similarity_embed_dup() -> str:
+    return f"""
+WITH RECURSIVE {_near_dup_ctes()},
+nd_edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM verified
+  UNION
+  SELECT vec_b AS u, vec_a AS v FROM verified
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM nd_edges)
+  UNION
+  SELECT ne.v, reach.r FROM reach JOIN nd_edges ne ON ne.u = reach.u
+),
+comp AS (SELECT u AS vec_id, min(r) AS component FROM reach GROUP BY u)
+SELECT 'exact' AS part,
+       CAST({sqlgen.hexfold_i64('_m')} AS BIGINT) AS a,
+       CAST(min(vec_id) AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS c
 FROM (SELECT vec_id,
              md5(array_to_string(list_transform(embedding,
                  x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS VARCHAR)), ',')) AS _m
       FROM embeddings)
-GROUP BY 1
+GROUP BY 2
+UNION ALL
+SELECT 'near_canonical' AS part,
+       CAST(v.vec_id AS BIGINT) AS a,
+       CAST(COALESCE(c.component, v.vec_id) AS BIGINT) AS b,
+       CAST(CASE WHEN COALESCE(c.component, v.vec_id) = v.vec_id THEN 1 ELSE 0 END AS BIGINT) AS c
+FROM embeddings v LEFT JOIN comp c ON c.vec_id = v.vec_id
 """
 
 

@@ -86,20 +86,36 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph) with a kept/dropped verdict — kept iff the doc is its component's
     canonical (minimum) id; singletons keep themselves.  This is the row a
     training-data pipeline actually acts on, completing the
-    pairs → components → decisions chain."""
+    pairs → components → decisions chain.
+
+    Since r6 the row gates BOTH component algorithms: the labeling is
+    computed by min-label propagation AND by alternating large/small-star
+    (operators/graph.py), and the returned rows are their INTERSECTION.
+    Closure is algorithm-independent, so the two labelings must be
+    identical; any divergence shrinks the intersection and fails the
+    unchanged recursive-CTE oracle's row count — a driver-hard equivalence
+    gate, not just a property test."""
     tune(spark)
     from tikv_data_compare_spark.operators import dedup as dd
-    from tikv_data_compare_spark.operators.graph import connected_components
+    from tikv_data_compare_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
 
     docs = _load(spark, sf_dir, "documents").select("doc_id")
-    pairs = dd.minhash_pairs(_load(spark, sf_dir, "documents"), "doc_id", "text")
-    comp = connected_components(pairs)
-    joined = docs.join(comp, docs.doc_id == comp.id, "left")
-    component = F.coalesce(F.col("component"), F.col("doc_id"))
-    return joined.select(
-        "doc_id",
-        component.cast("long").alias("component"),
-        (component == F.col("doc_id")).cast("long").alias("kept"),
+    pairs = dd.minhash_pairs(_load(spark, sf_dir, "documents"), "doc_id", "text").cache()
+
+    def verdicts(comp: DataFrame) -> DataFrame:
+        joined = docs.join(comp, docs.doc_id == comp.id, "left")
+        component = F.coalesce(F.col("component"), F.col("doc_id"))
+        return joined.select(
+            "doc_id",
+            component.cast("long").alias("component"),
+            (component == F.col("doc_id")).cast("long").alias("kept"),
+        )
+
+    return verdicts(connected_components(pairs)).intersect(
+        verdicts(connected_components_star(pairs))
     )
 
 
