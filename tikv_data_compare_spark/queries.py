@@ -906,14 +906,28 @@ def _bucket_triples(df: DataFrame) -> DataFrame:
 
 
 def q_checksum_range_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mismatch localization — the reference's actual ops workflow run
-    range-by-range: per-bucket checksum triples of BOTH clusters full-outer
-    joined on the bucket, keeping only buckets whose triples differ.  The
-    output is the target list for a focused keyed diff: at 100 TB this is
-    what turns 'the clusters differ' into 'diff these 12 regions', shuffling
-    only ~32 bytes per bucket per side instead of the data."""
+    """The full drift report, tall and labeled — everything "what changed?"
+    resolves to before any row-level work:
+
+    - ``part='bucket'``: mismatch localization, the reference's actual ops
+      workflow run range-by-range — per-bucket checksum triples of BOTH
+      clusters full-outer joined on the bucket, keeping only buckets whose
+      triples differ (n1/n2 = checksums, n3/n4 = kv counts, n5/n6 = byte
+      totals).  At 100 TB this turns 'the clusters differ' into 'diff these
+      12 regions', shuffling ~32 bytes per bucket per side;
+    - ``part='col_mismatch'`` (since r6): ``column_mismatch_profile`` — per
+      value column, how many shared keys carry a differing value (n1) out
+      of the shared-key count (n2) — the "which column drifted?" drill-down;
+    - ``part='schema'`` (since r6): ``model.schema_diff`` over a
+      deterministic drifted-schema pair (column dropped / retyped / added),
+      one row per drifted column with the type on each side (t1/t2) — the
+      metadata gate run before any data compare.  The oracle recomputes it
+      via DESCRIBE, so the classification logic is hash-gated."""
     tune(spark)
-    s = _bucket_triples(_load(spark, sf_dir, "orders"))
+    from tikv_data_compare_spark.model import schema_diff
+
+    orders = _load(spark, sf_dir, "orders")
+    s = _bucket_triples(orders)
     d = _bucket_triples(mutated_orders(spark, sf_dir))
     pick = lambda side, c: F.col(f"{side}.{c}").alias(f"{side}_{c}")  # noqa: E731
     j = s.alias("src").join(d.alias("dst"), on="key_bucket", how="full_outer")
@@ -931,8 +945,78 @@ def q_checksum_range_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("src_total_kvs").eqNullSafe(F.col("dst_total_kvs"))
         & F.col("src_total_bytes").eqNullSafe(F.col("dst_total_bytes"))
     )
-    return out.filter(~same)
+    null_str = F.lit(None).cast("string")
+    buckets = out.filter(~same).select(
+        F.lit("bucket").alias("part"),
+        F.col("key_bucket").cast("string").alias("k"),
+        F.col("src_checksum").alias("n1"),
+        F.col("dst_checksum").alias("n2"),
+        F.col("src_total_kvs").alias("n3"),
+        F.col("dst_total_kvs").alias("n4"),
+        F.col("src_total_bytes").alias("n5"),
+        F.col("dst_total_bytes").alias("n6"),
+        null_str.alias("t1"),
+        null_str.alias("t2"),
+    )
+    src_k = _orders_keyed(orders)
+    dst_k = _orders_keyed(mutated_orders(spark, sf_dir))
+    null_long = F.lit(None).cast("long")
+    col_mm = diff_ops.column_mismatch_profile(src_k, dst_k).select(
+        F.lit("col_mismatch").alias("part"),
+        F.col("col_name").alias("k"),
+        F.col("n_mismatch").alias("n1"),
+        F.col("n_both").alias("n2"),
+        null_long.alias("n3"),
+        null_long.alias("n4"),
+        null_long.alias("n5"),
+        null_long.alias("n6"),
+        null_str.alias("t1"),
+        null_str.alias("t2"),
+    )
+    drifted_dst = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("string").alias("o_totalprice"),
+        "o_orderdate",
+        F.lit(1).cast("long").alias("o_flag"),
+    )
+    sd_rows = [
+        ("schema", e["column"], None, None, None, None, None, None, e["src_type"], e["dst_type"])
+        for e in schema_diff(orders, drifted_dst)
+    ]
+    sd = spark.createDataFrame(
+        sd_rows,
+        "part string, k string, n1 long, n2 long, n3 long, n4 long, n5 long, n6 long, "
+        "t1 string, t2 string",
+    )
+    return buckets.unionByName(col_mm).unionByName(sd)
 
+
+_ORDERS_VALUE_COLS = (
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_COL_MM_SQL = "\nUNION ALL\n".join(
+    f"SELECT 'col_mismatch' AS part, '{c}' AS k,\n"
+    f"       CAST(count(CASE WHEN s.{c} IS DISTINCT FROM d.{c} THEN 1 END) AS BIGINT) AS n1,\n"
+    f"       CAST(count(*) AS BIGINT) AS n2,\n"
+    "       CAST(NULL AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4,\n"
+    "       CAST(NULL AS BIGINT) AS n5, CAST(NULL AS BIGINT) AS n6,\n"
+    "       CAST(NULL AS VARCHAR) AS t1, CAST(NULL AS VARCHAR) AS t2\n"
+    "FROM orders s JOIN dstt d ON s.o_orderkey = d.o_orderkey"
+    for c in _ORDERS_VALUE_COLS
+)
+
+#: duckdb DESCRIBE type name → Spark simpleString, for the schema part
+_TYPE_MAP_SQL = (
+    "CASE lower(column_type) WHEN 'varchar' THEN 'string' "
+    "WHEN 'timestamp' THEN 'timestamp_ntz' ELSE lower(column_type) END"
+)
 
 ORACLE_CHECKSUM_RANGE_COMPARE = f"""
 WITH dstt AS ({DST_ORDERS_SQL}),
@@ -951,15 +1035,36 @@ d AS (
   FROM (SELECT o_orderkey, _c, md5(_c) AS _m
         FROM (SELECT o_orderkey, {_orders_canon(DUCK)} AS _c FROM dstt))
   GROUP BY 1
+),
+s_cols AS (
+  SELECT column_name, {_TYPE_MAP_SQL} AS t FROM (DESCRIBE SELECT * FROM orders)
+),
+d_cols AS (
+  SELECT column_name, {_TYPE_MAP_SQL} AS t FROM (DESCRIBE
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS VARCHAR) AS o_totalprice, o_orderdate,
+           CAST(1 AS BIGINT) AS o_flag
+    FROM orders)
 )
-SELECT coalesce(s.key_bucket, d.key_bucket) AS key_bucket,
-       s.checksum AS src_checksum, d.checksum AS dst_checksum,
-       s.total_kvs AS src_total_kvs, d.total_kvs AS dst_total_kvs,
-       s.total_bytes AS src_total_bytes, d.total_bytes AS dst_total_bytes
+SELECT 'bucket' AS part, CAST(coalesce(s.key_bucket, d.key_bucket) AS VARCHAR) AS k,
+       s.checksum AS n1, d.checksum AS n2,
+       s.total_kvs AS n3, d.total_kvs AS n4,
+       s.total_bytes AS n5, d.total_bytes AS n6,
+       CAST(NULL AS VARCHAR) AS t1, CAST(NULL AS VARCHAR) AS t2
 FROM s FULL OUTER JOIN d ON s.key_bucket = d.key_bucket
 WHERE s.checksum IS DISTINCT FROM d.checksum
    OR s.total_kvs IS DISTINCT FROM d.total_kvs
    OR s.total_bytes IS DISTINCT FROM d.total_bytes
+UNION ALL
+{_COL_MM_SQL}
+UNION ALL
+SELECT 'schema' AS part, coalesce(sc.column_name, dc.column_name) AS k,
+       CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+       CAST(NULL AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4,
+       CAST(NULL AS BIGINT) AS n5, CAST(NULL AS BIGINT) AS n6,
+       sc.t AS t1, dc.t AS t2
+FROM s_cols sc FULL OUTER JOIN d_cols dc ON sc.column_name = dc.column_name
+WHERE sc.t IS DISTINCT FROM dc.t
 """
 
 

@@ -610,13 +610,18 @@ FROM flags f JOIN langid l ON f.doc_id = l.doc_id JOIN rep r ON f.doc_id = r.doc
 
 
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both document-fingerprint operators in one per-doc row:
+    """The document n-gram machinery in one per-doc row:
 
     - ``fingerprint``: order-independent XOR of hashes of distinct word
       3-shingles (whole text when shorter than 3 tokens);
     - ``winnow_fingerprints``: MOSS-style winnowing (char 5-grams, window
       4 rolling minima) reduced to fingerprint count + XOR — a match of
-      length ≥ w+k−1 guarantees a shared winnow fingerprint."""
+      length ≥ w+k−1 guarantees a shared winnow fingerprint;
+    - ``contamination`` (since r6): test-set decontamination counts against
+      a deterministic probe corpus (docs with ``doc_id % 20 == 0`` standing
+      in for the benchmark set) — distinct 3-gram count, hit count, hit
+      fraction ×10000.  The probe gram set is broadcast; the oracle reuses
+      the same shingle CTE, so the overlap join is hash-gated."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
     fp = tx.fingerprint(docs)
@@ -628,7 +633,10 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("fp").cast("long").alias("fp_xor"),
         )
     )
-    return fp.join(wn, "doc_id")
+    conta = tx.contamination(
+        docs, docs.filter(F.col("doc_id") % 20 == 0), probe_id_col="doc_id", n=3
+    )
+    return fp.join(wn, "doc_id").join(conta, "doc_id")
 
 
 _ORACLE_WINNOW_CTE = f"""
@@ -672,9 +680,19 @@ fp AS (
   FROM (SELECT doc_id, md5(sh) AS _m FROM shingles)
   GROUP BY doc_id
 ),
-wn AS ({_ORACLE_WINNOW_CTE})
-SELECT fp.doc_id, fp.fingerprint, wn.n_fp, wn.fp_xor
-FROM fp JOIN wn ON fp.doc_id = wn.doc_id
+wn AS ({_ORACLE_WINNOW_CTE}),
+probe_grams AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 20 = 0),
+conta AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(p.sh) AS BIGINT) AS n_hit_grams,
+         CAST(ROUND(10000.0 * count(p.sh) / count(*)) AS BIGINT) AS hit_frac_c
+  FROM shingles s LEFT JOIN probe_grams p ON p.sh = s.sh
+  GROUP BY s.doc_id
+)
+SELECT fp.doc_id, fp.fingerprint, wn.n_fp, wn.fp_xor,
+       c.n_grams, c.n_hit_grams, c.hit_frac_c
+FROM fp JOIN wn ON fp.doc_id = wn.doc_id JOIN conta c ON fp.doc_id = c.doc_id
 """
 
 

@@ -288,13 +288,28 @@ FROM b GROUP BY bucket
 
 
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document (operators/text.py tfidf_top_terms):
-    idf frozen to ROUND(ln(N/df)×1e6) so the ranking and score are integer
-    and bit-identical across engines; term-ascending tie-break makes top-k
-    deterministic."""
+    """Both corpus term-ranking operators in one labeled row set:
+
+    - ``part='tfidf'``: top-3 TF-IDF terms per document (``tfidf_top_terms``;
+      idf frozen to ROUND(ln(N/df)×1e6) so ranking and score are integer and
+      bit-identical across engines; term-ascending tie-break);
+    - ``part='bigrams'`` (since r6): corpus-wide top-20 adjacent-word
+      bigrams (``top_bigrams``; count desc, bigram asc), ``doc_id=-1`` /
+      ``score_c=0`` as the corpus-level placeholders."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    return tx.tfidf_top_terms(docs, "doc_id", "text", k=3)
+    tfidf = tx.tfidf_top_terms(docs, "doc_id", "text", k=3).select(
+        F.lit("tfidf").alias("part"), "doc_id", "rnk", "term", "tf", "score_c"
+    )
+    bigr = tx.top_bigrams(docs, "text", k=20).select(
+        F.lit("bigrams").alias("part"),
+        F.lit(-1).cast("long").alias("doc_id"),
+        "rnk",
+        F.col("bigram").alias("term"),
+        F.col("n").alias("tf"),
+        F.lit(0).cast("long").alias("score_c"),
+    )
+    return tfidf.unionByName(bigr)
 
 
 ORACLE_TEXT_TFIDF = f"""
@@ -313,8 +328,20 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_c DESC, w ASC) AS rnk
   FROM scored
 )
-SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, w AS term, CAST(tf AS BIGINT) AS tf, score_c
+SELECT 'tfidf' AS part, doc_id, CAST(rnk AS BIGINT) AS rnk, w AS term,
+       CAST(tf AS BIGINT) AS tf, score_c
 FROM ranked WHERE rnk <= 3
+UNION ALL
+SELECT 'bigrams' AS part, CAST(-1 AS BIGINT) AS doc_id,
+       CAST(row_number() OVER (ORDER BY n DESC, bigram ASC) AS BIGINT) AS rnk,
+       bigram AS term, CAST(n AS BIGINT) AS tf, CAST(0 AS BIGINT) AS score_c
+FROM (
+  SELECT bigram, count(*) AS n FROM (
+    SELECT unnest(CASE WHEN len(ws) < 2 THEN []
+           ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END) AS bigram
+    FROM (SELECT {sqlgen.split_words('text', DUCK)} AS ws FROM documents)
+  ) GROUP BY bigram
+) QUALIFY rnk <= 20
 """
 
 
