@@ -1719,10 +1719,17 @@ WHERE r.o_orderkey IS NULL
 
 
 def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Codec layer exercised distributedly (C3/C4/C5): encode orders keys to
-    APIv2 wire format, decode back, decode inverted timestamps — returns the
-    roundtrip verification summary.  Rows-only check (binary codecs are not
-    expressible in the DuckDB oracle)."""
+    """Codec layer exercised distributedly (C3/C4/C5), per key: encode each
+    orders key to APIv2 wire format (``encode_key_v2`` — memcomparable
+    8-byte groups over the ``r\\0\\0\\0`` prefix), decode it back
+    (``decode_key_v2``), and decode the bit-inverted big-endian timestamp
+    (``decode_ts``).
+
+    Oracle-gated since r6: the DuckDB oracle RECOMPUTES the wire hex with
+    pure SQL string arithmetic (digit→hex via regexp, group/pad/marker via
+    substr+rpad, ``255-pad`` marker) and the inverted-ts hex via unsigned
+    64-bit arithmetic, so every byte the Python codec emits is hash-checked
+    against an independent implementation — not just a roundtrip tautology."""
     tune(spark)
     from tikv_data_compare_spark.codec import register_codec_udfs
 
@@ -1733,20 +1740,48 @@ def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("kv_encode_key_v2(CAST(CAST(o_orderkey AS STRING) AS BINARY))").alias("wire"),
         F.expr(sqlgen.ts_ms("o_orderdate", SPARK)).alias("ts_ms"),
     )
-    dec = enc.withColumn("back", F.expr("kv_decode_key_v2(wire)")).withColumn(
-        "rt_ok",
-        F.col("back").eqNullSafe(F.col("o_orderkey").cast("string").cast("binary")),
+    return (
+        enc.withColumn("back", F.expr("kv_decode_key_v2(wire)"))
+        .withColumn("inv_hex", F.expr("lower(hex(CAST(ts_ms AS BIGINT) ^ -1))"))
+        .select(
+            "o_orderkey",
+            F.expr("lower(hex(wire))").alias("wire_hex"),
+            F.expr("CAST(back AS STRING)").alias("back_str"),
+            "ts_ms",
+            F.expr("kv_decode_ts(unhex(inv_hex))").alias("decoded_ts"),
+            F.col("inv_hex").alias("ts_wire_hex"),
+        )
     )
-    ts = dec.withColumn(
-        "ts_rt_ok",
-        F.expr("kv_decode_ts(unhex(lpad(hex(CAST(ts_ms AS BIGINT) ^ -1), 16, '0')))")
-        == F.col("ts_ms"),
-    )
-    return ts.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum(F.when(F.col("rt_ok"), 1).otherwise(0)).cast("long").alias("n_roundtrip_ok"),
-        F.sum(F.when(F.col("ts_rt_ok"), 1).otherwise(0)).cast("long").alias("n_ts_ok"),
-    )
+
+
+#: memcomparable EncodeBytes recomputed in DuckDB SQL over the hex string of
+#: the raw key ('r\0\0\0' ++ ascii digits of the orderkey): h is the raw hex,
+#: n the byte length; g = n // 8 full groups each suffixed marker 'ff', then
+#: the final partial group zero-padded to 8 bytes with marker 255 - pad.
+ORACLE_CODEC_ROUNDTRIP = f"""
+WITH raw AS (
+  SELECT o_orderkey,
+         '72000000' || regexp_replace(CAST(o_orderkey AS VARCHAR), '(.)', '3\\1', 'g') AS h,
+         4 + length(CAST(o_orderkey AS VARCHAR)) AS n,
+         {sqlgen.ts_ms("o_orderdate", DUCK)} AS ts_ms
+  FROM orders
+),
+enc AS (
+  SELECT o_orderkey, ts_ms,
+         coalesce(array_to_string(
+           list_transform(range(0, CAST(n // 8 AS BIGINT)),
+                          i -> substr(h, CAST(i * 16 + 1 AS BIGINT), 16) || 'ff'), ''), '')
+         || rpad(substr(h, CAST((n // 8) * 16 + 1 AS BIGINT), CAST((n % 8) * 2 AS BIGINT)), 16, '0')
+         || printf('%02x', 247 + (n % 8)) AS wire_hex
+  FROM raw
+)
+SELECT o_orderkey, wire_hex,
+       CAST(o_orderkey AS VARCHAR) AS back_str,
+       ts_ms,
+       ts_ms AS decoded_ts,
+       lower(to_hex(xor(CAST(ts_ms AS BIGINT), CAST(-1 AS BIGINT)))) AS ts_wire_hex
+FROM enc
+"""
 
 
 # ------------------------------------------------------------------- registry
@@ -1870,7 +1905,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_late_data": ORACLE_STREAM_LATE_DATA,
         "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
         "stream_diff": ORACLE_STREAM_DIFF,
-        # codec_roundtrip: intentionally no oracle (binary codecs, rows-only)
+        "codec_roundtrip": ORACLE_CODEC_ROUNDTRIP,
         "dedup_exact": qe.ORACLE_DEDUP_EXACT,
         "dedup_minhash_pairs": qe.ORACLE_DEDUP_MINHASH_PAIRS,
         "dedup_simhash_pairs": qe.ORACLE_DEDUP_SIMHASH_PAIRS,

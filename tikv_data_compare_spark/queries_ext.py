@@ -915,64 +915,95 @@ WHERE rn <= 20
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data curation pipeline in one plan:
-    exact dedup → near-dup removal (minhash candidates verified by Jaccard ≥
-    0.8, keep the lower doc_id) → quality filter (token count ≥ 30) →
-    per-language corpus summary.  The composition a pipeline user actually
-    runs; every stage is the library operator, one lazily-optimized plan.
-    """
+    """The one-call curation API (operators/curate.py ``curate``) run
+    end-to-end, with BOTH of its outputs in one labeled row set:
+
+    - ``part='funnel'``: the per-stage attrition report — (stage, n_in,
+      n_out, n_dropped) for exact_dedup → near_dedup → quality →
+      repetition, the funnel every curation run is judged by;
+    - ``part='corpus'``: the per-language summary of the kept documents
+      (n_docs, total tokens, total chars).
+
+    The oracle recomputes every stage's survivor set declaratively (exact
+    content-hash keep, minhash-banded candidates restricted to exact
+    survivors + Jaccard ≥ 0.8 losers, the Gopher flag conjunction, the
+    repetition caps), so all four stage counts AND the final corpus are
+    hash-gated — the attrition numbers are checked, not just reported."""
     tune(spark)
+    from tikv_data_compare_spark.operators.curate import curate
+
     docs = _load(spark, sf_dir, "documents")
-    deduped = dd.dedup_exact(docs, "doc_id", "text")
-    # shingle once: the near-dup stage needs the shingle set for BOTH the
-    # minhash candidates and the exact Jaccard verify — cache one frame and
-    # thread it through, instead of re-exploding the corpus per stage
-    shingles = dd.distinct_shingles(docs, "doc_id", "text").cache()
-    losers = (
-        dd.jaccard_pairs(docs, "doc_id", "text", shingles=shingles)
-        .filter(F.col("jaccard_c") >= 8000)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+    kept, attrition = curate(docs)
+    funnel = attrition.select(
+        F.lit("funnel").alias("part"),
+        F.col("stage").alias("label"),
+        F.col("n_in").alias("n1"),
+        F.col("n_out").alias("n2"),
+        F.col("n_dropped").alias("n3"),
     )
-    survivors = deduped.join(losers, "doc_id", "left_anti")
-    # The quality gate uses only the map-side scalar columns of text_stats
-    # (n_tokens, n_chars) — inline them instead of calling text_stats, so the
-    # expensive survivors subtree (dedup groupBy + near-dup anti-join) is
-    # computed exactly ONCE.  text_stats's stopword branch would add a second
-    # scan of survivors plus a self-join back for `lang`, tripling the subtree
-    # (profiled 7.4 s → 3.5 s at sf0.1); at 100 TB the same restructure avoids
-    # recomputing the near-dup join per branch without caching full doc text.
     ws = "split(text, ' ')"
-    return (
-        survivors.select(
+    corpus = (
+        kept.select(
             "lang",
             F.expr(f"CAST(size({ws}) AS BIGINT)").alias("n_tokens"),
             F.expr("CAST(length(text) AS BIGINT)").alias("n_chars"),
         )
-        .filter(F.col("n_tokens") >= 30)
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.sum("n_chars").alias("total_chars"),
+            F.count(F.lit(1)).cast("long").alias("n1"),
+            F.sum("n_tokens").cast("long").alias("n2"),
+            F.sum("n_chars").cast("long").alias("n3"),
         )
-        .select(
-            "lang",
-            F.col("n_docs").cast("long").alias("n_docs"),
-            F.col("total_tokens").cast("long").alias("total_tokens"),
-            F.col("total_chars").cast("long").alias("total_chars"),
-        )
+        .select(F.lit("corpus").alias("part"), F.col("lang").alias("label"), "n1", "n2", "n3")
     )
+    return funnel.unionByName(corpus)
 
 
 def _oracle_curation_pipeline() -> str:
+    """Declarative recomputation of every ``curate()`` stage.
+
+    Minhash signatures / quality flags / repetition fractions are per-doc
+    functions, so they are computed over ALL documents and the staging is
+    expressed by restricting each gate's JOIN to the previous stage's
+    survivor set (band candidates among exact survivors ≡ recomputing
+    signatures on the survivor subset, since signatures don't depend on the
+    corpus)."""
     return f"""
-WITH sig AS ({_oracle_minhash_sig_cte()}),
+WITH stats AS ({ORACLE_TEXT_STATS}),
+flags AS (
+  SELECT doc_id,
+       CAST((CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END)
+          * (CASE WHEN mean_word_len_c >= 20000 AND mean_word_len_c <= 100000 THEN 1 ELSE 0 END)
+          * (CASE WHEN CAST(ROUND(10000.0 * n_punct / greatest(n_chars, 1)) AS BIGINT) <= 1000 THEN 1 ELSE 0 END)
+          * (CASE WHEN CAST(ROUND(10000.0 * n_stopwords / greatest(n_tokens, 1)) AS BIGINT) >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS keep
+  FROM stats
+),
+wrd AS (SELECT doc_id, unnest({sqlgen.split_words('text', DUCK)}) AS w FROM documents),
+word_stats AS (
+  SELECT doc_id, count(*) AS n_words, count(DISTINCT w) AS n_distinct FROM wrd GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN []
+         ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END) AS bigram
+  FROM (SELECT doc_id, {sqlgen.split_words('text', DUCK)} AS ws FROM documents)
+),
+big_tf AS (SELECT doc_id, bigram, count(*) AS n FROM big GROUP BY doc_id, bigram),
+big_top AS (SELECT doc_id, max(n) AS max_bi, sum(n) AS n_bi FROM big_tf GROUP BY doc_id),
+rep AS (
+  SELECT w.doc_id,
+         CAST(ROUND(10000.0 * (w.n_words - w.n_distinct) / w.n_words) AS BIGINT) AS dup_word_frac_c,
+         CAST(coalesce(ROUND(10000.0 * b.max_bi / b.n_bi), 0) AS BIGINT) AS top_bigram_frac_c
+  FROM word_stats w LEFT JOIN big_top b ON w.doc_id = b.doc_id
+),
+hash_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+sig AS ({_oracle_minhash_sig_cte()}),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+  FROM sig a JOIN hash_keep ka ON ka.doc_id = a.doc_id
+       JOIN sig b ON a.doc_id < b.doc_id AND (
        (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3)
     OR (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))
+       JOIN hash_keep kb ON kb.doc_id = b.doc_id
 ),
 words AS ({DUCK_SHINGLES}),
 sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
@@ -987,24 +1018,40 @@ losers AS (
   LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
   WHERE CAST(ROUND(10000.0 * coalesce(i.ninter, 0) / (sa.n + sb.n - coalesce(i.ninter, 0))) AS BIGINT) >= 8000
 ),
-exact_keep AS (
-  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+near_keep AS (
+  SELECT doc_id FROM hash_keep WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 ),
-survivors AS (
-  SELECT d.* FROM documents d
-  JOIN exact_keep k ON k.doc_id = d.doc_id
-  WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+q_keep AS (
+  SELECT n.doc_id FROM near_keep n JOIN flags f ON f.doc_id = n.doc_id WHERE f.keep = 1
 ),
-quality AS (
-  SELECT doc_id, len({sqlgen.split_words('text', DUCK)}) AS n_tokens, length(text) AS n_chars
-  FROM survivors
-  WHERE len({sqlgen.split_words('text', DUCK)}) >= 30
-)
-SELECT s.lang, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
-       CAST(sum(q.n_chars) AS BIGINT) AS total_chars
-FROM survivors s JOIN quality q ON q.doc_id = s.doc_id
-GROUP BY s.lang
+r_keep AS (
+  SELECT q.doc_id FROM q_keep q JOIN rep r ON r.doc_id = q.doc_id
+  WHERE r.dup_word_frac_c <= 7000 AND r.top_bigram_frac_c <= 1800
+),
+c0 AS (SELECT count(*) AS n FROM documents),
+c1 AS (SELECT count(*) AS n FROM hash_keep),
+c2 AS (SELECT count(*) AS n FROM near_keep),
+c3 AS (SELECT count(*) AS n FROM q_keep),
+c4 AS (SELECT count(*) AS n FROM r_keep)
+SELECT 'funnel' AS part, 'exact_dedup' AS label,
+       CAST(c0.n AS BIGINT) AS n1, CAST(c1.n AS BIGINT) AS n2, CAST(c0.n - c1.n AS BIGINT) AS n3
+FROM c0, c1
+UNION ALL
+SELECT 'funnel', 'near_dedup', CAST(c1.n AS BIGINT), CAST(c2.n AS BIGINT), CAST(c1.n - c2.n AS BIGINT)
+FROM c1, c2
+UNION ALL
+SELECT 'funnel', 'quality', CAST(c2.n AS BIGINT), CAST(c3.n AS BIGINT), CAST(c2.n - c3.n AS BIGINT)
+FROM c2, c3
+UNION ALL
+SELECT 'funnel', 'repetition', CAST(c3.n AS BIGINT), CAST(c4.n AS BIGINT), CAST(c3.n - c4.n AS BIGINT)
+FROM c3, c4
+UNION ALL
+SELECT 'corpus', d.lang,
+       CAST(count(*) AS BIGINT),
+       CAST(sum(len({sqlgen.split_words('d.text', DUCK)})) AS BIGINT),
+       CAST(sum(length(d.text)) AS BIGINT)
+FROM r_keep k JOIN documents d ON d.doc_id = k.doc_id
+GROUP BY d.lang
 """
 
 
