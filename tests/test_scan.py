@@ -127,3 +127,28 @@ def test_empty_boundaries_fall_back_to_sampling(spark, lineitem):
     ref = sorted((r["l_orderkey"], r["cnt"]) for r in
                  with_global_index(df, ["l_orderkey"]).collect())
     assert got == ref
+
+
+def test_export_hex_parquet_auto_boundaries_zero_prepass(spark):
+    """A parquet-backed export with no explicit boundaries must take the
+    footer-stat path by default: plan construction runs ZERO Spark jobs
+    (one scan total), and the numbering matches the sampled path."""
+    from tikv_data_compare_spark.model import Keyed
+    from tikv_data_compare_spark.operators.scan import export_hex, parquet_key_boundaries
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    k = Keyed.of(spark.read.parquet(path), keys=("o_orderkey",))
+    stats_present = bool(parquet_key_boundaries(path, "o_orderkey"))
+    sc = spark.sparkContext
+    sc.setJobGroup("auto_bounds_export", "")
+    try:
+        out = export_hex(k)
+        if stats_present:
+            assert list(sc.statusTracker().getJobIdsForGroup("auto_bounds_export")) == []
+    finally:
+        sc.setJobGroup(None, None)
+    got = sorted((r["key_hex"], r["cnt"]) for r in out.collect())
+    ref = sorted(
+        (r["key_hex"], r["cnt"]) for r in export_hex(k, boundaries=[]).collect()
+    )
+    assert got == ref

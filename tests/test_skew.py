@@ -66,3 +66,37 @@ def test_skew_agg_query_equals_plain_groupby(spark):
         .collect()
     }
     assert got == want
+
+
+def test_sessionize_hot_user_within_2x_of_uniform(spark):
+    """Sessionize's shuffle key is user-controlled: pin the AQE skew
+    behavior with one user owning 20% of all events at sf0.1 — wall-time
+    must stay within ~2x of the uniform layout (min-of-2 each, warmed)."""
+    import time
+
+    from tikv_data_compare_spark.operators.events import sessionize
+    from tikv_data_compare_spark.queries import _events_ms
+
+    e, ms = _events_ms(spark, "/root/testdata/sf0.1")
+    base = e.select("user_id", "event_id", ms.alias("ms")).cache()
+    hot = base.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(1)).otherwise(F.col("user_id")),
+    ).cache()
+    n = base.count()
+    assert hot.filter(F.col("user_id") == 1).count() >= n // 5
+
+    def best_of(df):
+        t = []
+        for _ in range(2):
+            t0 = time.time()
+            sessionize(df).count()
+            t.append(time.time() - t0)
+        return min(t)
+
+    best_of(base)  # codegen warmup, not measured
+    uniform = best_of(base)
+    skewed = best_of(hot)
+    base.unpersist()
+    hot.unpersist()
+    assert skewed <= max(2.0 * uniform, uniform + 1.0), (skewed, uniform)

@@ -91,3 +91,38 @@ def gap_profile(
         F.sum("gap").alias("sum_gap_ms"),
         F.count(F.when(F.col("gap") > long_gap_ms, 1)).cast("long").alias("n_long_gaps"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ms",
+    tiebreak_col: str = "event_id",
+    gap_ms: int = 1_800_000,
+) -> DataFrame:
+    """Per-user sessions split on ``> gap_ms`` silences — the batch form of
+    the streaming session window.
+
+    Plan shape: ONE hash-partition shuffle on ``user_col`` shared by the
+    lag window, the running-sum window, and the final groupBy (the
+    partitioning is reused, plan-asserted in tests/test_plans.py via the
+    driver row).  A hot user inflates a single partition — moderate skew is
+    AQE's job; extreme skew has operators/skew.py.  Stress behavior under a
+    20%-of-all-events user is pinned by tests/test_skew.py."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    gapped = df.withColumn(
+        "new_s",
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | ((F.col(ts_col) - F.lag(ts_col).over(w)) > gap_ms),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = gapped.withColumn(
+        "session_idx", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(ts_col) - F.min(ts_col)).alias("duration_ms"),
+        F.min(tiebreak_col).alias("first_event"),
+    )

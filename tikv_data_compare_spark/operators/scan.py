@@ -153,14 +153,18 @@ def parquet_key_boundaries(path: str, col: str, max_boundaries: int = 256) -> li
     import glob as _glob
     import os
 
-    import pyarrow.parquet as pq
-
     if os.path.isdir(path):
         files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) or sorted(
             f for f in _glob.glob(os.path.join(path, "*")) if os.path.isfile(f)
         )
     else:
         files = [path]
+    return _boundaries_from_files(files, col, max_boundaries)
+
+
+def _boundaries_from_files(files: list[str], col: str, max_boundaries: int = 256) -> list[tuple]:
+    import pyarrow.parquet as pq
+
     maxima = []
     for f in files:
         md = pq.ParquetFile(f).metadata
@@ -181,6 +185,28 @@ def parquet_key_boundaries(path: str, col: str, max_boundaries: int = 256) -> li
     return [(b,) for b in bounds]
 
 
+def auto_boundaries(df: DataFrame, key_cols: list[str]) -> list[tuple] | None:
+    """Footer-stat boundaries discovered from the DataFrame's OWN source
+    files (``df.inputFiles()`` — metadata only, no job), so parquet-backed
+    exports get the zero-pre-pass index path without the caller threading a
+    path through.  Returns ``None`` (→ sampling fallback) for multi-column
+    keys, non-parquet sources, or stats-less files."""
+    if len(key_cols) != 1:
+        return None
+    try:
+        files = list(df.inputFiles())
+    except Exception:  # noqa: BLE001 — non-file-backed plans (rdd, in-memory)
+        return None
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return None
+    paths = [f[len("file:") :] if f.startswith("file:") else f for f in files]
+    try:
+        bounds = _boundaries_from_files(paths, key_cols[0])
+    except Exception:  # noqa: BLE001 — remote filesystems, schema drift
+        return None
+    return bounds or None
+
+
 def export_hex(
     keyed: Keyed,
     start=None,
@@ -196,8 +222,16 @@ def export_hex(
     uppercase hex of their canonical '|'-joined string (same convention both
     in Spark and the DuckDB oracle).  When ``path`` is given, also writes the
     formatted text lines (ordered) there.
+
+    When ``boundaries`` is not supplied and the input is parquet-backed with
+    a single-column key, counter boundaries come from the parquet footer
+    stats automatically (:func:`auto_boundaries`) — the export then runs
+    exactly ONE scan of the input, with the count+sample pre-pass reserved
+    for sources without usable stats.
     """
     df = keyed.in_range(start, end).df
+    if boundaries is None:
+        boundaries = auto_boundaries(df, list(keyed.keys))
 
     def hex_of(cols: tuple[str, ...]) -> F.Column:
         from tikv_data_compare_spark.functions import sqlgen

@@ -715,35 +715,19 @@ def _events_ms(spark: SparkSession, sf_dir: str):
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per-user sessions split on >30 min gaps (lag + cumsum
-    windows) — the batch form of the streaming session_window."""
+    windows, operators/events.py ``sessionize``) — the batch form of the
+    streaming session_window."""
     tune(spark)
+    from tikv_data_compare_spark.operators.events import sessionize
+
     e, ms = _events_ms(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
     base = e.select("user_id", "event_id", ms.alias("ms"))
-    gapped = base.withColumn(
-        "new_s",
-        F.when(
-            F.lag("ms").over(w).isNull() | ((F.col("ms") - F.lag("ms").over(w)) > 1_800_000),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    sess = gapped.withColumn(
-        "session_idx", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    return (
-        sess.groupBy("user_id", "session_idx")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            (F.max("ms") - F.min("ms")).alias("duration_ms"),
-            F.min("event_id").alias("first_event"),
-        )
-        .select(
-            "user_id",
-            F.col("session_idx").cast("long").alias("session_idx"),
-            F.col("n_events").cast("long").alias("n_events"),
-            "duration_ms",
-            "first_event",
-        )
+    return sessionize(base).select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "duration_ms",
+        "first_event",
     )
 
 
