@@ -15,8 +15,9 @@ actually runs, built entirely from this package's operators.
 
 Returns ``(kept_docs, attrition)`` where ``attrition`` is a small report
 DataFrame ``(stage, n_in, n_out, n_dropped)`` — the per-stage funnel every
-curation run is judged by.  Stage counts cost one action per stage over
-cached intermediates; the kept-docs plan itself stays lazy-composable.
+curation run is judged by.  Every gate is evaluated as one boolean column
+of a narrow per-doc flags frame, so ALL stage counts come from a single
+conditional aggregation (one job) and only (id, flags) is ever cached.
 
 Scale: every stage is the underlying operator's plan (bucketed equi-joins
 for near-dup, broadcast probe grams for decontamination, map-side
@@ -57,71 +58,95 @@ def curate(
     returning.
     """
     spark = docs.sparkSession
-    stages: list[tuple[str, int, int]] = []
-    intermediates: list[DataFrame] = []
 
-    base = docs.persist()
-    intermediates.append(base)
-    n_live = base.count()
-
-    def step(name: str, after: DataFrame) -> DataFrame:
-        # one count per stage: the input count is the previous stage's output
-        nonlocal n_live
-        cached = after.persist()
-        intermediates.append(cached)
-        n_out = cached.count()
-        stages.append((name, n_live, n_out))
-        n_live = n_out
-        return cached
-
-    # 1. exact dedup
-    exact = step("exact_dedup", dd.dedup_exact(base, id_col, text_col))
-
-    # 2. near-dup removal among survivors (pairs computed on survivors so a
-    #    doc never loses to an already-removed exact duplicate)
+    # Every gate except near-dup is a PER-DOC-independent predicate, and the
+    # near-dup loser set only depends on the exact-survivor subset — so the
+    # whole funnel reduces to ONE narrow flags frame (id + one boolean per
+    # stage, conjoined in stage order) and ONE conditional aggregation for
+    # every attrition count.  The r5 shape (persist + count per stage) cost
+    # five materializations of progressively-filtered full-text frames;
+    # this one costs two jobs total (flag agg + kept materialization) and
+    # caches only (id, flags) — the 100 TB difference between shipping doc
+    # text per stage and shipping booleans.
+    exact_ids = dd.dedup_exact(docs, id_col, text_col).select(id_col)
     losers = (
-        dd.jaccard_pairs(exact, id_col, text_col)
+        dd.jaccard_pairs(docs.join(exact_ids, id_col, "left_semi"), id_col, text_col)
         .filter(F.col("jaccard_c") >= near_dup_jaccard_c)
         .select(F.col("doc_b").alias(id_col))
         .distinct()
     )
-    near = step("near_dedup", exact.join(losers, id_col, "left_anti"))
+    q = tx.quality_flags(docs, id_col, text_col).select(id_col, "keep")
+    r = tx.repetition_stats(docs, id_col, text_col).select(
+        id_col,
+        (
+            (F.col("dup_word_frac_c") <= max_dup_word_frac_c)
+            & (F.col("top_bigram_frac_c") <= max_top_bigram_frac_c)
+        ).alias("_rep_ok"),
+    )
 
-    # 3. quality gate
-    q_keep = tx.quality_flags(near, id_col, text_col).filter(F.col("keep") == 1).select(id_col)
-    quality = step("quality", near.join(q_keep, id_col, "left_semi"))
-
-    # 4. repetition gate
-    r = tx.repetition_stats(quality, id_col, text_col)
-    r_keep = r.filter(
-        (F.col("dup_word_frac_c") <= max_dup_word_frac_c)
-        & (F.col("top_bigram_frac_c") <= max_top_bigram_frac_c)
-    ).select(id_col)
-    cur = step("repetition", quality.join(r_keep, id_col, "left_semi"))
-
-    # 5. PII gate
-    if drop_pii:
-        clean = tx.pii_counts(cur, id_col, text_col).filter(F.col("has_pii") == 0).select(id_col)
-        cur = step("pii", cur.join(clean, id_col, "left_semi"))
-
-    # 6. decontamination
-    if probes is not None:
-        ok = (
-            tx.contamination(cur, probes, id_col, text_col)
-            .filter(F.col("n_hit_grams") <= max_contamination_hits)
-            .select(id_col)
+    flags = (
+        docs.select(id_col)
+        .join(exact_ids.withColumn("_e", F.lit(1)), id_col, "left")
+        .join(losers.withColumn("_l", F.lit(1)), id_col, "left")
+        .join(q, id_col)
+        .join(r, id_col)
+        .select(
+            id_col,
+            (F.col("_e") == 1).alias("s_exact"),
+            ((F.col("_e") == 1) & F.col("_l").isNull()).alias("s_near"),
+            ((F.col("_e") == 1) & F.col("_l").isNull() & (F.col("keep") == 1)).alias(
+                "s_quality"
+            ),
+            (
+                (F.col("_e") == 1)
+                & F.col("_l").isNull()
+                & (F.col("keep") == 1)
+                & F.col("_rep_ok")
+            ).alias("s_rep"),
         )
-        cur = step("decontamination", cur.join(ok, id_col, "left_semi"))
+    )
+    stage_cols = ["s_exact", "s_near", "s_quality", "s_rep"]
+    stage_names = ["exact_dedup", "near_dedup", "quality", "repetition"]
+    if drop_pii:
+        pii_ok = tx.pii_counts(docs, id_col, text_col).select(
+            id_col, (F.col("has_pii") == 0).alias("_pii_ok")
+        )
+        flags = flags.join(pii_ok, id_col).withColumn(
+            "s_pii", F.col(stage_cols[-1]) & F.col("_pii_ok")
+        )
+        stage_cols.append("s_pii")
+        stage_names.append("pii")
+    if probes is not None:
+        conta_ok = tx.contamination(docs, probes, id_col, text_col).select(
+            id_col, (F.col("n_hit_grams") <= max_contamination_hits).alias("_ct_ok")
+        )
+        flags = flags.join(conta_ok, id_col).withColumn(
+            "s_conta", F.col(stage_cols[-1]) & F.col("_ct_ok")
+        )
+        stage_cols.append("s_conta")
+        stage_names.append("decontamination")
 
-    for df in intermediates:
-        if df is not cur:
-            df.unpersist()
+    flags = flags.select(id_col, *stage_cols).persist()
+    row = flags.agg(
+        F.count(F.lit(1)).alias("_n0"),
+        *[F.sum(F.col(c).cast("long")).alias(f"_n{i + 1}") for i, c in enumerate(stage_cols)],
+    ).collect()[0]
+    counts = [int(row[f"_n{i}"]) for i in range(len(stage_cols) + 1)]
+
+    kept = docs.join(
+        flags.filter(F.col(stage_cols[-1])).select(id_col), id_col, "left_semi"
+    ).persist()
+    kept.count()  # materialize so flags can be released below
+    flags.unpersist()
     # drop any operator-module broadcasts created along the way (plane/query
     # matrices etc.) — a long-lived session calling curate() in a loop must
     # not accumulate executor-side broadcast blocks
     release_broadcasts()
     attrition = spark.createDataFrame(
-        [(name, n_in, n_out, n_in - n_out) for name, n_in, n_out in stages],
+        [
+            (name, counts[i], counts[i + 1], counts[i] - counts[i + 1])
+            for i, name in enumerate(stage_names)
+        ],
         "stage string, n_in long, n_out long, n_dropped long",
     )
-    return cur, attrition
+    return kept, attrition
