@@ -220,3 +220,10 @@ def test_lsh_projection_is_left_to_right_bit_exact(spark):
                     bits |= 1 << p
             want.setdefault(i, set()).add((t << planes_n) | bits)
     assert got == want
+
+
+def test_topk_n_queries_ceiling(spark, emb):
+    with pytest.raises(ValueError, match="driver-collect ceiling"):
+        sim.topk_bruteforce(emb, k=5, n_queries=sim.MAX_COLLECTED_QUERIES + 1)
+    with pytest.raises(ValueError, match="driver-collect ceiling"):
+        sim.topk_ivf(emb, k=5, n_queries=sim.MAX_COLLECTED_QUERIES + 1)

@@ -46,6 +46,24 @@ def release_broadcasts() -> int:
     _LIVE_BROADCASTS.clear()
     return n
 
+#: ceiling on driver-collected query sets: the top-k operators broadcast the
+#: query matrix (n_queries · dim doubles) after a driver collect — by design
+#: (the CORPUS never shuffles; queries are the small side).  16k queries at
+#: dim 1024 is ~128 MB of broadcast, the sane upper edge; beyond that the
+#: right tool is a bucketed join of two DataFrames, not a broadcast top-k.
+MAX_COLLECTED_QUERIES = 16384
+
+
+def _check_n_queries(n_queries: int) -> None:
+    if n_queries > MAX_COLLECTED_QUERIES:
+        raise ValueError(
+            f"n_queries={n_queries} exceeds the driver-collect ceiling "
+            f"({MAX_COLLECTED_QUERIES}): the query matrix is collected and "
+            "broadcast by design. For larger query sets use an LSH/IVF "
+            "bucket equi-join of the two DataFrames instead."
+        )
+
+
 DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -69,6 +87,7 @@ def topk_bruteforce(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFram
     Determinism: scores are rounded half-away-from-zero to ×10000 (matching
     SQL ROUND in Spark and DuckDB) and ranked (score desc, neighbor_id asc).
     """
+    _check_n_queries(n_queries)
     spark = emb.sparkSession
     qrows = (
         emb.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
@@ -406,6 +425,7 @@ def topk_ivf(
     shuffles).  Recall is tuned by ``n_probe``; ``n_probe >= n_cells``
     degenerates to exact brute force (the oracle-gate configuration).
     """
+    _check_n_queries(n_queries)
     import numpy as np
 
     spark = emb.sparkSession

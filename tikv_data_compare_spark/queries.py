@@ -654,11 +654,31 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level data profiling of orders: per-column null count and
     exact distinct count in ONE aggregation pass (Catalyst expands the
     multi-distinct into a single Expand+agg), then stack() pivots the wide
-    row into one row per column.  At 100 TB swap exact count_distinct for
-    approx_count_distinct (HLL) — the plan shape is otherwise identical;
-    exact is kept here because the oracle must hash-match."""
+    row into one row per column.
+
+    Since r6 the row ALSO runs ``profile_columns(approx=True)`` (the
+    HyperLogLog++ 100 TB configuration) and gates its accuracy contract:
+    ``approx_ok`` asserts every column's sketch estimate lands within
+    3·rsd of the exact count (rsd=0.05 → ±15%, ≈3σ of HLL++'s relative
+    error).  Sketch values themselves are engine-specific so they can't be
+    hash-compared; the CONTRACT can — the oracle emits literal true, so a
+    broken approx path (bad sketch merge, wrong rsd wiring) fails the row."""
     tune(spark)
-    return profile_columns(_load(spark, sf_dir, "orders"), PROFILE_COLS)
+    o = _load(spark, sf_dir, "orders")
+    exact = profile_columns(o, PROFILE_COLS)
+    approx = profile_columns(o, PROFILE_COLS, approx=True, rsd=0.05).select(
+        "col_name", F.col("n_distinct").alias("_nd_approx")
+    )
+    return exact.join(approx, "col_name").select(
+        "col_name",
+        "n_distinct",
+        "n_nulls",
+        "n_rows",
+        (
+            F.abs(F.col("_nd_approx") - F.col("n_distinct"))
+            <= 3 * 0.05 * F.col("n_distinct")
+        ).alias("approx_ok"),
+    )
 
 
 def profile_columns(df, cols: list[str], approx: bool = False, rsd: float = 0.05):
@@ -690,7 +710,8 @@ def _oracle_profile_orders() -> str:
     parts = [
         f"""SELECT '{c}' AS col_name, CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-       CAST(count(*) AS BIGINT) AS n_rows
+       CAST(count(*) AS BIGINT) AS n_rows,
+       true AS approx_ok
 FROM orders"""
         for c in PROFILE_COLS
     ]
