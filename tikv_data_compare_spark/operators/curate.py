@@ -69,8 +69,13 @@ def curate(
     # caches only (id, flags) — the 100 TB difference between shipping doc
     # text per stage and shipping booleans.
     exact_ids = dd.dedup_exact(docs, id_col, text_col).select(id_col)
+    exact_docs = docs.join(exact_ids, id_col, "left_semi")
+    # cache the (id, shingle) projection: jaccard_pairs reads it in four
+    # branches (signatures, sizes, both sides of the intersection join), and
+    # each would otherwise recompute the dedup-groupBy + semi-join subtree
+    sh = dd.distinct_shingles(exact_docs, id_col, text_col).persist()
     losers = (
-        dd.jaccard_pairs(docs.join(exact_ids, id_col, "left_semi"), id_col, text_col)
+        dd.jaccard_pairs(exact_docs, id_col, text_col, shingles=sh)
         .filter(F.col("jaccard_c") >= near_dup_jaccard_c)
         .select(F.col("doc_b").alias(id_col))
         .distinct()
@@ -136,8 +141,9 @@ def curate(
     kept = docs.join(
         flags.filter(F.col(stage_cols[-1])).select(id_col), id_col, "left_semi"
     ).persist()
-    kept.count()  # materialize so flags can be released below
+    kept.count()  # materialize so flags/shingles can be released below
     flags.unpersist()
+    sh.unpersist()
     # drop any operator-module broadcasts created along the way (plane/query
     # matrices etc.) — a long-lived session calling curate() in a loop must
     # not accumulate executor-side broadcast blocks
