@@ -251,3 +251,33 @@ def test_profile_columns_approx_within_tolerance(spark, lineitem):
         e, a = exact[c], approx[c]
         assert a["n_nulls"] == e["n_nulls"] and a["n_rows"] == e["n_rows"]
         assert abs(a["n_distinct"] - e["n_distinct"]) <= max(3, 0.15 * e["n_distinct"])
+
+
+def test_diff_keyed_row_routes_through_targeted_diff(spark):
+    """The driver's diff_keyed row runs the checksum-localized path: its
+    plan must carry the mismatched-bucket broadcast semi-join (and still no
+    cartesian)."""
+    import os
+
+    from tikv_data_compare_spark.queries import q_diff_keyed
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    out = q_diff_keyed(spark, sf)
+    s = plans.plan_string(out)
+    assert not plans.has_cartesian(out)
+    assert "LeftSemi" in s and "BroadcastHashJoin" in s
+
+
+def test_sessionize_single_user_exchange(spark):
+    """sessionize: lag window, running-sum window, and the session groupBy
+    all reuse ONE hashpartitioning(user_id) — exactly one Exchange in the
+    whole plan."""
+    from tikv_data_compare_spark.operators.events import sessionize
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 37).alias("user_id"),
+        F.col("id").alias("event_id"),
+        (F.col("id") * 60000).alias("ms"),
+    )
+    s = _simple(sessionize(df))
+    assert s.count("Exchange") == 1, s

@@ -665,19 +665,28 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken approx path (bad sketch merge, wrong rsd wiring) fails the row."""
     tune(spark)
     o = _load(spark, sf_dir, "orders")
-    exact = profile_columns(o, PROFILE_COLS)
-    approx = profile_columns(o, PROFILE_COLS, approx=True, rsd=0.05).select(
-        "col_name", F.col("n_distinct").alias("_nd_approx")
-    )
-    return exact.join(approx, "col_name").select(
+    rsd = 0.05
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"nn_{c}"))
+        aggs.append(F.approx_count_distinct(F.col(c), rsd).cast("long").alias(f"na_{c}"))
+    aggs.append(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    wide = o.agg(*aggs)  # exact + HLL in the SAME pass: still one scan, one Expand
+    stack_args = ", ".join(f"'{c}', nd_{c}, nn_{c}, na_{c}" for c in PROFILE_COLS)
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS (col_name, n_distinct, n_nulls, _na)"
+        ),
+        "n_rows",
+    ).select(
         "col_name",
         "n_distinct",
         "n_nulls",
         "n_rows",
-        (
-            F.abs(F.col("_nd_approx") - F.col("n_distinct"))
-            <= 3 * 0.05 * F.col("n_distinct")
-        ).alias("approx_ok"),
+        (F.abs(F.col("_na") - F.col("n_distinct")) <= 3 * rsd * F.col("n_distinct")).alias(
+            "approx_ok"
+        ),
     )
 
 
