@@ -124,7 +124,7 @@ def apply_repair(dst: Keyed, plan: DataFrame) -> DataFrame:
     return untouched.unionByName(ups)
 
 
-def targeted_diff(src: Keyed, dst: Keyed, bucket, algo: str = "md5i64") -> DataFrame:
+def targeted_diff(src: Keyed, dst: Keyed, bucket, algo: str = "xxhash64") -> DataFrame:
     """Checksum-localized diff — the reference's actual large-scale ops
     workflow (per-region checksums first, row diff second) as ONE operator:
 
@@ -143,6 +143,12 @@ def targeted_diff(src: Keyed, dst: Keyed, bucket, algo: str = "md5i64") -> DataF
     drift the row-level join touches ~0.1% of the data instead of all of
     it.  The checksum pass still scans both sides once; the win is on the
     wide shuffle + join, which dominates.
+
+    ``algo`` only affects the internal bucket checksums (mismatch
+    localization), never the findings — default is the fast JVM xxhash64;
+    a hash collision can at worst skip a drifted bucket with probability
+    ~2⁻⁶⁴ per bucket, same failure class the reference accepts for its
+    whole verdict.
     """
     from tikv_data_compare_spark.operators.checksum import _with_hash
 
