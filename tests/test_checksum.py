@@ -83,6 +83,43 @@ def test_checksum_crc64_null_handling(spark):
     assert rows[0]["total_kvs"] == 2
 
 
+def test_checksum_xxhash64_null_column_shift(spark):
+    """Regression (r7, ADVICE): Spark's xxhash64 skips NULL children, so
+    (k, v, NULL) vs (k, NULL, v) — a classic column-shift bug — hashed
+    identically and the verdict passed.  The null-safe children (interleaved
+    isNull markers) must make the verdict fail."""
+    src = spark.createDataFrame([(1, "x", None), (2, "a", "b")], "k bigint, v1 string, v2 string")
+    dst = spark.createDataFrame([(1, None, "x"), (2, "a", "b")], "k bigint, v1 string, v2 string")
+    ks = Keyed.of(src, keys=("k",))
+    kd = Keyed.of(dst, keys=("k",))
+    assert not checksum_verdict(ks, kd, algo="xxhash64")["equal"]
+    # sanity: identical frames (with NULLs present) still verdict equal
+    assert checksum_verdict(ks, ks, algo="xxhash64")["equal"]
+
+
+def test_targeted_diff_xxhash64_null_column_shift(spark):
+    """The same false-negative class through targeted_diff's default bucket
+    hash: the drifted bucket's triple must mismatch so the row-level join
+    sees the column-shifted row — findings identical to plain diff."""
+    from pyspark.sql import functions as F
+
+    from tikv_data_compare_spark.operators.diff import diff, targeted_diff
+
+    rows_src = [(i, "x" if i == 7 else f"a{i}", None if i == 7 else f"b{i}") for i in range(100)]
+    rows_dst = [(i, None if i == 7 else f"a{i}", "x" if i == 7 else f"b{i}") for i in range(100)]
+    src = Keyed.of(
+        spark.createDataFrame(rows_src, "k bigint, v1 string, v2 string"), keys=("k",)
+    )
+    dst = Keyed.of(
+        spark.createDataFrame(rows_dst, "k bigint, v1 string, v2 string"), keys=("k",)
+    )
+    bucket = F.col("k") % 8
+    targeted = {r["k"]: r for r in targeted_diff(src, dst, bucket, algo="xxhash64").collect()}
+    plain = {r["k"]: r for r in diff(src, dst).collect()}
+    assert targeted == plain
+    assert 7 in targeted and targeted[7]["status"] == "changed"
+
+
 def test_checksum_verdict_empty_ranges_equal(kv_pair):
     """Empty vs empty range: identity triple on both sides, equal verdict
     (regression: KeyError when a side produced no groupBy row)."""

@@ -13,6 +13,9 @@ only shuffle is 24 bytes per partition.
 
 Hash algorithms (per-row contribution, XOR-combined):
 - ``xxhash64`` (default): Spark built-in, JVM/codegen, the fast path.
+                Null-safe: each nullable column is interleaved with its
+                ``isNull()`` marker because Spark's xxhash64 skips NULL
+                children (see ``_null_safe_children``).
 - ``md5i64``:   cross-engine md5-fold (functions/sqlgen.py) — DuckDB-oracle
                 checkable bit-for-bit.
 - ``crc64``:    CRC-64/XZ over ``key ++ value`` bytes via Pandas UDF —
@@ -29,6 +32,28 @@ from tikv_data_compare_spark.model import Keyed, check_comparable
 ALGOS = ("xxhash64", "md5i64", "crc64")
 
 
+def _null_safe_children(df: DataFrame, cols: list[str]) -> list[Column]:
+    """Hash children for xxhash64 with per-position NULL disambiguation.
+
+    Spark's ``xxhash64`` (like ``hash``) SKIPS null children — a NULL leaves
+    the running hash unchanged — so rows differing only in WHICH column holds
+    a NULL (the classic column-shift bug: ``(k, v, NULL)`` drifting to
+    ``(k, NULL, v)``) would hash identically.  Interleaving each nullable
+    column with its ``isNull()`` boolean restores injectivity over the null
+    pattern: the marker is itself never NULL, so it always folds into the
+    hash at that position — ``[v, false, true]`` vs ``[true, v, false]``
+    differ.  Non-nullable columns (per schema) skip the marker to keep the
+    expression narrow.  Stays entirely inside whole-stage codegen.
+    """
+    nullable = {f.name for f in df.schema.fields if f.nullable}
+    children: list[Column] = []
+    for c in cols:
+        children.append(F.col(c))
+        if c in nullable:
+            children.append(F.col(c).isNull())
+    return children
+
+
 def _with_hash(keyed: Keyed, algo: str, tags: dict[str, str] | None) -> tuple[DataFrame, str]:
     """Return (df, hash_col_name) with a per-row hash column appended.
 
@@ -39,7 +64,7 @@ def _with_hash(keyed: Keyed, algo: str, tags: dict[str, str] | None) -> tuple[Da
     df = keyed.df
     cols = list(keyed.columns)
     if algo == "xxhash64":
-        return df.withColumn("_h", F.xxhash64(*[F.col(c) for c in cols])), "_h"
+        return df.withColumn("_h", F.xxhash64(*_null_safe_children(df, cols))), "_h"
     if algo == "md5i64":
         canon = _row_canon_expr(keyed, cols, tags)
         df = df.withColumn("_canon", F.expr(canon)).withColumn("_m", F.md5(F.col("_canon")))

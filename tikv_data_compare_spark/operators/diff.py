@@ -145,10 +145,13 @@ def targeted_diff(src: Keyed, dst: Keyed, bucket, algo: str = "xxhash64") -> Dat
     wide shuffle + join, which dominates.
 
     ``algo`` only affects the internal bucket checksums (mismatch
-    localization), never the findings — default is the fast JVM xxhash64;
-    a hash collision can at worst skip a drifted bucket with probability
-    ~2⁻⁶⁴ per bucket, same failure class the reference accepts for its
-    whole verdict.
+    localization), never the findings — default is the fast JVM xxhash64
+    made null-safe by interleaved ``isNull()`` markers
+    (checksum._null_safe_children), so rows differing only in which column
+    holds a NULL (column-shift drift) still flip their bucket's triple.  A
+    residual hash collision can at worst skip a drifted bucket with
+    probability ~2⁻⁶⁴ per drifted bucket, the same failure class the
+    reference accepts for its whole checksum verdict.
     """
     from tikv_data_compare_spark.operators.checksum import _with_hash
 
