@@ -54,6 +54,27 @@ def test_curate_stages_drop_planted_offenders(spark):
     assert rep["repetition"][1] == 2
 
 
+def test_curate_null_text_doc_counted_as_dropped(spark):
+    """A NULL-text doc emits no row from explode-based gate stages; the
+    left-joined flags frame must still count it in the funnel (dropped at
+    the stage whose gate it fails) instead of vanishing (r7, ADVICE):
+    n_in of exact_dedup == input doc count, and the funnel reconciles."""
+    docs = _docs(spark).unionByName(
+        spark.createDataFrame([(7, None)], "doc_id long, text string")
+    )
+    kept, attrition = curate(docs)
+    rep = {r["stage"]: (r["n_in"], r["n_out"], r["n_dropped"]) for r in attrition.collect()}
+    assert rep["exact_dedup"][0] == 7  # NULL doc is in the funnel
+    order = ["exact_dedup", "near_dedup", "quality", "repetition"]
+    for a, b in zip(order, order[1:]):
+        assert rep[a][1] == rep[b][0]
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert 7 not in kept_ids and kept_ids == {1, 6}
+    # total attrition + survivors == input
+    assert rep["repetition"][1] + sum(v[2] for v in rep.values()) == 7
+    kept.unpersist()
+
+
 def test_curate_pii_and_decontamination_stages(spark):
     docs = _docs(spark).withColumn(
         "text",

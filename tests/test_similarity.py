@@ -223,7 +223,19 @@ def test_lsh_projection_is_left_to_right_bit_exact(spark):
 
 
 def test_topk_n_queries_ceiling(spark, emb):
+    """The ceiling binds on rows actually collected, not the vec_id
+    threshold (r7, ADVICE): a sparse-id corpus passing a huge threshold is
+    fine; >16384 matching rows raises before the matrix materializes."""
+    # sparse corpus: threshold far above the ceiling, only a handful of rows
+    sparse = emb.limit(8)
+    out = sim.topk_bruteforce(sparse, k=3, n_queries=sim.MAX_COLLECTED_QUERIES + 100)
+    assert out.count() == 8 * 3
+    # dense synthetic corpus: one row over the ceiling must raise
+    dense = spark.range(sim.MAX_COLLECTED_QUERIES + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.col("id").cast("double")).alias("embedding"),
+    )
     with pytest.raises(ValueError, match="driver-collect ceiling"):
-        sim.topk_bruteforce(emb, k=5, n_queries=sim.MAX_COLLECTED_QUERIES + 1)
+        sim._collect_queries(dense, sim.MAX_COLLECTED_QUERIES + 1)
     with pytest.raises(ValueError, match="driver-collect ceiling"):
-        sim.topk_ivf(emb, k=5, n_queries=sim.MAX_COLLECTED_QUERIES + 1)
+        sim.topk_bruteforce(dense, k=5, n_queries=sim.MAX_COLLECTED_QUERIES + 1)

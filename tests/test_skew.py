@@ -71,7 +71,13 @@ def test_skew_agg_query_equals_plain_groupby(spark):
 def test_sessionize_hot_user_within_2x_of_uniform(spark):
     """Sessionize's shuffle key is user-controlled: pin the AQE skew
     behavior with one user owning 20% of all events at sf0.1 — wall-time
-    must stay within ~2x of the uniform layout (min-of-2 each, warmed)."""
+    must stay within ~2x of the uniform layout (min-of-2 each, warmed).
+
+    The wall-clock ratio is load-sensitive on shared runners, so the timing
+    assertion only fires under SPARK_GRAFT_TIMING_ASSERTS=1 (r7, ADVICE);
+    the skewed run itself (completion + row parity with the uniform layout)
+    is always asserted."""
+    import os
     import time
 
     from tikv_data_compare_spark.operators.events import sessionize
@@ -97,6 +103,9 @@ def test_sessionize_hot_user_within_2x_of_uniform(spark):
     best_of(base)  # codegen warmup, not measured
     uniform = best_of(base)
     skewed = best_of(hot)
+    # correctness under skew is always asserted: sessions conserve events
+    assert sessionize(hot).agg(F.sum("n_events")).first()[0] == n
     base.unpersist()
     hot.unpersist()
-    assert skewed <= max(2.0 * uniform, uniform + 1.0), (skewed, uniform)
+    if os.environ.get("SPARK_GRAFT_TIMING_ASSERTS") == "1":
+        assert skewed <= max(2.0 * uniform, uniform + 1.0), (skewed, uniform)

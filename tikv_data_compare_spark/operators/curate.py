@@ -89,24 +89,29 @@ def curate(
         ).alias("_rep_ok"),
     )
 
+    # Per-doc gate frames are LEFT-joined: an explode-based stage emits no
+    # row for a NULL/empty-text doc (split(NULL) explodes to nothing), and an
+    # inner join would erase such docs from every funnel count — n_in of
+    # exact_dedup would no longer equal the input doc count.  A missing gate
+    # row coalesces to "dropped at that stage" instead (r7, ADVICE).
+    q_ok = F.coalesce(F.col("keep") == 1, F.lit(False))
+    rep_ok = F.coalesce(F.col("_rep_ok"), F.lit(False))
     flags = (
         docs.select(id_col)
         .join(exact_ids.withColumn("_e", F.lit(1)), id_col, "left")
         .join(losers.withColumn("_l", F.lit(1)), id_col, "left")
-        .join(q, id_col)
-        .join(r, id_col)
+        .join(q, id_col, "left")
+        .join(r, id_col, "left")
         .select(
             id_col,
             (F.col("_e") == 1).alias("s_exact"),
             ((F.col("_e") == 1) & F.col("_l").isNull()).alias("s_near"),
-            ((F.col("_e") == 1) & F.col("_l").isNull() & (F.col("keep") == 1)).alias(
-                "s_quality"
-            ),
+            ((F.col("_e") == 1) & F.col("_l").isNull() & q_ok).alias("s_quality"),
             (
                 (F.col("_e") == 1)
                 & F.col("_l").isNull()
-                & (F.col("keep") == 1)
-                & F.col("_rep_ok")
+                & q_ok
+                & rep_ok
             ).alias("s_rep"),
         )
     )
@@ -116,8 +121,8 @@ def curate(
         pii_ok = tx.pii_counts(docs, id_col, text_col).select(
             id_col, (F.col("has_pii") == 0).alias("_pii_ok")
         )
-        flags = flags.join(pii_ok, id_col).withColumn(
-            "s_pii", F.col(stage_cols[-1]) & F.col("_pii_ok")
+        flags = flags.join(pii_ok, id_col, "left").withColumn(
+            "s_pii", F.col(stage_cols[-1]) & F.coalesce(F.col("_pii_ok"), F.lit(True))
         )
         stage_cols.append("s_pii")
         stage_names.append("pii")
@@ -125,8 +130,8 @@ def curate(
         conta_ok = tx.contamination(docs, probes, id_col, text_col).select(
             id_col, (F.col("n_hit_grams") <= max_contamination_hits).alias("_ct_ok")
         )
-        flags = flags.join(conta_ok, id_col).withColumn(
-            "s_conta", F.col(stage_cols[-1]) & F.col("_ct_ok")
+        flags = flags.join(conta_ok, id_col, "left").withColumn(
+            "s_conta", F.col(stage_cols[-1]) & F.coalesce(F.col("_ct_ok"), F.lit(True))
         )
         stage_cols.append("s_conta")
         stage_names.append("decontamination")

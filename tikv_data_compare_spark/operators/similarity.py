@@ -54,14 +54,26 @@ def release_broadcasts() -> int:
 MAX_COLLECTED_QUERIES = 16384
 
 
-def _check_n_queries(n_queries: int) -> None:
-    if n_queries > MAX_COLLECTED_QUERIES:
+def _collect_queries(emb: DataFrame, n_queries: int) -> list:
+    """Collect the query rows (vec_id < n_queries) with the ceiling enforced
+    on the ROWS ACTUALLY COLLECTED, not the id threshold — a sparse-id corpus
+    may legitimately pass a large threshold that matches only a handful of
+    rows (r7, ADVICE).  The collect itself is capped at ceiling+1 rows so an
+    over-limit query set never materializes on the driver before raising."""
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .limit(MAX_COLLECTED_QUERIES + 1)
+        .collect()
+    )
+    if len(qrows) > MAX_COLLECTED_QUERIES:
         raise ValueError(
-            f"n_queries={n_queries} exceeds the driver-collect ceiling "
-            f"({MAX_COLLECTED_QUERIES}): the query matrix is collected and "
-            "broadcast by design. For larger query sets use an LSH/IVF "
-            "bucket equi-join of the two DataFrames instead."
+            f"query set (vec_id < {n_queries}) exceeds the driver-collect "
+            f"ceiling ({MAX_COLLECTED_QUERIES} rows): the query matrix is "
+            "collected and broadcast by design. For larger query sets use an "
+            "LSH/IVF bucket equi-join of the two DataFrames instead."
         )
+    return qrows
 
 
 DOT = (
@@ -87,11 +99,8 @@ def topk_bruteforce(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFram
     Determinism: scores are rounded half-away-from-zero to ×10000 (matching
     SQL ROUND in Spark and DuckDB) and ranked (score desc, neighbor_id asc).
     """
-    _check_n_queries(n_queries)
     spark = emb.sparkSession
-    qrows = (
-        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
-    )
+    qrows = _collect_queries(emb, n_queries)
     if not qrows:
         return spark.createDataFrame([], "query_id long, neighbor_id long, cosine_c long, rnk long")
 
@@ -425,7 +434,6 @@ def topk_ivf(
     shuffles).  Recall is tuned by ``n_probe``; ``n_probe >= n_cells``
     degenerates to exact brute force (the oracle-gate configuration).
     """
-    _check_n_queries(n_queries)
     import numpy as np
 
     spark = emb.sparkSession
@@ -433,7 +441,7 @@ def topk_ivf(
     bc = _track(spark.sparkContext.broadcast(cent))
     corpus = _assign_cells(emb.select("vec_id", "embedding"), bc, "embedding")
 
-    qrows = emb.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
+    qrows = _collect_queries(emb, n_queries)
     if not qrows:
         return spark.createDataFrame([], "query_id long, neighbor_id long, cosine_c long, rnk long")
     qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)

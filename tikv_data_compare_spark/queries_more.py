@@ -104,6 +104,16 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents").select("doc_id")
     pairs = dd.minhash_pairs(_load(spark, sf_dir, "documents"), "doc_id", "text").cache()
+    try:
+        # both CC variants run their rounds eagerly (localCheckpoint per
+        # round) and return lineage-cut frames, so the pair cache is fully
+        # consumed here and can be released before returning — a long-lived
+        # driver session must not accumulate cached pair partitions (r7,
+        # ADVICE; mirrors curate()'s release pattern)
+        comp_min = connected_components(pairs)
+        comp_star = connected_components_star(pairs)
+    finally:
+        pairs.unpersist()
 
     def verdicts(comp: DataFrame) -> DataFrame:
         joined = docs.join(comp, docs.doc_id == comp.id, "left")
@@ -114,9 +124,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (component == F.col("doc_id")).cast("long").alias("kept"),
         )
 
-    return verdicts(connected_components(pairs)).intersect(
-        verdicts(connected_components_star(pairs))
-    )
+    return verdicts(comp_min).intersect(verdicts(comp_star))
 
 
 def _oracle_dedup_canonical() -> str:
