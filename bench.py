@@ -101,7 +101,13 @@ def main():
         "asof_join": lambda: q.q_asof_join(spark, sf_dir).count(),
         "join_region_revenue": lambda: q.q_join_region_revenue(spark, sf_dir).count(),
         "funnel_gaps": lambda: qm.q_events_funnel_gaps(spark, sf_dir).count(),
-        "tfidf": lambda: qm.q_text_tfidf(spark, sf_dir).count(),
+        # the operator ALONE — the q_text_tfidf registry row has unioned
+        # top_bigrams since r6, which made the r6 bench number (+14%) measure
+        # both branches; benching tfidf_top_terms directly keeps the series
+        # comparable with r5 and earlier (BASELINE.md note)
+        "tfidf": lambda: tx.tfidf_top_terms(
+            documents.select("doc_id", "text"), "doc_id", "text", k=3
+        ).count(),
         "repair_plan": lambda: qm.q_diff_repair(spark, sf_dir).count(),
         "price_histogram": lambda: qm.q_price_histogram(spark, sf_dir).count(),
         "targeted_diff_1pct": lambda: targeted_diff(ord_src, drifted, bucket_expr).count(),
@@ -127,7 +133,10 @@ def main():
     #      the next timed run ("Retried waiting for GCLocker too often" in the
     #      JVM log).  Min-of-3 exists to discard such a stalled run — one
     #      deferred GC can't poison all three.
+    from tikv_data_compare_spark.operators import curate as cur
+
     timings = {}
+    stages: dict[str, float] = {}
     for name in names:
         fn = benches[name]
         best = None
@@ -141,6 +150,12 @@ def main():
             dt = time.time() - t0
             runs.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
+            # stage-level visibility into the suite's dominant entry: keep the
+            # per-stage min across runs (same steady-state rule as the total)
+            if name == "curation_pipeline":
+                for k, v in cur.LAST_STAGE_TIMINGS.items():
+                    sk = f"curation_{k}"
+                    stages[sk] = min(stages.get(sk, v), v)
         if debug:
             print(f"[bench] {name}: runs={runs}", file=sys.stderr)
         timings[name] = round(best, 3)
@@ -160,6 +175,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stages": stages,
                 "core10_total": round(sum(timings[n] for n in core10 if n in timings), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,

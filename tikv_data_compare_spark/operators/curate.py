@@ -26,11 +26,21 @@ everything else); the composition adds only doc-id anti-joins.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, functions as F
 
 from tikv_data_compare_spark.operators import dedup as dd
 from tikv_data_compare_spark.operators import text as tx
 from tikv_data_compare_spark.operators.similarity import release_broadcasts
+
+#: wall-clock of the two jobs the last ``curate()`` call ran, for stage-level
+#: bench visibility (curation dominates the suite total; a regression inside
+#: one stage must not hide in the aggregate).  ``funnel_flags_agg`` is the
+#: conditional aggregation that also materializes the lazy flags frame (all
+#: gate subplans — dedup groupBy, LSH join, quality, repetition — execute
+#: inside it); ``kept_materialize`` is the kept-docs semi-join count.
+LAST_STAGE_TIMINGS: dict[str, float] = {}
 
 
 def curate(
@@ -137,16 +147,24 @@ def curate(
         stage_names.append("decontamination")
 
     flags = flags.select(id_col, *stage_cols).persist()
+    t0 = time.time()
     row = flags.agg(
         F.count(F.lit(1)).alias("_n0"),
         *[F.sum(F.col(c).cast("long")).alias(f"_n{i + 1}") for i, c in enumerate(stage_cols)],
     ).collect()[0]
+    t_agg = time.time() - t0
     counts = [int(row[f"_n{i}"]) for i in range(len(stage_cols) + 1)]
 
     kept = docs.join(
         flags.filter(F.col(stage_cols[-1])).select(id_col), id_col, "left_semi"
     ).persist()
+    t0 = time.time()
     kept.count()  # materialize so flags/shingles can be released below
+    t_kept = time.time() - t0
+    LAST_STAGE_TIMINGS.clear()
+    LAST_STAGE_TIMINGS.update(
+        {"funnel_flags_agg": round(t_agg, 3), "kept_materialize": round(t_kept, 3)}
+    )
     flags.unpersist()
     sh.unpersist()
     # drop any operator-module broadcasts created along the way (plane/query
