@@ -28,10 +28,134 @@ def test_decode_features_fake_path(spark, documents):
         assert abs(r["byte_mean"] - (sum(payload) / len(payload))) < 1e-9
 
 
-def test_decode_features_real_decode_raises(spark, documents):
-    feats = mm.decode_features(documents.limit(2), real_decode=True)
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
-        feats.collect()
+def _crc_chunk(typ: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(payload).to_bytes(4, "big")
+        + typ
+        + payload
+        + (zlib.crc32(typ + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _encode_png(pixels: list[list[int]], width: int, channels: int, filters: list[int]) -> bytes:
+    """Forward-filter + deflate planted pixel rows into a real PNG, so the
+    decoder under test must invert every filter type it's handed."""
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    height, stride, bpp = len(pixels), width * channels, channels
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    raw = bytearray()
+    prev = [0] * stride
+    for row, f in zip(pixels, filters):
+        assert len(row) == stride
+        out = list(row)
+        if f == 1:  # Sub
+            for i in range(stride - 1, -1, -1):
+                a = row[i - bpp] if i >= bpp else 0
+                out[i] = (row[i] - a) & 0xFF
+        elif f == 2:  # Up
+            out = [(row[i] - prev[i]) & 0xFF for i in range(stride)]
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                out[i] = (row[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (row[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(out)
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _crc_chunk(b"IHDR", ihdr)
+        + _crc_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _crc_chunk(b"IEND", b"")
+    )
+
+
+def _encode_wav(samples: list[int], channels: int = 1, rate: int = 8000) -> bytes:
+    import struct
+
+    payload = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_png_all_filter_types():
+    """Planted pixels, every PNG filter type (None/Sub/Up/Average/Paeth) on
+    a 4x5 RGB image — the decoder must invert each scanline exactly."""
+    import random
+
+    rng = random.Random(7)
+    w, ch = 4, 3
+    pixels = [[rng.randrange(256) for _ in range(w * ch)] for _ in range(5)]
+    data = _encode_png(pixels, w, ch, filters=[0, 1, 2, 3, 4])
+    width, height, channels, decoded = mm.decode_png(data)
+    assert (width, height, channels) == (w, 5, ch)
+    assert list(decoded) == [b for row in pixels for b in row]
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_decode_png_color_types(channels):
+    w = 3
+    pixels = [[(y * 50 + i) % 256 for i in range(w * channels)] for y in range(2)]
+    data = _encode_png(pixels, w, channels, filters=[4, 4])
+    width, height, ch, decoded = mm.decode_png(data)
+    assert (width, height, ch) == (w, 2, channels)
+    assert list(decoded) == [b for row in pixels for b in row]
+
+
+def test_decode_png_rejects_out_of_lattice():
+    assert mm.decode_png(b"not a png at all") is None
+    # 16-bit depth: recognized as PNG but outside the baseline lattice
+    data = bytearray(_encode_png([[1, 2, 3]], 3, 1, filters=[0]))
+    data[8 + 4 + 4 + 8] = 16  # IHDR bit-depth byte
+    with pytest.raises(ValueError, match="unsupported PNG lattice"):
+        mm.decode_png(bytes(data))
+
+
+def test_decode_wav_pcm_planted_samples():
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    ch, rate, got = mm.decode_wav_pcm(_encode_wav(samples, channels=1, rate=16000))
+    assert (ch, rate) == (1, 16000)
+    assert list(got) == samples
+    assert mm.decode_wav_pcm(b"RIFFxxxxJUNK") is None
+
+
+def test_decode_features_real_decode_end_to_end(spark):
+    """real_decode=True decodes planted PNG pixels / WAV samples inside the
+    Arrow workers; features are computed over the DECODED content bytes
+    (pixel mean, PCM byte count), and non-media payloads fall back to
+    raw-byte features with decoded=false."""
+    png = _encode_png([[10, 20], [30, 40]], 2, 1, filters=[0, 2])  # gray 2x2
+    wav = _encode_wav([256, -256])  # 4 PCM payload bytes
+    rows = [(1, png), (2, wav), (3, b"plain text payload")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in mm.decode_features(df, real_decode=True, payload_col="payload").collect()
+    }
+    assert got[1]["decoded"] is True
+    assert got[1]["n_bytes"] == 4  # 2x2 gray pixels, not the container size
+    assert abs(got[1]["byte_mean"] - (10 + 20 + 30 + 40) / 4) < 1e-9
+    assert got[2]["decoded"] is True
+    assert got[2]["n_bytes"] == 4  # two int16 samples
+    assert got[3]["decoded"] is False
+    assert got[3]["n_bytes"] == len(b"plain text payload")
 
 
 def test_frame_sample_offsets(spark):

@@ -1,19 +1,25 @@
 """Multimodal column plumbing: opaque binary payloads with typed metadata.
 
-Images/audio/video are carried as ``binary`` columns plus metadata.  The
-image/audio decode libraries are not in this container, so the decode step is
-STUBBED (NotImplementedError for real decode; a deterministic fake feature
-extractor exercises the full Spark plumbing — schema, Arrow batching,
-mapInPandas signature, partitioning).  Everything around the stub is real
-and tested.
+Images/audio/video are carried as ``binary`` columns plus metadata.  No
+image/audio library exists in this container, so real decode is implemented
+from the published container specs directly: PNG pixel decode via stdlib
+zlib (IDAT inflate + per-scanline unfiltering, all five filter types of the
+PNG spec §6) and RIFF/WAVE PCM sample decode via struct offsets.  Payloads
+no decoder recognizes fall back to byte-level features with
+``decoded=false`` — the distributed path (schema, Arrow batching,
+mapInPandas signature, partitioning) is identical either way.
 
 Scale shape: mapInPandas streams Arrow batches through Python once, with all
 metadata extraction staying JVM-side where possible (payload_meta is pure
-builtins — no Python).
+builtins — no Python).  The pure-Python PNG unfilter is a correctness-first
+baseline (vectorized per scanline with numpy where the filter allows);
+throughput-critical decode at cluster scale would swap a native decoder into
+the same mapInPandas seam without touching the plan.
 """
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -47,29 +53,172 @@ def payload_meta(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-def decode_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → samples per pixel (bit depth 8, non-interlaced)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
+    """Reverse the per-scanline filters of PNG spec §6 (None/Sub/Up/Average/
+    Paeth).  ``raw`` is the inflated IDAT stream: height scanlines, each a
+    1-byte filter type + width·bpp filtered bytes."""
+    import numpy as np
+
+    stride = width * bpp
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"PNG IDAT size mismatch: got {len(raw)} bytes, "
+            f"want {height}*(1+{stride}) (interlaced or corrupt payload?)"
+        )
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 1:  # Sub: left neighbor — sequential in x, vectorize per pixel column
+            for i in range(bpp, stride):
+                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
+        elif ftype == 2:  # Up: fully vectorized
+            line = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                line[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (int(line[i]) + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = line
+        prev = line
+    return out.tobytes()
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes] | None:
+    """(width, height, channels, pixel_bytes) from a PNG payload — REAL pixel
+    decode with stdlib zlib only: chunk walk, IDAT concat + inflate, scanline
+    unfiltering.  Supports the baseline lattice (bit depth 8, color types
+    0/2/4/6, non-interlaced); returns None for non-PNG payloads and raises
+    on PNGs outside that lattice (truncated/corrupt streams raise too —
+    callers that must not fail a batch catch per row)."""
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        return None
+    pos, idat = 8, b""
+    width = height = channels = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            width = int.from_bytes(chunk[0:4], "big")
+            height = int.from_bytes(chunk[4:8], "big")
+            bit_depth, color_type, interlace = chunk[8], chunk[9], chunk[12]
+            if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG lattice: bit_depth={bit_depth} "
+                    f"color_type={color_type} interlace={interlace} "
+                    "(baseline decoder handles 8-bit, color types 0/2/4/6, "
+                    "non-interlaced)"
+                )
+            channels = _PNG_CHANNELS[color_type]
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + payload + crc
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT chunk")
+    raw = zlib.decompress(idat)
+    return (width, height, channels, _png_unfilter(raw, width, height, channels))
+
+
+def decode_wav_pcm(data: bytes):
+    """(channels, sample_rate, samples: numpy int array) from a RIFF/WAVE
+    PCM payload — real sample decode via struct offsets (16-bit signed or
+    8-bit unsigned little-endian PCM, format code 1).  Returns None for
+    non-WAV payloads; raises on WAVs outside the PCM lattice."""
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    channels = sample_rate = bits = fmt_code = None
+    payload = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        csz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and pos + 24 <= len(data):
+            fmt_code = int.from_bytes(data[pos + 8 : pos + 10], "little")
+            channels = int.from_bytes(data[pos + 10 : pos + 12], "little")
+            sample_rate = int.from_bytes(data[pos + 12 : pos + 16], "little")
+            bits = int.from_bytes(data[pos + 22 : pos + 24], "little")
+        elif cid == b"data":
+            payload = data[pos + 8 : pos + 8 + csz]
+        pos += 8 + csz + (csz & 1)
+    if None in (channels, sample_rate, bits) or payload is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt_code != 1 or bits not in (8, 16):
+        raise ValueError(
+            f"unsupported WAV lattice: format={fmt_code} bits={bits} "
+            "(baseline decoder handles PCM 8/16-bit)"
+        )
+    dtype = np.dtype("<i2") if bits == 16 else np.uint8
+    samples = np.frombuffer(payload[: len(payload) - len(payload) % dtype.itemsize], dtype=dtype)
+    return (channels, sample_rate, samples)
+
+
+def decode_features(
+    df: DataFrame, real_decode: bool = False, payload_col: str | None = None
+) -> DataFrame:
     """Feature extraction over binary payloads via Arrow-batched mapInPandas.
 
-    ``real_decode=True`` raises NotImplementedError inside the workers (the
-    decode libraries — PIL/ffmpeg/torchaudio — are not installed); the
-    default deterministic fake computes byte-level features with numpy so the
-    whole distributed path (binary Arrow transfer, batch iteration, schema)
-    is exercised for real.
+    Default: deterministic byte-level features over the raw payload (the
+    fixture path — documents carry text-as-binary).  ``real_decode=True``
+    DECODES recognized media containers first — PNG pixels
+    (:func:`decode_png`, stdlib-zlib inflate + unfilter) and WAV PCM samples
+    (:func:`decode_wav_pcm`) — and computes the same features over the
+    decoded content bytes with ``decoded=true``; unrecognized or
+    out-of-lattice payloads fall back to raw-byte features with
+    ``decoded=false`` instead of failing the batch.
+
+    ``payload_col`` selects an existing binary column; default renders the
+    text column via :func:`attach_payload` (fixture stand-in).
     """
-    payloads = attach_payload(df)
+    if payload_col is None:
+        payloads, payload_col = attach_payload(df), "payload"
+    else:
+        payloads = df
 
     def extract(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
+        def content_bytes(payload: bytes) -> tuple[bytes, bool]:
+            if real_decode:
+                try:
+                    png = decode_png(payload)
+                    if png is not None:
+                        return png[3], True
+                    wav = decode_wav_pcm(payload)
+                    if wav is not None:
+                        return wav[2].tobytes(), True
+                except (ValueError, zlib.error):
+                    pass  # out-of-lattice or corrupt: raw-byte fallback below
+            return payload, False
+
         for pdf in batches:
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if real_decode:
-                    raise NotImplementedError(
-                        "media decode requires PIL/ffmpeg — not available in this environment"
-                    )
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                content, decoded = content_bytes(bytes(payload))
+                b = np.frombuffer(content, dtype=np.uint8)
                 hist = np.bincount(b % 16, minlength=16)[:4]
                 rows.append(
                     {
@@ -77,12 +226,12 @@ def decode_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
                         "n_bytes": int(b.size),
                         "byte_mean": float(b.mean()) if b.size else 0.0,
                         "byte_histogram_head": [int(x) for x in hist],
-                        "decoded": not real_decode,
+                        "decoded": decoded if real_decode else True,
                     }
                 )
             yield pd.DataFrame(rows)
 
-    return payloads.select("doc_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
+    return payloads.select("doc_id", payload_col).mapInPandas(extract, FEATURE_SCHEMA)
 
 
 def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
