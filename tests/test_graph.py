@@ -54,3 +54,34 @@ def test_connected_components_algo_dispatch(spark):
 
     with pytest.raises(ValueError, match="algo"):
         connected_components(df, algo="bogus")
+
+
+def test_hub_star_node_10k_edges_both_algos(spark):
+    """The LSH skew case: one high-degree hub (node 0 paired with 1..10000,
+    the near-clique shape boilerplate corpora produce).  Both algorithms
+    must label the whole star with the hub minimum — the per-round
+    groupBy.min partially aggregates the hub's fan-in map-side, so the hub
+    is not a scale hazard (r7, VERDICT #7)."""
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, n + 1)], "doc_a long, doc_b long"
+    )
+    want = {i: 0 for i in range(n + 1)}
+    assert _labels(connected_components(edges, algo="min_label")) == want
+    assert _labels(connected_components_star(edges, max_iter=16)) == want
+
+
+def test_max_edges_guard_raises(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "doc_a long, doc_b long"
+    )
+    # symmetrized frame has 100 edges; a 99-edge ceiling must trip, loudly
+    with pytest.raises(ValueError, match="max_edges"):
+        connected_components(edges, algo="min_label", max_edges=99)
+    with pytest.raises(ValueError, match="max_edges"):
+        connected_components_star(edges, max_edges=49)  # oriented-distinct: 50
+    # and max_edges=None disables the guard
+    got = _labels(connected_components(edges, max_edges=None))
+    assert set(got.values()) == {0}

@@ -33,7 +33,14 @@ def _add_common(p: argparse.ArgumentParser, dual: bool) -> None:
     p.add_argument("--start-key", default="", help="range start (inclusive); empty = unbounded")
     p.add_argument("--end-key", default="", help="range end (exclusive); empty = unbounded")
     p.add_argument("--format", default="hex", choices=["raw", "hex", "escaped"], dest="key_format")
-    p.add_argument("--concurrency", type=int, default=0, help="cpus (0 = all)")
+    p.add_argument(
+        "--concurrency",
+        type=int,
+        default=0,
+        help="parallelism (0 = all cores): local executor threads for a fresh "
+        "session AND the shuffle-partition count — the Spark analogue of the "
+        "reference's range-worker pool size (config/config.go:36, default 10)",
+    )
     # flag parity with the reference (config/config.go): its serial-vs-
     # region-parallel switch is meaningless on Spark — execution is always
     # partition-parallel — so the flag is accepted and ignored
@@ -149,6 +156,13 @@ def main(argv: list[str] | None = None) -> int:
     from tikv_data_compare_spark.session import get_spark
 
     spark = get_spark("cli", cpus=args.concurrency or None)
+    if args.concurrency:
+        # getOrCreate may have reused an existing session whose build-time
+        # confs are frozen; shuffle partitions are runtime-settable, so the
+        # concurrency knob always takes effect on the comparison's shuffles
+        # (the reference's --concurrency sizes its range worker pool the
+        # same way, config/config.go:36)
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.concurrency))
     keys = args.keys.split(",")
     if args.cmd in ("checksum", "diff"):
         # source-level API-version handshake before any dual-source compare

@@ -30,21 +30,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+#: default ceiling on the symmetrized edge frame both CC variants persist /
+#: checkpoint per round.  LSH over boilerplate-heavy corpora can emit a
+#: near-clique (a template shared by n docs → ~n²/2 pairs), and the edge
+#: frame — not the node count — is what each round's join/groupBy and the
+#: persisted partitions scale with.  2^31 edges ≈ 32 GiB at 16 B/edge.
+MAX_EDGES_DEFAULT = 2_000_000_000
+
+
+def _guard_edges(n_edges: int, max_edges: int | None) -> None:
+    if max_edges is not None and n_edges > max_edges:
+        raise ValueError(
+            f"pair graph has {n_edges} symmetrized edges > max_edges="
+            f"{max_edges}: a near-clique this size usually means LSH "
+            "candidate generation collapsed (boilerplate-heavy corpus — "
+            "tighten the band threshold or pre-filter template docs). Raise "
+            "max_edges explicitly to proceed anyway."
+        )
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 64,
     algo: str = "min_label",
+    max_edges: int | None = MAX_EDGES_DEFAULT,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``; component is
     the minimum node id reachable through the undirected pair graph.
 
     ``algo='min_label'`` (O(diameter) rounds, cheapest per round) for the
     shallow dense clusters dedup produces; ``algo='star'`` (O(log n)
-    rounds) when the graph may contain long chains."""
+    rounds) when the graph may contain long chains.
+
+    ``max_edges`` bounds the symmetrized edge frame persisted across rounds
+    (see :data:`MAX_EDGES_DEFAULT`).  High-degree hubs themselves are fine:
+    the per-round ``groupBy.min`` partially aggregates map-side, and the
+    neighbor join is an equi-join AQE skew-splits — a 10k-edge hub is
+    pinned in tests/test_graph.py."""
     if algo == "star":
-        return connected_components_star(edges, a_col, b_col, max_iter)
+        return connected_components_star(edges, a_col, b_col, max_iter, max_edges)
     if algo != "min_label":
         raise ValueError(f"algo must be 'min_label' or 'star', got {algo!r}")
     e = edges.select(
@@ -53,6 +79,9 @@ def connected_components(
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.persist()
     try:
+        # materializes the persisted frame (needed before the loop anyway)
+        # and feeds the runaway-graph guard in the same job
+        _guard_edges(sym.count(), max_edges)
         labels = sym.select("u").distinct().withColumn("comp", F.col("u"))
         labels = labels.localCheckpoint(eager=True)
         for _ in range(max_iter):
@@ -90,6 +119,7 @@ def connected_components_star(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
+    max_edges: int | None = MAX_EDGES_DEFAULT,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components — O(log n)
     rounds on ANY graph shape (Kiveris et al., SoCC'14).
@@ -122,6 +152,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    _guard_edges(cur.count(), max_edges)
     prev_sig = None
     for _ in range(max_iter):
         # large-star over the symmetric neighborhood
