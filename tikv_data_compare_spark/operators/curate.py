@@ -39,7 +39,10 @@ from tikv_data_compare_spark.operators.similarity import release_broadcasts
 #: one stage must not hide in the aggregate).  ``funnel_flags_agg`` is the
 #: conditional aggregation that also materializes the lazy flags frame (all
 #: gate subplans — dedup groupBy, LSH join, quality, repetition — execute
-#: inside it); ``kept_materialize`` is the kept-docs semi-join count.
+#: inside it; the persisted shingle projection is computed once inside this
+#: job — block-manager partition locks already dedupe concurrent branches,
+#: so pre-materializing it in a separate job was measured SLOWER and
+#: reverted); ``kept_materialize`` is the kept-docs semi-join count.
 LAST_STAGE_TIMINGS: dict[str, float] = {}
 
 
