@@ -128,3 +128,79 @@ def test_plan_ranges_partition_property():
         assert inner == {b for b in bs if start < b < end}
 
     check()
+
+
+def test_live_adapter_against_fake_tikv_client(monkeypatch):
+    """The live adapter (sources/tikv_live.py) exercised against an injected
+    fake of the public tikv_client API + patched PD HTTP endpoints: the
+    3-method contract it produces must drive the SAME planning/pagination
+    machinery the fake client does (driver-side unit — the DataSource e2e
+    path is covered by the FakeTikvClient tests above)."""
+    import json as _json
+    import sys
+    import types
+
+    from tikv_data_compare_spark.sources import tikv_live
+
+    store = {i.to_bytes(8, "big"): bytes([i % 251]) for i in range(300)}
+    skeys = sorted(store)
+
+    class _FakeRawClient:
+        @classmethod
+        def connect(cls, endpoints):
+            assert endpoints == ["pd-a:2379", "pd-b:2379"]
+            return cls()
+
+        def scan(self, start, end, limit):
+            out = []
+            for kk in skeys:
+                if kk < (start or b""):
+                    continue
+                if end is not None and kk >= end:
+                    break
+                out.append((kk, store[kk]))
+                if len(out) >= limit:
+                    break
+            return out
+
+    fake_mod = types.ModuleType("tikv_client")
+    fake_mod.RawClient = _FakeRawClient
+    monkeypatch.setitem(sys.modules, "tikv_client", fake_mod)
+
+    def fake_http(url, timeout=10.0):
+        if url.endswith("/pd/api/v1/config"):
+            return b'{"storage": {"api-version": 2}}'
+        if url.endswith("/pd/api/v1/regions"):
+            regions = [{"start_key": ""}] + [
+                {"start_key": (i).to_bytes(8, "big").hex()} for i in (100, 200)
+            ]
+            return _json.dumps({"regions": regions}).encode()
+        raise AssertionError(f"unexpected PD url {url}")
+
+    monkeypatch.setattr(tikv_live, "_http_get", fake_http)
+
+    client = tikv_live.LiveTikvClient({"pd_addr": "pd-a:2379,pd-b:2379"})
+    assert client.api_version() == "V2"
+    bounds = client.region_boundaries()
+    assert bounds == [(100).to_bytes(8, "big"), (200).to_bytes(8, "big")]
+
+    # region planning over the live boundaries tiles the range
+    ranges = plan_ranges(bounds, (50).to_bytes(8, "big"), (250).to_bytes(8, "big"))
+    assert len(ranges) == 3
+    # pagination through the live adapter reconstructs the store exactly,
+    # page size forcing several lastKey+0x00 resumes
+    got = list(paginated_scan(client, None, None, batch=64))
+    assert got == [(kk, store[kk]) for kk in skeys]
+
+
+def test_live_adapter_requires_pd_addr(monkeypatch):
+    import sys
+    import types
+
+    from tikv_data_compare_spark.sources import tikv_live
+
+    fake_mod = types.ModuleType("tikv_client")
+    fake_mod.RawClient = object
+    monkeypatch.setitem(sys.modules, "tikv_client", fake_mod)
+    with pytest.raises(ValueError, match="pd_addr"):
+        tikv_live.LiveTikvClient({})

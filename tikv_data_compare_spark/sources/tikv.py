@@ -143,7 +143,9 @@ def _make_client(options):
             "{NAME}_scan.log.<ts> format with range pushdown), or pass "
             ".option('client', 'fake') / a module:factory adapter"
         ) from e
-    raise NotImplementedError("live tikv-client adapter: implement the 3-method contract")
+    from tikv_data_compare_spark.sources.tikv_live import LiveTikvClient
+
+    return LiveTikvClient(options)
 
 
 @dataclass
