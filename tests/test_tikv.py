@@ -204,3 +204,41 @@ def test_live_adapter_requires_pd_addr(monkeypatch):
     monkeypatch.setitem(sys.modules, "tikv_client", fake_mod)
     with pytest.raises(ValueError, match="pd_addr"):
         tikv_live.LiveTikvClient({})
+
+
+def test_checksum_parallel_coprocessor_path(spark):
+    """The region-parallel coprocessor checksum (checksum_parallel ≍
+    reference GetChecksumParallel) must agree with the Spark-side crc64
+    checksum over the SAME scanned range — the two independent paths the
+    reference relies on agreeing (server coprocessor vs client merge), and
+    the (XOR,+,+) monoid must make region-split == whole-range."""
+    from tikv_data_compare_spark.model import Keyed
+    from tikv_data_compare_spark.operators.checksum import checksum
+    from tikv_data_compare_spark.sources.tikv import checksum_parallel
+
+    client = FakeTikvClient(n=500, region_size=64)
+    lo, hi = k(50), k(450)
+
+    # region-split merge == one whole-range call (monoid law over regions)
+    split = checksum_parallel(client, lo, hi, concurrency=4)
+    whole = client.checksum(lo, hi)
+    assert (split["checksum"], split["total_kvs"], split["total_bytes"]) == whole
+    assert split["total_kvs"] == 400
+
+    # coprocessor result == Spark-side crc64 over the scanned same range
+    kv = load_tikv(spark, client="fake", start=lo, end=hi, fake_n=500, fake_region_size=64)
+    row = checksum(Keyed(kv.df), algo="crc64").collect()[0]
+    spark_crc = row["checksum"] & ((1 << 64) - 1)  # LongType is signed
+    assert spark_crc == split["checksum"]
+    assert row["total_kvs"] == split["total_kvs"]
+    assert row["total_bytes"] == split["total_bytes"]
+
+
+def test_checksum_parallel_unbounded_and_empty():
+    from tikv_data_compare_spark.sources.tikv import checksum_parallel
+
+    client = FakeTikvClient(n=100, region_size=30)
+    full = checksum_parallel(client)
+    assert full["total_kvs"] == 100
+    empty = checksum_parallel(client, k(60), k(60))
+    assert empty == {"checksum": 0, "total_kvs": 0, "total_bytes": 0}
