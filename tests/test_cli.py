@@ -221,3 +221,16 @@ def test_cli_diff_tikv_fake_vs_dump(spark, tmp_path, capsys):
     rc = cli.main(["diff", "--src", "tikv+fake://x", "--dst", dump, "--keys", "key"])
     capsys.readouterr()
     assert rc == 0
+
+
+def test_cli_checksum_tikv_coprocessor_path(capsys, spark):
+    """Two cluster sources + crc64 take the reference's own flow: per-region
+    coprocessor triples compared without a row scan (the verdict carries
+    path=coprocessor)."""
+    rc = cli.main(
+        ["checksum", "--src", "tikv+fake://a", "--dst", "tikv+fake://b", "--algo", "crc64"]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["equal"] is True
+    assert out["path"] == "coprocessor"
+    assert out["src"]["total_kvs"] == 1000  # the fake's default corpus

@@ -242,3 +242,24 @@ def test_checksum_parallel_unbounded_and_empty():
     assert full["total_kvs"] == 100
     empty = checksum_parallel(client, k(60), k(60))
     assert empty == {"checksum": 0, "total_kvs": 0, "total_bytes": 0}
+
+
+def test_compare_checksum_parallel_verdicts():
+    from tikv_data_compare_spark.sources.tikv import compare_checksum_parallel
+
+    a = FakeTikvClient(n=300, region_size=64)
+    b = FakeTikvClient(n=300, region_size=50)  # different REGIONS, same data
+    v = compare_checksum_parallel(a, b, concurrency=4)
+    assert v["equal"] and v["path"] == "coprocessor"
+    # region layout must not affect the merged triple (monoid)
+    assert v["src"] == {"side": "src", **{k2: v["dst"][k2] for k2 in ("checksum", "total_kvs", "total_bytes")}}
+
+    c = FakeTikvClient(n=299, region_size=64)  # one pair missing
+    v2 = compare_checksum_parallel(a, c)
+    assert not v2["equal"]
+    assert v2["src"]["total_kvs"] - v2["dst"]["total_kvs"] == 1
+
+    # version gate before any checksum work (reference checksum.go:134-137)
+    d = FakeTikvClient(n=300, api_version="V1")
+    with pytest.raises(ValueError, match="API version"):
+        compare_checksum_parallel(a, d)

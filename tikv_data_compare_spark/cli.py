@@ -120,6 +120,37 @@ def _keyed(spark, path: str, keys: list[str], args):
     return k.in_range(start, end)
 
 
+def _coprocessor_verdict(args) -> dict | None:
+    """When BOTH sources are clusters (tikv:// / tikv+fake://) and every
+    client exposes the checksum RPC, compare them entirely server-side
+    (sources.tikv.compare_checksum_parallel — the reference's actual
+    checksum flow).  Returns None to fall back to the scan+Spark path."""
+    from tikv_data_compare_spark.sources.tikv import (
+        _make_client,
+        compare_checksum_parallel,
+    )
+
+    def client_for(path: str):
+        scheme, _, addr = path.partition("://")
+        if scheme not in ("tikv", "tikv+fake"):
+            return None
+        opts = {"client": "fake" if scheme == "tikv+fake" else "live"}
+        if addr and scheme == "tikv":
+            opts["pd_addr"] = addr
+        return _make_client(opts)
+
+    sc, dc = client_for(args.src), client_for(args.dst)
+    if sc is None or dc is None:
+        return None
+    if not (hasattr(sc, "checksum") and hasattr(dc, "checksum")):
+        return None  # client lacks the RPC — scan+Spark crc64 instead
+    start = codec.parse_key(args.key_format, args.start_key) if args.start_key else None
+    end = codec.parse_key(args.key_format, args.end_key) if args.end_key else None
+    return compare_checksum_parallel(
+        sc, dc, start, end, concurrency=args.concurrency or 10
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     top = argparse.ArgumentParser(prog="tikv-data-compare-spark")
     sub = top.add_subparsers(dest="cmd", required=True)
@@ -175,6 +206,15 @@ def main(argv: list[str] | None = None) -> int:
             print(str(e), file=sys.stderr)
             return 2
     try:
+        if args.cmd == "checksum" and args.algo == "crc64":
+            # two clusters + crc64: the reference's own flow — per-region
+            # coprocessor triples, no row ever crosses the wire (the scan+
+            # Spark path below handles files/dumps and the other algos)
+            v = _coprocessor_verdict(args)
+            if v is not None:
+                print(json.dumps(v, default=str))
+                return 0 if v["equal"] else 1
+
         src = _keyed(spark, args.src, keys, args)
 
         if args.cmd == "checksum":
