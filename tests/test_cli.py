@@ -234,3 +234,19 @@ def test_cli_checksum_tikv_coprocessor_path(capsys, spark):
     assert rc == 0 and out["equal"] is True
     assert out["path"] == "coprocessor"
     assert out["src"]["total_kvs"] == 1000  # the fake's default corpus
+
+
+def test_cli_diff_targeted_matches_full(capsys, two_tables):
+    """--targeted-buckets localizes via per-bucket checksums first; the
+    reported findings must be identical to the plain keyed diff."""
+    src, dst, _ = two_tables
+    keys = "l_orderkey,l_linenumber"
+    rc = cli.main(["diff", "--src", src, "--dst", dst, "--keys", keys])
+    full = sorted(l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{"))
+    assert rc == 1 and full
+    rc = cli.main(
+        ["diff", "--src", src, "--dst", dst, "--keys", keys, "--targeted-buckets", "16"]
+    )
+    targeted = sorted(l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{"))
+    assert rc == 1
+    assert targeted == full

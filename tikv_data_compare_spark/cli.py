@@ -160,6 +160,16 @@ def main(argv: list[str] | None = None) -> int:
         _add_common(p, dual)
         if name == "checksum":
             p.add_argument("--algo", default="xxhash64", choices=["xxhash64", "md5i64", "crc64"])
+        if name == "diff":
+            p.add_argument(
+                "--targeted-buckets",
+                type=int,
+                default=0,
+                help="localize the diff first: per-bucket checksums over N "
+                "hash buckets of the key, then row-diff only the mismatched "
+                "buckets (operators.diff.targeted_diff — findings identical "
+                "to the full diff; the scale path when drift is sparse)",
+            )
         if name == "scan":
             p.add_argument("--out", default="", help="output dir (default: {src}_scan.log.<ts>)")
 
@@ -226,10 +236,19 @@ def main(argv: list[str] | None = None) -> int:
             return 0 if v["equal"] else 1
 
         if args.cmd == "diff":
-            from tikv_data_compare_spark.operators.diff import diff
+            from pyspark.sql import functions as F
+
+            from tikv_data_compare_spark.operators.diff import diff, targeted_diff
 
             dst = _keyed(spark, args.dst, keys, args)
-            findings = diff(src, dst)
+            if args.targeted_buckets > 0:
+                bucket = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in src.keys]),
+                    F.lit(args.targeted_buckets),
+                )
+                findings = targeted_diff(src, dst, bucket)
+            else:
+                findings = diff(src, dst)
             n = 0
             for row in findings.toLocalIterator():
                 n += 1
