@@ -40,7 +40,12 @@ def _docs(spark):
 
 
 def test_curate_stages_drop_planted_offenders(spark):
+    from tikv_data_compare_spark.operators import curate as cur_mod
+
     kept, attrition = curate(_docs(spark))
+    # bench.py's per-stage visibility depends on these keys existing
+    assert set(cur_mod.LAST_STAGE_TIMINGS) == {"funnel_flags_agg", "kept_materialize"}
+    assert all(v >= 0 for v in cur_mod.LAST_STAGE_TIMINGS.values())
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert kept_ids == {1, 6}
     rep = {r["stage"]: (r["n_in"], r["n_out"], r["n_dropped"]) for r in attrition.collect()}
