@@ -64,7 +64,9 @@ def test_simhash_range_and_near_dup(spark, docs):
     planted = docs.unionByName(docs.limit(1).withColumn("doc_id", F.lit(999999)))
     pairs = dd.simhash_pairs(planted, "doc_id", "text")
     hit = pairs.filter(F.col("doc_b") == 999999).collect()
-    assert hit and hit[0]["hamming"] == 0  # identical text → distance 0
+    # identical text → a distance-0 pair must exist; other docs may also be
+    # within the hamming threshold, and collect order is plan-dependent
+    assert hit and min(h["hamming"] for h in hit) == 0
 
 
 @pytest.mark.parametrize("algo", ["md5i64", "xxhash64"])
@@ -77,7 +79,7 @@ def test_near_dup_operators_both_algos(spark, docs, algo):
     assert mh.filter((F.col("doc_a") == first_id) & (F.col("doc_b") == 999999)).count() == 1
     sh = dd.simhash_pairs(planted, "doc_id", "text", algo=algo)
     hit = sh.filter(F.col("doc_b") == 999999).collect()
-    assert hit and hit[0]["hamming"] == 0
+    assert hit and min(h["hamming"] for h in hit) == 0
     sig = dd.simhash(planted, "doc_id", "text", algo=algo)
     assert sig.filter((F.col("simhash") < 0) | (F.col("simhash") >= (1 << 32))).count() == 0
     jc = dd.jaccard_pairs(planted, "doc_id", "text", algo=algo)
@@ -93,10 +95,10 @@ def test_unknown_algo_raises(docs):
 
 
 def test_jaccard_with_shared_shingles(spark, docs):
-    """Passing a cached distinct_shingles frame yields identical results and
-    a plan that reads the shingles from cache (one text explode per corpus,
-    not one per pipeline stage)."""
-    shingles = dd.distinct_shingles(docs, "doc_id", "text").cache()
+    """Passing a cached shingle_arrays frame yields identical results and
+    a plan that reads the shingle arrays from cache (one tokenization per
+    corpus, not one per pipeline stage)."""
+    shingles = dd.shingle_arrays(docs, "doc_id", "text").cache()
     try:
         base = dd.jaccard_pairs(docs, "doc_id", "text")
         shared = dd.jaccard_pairs(docs, "doc_id", "text", shingles=shingles)

@@ -51,6 +51,53 @@ def test_minhash_pairs_equi_join(documents):
     }
 
 
+def _synth_docs(spark):
+    """A doc frame whose source already has defaultParallelism partitions
+    (spark.range), so ``session.scale_out`` is a no-op and any Exchange in a
+    downstream plan was introduced by the operator under test."""
+    return spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("alpha"),
+            (F.col("id") % 7).cast("string"),
+            F.lit("beta gamma delta epsilon"),
+        ).alias("text"),
+    )
+
+
+def test_minhash_signatures_zero_shuffle(spark):
+    """r7 map-side signatures: the whole signature computation (shingles,
+    hashes, 8 permutation minima) must stay in the scan stage — no Exchange
+    anywhere in the plan.  The r6 explode→distinct→groupBy shape shuffled
+    O(total shingles) rows twice before LSH even started; this pins the
+    rewrite so it cannot silently regress."""
+    sig = dd.minhash_signatures(_synth_docs(spark), "doc_id", "text")
+    assert "Exchange" not in plans.plan_string(sig)
+
+
+def test_simhash_zero_shuffle(spark):
+    """Same pin for the map-side simhash per-bit folds."""
+    sig = dd.simhash(_synth_docs(spark), "doc_id", "text")
+    assert "Exchange" not in plans.plan_string(sig)
+
+
+def test_text_fingerprints_zero_shuffle(spark):
+    """Map-side XOR fingerprint, winnowing, and repetition stats: no
+    Exchange in any plan (winnow's only explode is the final fan-out of the
+    per-doc fingerprint set, which needs no shuffle)."""
+    from tikv_data_compare_spark.operators import text as tx
+
+    docs = _synth_docs(spark)
+    assert "Exchange" not in plans.plan_string(tx.fingerprint(docs, "doc_id", "text"))
+    assert "Exchange" not in plans.plan_string(
+        tx.winnow_fingerprints(docs, "doc_id", "text")
+    )
+    assert "Exchange" not in plans.plan_string(
+        tx.repetition_stats(docs, "doc_id", "text")
+    )
+
+
 def test_analytic_joins_broadcast_dims(spark):
     import os
 

@@ -83,10 +83,10 @@ def curate(
     # text per stage and shipping booleans.
     exact_ids = dd.dedup_exact(docs, id_col, text_col).select(id_col)
     exact_docs = docs.join(exact_ids, id_col, "left_semi")
-    # cache the (id, shingle) projection: jaccard_pairs reads it in four
-    # branches (signatures, sizes, both sides of the intersection join), and
-    # each would otherwise recompute the dedup-groupBy + semi-join subtree
-    sh = dd.distinct_shingles(exact_docs, id_col, text_col).persist()
+    # cache the (id, shingle-array) projection: jaccard_pairs reads it in
+    # three branches (signatures + both sides of the verify join), and each
+    # would otherwise recompute the dedup-groupBy + semi-join subtree
+    sh = dd.shingle_arrays(exact_docs, id_col, text_col).persist()
     losers = (
         dd.jaccard_pairs(exact_docs, id_col, text_col, shingles=sh)
         .filter(F.col("jaccard_c") >= near_dup_jaccard_c)

@@ -5,11 +5,23 @@ content hash; near-dup ≍ approximate diff — SURVEY.md §2.7) and designed fo
 100 TB shapes:
 
 - exact:   one groupBy on a 60-bit content hash (partial agg, one shuffle).
-- minhash: explode→distinct→agg signatures, then LSH *band equi-join* —
-  candidates meet in a shuffle on (band, hash), never a cartesian product.
-- simhash: per-bit majority over word hashes (one explode + one agg), pairs
-  via 8-bit band equi-join + hamming filter.
-- jaccard: exact verification restricted to LSH candidates.
+- minhash: signatures are computed ENTIRELY map-side with array
+  higher-order functions (``transform`` + ``array_min`` over the per-doc
+  shingle array — zero shuffle; the r6 explode→distinct→groupBy shape
+  shuffled O(total shingles) rows twice before the LSH join even started).
+  Candidates then meet in the LSH *band equi-join* — a shuffle on
+  (band, hash), never a cartesian product.
+- simhash: per-bit majority computed map-side over the token array
+  (``aggregate`` per bit — zero shuffle), pairs via 8-bit band equi-join +
+  hamming filter.
+- jaccard: exact verification restricted to LSH candidates —
+  ``array_intersect`` on the two docs' shingle arrays after joining the
+  (small, typically broadcast) candidate set against the per-doc arrays;
+  the corpus-wide exploded-shingle shuffle of the r6 shape is gone.
+
+Docs are identified by ``id_col`` and assumed unique per row (the fixture
+tables and every pipeline caller guarantee this; the r6 explode+groupBy
+shape would have silently merged duplicate ids instead).
 
 The minhash/simhash/jaccard operators take ``algo`` (exact dedup is
 md5-only — its content hash must stay oracle-checkable):
@@ -62,14 +74,9 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
-def _distinct_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
-        id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).distinct()
-
-
-def _distinct_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct word 3-shingles per doc (whole text when < 3 tokens).
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc DISTINCT word-3-shingle array ``_sh`` (whole text when < 3
+    tokens) — the map-side representation every minhash/jaccard stage reads.
 
     Shingles, not words: with a small vocabulary, word *sets* of long docs
     converge to the whole vocabulary and word-minhash collides on nearly
@@ -77,7 +84,15 @@ def _distinct_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     ``split(text)`` is hoisted into a projected ``_toks`` column so the
     tokenization runs once per row, not 5× inside the shingle expression.
+    One (id, array) row per doc — no explode, so downstream signature /
+    size / intersection math stays shuffle-free.  The source is widened via
+    :func:`session.scale_out` first: all the shingle/hash CPU now runs in
+    the SCAN stage, and a compact parquet source can under-split it
+    (cluster no-op; see scale_out's doc).
     """
+    from tikv_data_compare_spark.session import scale_out
+
+    df = scale_out(df, key=id_col)
     toks = df.select(
         F.col(id_col),
         F.col(text_col).alias("_txt"),
@@ -85,29 +100,32 @@ def _distinct_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     return toks.select(
         id_col,
-        F.explode(
-            F.expr(
-                "CASE WHEN size(_toks) >= 3 THEN "
-                "transform(sequence(0, size(_toks) - 3), "
-                "i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2])) "
-                "ELSE array(_txt) END"
-            )
-        ).alias("w"),
-    ).distinct()
+        F.expr(
+            "array_distinct(CASE WHEN size(_toks) >= 3 THEN "
+            "transform(sequence(0, size(_toks) - 3), "
+            "i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2])) "
+            "ELSE array(_txt) END)"
+        ).alias("_sh"),
+    )
 
 
-#: public name — pipelines precompute+cache this and pass it via ``shingles=``
-distinct_shingles = _distinct_shingles
+def _hashed_shingles(arrays: DataFrame, algo: str) -> DataFrame:
+    """(id…, `_hs` array<long>): 30-bit hash of each shingle, map-side.
 
-
-def _word_hash30(words: DataFrame, algo: str = "md5i64") -> DataFrame:
-    """30-bit token hash `_h1`: md5-fold (oracle-checkable) or xxhash64 (fast)."""
+    md5 path stages the md5 through an inner ``transform`` so the 30×
+    textual repetition in :func:`sqlgen.hexfold_i64` folds an
+    already-computed lambda variable, not 30 fresh md5 calls (the same
+    staging discipline as the projected-column rule in sqlgen).
+    """
     _check_algo(algo)
     if algo == "xxhash64":
-        return words.withColumn("_h1", F.expr(f"xxhash64(w) & {H30_MASK}"))
-    return words.withColumn("_m", F.md5("w")).withColumn(
-        "_h1", F.expr(f"({sqlgen.hexfold_i64('_m')}) & {H30_MASK}")
-    )
+        expr = f"transform(_sh, s -> xxhash64(s) & {H30_MASK})"
+    else:
+        expr = (
+            f"transform(transform(_sh, s -> md5(s)), "
+            f"m -> ({sqlgen.hexfold_i64('m')}) & {H30_MASK})"
+        )
+    return arrays.withColumn("_hs", F.expr(expr))
 
 
 def minhash_signatures(
@@ -119,20 +137,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """8-permutation MinHash signature of each document's 3-shingle set.
 
+    Entirely map-side: each permutation's min is ``array_min`` over a
+    ``transform`` of the per-doc hashed-shingle array — no explode, no
+    distinct, no groupBy.  (Min over the distinct shingle set equals min
+    over the multiset, so sharing the ``array_distinct`` arrays with the
+    jaccard stage is free.)
+
     ``shingles`` lets a pipeline pass a precomputed (typically cached)
-    ``distinct_shingles`` frame so composed plans explode the text once.
+    :func:`shingle_arrays` frame so composed plans tokenize the text once.
     """
     perms, p = _minhash_constants()
     if shingles is None:
-        shingles = _distinct_shingles(df, id_col, text_col)
-    hashed = _word_hash30(shingles, algo)
-    aggs = [
-        F.min((F.lit(a).cast("long") * F.col("_h1") + F.lit(b)) % F.lit(p))
-        .cast("long")
-        .alias(f"m{i}")
+        shingles = shingle_arrays(df, id_col, text_col)
+    hashed = _hashed_shingles(shingles, algo)
+    mins = [
+        F.expr(
+            f"CAST(array_min(transform(_hs, h -> "
+            f"(CAST({a} AS BIGINT) * h + {b}) % {p})) AS BIGINT)"
+        ).alias(f"m{i}")
         for i, (a, b) in enumerate(perms)
     ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    return hashed.select(id_col, *mins)
 
 
 def _band_rows(sig: DataFrame, id_col: str) -> DataFrame:
@@ -186,55 +211,68 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard (scaled ×10000) for minhash candidate pairs.
 
-    The shingle set feeds BOTH the minhash candidates and the exact verify;
-    pass a cached ``distinct_shingles`` frame (or let this function build
-    one) so the composed plan tokenizes each document once, not per stage.
+    The shingle arrays feed BOTH the minhash candidates and the exact
+    verify; pass a cached :func:`shingle_arrays` frame (or let this
+    function build one) so the composed plan tokenizes each document once.
+
+    Scale shape: the candidate set is small (LSH already pruned), so both
+    array joins resolve to broadcast hash joins under AQE and the corpus
+    arrays are probed map-side — the 100 TB shuffle cost is the candidate
+    pairs, not the corpus shingles (the r6 shape shuffled the full
+    exploded (doc, shingle) frame three times here).
     """
     if shingles is None:
-        shingles = _distinct_shingles(df, id_col, text_col)
+        shingles = shingle_arrays(df, id_col, text_col)
     cand = minhash_pairs(df, id_col, text_col, algo, shingles=shingles)
-    words = shingles
-    sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    wa = words.select(F.col(id_col).alias("doc_a"), "w")
-    wb = words.select(F.col(id_col).alias("doc_b"), "w")
-    inter = (
-        cand.join(wa, on="doc_a")
-        .join(wb, on=["doc_b", "w"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("ninter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    sa = shingles.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
+    sb = shingles.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .join(inter, ["doc_a", "doc_b"], "left")
+        # stage the intersection size once; referencing array_intersect in
+        # both numerator and denominator would evaluate it twice per row
+        .withColumn("_ni", F.expr("size(array_intersect(_sha, _shb))"))
         .select(
             "doc_a",
             "doc_b",
             F.expr(
-                "CAST(ROUND(10000.0 * coalesce(ninter, 0) / (na + nb - coalesce(ninter, 0))) AS BIGINT)"
+                "CAST(ROUND(10000.0 * _ni / (size(_sha) + size(_shb) - _ni)) AS BIGINT)"
             ).alias("jaccard_c"),
         )
     )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, algo: str = "md5i64") -> DataFrame:
-    """32-bit SimHash over the word multiset (per-bit majority vote)."""
+    """32-bit SimHash over the word multiset (per-bit majority vote).
+
+    Entirely map-side: each bit's ±1 vote sum is an ``aggregate`` fold over
+    the per-doc hashed-token array — no explode, no groupBy shuffle (the
+    r6 shape shuffled every word of the corpus).  NULL-text docs are
+    filtered to preserve the explode shape's behavior (they produced no
+    word rows, hence no signature row).
+    """
     _check_algo(algo)
-    words = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    from tikv_data_compare_spark.session import scale_out
+
+    toks = scale_out(df.filter(F.col(text_col).isNotNull()), key=id_col).select(
+        id_col, F.split(F.col(text_col), " ").alias("_toks")
+    )
     if algo == "xxhash64":
-        hashed = words.withColumn("_h", F.xxhash64("w"))
+        hashed = toks.withColumn("_hw", F.expr("transform(_toks, w -> xxhash64(w))"))
     else:
-        hashed = words.withColumn("_m", F.md5("w")).withColumn(
-            "_h", F.expr(sqlgen.hexfold_i64("_m"))
+        hashed = toks.withColumn(
+            "_hw",
+            F.expr(
+                f"transform(transform(_toks, w -> md5(w)), m -> {sqlgen.hexfold_i64('m')})"
+            ),
         )
     bits = " + ".join(
-        f"(CASE WHEN sum(CASE WHEN (({sqlgen.shiftright('_h', i, sqlgen.SPARK)}) & 1) = 1 THEN 1 ELSE -1 END) >= 0"
+        f"(CASE WHEN aggregate(_hw, 0L, (acc, h) -> acc + "
+        f"(CASE WHEN (({sqlgen.shiftright('h', i, sqlgen.SPARK)}) & 1) = 1 THEN 1 ELSE -1 END)) >= 0"
         f" THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
         for i in range(32)
     )
-    return hashed.groupBy(id_col).agg(F.expr(f"CAST({bits} AS BIGINT)").alias("simhash"))
+    return hashed.select(id_col, F.expr(f"CAST({bits} AS BIGINT)").alias("simhash"))
 
 
 def simhash_pairs(

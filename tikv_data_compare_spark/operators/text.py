@@ -106,22 +106,35 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """Order-independent document fingerprint: XOR of md5-fold hashes of the
     distinct word 3-shingles (rolling n-gram set; whole text when < 3 tokens).
 
-    Scale: explode + distinct + partial-agg XOR — one shuffle keyed by doc."""
-    shingles = df.select(
-        id_col,
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(split({text_col}, ' ')) >= 3 THEN "
-                f"transform(sequence(0, size(split({text_col}, ' ')) - 3), "
-                f"i -> concat_ws(' ', split({text_col}, ' ')[i], split({text_col}, ' ')[i+1], split({text_col}, ' ')[i+2])) "
-                f"ELSE array({text_col}) END"
-            )
-        ).alias("sh"),
-    ).distinct()
-    hashed = shingles.withColumn("_m", F.md5("sh")).withColumn(
-        "_h", F.expr(sqlgen.hexfold_i64("_m"))
+    Scale: entirely map-side — the distinct shingle set, its hashes, and
+    the XOR fold are array higher-order functions over one projected token
+    array; zero shuffle (the r6 shape exploded + distincted + grouped the
+    corpus's shingles).  md5 is staged through an inner ``transform`` so
+    the 30× hexfold repetition folds a lambda variable, not 30 md5 calls.
+    """
+    from tikv_data_compare_spark.session import scale_out
+
+    toks = scale_out(df, key=id_col).select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        F.split(F.col(text_col), " ").alias("_toks"),
     )
-    return hashed.groupBy(id_col).agg(F.bit_xor("_h").cast("long").alias("fingerprint"))
+    arrays = toks.select(
+        id_col,
+        F.expr(
+            "array_distinct(CASE WHEN size(_toks) >= 3 THEN "
+            "transform(sequence(0, size(_toks) - 3), "
+            "i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2])) "
+            "ELSE array(_txt) END)"
+        ).alias("_sh"),
+    )
+    return arrays.select(
+        id_col,
+        F.expr(
+            f"CAST(aggregate(transform(transform(_sh, s -> md5(s)), "
+            f"m -> {sqlgen.hexfold_i64('m')}), 0L, (acc, h) -> acc ^ h) AS BIGINT)"
+        ).alias("fingerprint"),
+    )
 
 
 def quality_flags(
@@ -278,43 +291,50 @@ def repetition_stats(
       the single most frequent one, ×10000 (0 when < 2 words) — high for
       templated/repeated phrasing.
 
-    Shape: one explode + two groupBys keyed by doc (map-side partial
-    aggregation; the per-doc domain is the doc's own vocabulary, so no
-    skew beyond document length).  Exact integer math — oracle-stable.
+    Shape: entirely map-side — word counts are ``size``/``array_distinct``
+    over the projected token array, and the most-frequent-bigram count is a
+    longest-equal-run fold over the ``array_sort``-ed bigram array (the r6
+    shape ran one explode + two groupBy shuffles keyed by doc).  NULL-text
+    docs are filtered, preserving the explode shape's absent-row behavior.
+    Exact integer math — oracle-stable.
     """
-    ws = f"split({text_col}, ' ')"
-    words = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
-    word_stats = words.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.count_distinct("w").alias("n_distinct"),
+    from tikv_data_compare_spark.session import scale_out
+
+    toks = scale_out(df.filter(F.col(text_col).isNotNull()), key=id_col).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
     )
-    bigrams = df.select(
+    with_bi = toks.select(
         id_col,
-        F.explode(
-            F.expr(
-                f"CASE WHEN size({ws}) < 2 THEN array() "
-                f"ELSE transform(sequence(1, size({ws}) - 1), "
-                f"i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1))) END"
-            )
-        ).alias("bigram"),
+        F.expr("CAST(size(_toks) AS BIGINT)").alias("n_words"),
+        F.expr("CAST(size(array_distinct(_toks)) AS BIGINT)").alias("n_distinct"),
+        F.expr(
+            "array_sort(CASE WHEN size(_toks) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(_toks) - 1), "
+            "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))) END)"
+        ).alias("_bi"),
     )
-    top_bi = (
-        bigrams.groupBy(id_col, "bigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy(id_col)
-        .agg(F.max("n").alias("max_bi"), F.sum("n").alias("n_bi"))
+    # longest run of equal adjacent bigrams in the sorted array == count of
+    # the most frequent bigram; one O(n) fold, no per-doc groupBy
+    max_run = (
+        "aggregate(_bi, "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(x <=> acc.prev, acc.run + 1, 1L), "
+        "'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))), "
+        "acc -> acc.best)"
     )
-    return (
-        word_stats.join(top_bi, id_col, "left")
-        .select(
-            id_col,
+    return with_bi.select(
+        id_col,
+        F.expr(
+            "CAST(ROUND(10000.0 * (n_words - n_distinct) / n_words) AS BIGINT)"
+        ).alias("dup_word_frac_c"),
+        F.coalesce(
             F.expr(
-                "CAST(ROUND(10000.0 * (n_words - n_distinct) / n_words) AS BIGINT)"
-            ).alias("dup_word_frac_c"),
-            F.coalesce(
-                F.expr("CAST(ROUND(10000.0 * max_bi / n_bi) AS BIGINT)"), F.lit(0)
-            ).alias("top_bigram_frac_c"),
-        )
+                f"CAST(ROUND(10000.0 * {max_run} / size(_bi)) AS BIGINT)"
+            ),
+            F.lit(0),
+        ).alias("top_bigram_frac_c"),
     )
 
 
@@ -331,40 +351,48 @@ def winnow_fingerprints(
     the document's fingerprint set.  Guarantees every match of length
     ``>= w+k-1`` between two documents shares a fingerprint.
 
-    Spark shape: one position explode, one ``min`` over a bounded following
-    ROWS window partitioned by doc (no global window), one distinct — all
-    JVM-side, and the identical window algebra runs in DuckDB for the
-    oracle.  Rows: ``(id, fp)`` — one row per distinct fingerprint hash.
+    Spark shape: entirely map-side — the gram hashes, the per-window minima
+    (``array_min`` over a ``slice`` per window start, O(n·w) with the small
+    MOSS ``w``), and the per-doc distinct are array higher-order functions
+    over one projected gram-hash array; the only explode is the final fan-out
+    of the (small) fingerprint set to rows.  Zero shuffle — the r6 shape ran
+    a position explode + a doc-keyed ROWS window + a corpus-wide distinct.
+    The identical window algebra runs in DuckDB for the oracle.
+    Rows: ``(id, fp)`` — one row per distinct fingerprint hash.
     """
-    from pyspark.sql import Window
+    from tikv_data_compare_spark.session import scale_out
 
-    grams = df.select(
+    hashed = scale_out(df, key=id_col).select(
         F.col(id_col),
-        F.expr(f"CAST(length({text_col}) AS INT)").alias("_len"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)), "
-                f"i -> substr({text_col}, i, {k}))"
-            )
-        ).alias("pos", "gram"),
+        F.expr(
+            f"transform(transform("
+            f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)), "
+            f"i -> substr({text_col}, i, {k})), "
+            f"g -> md5(g)), m -> ({sqlgen.hexfold_i64('m')}) & {(1 << 30) - 1})"
+        ).alias("_hs"),
     )
-    hashed = grams.withColumn("_m", F.md5("gram")).withColumn(
-        "h", F.expr(f"({sqlgen.hexfold_i64('_m')}) & {(1 << 30) - 1}")
+    # full windows [j, j+w-1] only (window start j = 0 .. n_grams - w); a doc
+    # with fewer than w grams keeps its single truncated window, so every
+    # doc has at least one fingerprint — same selection as the r6 ROWS
+    # window + pos filter
+    fps = hashed.select(
+        id_col,
+        F.expr(
+            f"array_distinct(CASE WHEN size(_hs) < {w} THEN array(array_min(_hs)) "
+            f"ELSE transform(sequence(0, size(_hs) - {w}), "
+            f"j -> array_min(slice(_hs, j + 1, {w}))) END)"
+        ).alias("_fps"),
     )
-    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    # only windows fully inside the gram sequence select a fingerprint;
-    # docs shorter than w+k-1 chars contribute their single full window
-    n_grams = F.greatest(F.col("_len") - F.lit(k - 1), F.lit(1))
-    # 0-based pos: window [pos, pos+w-1] is full iff pos <= n_grams - w;
-    # the pos==0 clause keeps one (truncated) window for docs shorter than
-    # w grams, so every doc has at least one fingerprint
-    sel = (
-        hashed.withColumn("wmin", F.min("h").over(win))
-        .filter((F.col("pos") <= n_grams - F.lit(w)) | (F.col("pos") == 0))
-        .select(id_col, F.col("wmin").alias("fp"))
-        .distinct()
-    )
-    return sel
+    # explode_OUTER, deliberately: plain explode triggers Catalyst's
+    # InferFiltersFromGenerate + pushdown, which inlines the entire nested
+    # HOF chain into a Filter — including inside the window-min lambda, so
+    # the gram hashing re-runs once per window position (O(n²) md5 calls
+    # per doc; measured as a multi-minute stall on 500 ordinary docs).  The
+    # infer rule skips outer generates, and `_fps` is never an empty array
+    # (the truncated-window branch guarantees ≥1 element), so the only
+    # behavior difference is a (id, NULL) row for NULL text — which is
+    # exactly what the r6 window shape emitted.
+    return fps.select(id_col, F.explode_outer("_fps").alias("fp"))
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -46,6 +46,31 @@ def get_spark(app_name: str = "tikv-data-compare-spark", cpus: int | None = None
     return spark
 
 
+def scale_out(df, key: str | None = None):
+    """Widen an under-split source so a CPU-heavy map stage can use every core.
+
+    Parquet split planning sizes partitions by BYTES (maxPartitionBytes), so
+    a small-but-well-compressed source — e.g. one 7 MB file holding 50k text
+    documents — can plan 1-2 input splits and strand a 32-thread map stage on
+    2 cores.  That is exactly the wrong shape for the map-side text operators
+    (minhash signatures, simhash folds, winnowing), whose per-byte CPU cost
+    is ~100× a plain scan's.  When the input has fewer partitions than
+    ``defaultParallelism``, hash-repartition it (by ``key`` when given, so
+    row placement is a deterministic function of the row — the retry rule of
+    SCALE.md §4; plain round-robin would re-deal on task retry).
+
+    On a real cluster reading 100 TB the input has ~1e5 splits, the condition
+    is false, and this is a no-op — no shuffle is ever inserted at scale.
+    """
+    from pyspark.sql import functions as F
+
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key)) if key else df.repartition(target)
+
+
 def enable_runtime_bloom(spark: SparkSession) -> SparkSession:
     """Turn on Catalyst's runtime Bloom-filter join pruning (Spark 3.3+).
 
