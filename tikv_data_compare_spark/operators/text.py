@@ -427,7 +427,13 @@ def tfidf_top_terms(
     frequency table — tiny (≤ vocabulary size) — is broadcast back; the
     corpus size N joins as a broadcast scalar.  Only the final row_number
     window re-shuffles by document.  No UDFs, no driver-side collect.
+    The source is widened via ``scale_out`` first: the explode's map-side
+    partial aggregation is the CPU-heavy stage, and an under-split compact
+    parquet source strands it on 1-2 cores (cluster no-op).
     """
+    from tikv_data_compare_spark.session import scale_out
+
+    df = scale_out(df, key=id_col)
     words = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
     tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
