@@ -1,0 +1,243 @@
+"""Parity fuzz for the r7 map-side rewrites (SURVEY §5.3 style).
+
+The minhash/simhash/jaccard/fingerprint/winnow/repetition operators were
+rewritten from explode→shuffle shapes to array higher-order functions; the
+DuckDB oracles pin them on fixture data, and these tests pin them against
+straight-line *reference implementations of the old explode shapes* on
+seeded adversarial corpora the fixtures don't contain: empty documents,
+consecutive-space empty tokens, unicode tokens, heavy repetition,
+single-token docs, and NULL text.  Any semantic drift between the map-side
+expressions and the old shapes shows up as a row-set mismatch here.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from tikv_data_compare_spark.functions import sqlgen
+from tikv_data_compare_spark.operators import dedup as dd
+from tikv_data_compare_spark.operators import text as tx
+
+TOKENS = ["a", "b", "ab", "ba", "é", "ключ", "x1", "", "zz", "a"]
+
+
+def _corpus(spark, seed: int, n_docs: int = 60):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        kind = rng.randrange(6)
+        if kind == 0:
+            text = ""  # empty doc → single empty token
+        elif kind == 1:
+            text = rng.choice(TOKENS)  # single token
+        elif kind == 2:
+            text = " ".join([rng.choice(TOKENS[:3])] * rng.randrange(2, 30))  # heavy repetition
+        elif kind == 3:
+            text = None  # NULL text
+        else:
+            text = " ".join(rng.choice(TOKENS) for _ in range(rng.randrange(2, 40)))
+        rows.append((i, text))
+    # two exact dup pairs so candidate pairs exist
+    rows.append((1000, rows[0][1]))
+    rows.append((1001, rows[4][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _ref_shingles(df):
+    """The r6 explode→distinct shingle frame."""
+    toks = df.select(
+        "doc_id", F.col("text").alias("_txt"), F.split("text", " ").alias("_toks")
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_toks) >= 3 THEN "
+                "transform(sequence(0, size(_toks) - 3), "
+                "i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2])) "
+                "ELSE array(_txt) END"
+            )
+        ).alias("w"),
+    ).distinct()
+
+
+def _ref_minhash_sigs(df, algo: str):
+    from tikv_data_compare_spark.queries import MINHASH_P, MINHASH_PERMS
+
+    sh = _ref_shingles(df)
+    if algo == "xxhash64":
+        hashed = sh.withColumn("_h1", F.expr(f"xxhash64(w) & {dd.H30_MASK}"))
+    else:
+        hashed = sh.withColumn("_m", F.md5("w")).withColumn(
+            "_h1", F.expr(f"({sqlgen.hexfold_i64('_m')}) & {dd.H30_MASK}")
+        )
+    aggs = [
+        F.min((F.lit(a).cast("long") * F.col("_h1") + F.lit(b)) % F.lit(MINHASH_P))
+        .cast("long")
+        .alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+@pytest.mark.parametrize("seed", [11, 22])
+@pytest.mark.parametrize("algo", ["md5i64", "xxhash64"])
+def test_minhash_signatures_match_explode_shape(spark, seed, algo):
+    docs = _corpus(spark, seed)
+    got = _rowset(dd.minhash_signatures(docs, "doc_id", "text", algo=algo))
+    ref = _rowset(_ref_minhash_sigs(docs, algo))
+    assert got == ref
+
+
+@pytest.mark.parametrize("seed", [11, 22])
+def test_jaccard_pairs_match_explode_shape(spark, seed):
+    docs = _corpus(spark, seed)
+    got = _rowset(dd.jaccard_pairs(docs, "doc_id", "text"))
+    # reference verify: explode-join intersection over the old shingle frame
+    cand = dd.minhash_pairs(docs, "doc_id", "text")
+    words = _ref_shingles(docs)
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    wa = words.select(F.col("doc_id").alias("doc_a"), "w")
+    wb = words.select(F.col("doc_id").alias("doc_b"), "w")
+    inter = (
+        cand.join(wa, on="doc_a")
+        .join(wb, on=["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    ref = _rowset(
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(ROUND(10000.0 * coalesce(ninter, 0) / (na + nb - coalesce(ninter, 0))) AS BIGINT)"
+            ).alias("jaccard_c"),
+        )
+    )
+    assert got == ref
+
+
+@pytest.mark.parametrize("seed", [11, 22])
+@pytest.mark.parametrize("algo", ["md5i64", "xxhash64"])
+def test_simhash_matches_explode_shape(spark, seed, algo):
+    docs = _corpus(spark, seed)
+    got = _rowset(dd.simhash(docs, "doc_id", "text", algo=algo))
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    if algo == "xxhash64":
+        hashed = words.withColumn("_h", F.xxhash64("w"))
+    else:
+        hashed = words.withColumn("_m", F.md5("w")).withColumn(
+            "_h", F.expr(sqlgen.hexfold_i64("_m"))
+        )
+    bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (({sqlgen.shiftright('_h', i, sqlgen.SPARK)}) & 1) = 1 THEN 1 ELSE -1 END) >= 0"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(32)
+    )
+    ref = _rowset(
+        hashed.groupBy("doc_id").agg(F.expr(f"CAST({bits} AS BIGINT)").alias("simhash"))
+    )
+    assert got == ref
+
+
+@pytest.mark.parametrize("seed", [11, 22])
+def test_fingerprint_matches_explode_shape(spark, seed):
+    docs = _corpus(spark, seed)
+    got = _rowset(tx.fingerprint(docs, "doc_id", "text"))
+    hashed = _ref_shingles(docs).withColumn("_m", F.md5("w")).withColumn(
+        "_h", F.expr(sqlgen.hexfold_i64("_m"))
+    )
+    ref = _rowset(
+        hashed.groupBy("doc_id").agg(F.bit_xor("_h").cast("long").alias("fingerprint"))
+    )
+    assert got == ref
+
+
+@pytest.mark.parametrize("seed", [11, 22])
+def test_repetition_stats_match_explode_shape(spark, seed):
+    docs = _corpus(spark, seed)
+    got = _rowset(tx.repetition_stats(docs, "doc_id", "text"))
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    word_stats = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"), F.count_distinct("w").alias("n_distinct")
+    )
+    ws = "split(text, ' ')"
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({ws}) < 2 THEN array() "
+                f"ELSE transform(sequence(1, size({ws}) - 1), "
+                f"i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1))) END"
+            )
+        ).alias("bigram"),
+    )
+    top_bi = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("max_bi"), F.sum("n").alias("n_bi"))
+    )
+    ref = _rowset(
+        word_stats.join(top_bi, "doc_id", "left").select(
+            "doc_id",
+            F.expr(
+                "CAST(ROUND(10000.0 * (n_words - n_distinct) / n_words) AS BIGINT)"
+            ).alias("dup_word_frac_c"),
+            F.coalesce(
+                F.expr("CAST(ROUND(10000.0 * max_bi / n_bi) AS BIGINT)"), F.lit(0)
+            ).alias("top_bigram_frac_c"),
+        )
+    )
+    assert got == ref
+
+
+def test_scale_out_streaming_noop(spark):
+    """scale_out must pass streaming frames through untouched (.rdd is
+    undefined for them) so text operators stay usable inside foreachBatch
+    pipelines whose outer frame is a stream."""
+    from tikv_data_compare_spark.session import scale_out
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    assert scale_out(stream, key="value") is stream
+
+
+@pytest.mark.parametrize("seed", [11, 22])
+def test_winnow_matches_window_shape(spark, seed):
+    k, w = 5, 4
+    docs = _corpus(spark, seed)
+    got = _rowset(tx.winnow_fingerprints(docs, "doc_id", "text", k=k, w=w))
+    grams = docs.select(
+        "doc_id",
+        F.expr("CAST(length(text) AS INT)").alias("_len"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {k} + 1, 1)), "
+                f"i -> substr(text, i, {k}))"
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.withColumn("_m", F.md5("gram")).withColumn(
+        "h", F.expr(f"({sqlgen.hexfold_i64('_m')}) & {(1 << 30) - 1}")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_grams = F.greatest(F.col("_len") - F.lit(k - 1), F.lit(1))
+    ref = _rowset(
+        hashed.withColumn("wmin", F.min("h").over(win))
+        .filter((F.col("pos") <= n_grams - F.lit(w)) | (F.col("pos") == 0))
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    assert got == ref

@@ -64,6 +64,8 @@ def scale_out(df, key: str | None = None):
     """
     from pyspark.sql import functions as F
 
+    if df.isStreaming:  # .rdd is undefined for streaming frames; micro-batch
+        return df  # parallelism is the source's concern, not this helper's
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
