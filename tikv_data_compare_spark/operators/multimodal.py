@@ -33,6 +33,17 @@ FEATURE_SCHEMA = (
 )
 
 
+def _scaled(df: DataFrame, key: str) -> DataFrame:
+    """Widen an under-split source before a CPU-heavy Arrow stage: the
+    decode/parse work runs in the scan stage, and a compact parquet source
+    can plan 1-2 splits (see session.scale_out; cluster no-op).  Keyed so
+    placement is retry-deterministic; every batch function here is a pure
+    per-row parser, so placement never affects results."""
+    from tikv_data_compare_spark.session import scale_out
+
+    return scale_out(df, key=key)
+
+
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Render a text column as an opaque binary payload column (the fixture
     stand-in for real media bytes) plus a mime tag."""
@@ -231,7 +242,9 @@ def decode_features(
                 )
             yield pd.DataFrame(rows)
 
-    return payloads.select("doc_id", payload_col).mapInPandas(extract, FEATURE_SCHEMA)
+    return _scaled(payloads.select("doc_id", payload_col), "doc_id").mapInPandas(
+        extract, FEATURE_SCHEMA
+    )
 
 
 def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
@@ -296,7 +309,7 @@ def image_dims(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payloa
                 rows.append({id_col: int(doc_id), "format": fmt, "width": w, "height": h})
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _scaled(df.select(id_col, payload_col), id_col).mapInPandas(
         extract, f"{id_col} long, format string, width long, height long"
     )
 
@@ -351,7 +364,7 @@ def audio_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payloa
                 )
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _scaled(df.select(id_col, payload_col), id_col).mapInPandas(
         extract,
         f"{id_col} long, channels long, sample_rate long, bits long, data_size long",
     )
@@ -414,7 +427,7 @@ def media_probe(
                 rows.append(row)
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, *passthrough, image_col, audio_col).mapInPandas(
+    return _scaled(df.select(id_col, *passthrough, image_col, audio_col), id_col).mapInPandas(
         extract, out_schema
     )
 

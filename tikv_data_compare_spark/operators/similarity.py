@@ -82,6 +82,21 @@ DOT = (
 )
 
 
+def _scaled(emb: DataFrame) -> DataFrame:
+    """Widen an under-split source before a CPU-heavy Arrow stage.
+
+    mapInPandas inherits the scan's split count, and a compact parquet file
+    of packed float arrays can plan 1-2 splits — stranding the numpy work on
+    2 cores (see session.scale_out; no-op at cluster split counts).  Keyed
+    by vec_id when present so placement is retry-deterministic; placement
+    never affects results here (all batch functions are pure per-row, and
+    the brute-force merge window includes boundary ties by construction).
+    """
+    from tikv_data_compare_spark.session import scale_out
+
+    return scale_out(emb, key="vec_id" if "vec_id" in emb.columns else None)
+
+
 def _dot(a: str, b: str) -> str:
     return DOT.format(a=a, b=b)
 
@@ -149,7 +164,7 @@ def topk_bruteforce(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFram
                     out.append((int(qid), int(cand_ids[idx[i]]), int(cand_c[idx[i]])))
             yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine_c"])
 
-    cands = emb.select("vec_id", "embedding").mapInPandas(
+    cands = _scaled(emb.select("vec_id", "embedding")).mapInPandas(
         score_batches, "query_id long, neighbor_id long, cosine_c long"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_c"), F.asc("neighbor_id"))
@@ -269,7 +284,7 @@ def lsh_buckets(
                 out["bucket"] = (np.int64(t) << np.int64(n_planes)) | bits
                 yield out
 
-    return emb.mapInPandas(bucketize, out_schema)
+    return _scaled(emb).mapInPandas(bucketize, out_schema)
 
 
 def topk_lsh(emb: DataFrame, k: int = 5, n_queries: int = 10, n_planes: int = 6) -> DataFrame:
@@ -413,7 +428,7 @@ def _assign_cells(emb: DataFrame, cent_bc, vec_col: str, out_col: str = "cell") 
             out[out_col] = d2.argmin(axis=1).astype("int64")
             yield out
 
-    return emb.mapInPandas(assign, out_schema)
+    return _scaled(emb).mapInPandas(assign, out_schema)
 
 
 def topk_ivf(
