@@ -99,14 +99,20 @@ def test_jaccard_with_shared_shingles(spark, docs):
     a plan that reads the shingle arrays from cache (one tokenization per
     corpus, not one per pipeline stage)."""
     shingles = dd.shingle_arrays(docs, "doc_id", "text").cache()
+    hashed = dd.hashed_shingle_arrays(docs, "doc_id", "text").cache()
     try:
-        base = dd.jaccard_pairs(docs, "doc_id", "text")
+        base = sorted(map(tuple, dd.jaccard_pairs(docs, "doc_id", "text").collect()))
         shared = dd.jaccard_pairs(docs, "doc_id", "text", shingles=shingles)
-        assert sorted(map(tuple, shared.collect())) == sorted(map(tuple, base.collect()))
+        assert sorted(map(tuple, shared.collect())) == base
         plan = shared._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan
+        # the (shingles + hashes) cache variant: signature branches must skip
+        # re-hashing (no md5 above the cache scan) and results are identical
+        pre = dd.jaccard_pairs(docs, "doc_id", "text", shingles=hashed)
+        assert sorted(map(tuple, pre.collect())) == base
     finally:
         shingles.unpersist()
+        hashed.unpersist()
 
 
 def test_connected_components_constructed_graph(spark):

@@ -83,10 +83,12 @@ def curate(
     # text per stage and shipping booleans.
     exact_ids = dd.dedup_exact(docs, id_col, text_col).select(id_col)
     exact_docs = docs.join(exact_ids, id_col, "left_semi")
-    # cache the (id, shingle-array) projection: jaccard_pairs reads it in
-    # three branches (signatures + both sides of the verify join), and each
-    # would otherwise recompute the dedup-groupBy + semi-join subtree
-    sh = dd.shingle_arrays(exact_docs, id_col, text_col).persist()
+    # cache the (id, shingles, shingle-hashes) projection: jaccard_pairs
+    # reads it in three branches (signatures + both sides of the verify
+    # join), and each would otherwise recompute the dedup-groupBy +
+    # semi-join subtree; caching the HASHES too means the md5 fold runs
+    # once per corpus instead of once per signature-reading branch
+    sh = dd.hashed_shingle_arrays(exact_docs, id_col, text_col).persist()
     losers = (
         dd.jaccard_pairs(exact_docs, id_col, text_col, shingles=sh)
         .filter(F.col("jaccard_c") >= near_dup_jaccard_c)

@@ -116,8 +116,15 @@ def _hashed_shingles(arrays: DataFrame, algo: str) -> DataFrame:
     textual repetition in :func:`sqlgen.hexfold_i64` folds an
     already-computed lambda variable, not 30 fresh md5 calls (the same
     staging discipline as the projected-column rule in sqlgen).
+
+    A frame that already carries ``_hs`` (a cached
+    :func:`hashed_shingle_arrays`) passes through untouched — pipelines
+    cache the hashes once instead of recomputing the md5 fold in every
+    branch that reads the signatures.
     """
     _check_algo(algo)
+    if "_hs" in arrays.columns:
+        return arrays
     if algo == "xxhash64":
         expr = f"transform(_sh, s -> xxhash64(s) & {H30_MASK})"
     else:
@@ -126,6 +133,19 @@ def _hashed_shingles(arrays: DataFrame, algo: str) -> DataFrame:
             f"m -> ({sqlgen.hexfold_i64('m')}) & {H30_MASK})"
         )
     return arrays.withColumn("_hs", F.expr(expr))
+
+
+def hashed_shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, algo: str = "md5i64"
+) -> DataFrame:
+    """(id, `_sh`, `_hs`): the cacheable projection a composed near-dup
+    pipeline wants — raw distinct-shingle strings (for the exact-Jaccard
+    verify) plus their 30-bit hashes (for the signatures), computed once.
+    Pass it via ``shingles=``; the signature path detects the ``_hs``
+    column and skips re-hashing, so a pipeline whose candidate generation
+    reads the signatures from two join branches hashes each shingle once
+    per corpus, not once per branch."""
+    return _hashed_shingles(shingle_arrays(df, id_col, text_col), algo)
 
 
 def minhash_signatures(
