@@ -250,3 +250,24 @@ def test_cli_diff_targeted_matches_full(capsys, two_tables):
     targeted = sorted(l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{"))
     assert rc == 1
     assert targeted == full
+
+
+def test_cli_curate(capsys, spark, tmp_path):
+    """End-to-end curate subcommand: kept parquet written, attrition funnel
+    printed as JSON lines, first stage's n_in equals the input doc count."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs.pq")
+    docs.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "kept.pq")
+    rc = cli.main(["curate", "--src", src, "--out", out])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    stages = [l for l in lines if "stage" in l]
+    assert [s["stage"] for s in stages] == ["exact_dedup", "near_dedup", "quality", "repetition"]
+    assert stages[0]["n_in"] == docs.count()
+    # funnel is monotone and reconciles with the written corpus
+    for s in stages:
+        assert s["n_in"] - s["n_dropped"] == s["n_out"]
+    kept = spark.read.parquet(out)
+    assert kept.count() == stages[-1]["n_out"]
+    assert lines[-1]["out"] == out

@@ -204,6 +204,21 @@ def test_repetition_stats_match_explode_shape(spark, seed):
     assert got == ref
 
 
+def test_scale_out_widens_and_noops(spark):
+    """An under-split frame is widened to defaultParallelism with a hash
+    repartition; an already-wide frame passes through unchanged (so at
+    cluster split counts the helper never inserts a shuffle)."""
+    from tikv_data_compare_spark.session import scale_out
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    widened = scale_out(narrow, key="id")
+    assert widened.rdd.getNumPartitions() == target
+    wide = spark.range(100).repartition(target + 4, "id")
+    assert scale_out(wide, key="id") is wide
+
+
 def test_scale_out_streaming_noop(spark):
     """scale_out must pass streaming frames through untouched (.rdd is
     undefined for them) so text operators stay usable inside foreachBatch

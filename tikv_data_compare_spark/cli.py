@@ -178,6 +178,23 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--key", required=True)
         p.add_argument("--format", default="hex", choices=["raw", "hex", "escaped"], dest="key_format")
 
+    # the LLM-pipeline capstone as a first-class subcommand: run the full
+    # curation chain (exact dedup → near-dup → quality → repetition →
+    # optional PII / decontamination) over a documents parquet and write
+    # the kept corpus; the attrition funnel prints as JSON lines
+    p = sub.add_parser("curate")
+    p.add_argument("--src", required=True, help="documents parquet (dir or file)")
+    p.add_argument("--out", default="", help="kept-docs parquet dir (default: {src}_curated)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--near-dup-jaccard-c", type=int, default=8000)
+    p.add_argument("--max-dup-word-frac-c", type=int, default=7000)
+    p.add_argument("--max-top-bigram-frac-c", type=int, default=1800)
+    p.add_argument("--drop-pii", action="store_true")
+    p.add_argument("--probes", default="", help="probe/benchmark parquet for decontamination")
+    p.add_argument("--max-contamination-hits", type=int, default=0)
+    p.add_argument("--concurrency", type=int, default=0)
+
     args = top.parse_args(argv)
 
     # codec subcommands are pure driver-side (reference codec/codec.go:14-54)
@@ -204,6 +221,33 @@ def main(argv: list[str] | None = None) -> int:
         # (the reference's --concurrency sizes its range worker pool the
         # same way, config/config.go:36)
         spark.conf.set("spark.sql.shuffle.partitions", str(args.concurrency))
+
+    if args.cmd == "curate":
+        from tikv_data_compare_spark.operators.curate import curate
+
+        docs = spark.read.parquet(args.src)
+        probes = spark.read.parquet(args.probes) if args.probes else None
+        kept, attrition = curate(
+            docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            near_dup_jaccard_c=args.near_dup_jaccard_c,
+            max_dup_word_frac_c=args.max_dup_word_frac_c,
+            max_top_bigram_frac_c=args.max_top_bigram_frac_c,
+            drop_pii=args.drop_pii,
+            probes=probes,
+            max_contamination_hits=args.max_contamination_hits,
+        )
+        out = args.out or f"{args.src.rstrip('/')}_curated"
+        try:
+            kept.write.mode("overwrite").parquet(out)
+            for row in attrition.toLocalIterator():
+                print(json.dumps(row.asDict()))
+            print(json.dumps({"out": out}))
+        finally:
+            kept.unpersist()
+        return 0
+
     keys = args.keys.split(",")
     if args.cmd in ("checksum", "diff"):
         # source-level API-version handshake before any dual-source compare
