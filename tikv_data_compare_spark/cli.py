@@ -193,6 +193,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drop-pii", action="store_true")
     p.add_argument("--probes", default="", help="probe/benchmark parquet for decontamination")
     p.add_argument("--max-contamination-hits", type=int, default=0)
+    p.add_argument("--algo", default="xxhash64", choices=["xxhash64", "md5i64"],
+                   help="near-dup shingle hash (xxhash64 = throughput default)")
     p.add_argument("--concurrency", type=int, default=0)
 
     args = top.parse_args(argv)
@@ -237,6 +239,7 @@ def main(argv: list[str] | None = None) -> int:
             drop_pii=args.drop_pii,
             probes=probes,
             max_contamination_hits=args.max_contamination_hits,
+            algo=args.algo,
         )
         out = args.out or f"{args.src.rstrip('/')}_curated"
         try:

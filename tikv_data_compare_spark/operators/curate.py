@@ -56,12 +56,16 @@ def curate(
     drop_pii: bool = False,
     probes: DataFrame | None = None,
     max_contamination_hits: int = 0,
+    algo: str = "md5i64",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation chain; see module docstring.
 
     Thresholds are scaled ×10000 like every engine fraction.  ``probes``
     enables the decontamination stage (docs with more than
     ``max_contamination_hits`` overlapping n-grams are dropped).
+    ``algo`` selects the near-dup stage's shingle hash — ``md5i64``
+    (default, DuckDB-oracle checkable) or ``xxhash64`` (the throughput
+    path, same knob as the dedup/checksum operators).
 
     The returned kept-docs DataFrame is **persisted** (its stage count
     already materialized it; unpersisting would make the caller's first
@@ -88,9 +92,9 @@ def curate(
     # join), and each would otherwise recompute the dedup-groupBy +
     # semi-join subtree; caching the HASHES too means the md5 fold runs
     # once per corpus instead of once per signature-reading branch
-    sh = dd.hashed_shingle_arrays(exact_docs, id_col, text_col).persist()
+    sh = dd.hashed_shingle_arrays(exact_docs, id_col, text_col, algo=algo).persist()
     losers = (
-        dd.jaccard_pairs(exact_docs, id_col, text_col, shingles=sh)
+        dd.jaccard_pairs(exact_docs, id_col, text_col, algo=algo, shingles=sh)
         .filter(F.col("jaccard_c") >= near_dup_jaccard_c)
         .select(F.col("doc_b").alias(id_col))
         .distinct()

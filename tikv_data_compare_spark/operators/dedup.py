@@ -240,6 +240,12 @@ def jaccard_pairs(
     arrays are probed map-side — the 100 TB shuffle cost is the candidate
     pairs, not the corpus shingles (the r6 shape shuffled the full
     exploded (doc, shingle) frame three times here).
+
+    NULL semantics: two NULL-text docs have equal ([NULL]) shingle sets,
+    so under ``xxhash64`` (whose band keys are non-null for them) they
+    verify at jaccard 10000 — "identical empty content", which is the
+    honest answer.  Under the default ``md5i64`` their band keys are NULL
+    and they never become candidates.
     """
     if shingles is None:
         shingles = shingle_arrays(df, id_col, text_col)
