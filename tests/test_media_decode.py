@@ -1,0 +1,340 @@
+"""GIF LZW + baseline JPEG decoder tests: planted pixels through real
+container bytes built by pure-Python test-side encoders, so the decoders
+must invert genuine LZW streams / Huffman-coded scans — no image library
+on either side."""
+
+import pytest
+
+from tikv_data_compare_spark.operators import media_decode as md
+from tikv_data_compare_spark.operators import multimodal as mm
+
+# ---------------------------------------------------------------------------
+# GIF test-side encoder: real LZW with dictionary growth + width bumps
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Proper GIF LZW compression (dictionary growth, variable code width).
+    Code widths are derived by replaying the DECODER's width schedule, so a
+    sync bug in either direction fails the roundtrip test."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    codes = [clear]
+    prefix = b""
+    for b in indices:
+        nxt = prefix + bytes([b])
+        if nxt in table:
+            prefix = nxt
+            continue
+        codes.append(table[prefix])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        prefix = bytes([b])
+    if prefix:
+        codes.append(table[prefix])
+    codes.append(end)
+
+    # pack LSB-first, replaying the decoder's width/table-size model
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code_size + 1
+    table_size = end + 1
+    prev_seen = False
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            width, table_size, prev_seen = min_code_size + 1, end + 1, False
+        elif c != end:
+            if prev_seen and table_size < 4096:
+                table_size += 1
+            prev_seen = True
+            if table_size == (1 << width) and width < 12:
+                width += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(indices: bytes, width: int, height: int, palette: list[tuple[int, int, int]]) -> bytes:
+    assert len(indices) == width * height
+    pal_bits = max(1, (len(palette) - 1).bit_length())
+    pal_n = 1 << pal_bits
+    gct = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (pal_n - len(palette))
+    min_code_size = max(2, pal_bits)
+    lzw = _lzw_encode(indices, min_code_size)
+    sub_blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255] for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes([0x80 | (pal_bits - 1), 0, 0])
+        + gct
+        + b"\x2c"
+        + b"\x00\x00\x00\x00"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00"
+        + bytes([min_code_size])
+        + sub_blocks
+        + b"\x00"
+        + b"\x3b"
+    )
+
+
+def test_decode_gif_planted_pixels():
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    indices = bytes([0, 1, 2, 3, 3, 2, 1, 0, 0, 0, 2, 2])  # 4x3
+    w, h, ch, rgb = md.decode_gif(_encode_gif(indices, 4, 3, palette))
+    assert (w, h, ch) == (4, 3, 3)
+    expect = b"".join(bytes(palette[i]) for i in indices)
+    assert rgb == expect
+
+
+def test_decode_gif_skips_extensions_and_rejects():
+    palette = [(1, 2, 3), (4, 5, 6)]
+    indices = bytes([0, 1, 1, 0])
+    data = _encode_gif(indices, 2, 2, palette)
+    # splice a graphic-control extension between LSD+GCT and the image
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    head_len = 13 + 3 * 2  # header+LSD + padded GCT (2 colors -> 2 entries)
+    data = data[:head_len] + gce + data[head_len:]
+    w, h, ch, rgb = md.decode_gif(data)
+    assert (w, h) == (2, 2)
+    assert rgb == b"".join(bytes(palette[i]) for i in indices)
+
+    assert md.decode_gif(b"not a gif") is None
+    # interlaced flag -> out of lattice
+    raw = bytearray(_encode_gif(indices, 2, 2, palette))
+    raw[13 + 6 + 9] |= 0x40  # image-descriptor packed byte
+    with pytest.raises(ValueError, match="interlaced"):
+        md.decode_gif(bytes(raw))
+
+
+def test_gif_lzw_roundtrip_property():
+    """decode(encode(x)) == x over random index streams — exercises
+    dictionary growth, code-width bumps and the KwKwK case."""
+    import random
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        n=st.integers(1, 600),
+        alphabet=st.sampled_from([2, 4, 7, 16, 256]),
+    )
+    def check(seed, n, alphabet):
+        rng = random.Random(seed)
+        # runs of repeats make the dictionary actually grow
+        indices = bytearray()
+        while len(indices) < n:
+            sym = rng.randrange(alphabet)
+            indices += bytes([sym]) * rng.randint(1, 6)
+        indices = bytes(indices[:n])
+        mcs = max(2, (alphabet - 1).bit_length())
+        assert md._lzw_decode(_lzw_encode(indices, mcs), mcs) == indices
+
+    check()
+
+
+# ---------------------------------------------------------------------------
+# JPEG test-side encoder: DC-only flat blocks, custom canonical Huffman
+# ---------------------------------------------------------------------------
+
+_DC_BITS = [0, 0, 0, 12] + [0] * 12  # 12 categories, all 4-bit codes
+_DC_HUFFVAL = bytes(range(12))
+_AC_BITS = [1] + [0] * 15  # single 1-bit code: EOB
+_AC_HUFFVAL = bytes([0x00])
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = self.nbits = 0
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _encode_dc(writer: _BitWriter, diff: int) -> None:
+    cat = abs(diff).bit_length()
+    writer.write(cat, 4)  # our DC table: category c -> code c, width 4
+    if cat:
+        writer.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    writer.write(0, 1)  # EOB (our AC table: code 0, width 1)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _encode_jpeg_flat(
+    width: int,
+    height: int,
+    comps: list[tuple[int, int]],
+    block_values: list[list[int]],
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG of flat 8x8 blocks.  ``comps`` lists per-component
+    (h, v) sampling factors; ``block_values[ci]`` gives the flat pixel value
+    (0..255) of each of that component's blocks in MCU/encode order.  Quant
+    table is all-ones, so block DC = 8 * (value - 128) exactly."""
+    dqt = _seg(0xDB, b"\x00" + b"\x01" * 64)
+    dht = _seg(
+        0xC4,
+        b"\x00" + bytes(_DC_BITS) + _DC_HUFFVAL + b"\x10" + bytes(_AC_BITS) + _AC_HUFFVAL,
+    )
+    sof = b"\x08" + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([len(comps)])
+    for ci, (h, v) in enumerate(comps):
+        sof += bytes([ci + 1, (h << 4) | v, 0])
+    sos = bytes([len(comps)])
+    for ci in range(len(comps)):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    head = b"\xff\xd8" + dqt + dht + _seg(0xC0, sof) + _seg(0xDA, sos)
+    if restart_interval:
+        head = head[: -len(_seg(0xDA, sos))] + _seg(
+            0xDD, restart_interval.to_bytes(2, "big")
+        ) + _seg(0xDA, sos)
+
+    hmax = max(h for h, _ in comps)
+    vmax = max(v for _, v in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    writer = _BitWriter()
+    dc_pred = [0] * len(comps)
+    block_pos = [0] * len(comps)
+    rst = 0
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.align()
+            writer.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            dc_pred = [0] * len(comps)
+        for ci, (h, v) in enumerate(comps):
+            for _ in range(h * v):
+                value = block_values[ci][block_pos[ci]]
+                block_pos[ci] += 1
+                dc = 8 * (value - 128)
+                _encode_dc(writer, dc - dc_pred[ci])
+                dc_pred[ci] = dc
+    writer.align()
+    return head + bytes(writer.out) + b"\xff\xd9"
+
+
+def test_decode_jpeg_grayscale_flat_blocks():
+    """16x8 grayscale, two flat blocks: decoded pixels must equal the
+    planted values exactly (all-ones quant + DC-only -> exact IDCT)."""
+    data = _encode_jpeg_flat(16, 8, [(1, 1)], [[133, 61]])
+    w, h, ch, pix = md.decode_jpeg(data)
+    assert (w, h, ch) == (16, 8, 1)
+    import numpy as np
+
+    img = np.frombuffer(pix, dtype=np.uint8).reshape(8, 16)
+    assert (img[:, :8] == 133).all()
+    assert (img[:, 8:] == 61).all()
+
+
+def test_decode_jpeg_color_444():
+    """8x8 YCbCr 4:4:4 flat planes -> BT.601 RGB, checked closed-form."""
+    import numpy as np
+
+    y, cb, cr = 90, 200, 60
+    data = _encode_jpeg_flat(8, 8, [(1, 1), (1, 1), (1, 1)], [[y], [cb], [cr]])
+    w, h, ch, pix = md.decode_jpeg(data)
+    assert (w, h, ch) == (8, 8, 3)
+    r = int(np.clip(round(y + 1.402 * (cr - 128)), 0, 255))
+    g = int(np.clip(round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255))
+    b = int(np.clip(round(y + 1.772 * (cb - 128)), 0, 255))
+    img = np.frombuffer(pix, dtype=np.uint8).reshape(8, 8, 3)
+    assert (img == [r, g, b]).all()
+
+
+def test_decode_jpeg_420_subsampling():
+    """16x16 4:2:0: four flat Y blocks (one MCU), neutral chroma — each 8x8
+    quadrant must carry its own planted luma after chroma upsampling."""
+    import numpy as np
+
+    ys = [96, 112, 144, 176]  # MCU block order: (0,0) (0,1) (1,0) (1,1)
+    data = _encode_jpeg_flat(16, 16, [(2, 2), (1, 1), (1, 1)], [ys, [128], [128]])
+    w, h, ch, pix = md.decode_jpeg(data)
+    assert (w, h, ch) == (16, 16, 3)
+    img = np.frombuffer(pix, dtype=np.uint8).reshape(16, 16, 3)
+    assert (img[:8, :8] == ys[0]).all()
+    assert (img[:8, 8:] == ys[1]).all()
+    assert (img[8:, :8] == ys[2]).all()
+    assert (img[8:, 8:] == ys[3]).all()
+
+
+def test_decode_jpeg_restart_markers():
+    """DRI=1: an RSTn between every MCU; DC predictors reset across them."""
+    import numpy as np
+
+    data = _encode_jpeg_flat(24, 8, [(1, 1)], [[50, 128, 210]], restart_interval=1)
+    w, h, ch, pix = md.decode_jpeg(data)
+    img = np.frombuffer(pix, dtype=np.uint8).reshape(8, 24)
+    assert (img[:, :8] == 50).all() and (img[:, 8:16] == 128).all() and (img[:, 16:] == 210).all()
+
+
+def test_decode_jpeg_rejects_out_of_lattice():
+    assert md.decode_jpeg(b"not a jpeg") is None
+    data = bytearray(_encode_jpeg_flat(8, 8, [(1, 1)], [[100]]))
+    sof_at = bytes(data).find(b"\xff\xc0")
+    data[sof_at + 1] = 0xC2  # progressive
+    with pytest.raises(ValueError, match="SOF2"):
+        md.decode_jpeg(bytes(data))
+
+
+def test_decode_jpeg_non_mcu_aligned_dims():
+    """Dims not multiples of the MCU size: decoder must crop the padded
+    plane back to the declared WxH."""
+    import numpy as np
+
+    # 12x5 grayscale: 2x1 MCU grid of 8x8 blocks, cropped to 12x5
+    data = _encode_jpeg_flat(12, 5, [(1, 1)], [[70, 180]])
+    w, h, ch, pix = md.decode_jpeg(data)
+    assert (w, h, ch) == (12, 5, 1)
+    img = np.frombuffer(pix, dtype=np.uint8).reshape(5, 12)
+    assert (img[:, :8] == 70).all() and (img[:, 8:] == 180).all()
+
+
+def test_decode_features_real_decode_gif_jpeg(spark):
+    """real_decode=True now decodes GIF and JPEG payloads inside the Arrow
+    workers: features are computed over DECODED pixel bytes."""
+    palette = [(0, 0, 0), (255, 255, 255)]
+    gif = _encode_gif(bytes([0, 1, 1, 0]), 2, 2, palette)
+    jpeg = _encode_jpeg_flat(8, 8, [(1, 1)], [[133]])
+    df = spark.createDataFrame(
+        [(1, gif), (2, jpeg)], "doc_id long, payload binary"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in mm.decode_features(df, real_decode=True, payload_col="payload").collect()
+    }
+    assert got[1]["decoded"] is True
+    assert got[1]["n_bytes"] == 2 * 2 * 3  # RGB pixels, not container bytes
+    assert abs(got[1]["byte_mean"] - 127.5) < 1e-9  # half black, half white
+    assert got[2]["decoded"] is True
+    assert got[2]["n_bytes"] == 8 * 8  # grayscale pixels
+    assert abs(got[2]["byte_mean"] - 133.0) < 1e-9

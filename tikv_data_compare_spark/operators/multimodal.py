@@ -4,7 +4,9 @@ Images/audio/video are carried as ``binary`` columns plus metadata.  No
 image/audio library exists in this container, so real decode is implemented
 from the published container specs directly: PNG pixel decode via stdlib
 zlib (IDAT inflate + per-scanline unfiltering, all five filter types of the
-PNG spec §6) and RIFF/WAVE PCM sample decode via struct offsets.  Payloads
+PNG spec §6), GIF pixel decode (LZW + palette) and baseline JPEG pixel
+decode (Huffman + IDCT + YCbCr — see operators/media_decode.py), and
+RIFF/WAVE PCM sample decode via struct offsets.  Payloads
 no decoder recognizes fall back to byte-level features with
 ``decoded=false`` — the distributed path (schema, Arrow batching,
 mapInPandas signature, partitioning) is identical either way.
@@ -25,6 +27,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from tikv_data_compare_spark.functions import sqlgen
+from tikv_data_compare_spark.operators import media_decode
 
 #: schema of the decoded-feature output of decode_features()
 FEATURE_SCHEMA = (
@@ -194,9 +197,11 @@ def decode_features(
     Default: deterministic byte-level features over the raw payload (the
     fixture path — documents carry text-as-binary).  ``real_decode=True``
     DECODES recognized media containers first — PNG pixels
-    (:func:`decode_png`, stdlib-zlib inflate + unfilter) and WAV PCM samples
-    (:func:`decode_wav_pcm`) — and computes the same features over the
-    decoded content bytes with ``decoded=true``; unrecognized or
+    (:func:`decode_png`, stdlib-zlib inflate + unfilter), GIF pixels
+    (:func:`media_decode.decode_gif`, LZW + palette), baseline JPEG pixels
+    (:func:`media_decode.decode_jpeg`, Huffman + IDCT + YCbCr) and WAV PCM
+    samples (:func:`decode_wav_pcm`) — and computes the same features over
+    the decoded content bytes with ``decoded=true``; unrecognized or
     out-of-lattice payloads fall back to raw-byte features with
     ``decoded=false`` instead of failing the batch.
 
@@ -215,13 +220,14 @@ def decode_features(
         def content_bytes(payload: bytes) -> tuple[bytes, bool]:
             if real_decode:
                 try:
-                    png = decode_png(payload)
-                    if png is not None:
-                        return png[3], True
+                    for pixel_decoder in (decode_png, media_decode.decode_gif, media_decode.decode_jpeg):
+                        decoded = pixel_decoder(payload)
+                        if decoded is not None:
+                            return decoded[3], True
                     wav = decode_wav_pcm(payload)
                     if wav is not None:
                         return wav[2].tobytes(), True
-                except (ValueError, zlib.error):
+                except (ValueError, zlib.error, IndexError):
                     pass  # out-of-lattice or corrupt: raw-byte fallback below
             return payload, False
 

@@ -43,6 +43,35 @@ def get_spark(app_name: str = "tikv-data-compare-spark", cpus: int | None = None
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    return ship_package(spark)
+
+
+def ship_package(spark: SparkSession) -> SparkSession:
+    """Ship this package's source to executors via ``addPyFile``.
+
+    UDF/mapInPandas closures that reference module-level helpers (the
+    decoders in operators/media_decode.py, the codec in codec.py) are
+    cloudpickled BY REFERENCE, so the executor's Python worker must be able
+    to ``import tikv_data_compare_spark`` — which is not a given when the
+    driver found the package via ``sys.path`` instead of a cluster-wide
+    install.  Zipping the package (~0.2 MB of source) and registering it
+    with ``addPyFile`` makes every worker self-sufficient on any cluster
+    manager, with no pre-install step; idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_tdcs_package_shipped", False):
+        return spark
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zpath = pathlib.Path(tempfile.gettempdir()) / f"tikv_data_compare_spark-ship-{os.getpid()}.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            zf.write(p, arcname=str(pathlib.Path(pkg_dir.name) / p.relative_to(pkg_dir)))
+    sc.addPyFile(str(zpath))
+    sc._tdcs_package_shipped = True
     return spark
 
 
@@ -107,4 +136,4 @@ def tune(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:  # noqa: BLE001 — absent pre-4.1; scandump falls back to post-scan Filter
         pass
-    return spark
+    return ship_package(spark)
