@@ -135,13 +135,25 @@ def main():
     #      deferred GC can't poison all three.
     from tikv_data_compare_spark.operators import curate as cur
 
+    def loadavg_1m() -> float:
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except (OSError, ValueError):
+            return -1.0
+
     timings = {}
     stages: dict[str, float] = {}
+    load_seen = [loadavg_1m()]
     for name in names:
         fn = benches[name]
         best = None
         runs = []
-        for _ in range(3):
+        # the dominant entry absorbs cross-tenant host contention most
+        # visibly (probed: same code 3.9-84s as external load swings 3->12,
+        # BASELINE.md contention notes) — give its min two extra chances
+        n_runs = 5 if name == "curation_pipeline" else 3
+        for _ in range(n_runs):
             spark.catalog.clearCache()
             gc.collect()
             spark.sparkContext._jvm.System.gc()
@@ -159,6 +171,7 @@ def main():
         if debug:
             print(f"[bench] {name}: runs={runs}", file=sys.stderr)
         timings[name] = round(best, 3)
+        load_seen.append(loadavg_1m())
 
     total = round(sum(timings.values()), 3)
     # the suite grew from 10 to 14 operators in r5 — report the original-10
@@ -179,6 +192,13 @@ def main():
                 "core10_total": round(sum(timings[n] for n in core10 if n in timings), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
+                # host 1-min load sampled between queries: this container is
+                # not alone on the machine, and external load directly
+                # inflates the timings above (documented contention
+                # mechanism, BASELINE.md) — record it so an out-of-band
+                # number can be attributed instead of guessed at
+                "loadavg_max": max(load_seen),
+                "loadavg_median": sorted(load_seen)[len(load_seen) // 2],
             }
         )
     )
