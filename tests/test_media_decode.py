@@ -155,6 +155,14 @@ _DC_HUFFVAL = bytes(range(12))
 _AC_BITS = [1] + [0] * 15  # single 1-bit code: EOB
 _AC_HUFFVAL = bytes([0x00])
 
+# richer AC table for coefficient tests: EOB, ZRL and (run 0..15, size 1..10)
+# all as 8-bit canonical codes (162 of 256 — the all-ones code stays unused)
+_AC_FULL_HUFFVAL = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_FULL_BITS = [0] * 7 + [len(_AC_FULL_HUFFVAL)] + [0] * 8
+_AC_FULL_CODE = {sym: i for i, sym in enumerate(_AC_FULL_HUFFVAL)}
+
 
 class _BitWriter:
     def __init__(self):
@@ -241,6 +249,107 @@ def _encode_jpeg_flat(
                 dc_pred[ci] = dc
     writer.align()
     return head + bytes(writer.out) + b"\xff\xd9"
+
+
+def _encode_jpeg_coefs(width: int, height: int, quant: list[int], blocks) -> bytes:
+    """Grayscale baseline JPEG from QUANTIZED coefficient blocks (raster
+    8x8 order) — full AC run-length/ZRL/EOB encoding against the rich AC
+    table, custom quant table emitted in zigzag order per the spec."""
+    dqt = _seg(0xDB, b"\x00" + bytes(quant[md._ZIGZAG[z]] for z in range(64)))
+    dht = _seg(
+        0xC4,
+        b"\x00" + bytes(_DC_BITS) + _DC_HUFFVAL
+        + b"\x10" + bytes(_AC_FULL_BITS) + _AC_FULL_HUFFVAL,
+    )
+    sof = b"\x08" + height.to_bytes(2, "big") + width.to_bytes(2, "big") + b"\x01\x01\x11\x00"
+    sos = b"\x01\x01\x00\x00\x3f\x00"
+    writer = _BitWriter()
+    dc_pred = 0
+    for block in blocks:
+        assert len(block) == 64
+        diff = block[0] - dc_pred
+        dc_pred = block[0]
+        cat = abs(diff).bit_length()
+        writer.write(cat, 4)
+        if cat:
+            writer.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        run = 0
+        for z in range(1, 64):
+            v = block[md._ZIGZAG[z]]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                writer.write(_AC_FULL_CODE[0xF0], 8)  # ZRL
+                run -= 16
+            size = abs(v).bit_length()
+            writer.write(_AC_FULL_CODE[(run << 4) | size], 8)
+            writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if run:
+            writer.write(_AC_FULL_CODE[0x00], 8)  # EOB
+    writer.align()
+    return (
+        b"\xff\xd8" + dqt + dht + _seg(0xC0, sof) + _seg(0xDA, sos)
+        + bytes(writer.out) + b"\xff\xd9"
+    )
+
+
+def test_decode_jpeg_ac_coefficients_full_pipeline():
+    """Planted AC coefficients + a non-trivial quant table: the decoder's
+    Huffman AC run-length decode, ZRL handling, dezigzag and dequantize must
+    reproduce an independently-computed IDCT exactly."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(1234)
+    quant = [1 + ((i * 7) % 13) for i in range(64)]
+    blocks = []
+    for _ in range(4):
+        block = [0] * 64
+        block[0] = rng.randint(-64, 64)
+        # scatter nonzero ACs: some adjacent (run 0), some after long zero
+        # gaps (forces ZRL), sizes up to 8 bits
+        for z in rng.sample(range(1, 64), 9) + [30, 55]:
+            block[md._ZIGZAG[z]] = rng.choice([-1, 1]) * rng.randint(1, 255)
+        blocks.append(block)
+    data = _encode_jpeg_coefs(32, 8, quant, blocks)
+    w, h, ch, pix = md.decode_jpeg(data)
+    assert (w, h, ch) == (32, 8, 1)
+
+    # independent IDCT reference
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    basis = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8)
+    basis[0, :] = np.sqrt(1.0 / 8)
+    q = np.array(quant).reshape(8, 8)
+    img = np.frombuffer(pix, dtype=np.uint8).reshape(8, 32)
+    for bi, block in enumerate(blocks):
+        coef = np.array(block).reshape(8, 8) * q
+        want = np.clip(np.round(basis.T @ coef @ basis + 128), 0, 255).astype(np.uint8)
+        got = img[:, 8 * bi : 8 * bi + 8]
+        assert (got == want).all(), f"block {bi} mismatch"
+
+
+def test_decode_jpeg_zrl_sixteen_zero_run():
+    """A >15 zero run between ACs must round-trip through the ZRL symbol."""
+    import numpy as np
+
+    block = [0] * 64
+    block[0] = 8  # DC
+    block[md._ZIGZAG[1]] = 40
+    block[md._ZIGZAG[20]] = -25  # 18 zeros after z=1 -> ZRL + run 2
+    data = _encode_jpeg_coefs(8, 8, [1] * 64, [block])
+    w, h, ch, pix = md.decode_jpeg(data)
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    basis = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8)
+    basis[0, :] = np.sqrt(1.0 / 8)
+    want = np.clip(
+        np.round(basis.T @ np.array(block, dtype=float).reshape(8, 8) @ basis + 128), 0, 255
+    ).astype(np.uint8)
+    assert (np.frombuffer(pix, dtype=np.uint8).reshape(8, 8) == want).all()
 
 
 def test_decode_jpeg_grayscale_flat_blocks():
