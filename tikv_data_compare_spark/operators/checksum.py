@@ -93,21 +93,31 @@ def _row_canon_expr(keyed: Keyed, cols: list[str], tags: dict[str, str] | None) 
     return sqlgen.row_canon(pairs, sqlgen.SPARK)
 
 
+#: physical width in bytes of fixed-size Spark types (fast byte accounting)
+_FIXED_WIDTH = {
+    "long": 8, "integer": 4, "short": 2, "byte": 1,
+    "double": 8, "float": 4, "boolean": 1,
+    "date": 4, "timestamp": 8, "timestamp_ntz": 8, "decimal": 16,
+}
+
+
 def _byte_len(keyed: Keyed, tags: dict[str, str] | None, fast: bool = False) -> Column:
     """Per-row byte contribution.
 
     KV mode (all-binary): ``len(key)+len(value)`` — exactly the reference's
     TotalBytes (checksum/checksum.go:28).  Typed mode: length of the
     canonical row string (deterministic, oracle-matchable); the fast path
-    (``fast=True``, used by xxhash64 mode) sums raw per-column string byte
-    lengths instead — same change-detection power, ~2× cheaper than building
-    the canonical concat per row.
+    (``fast=True``, used by xxhash64 mode) charges each column its PHYSICAL
+    width — a constant per fixed-size type (folded into one literal for the
+    whole row), ``octet_length`` only for string/binary columns.  That
+    mirrors the reference's TotalBytes semantics (an accounting metric over
+    stored bytes; VALUE drift detection belongs to the XOR checksum, which
+    covers every column) and costs ~0 per row, where the previous
+    render-every-column-to-string measure dominated the whole aggregate
+    (profiled at sf0.1: 0.88 s of the 0.94 s triple).
     """
-    binary_cols = [
-        f.name
-        for f in keyed.df.schema.fields
-        if f.dataType.typeName() == "binary" and f.name in keyed.columns
-    ]
+    dts = {f.name: f.dataType.typeName() for f in keyed.df.schema.fields}
+    binary_cols = [c for c in keyed.columns if dts[c] == "binary"]
     if len(binary_cols) == len(keyed.columns):
         total = None
         for c in keyed.columns:
@@ -115,11 +125,22 @@ def _byte_len(keyed: Keyed, tags: dict[str, str] | None, fast: bool = False) -> 
             total = term if total is None else total + term
         return total
     if fast:
+        const = 0
         total = None
         for c in keyed.columns:
-            term = F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(1))
+            dt = dts[c]
+            if dt in _FIXED_WIDTH:
+                const += _FIXED_WIDTH[dt]
+                continue
+            if dt == "binary":
+                term = F.coalesce(F.length(F.col(c)), F.lit(1))
+            elif dt == "string":
+                term = F.coalesce(F.octet_length(F.col(c)), F.lit(1))
+            else:
+                term = F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(1))
             total = term if total is None else total + term
-        return total
+        base = F.lit(const).cast("long")
+        return base if total is None else base + total
     if "_canon" in keyed.df.columns:  # md5i64 path already projected it
         return F.length(F.col("_canon"))
     return F.length(F.expr(_row_canon_expr(keyed, list(keyed.columns), tags)))
