@@ -137,3 +137,30 @@ def test_compare_checksum_two_rows(kv_pair):
     src, dst = kv_pair
     rows = compare_checksum(src, dst).collect()
     assert [r["side"] for r in rows] == ["src", "dst"]
+
+
+def test_checksum_invariant_to_nullability_metadata(spark):
+    """The xxhash64 checksum must be a pure function of row VALUES: two
+    sides holding identical data but different schema nullability flags
+    (parquet reads mark everything nullable; createDataFrame may not) must
+    produce identical triples."""
+    from pyspark.sql import types as T
+
+    rows = [(1, "a", None), (2, "c", "b"), (3, "x", "y")]
+
+    def schema(nullable):
+        return T.StructType(
+            [
+                T.StructField("k", T.LongType(), False),
+                T.StructField("v1", T.StringType(), nullable),
+                T.StructField("v2", T.StringType(), True),
+            ]
+        )
+
+    loose = Keyed.of(spark.createDataFrame(rows, schema(True)), keys=("k",))
+    tight = Keyed.of(spark.createDataFrame(rows, schema(False)), keys=("k",))
+    a = checksum(loose, algo="xxhash64").collect()[0]
+    b = checksum(tight, algo="xxhash64").collect()[0]
+    assert (a["checksum"], a["total_kvs"]) == (b["checksum"], b["total_kvs"])
+    v = checksum_verdict(loose, tight)
+    assert v["equal"], v

@@ -428,6 +428,58 @@ def test_decode_jpeg_non_mcu_aligned_dims():
     assert (img[:, :8] == 70).all() and (img[:, 8:] == 180).all()
 
 
+def test_decode_jpeg_single_component_ignores_sof_sampling():
+    """Grayscale converted from 4:2:0 often keeps 2x2 SOF sampling factors;
+    a single-component scan is non-interleaved per T.81 A.2, so the decoder
+    must use 8x8 data units regardless of the declared factors."""
+    import numpy as np
+
+    data = bytearray(_encode_jpeg_flat(16, 8, [(1, 1)], [[133, 61]]))
+    sof_at = bytes(data).find(b"\xff\xc0")
+    assert data[sof_at + 11] == 0x11  # the single component's h/v byte
+    data[sof_at + 11] = 0x22
+    w, h, ch, pix = md.decode_jpeg(bytes(data))
+    assert (w, h, ch) == (16, 8, 1)
+    img = np.frombuffer(pix, dtype=np.uint8).reshape(8, 16)
+    assert (img[:, :8] == 133).all() and (img[:, 8:] == 61).all()
+
+
+def test_decode_jpeg_rejects_multi_scan_and_undefined_tables():
+    # scan covering 1 of 3 components: legal baseline, outside our lattice
+    data = bytearray(_encode_jpeg_flat(8, 8, [(1, 1), (1, 1), (1, 1)], [[90], [128], [128]]))
+    sos_at = bytes(data).find(b"\xff\xda")
+    data[sos_at + 4] = 1  # Ns
+    with pytest.raises(ValueError, match="multi-scan"):
+        md.decode_jpeg(bytes(data))
+
+    # scan referencing an undefined Huffman table id -> ValueError, not KeyError
+    data = bytearray(_encode_jpeg_flat(8, 8, [(1, 1)], [[100]]))
+    sos_at = bytes(data).find(b"\xff\xda")
+    data[sos_at + 6] = 0x11  # dc table 1 / ac table 1 (only 0 defined)
+    with pytest.raises(ValueError, match="undefined Huffman table"):
+        md.decode_jpeg(bytes(data))
+
+
+def test_decode_features_corrupt_container_falls_back(spark):
+    """A payload that LOOKS like a media container but is corrupt inside
+    must fall back to raw-byte features — whatever the decoder raises —
+    never fail the Arrow batch."""
+    rows = [
+        (1, b"\xff\xd8\xff\xc0\x00\x05ga"),  # JPEG SOI + truncated SOF
+        (2, b"GIF89a\x02\x00\x02\x00\x80\x00\x00junk"),  # GIF + garbage body
+        (3, b"\x89PNG\r\n\x1a\n truncated"),  # PNG sig + garbage
+        (4, b"RIFF\x04\x00\x00\x00WAVE"),  # WAV with no fmt/data
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in mm.decode_features(df, real_decode=True, payload_col="payload").collect()
+    }
+    for doc_id, payload in rows:
+        assert got[doc_id]["decoded"] is False
+        assert got[doc_id]["n_bytes"] == len(payload)
+
+
 def test_decode_features_real_decode_gif_jpeg(spark):
     """real_decode=True now decodes GIF and JPEG payloads inside the Arrow
     workers: features are computed over DECODED pixel bytes."""

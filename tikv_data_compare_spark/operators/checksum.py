@@ -42,15 +42,19 @@ def _null_safe_children(df: DataFrame, cols: list[str]) -> list[Column]:
     column with its ``isNull()`` boolean restores injectivity over the null
     pattern: the marker is itself never NULL, so it always folds into the
     hash at that position — ``[v, false, true]`` vs ``[true, v, false]``
-    differ.  Non-nullable columns (per schema) skip the marker to keep the
-    expression narrow.  Stays entirely inside whole-stage codegen.
+    differ.  EVERY column gets the marker, not just schema-nullable ones:
+    the checksum must be a pure function of row VALUES, and nullability is
+    metadata that legitimately differs between two sides holding identical
+    data (a parquet read marks everything nullable; a createDataFrame or
+    post-aggregation column may not) — deriving the child list from each
+    side's own flags would make identical rows hash differently and report
+    false drift.  A constant-false marker costs one codegen branch per
+    column; stays entirely inside whole-stage codegen.
     """
-    nullable = {f.name for f in df.schema.fields if f.nullable}
     children: list[Column] = []
     for c in cols:
         children.append(F.col(c))
-        if c in nullable:
-            children.append(F.col(c).isNull())
+        children.append(F.col(c).isNull())
     return children
 
 

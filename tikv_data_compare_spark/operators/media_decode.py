@@ -105,8 +105,6 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes] | None:
                 pos += 1 + data[pos]
             pos += 1
         elif block == 0x2C:  # image descriptor
-            left = int.from_bytes(data[pos + 1 : pos + 3], "little")
-            top = int.from_bytes(data[pos + 3 : pos + 5], "little")
             w = int.from_bytes(data[pos + 5 : pos + 7], "little")
             h = int.from_bytes(data[pos + 7 : pos + 9], "little")
             ipacked = data[pos + 9]
@@ -132,8 +130,8 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes] | None:
                 raise ValueError(
                     f"GIF LZW underrun: {len(indices)} indices for {w}x{h} frame"
                 )
-            if (left, top, w, h) != (0, 0, sw, sh):
-                sw, sh = w, h  # partial first frame: return the frame itself
+            # a frame smaller than the logical screen is returned as-is
+            # (the frame's own dims, not the screen's)
             rgb = bytearray(w * h * 3)
             npal = len(palette) // 3
             for i in range(w * h):
@@ -202,6 +200,10 @@ class _BitReader:
             self.pos += 1
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+        # drop already-consumed high bits: without this, acc accumulates the
+        # whole entropy stream and every bit() shifts a multi-megabit int —
+        # O(n^2) on a normal-size JPEG
+        self.acc &= (1 << self.nbits) - 1
 
     def bit(self) -> int:
         if self.nbits == 0:
@@ -316,10 +318,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes] | None:
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF0")
             ns = seg[0]
+            if ns != len(frame[2]):
+                raise ValueError(
+                    "unsupported JPEG lattice: non-interleaved multi-scan file "
+                    f"(scan covers {ns} of {len(frame[2])} components)"
+                )
             scan_tables = {}  # comp_id -> (dc table, ac table)
             for c in range(ns):
                 cs = seg[1 + 2 * c]
                 td, ta = seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F
+                if (0, td) not in htables or (1, ta) not in htables:
+                    raise ValueError(f"JPEG: scan references undefined Huffman table {td}/{ta}")
                 scan_tables[cs] = (htables[(0, td)], htables[(1, ta)])
             return _decode_scan(
                 data, pos + 2 + seglen, frame, qtables, scan_tables, restart_interval
@@ -344,6 +353,11 @@ def _decode_scan(data, pos, frame, qtables, scan_tables, restart_interval):
     import numpy as np
 
     width, height, comps = frame
+    if len(comps) == 1:
+        # a single-component scan is non-interleaved per T.81 A.2: the MCU is
+        # ONE 8x8 data unit regardless of the SOF's declared sampling factors
+        # (grayscale files converted from 4:2:0 commonly still declare 2x2)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(h for _, h, _, _ in comps)
     vmax = max(v for _, _, v, _ in comps)
     if hmax > 2 or vmax > 2:

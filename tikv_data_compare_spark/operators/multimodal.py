@@ -227,8 +227,11 @@ def decode_features(
                     wav = decode_wav_pcm(payload)
                     if wav is not None:
                         return wav[2].tobytes(), True
-                except (ValueError, zlib.error, IndexError):
-                    pass  # out-of-lattice or corrupt: raw-byte fallback below
+                except Exception:  # noqa: BLE001 — adversarial/corrupt payloads
+                    # must never fail the Arrow batch (the documented
+                    # contract); whatever a malformed container raises inside
+                    # a decoder, this row falls back to raw-byte features
+                    pass
             return payload, False
 
         for pdf in batches:

@@ -131,8 +131,16 @@ def compare_checksum_parallel(
     sv, dv = src_client.api_version(), dst_client.api_version()
     if sv != dv:
         raise ValueError(f"API version mismatch: src {sv} != dst {dv}")
-    s = checksum_parallel(src_client, start, end, concurrency)
-    d = checksum_parallel(dst_client, start, end, concurrency)
+    # the two clusters are independent — overlap their region-parallel
+    # checksums so the verdict takes ~max(T_src, T_dst) instead of the sum
+    # (the reference likewise runs both sides concurrently,
+    # checksum/checksum.go:140-168)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fs = pool.submit(checksum_parallel, src_client, start, end, concurrency)
+        fd = pool.submit(checksum_parallel, dst_client, start, end, concurrency)
+        s, d = fs.result(), fd.result()
     equal = all(s[f] == d[f] for f in ("checksum", "total_kvs", "total_bytes"))
     return {
         "equal": equal,
