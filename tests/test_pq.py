@@ -1,0 +1,97 @@
+"""Product-quantization ANN: codebook determinism, code compactness, ADC
+recall vs the exact operator, and the degenerate-exact case."""
+
+import pytest
+
+from tikv_data_compare_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(embeddings):
+    return embeddings.cache()
+
+
+def test_train_pq_shape_and_determinism(emb):
+    import numpy as np
+
+    b1 = sim.train_pq(emb, m=8, k_codes=16, sample_rows=512, seed=3)
+    b2 = sim.train_pq(emb, m=8, k_codes=16, sample_rows=512, seed=3)
+    assert b1.shape == (8, 16, 8)  # 64-dim fixture / m=8
+    assert np.array_equal(b1, b2)
+    b3 = sim.train_pq(emb, m=8, k_codes=16, sample_rows=512, seed=4)
+    assert not np.array_equal(b1, b3)  # seed actually steers init
+
+    with pytest.raises(ValueError, match="dim % m"):
+        sim.train_pq(emb, m=7)
+
+
+def test_pq_encode_is_m_bytes_per_vector(spark, emb):
+    books = sim.train_pq(emb, m=8, k_codes=16, sample_rows=512, seed=3)
+    bc = spark.sparkContext.broadcast(books)
+    coded = sim.pq_encode(emb.select("vec_id", "embedding"), bc)
+    rows = coded.select("vec_id", "pq_code").limit(20).collect()
+    assert rows and all(len(bytes(r["pq_code"])) == 8 for r in rows)
+    assert coded.count() == emb.count()  # every vector encoded, none dropped
+    # deterministic: re-encoding yields identical codes
+    again = {r["vec_id"]: bytes(r["pq_code"]) for r in coded.limit(20).collect()}
+    assert all(again[r["vec_id"]] == bytes(r["pq_code"]) for r in rows)
+
+
+def test_topk_pq_recall_vs_bruteforce(emb):
+    """The refine recipe (cheap m=8/k=32 codes + exact re-rank of the ADC
+    top-100 shortlist) must hold high overlap with exact cosine top-5;
+    pure ADC keeps a weaker-but-real floor at finer quantization."""
+    n_q, k = 10, 5
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_bruteforce(emb, k=k, n_queries=n_q).collect()
+    }
+    approx_rows = sim.topk_pq(emb, k=k, n_queries=n_q, m=8, k_codes=32, rerank=100).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    assert len(approx) == n_q * k
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+    # contract bits: no self-matches, ranks are 1..k per query
+    by_q = {}
+    for r in approx_rows:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(sorted(v) == list(range(1, k + 1)) for v in by_q.values())
+
+    pure_adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_pq(emb, k=k, n_queries=n_q, m=16, k_codes=256).collect()
+    }
+    assert len(exact & pure_adc) / len(exact) >= 0.35
+
+
+def test_topk_pq_exact_when_codebook_covers_corpus(spark):
+    """A corpus built from k_codes distinct subvectors per subspace is
+    losslessly quantizable: with the sample covering the whole corpus, ADC
+    ranking must equal exact cosine ranking."""
+    import random
+
+    rng = random.Random(5)
+    # unit-norm prototypes: every combination then has the same full-vector
+    # norm, so L2-normalizing the full vector scales each subvector by the
+    # SAME constant and the subspace alphabet stays exactly 4 points
+    protos = []
+    for _ in range(4):
+        p = [rng.uniform(-1, 1) for _ in range(4)]
+        n = sum(v * v for v in p) ** 0.5
+        protos.append([v / n for v in p])
+    rows = []
+    for vid in range(40):
+        v = protos[vid % 4] + protos[(vid // 4) % 4]
+        rows.append((vid, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = [
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in sim.topk_bruteforce(df, k=3, n_queries=4).collect()
+    ]
+    # k_codes=8 >= 4 distinct prototypes per subspace; sample covers all 40
+    approx = [
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in sim.topk_pq(df, k=3, n_queries=4, m=2, k_codes=8, sample_rows=40).collect()
+    ]
+    assert sorted(exact) == sorted(approx)

@@ -545,3 +545,236 @@ def embedding_exact_dup(emb: DataFrame) -> DataFrame:
         F.min("vec_id").cast("long").alias("keep_vec_id"),
         F.count(F.lit(1)).cast("long").alias("n_dups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the 100 TB memory path
+# ---------------------------------------------------------------------------
+
+
+def train_pq(
+    emb: DataFrame,
+    m: int = 8,
+    k_codes: int = 32,
+    sample_rows: int = 4096,
+    seed: int = 11,
+    vec_col: str = "embedding",
+):
+    """Train product-quantizer codebooks: ``(m, k_codes, dim/m)`` numpy array.
+
+    The vector space is split into ``m`` contiguous subspaces and each gets
+    its own ``k_codes``-centroid k-means codebook (trained on the same
+    deterministic content-hash sample as :func:`_train_centroids` — one
+    bounded driver collect, standard FAISS practice).  Vectors are
+    L2-NORMALIZED before training so the asymmetric-distance inner product
+    approximates COSINE, matching the exact operators' metric.
+
+    Why PQ at all: at 100 TB an embedding corpus does not fit as floats —
+    1024-dim float32 is 4 KB/vector, while m=16, k=256 PQ codes are 16
+    BYTES/vector (256×), small enough to keep the whole corpus hot.  Scoring
+    against codes needs only a per-query lookup table of ``m × k_codes``
+    partial dot products (ADC, Jégou et al. 2011).
+    """
+    import numpy as np
+
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"PQ requires dim % m == 0, got dim={dim}, m={m}")
+    rows = (
+        emb.select(vec_col, F.xxhash64(F.col(vec_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_rows)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    x = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x /= norms
+    sub_d = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, min(k_codes, len(x)), sub_d), dtype=np.float64)
+    kk = books.shape[1]
+    for j in range(m):
+        xj = x[:, j * sub_d : (j + 1) * sub_d]
+        # init from UNIQUE points: drawing raw sample rows can hand several
+        # centroids the same duplicated value and leave another value with
+        # none — Lloyd's cannot split identical centroids afterwards.  With
+        # fewer distinct points than codes, every point gets a centroid
+        # (quantization is then lossless) and the rest are duplicates.
+        uniq = np.unique(xj, axis=0)
+        if len(uniq) >= kk:
+            cent = uniq[rng.choice(len(uniq), size=kk, replace=False)]
+        else:
+            cent = np.tile(uniq, (kk // len(uniq) + 1, 1))[:kk].copy()
+        for _ in range(10):
+            d2 = ((xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xj[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(emb: DataFrame, books_bc, vec_col: str = "embedding") -> DataFrame:
+    """Append ``pq_code``: the m-byte PQ code of each (normalized) vector as
+    a BINARY column — one uint8 per subspace (hence ``k_codes <= 256``).
+
+    One broadcast + one numpy argmin per Arrow batch; the corpus never
+    shuffles and carries m bytes instead of dim floats downstream.
+    """
+    out_schema = T.StructType(list(emb.schema.fields) + [T.StructField("pq_code", T.BinaryType())])
+
+    def encode(batches):
+        import numpy as np
+
+        books = books_bc.value
+        m, _, sub_d = books.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = mat / norms
+            codes = np.empty((len(mat), m), dtype=np.uint8)
+            for j in range(m):
+                xj = mat[:, j * sub_d : (j + 1) * sub_d]
+                d2 = (
+                    (xj**2).sum(axis=1, keepdims=True)
+                    - 2.0 * (xj @ books[j].T)
+                    + (books[j] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+            out = pdf.copy()
+            out["pq_code"] = [c.tobytes() for c in codes]
+            yield out
+
+    return _scaled(emb).mapInPandas(encode, out_schema)
+
+
+def topk_pq(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    m: int = 8,
+    k_codes: int = 32,
+    sample_rows: int = 4096,
+    seed: int = 11,
+    rerank: int = 0,
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via asymmetric distance (ADC).
+
+    Scale shape: codebooks train on a bounded seeded sample; the corpus is
+    encoded in one broadcast-argmin pass and thereafter exists as m bytes
+    per vector; each query ships only an ``m × k_codes`` lookup table of
+    partial dot products, and scoring a vector is ``m`` table lookups — no
+    floats, no shuffle, local top-k + tiny window merge exactly like
+    :func:`topk_bruteforce`.
+
+    ``rerank=R`` (the FAISS IVFPQ+refine recipe) keeps the top-R ADC
+    candidates per query and EXACT-scores only those against the float
+    vectors — one broadcast join of the tiny shortlist against the corpus,
+    so the full-precision read touches ~R rows per query instead of the
+    corpus.  Measured on the 64-dim fixture: pure ADC at m=8,k=32 holds
+    recall@5 ≈ 0.2 (quantization noise dominates unstructured vectors),
+    rerank=100 over the same codes ≈ 0.8.
+
+    Returns (query_id, neighbor_id, score_c, rnk): ``score_c`` is the ADC
+    cosine approximation ×10000 when ``rerank=0`` (an estimate — deliberately
+    NOT named like the exact operators' ``cosine_c``) and the exact cosine
+    ×10000 of the reranked shortlist when ``rerank>0``.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    books = train_pq(emb, m=m, k_codes=k_codes, sample_rows=sample_rows, seed=seed)
+    books_bc = _track(spark.sparkContext.broadcast(books))
+    corpus = pq_encode(emb.select("vec_id", "embedding"), books_bc).select("vec_id", "pq_code")
+
+    qrows = _collect_queries(emb, n_queries)
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, score_c long, rnk long")
+    qids = np.asarray([int(r["vec_id"]) for r in qrows])
+    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+    qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorms[qnorms == 0] = 1.0
+    qmat /= qnorms
+    mm, kk, sub_d = books.shape
+    # luts[q, j, c] = <q_sub_j, codebook[j][c]>; ADC score = sum_j luts[q, j, code_j]
+    luts = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qmat), mm, sub_d), books)
+    lut_bc = _track(spark.sparkContext.broadcast((qids, luts)))
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, q_luts = lut_bc.value
+        n_q, n_m, _ = q_luts.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            codes = np.stack([np.frombuffer(c, dtype=np.uint8) for c in pdf["pq_code"]])
+            # (q, batch): sum over subspaces of the per-code partials
+            scores = np.zeros((n_q, len(ids)))
+            for j in range(n_m):
+                scores += q_luts[:, j, :][:, codes[:, j]]
+            scaled = scores * 10000.0
+            c_all = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                mask = ids != qid
+                cand_ids, cand_c = ids[mask], c_all[qi][mask]
+                top = min(len(cand_ids), max(k, 64))
+                if not top:
+                    continue
+                idx = np.argpartition(-cand_c, top - 1)[:top]
+                idx = np.union1d(idx, np.nonzero(cand_c == cand_c[idx].min())[0])
+                order = np.lexsort((cand_ids[idx], -cand_c[idx]))[:top]
+                for i in order:
+                    out.append((int(qid), int(cand_ids[idx[i]]), int(cand_c[idx[i]])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "score_c"])
+
+    keep = max(k, rerank)
+    cands = corpus.mapInPandas(score_batches, "query_id long, neighbor_id long, score_c long")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_c"), F.asc("neighbor_id"))
+    shortlist = (
+        cands.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= keep)
+        .select("query_id", "neighbor_id", "score_c", "rnk")
+    )
+    if not rerank:
+        return shortlist
+    # refine: exact-score ONLY the shortlist (n_queries x rerank rows) —
+    # broadcast it against the corpus so the float vectors never shuffle
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(v) for v in vec]) for qid, vec in zip(qids, qmat)],
+        "query_id long, q_emb array<double>",
+    )
+    refined = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(shortlist.select("query_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            # qmat rows are already L2-normalized, so only the corpus norm divides
+            F.expr(
+                "CAST(ROUND(10000.0 * "
+                + _dot("q_emb", "embedding")
+                + " / sqrt("
+                + _dot("embedding", "embedding")
+                + ")) AS BIGINT)"
+            ).alias("score_c"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score_c"), F.asc("neighbor_id"))
+    return (
+        refined.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score_c", "rnk")
+    )
