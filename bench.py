@@ -142,7 +142,29 @@ def main():
         except (OSError, ValueError):
             return -1.0
 
+    def container_cpu_sec() -> float:
+        """This container's cumulative CPU seconds (cgroup v1 or v2).
+
+        The per-query DELTA separates contention from regression in a way
+        loadavg cannot (our own 32-thread bursts inflate load): if a query's
+        wall time grows but its CPU seconds stay flat, the machine was taken
+        from us; if CPU grew too, the plan is doing more work."""
+        try:  # cgroup v1
+            with open("/sys/fs/cgroup/cpuacct/cpuacct.usage") as f:
+                return int(f.read()) / 1e9
+        except (OSError, ValueError):
+            pass
+        try:  # cgroup v2
+            with open("/sys/fs/cgroup/cpu.stat") as f:
+                for line in f:
+                    if line.startswith("usage_usec"):
+                        return int(line.split()[1]) / 1e6
+        except (OSError, ValueError):
+            pass
+        return -1.0
+
     timings = {}
+    cpu_sec: dict[str, float] = {}
     stages: dict[str, float] = {}
     load_seen = [loadavg_1m()]
     for name in names:
@@ -157,11 +179,15 @@ def main():
             spark.catalog.clearCache()
             gc.collect()
             spark.sparkContext._jvm.System.gc()
+            c0 = container_cpu_sec()
             t0 = time.time()
             fn()
             dt = time.time() - t0
             runs.append(round(dt, 3))
-            best = dt if best is None else min(best, dt)
+            if best is None or dt < best:
+                best = dt
+                if c0 >= 0:
+                    cpu_sec[name] = round(container_cpu_sec() - c0, 3)
             # stage-level visibility into the suite's dominant entry: keep the
             # per-stage min across runs (same steady-state rule as the total)
             if name == "curation_pipeline":
@@ -199,6 +225,10 @@ def main():
                 # number can be attributed instead of guessed at
                 "loadavg_max": max(load_seen),
                 "loadavg_median": sorted(load_seen)[len(load_seen) // 2],
+                # container CPU seconds burned by each query's BEST run:
+                # wall up + cpu flat = external contention; both up = the
+                # plan is doing more work (a real regression)
+                "cpu_sec": cpu_sec,
             }
         )
     )
