@@ -271,3 +271,31 @@ def test_cli_curate(capsys, spark, tmp_path):
     kept = spark.read.parquet(out)
     assert kept.count() == stages[-1]["n_out"]
     assert lines[-1]["out"] == out
+
+
+def test_cli_manifest_save_and_compare(capsys, two_tables, tmp_path):
+    """manifest --save then --against: clean compare exits 0, drifted
+    compare exits 1 and prints the drifted buckets; bucket-count mismatch
+    is rejected before any comparison."""
+    src, dst, _ = two_tables
+    m = str(tmp_path / "manifest.pq")
+    keys = "l_orderkey,l_linenumber"
+    assert cli.main(["manifest", "--src", src, "--keys", keys, "--save", m, "--buckets", "16"]) == 0
+    saved = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert saved["buckets"] == 16
+
+    assert cli.main(["manifest", "--src", src, "--keys", keys, "--against", m, "--buckets", "16"]) == 0
+    clean = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert clean["drifted_buckets"] == 0
+
+    rc = cli.main(["manifest", "--src", dst, "--keys", keys, "--against", m, "--buckets", "16"])
+    assert rc == 1
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[-1])["drifted_buckets"] >= 1
+    assert all(json.loads(ln)["status"] == "changed" for ln in lines[:-1])
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        cli.main(["manifest", "--src", src, "--keys", keys, "--against", m, "--buckets", "32"])
+
+    # exactly one of --save/--against
+    assert cli.main(["manifest", "--src", src, "--keys", keys]) == 2

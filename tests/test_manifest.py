@@ -1,0 +1,91 @@
+"""Checksum manifests: incremental drift detection against a saved snapshot
+manifest — the previous snapshot is never rescanned."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tikv_data_compare_spark.model import Keyed
+from tikv_data_compare_spark.operators.checksum import (
+    bucket_triples,
+    compare_to_manifest,
+    save_checksum_manifest,
+)
+
+
+@pytest.fixture()
+def orders_keyed(spark):
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(200)], "k long, v string, amt long"
+    )
+    return Keyed.of(df, keys=("k",))
+
+
+def BUCKET():  # 4 buckets of 50 keys (lazy: Column needs a live session)
+    return F.floor(F.col("k") / 50)
+
+
+def test_manifest_roundtrip_no_drift(spark, orders_keyed):
+    d = tempfile.mkdtemp(prefix="tdc_manifest_")
+    n = save_checksum_manifest(orders_keyed, d, BUCKET())
+    assert n == 4
+    assert compare_to_manifest(orders_keyed, d, BUCKET()).count() == 0
+
+
+def test_manifest_localizes_drift(spark, orders_keyed):
+    d = tempfile.mkdtemp(prefix="tdc_manifest_")
+    save_checksum_manifest(orders_keyed, d, BUCKET())
+    # mutate one row in bucket 1, delete one row in bucket 3, add key 205
+    # (bucket 4, new)
+    cur = orders_keyed.df
+    cur = cur.withColumn("v", F.when(F.col("k") == 60, F.lit("DRIFTED")).otherwise(F.col("v")))
+    cur = cur.filter(F.col("k") != 170)
+    cur = cur.unionByName(spark.createDataFrame([(205, "new", 0)], cur.schema))
+    report = {r["bucket"]: r for r in compare_to_manifest(Keyed.of(cur, keys=("k",)), d, BUCKET()).collect()}
+    assert set(report) == {1, 3, 4}
+    assert report[1]["status"] == "changed"
+    assert report[1]["old_kvs"] == report[1]["new_kvs"] == 50  # same count, value drift
+    assert report[3]["status"] == "changed" and report[3]["new_kvs"] == 49
+    assert report[4]["status"] == "only_new" and report[4]["new_kvs"] == 1
+    # an emptied bucket shows as only_old
+    gone = orders_keyed.df.filter(F.col("k") >= 50)
+    r2 = {r["bucket"]: r for r in compare_to_manifest(Keyed.of(gone, keys=("k",)), d, BUCKET()).collect()}
+    assert r2[0]["status"] == "only_old" and r2[0]["old_kvs"] == 50
+
+
+def test_manifest_rejects_algo_mismatch(spark, orders_keyed):
+    d = tempfile.mkdtemp(prefix="tdc_manifest_")
+    save_checksum_manifest(orders_keyed, d, BUCKET(), algo="xxhash64")
+    with pytest.raises(ValueError, match="algo"):
+        compare_to_manifest(orders_keyed, d, BUCKET(), algo="md5i64")
+
+
+def test_manifest_agrees_with_targeted_diff_buckets(spark, orders_keyed):
+    """The drifted-bucket set from the manifest flow must equal the bucket
+    set where targeted_diff's live two-sided compare finds rows."""
+    from tikv_data_compare_spark.operators.diff import targeted_diff
+
+    d = tempfile.mkdtemp(prefix="tdc_manifest_")
+    save_checksum_manifest(orders_keyed, d, BUCKET())
+    cur_df = orders_keyed.df.withColumn(
+        "amt", F.when(F.col("k") % 37 == 0, F.col("amt") + 1).otherwise(F.col("amt"))
+    )
+    cur = Keyed.of(cur_df, keys=("k",))
+    via_manifest = {r["bucket"] for r in compare_to_manifest(cur, d, BUCKET()).collect()}
+    findings = targeted_diff(orders_keyed, cur, BUCKET())
+    via_live = {r["k"] // 50 for r in findings.collect()}
+    assert via_manifest == via_live and via_manifest  # non-empty and equal
+
+
+def test_bucket_triples_monoid_consistency(spark, orders_keyed):
+    """Splitting a bucket's rows across finer buckets XOR/sum-folds back to
+    the coarse triple — the same monoid law as the global checksum."""
+    fine = bucket_triples(orders_keyed, F.floor(F.col("k") / 25)).collect()
+    coarse = {r["bucket"]: r for r in bucket_triples(orders_keyed, BUCKET()).collect()}
+    agg = {}
+    for r in fine:
+        cb = r["bucket"] // 2
+        c, k = agg.get(cb, (0, 0))
+        agg[cb] = (c ^ r["cksum"], k + r["kvs"])
+    assert {b: (r["cksum"], r["kvs"]) for b, r in coarse.items()} == agg

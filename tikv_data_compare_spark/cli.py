@@ -173,6 +173,15 @@ def main(argv: list[str] | None = None) -> int:
         if name == "scan":
             p.add_argument("--out", default="", help="output dir (default: {src}_scan.log.<ts>)")
 
+    # incremental flow: store ~16 B/bucket once, then detect WHICH key
+    # ranges drifted on every later run without rescanning the old snapshot
+    p = sub.add_parser("manifest")
+    _add_common(p, dual=False)
+    p.add_argument("--save", default="", help="write the per-bucket checksum manifest here")
+    p.add_argument("--against", default="", help="compare src against this saved manifest")
+    p.add_argument("--buckets", type=int, default=256, help="hash-bucket count (must match at save and compare)")
+    p.add_argument("--algo", default="xxhash64", choices=["xxhash64", "md5i64"])
+
     for name in ("format", "decodets", "encodekey"):
         p = sub.add_parser(name)
         p.add_argument("--key", required=True)
@@ -252,6 +261,36 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     keys = args.keys.split(",")
+
+    if args.cmd == "manifest":
+        from pyspark.sql import functions as F
+
+        from tikv_data_compare_spark.operators.checksum import (
+            compare_to_manifest,
+            save_checksum_manifest,
+        )
+
+        if bool(args.save) == bool(args.against):
+            print("manifest: pass exactly one of --save or --against", file=sys.stderr)
+            return 2
+        src = _keyed(spark, args.src, keys, args)
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in src.keys]), F.lit(args.buckets))
+        if args.save:
+            n = save_checksum_manifest(
+                src, args.save, bucket, algo=args.algo, meta={"n_buckets": args.buckets}
+            )
+            print(json.dumps({"manifest": args.save, "buckets": n, "algo": args.algo}))
+            return 0
+        report = compare_to_manifest(
+            src, args.against, bucket, algo=args.algo, expect_meta={"n_buckets": args.buckets}
+        )
+        n = 0
+        for row in report.toLocalIterator():
+            print(json.dumps(row.asDict()))
+            n += 1
+        print(json.dumps({"drifted_buckets": n}))
+        return 0 if n == 0 else 1
+
     if args.cmd in ("checksum", "diff"):
         # source-level API-version handshake before any dual-source compare
         # (reference utils/utils.go:13-26 via scan/checksum/diff preambles)

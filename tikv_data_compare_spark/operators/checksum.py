@@ -225,3 +225,112 @@ def checksum_verdict(src: Keyed, dst: Keyed, algo: str = "xxhash64", tags=None) 
     d = rows.get("dst", {"side": "dst", **empty})
     equal = all(s[k] == d[k] for k in ("checksum", "total_kvs", "total_bytes"))
     return {"equal": equal, "src": s, "dst": d}
+
+
+# ---------------------------------------------------------------------------
+# Checksum manifests: incremental drift detection without the old snapshot
+# ---------------------------------------------------------------------------
+
+MANIFEST_SCHEMA = "bucket long, cksum long, kvs long, algo string"
+
+
+def bucket_triples(keyed: Keyed, bucket, algo: str = "xxhash64") -> DataFrame:
+    """Per-bucket checksum triples ``(bucket, cksum, kvs, algo)``.
+
+    ``bucket`` is a Column over the key columns (e.g. ``floor(k / 1000)``,
+    a date, a region id).  ~16 bytes per bucket cross the shuffle — the
+    same map-side monoid fold as :func:`checksum`, keyed by bucket.  This
+    is the shared core of ``targeted_diff`` and the manifest flow below.
+    """
+    df, h = _with_hash(keyed, algo, None)
+    return (
+        df.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(F.bit_xor(F.col(h)).alias("cksum"), F.count(F.lit(1)).alias("kvs"))
+        .withColumn("algo", F.lit(algo))
+    )
+
+
+def save_checksum_manifest(
+    keyed: Keyed, path: str, bucket, algo: str = "xxhash64", meta: dict | None = None
+) -> int:
+    """Persist a snapshot's per-bucket checksum triples as a tiny parquet
+    manifest and return the bucket count.
+
+    The ops flow this enables: a nightly compare stores ~16 B/bucket once,
+    and every later run detects WHICH key ranges drifted by comparing fresh
+    triples against the manifest — the previous snapshot is never rescanned
+    (at 100 TB, the difference between reading one snapshot and two).
+    Findings have targeted_diff's contract: any changed/added/removed row
+    flips its bucket's triple; a ~2^-64 hash collision per drifted bucket
+    is the residual risk, same as the reference's Crc64Xor verdict.
+
+    ``meta`` key/values (e.g. the bucket count the expression was built
+    from) are stored as constant columns; a later compare validates them
+    via ``expect_meta`` so triples built from DIFFERENT bucketings can't be
+    silently compared (they would report everything as drifted).
+    """
+    t = bucket_triples(keyed, bucket, algo)
+    for k, v in (meta or {}).items():
+        t = t.withColumn(k, F.lit(v))
+    t.coalesce(1).write.mode("overwrite").parquet(path)
+    return t.count()
+
+
+def compare_to_manifest(
+    keyed: Keyed,
+    manifest: DataFrame | str,
+    bucket,
+    algo: str = "xxhash64",
+    expect_meta: dict | None = None,
+) -> DataFrame:
+    """Tall drift report of ``keyed`` (the CURRENT snapshot) against a saved
+    manifest: one row per drifted bucket —
+
+    ``(bucket, status, old_cksum, new_cksum, old_kvs, new_kvs)`` with
+    status ∈ {changed, only_old, only_new}.  Empty result = no drift.
+
+    Raises if the manifest was built with a different ``algo`` (triples of
+    different hash algorithms are not comparable).  The manifest side is a
+    broadcast-size frame; the current snapshot is scanned exactly once.
+    """
+    spark = keyed.df.sparkSession
+    old = spark.read.parquet(manifest) if isinstance(manifest, str) else manifest
+    checks = {"algo": algo, **(expect_meta or {})}
+    for col, want in checks.items():
+        if col not in old.columns:
+            if col == "algo":
+                continue  # pre-meta manifests carry no algo column
+            raise ValueError(f"manifest has no {col!r} metadata column to validate")
+        got = [r[col] for r in old.select(col).distinct().collect()]
+        if got != [want]:
+            raise ValueError(
+                f"manifest was built with {col}={got}, compare requested {want!r} "
+                "— triples from different bucketings/hash algorithms are not comparable"
+            )
+    new = bucket_triples(keyed, bucket, algo)
+    j = (
+        new.select("bucket", F.col("cksum").alias("new_cksum"), F.col("kvs").alias("new_kvs"))
+        .join(
+            F.broadcast(
+                old.select(
+                    "bucket", F.col("cksum").alias("old_cksum"), F.col("kvs").alias("old_kvs")
+                )
+            ),
+            on="bucket",
+            how="full_outer",
+        )
+    )
+    status = (
+        F.when(F.col("new_kvs").isNull(), F.lit("only_old"))
+        .when(F.col("old_kvs").isNull(), F.lit("only_new"))
+        .otherwise(F.lit("changed"))
+    )
+    same = F.col("old_cksum").eqNullSafe(F.col("new_cksum")) & F.col("old_kvs").eqNullSafe(
+        F.col("new_kvs")
+    )
+    return (
+        j.filter(~same)
+        .select("bucket", status.alias("status"), "old_cksum", "new_cksum", "old_kvs", "new_kvs")
+        .orderBy("bucket")
+    )
