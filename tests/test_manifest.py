@@ -89,3 +89,15 @@ def test_bucket_triples_monoid_consistency(spark, orders_keyed):
         c, k = agg.get(cb, (0, 0))
         agg[cb] = (c ^ r["cksum"], k + r["kvs"])
     assert {b: (r["cksum"], r["kvs"]) for b, r in coarse.items()} == agg
+
+
+def test_empty_manifest_reports_only_new(spark, orders_keyed):
+    """A manifest saved from an empty snapshot is legitimate: a later
+    compare reports every current bucket as only_new instead of crashing
+    on the missing metadata rows."""
+    d = tempfile.mkdtemp(prefix="tdc_manifest_")
+    empty = Keyed.of(orders_keyed.df.filter(F.lit(False)), keys=("k",))
+    assert save_checksum_manifest(empty, d, BUCKET()) == 0
+    report = compare_to_manifest(orders_keyed, d, BUCKET()).collect()
+    assert len(report) == 4
+    assert all(r["status"] == "only_new" for r in report)

@@ -95,3 +95,27 @@ def test_topk_pq_exact_when_codebook_covers_corpus(spark):
         for r in sim.topk_pq(df, k=3, n_queries=4, m=2, k_codes=8, sample_rows=40).collect()
     ]
     assert sorted(exact) == sorted(approx)
+
+
+def test_train_pq_validates_inputs(spark, emb):
+    with pytest.raises(ValueError, match="k_codes"):
+        sim.train_pq(emb, k_codes=512)  # uint8 codes: >256 would wrap
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        sim.train_pq(empty)
+
+
+def test_topk_pq_rerank_covering_corpus_equals_bruteforce(emb):
+    """rerank >= corpus size makes the refine stage exact-score every ADC
+    candidate, so the result must equal brute force EXACTLY — pins the
+    per-batch candidate cap covering the rerank shortlist, not just k."""
+    n = emb.count()
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in sim.topk_bruteforce(emb, k=5, n_queries=6).collect()
+    )
+    refined = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in sim.topk_pq(emb, k=5, n_queries=6, m=8, k_codes=16, rerank=n).collect()
+    )
+    assert exact == refined

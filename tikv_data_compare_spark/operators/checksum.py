@@ -231,9 +231,6 @@ def checksum_verdict(src: Keyed, dst: Keyed, algo: str = "xxhash64", tags=None) 
 # Checksum manifests: incremental drift detection without the old snapshot
 # ---------------------------------------------------------------------------
 
-MANIFEST_SCHEMA = "bucket long, cksum long, kvs long, algo string"
-
-
 def bucket_triples(keyed: Keyed, bucket, algo: str = "xxhash64") -> DataFrame:
     """Per-bucket checksum triples ``(bucket, cksum, kvs, algo)``.
 
@@ -244,8 +241,8 @@ def bucket_triples(keyed: Keyed, bucket, algo: str = "xxhash64") -> DataFrame:
     """
     df, h = _with_hash(keyed, algo, None)
     return (
-        df.withColumn("bucket", bucket.cast("long"))
-        .groupBy("bucket")
+        df.withColumn("bucket", bucket)  # bucket keeps its own type: long,
+        .groupBy("bucket")  # date, string region id — all groupable/joinable
         .agg(F.bit_xor(F.col(h)).alias("cksum"), F.count(F.lit(1)).alias("kvs"))
         .withColumn("algo", F.lit(algo))
     )
@@ -274,7 +271,9 @@ def save_checksum_manifest(
     for k, v in (meta or {}).items():
         t = t.withColumn(k, F.lit(v))
     t.coalesce(1).write.mode("overwrite").parquet(path)
-    return t.count()
+    # count the WRITTEN manifest (parquet footer metadata), not the plan —
+    # re-counting t would rescan and re-hash the whole snapshot
+    return keyed.df.sparkSession.read.parquet(path).count()
 
 
 def compare_to_manifest(
@@ -303,7 +302,9 @@ def compare_to_manifest(
                 continue  # pre-meta manifests carry no algo column
             raise ValueError(f"manifest has no {col!r} metadata column to validate")
         got = [r[col] for r in old.select(col).distinct().collect()]
-        if got != [want]:
+        # an EMPTY manifest (saved from an empty snapshot) has no metadata
+        # rows to validate — legitimate; every current bucket reports only_new
+        if got and got != [want]:
             raise ValueError(
                 f"manifest was built with {col}={got}, compare requested {want!r} "
                 "— triples from different bucketings/hash algorithms are not comparable"

@@ -153,15 +153,18 @@ def targeted_diff(src: Keyed, dst: Keyed, bucket, algo: str = "xxhash64") -> Dat
     probability ~2⁻⁶⁴ per drifted bucket, the same failure class the
     reference accepts for its whole checksum verdict.
     """
-    from tikv_data_compare_spark.operators.checksum import _with_hash
+    from tikv_data_compare_spark.operators.checksum import bucket_triples
 
     check_comparable(src, dst)
 
     def triples(k: Keyed) -> DataFrame:
-        df, h = _with_hash(k, algo, None)
-        return df.withColumn("_bucket", bucket).groupBy("_bucket").agg(
-            F.bit_xor(F.col(h)).alias("_cksum"),
-            F.count(F.lit(1)).alias("_kvs"),
+        # shared monoid-fold core with the manifest flow (checksum.py) —
+        # one implementation, so the pytest-pinned manifest/targeted_diff
+        # bucket-set agreement cannot drift
+        return bucket_triples(k, bucket, algo).select(
+            F.col("bucket").alias("_bucket"),
+            F.col("cksum").alias("_cksum"),
+            F.col("kvs").alias("_kvs"),
         )
     st, dt = triples(src), triples(dst)
     joined = st.alias("s").join(dt.alias("d"), on="_bucket", how="full_outer")

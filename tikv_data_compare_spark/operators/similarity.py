@@ -577,17 +577,23 @@ def train_pq(
     """
     import numpy as np
 
-    dim = len(emb.select(vec_col).first()[0])
-    if dim % m != 0:
-        raise ValueError(f"PQ requires dim % m == 0, got dim={dim}, m={m}")
+    if not 2 <= k_codes <= 256:
+        raise ValueError(
+            f"PQ codes are stored as one uint8 per subspace: k_codes must be "
+            f"in [2, 256], got {k_codes}"
+        )
     rows = (
         emb.select(vec_col, F.xxhash64(F.col(vec_col)).alias("_h"))
         .orderBy("_h")
         .limit(sample_rows)
         .collect()
     )
+    rows = [r for r in rows if r[vec_col] is not None]
     if not rows:
         raise ValueError("cannot train PQ codebooks on an empty corpus")
+    dim = len(rows[0][vec_col])
+    if dim % m != 0:
+        raise ValueError(f"PQ requires dim % m == 0, got dim={dim}, m={m}")
     x = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -729,7 +735,10 @@ def topk_pq(
             for qi, qid in enumerate(q_ids):
                 mask = ids != qid
                 cand_ids, cand_c = ids[mask], c_all[qi][mask]
-                top = min(len(cand_ids), max(k, 64))
+                # the per-batch cap must cover the GLOBAL keep (k, or the
+                # rerank shortlist size) — a smaller cap silently truncates
+                # the refine set when few Arrow batches exist
+                top = min(len(cand_ids), max(keep, 64))
                 if not top:
                     continue
                 idx = np.argpartition(-cand_c, top - 1)[:top]
