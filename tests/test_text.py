@@ -213,3 +213,55 @@ def test_compression_ratio_matches_zlib_and_separates_tails(spark):
             assert r["compression_ratio_c"] is None
     # the repetitive doc must compress strictly better than natural prose
     assert rows[1]["compression_ratio_c"] < rows[2]["compression_ratio_c"]
+
+
+def test_lang_id_ngram_real_languages(spark):
+    """Cavnar-Trenkle rank profiles trained on small real-language corpora
+    must classify held-out sentences of the same languages correctly."""
+    from tikv_data_compare_spark.operators.text import lang_id_ngram, train_lang_profiles
+
+    train = [
+        ("en", "the quick brown fox jumps over the lazy dog and runs away with it"),
+        ("en", "this is a sentence written in the english language for testing things"),
+        ("en", "what could possibly go wrong with all of these words in english"),
+        ("de", "der schnelle braune fuchs springt ueber den faulen hund und rennt weg"),
+        ("de", "dies ist ein satz der in deutscher sprache geschrieben wurde zum testen"),
+        ("de", "was koennte mit all diesen woertern auf deutsch schon schiefgehen"),
+        ("fr", "le renard brun rapide saute par dessus le chien paresseux et il court"),
+        ("fr", "ceci est une phrase ecrite en langue francaise pour tester des choses"),
+        ("fr", "quest ce qui pourrait mal tourner avec tous ces mots en francais"),
+        ("es", "el rapido zorro marron salta sobre el perro perezoso y se escapa con el"),
+        ("es", "esta es una frase escrita en lengua espanola para probar algunas cosas"),
+        ("es", "que podria salir mal con todas estas palabras en espanol"),
+    ]
+    tdf = spark.createDataFrame(train, "lang string, text string")
+    profiles = train_lang_profiles(tdf, top=80)
+    assert sorted(profiles) == ["de", "en", "es", "fr"]
+    assert all(len(v) <= 80 for v in profiles.values())
+
+    held_out = [
+        (1, "the weather over here is nice and the people are friendly", "en"),
+        (2, "die katze schlaeft den ganzen tag und die sonne scheint hell", "de"),
+        (3, "le chat dort toute la journee et le soleil brille tres fort", "fr"),
+        (4, "el gato duerme todo el dia y el sol brilla con mucha fuerza", "es"),
+    ]
+    hdf = spark.createDataFrame([(i, t) for i, t, _ in held_out], "doc_id long, text string")
+    pred = {r["doc_id"]: r["pred_lang"] for r in lang_id_ngram(hdf, profiles, top=80).collect()}
+    for i, _, want in held_out:
+        assert pred[i] == want, (i, pred[i], want)
+
+
+def test_lang_id_ngram_deterministic_and_bounded(spark, documents):
+    """Profiles trained twice on the same labeled corpus are identical, and
+    classification emits exactly one row per non-null-text doc."""
+    from tikv_data_compare_spark.operators.text import lang_id_ngram, train_lang_profiles
+
+    docs = documents.limit(300)
+    p1 = train_lang_profiles(docs, top=50)
+    p2 = train_lang_profiles(docs, top=50)
+    assert p1 == p2
+    out = lang_id_ngram(docs, p1, top=50)
+    n_docs = docs.filter(F.col("text").isNotNull()).count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert set(r["pred_lang"] for r in rows) <= set(p1)

@@ -521,3 +521,119 @@ def pii_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         n_num.cast("long").alias("n_longnum"),
         ((n_email > 0) | (n_url > 0) | (n_num > 0)).cast("long").alias("has_pii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-n-gram language ID (Cavnar–Trenkle 1994 rank profiles)
+# ---------------------------------------------------------------------------
+
+
+def _char_ngrams(text_col: str, n: int):
+    """Column of the lowercased character n-grams of ``text_col`` — a pure
+    array expression (sequence + transform), zero shuffle."""
+    t = f"lower({text_col})"
+    return F.expr(
+        f"CASE WHEN length({t}) < {n} THEN array({t}) "
+        f"ELSE transform(sequence(1, length({t}) - {n} + 1), i -> substring({t}, i, {n})) END"
+    )
+
+
+def train_lang_profiles(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    top: int = 100,
+) -> dict[str, list[str]]:
+    """Learn per-language rank profiles: the ``top`` most frequent character
+    n-grams of each language's labeled text, most-frequent first (the
+    Cavnar–Trenkle training step).
+
+    Scale shape: one explode + one (lang, gram) count + a per-lang rank
+    window over the aggregated gram domain; the driver collects only
+    ``len(langs) × top`` rows.  Ties rank deterministically (count desc,
+    gram asc)."""
+    from pyspark.sql import Window
+
+    from tikv_data_compare_spark.session import scale_out
+
+    grams = scale_out(df.filter(F.col(text_col).isNotNull()), key=lang_col).select(
+        F.col(lang_col).alias("_lang"), F.explode(_char_ngrams(text_col, n)).alias("_g")
+    )
+    counts = grams.groupBy("_lang", "_g").count()
+    w = Window.partitionBy("_lang").orderBy(F.desc("count"), F.asc("_g"))
+    ranked = (
+        counts.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= top)
+        .collect()
+    )
+    profiles: dict[str, list[str]] = {}
+    for r in sorted(ranked, key=lambda r: (r["_lang"], r["_rank"])):
+        profiles.setdefault(r["_lang"], []).append(r["_g"])
+    return profiles
+
+
+def lang_id_ngram(
+    df: DataFrame,
+    profiles: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    top: int = 100,
+) -> DataFrame:
+    """Classify each document by the Cavnar–Trenkle out-of-place measure:
+    rank the doc's own top-``top`` n-grams, compare against each language
+    profile — distance = Σ |doc_rank − profile_rank|, with ``top`` as the
+    miss penalty for grams absent from a profile; prediction = argmin
+    (language asc on ties).
+
+    Scale shape: explode → (id, gram) count → per-doc rank window (keyed
+    shuffle, bounded at ``top`` rows/doc) → a ×|langs| replication against
+    a tiny broadcast language list → broadcast profile join → one agg per
+    (id, lang) and an argmin window.  Returns
+    ``(id, pred_lang, dist_c)`` where ``dist_c`` is the winning distance.
+    """
+    from pyspark.sql import Window
+
+    from tikv_data_compare_spark.session import scale_out
+
+    spark = df.sparkSession
+    langs = sorted(profiles)
+    prof_rows = [
+        (g, la, i + 1) for la in langs for i, g in enumerate(profiles[la][:top])
+    ]
+    prof = spark.createDataFrame(prof_rows, "_g string, _lang string, _prank long")
+    lang_df = spark.createDataFrame([(la,) for la in langs], "_lang string")
+
+    grams = scale_out(df.filter(F.col(text_col).isNotNull()), key=id_col).select(
+        id_col, F.explode(_char_ngrams(text_col, n)).alias("_g")
+    )
+    doc_counts = grams.groupBy(id_col, "_g").count()
+    wdoc = Window.partitionBy(id_col).orderBy(F.desc("count"), F.asc("_g"))
+    doc_top = (
+        doc_counts.withColumn("_drank", F.row_number().over(wdoc))
+        .filter(F.col("_drank") <= top)
+        .select(id_col, "_g", "_drank")
+    )
+    scored = (
+        doc_top.crossJoin(F.broadcast(lang_df))
+        .join(F.broadcast(prof), ["_g", "_lang"], "left")
+        .groupBy(id_col, "_lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("_drank") - F.col("_prank")), F.lit(top).cast("long")
+                )
+            ).alias("_dist")
+        )
+    )
+    wmin = Window.partitionBy(id_col).orderBy(F.asc("_dist"), F.asc("_lang"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(wmin))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.col("_lang").alias("pred_lang"),
+            F.col("_dist").cast("long").alias("dist_c"),
+        )
+    )
