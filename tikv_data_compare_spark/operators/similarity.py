@@ -758,8 +758,14 @@ def topk_pq(
     )
     if not rerank:
         return shortlist
-    # refine: exact-score ONLY the shortlist (n_queries x rerank rows) —
-    # broadcast it against the corpus so the float vectors never shuffle
+    return _refine(emb, shortlist, qids, qmat, k)
+
+
+def _refine(emb: DataFrame, shortlist: DataFrame, qids, qmat, k: int) -> DataFrame:
+    """Exact-score ONLY the ADC shortlist (n_queries × rerank rows) against
+    the float vectors — one broadcast join, the corpus never shuffles.
+    ``qmat`` rows must already be L2-normalized."""
+    spark = emb.sparkSession
     qdf = spark.createDataFrame(
         [(int(qid), [float(v) for v in vec]) for qid, vec in zip(qids, qmat)],
         "query_id long, q_emb array<double>",
@@ -787,3 +793,112 @@ def topk_pq(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score_c", "rnk")
     )
+
+
+def topk_ivfpq(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 32,
+    sample_rows: int = 4096,
+    seed: int = 7,
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF + PQ composed — the canonical 100 TB ANN layout (FAISS IVFPQ):
+    a k-means coarse quantizer prunes the corpus to each query's ``n_probe``
+    nearest cells, PQ codes compress what remains to m bytes/vector, ADC
+    lookup tables score the candidates, and ``rerank=R`` optionally
+    exact-scores the top-R shortlist.
+
+    Scale shape: both quantizers train on bounded seeded samples; the
+    corpus is encoded once (cell id + m-byte code) and thereafter the float
+    vectors are touched only by the rerank's ~R-rows-per-query broadcast
+    join.  Candidates meet in a broadcast equi-join on the cell id — the
+    corpus never shuffles, and only ~n_probe/n_cells of its CODES are
+    scored per query.  ``n_probe >= n_cells`` with ``rerank >= corpus``
+    degenerates to exact brute force (the contract-test configuration).
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    cent = _train_centroids(emb, n_cells, sample_rows, seed, "embedding")
+    cent_bc = _track(spark.sparkContext.broadcast(cent))
+    books = train_pq(emb, m=m, k_codes=k_codes, sample_rows=sample_rows, seed=seed)
+    books_bc = _track(spark.sparkContext.broadcast(books))
+    corpus = pq_encode(
+        _assign_cells(emb.select("vec_id", "embedding"), cent_bc, "embedding"), books_bc
+    ).select("vec_id", "cell", "pq_code")
+
+    qrows = _collect_queries(emb, n_queries)
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, score_c long, rnk long")
+    qids = np.asarray([int(r["vec_id"]) for r in qrows])
+    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+    qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorms[qnorms == 0] = 1.0
+    qmat /= qnorms
+    mm, _, sub_d = books.shape
+    luts = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qmat), mm, sub_d), books)
+    lut_bc = _track(spark.sparkContext.broadcast((qids, luts)))
+
+    # probe cells per query (driver-side numpy, same as topk_ivf)
+    d2 = (qmat**2).sum(axis=1, keepdims=True) - 2.0 * (qmat @ cent.T) + (cent**2).sum(axis=1)[None, :]
+    probe = min(n_probe, cent.shape[0])
+    cells = np.argsort(d2, axis=1)[:, :probe]
+    q_cells = spark.createDataFrame(
+        [(int(qid), int(c)) for qid, row_cells in zip(qids, cells) for c in row_cells],
+        "query_id long, cell long",
+    )
+    cands = corpus.join(F.broadcast(q_cells), on="cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    keep = max(k, rerank)
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids, q_luts = lut_bc.value
+        qidx = {int(q): i for i, q in enumerate(q_ids)}
+        n_m = q_luts.shape[1]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack([np.frombuffer(c, dtype=np.uint8) for c in pdf["pq_code"]])
+            qi = np.asarray([qidx[int(q)] for q in pdf["query_id"]])
+            scores = np.zeros(len(pdf))
+            for j in range(n_m):
+                scores += q_luts[qi, j, codes[:, j]]
+            scaled = scores * 10000.0
+            c_all = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "score_c": c_all.astype("int64"),
+                }
+            )
+            # per-batch local cap, same contract as topk_pq: sorted by
+            # (score desc, id asc) so truncation is deterministic
+            out = out.sort_values(
+                ["query_id", "score_c", "neighbor_id"], ascending=[True, False, True]
+            )
+            out = out.groupby("query_id", sort=False).head(max(keep, 64))
+            yield out
+
+    cands_scored = cands.mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score_c long"
+    )
+    w3 = Window.partitionBy("query_id").orderBy(F.desc("score_c"), F.asc("neighbor_id"))
+    shortlist = (
+        cands_scored.withColumn("rnk", F.row_number().over(w3).cast("long"))
+        .filter(F.col("rnk") <= keep)
+        .select("query_id", "neighbor_id", "score_c", "rnk")
+    )
+    if not rerank:
+        return shortlist
+    return _refine(emb, shortlist, qids, qmat, k)
