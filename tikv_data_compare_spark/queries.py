@@ -232,9 +232,10 @@ def q_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back through the matching Spark source under an explicit schema and
     verified against the parquet original by keyed full-outer comparison —
     the same dual-source equality discipline as the scan-dump roundtrip,
-    over the interchange formats training corpora actually ship in.
-    Distributed write and read; two summary rows (fmt, n_rows, n_ok); any
-    quote/parse/precision defect drops n_ok below n_rows."""
+    over the interchange formats training corpora actually ship in — plus
+    a typed ORC leg (Spark-native columnar, types carried by the format).
+    Distributed write and read; three summary rows (fmt, n_rows, n_ok);
+    any quote/parse/precision defect drops n_ok below n_rows."""
     import os
     import tempfile
 
@@ -284,7 +285,27 @@ def q_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(cok.cast("long")).cast("long").alias("n_ok"),
     )
-    return jsonl_row.unionByName(csv_row)
+
+    # ORC leg: the TYPED orders frame (longs, doubles, strings, timestamp)
+    # through Spark's native ORC source — unlike the text formats above,
+    # ORC carries the types itself, so no schema/canonicalization staging
+    typed = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    od = os.path.join(tempfile.mkdtemp(prefix="tdc_orc_"), "orders")
+    typed.write.mode("overwrite").orc(od)
+    oback = spark.read.orc(od)
+    oj = typed.alias("a").join(oback.alias("b"), "o_orderkey", "full_outer")
+    ook = None
+    for c in ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"):
+        term = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        ook = term if ook is None else ook & term
+    orc_row = oj.agg(
+        F.lit("orc").alias("fmt"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(ook.cast("long")).cast("long").alias("n_ok"),
+    )
+    return jsonl_row.unionByName(csv_row).unionByName(orc_row)
 
 
 # both write→read legs must preserve every row byte-identically
@@ -293,6 +314,8 @@ SELECT 'jsonl' AS fmt, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) AS BIGI
 FROM documents
 UNION ALL
 SELECT 'csv', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orc', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT) FROM orders
 """
 
 
