@@ -157,3 +157,85 @@ def test_topk_ivfpq_selective_probe_recall_and_pruning(spark, emb):
     for r in got_rows:
         by_q.setdefault(r["query_id"], []).append(r["rnk"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-query join path: the shape past the 16k driver-collect ceiling
+# ---------------------------------------------------------------------------
+
+
+def _qdf(emb, n):
+    from pyspark.sql import functions as F
+
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_topk_ivf_join_exhaustive_equals_bruteforce(emb):
+    """n_probe >= n_cells: the cell equi-join sees every (query, vector)
+    pair, so the join path must equal exact brute force — including the
+    rounded score values, which both paths compute the same way."""
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_c"], r["rnk"])
+        for r in sim.topk_bruteforce(emb, k=5, n_queries=6).collect()
+    )
+    joined = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_c"], r["rnk"])
+        for r in sim.topk_ivf_join(emb, _qdf(emb, 6), k=5, n_cells=8, n_probe=8).collect()
+    )
+    assert exact == joined
+
+
+def test_topk_ivfpq_join_exhaustive_rerank_equals_bruteforce(emb):
+    """n_probe >= n_cells + rerank >= corpus: the DataFrame-query IVFPQ path
+    degenerates to exact brute force, like the broadcast path."""
+    n = emb.count()
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in sim.topk_bruteforce(emb, k=5, n_queries=6).collect()
+    )
+    composed = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in sim.topk_ivfpq_join(
+            emb, _qdf(emb, 6), k=5, n_cells=8, n_probe=8, m=8, k_codes=16, rerank=n
+        ).collect()
+    )
+    assert exact == composed
+
+
+def test_topk_ivfpq_join_adc_only_recall(emb):
+    """Without rerank, the join path returns ADC-ranked candidates from the
+    probed cells only — recall floor plus well-formed ranks."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_bruteforce(emb, k=5, n_queries=10).collect()
+    }
+    rows = sim.topk_ivfpq_join(
+        emb, _qdf(emb, 10), k=5, n_cells=16, n_probe=8, m=16, k_codes=256
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(exact & got) / len(exact) >= 0.35
+    by_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_join_path_has_no_collect_ceiling(emb, monkeypatch):
+    """Query sets the broadcast operators REJECT stream through the join
+    path: with the ceiling patched below the query count, topk_ivf raises
+    while topk_ivf_join returns the identical exact result."""
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in sim.topk_bruteforce(emb, k=3, n_queries=8).collect()
+    )
+    monkeypatch.setattr(sim, "MAX_COLLECTED_QUERIES", 4)
+    with pytest.raises(ValueError, match="driver-collect ceiling"):
+        sim.topk_ivf(emb, k=3, n_queries=8, n_cells=8, n_probe=8).collect()
+    joined = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in sim.topk_ivf_join(emb, _qdf(emb, 8), k=3, n_cells=8, n_probe=8).collect()
+    )
+    assert exact == joined

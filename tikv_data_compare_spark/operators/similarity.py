@@ -493,6 +493,206 @@ def topk_ivf(
     )
 
 
+def _probe_cells(queries: DataFrame, cent_bc, n_probe: int, vec_col: str = "embedding") -> DataFrame:
+    """Append each query row's ``n_probe`` nearest coarse cells, MAP-SIDE:
+    one broadcast centroid matrix + one numpy distance/argsort per Arrow
+    batch, emitting one output row per (query, probed cell).  This is the
+    query-side dual of :func:`_assign_cells` — no driver collect, no
+    ceiling, so query sets of any size stream through.  Distances use the
+    RAW vectors (the space the corpus was bucketed in)."""
+    out_schema = T.StructType(list(queries.schema.fields) + [T.StructField("cell", T.LongType())])
+
+    def probe(batches):
+        import numpy as np
+
+        cent = cent_bc.value
+        c2 = (cent**2).sum(axis=1)
+        n_p = min(n_probe, cent.shape[0])
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
+            d2 = (mat**2).sum(axis=1, keepdims=True) - 2.0 * (mat @ cent.T) + c2[None, :]
+            cells = np.argsort(d2, axis=1)[:, :n_p]  # (batch, n_probe)
+            for p in range(n_p):
+                out = pdf.copy()
+                out["cell"] = cells[:, p].astype("int64")
+                yield out
+
+    return _scaled(queries).mapInPandas(probe, out_schema)
+
+
+def topk_ivf_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_rows: int = 4096,
+    seed: int = 7,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k where the QUERIES are a DataFrame, not a collected matrix —
+    the scale path past :data:`MAX_COLLECTED_QUERIES` (the broadcast-top-k
+    operators cap driver-collected query sets at 16k by design).
+
+    Scale shape: the coarse quantizer trains on a bounded seeded sample;
+    BOTH sides get their cell ids map-side (corpus: nearest cell; queries:
+    ``n_probe`` nearest cells, exploded); candidates meet in a shuffle
+    equi-join on the cell id — neither side is ever collected or broadcast,
+    so a 100 M-row query set works exactly like a 100-row one.  Per-query
+    state downstream is one window over (query, candidates), keyed shuffle
+    only.  ``n_probe >= n_cells`` degenerates to exact brute force (the
+    contract-test configuration).
+
+    ``queries`` must carry (``id_col``, ``vec_col``); self-matches (a query
+    id equal to a corpus vec_id) are excluded, matching the broadcast
+    operators.  Returns (query_id, neighbor_id, cosine_c, rnk).
+    """
+    spark = emb.sparkSession
+    cent = _train_centroids(emb, n_cells, sample_rows, seed, "embedding")
+    bc = _track(spark.sparkContext.broadcast(cent))
+    corpus = _assign_cells(emb.select("vec_id", "embedding"), bc, "embedding")
+    q = _probe_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")),
+        bc,
+        n_probe,
+        vec_col="q_emb",
+    )
+    joined = corpus.join(q, on="cell").filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            "CAST(ROUND(10000.0 * "
+            + _dot("q_emb", "embedding")
+            + " / (sqrt("
+            + _dot("q_emb", "q_emb")
+            + ") * sqrt("
+            + _dot("embedding", "embedding")
+            + "))) AS BIGINT)"
+        ).alias("cosine_c"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_c"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_c", "rnk")
+    )
+
+
+def topk_ivfpq_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 32,
+    sample_rows: int = 4096,
+    seed: int = 7,
+    rerank: int = 0,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ top-k with DataFrame queries — the full 100 TB shape on BOTH
+    sides: the corpus exists as (cell id + m-byte PQ code), queries stream
+    through a map-side probe (no collect, no broadcast ceiling), candidates
+    meet in a shuffle equi-join on the cell id, and each candidate is
+    ADC-scored by reconstructing its sub-vectors from the broadcast
+    codebooks (``dot(q̂, decode(code))`` ≡ the LUT formulation — same sum of
+    per-subspace partial products, vectorized per Arrow batch).
+
+    ``rerank=R`` exact-scores each query's top-R ADC candidates against the
+    float vectors via keyed equi-joins (neighbor_id, then query_id) — no
+    broadcast of either side, ~R float rows touched per query.
+    ``n_probe >= n_cells`` with ``rerank >= corpus`` degenerates to exact
+    brute force (the contract-test configuration).
+    """
+    spark = emb.sparkSession
+    cent = _train_centroids(emb, n_cells, sample_rows, seed, "embedding")
+    cent_bc = _track(spark.sparkContext.broadcast(cent))
+    books = train_pq(emb, m=m, k_codes=k_codes, sample_rows=sample_rows, seed=seed)
+    books_bc = _track(spark.sparkContext.broadcast(books))
+    corpus = pq_encode(
+        _assign_cells(emb.select("vec_id", "embedding"), cent_bc, "embedding"), books_bc
+    ).select("vec_id", "cell", "pq_code")
+
+    qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
+    q = _probe_cells(qdf, cent_bc, n_probe, vec_col="q_emb")
+    cands = corpus.join(q, on="cell").filter(F.col("vec_id") != F.col("query_id"))
+
+    keep = max(k, rerank)
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        books_v = books_bc.value
+        n_m, _, sub_d = books_v.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack([np.frombuffer(c, dtype=np.uint8) for c in pdf["pq_code"]])
+            # decode: concatenate each subspace's codebook row — (batch, dim)
+            recon = np.concatenate([books_v[j][codes[:, j]] for j in range(n_m)], axis=1)
+            qmat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["q_emb"]])
+            qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            scaled = ((qmat / qn) * recon).sum(axis=1) * 10000.0
+            c_all = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "score_c": c_all.astype("int64"),
+                }
+            )
+            out = out.sort_values(
+                ["query_id", "score_c", "neighbor_id"], ascending=[True, False, True]
+            )
+            out = out.groupby("query_id", sort=False).head(max(keep, 64))
+            yield out
+
+    cands_scored = cands.mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score_c long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_c"), F.asc("neighbor_id"))
+    shortlist = (
+        cands_scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= keep)
+        .select("query_id", "neighbor_id", "score_c", "rnk")
+    )
+    if not rerank:
+        return shortlist
+    # rerank WITHOUT broadcasting the query side: two keyed equi-joins
+    refined = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(shortlist.select("query_id", "neighbor_id"), "neighbor_id")
+        .join(qdf, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "CAST(ROUND(10000.0 * "
+                + _dot("q_emb", "embedding")
+                + " / (sqrt("
+                + _dot("q_emb", "q_emb")
+                + ") * sqrt("
+                + _dot("embedding", "embedding")
+                + "))) AS BIGINT)"
+            ).alias("score_c"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score_c"), F.asc("neighbor_id"))
+    return (
+        refined.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score_c", "rnk")
+    )
+
+
 def embedding_dedup_canonical(
     emb: DataFrame,
     threshold_c: int = 4000,
@@ -836,16 +1036,21 @@ def topk_ivfpq(
     if not qrows:
         return spark.createDataFrame([], "query_id long, neighbor_id long, score_c long, rnk long")
     qids = np.asarray([int(r["vec_id"]) for r in qrows])
-    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
-    qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qraw = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+    qnorms = np.linalg.norm(qraw, axis=1, keepdims=True)
     qnorms[qnorms == 0] = 1.0
-    qmat /= qnorms
+    qmat = qraw / qnorms
     mm, _, sub_d = books.shape
     luts = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qmat), mm, sub_d), books)
     lut_bc = _track(spark.sparkContext.broadcast((qids, luts)))
 
-    # probe cells per query (driver-side numpy, same as topk_ivf)
-    d2 = (qmat**2).sum(axis=1, keepdims=True) - 2.0 * (qmat @ cent.T) + (cent**2).sum(axis=1)[None, :]
+    # probe cells with the RAW query vectors (same as topk_ivf): the coarse
+    # quantizer was trained on raw vectors and _assign_cells bucketed the
+    # corpus with raw vectors, so probing with the L2-normalized copy would
+    # pick cells in a different space and silently cost recall when corpus
+    # norms vary (r8, ADVICE).  Normalization is only for the ADC LUTs,
+    # whose inner products approximate cosine.
+    d2 = (qraw**2).sum(axis=1, keepdims=True) - 2.0 * (qraw @ cent.T) + (cent**2).sum(axis=1)[None, :]
     probe = min(n_probe, cent.shape[0])
     cells = np.argsort(d2, axis=1)[:, :probe]
     q_cells = spark.createDataFrame(
