@@ -294,8 +294,12 @@ def test_cli_manifest_save_and_compare(capsys, two_tables, tmp_path):
     assert json.loads(lines[-1])["drifted_buckets"] >= 1
     assert all(json.loads(ln)["status"] == "changed" for ln in lines[:-1])
 
-    with pytest.raises(ValueError, match="n_buckets"):
-        cli.main(["manifest", "--src", src, "--keys", keys, "--against", m, "--buckets", "32"])
+    # mismatched --buckets is an operator error: clean stderr + exit 2, not
+    # an uncaught ValueError traceback (r8, ADVICE)
+    rc = cli.main(["manifest", "--src", src, "--keys", keys, "--against", m, "--buckets", "32"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "n_buckets" in err
 
     # exactly one of --save/--against
     assert cli.main(["manifest", "--src", src, "--keys", keys]) == 2

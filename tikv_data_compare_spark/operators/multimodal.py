@@ -21,6 +21,7 @@ the same mapInPandas seam without touching the plan.
 
 from __future__ import annotations
 
+import struct
 import zlib
 from collections.abc import Iterator
 
@@ -227,10 +228,14 @@ def decode_features(
                     wav = decode_wav_pcm(payload)
                     if wav is not None:
                         return wav[2].tobytes(), True
-                except Exception:  # noqa: BLE001 — adversarial/corrupt payloads
-                    # must never fail the Arrow batch (the documented
-                    # contract); whatever a malformed container raises inside
-                    # a decoder, this row falls back to raw-byte features
+                except (ValueError, zlib.error, IndexError, struct.error, OverflowError):
+                    # adversarial/corrupt payloads must never fail the Arrow
+                    # batch (the documented contract) — but only the error
+                    # classes a malformed CONTAINER can realistically raise
+                    # are downgraded to decoded=false; a genuine programming
+                    # error (TypeError/NameError/AttributeError) in a decoder
+                    # still surfaces in tests instead of silently zeroing
+                    # every row (r8, ADVICE)
                     pass
             return payload, False
 

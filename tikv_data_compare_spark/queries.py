@@ -488,11 +488,45 @@ def q_checksum_algos(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``crc64`` over orders: the TiKV-byte-compatible CRC-64/XZ pandas_udf
       path, exercising the typed-column canonicalization (cast before
       coalesce; count/bytes oracle-exact like xxhash64, value covered by
-      the pytest CRC check-value/byte-parity suite).
+      the pytest CRC check-value/byte-parity suite);
+    - ``crc64_coproc`` (since r8): the reference's REGION-PARALLEL
+      coprocessor checksum (GetChecksumParallel, checksum/checksum.go:45-102
+      — sources/tikv.checksum_parallel: plan_ranges at region boundaries,
+      per-region server-side triple, (XOR,+,+) merge) run over a
+      StaticKvClient holding orders [0,4000) rendered to canonical KV, and
+      cross-validated in-row against the Spark-side crc64 checksum of the
+      SAME KV frame: count/bytes are oracle-exact, and
+      ``checksum_present`` carries the coproc≡Spark verdict (1 = the two
+      independently computed triples are equal), so a drift in EITHER path
+      reds the row.  The client collect is bounded by the key-range
+      predicate (client emulation only — a real cluster computes triples
+      server-side and ships 24 bytes/region).
     """
     tune(spark)
-    ok = _orders_keyed(_load(spark, sf_dir, "orders"))
+    from tikv_data_compare_spark.sources.tikv import StaticKvClient, checksum_parallel
+
+    orders = _load(spark, sf_dir, "orders")
+    ok = _orders_keyed(orders)
     lk = Keyed.of(_load(spark, sf_dir, "lineitem"), keys=("l_orderkey", "l_linenumber"))
+
+    kv = orders.filter(F.col("o_orderkey") < 4000).select(
+        F.unhex(F.lpad(F.hex(F.col("o_orderkey")), 16, "0")).alias("key"),
+        F.expr(_orders_canon(SPARK)).cast("binary").alias("value"),
+    )
+    spark_row = checksum(Keyed(kv, ("key",), ("value",)), algo="crc64").collect()[0]
+    client = StaticKvClient(
+        [(bytes(r["key"]), bytes(r["value"])) for r in kv.collect()], region_size=500
+    )
+    coproc = checksum_parallel(client)
+    match = int(
+        coproc["checksum"] == spark_row["checksum"]
+        and coproc["total_kvs"] == spark_row["total_kvs"]
+        and coproc["total_bytes"] == spark_row["total_bytes"]
+    )
+    coproc_df = spark.createDataFrame(
+        [("crc64_coproc", coproc["total_kvs"], coproc["total_bytes"], None, match)],
+        "algo string, total_kvs long, total_bytes long, checksum_c long, checksum_present int",
+    )
 
     def row(t: DataFrame, algo: str, exact_value: bool) -> DataFrame:
         value = F.col("checksum").cast("long") if exact_value else F.lit(None).cast("long")
@@ -508,6 +542,7 @@ def q_checksum_algos(spark: SparkSession, sf_dir: str) -> DataFrame:
         row(checksum(ok, algo="md5i64"), "md5i64", exact_value=True)
         .unionByName(row(checksum(lk, algo="xxhash64", canon_bytes=True), "xxhash64", False))
         .unionByName(row(checksum(ok, algo="crc64", canon_bytes=True), "crc64", False))
+        .unionByName(coproc_df)
     )
 
 
@@ -528,6 +563,11 @@ SELECT 'crc64', CAST(count(*) AS BIGINT),
        CAST(sum(length({sqlgen.table_canon("orders", list(sqlgen.TABLE_TAGS["orders"]), DUCK)})) AS BIGINT),
        CAST(NULL AS BIGINT), CAST(1 AS INTEGER)
 FROM orders
+UNION ALL
+SELECT 'crc64_coproc', CAST(count(*) AS BIGINT),
+       CAST(sum(8 + octet_length(CAST({_orders_canon(DUCK)} AS BLOB))) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(1 AS INTEGER)
+FROM orders WHERE o_orderkey < 4000
 """
 
 
@@ -959,9 +999,25 @@ def q_checksum_range_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
       deterministic drifted-schema pair (column dropped / retyped / added),
       one row per drifted column with the type on each side (t1/t2) — the
       metadata gate run before any data compare.  The oracle recomputes it
-      via DESCRIBE, so the classification logic is hash-gated."""
+      via DESCRIBE, so the classification logic is hash-gated;
+    - ``part='manifest'`` (since r8): the incremental flow — the SRC
+      snapshot's per-bucket md5i64 triples are SAVED to a parquet manifest
+      (``save_checksum_manifest``), then the mutated snapshot is compared
+      against the manifest file (``compare_to_manifest``) WITHOUT
+      rescanning src: one row per drifted bucket with the old/new checksum
+      (n1/n2), old/new kv counts (n3/n4) and the drift status
+      (changed/only_old/only_new) in t1.  The oracle recomputes both
+      sides' bucket triples from the tables, so the save → read-back →
+      full-outer drift join is hash-gated end-to-end."""
     tune(spark)
+    import os
+    import tempfile
+
     from tikv_data_compare_spark.model import schema_diff
+    from tikv_data_compare_spark.operators.checksum import (
+        compare_to_manifest,
+        save_checksum_manifest,
+    )
 
     orders = _load(spark, sf_dir, "orders")
     s = _bucket_triples(orders)
@@ -1027,7 +1083,30 @@ def q_checksum_range_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part string, k string, n1 long, n2 long, n3 long, n4 long, n5 long, n6 long, "
         "t1 string, t2 string",
     )
-    return buckets.unionByName(col_mm).unionByName(sd)
+    # manifest roundtrip: save src's triples, compare the mutated snapshot
+    # against the FILE (src is never rescanned — the incremental ops flow)
+    mpath = os.path.join(tempfile.mkdtemp(prefix="cksum_manifest_"), "orders_manifest")
+    bucket_expr = (F.col("o_orderkey") / F.lit(1000)).cast("long")
+    save_checksum_manifest(
+        src_k, mpath, bucket_expr, algo="md5i64", meta={"bucket_rule": "okey_div_1000"}
+    )
+    drift = compare_to_manifest(
+        dst_k, mpath, bucket_expr, algo="md5i64",
+        expect_meta={"bucket_rule": "okey_div_1000"},
+    )
+    man = drift.select(
+        F.lit("manifest").alias("part"),
+        F.col("bucket").cast("string").alias("k"),
+        F.col("old_cksum").alias("n1"),
+        F.col("new_cksum").alias("n2"),
+        F.col("old_kvs").alias("n3"),
+        F.col("new_kvs").alias("n4"),
+        null_long.alias("n5"),
+        null_long.alias("n6"),
+        F.col("status").alias("t1"),
+        null_str.alias("t2"),
+    )
+    return buckets.unionByName(col_mm).unionByName(sd).unionByName(man)
 
 
 _ORDERS_VALUE_COLS = (
@@ -1102,6 +1181,18 @@ SELECT 'schema' AS part, coalesce(sc.column_name, dc.column_name) AS k,
        sc.t AS t1, dc.t AS t2
 FROM s_cols sc FULL OUTER JOIN d_cols dc ON sc.column_name = dc.column_name
 WHERE sc.t IS DISTINCT FROM dc.t
+UNION ALL
+SELECT 'manifest' AS part, CAST(coalesce(s.key_bucket, d.key_bucket) AS VARCHAR) AS k,
+       s.checksum AS n1, d.checksum AS n2,
+       s.total_kvs AS n3, d.total_kvs AS n4,
+       CAST(NULL AS BIGINT) AS n5, CAST(NULL AS BIGINT) AS n6,
+       CASE WHEN d.total_kvs IS NULL THEN 'only_old'
+            WHEN s.total_kvs IS NULL THEN 'only_new'
+            ELSE 'changed' END AS t1,
+       CAST(NULL AS VARCHAR) AS t2
+FROM s FULL OUTER JOIN d ON s.key_bucket = d.key_bucket
+WHERE s.checksum IS DISTINCT FROM d.checksum
+   OR s.total_kvs IS DISTINCT FROM d.total_kvs
 """
 
 
@@ -1948,7 +2039,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": qe.ORACLE_DEDUP_SIMHASH_PAIRS,
         "dedup_canonical": qm._oracle_dedup_canonical(),
         "similarity_topk": qe.ORACLE_SIMILARITY_TOPK,
-        "similarity_topk_ivf": qe.ORACLE_SIMILARITY_TOPK,
+        "similarity_topk_ivf": qe.ORACLE_SIMILARITY_TOPK_MODES,
         "similarity_near_dup": qe.oracle_similarity_near_dup(),
         "similarity_embed_dup": qe.oracle_similarity_embed_dup(),
         "embedding_stats": qe.ORACLE_EMBEDDING_STATS,

@@ -194,15 +194,76 @@ SELECT query_id, neighbor_id, cosine_c, rnk FROM ranked WHERE rnk <= 5
 
 
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k (k-means coarse quantizer + cell equi-join) run in
-    exhaustive-probe mode (n_probe = n_cells), where it must equal the exact
-    brute force — the oracle gates the quantizer/assignment/join/scoring
-    machinery; selective-probe recall is pytest-covered
-    (tests/test_similarity.py)."""
+    """Every approximate-ANN path, run in its provably-exact configuration
+    and union-labeled by ``mode`` — one oracle (the brute-force SQL ×4
+    modes) hash-gates ALL the machinery:
+
+    - ``ivf``: k-means coarse quantizer + cell equi-join at n_probe =
+      n_cells (every cell probed ⇒ exact);
+    - ``pq_rerank``: PQ codebook train/encode + ADC lookup scoring with
+      rerank >= corpus (the exact-rescore covers every ADC candidate ⇒
+      exact) — gates the codebooks, the m-byte codes, the LUT scoring and
+      the refine join;
+    - ``ivfpq_rerank``: the composed FAISS layout (coarse cells + PQ codes
+      + ADC + rerank), exhaustive probe + full rerank ⇒ exact;
+    - ``ivfpq_join_rerank``: the DataFrame-query join path (map-side query
+      probing, cell equi-join, batch ADC decode, keyed rerank joins — the
+      shape past the 16k driver-collect ceiling), same exact configuration.
+
+    Selective-probe recall and pruning stay pytest-covered
+    (tests/test_similarity.py, tests/test_pq.py)."""
     tune(spark)
-    return sim.topk_ivf(
-        _load(spark, sf_dir, "embeddings"), k=5, n_queries=10, n_cells=8, n_probe=8
+    emb = _load(spark, sf_dir, "embeddings")
+    n = emb.count()  # rerank >= corpus makes the refine stage exact
+    qdf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
+
+    def lbl(df: DataFrame, mode: str, score_col: str) -> DataFrame:
+        return df.select(
+            F.lit(mode).alias("mode"),
+            "query_id",
+            "neighbor_id",
+            F.col(score_col).alias("score_c"),
+            "rnk",
+        )
+
+    ivf = sim.topk_ivf(emb, k=5, n_queries=10, n_cells=8, n_probe=8)
+    pq = sim.topk_pq(emb, k=5, n_queries=10, m=8, k_codes=32, rerank=n)
+    ivfpq = sim.topk_ivfpq(
+        emb, k=5, n_queries=10, n_cells=8, n_probe=8, m=8, k_codes=32, rerank=n
+    )
+    ivfpq_join = sim.topk_ivfpq_join(
+        emb, qdf, k=5, n_cells=8, n_probe=8, m=8, k_codes=32, rerank=n
+    )
+    return (
+        lbl(ivf, "ivf", "cosine_c")
+        .unionByName(lbl(pq, "pq_rerank", "score_c"))
+        .unionByName(lbl(ivfpq, "ivfpq_rerank", "score_c"))
+        .unionByName(lbl(ivfpq_join, "ivfpq_join_rerank", "score_c"))
+    )
+
+
+#: the brute-force top-k SQL replicated per exact-configuration ANN mode:
+#: each labeled branch of q_similarity_topk_ivf must equal it row-for-row
+ORACLE_SIMILARITY_TOPK_MODES = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings WHERE vec_id < 10),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(ROUND(10000.0 * list_dot_product(q.embedding, e.embedding) /
+              (sqrt(list_dot_product(q.embedding, q.embedding)) * sqrt(list_dot_product(e.embedding, e.embedding)))) AS BIGINT) AS score_c
+  FROM q JOIN e ON e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_c DESC, neighbor_id ASC) AS BIGINT) AS rnk
+  FROM scored
+),
+topk AS (SELECT query_id, neighbor_id, score_c, rnk FROM ranked WHERE rnk <= 5)
+SELECT m.mode, t.query_id, t.neighbor_id, t.score_c, t.rnk
+FROM (VALUES ('ivf'), ('pq_rerank'), ('ivfpq_rerank'), ('ivfpq_join_rerank')) m(mode)
+CROSS JOIN topk t
+"""
 
 
 #: fixed LSH geometry for the oracle-gated near-dup query: the seeded plane
@@ -542,13 +603,27 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     - stopword-overlap language ID (argmax score, alphabetical tie-break)
       with the per-language scores (``lang_id``);
     - Gopher repetition fractions (``repetition_stats``): duplicate-word
-      and top-bigram shares, the boilerplate/template detectors."""
+      and top-bigram shares, the boilerplate/template detectors;
+    - trainable character-n-gram language ID (``lang_id_ngram``, since r8):
+      Cavnar–Trenkle rank profiles trained on THIS table's labeled text,
+      then the out-of-place distance argmin per doc
+      (``ngram_pred_lang``/``ngram_dist_c``) — the oracle retrains the same
+      profiles in SQL (char-3-gram counts → per-language rank window) and
+      recomputes every doc's distance, so training AND classification are
+      hash-gated end-to-end."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
+    profiles = tx.train_lang_profiles(docs)
+    ng = tx.lang_id_ngram(docs, profiles).select(
+        "doc_id",
+        F.col("pred_lang").alias("ngram_pred_lang"),
+        F.col("dist_c").alias("ngram_dist_c"),
+    )
     return (
         tx.quality_flags(docs)
         .join(tx.lang_id(docs), "doc_id")
         .join(tx.repetition_stats(docs), "doc_id")
+        .join(ng, "doc_id")
     )
 
 
@@ -562,8 +637,45 @@ def _oracle_text_quality() -> str:
         f"WHEN c_{la} >= greatest({', '.join('c_' + lb for lb in langs if lb != la)}) THEN '{la}'"
         for la in langs
     ) + " END"
+    # Cavnar–Trenkle n-gram language ID, retrained in SQL: char 3-grams of
+    # lower(text) (whole text as one gram when shorter than 3 chars — the
+    # Spark-side _char_ngrams contract), per-language top-100 rank profiles
+    # (count desc, gram asc), per-doc top-100 gram ranks, out-of-place
+    # distance with miss penalty 100, argmin (distance asc, lang asc).
+    ngram_ctes = """cg AS (SELECT doc_id, lang, lower(text) AS t FROM documents WHERE text IS NOT NULL),
+cgrams AS (
+  SELECT doc_id, lang,
+         unnest(CASE WHEN length(t) < 3 THEN [t]
+                ELSE list_transform(range(1, length(t) - 1), i -> substr(t, i, 3)) END) AS g
+  FROM cg
+),
+prof_counts AS (SELECT lang AS p_lang, g, count(*) AS n FROM cgrams GROUP BY 1, 2),
+prof AS (
+  SELECT p_lang, g,
+         CAST(row_number() OVER (PARTITION BY p_lang ORDER BY n DESC, g ASC) AS BIGINT) AS prank
+  FROM prof_counts QUALIFY prank <= 100
+),
+doc_counts AS (SELECT doc_id, g, count(*) AS n FROM cgrams GROUP BY 1, 2),
+doc_top AS (
+  SELECT doc_id, g,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g ASC) AS BIGINT) AS drank
+  FROM doc_counts QUALIFY drank <= 100
+),
+nglangs AS (SELECT DISTINCT lang AS p_lang FROM documents WHERE text IS NOT NULL),
+ngdist AS (
+  SELECT d.doc_id, l.p_lang,
+         CAST(sum(coalesce(abs(d.drank - p.prank), 100)) AS BIGINT) AS dist
+  FROM doc_top d CROSS JOIN nglangs l
+  LEFT JOIN prof p ON p.p_lang = l.p_lang AND p.g = d.g
+  GROUP BY 1, 2
+),
+ngbest AS (
+  SELECT doc_id, p_lang AS ngram_pred_lang, dist AS ngram_dist_c
+  FROM ngdist QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, p_lang ASC) = 1
+)"""
     return f"""
 WITH stats AS ({ORACLE_TEXT_STATS}),
+{ngram_ctes},
 flags AS (
   SELECT doc_id, n_tokens,
        CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
@@ -604,8 +716,10 @@ rep AS (
   FROM word_stats w LEFT JOIN big_top b ON w.doc_id = b.doc_id
 )
 SELECT f.*, l.labeled_lang, l.pred_lang, {", ".join("l.c_" + la for la in langs)},
-       r.dup_word_frac_c, r.top_bigram_frac_c
+       r.dup_word_frac_c, r.top_bigram_frac_c,
+       ng.ngram_pred_lang, ng.ngram_dist_c
 FROM flags f JOIN langid l ON f.doc_id = l.doc_id JOIN rep r ON f.doc_id = r.doc_id
+JOIN ngbest ng ON f.doc_id = ng.doc_id
 """
 
 

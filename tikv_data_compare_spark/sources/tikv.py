@@ -205,6 +205,25 @@ class FakeTikvClient:
         return (crc, kvs, nbytes)
 
 
+class StaticKvClient(FakeTikvClient):
+    """A :class:`FakeTikvClient` over CALLER-SUPPLIED (key, value) pairs
+    instead of generated ones — the client emulation used to cross-validate
+    :func:`checksum_parallel` against Spark-side checksums over the SAME
+    logical KV set (the fixture tables rendered to canonical KV).  Region
+    split keys fall every ``region_size`` pairs, so the region-parallel
+    plan really splits."""
+
+    def __init__(self, pairs: list[tuple[bytes, bytes]], region_size: int = 100,
+                 api_version: str = "V2"):
+        self._api = api_version
+        ordered = sorted(pairs)
+        self._keys = [k for k, _ in ordered]
+        self._kv = dict(ordered)
+        self._bounds = [
+            self._keys[i] for i in range(region_size, len(self._keys), region_size)
+        ]
+
+
 def _make_client(options):
     """Resolve the client from reader options.  ``client=fake`` builds the
     in-memory fake (options: fake_n, fake_region_size, fake_api_version);
