@@ -112,6 +112,16 @@ def main():
         "price_histogram": lambda: qm.q_price_histogram(spark, sf_dir).count(),
         "targeted_diff_1pct": lambda: targeted_diff(ord_src, drifted, bucket_expr).count(),
         "diff_full_1pct": lambda: diff(ord_src, drifted).count(),
+        # the compressed-ANN paths (r8): PQ codes + ADC with exact rerank of
+        # the top-100 shortlist, and the composed IVFPQ layout probing 1/4 of
+        # the cells — the 100 TB memory/selectivity shapes.  Recall vs exact
+        # brute force is measured (untimed) and reported alongside.
+        "topk_pq_rerank": lambda: sim.topk_pq(
+            embeddings, k=5, n_queries=10, m=8, k_codes=32, rerank=100
+        ).count(),
+        "topk_ivfpq": lambda: sim.topk_ivfpq(
+            embeddings, k=5, n_queries=10, n_cells=16, n_probe=4, m=8, k_codes=32, rerank=100
+        ).count(),
         "curation_pipeline": lambda: qe.q_curation_pipeline(spark, sf_dir).count(),
     }
 
@@ -162,6 +172,30 @@ def main():
         except (OSError, ValueError):
             pass
         return -1.0
+
+    # One untimed warm-up of the HEAVIEST plan before anything is timed:
+    # the 9-run A/B (BASELINE.md r7 warmth probe) showed JIT/codegen warmth
+    # moves identical plans 28-76s -> 5.6s — bigger than any knob measured.
+    # The limit(1) warm-up above compiles the session, not the operators;
+    # executing the full curation plan once brings the JVM to the
+    # steady-state every later min-of-N actually measures.
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") not in ("", "0"):
+        benches["curation_pipeline"]()
+
+    # ANN quality guardrail (untimed): recall@5 of the compressed paths vs
+    # exact brute force, so a quantization/probe regression is visible in
+    # the bench record, not just wall-clock
+    exact5 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_bruteforce(embeddings, k=5, n_queries=10).collect()
+    }
+    recall = {}
+    for rname, rdf in (
+        ("topk_pq_rerank", sim.topk_pq(embeddings, k=5, n_queries=10, m=8, k_codes=32, rerank=100)),
+        ("topk_ivfpq", sim.topk_ivfpq(embeddings, k=5, n_queries=10, n_cells=16, n_probe=4, m=8, k_codes=32, rerank=100)),
+    ):
+        got = {(r["query_id"], r["neighbor_id"]) for r in rdf.collect()}
+        recall[rname] = round(len(exact5 & got) / max(len(exact5), 1), 3)
 
     timings = {}
     cpu_sec: dict[str, float] = {}
@@ -229,6 +263,9 @@ def main():
                 # wall up + cpu flat = external contention; both up = the
                 # plan is doing more work (a real regression)
                 "cpu_sec": cpu_sec,
+                # recall@5 vs exact brute force for the compressed-ANN
+                # entries (untimed guardrail)
+                "recall": recall,
             }
         )
     )

@@ -303,3 +303,70 @@ def test_cli_manifest_save_and_compare(capsys, two_tables, tmp_path):
 
     # exactly one of --save/--against
     assert cli.main(["manifest", "--src", src, "--keys", keys]) == 2
+
+
+@pytest.fixture(scope="module")
+def emb_parquet(spark, tmp_path_factory, embeddings):
+    d = tmp_path_factory.mktemp("cli_ann")
+    src = str(d / "emb.pq")
+    embeddings.write.mode("overwrite").parquet(src)
+    from pyspark.sql import functions as F
+
+    q = str(d / "queries.pq")
+    embeddings.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).write.mode("overwrite").parquet(q)
+    return src, q
+
+
+def test_cli_ann_bruteforce_and_ivfpq(capsys, emb_parquet):
+    src, _ = emb_parquet
+    assert cli.main(["ann", "--src", src, "--method", "bruteforce",
+                     "--k", "3", "--n-queries", "4"]) == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 4 * 3
+    assert all(r["rnk"] in (1, 2, 3) and r["neighbor_id"] != r["query_id"] for r in rows)
+
+    assert cli.main(["ann", "--src", src, "--method", "ivfpq", "--k", "3",
+                     "--n-queries", "4", "--n-cells", "8", "--n-probe", "8",
+                     "--rerank", "50"]) == 0
+    rows2 = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows2) == 4 * 3
+
+
+def test_cli_ann_join_path_and_out(capsys, emb_parquet, tmp_path):
+    """--queries routes ivf through the DataFrame-query join path (exact at
+    exhaustive probe: must equal the bruteforce rows) and --out writes
+    parquet instead of printing."""
+    src, q = emb_parquet
+    assert cli.main(["ann", "--src", src, "--method", "bruteforce",
+                     "--k", "3", "--n-queries", "6"]) == 0
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in map(json.loads, capsys.readouterr().out.strip().splitlines())
+    )
+    out = str(tmp_path / "ann_out.pq")
+    assert cli.main(["ann", "--src", src, "--method", "ivf", "--queries", q,
+                     "--k", "3", "--n-cells", "8", "--n-probe", "8",
+                     "--out", out]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["rows"] == 6 * 3
+
+    import duckdb
+
+    got = sorted(
+        tuple(r) for r in duckdb.sql(
+            f"SELECT query_id, neighbor_id, rnk FROM '{out}/*.parquet'"
+        ).fetchall()
+    )
+    assert got == exact
+
+
+def test_cli_ann_rejects_bad_geometry(capsys, emb_parquet):
+    src, q = emb_parquet
+    # dim % m != 0 is an operator error: clean stderr + exit 2
+    assert cli.main(["ann", "--src", src, "--method", "pq", "--m", "7"]) == 2
+    assert "dim" in capsys.readouterr().err
+    # --queries only applies to the join-path methods
+    assert cli.main(["ann", "--src", src, "--method", "pq", "--queries", q]) == 2
+    assert "join path" in capsys.readouterr().err

@@ -206,6 +206,30 @@ def main(argv: list[str] | None = None) -> int:
                    help="near-dup shingle hash (xxhash64 = throughput default)")
     p.add_argument("--concurrency", type=int, default=0)
 
+    # approximate-nearest-neighbor search over an embeddings parquet: every
+    # ANN path (exact brute force, LSH buckets, IVF cells, PQ codes, the
+    # composed IVFPQ) behind one subcommand.  With --queries the IVF/IVFPQ
+    # methods run the DataFrame-query JOIN path (no driver collect, no 16k
+    # broadcast ceiling); without it, queries are the --n-queries lowest
+    # vec_ids of the corpus via the broadcast path.
+    p = sub.add_parser("ann")
+    p.add_argument("--src", required=True, help="embeddings parquet with (vec_id, embedding)")
+    p.add_argument("--queries", default="",
+                   help="queries parquet (query_id, embedding); ivf/ivfpq only — "
+                        "runs the join path with no query-count ceiling")
+    p.add_argument("--method", default="bruteforce",
+                   choices=["bruteforce", "lsh", "ivf", "pq", "ivfpq"])
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--n-queries", type=int, default=10)
+    p.add_argument("--n-planes", type=int, default=6)
+    p.add_argument("--n-cells", type=int, default=16)
+    p.add_argument("--n-probe", type=int, default=4)
+    p.add_argument("--m", type=int, default=8)
+    p.add_argument("--k-codes", type=int, default=32)
+    p.add_argument("--rerank", type=int, default=0)
+    p.add_argument("--out", default="", help="write result parquet here instead of printing rows")
+    p.add_argument("--concurrency", type=int, default=0)
+
     args = top.parse_args(argv)
 
     # codec subcommands are pure driver-side (reference codec/codec.go:14-54)
@@ -258,6 +282,55 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"out": out}))
         finally:
             kept.unpersist()
+        return 0
+
+    if args.cmd == "ann":
+        from tikv_data_compare_spark.operators import similarity as sim
+
+        emb = spark.read.parquet(args.src)
+        if args.queries and args.method not in ("ivf", "ivfpq"):
+            print("ann: --queries requires --method ivf or ivfpq (the join path)",
+                  file=sys.stderr)
+            return 2
+        try:
+            if args.method == "bruteforce":
+                res = sim.topk_bruteforce(emb, k=args.k, n_queries=args.n_queries)
+            elif args.method == "lsh":
+                res = sim.topk_lsh(emb, k=args.k, n_queries=args.n_queries,
+                                   n_planes=args.n_planes)
+            elif args.method == "pq":
+                res = sim.topk_pq(emb, k=args.k, n_queries=args.n_queries, m=args.m,
+                                  k_codes=args.k_codes, rerank=args.rerank)
+            elif args.method == "ivf" and args.queries:
+                res = sim.topk_ivf_join(emb, spark.read.parquet(args.queries), k=args.k,
+                                        n_cells=args.n_cells, n_probe=args.n_probe)
+            elif args.method == "ivf":
+                res = sim.topk_ivf(emb, k=args.k, n_queries=args.n_queries,
+                                   n_cells=args.n_cells, n_probe=args.n_probe)
+            elif args.queries:
+                res = sim.topk_ivfpq_join(
+                    emb, spark.read.parquet(args.queries), k=args.k,
+                    n_cells=args.n_cells, n_probe=args.n_probe, m=args.m,
+                    k_codes=args.k_codes, rerank=args.rerank,
+                )
+            else:
+                res = sim.topk_ivfpq(
+                    emb, k=args.k, n_queries=args.n_queries, n_cells=args.n_cells,
+                    n_probe=args.n_probe, m=args.m, k_codes=args.k_codes,
+                    rerank=args.rerank,
+                )
+        except ValueError as e:
+            # bad geometry (dim % m, k_codes range, collect ceiling, empty
+            # corpus) is an operator error: clean stderr + exit 2
+            print(f"ann: {e}", file=sys.stderr)
+            return 2
+        if args.out:
+            res.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"out": args.out, "rows": n, "method": args.method}))
+        else:
+            for row in res.toLocalIterator():
+                print(json.dumps(row.asDict()))
         return 0
 
     keys = args.keys.split(",")
