@@ -1,0 +1,116 @@
+"""Persistent ANN index: build/load roundtrip, frozen-codebook append,
+meta validation, and the build-once-query-many exactness contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tikv_data_compare_spark.operators import ann_index as ai
+from tikv_data_compare_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(embeddings):
+    return embeddings.cache()
+
+
+def _qdf(emb, n):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_index_roundtrip_exact_at_exhaustive(spark, emb, tmp_path_factory):
+    """build -> load -> query (exhaustive probe + full rerank) must equal
+    exact brute force — the persisted quantizers and codes reproduce the
+    in-session path bit-for-bit."""
+    path = str(tmp_path_factory.mktemp("annidx") / "idx")
+    n = emb.count()
+    meta = ai.build_ann_index(emb, path, n_cells=8, m=8, k_codes=16)
+    assert meta["n_vectors"] == n and meta["dim"] == 64
+    idx = ai.load_ann_index(spark, path)
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in sim.topk_bruteforce(emb, k=5, n_queries=6).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in ai.topk_index(
+            idx, _qdf(emb, 6), k=5, n_probe=8, rerank=n, emb_for_rerank=emb
+        ).collect()
+    )
+    assert got == exact
+
+
+def test_index_query_equals_fresh_join_path(spark, emb, tmp_path_factory):
+    """Same seeds, same params: querying the SAVED index must return exactly
+    what the fresh (train-in-session) join path returns, including ADC
+    scores — persistence does not perturb the quantizers."""
+    path = str(tmp_path_factory.mktemp("annidx") / "idx")
+    ai.build_ann_index(emb, path, n_cells=8, m=8, k_codes=16, seed=7)
+    idx = ai.load_ann_index(spark, path)
+    fresh = sorted(
+        tuple(r) for r in sim.topk_ivfpq_join(
+            emb, _qdf(emb, 6), k=5, n_cells=8, n_probe=3, m=8, k_codes=16, seed=7
+        ).collect()
+    )
+    saved = sorted(
+        tuple(r) for r in ai.topk_index(idx, _qdf(emb, 6), k=5, n_probe=3).collect()
+    )
+    assert saved == fresh
+
+
+def test_index_is_m_bytes_per_vector(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("annidx") / "idx")
+    ai.build_ann_index(emb, path, n_cells=4, m=8, k_codes=16)
+    rows = spark.read.parquet(f"{path}/vectors").limit(20).collect()
+    assert rows and all(len(bytes(r["pq_code"])) == 8 for r in rows)
+    assert set(rows[0].asDict()) == {"vec_id", "cell", "pq_code"}  # no floats
+
+
+def test_append_with_frozen_codebooks(spark, emb, tmp_path_factory):
+    """Build on half the corpus, append the other half: codes stay valid
+    (existing rows unre-encoded), meta count updates, and exhaustive+rerank
+    over the grown index equals brute force over the FULL corpus."""
+    path = str(tmp_path_factory.mktemp("annidx") / "idx")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    meta0 = ai.build_ann_index(half_a, path, n_cells=8, m=8, k_codes=16)
+    n_added = ai.append_to_index(half_b, path)
+    assert n_added == half_b.count()
+    idx = ai.load_ann_index(spark, path)
+    assert idx.meta["n_vectors"] == meta0["n_vectors"] + n_added
+    n = emb.count()
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in sim.topk_bruteforce(emb, k=5, n_queries=6).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in ai.topk_index(
+            idx, _qdf(emb, 6), k=5, n_probe=8, rerank=n, emb_for_rerank=emb
+        ).collect()
+    )
+    assert got == exact
+
+
+def test_index_validation_errors(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("annidx") / "idx")
+    ai.build_ann_index(emb, path, n_cells=4, m=8, k_codes=16)
+    # wrong-dim append is rejected before any write
+    bad = spark.createDataFrame(
+        [(10_000, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        ai.append_to_index(bad, path)
+    # rerank without the float table is a loud error, not a silent ADC result
+    idx = ai.load_ann_index(spark, path)
+    with pytest.raises(ValueError, match="rerank"):
+        ai.topk_index(idx, _qdf(emb, 3), k=3, n_probe=4, rerank=10).collect()
+    # version gate
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    meta["version"] = 99
+    spark.createDataFrame([tuple(meta.values())], list(meta.keys())).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="version"):
+        ai.load_ann_index(spark, path)

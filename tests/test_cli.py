@@ -370,3 +370,32 @@ def test_cli_ann_rejects_bad_geometry(capsys, emb_parquet):
     # --queries only applies to the join-path methods
     assert cli.main(["ann", "--src", src, "--method", "pq", "--queries", q]) == 2
     assert "join path" in capsys.readouterr().err
+
+
+def test_cli_ann_persistent_index(capsys, emb_parquet, tmp_path):
+    """ann --build-index then --index: build-once/query-many, with the
+    indexed exhaustive+rerank result equal to brute force."""
+    src, q = emb_parquet
+    idx = str(tmp_path / "idx")
+    assert cli.main(["ann", "--src", src, "--build-index", idx,
+                     "--n-cells", "8", "--m", "8", "--k-codes", "16"]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["index"] == idx and meta["n_vectors"] > 0
+
+    assert cli.main(["ann", "--src", src, "--method", "bruteforce",
+                     "--k", "3", "--n-queries", "6"]) == 0
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in map(json.loads, capsys.readouterr().out.strip().splitlines())
+    )
+    assert cli.main(["ann", "--src", src, "--index", idx, "--queries", q,
+                     "--k", "3", "--n-probe", "8",
+                     "--rerank", str(meta["n_vectors"])]) == 0
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in map(json.loads, capsys.readouterr().out.strip().splitlines())
+    )
+    assert got == exact
+
+    # --index without --queries is a usage error
+    assert cli.main(["ann", "--src", src, "--index", idx]) == 2

@@ -227,6 +227,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--m", type=int, default=8)
     p.add_argument("--k-codes", type=int, default=32)
     p.add_argument("--rerank", type=int, default=0)
+    p.add_argument("--build-index", default="",
+                   help="build a persistent IVFPQ index of --src here and exit "
+                        "(train + encode once; later runs query it via --index)")
+    p.add_argument("--index", default="",
+                   help="query this persisted index (requires --queries; "
+                        "--rerank reads float vectors from --src)")
     p.add_argument("--out", default="", help="write result parquet here instead of printing rows")
     p.add_argument("--concurrency", type=int, default=0)
 
@@ -288,6 +294,46 @@ def main(argv: list[str] | None = None) -> int:
         from tikv_data_compare_spark.operators import similarity as sim
 
         emb = spark.read.parquet(args.src)
+        if args.build_index:
+            from tikv_data_compare_spark.operators.ann_index import build_ann_index
+
+            try:
+                meta = build_ann_index(
+                    emb, args.build_index, n_cells=args.n_cells, m=args.m,
+                    k_codes=args.k_codes,
+                )
+            except ValueError as e:
+                print(f"ann: {e}", file=sys.stderr)
+                return 2
+            print(json.dumps({"index": args.build_index, **meta}))
+            return 0
+        if args.index:
+            from tikv_data_compare_spark.operators.ann_index import (
+                load_ann_index,
+                topk_index,
+            )
+
+            if not args.queries:
+                print("ann: --index requires --queries", file=sys.stderr)
+                return 2
+            try:
+                idx = load_ann_index(spark, args.index)
+                res = topk_index(
+                    idx, spark.read.parquet(args.queries), k=args.k,
+                    n_probe=args.n_probe, rerank=args.rerank,
+                    emb_for_rerank=emb if args.rerank else None,
+                )
+            except ValueError as e:
+                print(f"ann: {e}", file=sys.stderr)
+                return 2
+            if args.out:
+                res.write.mode("overwrite").parquet(args.out)
+                n = spark.read.parquet(args.out).count()
+                print(json.dumps({"out": args.out, "rows": n, "method": "index"}))
+            else:
+                for row in res.toLocalIterator():
+                    print(json.dumps(row.asDict()))
+            return 0
         if args.queries and args.method not in ("ivf", "ivfpq"):
             print("ann: --queries requires --method ivf or ivfpq (the join path)",
                   file=sys.stderr)

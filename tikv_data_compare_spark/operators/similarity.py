@@ -620,6 +620,25 @@ def topk_ivfpq_join(
     ).select("vec_id", "cell", "pq_code")
 
     qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
+    return _ivfpq_join_topk(emb, qdf, corpus, cent_bc, books_bc, k, n_probe, rerank)
+
+
+def _ivfpq_join_topk(
+    emb: DataFrame | None,
+    qdf: DataFrame,
+    corpus: DataFrame,
+    cent_bc,
+    books_bc,
+    k: int,
+    n_probe: int,
+    rerank: int,
+) -> DataFrame:
+    """Shared core of the DataFrame-query IVFPQ paths (``topk_ivfpq_join``
+    and the persistent-index query, ann_index.topk_index): map-side query
+    probing, cell equi-join against the (cell, pq_code) corpus, batch ADC
+    decode scoring, window shortlist, keyed rerank.  ``emb`` supplies float
+    vectors for the rerank; pass None for a code-only (ADC-ranked) result.
+    """
     q = _probe_cells(qdf, cent_bc, n_probe, vec_col="q_emb")
     cands = corpus.join(q, on="cell").filter(F.col("vec_id") != F.col("query_id"))
 
@@ -630,7 +649,7 @@ def topk_ivfpq_join(
         import pandas as pd
 
         books_v = books_bc.value
-        n_m, _, sub_d = books_v.shape
+        n_m = books_v.shape[0]
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -666,6 +685,8 @@ def topk_ivfpq_join(
     )
     if not rerank:
         return shortlist
+    if emb is None:
+        raise ValueError("rerank requires the float-vector table (emb is None)")
     # rerank WITHOUT broadcasting the query side: two keyed equi-joins
     refined = (
         emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
