@@ -273,3 +273,85 @@ def test_stream_stream_join_spans_batches(spark, tmp_path):
         for r in q_stream_stream_join(spark, sf_dir).collect()
     }
     assert got == {(10, 11): 1_800_000, (20, 21): 1_800_000, (30, 31): 1_800_000}
+
+
+def test_manifest_stream_equals_batch_manifest(spark, tmp_path):
+    """The monoid contract: a manifest maintained incrementally from a
+    micro-batched stream (one file per trigger) is BIT-IDENTICAL to one
+    built from the whole table in batch — chunking must not matter."""
+    import tempfile
+
+    from tikv_data_compare_spark.operators.checksum import (
+        bucket_triples,
+        compare_to_manifest,
+    )
+    from tikv_data_compare_spark.streaming.manifest_stream import manifest_stream
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(400)], "k long, v string, amt long"
+    )
+    src = str(tmp_path / "mstream_src")
+    # three files -> three micro-batches with maxFilesPerTrigger=1
+    for lo, hi, part in ((0, 150, "a"), (150, 300, "b"), (300, 400, "c")):
+        df.filter((F.col("k") >= lo) & (F.col("k") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    mpath = str(tmp_path / "mstream_manifest")
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = manifest_stream(
+        stream, keys=("k",), path=mpath, bucket_expr=lambda: F.floor(F.col("k") / 50)
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["bucket"]: (r["cksum"], r["kvs"])
+        for r in spark.read.parquet(f"{mpath}/triples").collect()
+    }
+    batch = {
+        r["bucket"]: (r["cksum"], r["kvs"])
+        for r in bucket_triples(
+            Keyed.of(df, keys=("k",)), F.floor(F.col("k") / 50)
+        ).collect()
+    }
+    assert streamed == batch
+
+    # the streamed manifest plugs straight into the batch drift compare
+    drifted = df.withColumn(
+        "amt", F.when(F.col("k") == 123, F.col("amt") + 1).otherwise(F.col("amt"))
+    )
+    report = compare_to_manifest(
+        Keyed.of(drifted, keys=("k",)),
+        spark.read.parquet(f"{mpath}/triples"),
+        F.floor(F.col("k") / 50),
+    ).collect()
+    assert [(r["bucket"], r["status"]) for r in report] == [(2, "changed")]
+
+
+def test_manifest_fold_skips_redelivered_epoch(spark, tmp_path):
+    """foreachBatch redelivery: re-folding an already-applied epoch is a
+    no-op (XOR is not idempotent — without the watermark the checksum
+    contribution would cancel and kvs would double)."""
+    from tikv_data_compare_spark.streaming.manifest_stream import (
+        fold_batch_into_manifest,
+    )
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
+    keyed = Keyed.of(df, keys=("k",))
+    mpath = str(tmp_path / "redeliver_manifest")
+    bucket = F.floor(F.col("k") / 50)
+    assert fold_batch_into_manifest(keyed, mpath, bucket, epoch_id=0) is True
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{mpath}/triples").collect()
+    )
+    assert fold_batch_into_manifest(keyed, mpath, bucket, epoch_id=0) is False
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{mpath}/triples").collect()
+    )
+    assert after == before
+    # a NEW epoch does apply (kvs doubles for every bucket)
+    assert fold_batch_into_manifest(keyed, mpath, bucket, epoch_id=1) is True
+    kvs = {r["bucket"]: r["kvs"] for r in spark.read.parquet(f"{mpath}/triples").collect()}
+    assert all(v == 100 for v in kvs.values())

@@ -1,1 +1,2 @@
-"""Structured Streaming surface: incremental diff and windowed aggregation."""
+"""Structured Streaming surface: incremental diff, windowed aggregation,
+stateful sessionization, and continuous checksum-manifest maintenance."""
