@@ -328,3 +328,51 @@ def test_sessionize_single_user_exchange(spark):
     )
     s = _simple(sessionize(df))
     assert s.count("Exchange") == 1, s
+
+
+def test_ann_join_path_plan_shape(spark, embeddings):
+    """The DataFrame-query ANN join path must be a real equi-join on the
+    cell id: never cartesian, and never STRUCTURALLY dependent on a
+    broadcast — with auto-broadcast disabled (emulating a query side too
+    big to broadcast, the case the path exists for) it must still plan as
+    a shuffle join.  With defaults, the planner may legitimately broadcast
+    a genuinely small side; both plans are exercised."""
+    from tikv_data_compare_spark.operators import similarity as sim
+
+    q = embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = sim.topk_ivf_join(embeddings, q, k=3, n_cells=4, n_probe=2)
+    assert not plans.has_cartesian(res)
+    assert plans.join_strategies(res) & {
+        "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        res2 = sim.topk_ivf_join(embeddings, q, k=3, n_cells=4, n_probe=2)
+        assert not plans.has_cartesian(res2)
+        strategies = plans.join_strategies(res2)
+        assert strategies & {"SortMergeJoin", "ShuffledHashJoin"}, strategies
+        assert "BroadcastHashJoin" not in strategies, strategies
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ann_index_scan_prunes_to_code_columns(spark, embeddings, tmp_path):
+    """Query plans over a persisted index must read ONLY the compact
+    columns (vec_id, cell, pq_code) from the vectors parquet — the float
+    embeddings never existed there, and nothing may widen the scan."""
+    from tikv_data_compare_spark.operators import ann_index as ai
+
+    path = str(tmp_path / "planidx")
+    ai.build_ann_index(embeddings, path, n_cells=4, m=8, k_codes=16)
+    idx = ai.load_ann_index(spark, path)
+    q = embeddings.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = ai.topk_index(idx, q, k=3, n_probe=4)
+    s = plans.plan_string(res)
+    read_schemas = [l for l in s.splitlines() if "ReadSchema" in l and "pq_code" in l]
+    assert read_schemas, s  # the index scan is present...
+    assert all("embedding" not in l for l in read_schemas)  # ...and code-only
