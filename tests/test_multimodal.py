@@ -398,3 +398,50 @@ def test_media_probe_passthrough_keeps_input_types(spark):
 
     with pytest.raises(ValueError, match="passthrough_cols"):
         media_probe(df, passthrough_cols=["nope"])
+
+
+def test_resize_images_planted_pixels(spark):
+    """Nearest-neighbor resize of a planted 4x2 PNG: downsample to 2x1 and
+    upsample to 8x4 pick exactly the expected source pixels."""
+    px = [[10, 0, 0], [0, 20, 0], [0, 0, 30], [40, 40, 40]]
+    row = [v for p in px for v in p]  # 4 RGB pixels, flat scanline
+    png = _encode_png([row, row], width=4, channels=3, filters=[0, 0])
+    df = spark.createDataFrame([(1, bytearray(png)), (2, bytearray(b"junk"))],
+                               "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in mm.resize_images(df, 2, 1).collect()}
+    assert rows[2]["decoded"] is False and rows[2]["rgb"] is None
+    r1 = rows[1]
+    assert (r1["src_w"], r1["src_h"], r1["decoded"]) == (4, 2, True)
+    got = list(bytes(r1["rgb"]))
+    # centers at x=(0.5,1.5)*4/2 -> src cols 1 and 3; y center -> src row 1
+    assert got == px[1] + px[3]
+
+    up = {r["doc_id"]: r for r in mm.resize_images(df, 8, 4).collect()}
+    rgb = bytes(up[1]["rgb"])
+    assert len(rgb) == 8 * 4 * 3
+    # every output pixel must be one of the four source pixels
+    pix = {tuple(rgb[i : i + 3]) for i in range(0, len(rgb), 3)}
+    assert pix <= {tuple(p) for p in px}
+
+    with pytest.raises(ValueError, match=">= 1"):
+        mm.resize_images(df, 0, 4)
+
+
+def test_audio_frames_windowing(spark):
+    """Planted PCM: frame boundaries, per-frame RMS/peak, and non-WAV rows
+    dropping out."""
+    import math
+
+    samples = [100] * 8 + [-200] * 8
+    wav = _encode_wav(samples, channels=1, rate=8000)
+    df = spark.createDataFrame([(7, bytearray(wav)), (8, bytearray(b"nope"))],
+                               "doc_id long, payload binary")
+    rows = sorted(
+        (r["frame_idx"], r["start_sample"], r["n_samples"], r["rms"], r["peak"])
+        for r in mm.audio_frames(df, frame_len=8, hop=4).collect()
+    )
+    # frames at starts 0, 4, 8 (len 16, frame 8, hop 4 -> starts 0..8)
+    assert [(r[0], r[1], r[2]) for r in rows] == [(0, 0, 8), (1, 4, 8), (2, 8, 8)]
+    assert rows[0][3] == pytest.approx(100.0) and rows[0][4] == 100
+    assert rows[1][3] == pytest.approx(math.sqrt((4 * 100**2 + 4 * 200**2) / 8))
+    assert rows[2][3] == pytest.approx(200.0) and rows[2][4] == 200

@@ -446,6 +446,126 @@ def media_probe(
     )
 
 
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL pixel resize: decode each payload (PNG/GIF/baseline-JPEG via the
+    from-spec decoders), nearest-neighbor resample to (out_w, out_h), and
+    emit the resized RGB bytes — the image-normalization stage of a
+    multimodal training pipeline (fixed input dims for the encoder).
+
+    One Arrow pass, pure numpy index math (nearest-neighbor = one fancy
+    index per image; no convolution, deterministic across platforms).
+    Undecodable payloads yield ``decoded=false`` with NULL pixels — the
+    row survives for audit, the batch never fails.  Output bytes are
+    row-major RGB, ``out_w·out_h·3`` per decoded row (bounded output: the
+    operator SHRINKS data for any out dims below the source).
+    """
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"resize dims must be >= 1, got {out_w}x{out_h}")
+    from tikv_data_compare_spark.operators import media_decode
+
+    out_schema = (
+        f"{id_col} long, src_w long, src_h long, rgb binary, decoded boolean"
+    )
+
+    def work(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = None
+                try:
+                    for d in (decode_png, media_decode.decode_gif, media_decode.decode_jpeg):
+                        dec = d(bytes(payload))
+                        if dec is not None:
+                            break
+                except (ValueError, zlib.error, IndexError, struct.error, OverflowError):
+                    dec = None
+                if dec is None:
+                    rows.append((int(doc_id), None, None, None, False))
+                    continue
+                w, h, ch, rgb = dec
+                img = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, ch)
+                # nearest-neighbor index maps (the standard floor((i+0.5)*scale))
+                yi = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(int), h - 1)
+                xi = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(int), w - 1)
+                resized = img[yi][:, xi]
+                rows.append((int(doc_id), int(w), int(h), resized.tobytes(), True))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "src_w", "src_h", "rgb", "decoded"]
+            )
+
+    return _scaled(df.select(id_col, payload_col), id_col).mapInPandas(work, out_schema)
+
+
+def audio_frames(
+    df: DataFrame,
+    frame_len: int = 1024,
+    hop: int = 512,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL audio frame sampling: decode WAV PCM samples and emit one row
+    per (overlapping) analysis frame with its RMS and peak — the windowed
+    feature-extraction shape (VAD, loudness gating, silence trimming) of an
+    audio pipeline, without shipping raw frames (two scalars per frame).
+
+    Channels are interleaved in PCM; frames are cut over the interleaved
+    stream (frame boundaries at sample multiples of ``hop``), which is the
+    bounded-output audit shape — a channel-split variant is one reshape
+    away inside the same batch function.  Non-WAV payloads yield no rows.
+    """
+    if frame_len < 1 or hop < 1:
+        raise ValueError(f"frame_len/hop must be >= 1, got {frame_len}/{hop}")
+    out_schema = (
+        f"{id_col} long, frame_idx long, start_sample long, n_samples long, "
+        "rms double, peak long"
+    )
+
+    def work(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    dec = decode_wav_pcm(bytes(payload))
+                except (ValueError, struct.error, IndexError, OverflowError):
+                    dec = None
+                if dec is None:
+                    continue
+                _, _, samples = dec
+                x = samples.astype(np.float64)
+                for idx, start in enumerate(range(0, max(len(x) - frame_len + 1, 1), hop)):
+                    fr = x[start : start + frame_len]
+                    if not len(fr):
+                        break
+                    rows.append(
+                        (
+                            int(doc_id),
+                            idx,
+                            start,
+                            len(fr),
+                            float(np.sqrt((fr**2).mean())),
+                            int(np.abs(fr).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "start_sample", "n_samples", "rms", "peak"],
+            )
+
+    return _scaled(df.select(id_col, payload_col), id_col).mapInPandas(work, out_schema)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: one row per sampled chunk offset — the
     Spark shape of video frame extraction (posexplode of offsets computed
