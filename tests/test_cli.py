@@ -399,3 +399,28 @@ def test_cli_ann_persistent_index(capsys, emb_parquet, tmp_path):
 
     # --index without --queries is a usage error
     assert cli.main(["ann", "--src", src, "--index", idx]) == 2
+
+
+def test_cli_manifest_range_buckets(capsys, two_tables, tmp_path):
+    """--range-key stores quantile boundaries in the manifest; compares
+    rebuild the identical bucketing from the file (no flag needed), so a
+    clean compare is empty and a drifted one localizes."""
+    src, dst, dst_eq = two_tables
+    m = str(tmp_path / "range_manifest.pq")
+    keys = "l_orderkey,l_linenumber"
+    assert cli.main(["manifest", "--src", src, "--keys", keys, "--save", m,
+                     "--buckets", "8", "--range-key", "l_orderkey"]) == 0
+    saved = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert saved["range_key"] == "l_orderkey"
+
+    assert cli.main(["manifest", "--src", src, "--keys", keys,
+                     "--against", m, "--buckets", "8"]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "drifted_buckets"
+    ] == 0
+
+    rc = cli.main(["manifest", "--src", dst, "--keys", keys,
+                   "--against", m, "--buckets", "8"])
+    assert rc == 1
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[-1])["drifted_buckets"] >= 1

@@ -117,3 +117,81 @@ def test_compare_join_strategy_is_sort_merge(spark, orders_keyed):
     strategies = plans.join_strategies(drift)
     assert "SortMergeJoin" in strategies, strategies
     assert "BroadcastHashJoin" not in strategies, strategies
+
+
+def test_range_buckets_balanced_under_skew(spark):
+    """Fixed-divisor bucketing collapses under key skew; quantile boundaries
+    keep buckets ~equal-count on a heavily skewed key space."""
+    from tikv_data_compare_spark.operators.checksum import (
+        range_bucket_boundaries,
+        range_bucket_col,
+    )
+
+    # zipf-ish: k = floor(2^(i/1000)) over 8000 rows — 6 decades of skew
+    df = spark.range(8000).select(
+        F.floor(F.pow(F.lit(2.0), F.col("id") / 250.0)).alias("k")
+    )
+    bounds = range_bucket_boundaries(df, "k", n_buckets=16)
+    sizes = [
+        r["n"]
+        for r in df.withColumn("b", range_bucket_col("k", bounds))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    ideal = 8000 // 16
+    assert len(sizes) >= 12  # near the requested 16 (dupes may merge a few)
+    assert max(sizes) <= 1.25 * ideal and min(sizes) >= 0.8 * ideal  # balanced
+    # the fixed-divisor strawman on the same data fails BOTH ways: a hot
+    # bucket several times ideal AND a sparse explosion of tiny buckets
+    naive = df.select((F.col("k") / 1000).cast("long").alias("b")).groupBy("b").count()
+    naive_sizes = sorted((r["count"] for r in naive.collect()), reverse=True)
+    assert naive_sizes[0] >= 4 * ideal
+    assert len(naive_sizes) > 1000
+
+
+def test_targeted_diff_with_auto_buckets(spark):
+    """targeted_diff over quantile buckets finds EXACTLY the full-diff
+    findings (boundaries computed once, reused on both sides)."""
+    from tikv_data_compare_spark.operators.checksum import (
+        range_bucket_boundaries,
+        range_bucket_col,
+    )
+    from tikv_data_compare_spark.operators.diff import diff, targeted_diff
+
+    src_df = spark.range(4000).select(
+        F.floor(F.pow(F.lit(2.0), F.col("id") / 200.0)).alias("k"),
+        F.col("id").alias("rowid"),
+        (F.col("id") * 3).alias("val"),
+    )
+    dst_df = src_df.withColumn(
+        "val", F.when(F.col("rowid") % 501 == 0, F.col("val") + 1).otherwise(F.col("val"))
+    )
+    src = Keyed.of(src_df, keys=("rowid",))
+    dst = Keyed.of(dst_df, keys=("rowid",))
+    bounds = range_bucket_boundaries(src_df, "k", n_buckets=32)
+    bucket = range_bucket_col("k", bounds)
+    full = sorted(
+        (r["rowid"], r["status"]) for r in diff(src, dst).collect()
+    )
+    targeted = sorted(
+        (r["rowid"], r["status"]) for r in targeted_diff(src, dst, bucket).collect()
+    )
+    assert targeted == full and len(full) > 0
+
+
+def test_range_bucket_null_and_empty_edges(spark):
+    from tikv_data_compare_spark.operators.checksum import range_bucket_col
+
+    df = spark.createDataFrame([(None,), (5,), (50,)], "k long")
+    got = {
+        (r["k"], r["b"])
+        for r in df.withColumn("b", range_bucket_col("k", [10.0])).collect()
+    }
+    assert got == {(None, -1), (5, 0), (50, 1)}
+    # no boundaries: single bucket 0, nulls still -1
+    got0 = {
+        (r["k"], r["b"])
+        for r in df.withColumn("b", range_bucket_col("k", [])).collect()
+    }
+    assert got0 == {(None, -1), (5, 0), (50, 0)}

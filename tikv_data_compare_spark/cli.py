@@ -180,6 +180,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--save", default="", help="write the per-bucket checksum manifest here")
     p.add_argument("--against", default="", help="compare src against this saved manifest")
     p.add_argument("--buckets", type=int, default=256, help="hash-bucket count (must match at save and compare)")
+    p.add_argument("--range-key", default="",
+                   help="at --save: bucket by QUANTILE RANGES of this numeric key "
+                        "instead of key hashes (balanced under skew; drift "
+                        "localizes to contiguous scannable ranges); boundaries "
+                        "are stored in the manifest and reused at compare")
     p.add_argument("--algo", default="xxhash64", choices=["xxhash64", "md5i64"])
 
     for name in ("format", "decodets", "encodekey"):
@@ -393,17 +398,48 @@ def main(argv: list[str] | None = None) -> int:
             print("manifest: pass exactly one of --save or --against", file=sys.stderr)
             return 2
         src = _keyed(spark, args.src, keys, args)
-        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in src.keys]), F.lit(args.buckets))
         if args.save:
-            n = save_checksum_manifest(
-                src, args.save, bucket, algo=args.algo, meta={"n_buckets": args.buckets}
-            )
-            print(json.dumps({"manifest": args.save, "buckets": n, "algo": args.algo}))
+            if args.range_key:
+                # range-aligned buckets: quantile boundaries computed ONCE
+                # here and STORED in the manifest, so compares reuse the
+                # identical bucketing (drift localizes to contiguous,
+                # pushdown-scannable key ranges instead of hash classes)
+                from tikv_data_compare_spark.operators.checksum import (
+                    range_bucket_boundaries,
+                    range_bucket_col,
+                )
+
+                bounds = range_bucket_boundaries(src.df, args.range_key, args.buckets)
+                bucket = range_bucket_col(args.range_key, bounds)
+                meta = {
+                    "n_buckets": args.buckets,
+                    "range_key": args.range_key,
+                    "range_boundaries": json.dumps(bounds),
+                }
+            else:
+                bucket = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in src.keys]), F.lit(args.buckets)
+                )
+                meta = {"n_buckets": args.buckets}
+            n = save_checksum_manifest(src, args.save, bucket, algo=args.algo, meta=meta)
+            print(json.dumps({"manifest": args.save, "buckets": n, "algo": args.algo,
+                              "range_key": args.range_key or None}))
             return 0
+        # compare: rebuild the bucketing FROM THE MANIFEST (range boundaries
+        # if stored, hash otherwise) — the reuse contract made automatic
+        old = spark.read.parquet(args.against)
+        if "range_key" in old.columns:
+            from tikv_data_compare_spark.operators.checksum import range_bucket_col
+
+            mrow = old.select("range_key", "range_boundaries").first()
+            bucket = range_bucket_col(mrow["range_key"], json.loads(mrow["range_boundaries"]))
+            expect = {"n_buckets": args.buckets}
+        else:
+            bucket = F.pmod(F.xxhash64(*[F.col(c) for c in src.keys]), F.lit(args.buckets))
+            expect = {"n_buckets": args.buckets}
         try:
             report = compare_to_manifest(
-                src, args.against, bucket, algo=args.algo,
-                expect_meta={"n_buckets": args.buckets},
+                src, old, bucket, algo=args.algo, expect_meta=expect
             )
         except ValueError as e:
             # mismatched --buckets/--algo is an operator error, not a crash:

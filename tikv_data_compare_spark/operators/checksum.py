@@ -231,6 +231,61 @@ def checksum_verdict(src: Keyed, dst: Keyed, algo: str = "xxhash64", tags=None) 
 # Checksum manifests: incremental drift detection without the old snapshot
 # ---------------------------------------------------------------------------
 
+def range_bucket_boundaries(
+    df: DataFrame, key: str, n_buckets: int = 256, rel_err: float = 0.001
+) -> list[float]:
+    """Quantile boundaries that split ``key`` into ~equal-COUNT buckets.
+
+    The fixed-divisor bucket expressions (``floor(k / 1000)``) assume a
+    uniform key space; under skew (zipf ids, hot tenants, timestamp bursts)
+    they produce a few giant buckets — and a giant bucket defeats
+    ``targeted_diff``'s whole point, because one drifted row re-reads the
+    giant range.  One ``approxQuantile`` pass (Greenwald–Khanna, fully
+    distributed, ``rel_err`` relative rank error) yields boundaries that
+    keep buckets balanced under ANY distribution.
+
+    REUSE CONTRACT: boundaries must be computed ONCE (from either side or
+    the union) and passed to BOTH sides / stored in the manifest's meta —
+    re-deriving them per side would bucket the sides differently and
+    report everything as drifted.  This is the same class of contract the
+    manifest's ``expect_meta`` already validates.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    if not probs:
+        return []
+    qs = df.stat.approxQuantile(key, probs, rel_err)
+    # dedupe (heavy repeated keys can collapse adjacent quantiles) while
+    # preserving order — duplicates would create permanently-empty buckets
+    out: list[float] = []
+    for q in qs:
+        if not out or q > out[-1]:
+            out.append(float(q))
+    return out
+
+
+def range_bucket_col(key: str, boundaries: list[float]) -> Column:
+    """Bucket id Column for :func:`range_bucket_boundaries` output: bucket =
+    #boundaries ≤ key, computed as one fold over a literal boundary array —
+    a plan-size-O(1) expression (the array is ONE literal, not a CASE chain)
+    that both ``bucket_triples`` and ``targeted_diff`` accept directly.
+    NULL keys land in bucket -1 (their own auditable bucket).
+    """
+    if not boundaries:
+        return F.when(F.col(key).isNull(), F.lit(-1)).otherwise(F.lit(0)).cast("long")
+    arr = "array(" + ", ".join(repr(float(b)) for b in boundaries) + ")"
+    fold = (
+        f"aggregate({arr}, 0L, (acc, b) -> acc + "
+        f"(CASE WHEN CAST({key} AS DOUBLE) >= b THEN 1L ELSE 0L END))"
+    )
+    return (
+        F.when(F.col(key).isNull(), F.lit(-1).cast("long"))
+        .otherwise(F.expr(fold))
+        .cast("long")
+    )
+
+
 def bucket_triples(keyed: Keyed, bucket, algo: str = "xxhash64") -> DataFrame:
     """Per-bucket checksum triples ``(bucket, cksum, kvs, algo)``.
 
