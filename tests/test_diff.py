@@ -169,3 +169,46 @@ def test_schema_diff_itemizes_drift(spark):
         {"column": "v", "status": "type_changed", "src_type": "double", "dst_type": "bigint"},
     ]
     assert schema_diff(a, a) == []
+
+
+def test_profile_compare_closed_form(spark):
+    """Per-column stats drift on hand-built frames: null appearance,
+    cardinality change, range shift, and a clean column."""
+    from tikv_data_compare_spark.operators.diff import profile_compare
+
+    src = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    dst = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "c", 99)], "k long, s string, v long"
+    )
+    rows = {
+        r["col_name"]: r
+        for r in profile_compare(
+            Keyed.of(src, keys=("k",)), Keyed.of(dst, keys=("k",))
+        ).collect()
+    }
+    assert set(rows) == {"k", "s", "v"}
+    k = rows["k"]
+    assert (k["src_n_nulls"], k["dst_n_nulls"], k["drifted"]) == (0, 0, 0)
+    assert k["src_n_distinct"] == k["dst_n_distinct"] == 3
+    s = rows["s"]
+    assert (s["src_n_nulls"], s["dst_n_nulls"]) == (0, 1)
+    assert (s["src_n_distinct"], s["dst_n_distinct"]) == (3, 2)
+    assert s["drifted"] == 1
+    v = rows["v"]
+    assert (v["src_max_c"], v["dst_max_c"]) != (None, None)
+    assert v["src_max_c"] != v["dst_max_c"] and v["drifted"] == 1
+
+
+def test_profile_compare_is_join_free_single_shuffle(spark):
+    """Plan shape: no join anywhere before the tiny 2-row pivot — the
+    operator must stay two scans + one keyed agg."""
+    from tikv_data_compare_spark import plans
+    from tikv_data_compare_spark.operators.diff import profile_compare
+
+    src = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    dst = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    out = profile_compare(Keyed.of(src, keys=("k",)), Keyed.of(dst, keys=("k",)))
+    assert not plans.has_cartesian(out)
+    assert plans.has_partial_aggregation(out)

@@ -241,6 +241,59 @@ def column_mismatch_profile(src: Keyed, dst: Keyed) -> DataFrame:
     )
 
 
+def profile_compare(src: Keyed, dst: Keyed) -> DataFrame:
+    """Per-column STATS drift between two snapshots — the cheap gate run
+    before any row-level compare: for every column, null count, exact
+    distinct count, and min/max (canonical string rendering, so mixed
+    column types stack into one tall frame deterministically) on EACH
+    side, plus a ``drifted`` flag when any of the four differ.
+
+    Complements :func:`column_mismatch_profile` (which needs the keyed
+    join): this one is join-free — ONE aggregation pass per side over the
+    labeled union (map-side partial agg; the shuffle carries 2 rows), so
+    at 100 TB it costs two scans and nothing else.  A clean profile does
+    NOT prove equality (equal stats ≠ equal rows — that's the checksum's
+    job); a drifted one localizes WHAT kind of change happened (nulls
+    appeared / cardinality moved / range shifted) before any expensive
+    work.  Covered by tests/test_diff.py with closed-form fixtures.
+    """
+    from tikv_data_compare_spark.functions import sqlgen
+
+    check_comparable(src, dst)
+    cols = list(src.columns)
+    tags = sqlgen.tags_from_spark_schema(src.df)
+    both = src.df.select(*cols).withColumn("_side", F.lit("src")).unionByName(
+        dst.df.select(*cols).withColumn("_side", F.lit("dst"))
+    )
+    aggs = []
+    for c in cols:
+        canon = sqlgen.canon(c, tags.get(c, sqlgen.STRING), sqlgen.SPARK)
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"))
+        aggs.append(F.min(F.expr(canon)).alias(f"mn_{c}"))
+        aggs.append(F.max(F.expr(canon)).alias(f"mx_{c}"))
+    wide = both.groupBy("_side").agg(*aggs)
+    pairs = ", ".join(f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols)
+    tall = wide.select(
+        "_side",
+        F.expr(
+            f"stack({len(cols)}, {pairs}) AS (col_name, n_nulls, n_distinct, min_c, max_c)"
+        ),
+    )
+    s = tall.filter(F.col("_side") == "src").drop("_side")
+    d = tall.filter(F.col("_side") == "dst").drop("_side")
+    j = s.alias("s").join(d.alias("d"), on="col_name", how="full_outer")
+    drifted = None
+    sel = [F.col("col_name")]
+    for c in ("n_nulls", "n_distinct", "min_c", "max_c"):
+        sel.append(F.col(f"s.{c}").alias(f"src_{c}"))
+        sel.append(F.col(f"d.{c}").alias(f"dst_{c}"))
+        neq = ~F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
+        drifted = neq if drifted is None else (drifted | neq)
+    sel.append(drifted.cast("long").alias("drifted"))
+    return j.select(*sel)
+
+
 def diff_positional(src: Keyed, dst: Keyed) -> DataFrame:
     """Reference-compatible positional diff (diff/diff.go:35-60).
 

@@ -1008,7 +1008,13 @@ def q_checksum_range_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
       (n1/n2), old/new kv counts (n3/n4) and the drift status
       (changed/only_old/only_new) in t1.  The oracle recomputes both
       sides' bucket triples from the tables, so the save → read-back →
-      full-outer drift join is hash-gated end-to-end."""
+      full-outer drift join is hash-gated end-to-end;
+    - ``part='col_profile'`` (since r8): ``diff.profile_compare`` — the
+      join-free per-column STATS gate (null count n1/n2, exact distinct
+      n3/n4, drifted flag n5, canonical min|max in t1/t2 per side) run
+      before any row-level work.  One labeled-union aggregation pass per
+      side; the oracle recomputes every stat per column, so the stack/
+      pivot/drift-flag machinery is hash-gated."""
     tune(spark)
     import os
     import tempfile
@@ -1106,7 +1112,21 @@ def q_checksum_range_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status").alias("t1"),
         null_str.alias("t2"),
     )
-    return buckets.unionByName(col_mm).unionByName(sd).unionByName(man)
+    prof = diff_ops.profile_compare(src_k, dst_k).select(
+        F.lit("col_profile").alias("part"),
+        F.col("col_name").alias("k"),
+        F.col("src_n_nulls").alias("n1"),
+        F.col("dst_n_nulls").alias("n2"),
+        F.col("src_n_distinct").alias("n3"),
+        F.col("dst_n_distinct").alias("n4"),
+        F.col("drifted").alias("n5"),
+        null_long.alias("n6"),
+        F.concat_ws("|", "src_min_c", "src_max_c").alias("t1"),
+        F.concat_ws("|", "dst_min_c", "dst_max_c").alias("t2"),
+    )
+    return (
+        buckets.unionByName(col_mm).unionByName(sd).unionByName(man).unionByName(prof)
+    )
 
 
 _ORDERS_VALUE_COLS = (
@@ -1127,6 +1147,34 @@ _COL_MM_SQL = "\nUNION ALL\n".join(
     "FROM orders s JOIN dstt d ON s.o_orderkey = d.o_orderkey"
     for c in _ORDERS_VALUE_COLS
 )
+
+def _col_profile_sql() -> str:
+    """Oracle for the col_profile part: per-column nulls / exact distinct /
+    canonical min|max on each side + the drift flag, recomputed from the
+    tables (one scalar subquery pair per column — fine at oracle scale)."""
+    parts = []
+    tags = sqlgen.TABLE_TAGS["orders"]
+    for c in ORDER_COLS:
+        cn = sqlgen.canon(c, tags[c], DUCK)
+        side = (
+            "SELECT CAST(count(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS nn, "
+            "CAST(count(DISTINCT {c}) AS BIGINT) AS nd, "
+            "min({cn}) AS mn, max({cn}) AS mx FROM {t}"
+        )
+        s = side.format(c=c, cn=cn, t="orders")
+        d = side.format(c=c, cn=cn, t="dstt")
+        parts.append(
+            f"""SELECT 'col_profile' AS part, '{c}' AS k,
+       s.nn AS n1, d.nn AS n2, s.nd AS n3, d.nd AS n4,
+       CAST(CASE WHEN s.nn IS DISTINCT FROM d.nn OR s.nd IS DISTINCT FROM d.nd
+                   OR s.mn IS DISTINCT FROM d.mn OR s.mx IS DISTINCT FROM d.mx
+            THEN 1 ELSE 0 END AS BIGINT) AS n5,
+       CAST(NULL AS BIGINT) AS n6,
+       s.mn || '|' || s.mx AS t1, d.mn || '|' || d.mx AS t2
+FROM ({s}) s, ({d}) d"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
 
 #: duckdb DESCRIBE type name → Spark simpleString, for the schema part
 _TYPE_MAP_SQL = (
@@ -1193,6 +1241,8 @@ SELECT 'manifest' AS part, CAST(coalesce(s.key_bucket, d.key_bucket) AS VARCHAR)
 FROM s FULL OUTER JOIN d ON s.key_bucket = d.key_bucket
 WHERE s.checksum IS DISTINCT FROM d.checksum
    OR s.total_kvs IS DISTINCT FROM d.total_kvs
+UNION ALL
+{_col_profile_sql()}
 """
 
 
