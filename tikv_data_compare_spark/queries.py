@@ -1020,10 +1020,7 @@ def q_checksum_range_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from tikv_data_compare_spark.model import schema_diff
-    from tikv_data_compare_spark.operators.checksum import (
-        compare_to_manifest,
-        save_checksum_manifest,
-    )
+    from tikv_data_compare_spark.operators.checksum import compare_to_manifest
 
     orders = _load(spark, sf_dir, "orders")
     s = _bucket_triples(orders)
@@ -1089,16 +1086,30 @@ def q_checksum_range_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part string, k string, n1 long, n2 long, n3 long, n4 long, n5 long, n6 long, "
         "t1 string, t2 string",
     )
-    # manifest roundtrip: save src's triples, compare the mutated snapshot
-    # against the FILE (src is never rescanned — the incremental ops flow)
-    mpath = os.path.join(tempfile.mkdtemp(prefix="cksum_manifest_"), "orders_manifest")
+    # manifest roundtrip VIA THE STREAMING FOLD: instead of one batch save,
+    # src is split into two halves and each is folded into the manifest as
+    # its own epoch (streaming/manifest_stream.fold_batch_into_manifest —
+    # the foreachBatch core), then the mutated snapshot is compared against
+    # the file.  The drift report can only match the oracle if the
+    # incremental (XOR,+) merge across epochs is bit-identical to a batch
+    # build — so the streaming merge machinery is inside the hash gate.
+    from tikv_data_compare_spark.streaming.manifest_stream import (
+        fold_batch_into_manifest,
+    )
+
+    mroot = os.path.join(tempfile.mkdtemp(prefix="cksum_manifest_"), "orders_manifest")
     bucket_expr = (F.col("o_orderkey") / F.lit(1000)).cast("long")
-    save_checksum_manifest(
-        src_k, mpath, bucket_expr, algo="md5i64", meta={"bucket_rule": "okey_div_1000"}
+    half = F.col("o_orderkey") % 2 == 0
+    fold_batch_into_manifest(
+        Keyed(orders.filter(half), src_k.keys, src_k.values),
+        mroot, bucket_expr, algo="md5i64", epoch_id=0,
+    )
+    fold_batch_into_manifest(
+        Keyed(orders.filter(~half), src_k.keys, src_k.values),
+        mroot, bucket_expr, algo="md5i64", epoch_id=1,
     )
     drift = compare_to_manifest(
-        dst_k, mpath, bucket_expr, algo="md5i64",
-        expect_meta={"bucket_rule": "okey_div_1000"},
+        dst_k, spark.read.parquet(f"{mroot}/triples"), bucket_expr, algo="md5i64"
     )
     man = drift.select(
         F.lit("manifest").alias("part"),

@@ -208,10 +208,19 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       + ADC + rerank), exhaustive probe + full rerank ⇒ exact;
     - ``ivfpq_join_rerank``: the DataFrame-query join path (map-side query
       probing, cell equi-join, batch ADC decode, keyed rerank joins — the
-      shape past the 16k driver-collect ceiling), same exact configuration.
+      shape past the 16k driver-collect ceiling), same exact configuration;
+    - ``index_rerank`` (r8): the PERSISTED index path — build_ann_index to
+      a temp dir (train + encode + parquet write), load_ann_index back,
+      topk_index at the same exact configuration: the save → read-back →
+      query roundtrip is hash-gated, not just the in-session math.
 
     Selective-probe recall and pruning stay pytest-covered
     (tests/test_similarity.py, tests/test_pq.py)."""
+    import os
+    import tempfile
+
+    from tikv_data_compare_spark.operators import ann_index as ai
+
     tune(spark)
     emb = _load(spark, sf_dir, "embeddings")
     n = emb.count()  # rerank >= corpus makes the refine stage exact
@@ -236,11 +245,18 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq_join = sim.topk_ivfpq_join(
         emb, qdf, k=5, n_cells=8, n_probe=8, m=8, k_codes=32, rerank=n
     )
+    idx_path = os.path.join(tempfile.mkdtemp(prefix="ann_idx_"), "idx")
+    ai.build_ann_index(emb, idx_path, n_cells=8, m=8, k_codes=32)
+    via_index = ai.topk_index(
+        ai.load_ann_index(spark, idx_path), qdf, k=5, n_probe=8, rerank=n,
+        emb_for_rerank=emb,
+    )
     return (
         lbl(ivf, "ivf", "cosine_c")
         .unionByName(lbl(pq, "pq_rerank", "score_c"))
         .unionByName(lbl(ivfpq, "ivfpq_rerank", "score_c"))
         .unionByName(lbl(ivfpq_join, "ivfpq_join_rerank", "score_c"))
+        .unionByName(lbl(via_index, "index_rerank", "score_c"))
     )
 
 
@@ -261,7 +277,8 @@ ranked AS (
 ),
 topk AS (SELECT query_id, neighbor_id, score_c, rnk FROM ranked WHERE rnk <= 5)
 SELECT m.mode, t.query_id, t.neighbor_id, t.score_c, t.rnk
-FROM (VALUES ('ivf'), ('pq_rerank'), ('ivfpq_rerank'), ('ivfpq_join_rerank')) m(mode)
+FROM (VALUES ('ivf'), ('pq_rerank'), ('ivfpq_rerank'), ('ivfpq_join_rerank'),
+             ('index_rerank')) m(mode)
 CROSS JOIN topk t
 """
 
