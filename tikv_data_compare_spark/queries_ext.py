@@ -862,6 +862,30 @@ WAV_SR = "(CASE WHEN doc_id % 3 = 0 THEN 8000 WHEN doc_id % 3 = 1 THEN 16000 ELS
 WAV_BITS = "(CASE WHEN doc_id % 5 < 2 THEN 8 ELSE 16 END)"
 WAV_DSZ = "(octet_length(text) * 100 + 44)"
 
+#: PCM decode+framing gate geometry: 64 closed-form 16-bit samples per doc,
+#: frame 16 / hop 8 → 7 frames; the frame length is a POWER OF TWO so the
+#: float64 frame mean is exact and the rounded RMS is engine-stable
+PCM_N, PCM_SR, PCM_FRAME, PCM_HOP = 64, 8000, 16, 8
+#: PNG resize gate geometry: 4×4 source pixels → 2×2 nearest-neighbor output
+RSZ_SRC, RSZ_OUT = 4, 2
+
+
+def _resize_hex_sql() -> str:
+    """Closed-form expected hex of the 2×2 nearest-neighbor resize of the
+    synthesized 4×4 PNG: output pixel (x', y') samples source
+    (min(⌊(x'+0.5)·4/2⌋, 3), same for y) — with 4→2 that is source indices
+    {1, 3} on each axis; bytes are row-major (y, x, channel)."""
+    terms = []
+    for yp in range(RSZ_OUT):
+        yi = min(int((yp + 0.5) * RSZ_SRC / RSZ_OUT), RSZ_SRC - 1)
+        for xp in range(RSZ_OUT):
+            xi = min(int((xp + 0.5) * RSZ_SRC / RSZ_OUT), RSZ_SRC - 1)
+            for k in range(3):
+                terms.append(
+                    f"upper(lpad(to_hex((doc_id + 3*{xi} + 5*{yi} + 11*{k}) % 251), 2, '0'))"
+                )
+    return " || ".join(terms)
+
 
 def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full multimodal plumbing surface in one per-doc row, joining all
@@ -946,7 +970,91 @@ def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("byte_offset").cast("long").alias("max_offset"),
         )
     )
-    return with_meta.join(frames, "doc_id")
+
+    # --- REAL PCM decode+framing gate (r8): WAV payloads with closed-form
+    # 16-bit samples s_i = ((doc_id*31 + i*7) % 2001) - 1000 are synthesized
+    # ENTIRELY JVM-side (a binary fold over the sample sequence), then
+    # audio_frames runs the real RIFF walk + numpy windowing.  frame_len=16
+    # (a power of two) keeps the frame mean exact in float64, so the rounded
+    # RMS is bit-identical to the oracle's closed-form recomputation.
+    be16 = "lpad(hex((((doc_id * 31 + i * 7) % 2001) - 1000 + 65536) % 65536), 4, '0')"
+    sample_bytes = (
+        f"aggregate(transform(sequence(0, {PCM_N - 1}), i -> "
+        f"unhex(concat(substring({be16}, 3, 2), substring({be16}, 1, 2)))), "
+        "CAST('' AS BINARY), (acc, x) -> concat(acc, x))"
+    )
+    pcm_rate = f"(({PCM_SR} * 1 * 16) DIV 8)"
+    pcm_wav = (
+        f"concat(CAST('RIFF' AS BINARY), {_u32le(f'36 + {PCM_N * 2}')}, CAST('WAVE' AS BINARY), "
+        f"CAST('fmt ' AS BINARY), {_u32le('16')}, {_u16le('1')}, {_u16le('1')}, "
+        f"{_u32le(PCM_SR)}, {_u32le(pcm_rate)}, {_u16le('2')}, {_u16le('16')}, "
+        f"CAST('data' AS BINARY), {_u32le(PCM_N * 2)}, {sample_bytes})"
+    )
+    pcm = (
+        mm.audio_frames(
+            docs.select("doc_id", F.expr(pcm_wav).alias("payload")),
+            frame_len=PCM_FRAME,
+            hop=PCM_HOP,
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("pcm_frames"),
+            F.sum(F.round(F.col("rms") * 10000).cast("long")).cast("long").alias("pcm_rms_c_sum"),
+            F.max("peak").cast("long").alias("pcm_peak_max"),
+        )
+    )
+
+    # --- REAL PNG encode→decode→resize gate (r8): 4×4 RGB PNGs with
+    # closed-form pixels p(doc,x,y,k) = (doc_id + 3x + 5y + 11k) % 251 are
+    # zlib-encoded in an Arrow stage (lossless roundtrip — compressor
+    # version never matters), then resize_images decodes and
+    # nearest-neighbor-resamples to 2×2; the resized bytes are hex-compared
+    # against the oracle's closed-form index math.
+    def build_png(batches):
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                _struct.pack(">I", len(body))
+                + tag
+                + body
+                + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                raw = b"".join(
+                    b"\x00"
+                    + bytes(
+                        (d + 3 * x + 5 * y + 11 * k) % 251
+                        for x in range(RSZ_SRC)
+                        for k in range(3)
+                    )
+                    for y in range(RSZ_SRC)
+                )
+                ihdr = _struct.pack(">IIBBBBB", RSZ_SRC, RSZ_SRC, 8, 2, 0, 0, 0)
+                png_bytes = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", _zlib.compress(raw))
+                    + chunk(b"IEND", b"")
+                )
+                out.append((d, png_bytes))
+            yield _pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    png_src = docs.select("doc_id").mapInPandas(build_png, "doc_id long, payload binary")
+    resized = mm.resize_images(png_src, RSZ_OUT, RSZ_OUT).select(
+        "doc_id", F.hex("rgb").alias("resized_hex")
+    )
+
+    return (
+        with_meta.join(frames, "doc_id").join(pcm, "doc_id").join(resized, "doc_id")
+    )
 
 
 ORACLE_MULTIMODAL_PROBE = f"""
@@ -985,15 +1093,42 @@ frames AS (
     FROM documents
   )
   GROUP BY doc_id
+),
+pcm AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS pcm_frames,
+         CAST(sum(rms_c) AS BIGINT) AS pcm_rms_c_sum,
+         CAST(max(mx) AS BIGINT) AS pcm_peak_max
+  FROM (
+    SELECT doc_id, f,
+           CAST(round(10000 * sqrt(CAST(sum(s * s) AS DOUBLE) / {PCM_FRAME}.0)) AS BIGINT) AS rms_c,
+           max(abs(s)) AS mx
+    FROM (
+      SELECT d.doc_id, fr.f,
+             ((d.doc_id * 31 + (fr.f * {PCM_HOP} + j.j) * 7) % 2001) - 1000 AS s
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range(0, {(PCM_N - PCM_FRAME) // PCM_HOP + 1})) AS f) fr
+      CROSS JOIN (SELECT unnest(range(0, {PCM_FRAME})) AS j) j
+    )
+    GROUP BY doc_id, f
+  )
+  GROUP BY doc_id
+),
+rsz AS (
+  SELECT doc_id, {_resize_hex_sql()} AS resized_hex FROM documents
 )
 SELECT meta.doc_id, meta.n_bytes, meta.content_id, meta.n_chunks,
        img.format, img.width, img.height,
        aud.channels, aud.sample_rate, aud.bits, aud.data_size, aud.duration_ms,
-       frames.n_frames, frames.max_offset
+       frames.n_frames, frames.max_offset,
+       pcm.pcm_frames, pcm.pcm_rms_c_sum, pcm.pcm_peak_max,
+       rsz.resized_hex
 FROM meta
 JOIN img ON meta.doc_id = img.doc_id
 JOIN aud ON meta.doc_id = aud.doc_id
 JOIN frames ON meta.doc_id = frames.doc_id
+JOIN pcm ON meta.doc_id = pcm.doc_id
+JOIN rsz ON meta.doc_id = rsz.doc_id
 """
 
 
