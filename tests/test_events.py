@@ -1,5 +1,7 @@
 """Funnel and gap-profile operators on constructed timelines."""
 
+from pyspark.sql import functions as F
+
 from tikv_data_compare_spark.operators.events import funnel_counts, funnel_times, gap_profile
 
 STAGES = ["signup", "view", "click", "purchase"]
@@ -59,3 +61,27 @@ def test_gap_profile(spark):
     assert out[1]["sum_gap_ms"] == 100 + 1_999_900
     assert out[1]["n_long_gaps"] == 1
     assert out[2]["n_gaps"] == 0 and out[2]["max_gap_ms"] is None
+
+
+def test_cohort_retention_closed_form(spark):
+    """Hand-built activity: cohorts by first active day, distinct users per
+    (cohort, period) — includes a user active twice on one day (counted
+    once) and a second cohort."""
+    from tikv_data_compare_spark.operators.events import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 18:00:00"),  # day 0 twice
+        (1, "2024-01-03 09:00:00"),                               # period 2
+        (2, "2024-01-01 12:00:00"), (2, "2024-01-02 12:00:00"),  # periods 0,1
+        (3, "2024-01-02 01:00:00"),                               # cohort 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    got = {
+        (r["cohort_day_ms"], r["period_days"]): r["n_users"]
+        for r in cohort_retention(df).collect()
+    }
+    d1 = 19723 * 86_400_000  # 2024-01-01
+    d2 = d1 + 86_400_000
+    assert got == {(d1, 0): 2, (d1, 1): 1, (d1, 2): 1, (d2, 0): 1}

@@ -126,3 +126,43 @@ def sessionize(
         (F.max(ts_col) - F.min(ts_col)).alias("duration_ms"),
         F.min(tiebreak_col).alias("first_event"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-cohort retention matrix: users are assigned to the cohort of
+    their FIRST active day; each later active day counts them once in
+    ``(cohort_day, period)`` where period = days since the cohort day.
+    Returns ``(cohort_day_ms, period_days, n_users)`` — the standard
+    product-analytics retention triangle.
+
+    Scale shape: one groupBy(user) for the first-day frame (partial agg,
+    ids only), one keyed equi-join back on the user id, one distinct-count
+    agg on (cohort, period) — nothing wider than (user, day) ever
+    shuffles, so at 100 TB the cost is two keyed shuffles of id pairs.
+    Day arithmetic is integer (days since epoch ×86400000), so the output
+    is engine-exact for the DuckDB oracle.
+    """
+    # unix_date returns INT: cast to long BEFORE the ×86_400_000, which
+    # overflows 32 bits for any date past ~1970-01-25
+    ed = events.select(
+        F.col(user_col).alias("_u"),
+        F.unix_date(F.to_date(F.col(ts_col))).cast("long").alias("_day"),
+    )
+    first = ed.groupBy("_u").agg(F.min("_day").alias("_cohort"))
+    return (
+        ed.join(first, "_u")
+        .groupBy(
+            (F.col("_cohort") * 86_400_000).alias("cohort_day_ms"),
+            (F.col("_day") - F.col("_cohort")).alias("period_days"),
+        )
+        .agg(F.count_distinct("_u").cast("long").alias("n_users"))
+        .select(
+            F.col("cohort_day_ms").cast("long"),
+            F.col("period_days").cast("long"),
+            "n_users",
+        )
+    )

@@ -841,32 +841,62 @@ FROM sess GROUP BY user_id, session_idx
 
 
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour windows per event_type (batch form of the streaming
-    windowed aggregation; exact integer math via pre-scaled values)."""
+    """Time-bucketed event aggregation, part-labeled:
+
+    - ``part='window'``: tumbling 1-hour windows per event_type (batch form
+      of the streaming windowed aggregation; exact integer math via
+      pre-scaled values) — ``ms`` = window start, ``k`` = event_type;
+    - ``part='retention'`` (since r8): the day-cohort retention triangle
+      (``events.cohort_retention``: first-active-day cohorts, distinct
+      users per (cohort, days-since-cohort)) — ``ms`` = cohort day,
+      ``k`` = period in days rendered as string, ``n`` = distinct users."""
     tune(spark)
+    from tikv_data_compare_spark.operators.events import cohort_retention
+
     e, ms = _events_ms(spark, sf_dir)
-    return (
+    win = (
         e.select(
-            (ms - (ms % F.lit(3_600_000))).alias("window_start_ms"),
-            "event_type",
+            (ms - (ms % F.lit(3_600_000))).alias("ms"),
+            F.col("event_type").alias("k"),
             F.expr(_dc("value")).alias("v_c"),
         )
-        .groupBy("window_start_ms", "event_type")
+        .groupBy("ms", "k")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v_c").alias("sum_value_c"))
         .select(
-            "window_start_ms",
-            "event_type",
+            F.lit("window").alias("part"),
+            "ms",
+            "k",
             F.col("n").cast("long").alias("n"),
             "sum_value_c",
         )
     )
+    ret = cohort_retention(_load(spark, sf_dir, "events")).select(
+        F.lit("retention").alias("part"),
+        F.col("cohort_day_ms").alias("ms"),
+        F.col("period_days").cast("string").alias("k"),
+        F.col("n_users").alias("n"),
+        F.lit(None).cast("long").alias("sum_value_c"),
+    )
+    return win.unionByName(ret)
 
 
 ORACLE_EVENTS_WINDOW_AGG = f"""
 WITH base AS (SELECT {sqlgen.ts_ms("ts", DUCK)} AS ms, event_type, {_dc("value")} AS v_c FROM events)
-SELECT ms - (ms % 3600000) AS window_start_ms, event_type,
+SELECT 'window' AS part, ms - (ms % 3600000) AS ms, event_type AS k,
        CAST(count(*) AS BIGINT) AS n, CAST(sum(v_c) AS BIGINT) AS sum_value_c
-FROM base GROUP BY 1, 2
+FROM base GROUP BY 2, 3
+UNION ALL
+SELECT 'retention', CAST(cohort * 86400000 AS BIGINT),
+       CAST(d - cohort AS VARCHAR),
+       CAST(count(DISTINCT u) AS BIGINT), CAST(NULL AS BIGINT)
+FROM (
+  SELECT e.user_id AS u, e.d, f.cohort
+  FROM (SELECT user_id, datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d FROM events) e
+  JOIN (SELECT user_id, min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS cohort
+        FROM events GROUP BY user_id) f
+    ON e.user_id = f.user_id
+)
+GROUP BY 2, 3
 """
 
 
