@@ -424,3 +424,21 @@ def test_cli_manifest_range_buckets(capsys, two_tables, tmp_path):
     assert rc == 1
     lines = capsys.readouterr().out.strip().splitlines()
     assert json.loads(lines[-1])["drifted_buckets"] >= 1
+
+
+def test_cli_manifest_empty_range_manifest_clean_error(capsys, spark, two_tables, tmp_path):
+    """A range-keyed manifest saved from an empty snapshot cannot carry its
+    boundaries: comparing against it exits 2 with a clean message instead
+    of a TypeError traceback (r8 review)."""
+    src, _, _ = two_tables
+    empty = str(tmp_path / "empty.pq")
+    spark.createDataFrame([], "l_orderkey long, l_linenumber long, l_quantity double").write.parquet(empty)
+    m = str(tmp_path / "empty_manifest.pq")
+    keys = "l_orderkey,l_linenumber"
+    assert cli.main(["manifest", "--src", empty, "--keys", keys, "--save", m,
+                     "--buckets", "8", "--range-key", "l_orderkey"]) == 0
+    capsys.readouterr()
+    rc = cli.main(["manifest", "--src", src, "--keys", keys, "--against", m,
+                   "--buckets", "8"])
+    assert rc == 2
+    assert "boundaries" in capsys.readouterr().err

@@ -201,9 +201,11 @@ def test_profile_compare_closed_form(spark):
     assert v["src_max_c"] != v["dst_max_c"] and v["drifted"] == 1
 
 
-def test_profile_compare_is_join_free_single_shuffle(spark):
-    """Plan shape: no join anywhere before the tiny 2-row pivot — the
-    operator must stay two scans + one keyed agg."""
+def test_profile_compare_plan_and_approx_path(spark):
+    """Plan shape: no join of the INPUTS (only the tiny per-column stats
+    pivot joins), partial aggregation present; the approx=True 100 TB path
+    must avoid the multi-distinct Expand and agree with exact stats on
+    everything but the (estimated) distinct columns."""
     from tikv_data_compare_spark import plans
     from tikv_data_compare_spark.operators.diff import profile_compare
 
@@ -212,3 +214,13 @@ def test_profile_compare_is_join_free_single_shuffle(spark):
     out = profile_compare(Keyed.of(src, keys=("k",)), Keyed.of(dst, keys=("k",)))
     assert not plans.has_cartesian(out)
     assert plans.has_partial_aggregation(out)
+    # exact mode pays the multi-distinct Expand; approx mode must not
+    assert "Expand" in plans.plan_string(out)
+    ap = profile_compare(
+        Keyed.of(src, keys=("k",)), Keyed.of(dst, keys=("k",)), approx=True
+    )
+    assert "Expand" not in plans.plan_string(ap)
+    rows = {r["col_name"]: r for r in ap.collect()}
+    assert rows["k"]["src_n_nulls"] == 0 and rows["k"]["src_min_c"] is not None
+    # HLL estimate of 100 distinct longs at rsd=0.05 lands well within 3σ
+    assert abs(rows["k"]["src_n_distinct"] - 100) <= 15

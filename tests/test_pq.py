@@ -239,3 +239,25 @@ def test_join_path_has_no_collect_ceiling(emb, monkeypatch):
         for r in sim.topk_ivf_join(emb, _qdf(emb, 8), k=3, n_cells=8, n_probe=8).collect()
     )
     assert exact == joined
+
+
+def test_join_path_exclude_self_for_external_queries(spark, emb):
+    """External query sets have unrelated id spaces: with
+    exclude_self=False an id collision must NOT hide a corpus vector,
+    and the ADC ranking may legitimately return the colliding id."""
+    from pyspark.sql import functions as F
+
+    # external queries numbered 0..2 — ids collide with corpus vec_ids
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    incl = sim.topk_ivf_join(
+        emb, q, k=1, n_cells=4, n_probe=4, exclude_self=False
+    ).collect()
+    # each query IS a corpus vector: with self included, its own vector is
+    # the exact top-1 (cosine 1.0 -> 10000)
+    assert {(r["query_id"], r["neighbor_id"]) for r in incl} == {(i, i) for i in range(3)}
+    assert all(r["cosine_c"] == 10000 for r in incl)
+    excl = sim.topk_ivf_join(emb, q, k=1, n_cells=4, n_probe=4).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in excl)

@@ -432,6 +432,16 @@ def main(argv: list[str] | None = None) -> int:
             from tikv_data_compare_spark.operators.checksum import range_bucket_col
 
             mrow = old.select("range_key", "range_boundaries").first()
+            if mrow is None:
+                # a range manifest saved from an EMPTY snapshot has no rows
+                # to carry its boundaries — the bucketing cannot be rebuilt
+                # (the hash path handles empty manifests; range can't)
+                print(
+                    "manifest: range-keyed manifest is empty — boundaries "
+                    "cannot be recovered; re-save from a non-empty snapshot",
+                    file=sys.stderr,
+                )
+                return 2
             bucket = range_bucket_col(mrow["range_key"], json.loads(mrow["range_boundaries"]))
             expect = {"n_buckets": args.buckets}
         else:

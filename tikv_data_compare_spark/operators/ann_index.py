@@ -139,17 +139,25 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     cb = spark.read.parquet(f"{path}/codebooks").collect()
     cent = np.zeros((meta["n_cells"], meta["dim"]))
     books = np.zeros((meta["m"], meta["k_codes"], meta["dim"] // meta["m"]))
-    n_cent = 0
+    n_cent = n_book = 0
     for r in cb:
         if r["kind"] == "cent":
             cent[r["i"]] = r["vals"]
             n_cent += 1
         else:
             books[r["i"]][r["j"]] = r["vals"]
+            n_book += 1
     if n_cent != meta["n_cells"]:
         raise ValueError(
             f"ANN index at {path!r} is corrupt: {n_cent} centroid rows for "
             f"{meta['n_cells']} cells"
+        )
+    # a truncated codebooks table would leave zero codebook entries and rank
+    # candidates arbitrarily — fail loudly like the centroid path (r8 review)
+    if n_book != meta["m"] * meta["k_codes"]:
+        raise ValueError(
+            f"ANN index at {path!r} is corrupt: {n_book} codebook rows for "
+            f"m={meta['m']} × k_codes={meta['k_codes']}"
         )
     return AnnIndex(
         vectors=spark.read.parquet(f"{path}/vectors"),
@@ -207,6 +215,7 @@ def topk_index(
     emb_for_rerank: DataFrame | None = None,
     id_col: str = "query_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k against a persisted index: the DataFrame-query IVFPQ join path
     (no collect ceiling) with the training/encode stages replaced by the
@@ -214,6 +223,11 @@ def topk_index(
     deliberately does not store (they are the 250× the index exists to
     avoid shipping) — pass the original embeddings table as
     ``emb_for_rerank``; ids must match the index's vec_ids.
+
+    ``exclude_self=True`` drops candidates whose vec_id equals the query
+    id — correct when queries are index rows; for an external query set
+    with an unrelated id space pass ``exclude_self=False`` (an id
+    collision would otherwise silently hide a neighbor).
     """
     import numpy as np
 
@@ -225,5 +239,5 @@ def topk_index(
         emb_for_rerank.select("vec_id", "embedding") if emb_for_rerank is not None else None
     )
     return _ivfpq_join_topk(
-        emb, qdf, index.vectors, cent_bc, books_bc, k, n_probe, rerank
+        emb, qdf, index.vectors, cent_bc, books_bc, k, n_probe, rerank, exclude_self
     )

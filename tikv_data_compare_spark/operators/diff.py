@@ -241,21 +241,28 @@ def column_mismatch_profile(src: Keyed, dst: Keyed) -> DataFrame:
     )
 
 
-def profile_compare(src: Keyed, dst: Keyed) -> DataFrame:
+def profile_compare(src: Keyed, dst: Keyed, approx: bool = False,
+                    rsd: float = 0.05) -> DataFrame:
     """Per-column STATS drift between two snapshots — the cheap gate run
-    before any row-level compare: for every column, null count, exact
-    distinct count, and min/max (canonical string rendering, so mixed
-    column types stack into one tall frame deterministically) on EACH
-    side, plus a ``drifted`` flag when any of the four differ.
+    before any row-level compare: for every column, null count, distinct
+    count, and min/max (canonical string rendering, so mixed column types
+    stack into one tall frame deterministically) on EACH side, plus a
+    ``drifted`` flag when any of the four differ.
 
     Complements :func:`column_mismatch_profile` (which needs the keyed
-    join): this one is join-free — ONE aggregation pass per side over the
-    labeled union (map-side partial agg; the shuffle carries 2 rows), so
-    at 100 TB it costs two scans and nothing else.  A clean profile does
-    NOT prove equality (equal stats ≠ equal rows — that's the checksum's
-    job); a drifted one localizes WHAT kind of change happened (nulls
-    appeared / cardinality moved / range shifted) before any expensive
-    work.  Covered by tests/test_diff.py with closed-form fixtures.
+    join): this one is join-free — two scans and one aggregation over the
+    labeled union.  Honest cost note: with ``approx=False`` the exact
+    per-column ``count_distinct`` forces Catalyst's multi-distinct Expand
+    (input replicated once per column; per-column distinct values cross
+    the shuffle) — fine at oracle/audit scale, NOT the 100 TB shape.  At
+    100 TB pass ``approx=True``: HyperLogLog++ sketches (relative sd
+    ``rsd``) keep the shuffle at sketch-sized state per column with no
+    Expand, at the price that the distinct columns (and the drift flag
+    fed by them) are estimates — a cardinality move must exceed sketch
+    noise to register, while nulls/min/max stay exact.  A clean profile
+    never proves equality (that's the checksum's job); a drifted one
+    localizes WHAT kind of change happened before any expensive work.
+    Covered by tests/test_diff.py with closed-form fixtures.
     """
     from tikv_data_compare_spark.functions import sqlgen
 
@@ -269,7 +276,12 @@ def profile_compare(src: Keyed, dst: Keyed) -> DataFrame:
     for c in cols:
         canon = sqlgen.canon(c, tags.get(c, sqlgen.STRING), sqlgen.SPARK)
         aggs.append(F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"nn_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"))
+        nd = (
+            F.approx_count_distinct(F.col(c), rsd)
+            if approx
+            else F.count_distinct(F.col(c))
+        )
+        aggs.append(nd.cast("long").alias(f"nd_{c}"))
         aggs.append(F.min(F.expr(canon)).alias(f"mn_{c}"))
         aggs.append(F.max(F.expr(canon)).alias(f"mx_{c}"))
     wide = both.groupBy("_side").agg(*aggs)

@@ -146,12 +146,18 @@ def cohort_retention(
     Day arithmetic is integer (days since epoch ×86400000), so the output
     is engine-exact for the DuckDB oracle.
     """
+    # TIMESTAMP(NANOS) parquet reads as a nanosecond LONG under
+    # legacy.parquet.nanosAsLong (the seam _events_ms defends; to_date on
+    # that long would null out under non-ANSI — r8 review): derive the day
+    # with integer DIV (a double division would lose precision at ~1e18 ns).
     # unix_date returns INT: cast to long BEFORE the ×86_400_000, which
-    # overflows 32 bits for any date past ~1970-01-25
-    ed = events.select(
-        F.col(user_col).alias("_u"),
-        F.unix_date(F.to_date(F.col(ts_col))).cast("long").alias("_day"),
-    )
+    # overflows 32 bits for any date past ~1970-01-25.
+    ts_type = {f.name: f.dataType.typeName() for f in events.schema.fields}[ts_col]
+    if ts_type in ("long", "bigint"):
+        day = F.expr(f"CAST({ts_col} DIV 86400000000000 AS BIGINT)")
+    else:
+        day = F.unix_date(F.to_date(F.col(ts_col))).cast("long")
+    ed = events.select(F.col(user_col).alias("_u"), day.alias("_day"))
     first = ed.groupBy("_u").agg(F.min("_day").alias("_cohort"))
     return (
         ed.join(first, "_u")

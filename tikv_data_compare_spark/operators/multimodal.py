@@ -228,14 +228,17 @@ def decode_features(
                     wav = decode_wav_pcm(payload)
                     if wav is not None:
                         return wav[2].tobytes(), True
-                except (ValueError, zlib.error, IndexError, struct.error, OverflowError):
+                except (ValueError, zlib.error, IndexError, KeyError,
+                        struct.error, OverflowError, MemoryError):
                     # adversarial/corrupt payloads must never fail the Arrow
                     # batch (the documented contract) — but only the error
                     # classes a malformed CONTAINER can realistically raise
-                    # are downgraded to decoded=false; a genuine programming
-                    # error (TypeError/NameError/AttributeError) in a decoder
-                    # still surfaces in tests instead of silently zeroing
-                    # every row (r8, ADVICE)
+                    # are downgraded to decoded=false (KeyError: a scan
+                    # referencing an undeclared huffman/quant table id;
+                    # MemoryError: adversarial 65535×65535 declared dims); a
+                    # genuine programming error (TypeError/NameError/
+                    # AttributeError) in a decoder still surfaces in tests
+                    # instead of silently zeroing every row (r8, ADVICE)
                     pass
             return payload, False
 
@@ -486,7 +489,8 @@ def resize_images(
                         dec = d(bytes(payload))
                         if dec is not None:
                             break
-                except (ValueError, zlib.error, IndexError, struct.error, OverflowError):
+                except (ValueError, zlib.error, IndexError, KeyError,
+                        struct.error, OverflowError, MemoryError):
                     dec = None
                 if dec is None:
                     rows.append((int(doc_id), None, None, None, False))

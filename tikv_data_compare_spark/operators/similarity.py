@@ -532,6 +532,7 @@ def topk_ivf_join(
     seed: int = 7,
     id_col: str = "query_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF top-k where the QUERIES are a DataFrame, not a collected matrix —
     the scale path past :data:`MAX_COLLECTED_QUERIES` (the broadcast-top-k
@@ -546,9 +547,12 @@ def topk_ivf_join(
     only.  ``n_probe >= n_cells`` degenerates to exact brute force (the
     contract-test configuration).
 
-    ``queries`` must carry (``id_col``, ``vec_col``); self-matches (a query
-    id equal to a corpus vec_id) are excluded, matching the broadcast
-    operators.  Returns (query_id, neighbor_id, cosine_c, rnk).
+    ``queries`` must carry (``id_col``, ``vec_col``).  ``exclude_self=True``
+    (the default, matching the broadcast operators) drops candidates whose
+    vec_id equals the query id — correct when queries ARE corpus rows; for
+    an EXTERNAL query set whose ids are an unrelated space, pass
+    ``exclude_self=False`` or an id collision silently hides a neighbor
+    (r8 review).  Returns (query_id, neighbor_id, cosine_c, rnk).
     """
     spark = emb.sparkSession
     cent = _train_centroids(emb, n_cells, sample_rows, seed, "embedding")
@@ -560,7 +564,9 @@ def topk_ivf_join(
         n_probe,
         vec_col="q_emb",
     )
-    joined = corpus.join(q, on="cell").filter(F.col("vec_id") != F.col("query_id"))
+    joined = corpus.join(q, on="cell")
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
     scored = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -595,6 +601,7 @@ def topk_ivfpq_join(
     rerank: int = 0,
     id_col: str = "query_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVFPQ top-k with DataFrame queries — the full 100 TB shape on BOTH
     sides: the corpus exists as (cell id + m-byte PQ code), queries stream
@@ -620,7 +627,9 @@ def topk_ivfpq_join(
     ).select("vec_id", "cell", "pq_code")
 
     qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
-    return _ivfpq_join_topk(emb, qdf, corpus, cent_bc, books_bc, k, n_probe, rerank)
+    return _ivfpq_join_topk(
+        emb, qdf, corpus, cent_bc, books_bc, k, n_probe, rerank, exclude_self
+    )
 
 
 def _ivfpq_join_topk(
@@ -632,6 +641,7 @@ def _ivfpq_join_topk(
     k: int,
     n_probe: int,
     rerank: int,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Shared core of the DataFrame-query IVFPQ paths (``topk_ivfpq_join``
     and the persistent-index query, ann_index.topk_index): map-side query
@@ -640,7 +650,9 @@ def _ivfpq_join_topk(
     vectors for the rerank; pass None for a code-only (ADC-ranked) result.
     """
     q = _probe_cells(qdf, cent_bc, n_probe, vec_col="q_emb")
-    cands = corpus.join(q, on="cell").filter(F.col("vec_id") != F.col("query_id"))
+    cands = corpus.join(q, on="cell")
+    if exclude_self:
+        cands = cands.filter(F.col("vec_id") != F.col("query_id"))
 
     keep = max(k, rerank)
 
@@ -926,10 +938,10 @@ def topk_pq(
     if not qrows:
         return spark.createDataFrame([], "query_id long, neighbor_id long, score_c long, rnk long")
     qids = np.asarray([int(r["vec_id"]) for r in qrows])
-    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
-    qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qraw = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+    qnorms = np.linalg.norm(qraw, axis=1, keepdims=True)
     qnorms[qnorms == 0] = 1.0
-    qmat /= qnorms
+    qmat = qraw / qnorms
     mm, kk, sub_d = books.shape
     # luts[q, j, c] = <q_sub_j, codebook[j][c]>; ADC score = sum_j luts[q, j, code_j]
     luts = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qmat), mm, sub_d), books)
@@ -979,16 +991,21 @@ def topk_pq(
     )
     if not rerank:
         return shortlist
-    return _refine(emb, shortlist, qids, qmat, k)
+    return _refine(emb, shortlist, qids, qraw, k)
 
 
-def _refine(emb: DataFrame, shortlist: DataFrame, qids, qmat, k: int) -> DataFrame:
+def _refine(emb: DataFrame, shortlist: DataFrame, qids, qraw, k: int) -> DataFrame:
     """Exact-score ONLY the ADC shortlist (n_queries × rerank rows) against
     the float vectors — one broadcast join, the corpus never shuffles.
-    ``qmat`` rows must already be L2-normalized."""
+    ``qraw`` rows are the RAW (un-normalized) query vectors: the score uses
+    the full ``dot(q,e)/(|q|·|e|)`` formulation — the SAME expression as
+    the exact operators and the DuckDB oracle — because the algebraically
+    equal pre-normalized variant (``dot(q̂,e)/|e|``) can differ in the last
+    ulp and flip a ROUND at an x.5 boundary, a data-dependent flake in the
+    oracle gate (r8 review)."""
     spark = emb.sparkSession
     qdf = spark.createDataFrame(
-        [(int(qid), [float(v) for v in vec]) for qid, vec in zip(qids, qmat)],
+        [(int(qid), [float(v) for v in vec]) for qid, vec in zip(qids, qraw)],
         "query_id long, q_emb array<double>",
     )
     refined = (
@@ -998,13 +1015,14 @@ def _refine(emb: DataFrame, shortlist: DataFrame, qids, qmat, k: int) -> DataFra
         .select(
             "query_id",
             "neighbor_id",
-            # qmat rows are already L2-normalized, so only the corpus norm divides
             F.expr(
                 "CAST(ROUND(10000.0 * "
                 + _dot("q_emb", "embedding")
-                + " / sqrt("
+                + " / (sqrt("
+                + _dot("q_emb", "q_emb")
+                + ") * sqrt("
                 + _dot("embedding", "embedding")
-                + ")) AS BIGINT)"
+                + "))) AS BIGINT)"
             ).alias("score_c"),
         )
     )
@@ -1127,4 +1145,4 @@ def topk_ivfpq(
     )
     if not rerank:
         return shortlist
-    return _refine(emb, shortlist, qids, qmat, k)
+    return _refine(emb, shortlist, qids, qraw, k)

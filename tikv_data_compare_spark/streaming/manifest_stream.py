@@ -14,8 +14,12 @@ monoid's whole point, and the equality is contract-tested).
 Exactly-once: ``foreachBatch`` may redeliver an epoch after a failure, and
 an XOR fold is NOT idempotent — folding the same batch twice cancels its
 checksum contribution and double-counts kvs.  The stored manifest therefore
-carries a ``last_epoch`` watermark in its meta table and silently skips
-epochs ≤ it (the standard idempotent-sink recipe for foreachBatch).
+carries a ``last_epoch`` watermark and silently skips epochs ≤ it.  The
+watermark lives INSIDE the triples table (a constant column), so the data
+and the watermark commit in ONE directory swap — a crash between two
+separate commits could otherwise leave an epoch's data applied but
+unmarked (or vice versa), and the redelivery would corrupt the fold
+(r8 review).
 
 Scale notes: per micro-batch the work is one map-side hash + one ~16
 B/bucket aggregation, then a merge against a bucket-count-sized table —
@@ -36,15 +40,18 @@ from tikv_data_compare_spark.model import Keyed
 from tikv_data_compare_spark.operators.checksum import bucket_triples
 
 _TRIPLES = "triples"
-_META = "stream_meta"
 
 
-def _read_meta(spark, path: str) -> int:
-    try:
-        rows = spark.read.parquet(f"{path}/{_META}").collect()
-        return int(rows[0]["last_epoch"]) if rows else -1
-    except Exception:  # noqa: BLE001 — first epoch: nothing stored yet
+def _read_watermark(spark, path: str) -> int:
+    """Highest epoch already folded into the manifest, or -1 when no
+    manifest exists yet.  A present-but-unreadable manifest RAISES — a
+    silent -1 there would reset the watermark and let a redelivered epoch
+    corrupt the fold (r8 review)."""
+    triples_path = f"{path}/{_TRIPLES}"
+    if not os.path.exists(triples_path):
         return -1
+    row = spark.read.parquet(triples_path).agg(F.max("last_epoch").alias("e")).first()
+    return int(row["e"]) if row and row["e"] is not None else -1
 
 
 def _commit(df: DataFrame, final: str) -> None:
@@ -67,12 +74,12 @@ def fold_batch_into_manifest(
     incremental loads (e.g. nightly partition appends).
     """
     spark = batch.df.sparkSession
-    if epoch_id <= _read_meta(spark, path):
+    if epoch_id <= _read_watermark(spark, path):
         return False
     new = bucket_triples(batch, bucket, algo)
     triples_path = f"{path}/{_TRIPLES}"
     if os.path.exists(triples_path):
-        old = spark.read.parquet(triples_path)
+        old = spark.read.parquet(triples_path).drop("last_epoch")
         got = [r["algo"] for r in old.select("algo").distinct().collect()]
         if got and got != [algo]:
             raise ValueError(
@@ -92,10 +99,8 @@ def fold_batch_into_manifest(
         )
     else:
         merged = new
-    _commit(merged, triples_path)
-    _commit(
-        spark.createDataFrame([(int(epoch_id),)], "last_epoch long"), f"{path}/{_META}"
-    )
+    # ONE swap commits data + watermark atomically (local-FS rename)
+    _commit(merged.withColumn("last_epoch", F.lit(int(epoch_id))), triples_path)
     return True
 
 
