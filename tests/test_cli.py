@@ -442,3 +442,16 @@ def test_cli_manifest_empty_range_manifest_clean_error(capsys, spark, two_tables
                    "--buckets", "8"])
     assert rc == 2
     assert "boundaries" in capsys.readouterr().err
+
+
+def test_cli_ann_include_self(capsys, emb_parquet):
+    """--include-self keeps id-colliding candidates: each corpus-drawn
+    query's own vector comes back as the exact top-1."""
+    src, q = emb_parquet
+    assert cli.main(["ann", "--src", src, "--method", "ivf", "--queries", q,
+                     "--k", "1", "--n-cells", "4", "--n-probe", "4",
+                     "--include-self"]) == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(
+        r["neighbor_id"] == r["query_id"] and r["cosine_c"] == 10000 for r in rows
+    )

@@ -222,6 +222,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--queries", default="",
                    help="queries parquet (query_id, embedding); ivf/ivfpq only — "
                         "runs the join path with no query-count ceiling")
+    p.add_argument("--include-self", action="store_true",
+                   help="with --queries/--index: do NOT drop candidates whose "
+                        "vec_id equals the query_id — REQUIRED when the query "
+                        "ids are an unrelated id space (the default "
+                        "self-exclusion assumes queries are corpus rows; an "
+                        "id collision would silently hide a neighbor)")
     p.add_argument("--method", default="bruteforce",
                    choices=["bruteforce", "lsh", "ivf", "pq", "ivfpq"])
     p.add_argument("--k", type=int, default=5)
@@ -327,6 +333,7 @@ def main(argv: list[str] | None = None) -> int:
                     idx, spark.read.parquet(args.queries), k=args.k,
                     n_probe=args.n_probe, rerank=args.rerank,
                     emb_for_rerank=emb if args.rerank else None,
+                    exclude_self=not args.include_self,
                 )
             except ValueError as e:
                 print(f"ann: {e}", file=sys.stderr)
@@ -354,7 +361,8 @@ def main(argv: list[str] | None = None) -> int:
                                   k_codes=args.k_codes, rerank=args.rerank)
             elif args.method == "ivf" and args.queries:
                 res = sim.topk_ivf_join(emb, spark.read.parquet(args.queries), k=args.k,
-                                        n_cells=args.n_cells, n_probe=args.n_probe)
+                                        n_cells=args.n_cells, n_probe=args.n_probe,
+                                        exclude_self=not args.include_self)
             elif args.method == "ivf":
                 res = sim.topk_ivf(emb, k=args.k, n_queries=args.n_queries,
                                    n_cells=args.n_cells, n_probe=args.n_probe)
@@ -363,6 +371,7 @@ def main(argv: list[str] | None = None) -> int:
                     emb, spark.read.parquet(args.queries), k=args.k,
                     n_cells=args.n_cells, n_probe=args.n_probe, m=args.m,
                     k_codes=args.k_codes, rerank=args.rerank,
+                    exclude_self=not args.include_self,
                 )
             else:
                 res = sim.topk_ivfpq(
