@@ -455,3 +455,28 @@ def test_cli_ann_include_self(capsys, emb_parquet):
     assert rows and all(
         r["neighbor_id"] == r["query_id"] and r["cosine_c"] == 10000 for r in rows
     )
+
+
+def test_cli_ann_append_index(capsys, spark, emb_parquet, tmp_path):
+    """--append-index grows a built index with frozen codebooks; wrong-dim
+    appends exit 2 cleanly."""
+    src, _ = emb_parquet
+    idx = str(tmp_path / "growidx")
+    assert cli.main(["ann", "--src", src, "--build-index", idx,
+                     "--n-cells", "4", "--m", "8", "--k-codes", "16"]) == 0
+    n0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["n_vectors"]
+
+    extra = str(tmp_path / "extra.pq")
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(src).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    ).limit(7).write.parquet(extra)
+    assert cli.main(["ann", "--src", extra, "--append-index", idx]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["appended"] == 7
+
+    bad = str(tmp_path / "bad.pq")
+    spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>").write.parquet(bad)
+    assert cli.main(["ann", "--src", bad, "--append-index", idx]) == 2
+    assert "dim" in capsys.readouterr().err

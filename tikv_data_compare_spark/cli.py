@@ -241,6 +241,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--build-index", default="",
                    help="build a persistent IVFPQ index of --src here and exit "
                         "(train + encode once; later runs query it via --index)")
+    p.add_argument("--append-index", default="",
+                   help="encode --src rows with this index's FROZEN codebooks "
+                        "and append them (FAISS add(): existing codes untouched)")
     p.add_argument("--index", default="",
                    help="query this persisted index (requires --queries; "
                         "--rerank reads float vectors from --src)")
@@ -317,6 +320,16 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"ann: {e}", file=sys.stderr)
                 return 2
             print(json.dumps({"index": args.build_index, **meta}))
+            return 0
+        if args.append_index:
+            from tikv_data_compare_spark.operators.ann_index import append_to_index
+
+            try:
+                n_new = append_to_index(emb, args.append_index)
+            except ValueError as e:
+                print(f"ann: {e}", file=sys.stderr)
+                return 2
+            print(json.dumps({"index": args.append_index, "appended": n_new}))
             return 0
         if args.index:
             from tikv_data_compare_spark.operators.ann_index import (
