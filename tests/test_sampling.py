@@ -77,3 +77,51 @@ def test_stratified_sample_rejects_reserved_hash_column(spark):
     )
     with pytest.raises(ValueError, match="_sample_h"):
         stratified_sample(df, ["lang"], k=1, tiebreak_cols=["doc_id"])
+
+
+def test_shard_assignments_deterministic_and_balanced(spark, documents):
+    """Shard membership/order is a pure function of content: two runs are
+    identical, shards are hash-balanced, positions are 1..size per shard."""
+    from tikv_data_compare_spark.operators.sampling import shard_assignments
+
+    docs = documents.select("doc_id", "text").limit(400)
+    a = {
+        r["doc_id"]: (r["shard"], r["shard_pos"])
+        for r in shard_assignments(docs, 8, tiebreak_cols=["doc_id"]).collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard"], r["shard_pos"])
+        for r in shard_assignments(docs, 8, tiebreak_cols=["doc_id"]).collect()
+    }
+    assert a == b and len(a) == 400
+    from collections import Counter
+
+    sizes = Counter(s for s, _ in a.values())
+    assert len(sizes) == 8
+    assert max(sizes.values()) <= 2.2 * (400 / 8)  # hash balance, no hot shard
+    for shard in sizes:
+        poss = sorted(p for s, p in a.values() if s == shard)
+        assert poss == list(range(1, len(poss) + 1))
+
+
+def test_write_shards_roundtrip(spark, documents, tmp_path):
+    """Written shard dirs carry exactly the assigned membership and the
+    intra-shard positions restore the deterministic order."""
+    from tikv_data_compare_spark.operators.sampling import (
+        shard_assignments,
+        write_shards,
+    )
+
+    docs = documents.select("doc_id", "text").limit(120)
+    path = str(tmp_path / "shards")
+    counts = write_shards(docs, path, 4, tiebreak_cols=["doc_id"])
+    assert sum(counts.values()) == 120 and set(counts) <= set(range(4))
+    expect = {
+        (r["doc_id"], r["shard"], r["shard_pos"])
+        for r in shard_assignments(docs, 4, tiebreak_cols=["doc_id"]).collect()
+    }
+    got = {
+        (r["doc_id"], r["shard"], r["shard_pos"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == expect

@@ -88,3 +88,68 @@ def stratified_sample(
         .filter(F.col(rank_col) <= k)
         .drop(_STAGE, "_sample_h")
     )
+
+
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int,
+    content_col: str = "text",
+    tiebreak_cols: list[str] | None = None,
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic training-shard assignment: every row gets a shard id
+    (content-hash mod ``n_shards``) and a position within its shard
+    (content-hash order with ``tiebreak_cols``) — the shuffled-shard layout
+    a training job consumes, as a PURE FUNCTION OF CONTENT.
+
+    Why not ``repartition(n).write``: Spark's physical partitioning depends
+    on the input split layout and cluster size, so two runs (or a retried
+    stage) can produce different shard membership — unacceptable when a
+    training run must be reproducible bit-for-bit from the corpus.  Here
+    membership AND intra-shard order replay identically on any cluster,
+    and the content-hash order IS the global shuffle SGD wants (hash order
+    is uncorrelated with any data order).  Scale shape: one map-side hash
+    + one window shuffle keyed on the shard id (n_shards partitions of
+    ~equal size by hash uniformity).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if "_sample_h" in df.columns:
+        raise ValueError(
+            "column name '_sample_h' is reserved by shard_assignments; rename it"
+        )
+    staged = _with_hash(df, content_col, shard_col).withColumn(
+        "_sample_h", F.expr(sqlgen.hexfold_i64(_STAGE))
+    )
+    shard = ((F.col("_sample_h") % n_shards) + n_shards) % n_shards
+    order = [F.col("_sample_h")] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(shard_col).orderBy(*order)
+    return (
+        staged.withColumn(shard_col, shard.cast("long"))
+        .withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop(_STAGE, "_sample_h")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    content_col: str = "text",
+    tiebreak_cols: list[str] | None = None,
+) -> dict:
+    """Materialize the deterministic shards as ``path/shard=N/`` parquet
+    (one directory per shard, rows carrying their ``shard_pos`` so a
+    reader can restore the exact intra-shard order regardless of file
+    layout).  Returns ``{shard: row_count}`` counted from the WRITTEN
+    files."""
+    assigned = shard_assignments(
+        df, n_shards, content_col=content_col, tiebreak_cols=tiebreak_cols
+    )
+    assigned.write.mode("overwrite").partitionBy("shard").parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    return {
+        int(r["shard"]): int(r["n"])
+        for r in out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }

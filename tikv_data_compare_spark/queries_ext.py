@@ -1145,9 +1145,18 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc_id tiebreak — the per-stratum quota that keeps low-resource
       languages represented, output bounded by k per group regardless of
       group size (skew-safe by construction); metric = the in-stratum
-      rank."""
+      rank;
+    - ``shard`` (since r8): deterministic training-shard assignment
+      (``shard_assignments``: content-hash mod 8 shards, intra-shard
+      position in content-hash order with doc_id tiebreak — reproducible
+      shard membership AND order on any cluster); metric packs both as
+      shard·100000 + position, so a drift in EITHER hash-mismatches."""
     tune(spark)
-    from tikv_data_compare_spark.operators.sampling import hash_sample, stratified_sample
+    from tikv_data_compare_spark.operators.sampling import (
+        hash_sample,
+        shard_assignments,
+        stratified_sample,
+    )
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     h = hash_sample(docs, "text", pct=10).select(
@@ -1158,7 +1167,11 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("stratified").alias("method"), "doc_id", "lang",
         F.col("sample_rank").alias("metric"),
     )
-    return h.unionByName(s)
+    sh = shard_assignments(docs, n_shards=8, tiebreak_cols=["doc_id"]).select(
+        F.lit("shard").alias("method"), "doc_id", "lang",
+        (F.col("shard") * 100000 + F.col("shard_pos")).cast("long").alias("metric"),
+    )
+    return h.unionByName(s).unionByName(sh)
 
 
 ORACLE_SAMPLING = f"""
@@ -1174,6 +1187,17 @@ FROM (
   FROM (SELECT doc_id, lang, md5(text) AS _m FROM documents)
 )
 WHERE rn <= 20
+UNION ALL
+SELECT 'shard', doc_id, lang, CAST(shard * 100000 + pos AS BIGINT)
+FROM (
+  SELECT doc_id, lang, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+  FROM (
+    SELECT doc_id, lang, h, ((h % 8) + 8) % 8 AS shard
+    FROM (SELECT doc_id, lang, {sqlgen.hexfold_i64('_m')} AS h
+          FROM (SELECT doc_id, lang, md5(text) AS _m FROM documents))
+  )
+)
 """
 
 
