@@ -1,5 +1,6 @@
 """Text operator tests: closed-form checks on constructed docs + invariances."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from tikv_data_compare_spark.operators import text as tx
@@ -313,3 +314,29 @@ def test_lang_id_ngram_accuracy_floor(spark):
     pred = {r["doc_id"]: r["pred_lang"] for r in lang_id_ngram(hdf, profiles, top=80).collect()}
     correct = sum(pred[i] == lang for i, lang, _ in held)
     assert correct / len(held) >= 0.90, (correct, len(held))
+
+
+def test_pack_token_bins_contract(spark, documents):
+    """Concatenate-and-cut packing: a doc joins the bin its START offset
+    falls in, so every bin's token total minus its last doc stays under
+    budget; membership/order are two-run deterministic; positions are
+    1..size per bin."""
+    from tikv_data_compare_spark.operators.text import pack_token_bins
+
+    docs = documents.select("doc_id", "text").limit(300)
+    a = pack_token_bins(docs, budget=200, n_shards=4).collect()
+    b = pack_token_bins(docs, budget=200, n_shards=4).collect()
+    key = lambda r: (r["doc_id"], r["pack_bin"], r["pack_pos"])  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b)) and len(a) == 300
+
+    by_bin = {}
+    for r in a:
+        by_bin.setdefault(r["pack_bin"], []).append((r["pack_pos"], r["n_tok"]))
+    for rows in by_bin.values():
+        rows.sort()
+        assert [p for p, _ in rows] == list(range(1, len(rows) + 1))
+        # all docs but the last START inside the bin -> their sum < budget
+        assert sum(t for _, t in rows[:-1]) < 200
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_token_bins(docs, budget=0)

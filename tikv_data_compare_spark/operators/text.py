@@ -637,3 +637,61 @@ def lang_id_ngram(
             F.col("_dist").cast("long").alias("dist_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: token-budget bins for pretraining batches
+# ---------------------------------------------------------------------------
+
+
+def pack_token_bins(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document to a token-budget bin — the sequence-packing
+    step that turns a curated corpus into fixed-budget training batches:
+    documents are laid out in deterministic content-hash order and cut
+    into consecutive bins of ~``budget`` whitespace tokens (a document
+    starts a new bin when the running total would leave it outside the
+    current one — concatenate-and-cut packing, the standard pretraining
+    recipe at document granularity).
+
+    Scale shape: a single global order would serialize the cumsum, so the
+    corpus is first split into ``n_shards`` content-hash shards (the same
+    determinism contract as ``sampling.shard_assignments``) and packed
+    WITHIN each shard — one window shuffle keyed on the shard id, bins
+    globally unique as ``shard·1e6 + local_bin``.  Everything is a pure
+    function of content: membership, bin ids, and in-bin positions replay
+    identically on any cluster (no RNG, no partition-layout dependence).
+
+    Returns ``(id, n_tok, pack_bin, pack_pos)``; empty-text docs count 1
+    token (split(' ') yields ['']), matching ``token_count``'s n_words.
+    """
+    from pyspark.sql import Window
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    staged = (
+        df.select(id_col, text_col)
+        .withColumn("_m", F.md5(F.coalesce(F.col(text_col).cast("string"), F.lit(""))))
+        .withColumn("_h", F.expr(sqlgen.hexfold_i64("_m")))
+        .withColumn("_shard", ((F.col("_h") % n_shards) + n_shards) % n_shards)
+        .withColumn("_ntok", F.size(F.split(F.col(text_col), " ")).cast("long"))
+    )
+    w = Window.partitionBy("_shard").orderBy("_h", id_col)
+    cum = F.sum("_ntok").over(w)  # inclusive running total within the shard
+    packed = staged.withColumn(
+        "_bin", F.floor((cum - F.col("_ntok")) / F.lit(budget)).cast("long")
+    )
+    w2 = Window.partitionBy("_shard", "_bin").orderBy("_h", id_col)
+    return packed.select(
+        id_col,
+        F.col("_ntok").alias("n_tok"),
+        (F.col("_shard") * 1_000_000 + F.col("_bin")).cast("long").alias("pack_bin"),
+        F.row_number().over(w2).cast("long").alias("pack_pos"),
+    )

@@ -581,18 +581,25 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       JVM higher-order array functions, no UDF (``token_count``);
     - the normalization pre-pass before exact dedup (lowercase, strip
       sentence punctuation, collapse whitespace runs, trim) with its char
-      delta, so the oracle verifies the transform text itself."""
+      delta, so the oracle verifies the transform text itself;
+    - sequence packing (``pack_token_bins``, since r8): every doc's
+      token-budget bin (512 tokens, 8 content-hash shards) and in-bin
+      position — the concatenate-and-cut pretraining batch layout, fully
+      deterministic, recomputed by the oracle's window cumsum."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     stripped = "replace(replace(replace(lower(text), '.', ''), ',', ''), '!', '')"
     norm = f"trim(regexp_replace({stripped}, ' +', ' '))"
+    packed = tx.pack_token_bins(docs, budget=512, n_shards=8).select(
+        "doc_id", "pack_bin", "pack_pos"
+    )
     return tx.token_count(docs).select(
         "doc_id",
         "n_words",
         "n_tokens_bpe",
         F.expr(norm).alias("norm_text"),
         F.expr(f"CAST(length(text) - length({norm}) AS BIGINT)").alias("chars_removed"),
-    )
+    ).join(packed, "doc_id")
 
 
 ORACLE_TEXT_TOKENS = f"""
@@ -600,14 +607,31 @@ WITH base AS (
   SELECT doc_id, text, {sqlgen.split_words('text', DUCK)} AS ws,
          trim(regexp_replace(replace(replace(replace(lower(text), '.', ''), ',', ''), '!', ''), ' +', ' ', 'g')) AS norm_text
   FROM documents
+),
+packing AS (
+  SELECT doc_id,
+         CAST(shard * 1000000 + bin AS BIGINT) AS pack_bin,
+         CAST(row_number() OVER (PARTITION BY shard, bin ORDER BY h, doc_id) AS BIGINT) AS pack_pos
+  FROM (
+    SELECT doc_id, h, shard,
+           CAST(floor((sum(ntok) OVER (PARTITION BY shard ORDER BY h, doc_id)
+                       - ntok) / 512.0) AS BIGINT) AS bin
+    FROM (
+      SELECT doc_id, h, ((h % 8) + 8) % 8 AS shard,
+             len({sqlgen.split_words('text', DUCK)}) AS ntok
+      FROM (SELECT doc_id, text, {sqlgen.hexfold_i64('_m')} AS h
+            FROM (SELECT doc_id, text, md5(coalesce(text, '')) AS _m FROM documents))
+    )
+  )
 )
-SELECT doc_id,
+SELECT base.doc_id,
        CAST(len(ws) AS BIGINT) AS n_words,
        CAST(len(ws) + list_sum(list_transform(ws,
             w -> CAST(floor(greatest(length(w) - 6, 0) / 6.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe,
        norm_text,
-       CAST(length(text) - length(norm_text) AS BIGINT) AS chars_removed
-FROM base
+       CAST(length(text) - length(norm_text) AS BIGINT) AS chars_removed,
+       p.pack_bin, p.pack_pos
+FROM base JOIN packing p ON base.doc_id = p.doc_id
 """
 
 
