@@ -340,3 +340,18 @@ def test_pack_token_bins_contract(spark, documents):
 
     with pytest.raises(ValueError, match="budget"):
         pack_token_bins(docs, budget=0)
+
+
+def test_pack_token_bins_null_text(spark):
+    """NULL text packs like empty text (1 token) instead of corrupting the
+    shard cumsum with size(NULL) = -1 (r8 review)."""
+    from tikv_data_compare_spark.operators.text import pack_token_bins
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in pack_token_bins(df, budget=10, n_shards=2).collect()}
+    assert len(rows) == 3
+    assert rows[2]["n_tok"] == 1 and rows[3]["n_tok"] == 1
+    assert rows[1]["n_tok"] == 3
+    assert all(r["pack_bin"] >= 0 and r["pack_pos"] >= 1 for r in rows.values())

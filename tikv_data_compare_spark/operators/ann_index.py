@@ -49,6 +49,25 @@ from tikv_data_compare_spark.operators.similarity import (
 INDEX_FORMAT_VERSION = 1
 
 
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """Replace the one-row meta table via write-then-swap: a plain
+    mode('overwrite') deletes the directory before rewriting, so a
+    concurrent ``load_ann_index`` could read zero/partial rows of a
+    healthy index (r8 review).  Local-FS rename is atomic; a production
+    deployment swaps in a transactional table format at this seam."""
+    import os
+    import shutil
+
+    stage = f"{path}/meta.staging"
+    spark.createDataFrame([tuple(meta.values())], list(meta.keys())).coalesce(
+        1
+    ).write.mode("overwrite").parquet(stage)
+    final = f"{path}/meta"
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(stage, final)
+
+
 @dataclass
 class AnnIndex:
     """A loaded index: the lazy compact corpus frame + driver-side
@@ -115,9 +134,7 @@ def build_ann_index(
         # counted from the WRITTEN parquet footers, not a plan re-execution
         "n_vectors": int(spark.read.parquet(f"{path}/vectors").count()),
     }
-    spark.createDataFrame([tuple(meta.values())], list(meta.keys())).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/meta")
+    _write_meta(spark, path, meta)
     return meta
 
 
@@ -185,11 +202,17 @@ def append_to_index(emb_new: DataFrame, path: str, id_col: str = "vec_id",
     spark = emb_new.sparkSession
     idx = load_ann_index(spark, path)
     src = emb_new.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    first = src.select(F.size("embedding").alias("d")).first()
-    if first and first["d"] != idx.meta["dim"]:
+    # validate EVERY row's dimension up front (one bounded agg over the
+    # append set): a first-row-only probe lets a mixed-dim/NULL append
+    # pass and die deep in the encode job with a raw executor traceback
+    # instead of the documented clean ValueError (r8 review).  size(NULL)
+    # is -1 under legacy sizeOfNull, so NULL embeddings are caught too.
+    n_bad = src.filter(F.size("embedding") != idx.meta["dim"]).count()
+    if n_bad:
         raise ValueError(
-            f"append dim {first['d']} != index dim {idx.meta['dim']} — "
-            "frozen quantizers cannot encode a different vector space"
+            f"append contains {n_bad} row(s) whose embedding dim != index "
+            f"dim {idx.meta['dim']} — frozen quantizers cannot encode a "
+            "different vector space"
         )
     cent_bc = _track(spark.sparkContext.broadcast(np.asarray(idx.centroids)))
     books_bc = _track(spark.sparkContext.broadcast(np.asarray(idx.books)))
@@ -199,10 +222,11 @@ def append_to_index(emb_new: DataFrame, path: str, id_col: str = "vec_id",
     new_vecs.write.mode("append").parquet(f"{path}/vectors")
     n_total = spark.read.parquet(f"{path}/vectors").count()
     n_new = n_total - idx.meta["n_vectors"]
-    meta = {**idx.meta, "n_vectors": int(n_total)}
-    spark.createDataFrame([tuple(meta.values())], list(meta.keys())).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/meta")
+    # the vectors append and this meta swap are two commits: a crash
+    # between them leaves a stale (under-)count that the NEXT append
+    # self-heals (n_total is always recounted from the written files) —
+    # append-only semantics make that safe; the swap itself is atomic
+    _write_meta(spark, path, {**idx.meta, "n_vectors": int(n_total)})
     return int(n_new)
 
 

@@ -90,6 +90,33 @@ def stratified_sample(
     )
 
 
+def content_shards(
+    df: DataFrame,
+    n_shards: int,
+    content_col: str = "text",
+    hash_col: str = "_sample_h",
+    shard_col: str = "_shard",
+) -> DataFrame:
+    """Shared deterministic staging for every content-sharded operator
+    (``shard_assignments``, ``text.pack_token_bins``): append the folded
+    content hash (NULL content hashes as '') and its mod-``n_shards``
+    shard id.  ONE implementation, so the determinism contract (coalesce,
+    md5 staged into a column before the 30×-repeating hexfold, non-negative
+    mod) cannot drift between operators (r8 review)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if hash_col in df.columns or shard_col in df.columns:
+        raise ValueError(
+            f"column names {hash_col!r}/{shard_col!r} are reserved by "
+            "content_shards; rename them"
+        )
+    staged = _with_hash(df, content_col, hash_col).withColumn(
+        hash_col, F.expr(sqlgen.hexfold_i64(_STAGE))
+    )
+    shard = ((F.col(hash_col) % n_shards) + n_shards) % n_shards
+    return staged.withColumn(shard_col, shard.cast("long")).drop(_STAGE)
+
+
 def shard_assignments(
     df: DataFrame,
     n_shards: int,
@@ -113,22 +140,16 @@ def shard_assignments(
     + one window shuffle keyed on the shard id (n_shards partitions of
     ~equal size by hash uniformity).
     """
-    if n_shards < 1:
-        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    if "_sample_h" in df.columns:
+    if pos_col in df.columns or shard_col in df.columns:
         raise ValueError(
-            "column name '_sample_h' is reserved by shard_assignments; rename it"
+            f"output column {shard_col!r}/{pos_col!r} already exists on the input"
         )
-    staged = _with_hash(df, content_col, shard_col).withColumn(
-        "_sample_h", F.expr(sqlgen.hexfold_i64(_STAGE))
-    )
-    shard = ((F.col("_sample_h") % n_shards) + n_shards) % n_shards
+    staged = content_shards(df, n_shards, content_col, shard_col=shard_col)
     order = [F.col("_sample_h")] + [F.col(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(shard_col).orderBy(*order)
     return (
-        staged.withColumn(shard_col, shard.cast("long"))
-        .withColumn(pos_col, F.row_number().over(w).cast("long"))
-        .drop(_STAGE, "_sample_h")
+        staged.withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("_sample_h")
     )
 
 
@@ -149,7 +170,11 @@ def write_shards(
     )
     assigned.write.mode("overwrite").partitionBy("shard").parquet(path)
     out = df.sparkSession.read.parquet(path)
-    return {
+    written = {
         int(r["shard"]): int(r["n"])
         for r in out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    # parquet partitionBy materializes no directory for an EMPTY shard:
+    # report those as explicit zeros so a reader iterating shard=0..n-1
+    # can distinguish 'empty' from 'out of range' (r8 review)
+    return {i: written.get(i, 0) for i in range(n_shards)}

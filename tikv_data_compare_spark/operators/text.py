@@ -667,31 +667,37 @@ def pack_token_bins(
     function of content: membership, bin ids, and in-bin positions replay
     identically on any cluster (no RNG, no partition-layout dependence).
 
-    Returns ``(id, n_tok, pack_bin, pack_pos)``; empty-text docs count 1
-    token (split(' ') yields ['']), matching ``token_count``'s n_words.
+    Returns ``(id, n_tok, pack_bin, pack_pos)``; NULL/empty-text docs count
+    1 token (split of the coalesced '' yields ['']), matching
+    ``token_count``'s n_words.  Global bin ids compose as
+    ``local_bin · n_shards + shard`` — unique for ANY bin count (a fixed
+    shard multiplier would collide once a shard exceeds it; at 100 TB a
+    512-token budget yields ~1e9 bins per shard — r8 review).
     """
     from pyspark.sql import Window
 
+    from tikv_data_compare_spark.operators.sampling import content_shards
+
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
-    if n_shards < 1:
-        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    staged = (
-        df.select(id_col, text_col)
-        .withColumn("_m", F.md5(F.coalesce(F.col(text_col).cast("string"), F.lit(""))))
-        .withColumn("_h", F.expr(sqlgen.hexfold_i64("_m")))
-        .withColumn("_shard", ((F.col("_h") % n_shards) + n_shards) % n_shards)
-        .withColumn("_ntok", F.size(F.split(F.col(text_col), " ")).cast("long"))
+    # shared deterministic staging (coalesce + staged md5 + hexfold + mod):
+    # single-sourced in sampling.content_shards so the recipes cannot drift
+    staged = content_shards(
+        df.select(id_col, text_col), n_shards, content_col=text_col
+    ).withColumn(
+        "_ntok",
+        F.size(F.split(F.coalesce(F.col(text_col).cast("string"), F.lit("")), " "))
+        .cast("long"),
     )
-    w = Window.partitionBy("_shard").orderBy("_h", id_col)
+    w = Window.partitionBy("_shard").orderBy("_sample_h", id_col)
     cum = F.sum("_ntok").over(w)  # inclusive running total within the shard
     packed = staged.withColumn(
         "_bin", F.floor((cum - F.col("_ntok")) / F.lit(budget)).cast("long")
     )
-    w2 = Window.partitionBy("_shard", "_bin").orderBy("_h", id_col)
+    w2 = Window.partitionBy("_shard", "_bin").orderBy("_sample_h", id_col)
     return packed.select(
         id_col,
         F.col("_ntok").alias("n_tok"),
-        (F.col("_shard") * 1_000_000 + F.col("_bin")).cast("long").alias("pack_bin"),
+        (F.col("_bin") * n_shards + F.col("_shard")).cast("long").alias("pack_bin"),
         F.row_number().over(w2).cast("long").alias("pack_pos"),
     )

@@ -610,7 +610,7 @@ WITH base AS (
 ),
 packing AS (
   SELECT doc_id,
-         CAST(shard * 1000000 + bin AS BIGINT) AS pack_bin,
+         CAST(bin * 8 + shard AS BIGINT) AS pack_bin,
          CAST(row_number() OVER (PARTITION BY shard, bin ORDER BY h, doc_id) AS BIGINT) AS pack_pos
   FROM (
     SELECT doc_id, h, shard,
@@ -618,7 +618,7 @@ packing AS (
                        - ntok) / 512.0) AS BIGINT) AS bin
     FROM (
       SELECT doc_id, h, ((h % 8) + 8) % 8 AS shard,
-             len({sqlgen.split_words('text', DUCK)}) AS ntok
+             len({sqlgen.split_words("coalesce(text, '')", DUCK)}) AS ntok
       FROM (SELECT doc_id, text, {sqlgen.hexfold_i64('_m')} AS h
             FROM (SELECT doc_id, text, md5(coalesce(text, '')) AS _m FROM documents))
     )
@@ -1219,7 +1219,7 @@ FROM (
   FROM (
     SELECT doc_id, lang, h, ((h % 8) + 8) % 8 AS shard
     FROM (SELECT doc_id, lang, {sqlgen.hexfold_i64('_m')} AS h
-          FROM (SELECT doc_id, lang, md5(text) AS _m FROM documents))
+          FROM (SELECT doc_id, lang, md5(coalesce(text, '')) AS _m FROM documents))
   )
 )
 """
