@@ -122,6 +122,16 @@ def main():
         "topk_ivfpq": lambda: sim.topk_ivfpq(
             embeddings, k=5, n_queries=10, n_cells=16, n_probe=4, m=8, k_codes=32, rerank=100
         ).count(),
+        # the DataFrame-query join path (r8): 100 queries streamed as a
+        # DataFrame (no driver collect), selective probe + rerank — the
+        # query-side shape past the 16k broadcast ceiling
+        "topk_ivfpq_join": lambda: sim.topk_ivfpq_join(
+            embeddings,
+            embeddings.filter(F.col("vec_id") < 100).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            k=5, n_cells=16, n_probe=4, m=8, k_codes=32, rerank=100,
+        ).count(),
         "curation_pipeline": lambda: qe.q_curation_pipeline(spark, sf_dir).count(),
     }
 
