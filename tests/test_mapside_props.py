@@ -256,3 +256,89 @@ def test_winnow_matches_window_shape(spark, seed):
         .distinct()
     )
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# r8 determinism properties: partition-layout invariance of the new ops
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_pack_and_shard_partition_invariance(spark, seed):
+    """pack_token_bins and shard_assignments claim to be pure functions of
+    content: re-laying the SAME rows out over a different partitioning
+    must reproduce identical bins/positions bit-for-bit."""
+    from tikv_data_compare_spark.operators.sampling import shard_assignments
+    from tikv_data_compare_spark.operators.text import pack_token_bins
+
+    docs = _corpus(spark, seed)
+    redist = docs.repartition(7)
+    for fn in (
+        lambda d: pack_token_bins(d, budget=40, n_shards=4),
+        lambda d: shard_assignments(d, 4, tiebreak_cols=["doc_id"]),
+    ):
+        a = sorted(tuple(r) for r in fn(docs).collect())
+        b = sorted(tuple(r) for r in fn(redist).collect())
+        assert a == b
+
+
+def test_cohort_retention_partition_and_duplicate_invariance(spark):
+    """The retention triangle counts DISTINCT users per (cohort, period):
+    repartitioning must not change it, and duplicating an existing
+    (user, day) activity row must not either."""
+    from tikv_data_compare_spark.operators.events import cohort_retention
+
+    rows = [
+        (u, f"2024-01-{1 + (u * d) % 9:02d} 10:00:00")
+        for u in range(1, 20)
+        for d in range(1, 4)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    base = sorted(tuple(r) for r in cohort_retention(df).collect())
+    assert base
+    redist = sorted(tuple(r) for r in cohort_retention(df.repartition(5)).collect())
+    assert redist == base
+    duped = sorted(
+        tuple(r) for r in cohort_retention(df.unionAll(df.limit(7))).collect()
+    )
+    assert duped == base
+
+
+def test_profile_compare_swap_symmetry(spark):
+    """Swapping src and dst mirrors the per-side columns and preserves the
+    drift flags — no hidden asymmetry in the union/pivot machinery."""
+    from tikv_data_compare_spark.model import Keyed
+    from tikv_data_compare_spark.operators.diff import profile_compare
+
+    a = spark.createDataFrame([(1, "x", 5), (2, None, 9)], "k long, s string, v long")
+    b = spark.createDataFrame([(1, "x", 5), (2, "y", 7)], "k long, s string, v long")
+    ab = {r["col_name"]: r for r in profile_compare(
+        Keyed.of(a, keys=("k",)), Keyed.of(b, keys=("k",))).collect()}
+    ba = {r["col_name"]: r for r in profile_compare(
+        Keyed.of(b, keys=("k",)), Keyed.of(a, keys=("k",))).collect()}
+    for c in ab:
+        for stat in ("n_nulls", "n_distinct", "min_c", "max_c"):
+            assert ab[c][f"src_{stat}"] == ba[c][f"dst_{stat}"]
+            assert ab[c][f"dst_{stat}"] == ba[c][f"src_{stat}"]
+        assert ab[c]["drifted"] == ba[c]["drifted"]
+
+
+def test_range_bucket_col_monotone(spark):
+    """Bucket ids are non-decreasing in the key — the property that makes a
+    drifted bucket a CONTIGUOUS scannable range."""
+    from tikv_data_compare_spark.operators.checksum import range_bucket_col
+
+    df = spark.range(500).select((F.col("id") * 3 - 700).alias("k"))
+    rows = sorted(
+        (r["k"], r["b"])
+        for r in df.withColumn(
+            "b", range_bucket_col("k", [-500.0, -100.0, 0.0, 250.0, 900.0])
+        ).collect()
+    )
+    buckets = [b for _, b in rows]
+    assert buckets == sorted(buckets)
+    # keys span [-700, 797): below the first boundary -> 0; above the 4th
+    # (250) but below the 5th (900) -> 4
+    assert buckets[0] == 0 and buckets[-1] == 4
