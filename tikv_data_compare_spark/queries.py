@@ -2017,7 +2017,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``diff_only``, ``grouping_sets``, ``integrity_checks``,
     ``file_roundtrip``, ``events_funnel_gaps``, ``multimodal_probe``,
     ``sampling``) so EVERY operator keeps a hard oracle-checked row while
-    the whole registry fits inside the checked window.
+    the whole registry fits inside the checked window.  The r8 folds keep
+    the pattern: every ANN path incl. the persisted index rides the 5-mode
+    ``similarity_topk_ivf`` union; manifests (incl. the streaming fold),
+    the coproc checksum, the column-stats gate, n-gram language ID,
+    PCM framing, pixel resize, cohort retention, shard assignment, and
+    sequence packing ride their hosts' labeled unions/joined columns.
+    All 50 entries carry full oracles — zero rows-only rows.
     """
     from tikv_data_compare_spark import queries_ext as qe
     from tikv_data_compare_spark import queries_more as qm
@@ -2061,7 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_late_data": q_stream_late_data,
         "stream_stream_join": q_stream_stream_join,
         "stream_diff": q_stream_diff,
-        # --- codec (rows-only: binary codecs have no SQL oracle)
+        # --- codec (oracle-gated since r5: wire hex + ts inversion recomputed in SQL)
         "codec_roundtrip": q_codec_roundtrip,
         # --- dedup
         "dedup_exact": qe.q_dedup_exact,
