@@ -1,6 +1,7 @@
 """Metamorphic diff tests (SURVEY.md §5.3): diff(df,df)=∅; known mutations
 produce exactly the expected keyed findings; checksum equality ⟺ empty diff."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from tikv_data_compare_spark.model import Keyed, to_kv
@@ -224,3 +225,37 @@ def test_profile_compare_plan_and_approx_path(spark):
     assert rows["k"]["src_n_nulls"] == 0 and rows["k"]["src_min_c"] is not None
     # HLL estimate of 100 distinct longs at rsd=0.05 lands well within 3σ
     assert abs(rows["k"]["src_n_distinct"] - 100) <= 15
+
+
+def test_diff_tolerant_semantics(spark):
+    """Per-column tolerance: sub-eps float jitter suppressed, real drift
+    reported, NULL transitions always reported, non-tolerance columns stay
+    exact, one-sided rows unaffected."""
+    from tikv_data_compare_spark.operators.diff import diff_tolerant
+
+    src = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (4, None, "d"), (5, 50.0, "e")],
+        "k long, p double, s string",
+    )
+    dst = spark.createDataFrame(
+        [
+            (1, 10.0000001, "a"),  # sub-eps jitter -> equal
+            (2, 21.0, "b"),        # real drift -> changed
+            (3, 30.0, "x"),        # exact column drift -> changed
+            (4, 40.0, "d"),        # NULL -> value transition -> changed
+            (6, 60.0, "f"),        # insert -> only_dst; 5 -> only_src
+        ],
+        "k long, p double, s string",
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in diff_tolerant(
+            Keyed.of(src, keys=("k",)), Keyed.of(dst, keys=("k",)), {"p": 0.001}
+        ).collect()
+    }
+    assert got == {2: "changed", 3: "changed", 4: "changed",
+                   5: "only_src", 6: "only_dst"}
+    with pytest.raises(ValueError, match="not a value column"):
+        diff_tolerant(Keyed.of(src, keys=("k",)), Keyed.of(dst, keys=("k",)), {"k": 0.1})
+    with pytest.raises(ValueError, match=">= 0"):
+        diff_tolerant(Keyed.of(src, keys=("k",)), Keyed.of(dst, keys=("k",)), {"p": -1})

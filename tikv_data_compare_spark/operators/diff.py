@@ -68,6 +68,69 @@ def diff(src: Keyed, dst: Keyed, include_equal: bool = False) -> DataFrame:
     return out.select(*keys, "status", *[f"src_{v}" for v in src.values], *[f"dst_{v}" for v in dst.values])
 
 
+def diff_tolerant(
+    src: Keyed,
+    dst: Keyed,
+    tolerances: dict[str, float],
+    include_equal: bool = False,
+) -> DataFrame:
+    """Keyed diff with per-column NUMERIC tolerance: a column listed in
+    ``tolerances`` counts equal when ``|src − dst| <= eps`` (both-NULL is
+    equal, one-sided NULL differs); every other column keeps the exact
+    null-safe equality of :func:`diff`.
+
+    Why it exists: re-encoded or recomputed float columns legitimately
+    jitter in the last ulps (codec roundtrips, aggregation re-orders,
+    compression transcodes), and the reference's byte-exact compare
+    reports that noise as drift — at 100 TB, millions of false findings
+    drowning the real ones.  Same single full-outer sort-merge join and
+    output shape as :func:`diff`; the tolerance predicate stays inside
+    whole-stage codegen (no UDF).
+    """
+    check_comparable(src, dst)
+    for c, eps in tolerances.items():
+        if c not in src.values:
+            raise ValueError(f"tolerance column {c!r} is not a value column {src.values}")
+        if eps < 0:
+            raise ValueError(f"tolerance for {c!r} must be >= 0, got {eps}")
+    keys = list(src.keys)
+    s = src.df.select(
+        *keys,
+        *[F.col(v).alias(f"src_{v}") for v in src.values],
+        F.lit(True).alias("_in_src"),
+    )
+    d = dst.df.select(
+        *keys,
+        *[F.col(v).alias(f"dst_{v}") for v in dst.values],
+        F.lit(True).alias("_in_dst"),
+    )
+    j = s.join(d, on=keys, how="full_outer")
+    value_mismatch = F.lit(False)
+    for v in src.values:
+        a, b = F.col(f"src_{v}"), F.col(f"dst_{v}")
+        if v in tolerances:
+            within = (a.isNull() & b.isNull()) | (
+                a.isNotNull()
+                & b.isNotNull()
+                & (F.abs(a.cast("double") - b.cast("double")) <= F.lit(float(tolerances[v])))
+            )
+            value_mismatch = value_mismatch | ~within
+        else:
+            value_mismatch = value_mismatch | ~a.eqNullSafe(b)
+    status = (
+        F.when(F.col("_in_dst").isNull(), F.lit(STATUS_ONLY_SRC))
+        .when(F.col("_in_src").isNull(), F.lit(STATUS_ONLY_DST))
+        .when(value_mismatch, F.lit(STATUS_CHANGED))
+        .otherwise(F.lit(STATUS_EQUAL))
+    )
+    out = j.withColumn("status", status).drop("_in_src", "_in_dst")
+    if not include_equal:
+        out = out.filter(F.col("status") != STATUS_EQUAL)
+    return out.select(
+        *keys, "status", *[f"src_{v}" for v in src.values], *[f"dst_{v}" for v in dst.values]
+    )
+
+
 def only_in_src(src: Keyed, dst: Keyed) -> DataFrame:
     """Keys present in src but not dst (reference J2, the explicit form of the
     count warning at diff/diff.go:44-46).  left_anti — no wide row payload

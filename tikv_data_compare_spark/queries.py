@@ -405,9 +405,17 @@ def q_diff_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys) and 'only in dst' (inserted keys), each via ``only_in_src`` /
     ``only_in_dst`` (explicit form of diff/diff.go:44-46), side-labeled and
     unioned.  Two left-anti sort-merge joins on the key; at 100 TB each
-    ships only the key column of the probe side."""
+    ships only the key column of the probe side.
+
+    Third label since r8 — ``side='tolerant'``: ``diff.diff_tolerant``
+    over a pair where EVERY price carries sub-epsilon float jitter
+    (+1e-5, the re-encode/recompute noise a byte-exact compare reports as
+    drift) and every 500th key carries real +1.0 drift, with tolerance
+    1e-3 on the price — only the real drift may surface, so the gate
+    proves both the suppression AND the detection side of the predicate."""
     tune(spark)
-    src = _orders_keyed(_load(spark, sf_dir, "orders"))
+    orders = _load(spark, sf_dir, "orders")
+    src = _orders_keyed(orders)
     dst = _orders_keyed(mutated_orders(spark, sf_dir))
     proj = lambda d, side: d.select(  # noqa: E731
         F.lit(side).alias("side"),
@@ -415,8 +423,27 @@ def q_diff_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.expr(_dc("o_totalprice")).alias("o_totalprice_c"),
     )
-    return proj(diff_ops.only_in_src(src, dst), "src").unionByName(
-        proj(diff_ops.only_in_dst(src, dst), "dst")
+    noisy = _orders_keyed(
+        orders.withColumn(
+            "o_totalprice",
+            F.col("o_totalprice")
+            + F.lit(0.00001)
+            + F.when(F.col("o_orderkey") % 500 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+    )
+    tol = diff_ops.diff_tolerant(src, noisy, {"o_totalprice": 0.001}).filter(
+        F.col("status") == "changed"
+    )
+    tol_proj = tol.select(
+        F.lit("tolerant").alias("side"),
+        "o_orderkey",
+        F.col("src_o_custkey").alias("o_custkey"),
+        F.expr(_dc("src_o_totalprice")).alias("o_totalprice_c"),
+    )
+    return (
+        proj(diff_ops.only_in_src(src, dst), "src")
+        .unionByName(proj(diff_ops.only_in_dst(src, dst), "dst"))
+        .unionByName(tol_proj)
     )
 
 
@@ -427,6 +454,9 @@ FROM orders s WHERE NOT EXISTS (SELECT 1 FROM dst d WHERE d.o_orderkey = s.o_ord
 UNION ALL
 SELECT 'dst', o_orderkey, o_custkey, {_dc("o_totalprice")}
 FROM dst d WHERE NOT EXISTS (SELECT 1 FROM orders s WHERE s.o_orderkey = d.o_orderkey)
+UNION ALL
+SELECT 'tolerant', o_orderkey, o_custkey, {_dc("o_totalprice")}
+FROM orders WHERE o_orderkey % 500 = 0
 """
 
 
