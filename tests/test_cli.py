@@ -480,3 +480,34 @@ def test_cli_ann_append_index(capsys, spark, emb_parquet, tmp_path):
     spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>").write.parquet(bad)
     assert cli.main(["ann", "--src", bad, "--append-index", idx]) == 2
     assert "dim" in capsys.readouterr().err
+
+
+def test_cli_diff_tolerance(capsys, spark, two_tables, tmp_path):
+    """--tolerance COL=EPS suppresses sub-eps float drift and reports real
+    drift; bad specs and the --targeted-buckets combination exit 2."""
+    from pyspark.sql import functions as F
+
+    src, _, _ = two_tables
+    jittered = str(tmp_path / "jittered.pq")
+    spark.read.parquet(src).withColumn(
+        "l_quantity",
+        F.col("l_quantity") + F.lit(0.000001)
+        + F.when(F.col("l_orderkey") % 59 == 0, F.lit(5.0)).otherwise(F.lit(0.0)),
+    ).write.parquet(jittered)
+    keys = "l_orderkey,l_linenumber"
+    rc = cli.main(["diff", "--src", src, "--dst", jittered, "--keys", keys,
+                   "--tolerance", "l_quantity=0.001"])
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    import duckdb
+
+    expected = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{src}/*.parquet') WHERE l_orderkey % 59 = 0"
+    ).fetchone()[0]
+    assert rc == 1 and len(out) == expected > 0
+    assert all(r["status"] == "changed" for r in out)
+
+    assert cli.main(["diff", "--src", src, "--dst", jittered, "--keys", keys,
+                     "--tolerance", "l_quantity"]) == 2
+    assert cli.main(["diff", "--src", src, "--dst", jittered, "--keys", keys,
+                     "--tolerance", "l_quantity=0.001",
+                     "--targeted-buckets", "16"]) == 2

@@ -170,6 +170,17 @@ def main(argv: list[str] | None = None) -> int:
                 "buckets (operators.diff.targeted_diff — findings identical "
                 "to the full diff; the scale path when drift is sparse)",
             )
+            p.add_argument(
+                "--tolerance",
+                action="append",
+                default=[],
+                metavar="COL=EPS",
+                help="treat numeric column COL as equal within |src-dst| <= EPS "
+                "(repeatable; operators.diff.diff_tolerant) — suppresses "
+                "re-encode float jitter instead of flooding findings; other "
+                "columns stay byte-exact; not combinable with "
+                "--targeted-buckets (the bucket checksums are exact by design)",
+            )
         if name == "scan":
             p.add_argument("--out", default="", help="output dir (default: {src}_scan.log.<ts>)")
 
@@ -521,7 +532,32 @@ def main(argv: list[str] | None = None) -> int:
             from tikv_data_compare_spark.operators.diff import diff, targeted_diff
 
             dst = _keyed(spark, args.dst, keys, args)
-            if args.targeted_buckets > 0:
+            tolerances = {}
+            for spec in args.tolerance:
+                col, sep, eps = spec.partition("=")
+                if not sep:
+                    print(f"diff: --tolerance {spec!r} is not COL=EPS", file=sys.stderr)
+                    return 2
+                try:
+                    tolerances[col] = float(eps)
+                except ValueError:
+                    print(f"diff: --tolerance epsilon {eps!r} is not a number",
+                          file=sys.stderr)
+                    return 2
+            if tolerances and args.targeted_buckets > 0:
+                print("diff: --tolerance cannot combine with --targeted-buckets "
+                      "(bucket checksums are exact; sub-eps jitter would flag "
+                      "every bucket)", file=sys.stderr)
+                return 2
+            if tolerances:
+                from tikv_data_compare_spark.operators.diff import diff_tolerant
+
+                try:
+                    findings = diff_tolerant(src, dst, tolerances)
+                except ValueError as e:
+                    print(f"diff: {e}", file=sys.stderr)
+                    return 2
+            elif args.targeted_buckets > 0:
                 bucket = F.pmod(
                     F.xxhash64(*[F.col(c) for c in src.keys]),
                     F.lit(args.targeted_buckets),
