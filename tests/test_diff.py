@@ -259,3 +259,44 @@ def test_diff_tolerant_semantics(spark):
         diff_tolerant(Keyed.of(src, keys=("k",)), Keyed.of(dst, keys=("k",)), {"k": 0.1})
     with pytest.raises(ValueError, match=">= 0"):
         diff_tolerant(Keyed.of(src, keys=("k",)), Keyed.of(dst, keys=("k",)), {"p": -1})
+
+
+def test_diff_tolerant_validation_and_nan(spark):
+    """r8 review hardening: non-numeric / NaN-eps tolerances are rejected;
+    NaN data pairs stay EQUAL (tolerance only relaxes, never tightens);
+    integer drift of 1 at 2^53 magnitude is still detected (native-type
+    arithmetic, no premature double cast)."""
+    from tikv_data_compare_spark.operators.diff import diff_tolerant
+
+    nan = float("nan")
+    src = spark.createDataFrame(
+        [(1, nan, "a", 9007199254740993), (2, 5.0, "b", 7)],
+        "k long, p double, s string, big long",
+    )
+    dst = spark.createDataFrame(
+        [(1, nan, "a", 9007199254740992), (2, 5.0, "c", 7)],
+        "k long, p double, s string, big long",
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        diff_tolerant(Keyed.of(src, keys=("k",)), Keyed.of(dst, keys=("k",)), {"s": 0.1})
+    with pytest.raises(ValueError, match="finite"):
+        diff_tolerant(Keyed.of(src, keys=("k",)), Keyed.of(dst, keys=("k",)), {"p": nan})
+    got = {
+        r["k"]: r["status"]
+        for r in diff_tolerant(
+            Keyed.of(src, keys=("k",)),
+            Keyed.of(dst, keys=("k",)),
+            {"p": 0.001, "big": 0.5},
+        ).collect()
+    }
+    # key 1: NaN==NaN equal via eqNullSafe, but big drifts by exactly 1 at
+    # 2^53 (invisible after a double cast) -> changed; key 2: s drift exact
+    assert got == {1: "changed", 2: "changed"}
+    # NaN pair alone (no other drift): NOT reported
+    same_big = dst.withColumn("big", F.lit(9007199254740993))
+    got2 = diff_tolerant(
+        Keyed.of(src.filter("k = 1"), keys=("k",)),
+        Keyed.of(same_big.filter("k = 1"), keys=("k",)),
+        {"p": 0.001, "big": 0.5},
+    ).count()
+    assert got2 == 0

@@ -28,7 +28,12 @@ STATUS_ONLY_DST = "only_dst"
 STATUS_EQUAL = "equal"
 
 
-def diff(src: Keyed, dst: Keyed, include_equal: bool = False) -> DataFrame:
+def diff(
+    src: Keyed,
+    dst: Keyed,
+    include_equal: bool = False,
+    tolerances: dict[str, float] | None = None,
+) -> DataFrame:
     """Keyed full-outer diff.
 
     Returns ``[*keys, status, src_<v>..., dst_<v>...]`` with status ∈
@@ -37,6 +42,15 @@ def diff(src: Keyed, dst: Keyed, include_equal: bool = False) -> DataFrame:
     The mismatch predicate is the reference's F2 (diff/diff.go:49) applied
     per value column with null-safe equality; one-sided rows replace the
     reference's cardinality warning (diff/diff.go:44-46) with exact findings.
+
+    ``tolerances`` (validated by the :func:`diff_tolerant` wrapper —
+    prefer calling that) relaxes listed numeric columns to
+    ``|src − dst| <= eps``: null-safe equality short-circuits first, so
+    both-NULL (and NaN==NaN, Spark's eqNullSafe semantics) stay EQUAL and
+    a tolerance can only ever RELAX the exact predicate, never tighten
+    it; the subtraction runs in the column's OWN numeric type (exact for
+    integers/decimals — a premature double cast would hide a drift of 1
+    at 2⁵³ magnitude).
     """
     check_comparable(src, dst)
     keys = list(src.keys)
@@ -54,7 +68,16 @@ def diff(src: Keyed, dst: Keyed, include_equal: bool = False) -> DataFrame:
 
     value_mismatch = F.lit(False)
     for v in src.values:
-        value_mismatch = value_mismatch | ~F.col(f"src_{v}").eqNullSafe(F.col(f"dst_{v}"))
+        a, b = F.col(f"src_{v}"), F.col(f"dst_{v}")
+        if tolerances and v in tolerances:
+            within = a.eqNullSafe(b) | (
+                a.isNotNull()
+                & b.isNotNull()
+                & (F.abs(a - b) <= F.lit(float(tolerances[v])))
+            )
+            value_mismatch = value_mismatch | ~within
+        else:
+            value_mismatch = value_mismatch | ~a.eqNullSafe(b)
 
     status = (
         F.when(F.col("_in_dst").isNull(), F.lit(STATUS_ONLY_SRC))
@@ -84,51 +107,36 @@ def diff_tolerant(
     compression transcodes), and the reference's byte-exact compare
     reports that noise as drift — at 100 TB, millions of false findings
     drowning the real ones.  Same single full-outer sort-merge join and
-    output shape as :func:`diff`; the tolerance predicate stays inside
-    whole-stage codegen (no UDF).
+    output shape as :func:`diff` (this is a validating wrapper around it —
+    one scaffolding, two predicates, so the paths cannot diverge);
+    the tolerance predicate stays inside whole-stage codegen (no UDF).
+
+    Semantics pinned by tests/test_diff.py: null-safe equality
+    short-circuits BEFORE the arithmetic, so both-NULL and NaN==NaN rows
+    stay equal (a tolerance can only relax the exact diff, never tighten
+    it), and the subtraction runs in the column's own numeric type, so an
+    integer drift of 1 at 2⁵³ magnitude is still detected.  Validation:
+    tolerance columns must exist, be NUMERIC (a silently-nulling string
+    cast would suppress all drift in the column), and carry a FINITE
+    eps ≥ 0 (NaN compares greater-than-everything in Spark, which would
+    make every row "within tolerance").
     """
+    import math
+
     check_comparable(src, dst)
+    numeric = {"double", "float", "long", "integer", "short", "byte", "decimal"}
+    dtypes = {f.name: f.dataType.typeName() for f in src.df.schema.fields}
     for c, eps in tolerances.items():
         if c not in src.values:
             raise ValueError(f"tolerance column {c!r} is not a value column {src.values}")
-        if eps < 0:
-            raise ValueError(f"tolerance for {c!r} must be >= 0, got {eps}")
-    keys = list(src.keys)
-    s = src.df.select(
-        *keys,
-        *[F.col(v).alias(f"src_{v}") for v in src.values],
-        F.lit(True).alias("_in_src"),
-    )
-    d = dst.df.select(
-        *keys,
-        *[F.col(v).alias(f"dst_{v}") for v in dst.values],
-        F.lit(True).alias("_in_dst"),
-    )
-    j = s.join(d, on=keys, how="full_outer")
-    value_mismatch = F.lit(False)
-    for v in src.values:
-        a, b = F.col(f"src_{v}"), F.col(f"dst_{v}")
-        if v in tolerances:
-            within = (a.isNull() & b.isNull()) | (
-                a.isNotNull()
-                & b.isNotNull()
-                & (F.abs(a.cast("double") - b.cast("double")) <= F.lit(float(tolerances[v])))
+        if dtypes.get(c) not in numeric:
+            raise ValueError(
+                f"tolerance column {c!r} has non-numeric type {dtypes.get(c)!r} — "
+                "a tolerance there would silently suppress all drift"
             )
-            value_mismatch = value_mismatch | ~within
-        else:
-            value_mismatch = value_mismatch | ~a.eqNullSafe(b)
-    status = (
-        F.when(F.col("_in_dst").isNull(), F.lit(STATUS_ONLY_SRC))
-        .when(F.col("_in_src").isNull(), F.lit(STATUS_ONLY_DST))
-        .when(value_mismatch, F.lit(STATUS_CHANGED))
-        .otherwise(F.lit(STATUS_EQUAL))
-    )
-    out = j.withColumn("status", status).drop("_in_src", "_in_dst")
-    if not include_equal:
-        out = out.filter(F.col("status") != STATUS_EQUAL)
-    return out.select(
-        *keys, "status", *[f"src_{v}" for v in src.values], *[f"dst_{v}" for v in dst.values]
-    )
+        if not (isinstance(eps, (int, float)) and math.isfinite(eps) and eps >= 0):
+            raise ValueError(f"tolerance for {c!r} must be a finite number >= 0, got {eps}")
+    return diff(src, dst, include_equal=include_equal, tolerances=tolerances)
 
 
 def only_in_src(src: Keyed, dst: Keyed) -> DataFrame:
