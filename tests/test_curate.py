@@ -116,3 +116,28 @@ def test_curate_releases_broadcasts_and_returns_persisted_handle(spark):
     assert {r["doc_id"] for r in kept.collect()} == {1, 6}
     kept.unpersist()
     assert not kept.is_cached
+
+
+def test_curate_language_gate(spark):
+    """keep_langs appends a 'language' stage: only docs predicted in the
+    list survive; earlier-stage drops are not resurrected."""
+    from tikv_data_compare_spark.operators.curate import curate
+
+    en = ("the and is of to in it for on with this that was are "
+          "be have from or had") .split()
+    fr = "le la les et de un une est pour dans ce que sur avec ne pas au du il".split()
+    rows = [(i, " ".join(en) + f" doc{i}") for i in range(8)]
+    rows += [(100 + i, " ".join(fr) + f" doc{100+i}") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept, attrition = curate(
+        docs, near_dup_jaccard_c=10001, keep_langs=["en"],
+        max_dup_word_frac_c=10000, max_top_bigram_frac_c=10000,
+    )
+    try:
+        stages = {r["stage"]: (r["n_in"], r["n_out"]) for r in attrition.collect()}
+        assert "language" in stages
+        kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert kept_ids == set(range(8))  # the fr docs dropped at the language stage
+        assert stages["language"][1] == 8
+    finally:
+        kept.unpersist()

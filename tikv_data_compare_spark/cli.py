@@ -218,6 +218,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drop-pii", action="store_true")
     p.add_argument("--probes", default="", help="probe/benchmark parquet for decontamination")
     p.add_argument("--max-contamination-hits", type=int, default=0)
+    p.add_argument("--keep-langs", default="",
+                   help="comma-separated language codes: appends a 'language' "
+                        "stage keeping only docs whose stopword-overlap "
+                        "prediction is listed (unpredictable docs drop)")
     p.add_argument("--algo", default="xxhash64", choices=["xxhash64", "md5i64"],
                    help="near-dup shingle hash (xxhash64 = throughput default)")
     p.add_argument("--concurrency", type=int, default=0)
@@ -303,6 +307,7 @@ def main(argv: list[str] | None = None) -> int:
             drop_pii=args.drop_pii,
             probes=probes,
             max_contamination_hits=args.max_contamination_hits,
+            keep_langs=args.keep_langs.split(",") if args.keep_langs else None,
             algo=args.algo,
         )
         out = args.out or f"{args.src.rstrip('/')}_curated"

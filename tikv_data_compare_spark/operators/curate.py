@@ -56,6 +56,7 @@ def curate(
     drop_pii: bool = False,
     probes: DataFrame | None = None,
     max_contamination_hits: int = 0,
+    keep_langs: list[str] | None = None,
     algo: str = "md5i64",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation chain; see module docstring.
@@ -65,7 +66,12 @@ def curate(
     ``max_contamination_hits`` overlapping n-grams are dropped).
     ``algo`` selects the near-dup stage's shingle hash — ``md5i64``
     (default, DuckDB-oracle checkable) or ``xxhash64`` (the throughput
-    path, same knob as the dedup/checksum operators).
+    path, same knob as the dedup/checksum operators).  ``keep_langs``
+    (optional, like ``drop_pii``/``probes``) appends a ``language`` stage:
+    only docs whose stopword-overlap prediction (``text.lang_id``) is in
+    the list survive; a doc with no prediction (NULL/empty text) DROPS —
+    an unconfirmable language is not a confirmed one, matching the
+    core-gate convention rather than the pii/decontamination default-keep.
 
     The returned kept-docs DataFrame is **persisted** (its stage count
     already materialized it; unpersisting would make the caller's first
@@ -154,6 +160,15 @@ def curate(
         )
         stage_cols.append("s_conta")
         stage_names.append("decontamination")
+    if keep_langs is not None:
+        lang_ok = tx.lang_id(docs, id_col, text_col).select(
+            id_col, F.col("pred_lang").isin(list(keep_langs)).alias("_lang_ok")
+        )
+        flags = flags.join(lang_ok, id_col, "left").withColumn(
+            "s_lang", F.col(stage_cols[-1]) & F.coalesce(F.col("_lang_ok"), F.lit(False))
+        )
+        stage_cols.append("s_lang")
+        stage_names.append("language")
 
     flags = flags.select(id_col, *stage_cols).persist()
     t0 = time.time()

@@ -87,7 +87,12 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             ]
         )
     )
-    base = df.select(id_col, F.col("lang").alias("labeled_lang"))
+    # the labeled language rides along when the input carries one (the
+    # fixture tables do); unlabeled corpora get NULL — the prediction does
+    # not require a label (r8: curate()'s keep_langs gate feeds arbitrary
+    # corpora through here)
+    labeled = F.col("lang") if "lang" in df.columns else F.lit(None).cast("string")
+    base = df.select(id_col, labeled.alias("labeled_lang"))
     scored = base.join(counts, id_col, "left").select(
         id_col,
         "labeled_lang",
