@@ -141,3 +141,35 @@ def test_curate_language_gate(spark):
         assert stages["language"][1] == 8
     finally:
         kept.unpersist()
+
+
+def test_curate_language_gate_validation_and_unknown_docs(spark):
+    """r8 review hardening: unknown/bare-string codes raise; docs with ZERO
+    stopword evidence get a NULL prediction and drop at the language
+    stage (the documented unconfirmable-language path, now reachable)."""
+    import pytest
+
+    from tikv_data_compare_spark.operators.curate import curate
+    from tikv_data_compare_spark.operators.text import lang_id
+
+    junk = spark.createDataFrame(
+        [(1, "zzz qqq xxx vvv kkk www yyy"), (2, None)], "doc_id long, text string"
+    )
+    preds = {r["doc_id"]: r["pred_lang"] for r in lang_id(junk).collect()}
+    assert preds == {1: None, 2: None}
+
+    docs = spark.createDataFrame([(1, "the and is of to")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="not in the classifier"):
+        curate(docs, keep_langs=["klingon"])
+    with pytest.raises(ValueError, match="not in the classifier"):
+        curate(docs, keep_langs="enx")  # bare string normalized, then rejected
+    # bare valid string works (normalized to ['en'])
+    kept, attrition = curate(
+        docs, keep_langs="EN", near_dup_jaccard_c=10001,
+        max_dup_word_frac_c=10000, max_top_bigram_frac_c=10000,
+    )
+    try:
+        stages = {r["stage"]: r["n_out"] for r in attrition.collect()}
+        assert "language" in stages
+    finally:
+        kept.unpersist()

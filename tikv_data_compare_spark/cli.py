@@ -297,19 +297,25 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = spark.read.parquet(args.src)
         probes = spark.read.parquet(args.probes) if args.probes else None
-        kept, attrition = curate(
-            docs,
-            id_col=args.id_col,
-            text_col=args.text_col,
-            near_dup_jaccard_c=args.near_dup_jaccard_c,
-            max_dup_word_frac_c=args.max_dup_word_frac_c,
-            max_top_bigram_frac_c=args.max_top_bigram_frac_c,
-            drop_pii=args.drop_pii,
-            probes=probes,
-            max_contamination_hits=args.max_contamination_hits,
-            keep_langs=args.keep_langs.split(",") if args.keep_langs else None,
-            algo=args.algo,
-        )
+        try:
+            kept, attrition = curate(
+                docs,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                near_dup_jaccard_c=args.near_dup_jaccard_c,
+                max_dup_word_frac_c=args.max_dup_word_frac_c,
+                max_top_bigram_frac_c=args.max_top_bigram_frac_c,
+                drop_pii=args.drop_pii,
+                probes=probes,
+                max_contamination_hits=args.max_contamination_hits,
+                keep_langs=args.keep_langs.split(",") if args.keep_langs else None,
+                algo=args.algo,
+            )
+        except ValueError as e:
+            # unknown --keep-langs codes etc.: clean stderr + exit 2 rather
+            # than silently curating away the whole corpus
+            print(f"curate: {e}", file=sys.stderr)
+            return 2
         out = args.out or f"{args.src.rstrip('/')}_curated"
         try:
             kept.write.mode("overwrite").parquet(out)

@@ -161,6 +161,26 @@ def curate(
         stage_cols.append("s_conta")
         stage_names.append("decontamination")
     if keep_langs is not None:
+        # normalize + validate: a typo'd or unknown code would otherwise
+        # silently drop the ENTIRE corpus (isin never matches), and a bare
+        # string would explode into characters (r8 review).  Known codes
+        # are the classifier's stopword inventory.
+        if isinstance(keep_langs, str):
+            keep_langs = [keep_langs]
+        keep_langs = [str(c).strip().lower() for c in keep_langs if str(c).strip()]
+        known = set(tx._stopwords())
+        unknown = sorted(set(keep_langs) - known)
+        if not keep_langs or unknown:
+            raise ValueError(
+                f"keep_langs {unknown or keep_langs} not in the classifier's "
+                f"languages {sorted(known)}"
+            )
+        # cost note: this stage runs its own explode + stopword broadcast
+        # join over the corpus — the same tokenize pass quality_flags
+        # already runs (Spark does not dedupe the subplans).  At extreme
+        # scale, a shared explode feeding both n_stopwords and the c_*
+        # counts would halve that map stage; kept separate here for
+        # operator independence.
         lang_ok = tx.lang_id(docs, id_col, text_col).select(
             id_col, F.col("pred_lang").isin(list(keep_langs)).alias("_lang_ok")
         )

@@ -98,7 +98,13 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         "labeled_lang",
         *[F.coalesce(F.col(f"c_{la}"), F.lit(0)).cast("long").alias(f"c_{la}") for la in langs],
     )
-    argmax = "CASE " + " ".join(
+    # zero stopword evidence (NULL/empty text, or no overlap at all) yields
+    # a NULL prediction — without the guard the first >=-arm would fire and
+    # every junk doc would be confidently "classified" as the alphabetically
+    # first language (r8 review: that made curate()'s documented
+    # unconfirmable-language drop path unreachable)
+    allc = ", ".join(f"c_{la}" for la in langs)
+    argmax = f"CASE WHEN greatest({allc}) <= 0 THEN NULL " + " ".join(
         f"WHEN c_{la} >= greatest({', '.join('c_' + lb for lb in langs if lb != la)}) THEN '{la}'"
         for la in langs
     ) + " END"

@@ -674,7 +674,8 @@ def _oracle_text_quality() -> str:
         for lang, ws_list in sorted(STOPWORDS.items())
     )
     langs = sorted(STOPWORDS)
-    armax = "CASE " + " ".join(
+    allc = ", ".join("c_" + la for la in langs)
+    armax = f"CASE WHEN greatest({allc}) <= 0 THEN NULL " + " ".join(
         f"WHEN c_{la} >= greatest({', '.join('c_' + lb for lb in langs if lb != la)}) THEN '{la}'"
         for la in langs
     ) + " END"
