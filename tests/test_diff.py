@@ -300,3 +300,17 @@ def test_diff_tolerant_validation_and_nan(spark):
         {"p": 0.001, "big": 0.5},
     ).count()
     assert got2 == 0
+
+
+def test_diff_tolerant_no_integer_wrap(spark):
+    """r8 high review: a drift of 2^64-1 on a long column must be reported
+    (native 64-bit subtraction would wrap to -1 under non-ANSI and pass a
+    1.0 tolerance)."""
+    from tikv_data_compare_spark.operators.diff import diff_tolerant
+
+    src = spark.createDataFrame([(1, 9223372036854775807)], "k long, big long")
+    dst = spark.createDataFrame([(1, -9223372036854775808)], "k long, big long")
+    got = diff_tolerant(
+        Keyed.of(src, keys=("k",)), Keyed.of(dst, keys=("k",)), {"big": 1.0}
+    ).collect()
+    assert len(got) == 1 and got[0]["status"] == "changed"

@@ -519,3 +519,16 @@ def test_truncated_streams_raise_valueerror_not_indexerror():
     # truncated stream, not index past the buffer
     with pytest.raises(ValueError, match="truncated"):
         md.decode_jpeg(jpeg[: len(jpeg) - 4])
+
+
+def test_jpeg_zero_sampling_factor_rejected():
+    """A declared sampling factor of 0 raises ValueError instead of dividing
+    by zero in the MCU math (r8 high review)."""
+    data = bytearray(_encode_jpeg_flat(16, 8, [(1, 1)], [[133, 61]]))
+    # locate SOF0 and zero its h/v nibbles
+    i = bytes(data).find(b"\xff\xc0")
+    assert i > 0
+    hv_off = i + 4 + 7  # marker(2) + len(2) + precision(1) + dims(4) + ncomp(1) + cid(1)
+    data[hv_off] = 0x00
+    with pytest.raises(ValueError, match="sampling factor"):
+        md.decode_jpeg(bytes(data))

@@ -487,7 +487,11 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return 2
             bucket = range_bucket_col(mrow["range_key"], json.loads(mrow["range_boundaries"]))
-            expect = {"n_buckets": args.buckets}
+            # the bucketing is rebuilt ENTIRELY from the stored boundaries —
+            # --buckets is irrelevant here, and validating it would fail the
+            # documented no-flag compare flow (r8 review); algo is still
+            # validated inside compare_to_manifest
+            expect = {}
         else:
             bucket = F.pmod(F.xxhash64(*[F.col(c) for c in src.keys]), F.lit(args.buckets))
             expect = {"n_buckets": args.buckets}

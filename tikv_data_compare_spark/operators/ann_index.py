@@ -50,22 +50,17 @@ INDEX_FORMAT_VERSION = 1
 
 
 def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
-    """Replace the one-row meta table via write-then-swap: a plain
-    mode('overwrite') deletes the directory before rewriting, so a
-    concurrent ``load_ann_index`` could read zero/partial rows of a
-    healthy index (r8 review).  Local-FS rename is atomic; a production
-    deployment swaps in a transactional table format at this seam."""
-    import os
-    import shutil
+    """Replace the one-row meta table via the shared write-then-swap seam
+    (functions.fsutil.swap_commit): a plain mode('overwrite') deletes the
+    directory before rewriting, so a concurrent ``load_ann_index`` could
+    read zero/partial rows of a healthy index (r8 review)."""
+    from tikv_data_compare_spark.functions.fsutil import swap_commit
 
-    stage = f"{path}/meta.staging"
-    spark.createDataFrame([tuple(meta.values())], list(meta.keys())).coalesce(
-        1
-    ).write.mode("overwrite").parquet(stage)
-    final = f"{path}/meta"
-    if os.path.exists(final):
-        shutil.rmtree(final)
-    os.rename(stage, final)
+    swap_commit(
+        spark.createDataFrame([tuple(meta.values())], list(meta.keys())),
+        f"{path}/meta",
+        coalesce=1,
+    )
 
 
 @dataclass
@@ -256,6 +251,16 @@ def topk_index(
     import numpy as np
 
     spark = queries.sparkSession
+    # geometry gate (first row — the wholesale-mismatch case; a mixed-dim
+    # query set still fails in-executor, documented): without it a 32-dim
+    # query against a 64-dim index dies as a raw numpy shape error deep in
+    # mapInPandas instead of the meta-gated ValueError this module promises
+    first = queries.select(F.size(vec_col).alias("d")).first()
+    if first is not None and first["d"] != index.meta["dim"]:
+        raise ValueError(
+            f"query dim {first['d']} != index dim {index.meta['dim']} — an "
+            "index built with one geometry cannot be queried with another"
+        )
     cent_bc = _track(spark.sparkContext.broadcast(np.asarray(index.centroids)))
     books_bc = _track(spark.sparkContext.broadcast(np.asarray(index.books)))
     qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))

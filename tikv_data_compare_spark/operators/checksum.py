@@ -250,6 +250,8 @@ def range_bucket_boundaries(
     report everything as drifted.  This is the same class of contract the
     manifest's ``expect_meta`` already validates.
     """
+    import math
+
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -257,9 +259,16 @@ def range_bucket_boundaries(
         return []
     qs = df.stat.approxQuantile(key, probs, rel_err)
     # dedupe (heavy repeated keys can collapse adjacent quantiles) while
-    # preserving order — duplicates would create permanently-empty buckets
+    # preserving order — duplicates would create permanently-empty buckets;
+    # non-finite quantiles (±inf/NaN key values) are rejected loudly — a
+    # repr'd `inf` literal would not parse in the generated SQL (r8 review)
     out: list[float] = []
     for q in qs:
+        if not math.isfinite(q):
+            raise ValueError(
+                f"key column {key!r} yields a non-finite quantile boundary "
+                f"({q}) — filter ±inf/NaN keys before range bucketing"
+            )
         if not out or q > out[-1]:
             out.append(float(q))
     return out
@@ -272,12 +281,19 @@ def range_bucket_col(key: str, boundaries: list[float]) -> Column:
     that both ``bucket_triples`` and ``targeted_diff`` accept directly.
     NULL keys land in bucket -1 (their own auditable bucket).
     """
+    import math
+
     if not boundaries:
         return F.when(F.col(key).isNull(), F.lit(-1)).otherwise(F.lit(0)).cast("long")
+    if any(not math.isfinite(float(b)) for b in boundaries):
+        raise ValueError("range bucket boundaries must be finite")
+    # backtick-escape the key: unlike the F.col expressions elsewhere, this
+    # generated-SQL path would otherwise break on names needing quoting
+    kq = "`" + key.replace("`", "``") + "`"
     arr = "array(" + ", ".join(repr(float(b)) for b in boundaries) + ")"
     fold = (
         f"aggregate({arr}, 0L, (acc, b) -> acc + "
-        f"(CASE WHEN CAST({key} AS DOUBLE) >= b THEN 1L ELSE 0L END))"
+        f"(CASE WHEN CAST({kq} AS DOUBLE) >= b THEN 1L ELSE 0L END))"
     )
     return (
         F.when(F.col(key).isNull(), F.lit(-1).cast("long"))

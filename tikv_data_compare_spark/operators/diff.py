@@ -66,14 +66,23 @@ def diff(
     )
     j = s.join(d, on=keys, how="full_outer")
 
+    integral = {"long", "integer", "short", "byte"}
+    dtypes = {f.name: f.dataType.typeName() for f in src.df.schema.fields}
     value_mismatch = F.lit(False)
     for v in src.values:
         a, b = F.col(f"src_{v}"), F.col(f"dst_{v}")
         if tolerances and v in tolerances:
+            # integral columns subtract in decimal(38,0): native 64-bit
+            # subtraction WRAPS under non-ANSI for drifts >= 2^63, which
+            # would report an astronomical drift as within tolerance (r8
+            # review); decimal is exact and comparison vs the double eps
+            # promotes losslessly for any in-tolerance magnitude
+            if dtypes.get(v) in integral:
+                delta = F.abs(a.cast("decimal(38,0)") - b.cast("decimal(38,0)"))
+            else:
+                delta = F.abs(a - b)
             within = a.eqNullSafe(b) | (
-                a.isNotNull()
-                & b.isNotNull()
-                & (F.abs(a - b) <= F.lit(float(tolerances[v])))
+                a.isNotNull() & b.isNotNull() & (delta <= F.lit(float(tolerances[v])))
             )
             value_mismatch = value_mismatch | ~within
         else:

@@ -317,7 +317,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes] | None:
             for c in range(ncomp):
                 cid = seg[6 + 3 * c]
                 hv = seg[7 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * c]))
+                h, v = hv >> 4, hv & 0x0F
+                # a declared sampling factor of 0 would divide-by-zero in the
+                # MCU math / chroma upsample (r8 review) — malformed, not a
+                # lattice we degrade on
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    raise ValueError(
+                        f"unsupported JPEG lattice: sampling factor {h}x{v} "
+                        "(baseline decoder handles 1-2)"
+                    )
+                comps.append((cid, h, v, seg[8 + 3 * c]))
             frame = (width, height, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(

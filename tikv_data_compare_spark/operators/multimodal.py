@@ -229,7 +229,7 @@ def decode_features(
                     if wav is not None:
                         return wav[2].tobytes(), True
                 except (ValueError, zlib.error, IndexError, KeyError,
-                        struct.error, OverflowError, MemoryError):
+                        struct.error, OverflowError, MemoryError, ZeroDivisionError):
                     # adversarial/corrupt payloads must never fail the Arrow
                     # batch (the documented contract) — but only the error
                     # classes a malformed CONTAINER can realistically raise
@@ -490,7 +490,7 @@ def resize_images(
                         if dec is not None:
                             break
                 except (ValueError, zlib.error, IndexError, KeyError,
-                        struct.error, OverflowError, MemoryError):
+                        struct.error, OverflowError, MemoryError, ZeroDivisionError):
                     dec = None
                 if dec is None:
                     rows.append((int(doc_id), None, None, None, False))

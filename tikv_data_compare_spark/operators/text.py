@@ -674,7 +674,7 @@ def pack_token_bins(
     corpus is first split into ``n_shards`` content-hash shards (the same
     determinism contract as ``sampling.shard_assignments``) and packed
     WITHIN each shard — one window shuffle keyed on the shard id, bins
-    globally unique as ``shard·1e6 + local_bin``.  Everything is a pure
+    globally unique as ``local_bin·n_shards + shard``.  Everything is a pure
     function of content: membership, bin ids, and in-bin positions replay
     identically on any cluster (no RNG, no partition-layout dependence).
 

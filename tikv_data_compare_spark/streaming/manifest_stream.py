@@ -31,11 +31,11 @@ for what a production deployment does with a transactional table format.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from tikv_data_compare_spark.functions.fsutil import swap_commit
 from tikv_data_compare_spark.model import Keyed
 from tikv_data_compare_spark.operators.checksum import bucket_triples
 
@@ -52,16 +52,6 @@ def _read_watermark(spark, path: str) -> int:
         return -1
     row = spark.read.parquet(triples_path).agg(F.max("last_epoch").alias("e")).first()
     return int(row["e"]) if row and row["e"] is not None else -1
-
-
-def _commit(df: DataFrame, final: str) -> None:
-    """Write-then-swap: parquet cannot be overwritten while being read, so
-    materialize to a staging dir and atomically (local FS) swap it in."""
-    stage = final + ".staging"
-    df.write.mode("overwrite").parquet(stage)
-    if os.path.exists(final):
-        shutil.rmtree(final)
-    os.rename(stage, final)
 
 
 def fold_batch_into_manifest(
@@ -100,7 +90,7 @@ def fold_batch_into_manifest(
     else:
         merged = new
     # ONE swap commits data + watermark atomically (local-FS rename)
-    _commit(merged.withColumn("last_epoch", F.lit(int(epoch_id))), triples_path)
+    swap_commit(merged.withColumn("last_epoch", F.lit(int(epoch_id))), triples_path)
     return True
 
 
