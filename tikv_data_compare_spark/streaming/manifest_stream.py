@@ -30,6 +30,7 @@ for what a production deployment does with a transactional table format.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, functions as F
@@ -37,9 +38,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from tikv_data_compare_spark.functions.fsutil import swap_commit
 from tikv_data_compare_spark.model import Keyed
-from tikv_data_compare_spark.operators.checksum import bucket_triples
+from tikv_data_compare_spark.operators.checksum import bucket_triples, range_bucket_col
 
 _TRIPLES = "triples"
+_RANGE_META = ("range_key", "range_boundaries")
 
 
 def _read_watermark(spark, path: str) -> int:
