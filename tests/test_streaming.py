@@ -302,7 +302,11 @@ def test_manifest_stream_equals_batch_manifest(spark, tmp_path):
         spark.readStream.schema(df.schema).option("maxFilesPerTrigger", "1").parquet(src)
     )
     q = manifest_stream(
-        stream, keys=("k",), path=mpath, bucket_expr=lambda: F.floor(F.col("k") / 50)
+        stream,
+        keys=("k",),
+        path=mpath,
+        bucket_expr=lambda: F.floor(F.col("k") / 50),
+        checkpoint_location=str(tmp_path / "mstream_ckpt"),
     )
     q.awaitTermination(120)
 
@@ -355,3 +359,140 @@ def test_manifest_fold_skips_redelivered_epoch(spark, tmp_path):
     assert fold_batch_into_manifest(keyed, mpath, bucket, epoch_id=1) is True
     kvs = {r["bucket"]: r["kvs"] for r in spark.read.parquet(f"{mpath}/triples").collect()}
     assert all(v == 100 for v in kvs.values())
+
+
+def test_manifest_stream_requires_checkpoint(spark, tmp_path):
+    """A fresh checkpoint restarts epoch ids at 0 and corrupts the XOR fold
+    on re-invocation (r8 ADVICE) — the API refuses to start without one."""
+    import pytest
+
+    from tikv_data_compare_spark.streaming.manifest_stream import manifest_stream
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    src = str(tmp_path / "nockpt_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    with pytest.raises(ValueError, match="checkpoint_location"):
+        manifest_stream(
+            stream, keys=("k",), path=str(tmp_path / "m"),
+            bucket_expr=lambda: F.lit(0),
+        )
+
+
+def test_manifest_stream_restart_folds_only_new_files(spark, tmp_path):
+    """The scenario the r8 ADVICE medium described: a SECOND start() over the
+    same source after new files arrive.  With the (now required, reused)
+    persistent checkpoint, only the new files are folded — the final
+    manifest is bit-identical to a batch build over everything, instead of
+    the silent loss/double-count a fresh checkpoint produced."""
+    from tikv_data_compare_spark.operators.checksum import bucket_triples
+    from tikv_data_compare_spark.streaming.manifest_stream import manifest_stream
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(300)], "k long, v string"
+    )
+    src = str(tmp_path / "restart_src")
+    ckpt = str(tmp_path / "restart_ckpt")
+    mpath = str(tmp_path / "restart_manifest")
+    first = df.filter(F.col("k") < 200)
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = manifest_stream(
+            stream, keys=("k",), path=mpath,
+            bucket_expr=lambda: F.floor(F.col("k") / 50),
+            checkpoint_location=ckpt,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # new data lands between invocations (the documented nightly usage)
+    df.filter(F.col("k") >= 200).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    streamed = {
+        r["bucket"]: (r["cksum"], r["kvs"])
+        for r in spark.read.parquet(f"{mpath}/triples").collect()
+    }
+    batch = {
+        r["bucket"]: (r["cksum"], r["kvs"])
+        for r in bucket_triples(
+            Keyed.of(df, keys=("k",)), F.floor(F.col("k") / 50)
+        ).collect()
+    }
+    assert streamed == batch
+
+
+def test_manifest_stream_range_buckets_equal_batch(spark, tmp_path):
+    """r9: the streaming fold composes with the skew-proof quantile range
+    buckets — chunked ≡ batch bit-identical under range bucketing, with
+    the boundaries stored in (and validated from) the manifest meta."""
+    import json as _json
+
+    import pytest
+
+    from tikv_data_compare_spark.operators.checksum import (
+        bucket_triples,
+        range_bucket_boundaries,
+        range_bucket_col,
+    )
+    from tikv_data_compare_spark.streaming.manifest_stream import (
+        fold_batch_into_manifest,
+        manifest_stream,
+    )
+
+    # zipf-ish skewed keys: k^3 concentrates mass at the low end
+    df = spark.createDataFrame(
+        [((i % 20) ** 3 + i, f"v{i}") for i in range(500)], "k long, v string"
+    )
+    src = str(tmp_path / "range_src")
+    for lo, hi in ((0, 170), (170, 340), (340, 500)):
+        df.filter(
+            (F.monotonically_increasing_id() >= -1)  # no-op, keep lineage simple
+            & (F.col("v").substr(2, 10).cast("long") >= lo)
+            & (F.col("v").substr(2, 10).cast("long") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    bounds = range_bucket_boundaries(df, "k", n_buckets=8)
+    mpath = str(tmp_path / "range_manifest")
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = manifest_stream(
+        stream, keys=("k",), path=mpath,
+        checkpoint_location=str(tmp_path / "range_ckpt"),
+        range_key="k", boundaries=bounds,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{mpath}/triples")
+    # boundaries persisted as the same meta columns the batch CLI writes
+    meta = got.select("range_key", "range_boundaries").first()
+    assert meta["range_key"] == "k"
+    assert _json.loads(meta["range_boundaries"]) == bounds
+
+    streamed = {r["bucket"]: (r["cksum"], r["kvs"]) for r in got.collect()}
+    batch = {
+        r["bucket"]: (r["cksum"], r["kvs"])
+        for r in bucket_triples(
+            Keyed.of(df, keys=("k",)), range_bucket_col("k", bounds)
+        ).collect()
+    }
+    assert streamed == batch
+
+    # validated from meta: folding with DIFFERENT boundaries is refused
+    keyed = Keyed.of(df.limit(10), keys=("k",))
+    with pytest.raises(ValueError, match="range_boundaries"):
+        fold_batch_into_manifest(
+            keyed, mpath, range_key="k", boundaries=bounds[:-1], epoch_id=99
+        )
+    # ... as is folding a hash bucketing into a range manifest
+    with pytest.raises(ValueError, match="range-bucketed"):
+        fold_batch_into_manifest(
+            keyed, mpath, bucket=F.floor(F.col("k") / 50), epoch_id=99
+        )
