@@ -1,6 +1,7 @@
 """CLI tests: codec subcommands (pure) + Spark-backed checksum/diff/scan."""
 
 import json
+import os
 
 import pytest
 
@@ -427,6 +428,24 @@ def test_cli_manifest_range_buckets(capsys, two_tables, tmp_path):
     assert rc == 1
     lines = capsys.readouterr().out.strip().splitlines()
     assert json.loads(lines[-1])["drifted_buckets"] >= 1
+
+
+def test_cli_manifest_save_bad_range_key_clean_error(capsys, two_tables, tmp_path):
+    """r9 (r8 ADVICE): --save --range-key with a missing or non-numeric key
+    column exits 2 with a clean 'manifest:' stderr line, not a raw Py4J
+    traceback — the same contract as every other CLI error path."""
+    src, _, _ = two_tables
+    m = str(tmp_path / "bad_manifest.pq")
+    keys = "l_orderkey,l_linenumber"
+    rc = cli.main(["manifest", "--src", src, "--keys", keys, "--save", m,
+                   "--buckets", "8", "--range-key", "no_such_col"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    # Spark's log4j may emit its own ERROR line to stderr first — the
+    # contract is OUR clean line (plus rc 2), not exclusive ownership of fd 2
+    assert "manifest:" in err and "no_such_col" in err
+    assert "Traceback" not in err
+    assert not os.path.exists(m)
 
 
 def test_cli_manifest_empty_range_manifest_clean_error(capsys, spark, two_tables, tmp_path):

@@ -427,6 +427,30 @@ def test_resize_images_planted_pixels(spark):
         mm.resize_images(df, 0, 4)
 
 
+def test_resize_images_normalizes_non_rgb_to_rgb(spark):
+    """r9 (r8 ADVICE): grayscale / gray+alpha / RGBA decodes all honor the
+    documented out_w*out_h*3 RGB contract — luma replicated, alpha dropped,
+    BEFORE resampling."""
+    gray = _encode_png([[10, 20], [30, 40]], 2, 1, filters=[0, 0])
+    gray_a = _encode_png([[10, 200, 20, 201], [30, 202, 40, 203]], 2, 2, filters=[0, 0])
+    rgba = _encode_png(
+        [[1, 2, 3, 250, 4, 5, 6, 251], [7, 8, 9, 252, 10, 11, 12, 253]],
+        2, 4, filters=[0, 0],
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(gray)), (2, bytearray(gray_a)), (3, bytearray(rgba))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in mm.resize_images(df, 2, 2).collect()}
+    for i in (1, 2, 3):
+        assert rows[i]["decoded"] is True
+        assert len(bytes(rows[i]["rgb"])) == 2 * 2 * 3
+    # identity resize (2x2 -> 2x2): exact expected pixel bytes
+    assert list(bytes(rows[1]["rgb"])) == [10] * 3 + [20] * 3 + [30] * 3 + [40] * 3
+    assert list(bytes(rows[2]["rgb"])) == [10] * 3 + [20] * 3 + [30] * 3 + [40] * 3
+    assert list(bytes(rows[3]["rgb"])) == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]
+
+
 def test_audio_frames_windowing(spark):
     """Planted PCM: frame boundaries, per-frame RMS/peak, and non-WAV rows
     dropping out."""

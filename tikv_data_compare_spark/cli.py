@@ -453,8 +453,24 @@ def main(argv: list[str] | None = None) -> int:
                     range_bucket_col,
                 )
 
-                bounds = range_bucket_boundaries(src.df, args.range_key, args.buckets)
-                bucket = range_bucket_col(args.range_key, bounds)
+                try:
+                    bounds = range_bucket_boundaries(src.df, args.range_key, args.buckets)
+                    bucket = range_bucket_col(args.range_key, bounds)
+                except ValueError as e:
+                    # non-finite quantiles / bad bucket count: operator
+                    # error, same clean stderr + exit 2 as the compare path
+                    print(f"manifest: {e}", file=sys.stderr)
+                    return 2
+                except Exception as e:  # noqa: BLE001 — Py4J surface
+                    # a missing or non-numeric --range-key column surfaces
+                    # from approxQuantile as AnalysisException/Py4JJavaError;
+                    # keep the CLI contract (stderr + rc 2), not a traceback
+                    print(
+                        f"manifest: --range-key {args.range_key!r} failed: "
+                        f"{getattr(e, 'desc', None) or e}",
+                        file=sys.stderr,
+                    )
+                    return 2
                 meta = {
                     "n_buckets": args.buckets,
                     "range_key": args.range_key,

@@ -466,7 +466,12 @@ def resize_images(
     Undecodable payloads yield ``decoded=false`` with NULL pixels — the
     row survives for audit, the batch never fails.  Output bytes are
     row-major RGB, ``out_w·out_h·3`` per decoded row (bounded output: the
-    operator SHRINKS data for any out dims below the source).
+    operator SHRINKS data for any out dims below the source).  Non-RGB
+    decodes are converted BEFORE resampling so the contract holds for
+    every input the decoders produce (r8 ADVICE): grayscale and
+    gray+alpha replicate the luma channel ×3, RGBA drops alpha — the
+    standard training-encoder normalization (fixed 3-channel tensor in,
+    alpha is not signal for natural-image encoders).
     """
     if out_w < 1 or out_h < 1:
         raise ValueError(f"resize dims must be >= 1, got {out_w}x{out_h}")
@@ -497,6 +502,13 @@ def resize_images(
                     continue
                 w, h, ch, rgb = dec
                 img = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, ch)
+                # normalize to 3 channels first: gray/gray+alpha -> replicate
+                # luma, RGBA -> drop alpha (channel 3); channels 1/2/4 are
+                # the PNG color types 0/4/6 + grayscale JPEG
+                if ch in (1, 2):
+                    img = np.repeat(img[:, :, :1], 3, axis=2)
+                elif ch == 4:
+                    img = img[:, :, :3]
                 # nearest-neighbor index maps (the standard floor((i+0.5)*scale))
                 yi = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(int), h - 1)
                 xi = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(int), w - 1)
