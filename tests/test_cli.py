@@ -141,6 +141,57 @@ def test_cli_scan_export(capsys, two_tables, tmp_path):
     assert glob.glob(f"{out_dir}/part-*")
 
 
+def test_cli_scan_dual_source(capsys, two_tables, tmp_path):
+    """Reference parity: one `scan` invocation dumps BOTH clusters after the
+    api-version gate (scan/scan.go:74-108).  Identical tables must yield
+    dumps that checksum equal."""
+    src, _, dst_eq = two_tables
+    keys = "l_orderkey,l_linenumber"
+    a = str(tmp_path / "A_scan.log.1")
+    b = str(tmp_path / "B_scan.log.2")
+    rc = cli.main(
+        ["scan", "--src", src, "--dst", dst_eq, "--keys", keys,
+         "--out", a, "--out-dst", b]
+    )
+    assert rc == 0
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v == {"out": a, "out_dst": b}
+    import glob
+
+    assert glob.glob(f"{a}/part-*") and glob.glob(f"{b}/part-*")
+    assert cli.main(["checksum", "--src", a, "--dst", b]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["equal"] is True
+
+
+def test_cli_scan_dual_gates_version_before_dumping(capsys, two_tables, tmp_path):
+    """A version-mismatched pair is rejected BEFORE either side is dumped
+    (the precondition the reference enforces at scan/scan.go:74-86)."""
+    import json as _json
+    import os
+
+    src, _, dst_eq = two_tables
+    keys = "l_orderkey,l_linenumber"
+    tampered = str(tmp_path / "T_scan.log.1")
+    assert cli.main(["scan", "--src", dst_eq, "--keys", keys, "--out", tampered]) == 0
+    capsys.readouterr()
+    with open(os.path.join(tampered, "_META.json"), "w") as fh:
+        fh.write(_json.dumps({"kind": "dump", "api_version": "V1"}))
+    # src parquet (V2) vs tampered dump (V1): kinds differ fires first — use
+    # a clean V2 dump of src so only the api version differs
+    clean = str(tmp_path / "C_scan.log.2")
+    assert cli.main(["scan", "--src", src, "--keys", keys, "--out", clean]) == 0
+    capsys.readouterr()
+    out_a = str(tmp_path / "OUT_A")
+    out_b = str(tmp_path / "OUT_B")
+    rc = cli.main(
+        ["scan", "--src", clean, "--dst", tampered, "--keys", keys,
+         "--out", out_a, "--out-dst", out_b]
+    )
+    assert rc == 2
+    assert "Different api version" in capsys.readouterr().err
+    assert not os.path.exists(out_a) and not os.path.exists(out_b)
+
+
 def test_cli_dump_to_dump_compare(capsys, two_tables, tmp_path):
     """The reference's real workflow: scan both clusters to dump files, then
     compare the dumps.  Our CLI scans each parquet 'cluster' to a

@@ -182,7 +182,15 @@ def main(argv: list[str] | None = None) -> int:
                 "--targeted-buckets (the bucket checksums are exact by design)",
             )
         if name == "scan":
-            p.add_argument("--out", default="", help="output dir (default: {src}_scan.log.<ts>)")
+            p.add_argument("--out", default="", help="src output dir (default: {src}_scan.log.<ts>)")
+            # the reference's scan dumps BOTH clusters in one invocation
+            # (scan/scan.go:87-108: errgroup over src AND dst after the
+            # api-version gate at scan/scan.go:74-86) — --dst restores that
+            # workflow: version-gate the pair, then export both sides
+            p.add_argument("--dst", default="", help="also dump this second source "
+                           "(version-gated pair, mirroring the reference's dual scan)")
+            p.add_argument("--out-dst", default="",
+                           help="dst output dir (default: {dst}_scan.log.<ts>)")
 
     # incremental flow: store ~16 B/bucket once, then detect WHICH key
     # ranges drifted on every later run without rescanning the old snapshot
@@ -527,9 +535,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"drifted_buckets": n}))
         return 0 if n == 0 else 1
 
-    if args.cmd in ("checksum", "diff"):
-        # source-level API-version handshake before any dual-source compare
-        # (reference utils/utils.go:13-26 via scan/checksum/diff preambles)
+    if args.cmd in ("checksum", "diff") or (args.cmd == "scan" and args.dst):
+        # source-level API-version handshake before any dual-source command
+        # (reference utils/utils.go:13-26 via scan/checksum/diff preambles;
+        # dual scan gates the pair BEFORE dumping either side, scan/scan.go:74-86)
         from tikv_data_compare_spark.sources import meta as meta_mod
 
         try:
@@ -608,7 +617,19 @@ def main(argv: list[str] | None = None) -> int:
 
             out = args.out or f"{args.src.rstrip('/')}_scan.log.{int(time.time())}"
             export_hex(src, path=out)
-            print(json.dumps({"out": out}))
+            result = {"out": out}
+            if args.dst:
+                # reference dual scan (scan/scan.go:87-108): one invocation
+                # dumps BOTH clusters after the version gate above.  The
+                # reference parallelizes with an errgroup; here each export is
+                # already a fully parallel Spark job over all cores, so the
+                # second dump runs back-to-back rather than contending with
+                # the first for the same executor slots.
+                dst = _keyed(spark, args.dst, keys, args)
+                out_dst = args.out_dst or f"{args.dst.rstrip('/')}_scan.log.{int(time.time())}"
+                export_hex(dst, path=out_dst)
+                result["out_dst"] = out_dst
+            print(json.dumps(result))
             return 0
 
         return 2
