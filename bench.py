@@ -203,9 +203,31 @@ def main():
     for rname, rdf in (
         ("topk_pq_rerank", sim.topk_pq(embeddings, k=5, n_queries=10, m=8, k_codes=32, rerank=100)),
         ("topk_ivfpq", sim.topk_ivfpq(embeddings, k=5, n_queries=10, n_cells=16, n_probe=4, m=8, k_codes=32, rerank=100)),
+        # the auto-probe heuristic at the same geometry: sizes n_probe from
+        # corpus/cell density (resolve_n_probe), closing the sparse-cell
+        # under-probing gap the fixed n_probe=4 entry documents
+        ("topk_ivfpq_autoprobe", sim.topk_ivfpq(embeddings, k=5, n_queries=10, n_cells=16, n_probe="auto", m=8, k_codes=32, rerank=100)),
     ):
         got = {(r["query_id"], r["neighbor_id"]) for r in rdf.collect()}
         recall[rname] = round(len(exact5 & got) / max(len(exact5), 1), 3)
+
+    # recall floor bands (BASELINE.md §"ANN recall floors"): a quantization
+    # or probe regression must fail LOUD here, not hide inside a green
+    # wall-clock.  Floors are at the fixed seeds/geometry above.
+    recall_floors = {
+        "topk_pq_rerank": 0.70,
+        "topk_ivfpq": 0.40,
+        "topk_ivfpq_autoprobe": 0.70,
+    }
+    recall_breach = sorted(
+        name for name, floor in recall_floors.items() if recall.get(name, 0.0) < floor
+    )
+    for name in recall_breach:
+        print(
+            f"[bench] RECALL BREACH: {name} recall@5 {recall[name]} < floor "
+            f"{recall_floors[name]} (BASELINE.md ANN recall floors)",
+            file=sys.stderr,
+        )
 
     timings = {}
     cpu_sec: dict[str, float] = {}
@@ -274,8 +296,11 @@ def main():
                 # plan is doing more work (a real regression)
                 "cpu_sec": cpu_sec,
                 # recall@5 vs exact brute force for the compressed-ANN
-                # entries (untimed guardrail)
+                # entries (untimed guardrail); any entry under its
+                # BASELINE.md floor is listed in recall_breach (and
+                # flagged on stderr above)
                 "recall": recall,
+                "recall_breach": recall_breach,
             }
         )
     )

@@ -159,6 +159,53 @@ def test_topk_ivfpq_selective_probe_recall_and_pruning(spark, emb):
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
 
 
+def test_resolve_n_probe_contract():
+    """'auto' probe sizing: sparse cells probe MORE cells (the r8 0.46-vs-
+    0.98 recall gap was under-probing at ~125 rows/cell), dense corpora
+    keep the n_cells/4 floor, tiny corpora degenerate to exhaustive, and a
+    plain int passes through untouched."""
+    assert sim.resolve_n_probe(4, 0, 16) == 4
+    assert sim.resolve_n_probe(99, 0, 16) == 99  # callers clamp to n_cells
+    # bench geometry: 2k vectors / 16 cells = 125 rows/cell -> 9 probes
+    sparse = sim.resolve_n_probe("auto", 2000, 16)
+    # sf1 geometry: 20k vectors / 16 cells = 1250 rows/cell -> density floor
+    dense = sim.resolve_n_probe("auto", 20000, 16)
+    assert sparse == 9 and dense == 4
+    assert sparse > dense
+    # a big rerank shortlist widens the target candidate pool
+    assert sim.resolve_n_probe("auto", 20000, 16, rerank=2000) > dense
+    # tiny corpus: every cell probed == exact search
+    assert sim.resolve_n_probe("auto", 100, 16) == 16
+    # monotone in corpus size (never probes MORE as cells densify)
+    probes = [sim.resolve_n_probe("auto", n, 16) for n in (500, 2000, 8000, 32000)]
+    assert probes == sorted(probes, reverse=True)
+
+
+def test_topk_ivfpq_autoprobe_recall(emb):
+    """End-to-end 'auto': on the sparse test fixture the heuristic probes
+    enough cells that IVFPQ + full rerank reproduces brute force exactly,
+    and never does worse than a deliberately starved fixed probe."""
+    n = emb.count()
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in sim.topk_bruteforce(emb, k=5, n_queries=8).collect()
+    )
+    auto_rows = sim.topk_ivfpq(
+        emb, k=5, n_queries=8, n_cells=16, n_probe="auto", m=8, k_codes=32, rerank=n
+    ).collect()
+    auto = sorted((r["query_id"], r["neighbor_id"], r["rnk"]) for r in auto_rows)
+    assert auto == exact
+    exact_set = {(q, nb) for q, nb, _ in exact}
+    starved = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_ivfpq(
+            emb, k=5, n_queries=8, n_cells=16, n_probe=1, m=8, k_codes=32, rerank=n
+        ).collect()
+    }
+    auto_set = {(q, nb) for q, nb, _ in auto}
+    assert len(auto_set & exact_set) >= len(starved & exact_set)
+
+
 # ---------------------------------------------------------------------------
 # DataFrame-query join path: the shape past the 16k driver-collect ceiling
 # ---------------------------------------------------------------------------

@@ -257,7 +257,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-queries", type=int, default=10)
     p.add_argument("--n-planes", type=int, default=6)
     p.add_argument("--n-cells", type=int, default=16)
-    p.add_argument("--n-probe", type=int, default=4)
+    def _probe_arg(v: str):
+        # 'auto' sizes the probe from corpus/cell density
+        # (similarity.resolve_n_probe); anything else must be an int
+        if v == "auto":
+            return v
+        try:
+            return int(v)
+        except ValueError:
+            raise argparse.ArgumentTypeError(f"{v!r} is not an integer or 'auto'")
+
+    p.add_argument("--n-probe", type=_probe_arg, default=4)
     p.add_argument("--m", type=int, default=8)
     p.add_argument("--k-codes", type=int, default=32)
     p.add_argument("--rerank", type=int, default=0)

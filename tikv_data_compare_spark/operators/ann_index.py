@@ -43,6 +43,7 @@ from tikv_data_compare_spark.operators.similarity import (
     _track,
     _train_centroids,
     pq_encode,
+    resolve_n_probe,
     train_pq,
 )
 
@@ -229,7 +230,7 @@ def topk_index(
     index: AnnIndex,
     queries: DataFrame,
     k: int = 5,
-    n_probe: int = 4,
+    n_probe: "int | str" = 4,
     rerank: int = 0,
     emb_for_rerank: DataFrame | None = None,
     id_col: str = "query_id",
@@ -251,6 +252,12 @@ def topk_index(
     import numpy as np
 
     spark = queries.sparkSession
+    # 'auto' sizes the probe from the index's OWN stored geometry — the
+    # meta n_vectors count (maintained across appends) is exactly the
+    # corpus-density input resolve_n_probe needs, no extra scan
+    n_probe = resolve_n_probe(
+        n_probe, index.meta["n_vectors"], index.meta["n_cells"], k=k, rerank=rerank
+    )
     # geometry gate (first row — the wholesale-mismatch case; a mixed-dim
     # query set still fails in-executor, documented): without it a 32-dim
     # query against a 64-dim index dies as a raw numpy shape error deep in

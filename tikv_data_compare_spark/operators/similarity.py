@@ -374,6 +374,41 @@ def embedding_near_dup(
     return scored.filter(F.col("cosine_c") >= threshold_c).distinct()
 
 
+def resolve_n_probe(
+    n_probe: "int | str",
+    n_corpus: int,
+    n_cells: int,
+    k: int = 5,
+    rerank: int = 0,
+    target_candidates: int = 1024,
+) -> int:
+    """Resolve ``n_probe='auto'`` to a cell count sized by corpus density.
+
+    Recall at fixed ``n_probe`` depends on how many candidates a probe
+    yields: at ~125 rows/cell (2k vectors, 16 cells) probing 4 cells scores
+    ~500 candidates and recall@5 lands near 0.46, while the SAME probe
+    count at ~1250 rows/cell (20k vectors) yields ~5000 candidates and 0.98
+    (BASELINE.md r8 measurements) — sparse cells need MORE probes, not a
+    fixed fraction.  The heuristic probes enough cells that the expected
+    candidate pool reaches ``max(target_candidates, 4*max(k, rerank))``,
+    floored at ceil(n_cells/4) (the FAISS-style lower bound so dense
+    corpora keep a multi-cell safety margin) and capped at ``n_cells``
+    (degenerating to exact search when the corpus is tiny).
+
+    An int ``n_probe`` passes through unchanged (clamped to ``n_cells`` by
+    the callers, as before).
+    """
+    if n_probe != "auto":
+        return int(n_probe)
+    import math
+
+    rows_per_cell = max(1.0, n_corpus / max(1, n_cells))
+    want = max(target_candidates, 4 * max(k, rerank))
+    p = math.ceil(want / rows_per_cell)
+    floor = math.ceil(n_cells / 4)
+    return min(n_cells, max(p, floor, 1))
+
+
 def _train_centroids(emb: DataFrame, n_cells: int, sample_rows: int, seed: int, vec_col: str):
     """Lloyd's k-means on a driver-side sample → (n_cells, dim) array.
 
@@ -436,7 +471,7 @@ def topk_ivf(
     k: int = 5,
     n_queries: int = 10,
     n_cells: int = 16,
-    n_probe: int = 4,
+    n_probe: "int | str" = 4,
     sample_rows: int = 4096,
     seed: int = 7,
 ) -> DataFrame:
@@ -446,12 +481,14 @@ def topk_ivf(
     Scale shape: centroids train on a bounded seeded sample; cell assignment
     is one broadcast-matmul pass over the corpus; candidates meet in an
     equi-join on the cell id (queries broadcast — the corpus never
-    shuffles).  Recall is tuned by ``n_probe``; ``n_probe >= n_cells``
+    shuffles).  Recall is tuned by ``n_probe`` (``'auto'`` sizes it from
+    corpus/cell density, :func:`resolve_n_probe`); ``n_probe >= n_cells``
     degenerates to exact brute force (the oracle-gate configuration).
     """
     import numpy as np
 
     spark = emb.sparkSession
+    n_probe = resolve_n_probe(n_probe, emb.count() if n_probe == "auto" else 0, n_cells, k=k)
     cent = _train_centroids(emb, n_cells, sample_rows, seed, "embedding")
     bc = _track(spark.sparkContext.broadcast(cent))
     corpus = _assign_cells(emb.select("vec_id", "embedding"), bc, "embedding")
@@ -527,7 +564,7 @@ def topk_ivf_join(
     queries: DataFrame,
     k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
+    n_probe: "int | str" = 4,
     sample_rows: int = 4096,
     seed: int = 7,
     id_col: str = "query_id",
@@ -555,6 +592,7 @@ def topk_ivf_join(
     (r8 review).  Returns (query_id, neighbor_id, cosine_c, rnk).
     """
     spark = emb.sparkSession
+    n_probe = resolve_n_probe(n_probe, emb.count() if n_probe == "auto" else 0, n_cells, k=k)
     cent = _train_centroids(emb, n_cells, sample_rows, seed, "embedding")
     bc = _track(spark.sparkContext.broadcast(cent))
     corpus = _assign_cells(emb.select("vec_id", "embedding"), bc, "embedding")
@@ -593,7 +631,7 @@ def topk_ivfpq_join(
     queries: DataFrame,
     k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
+    n_probe: "int | str" = 4,
     m: int = 8,
     k_codes: int = 32,
     sample_rows: int = 4096,
@@ -618,6 +656,9 @@ def topk_ivfpq_join(
     brute force (the contract-test configuration).
     """
     spark = emb.sparkSession
+    n_probe = resolve_n_probe(
+        n_probe, emb.count() if n_probe == "auto" else 0, n_cells, k=k, rerank=rerank
+    )
     cent = _train_centroids(emb, n_cells, sample_rows, seed, "embedding")
     cent_bc = _track(spark.sparkContext.broadcast(cent))
     books = train_pq(emb, m=m, k_codes=k_codes, sample_rows=sample_rows, seed=seed)
@@ -1039,7 +1080,7 @@ def topk_ivfpq(
     k: int = 5,
     n_queries: int = 10,
     n_cells: int = 16,
-    n_probe: int = 4,
+    n_probe: "int | str" = 4,
     m: int = 8,
     k_codes: int = 32,
     sample_rows: int = 4096,
@@ -1063,6 +1104,9 @@ def topk_ivfpq(
     import numpy as np
 
     spark = emb.sparkSession
+    n_probe = resolve_n_probe(
+        n_probe, emb.count() if n_probe == "auto" else 0, n_cells, k=k, rerank=rerank
+    )
     cent = _train_centroids(emb, n_cells, sample_rows, seed, "embedding")
     cent_bc = _track(spark.sparkContext.broadcast(cent))
     books = train_pq(emb, m=m, k_codes=k_codes, sample_rows=sample_rows, seed=seed)
