@@ -93,6 +93,54 @@ def test_append_with_frozen_codebooks(spark, emb, tmp_path_factory):
     assert got == exact
 
 
+def test_append_quantization_drift_gate(spark, emb, tmp_path_factory):
+    """Frozen codebooks encode a shifted distribution silently worse — the
+    gate must trip LOUD: fail before any write (default), warn-and-proceed
+    on request, and stay silent for aligned appends and legacy indexes
+    without the stored stats."""
+    import warnings
+
+    path = str(tmp_path_factory.mktemp("annidx") / "idx")
+    ai.build_ann_index(emb, path, n_cells=4, m=8, k_codes=16)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    assert len(meta["pq_mse"]) == 8 and all(v >= 0.0 for v in meta["pq_mse"])
+
+    # a degenerate distribution far from the training data: every vector is
+    # the first basis direction, which no codebook trained on the fixture
+    # quantizes well
+    shifted = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> CASE WHEN i = 1 THEN 1.0D ELSE 0.0D END)"
+        ).alias("embedding"),
+    )
+    n0 = ai.load_ann_index(spark, path).meta["n_vectors"]
+    with pytest.raises(ValueError, match="drift"):
+        ai.append_to_index(shifted, path)
+    # fail rejected the append BEFORE any write
+    assert ai.load_ann_index(spark, path).meta["n_vectors"] == n0
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        n_new = ai.append_to_index(shifted, path, on_drift="warn")
+    assert n_new == emb.count()
+    assert any("drift" in str(w.message) for w in caught)
+    assert ai.load_ann_index(spark, path).meta["n_vectors"] == n0 + n_new
+
+    with pytest.raises(ValueError, match="on_drift"):
+        ai.append_to_index(shifted, path, on_drift="bogus")
+
+    # a legacy index without stored stats is not gated
+    legacy = str(tmp_path_factory.mktemp("annidx") / "legacy")
+    ai.build_ann_index(emb, legacy, n_cells=4, m=8, k_codes=16)
+    old_meta = spark.read.parquet(f"{legacy}/meta").collect()[0].asDict()
+    old_meta.pop("pq_mse")
+    spark.createDataFrame([tuple(old_meta.values())], list(old_meta.keys())).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{legacy}/meta")
+    assert ai.append_to_index(shifted, legacy) == emb.count()
+
+
 def test_index_validation_errors(spark, emb, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("annidx") / "idx")
     ai.build_ann_index(emb, path, n_cells=4, m=8, k_codes=16)

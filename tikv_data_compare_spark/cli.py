@@ -277,6 +277,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--append-index", default="",
                    help="encode --src rows with this index's FROZEN codebooks "
                         "and append them (FAISS add(): existing codes untouched)")
+    p.add_argument("--on-drift", default="fail", choices=["fail", "warn", "skip"],
+                   help="append quantization-drift gate: fail (default) rejects "
+                        "appends whose sample quantization error exceeds the "
+                        "build-time band stored in the index meta; warn "
+                        "proceeds loudly; skip disables the gate")
     p.add_argument("--index", default="",
                    help="query this persisted index (requires --queries; "
                         "--rerank reads float vectors from --src)")
@@ -365,7 +370,7 @@ def main(argv: list[str] | None = None) -> int:
             from tikv_data_compare_spark.operators.ann_index import append_to_index
 
             try:
-                n_new = append_to_index(emb, args.append_index)
+                n_new = append_to_index(emb, args.append_index, on_drift=args.on_drift)
             except ValueError as e:
                 print(f"ann: {e}", file=sys.stderr)
                 return 2

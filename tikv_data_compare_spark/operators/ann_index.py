@@ -75,6 +75,45 @@ class AnnIndex:
     meta: dict
 
 
+def _pq_quant_mse(src: DataFrame, books, sample_rows: int) -> list:
+    """Per-subspace mean squared quantization error of ``books`` over a
+    bounded deterministic sample of ``src`` (the same content-hash sample
+    recipe as train_pq — one driver collect of ≤ sample_rows rows).
+
+    Vectors are L2-normalized first, matching what pq_encode actually
+    quantizes.  This is the index's quality fingerprint: codebooks that fit
+    the data have small per-subspace error; a distribution shift shows up
+    as error inflation in exactly the subspaces that drifted.
+    """
+    import numpy as np
+
+    rows = (
+        src.select("embedding", F.xxhash64(F.col("embedding")).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_rows)
+        .collect()
+    )
+    rows = [r for r in rows if r["embedding"] is not None]
+    if not rows:
+        raise ValueError("cannot measure PQ quantization error on an empty frame")
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x /= norms
+    books = np.asarray(books)
+    m, _, sub_d = books.shape
+    out = []
+    for j in range(m):
+        xj = x[:, j * sub_d : (j + 1) * sub_d]
+        d2 = (
+            (xj**2).sum(axis=1, keepdims=True)
+            - 2.0 * (xj @ books[j].T)
+            + (books[j] ** 2).sum(axis=1)[None, :]
+        )
+        out.append(float(np.maximum(d2.min(axis=1), 0.0).mean()))
+    return out
+
+
 def _codebook_rows(cent, books):
     rows = [("cent", int(i), 0, [float(v) for v in cent[i]]) for i in range(cent.shape[0])]
     m, kk, _ = books.shape
@@ -129,6 +168,10 @@ def build_ann_index(
         "seed": int(seed),
         # counted from the WRITTEN parquet footers, not a plan re-execution
         "n_vectors": int(spark.read.parquet(f"{path}/vectors").count()),
+        # build-time per-subspace PQ quantization error (bounded sample):
+        # append_to_index compares appended rows against these bands, the
+        # same meta-validation pattern as the checksum manifests
+        "pq_mse": _pq_quant_mse(src, books, sample_rows),
     }
     _write_meta(spark, path, meta)
     return meta
@@ -181,11 +224,23 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
 
 
 def append_to_index(emb_new: DataFrame, path: str, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> int:
+                    vec_col: str = "embedding", max_mse_ratio: float = 4.0,
+                    on_drift: str = "fail") -> int:
     """Encode NEW vectors with the index's FROZEN quantizers and append them
     (the standard FAISS add() flow: codebooks never retrain on append, so
     existing codes stay valid and the append is one map-side pass over the
     new rows only).  Returns the number of vectors appended.
+
+    Quantization-drift gate: frozen codebooks encode a shifted distribution
+    *silently worse* — codes stay valid but carry less information, which
+    costs recall at selective probe with no error anywhere.  The gate
+    measures the append sample's per-subspace quantization error against
+    the build-time stats stored in the index meta (``pq_mse``) and trips
+    when any subspace's error exceeds ``max_mse_ratio ×`` its build value:
+    ``on_drift='fail'`` (default) raises ValueError before anything is
+    written, ``'warn'`` emits a UserWarning and proceeds, ``'skip'``
+    disables the gate.  Indexes built before the stats existed have no
+    ``pq_mse`` and are not gated.
 
     Caller contract: ids must not collide with existing index ids (same as
     FAISS add_with_ids); exhaustive-probe + full-rerank queries remain
@@ -195,6 +250,8 @@ def append_to_index(emb_new: DataFrame, path: str, id_col: str = "vec_id",
     """
     import numpy as np
 
+    if on_drift not in ("fail", "warn", "skip"):
+        raise ValueError(f"on_drift must be 'fail', 'warn' or 'skip', got {on_drift!r}")
     spark = emb_new.sparkSession
     idx = load_ann_index(spark, path)
     src = emb_new.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
@@ -210,6 +267,31 @@ def append_to_index(emb_new: DataFrame, path: str, id_col: str = "vec_id",
             f"dim {idx.meta['dim']} — frozen quantizers cannot encode a "
             "different vector space"
         )
+    build_mse = idx.meta.get("pq_mse")
+    if build_mse is not None and on_drift != "skip":
+        new_mse = _pq_quant_mse(src, idx.books, idx.meta["sample_rows"])
+        # a small absolute floor so a near-lossless build (mse ~ 0, e.g.
+        # few distinct vectors) doesn't trip on numeric noise
+        drifted = [
+            (j, n, b)
+            for j, (n, b) in enumerate(zip(new_mse, build_mse))
+            if n > max(float(b) * max_mse_ratio, 1e-9)
+        ]
+        if drifted:
+            j, n, b = max(drifted, key=lambda t: t[1] / max(t[2], 1e-12))
+            msg = (
+                f"append quantization drift: {len(drifted)}/{len(build_mse)} "
+                f"subspace(s) exceed {max_mse_ratio}x the build-time error "
+                f"(worst: subspace {j} mse {n:.3g} vs build {float(b):.3g}) — "
+                "the frozen codebooks no longer fit the appended "
+                "distribution; rebuild the index or pass on_drift='warn' to "
+                "append anyway (recall at selective probe will degrade)"
+            )
+            if on_drift == "fail":
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, UserWarning, stacklevel=2)
     cent_bc = _track(spark.sparkContext.broadcast(np.asarray(idx.centroids)))
     books_bc = _track(spark.sparkContext.broadcast(np.asarray(idx.books)))
     new_vecs = pq_encode(_assign_cells(src, cent_bc, "embedding"), books_bc).select(
