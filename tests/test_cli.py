@@ -584,3 +584,20 @@ def test_cli_diff_tolerance(capsys, spark, two_tables, tmp_path):
     assert cli.main(["diff", "--src", src, "--dst", jittered, "--keys", keys,
                      "--tolerance", "l_quantity=0.001",
                      "--targeted-buckets", "16"]) == 2
+    capsys.readouterr()
+
+    # EPS:REL relative form: multiplicative ppm jitter suppressed, real
+    # relative drift reported (same expected key set)
+    rel_jit = str(tmp_path / "rel_jittered.pq")
+    spark.read.parquet(src).withColumn(
+        "l_quantity",
+        F.col("l_quantity") * (F.lit(1.0) + F.lit(1e-7))
+        * F.when(F.col("l_orderkey") % 59 == 0, F.lit(1.5)).otherwise(F.lit(1.0)),
+    ).write.parquet(rel_jit)
+    rc = cli.main(["diff", "--src", src, "--dst", rel_jit, "--keys", keys,
+                   "--tolerance", "l_quantity=1e-9:1e-5"])
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 1 and len(out) == expected > 0
+    assert all(r["status"] == "changed" for r in out)
+    assert cli.main(["diff", "--src", src, "--dst", rel_jit, "--keys", keys,
+                     "--tolerance", "l_quantity=1e-9:bogus"]) == 2

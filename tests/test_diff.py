@@ -302,6 +302,46 @@ def test_diff_tolerant_validation_and_nan(spark):
     assert got2 == 0
 
 
+def test_diff_tolerant_relative_mode(spark):
+    """(abs_eps, rel) tolerance: |src-dst| <= max(abs, rel*max(|src|,|dst|)).
+    Relative drift scales with magnitude (same ppm jitter suppressed at any
+    size, same ppm drift detected at any size); the abs floor — not rel —
+    governs near zero; validation rejects malformed tuples."""
+    from tikv_data_compare_spark.operators.diff import diff_tolerant
+
+    src = spark.createDataFrame(
+        [(1, 1e6), (2, 1e6), (3, 1e-3), (4, 0.0), (5, 1e-12), (6, -100.0)],
+        "k long, p double",
+    )
+    dst = spark.createDataFrame(
+        [
+            (1, 1e6 * (1 + 1e-7)),   # 0.1 ppm jitter on a big value -> equal
+            (2, 1e6 * 1.01),         # 1% drift on a big value -> changed
+            (3, 1.1e-3),             # 10% drift on a small value -> changed
+                                     # (a fixed eps sized for k=1 would hide it)
+            (4, 5e-10),              # near zero: inside the abs floor -> equal
+            (5, 2e-12),              # both tiny, delta under abs floor -> equal
+            (6, -100.000001),        # sign-symmetric: |.|-based band -> equal
+        ],
+        "k long, p double",
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in diff_tolerant(
+            Keyed.of(src, keys=("k",)), Keyed.of(dst, keys=("k",)), {"p": (1e-9, 1e-5)}
+        ).collect()
+    }
+    assert got == {2: "changed", 3: "changed"}
+    with pytest.raises(ValueError, match="abs_eps, rel"):
+        diff_tolerant(
+            Keyed.of(src, keys=("k",)), Keyed.of(dst, keys=("k",)), {"p": (0.1, 0.2, 0.3)}
+        )
+    with pytest.raises(ValueError, match="finite"):
+        diff_tolerant(
+            Keyed.of(src, keys=("k",)), Keyed.of(dst, keys=("k",)), {"p": (0.1, -0.2)}
+        )
+
+
 def test_diff_tolerant_no_integer_wrap(spark):
     """r8 high review: a drift of 2^64-1 on a long column must be reported
     (native 64-bit subtraction would wrap to -1 under non-ANSI and pass a

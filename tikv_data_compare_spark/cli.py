@@ -174,8 +174,10 @@ def main(argv: list[str] | None = None) -> int:
                 "--tolerance",
                 action="append",
                 default=[],
-                metavar="COL=EPS",
-                help="treat numeric column COL as equal within |src-dst| <= EPS "
+                metavar="COL=EPS[:REL]",
+                help="treat numeric column COL as equal within |src-dst| <= EPS, "
+                "or with :REL within max(EPS, REL*max(|src|,|dst|)) — relative "
+                "drift plus an absolute floor for near-zero values "
                 "(repeatable; operators.diff.diff_tolerant) — suppresses "
                 "re-encode float jitter instead of flooding findings; other "
                 "columns stay byte-exact; not combinable with "
@@ -591,12 +593,16 @@ def main(argv: list[str] | None = None) -> int:
             for spec in args.tolerance:
                 col, sep, eps = spec.partition("=")
                 if not sep:
-                    print(f"diff: --tolerance {spec!r} is not COL=EPS", file=sys.stderr)
+                    print(f"diff: --tolerance {spec!r} is not COL=EPS[:REL]",
+                          file=sys.stderr)
                     return 2
+                eps_abs, rel_sep, rel = eps.partition(":")
                 try:
-                    tolerances[col] = float(eps)
+                    tolerances[col] = (
+                        (float(eps_abs), float(rel)) if rel_sep else float(eps_abs)
+                    )
                 except ValueError:
-                    print(f"diff: --tolerance epsilon {eps!r} is not a number",
+                    print(f"diff: --tolerance value {eps!r} is not EPS or EPS:REL",
                           file=sys.stderr)
                     return 2
             if tolerances and args.targeted_buckets > 0:

@@ -32,7 +32,7 @@ def diff(
     src: Keyed,
     dst: Keyed,
     include_equal: bool = False,
-    tolerances: dict[str, float] | None = None,
+    tolerances: "dict[str, float | tuple[float, float]] | None" = None,
 ) -> DataFrame:
     """Keyed full-outer diff.
 
@@ -44,13 +44,17 @@ def diff(
     reference's cardinality warning (diff/diff.go:44-46) with exact findings.
 
     ``tolerances`` (validated by the :func:`diff_tolerant` wrapper —
-    prefer calling that) relaxes listed numeric columns to
-    ``|src − dst| <= eps``: null-safe equality short-circuits first, so
-    both-NULL (and NaN==NaN, Spark's eqNullSafe semantics) stay EQUAL and
-    a tolerance can only ever RELAX the exact predicate, never tighten
-    it; the subtraction runs in the column's OWN numeric type (exact for
-    integers/decimals — a premature double cast would hide a drift of 1
-    at 2⁵³ magnitude).
+    prefer calling that) relaxes listed numeric columns: a float value is
+    an absolute epsilon (``|src − dst| <= eps``); an ``(abs_eps, rel)``
+    tuple is the numpy.isclose-style band
+    ``|src − dst| <= max(abs_eps, rel · max(|src|, |dst|))`` — relative
+    drift for the bulk of the range plus the absolute floor that keeps
+    near-zero values comparable (``rel`` alone can never suppress noise
+    around 0).  Null-safe equality short-circuits first, so both-NULL (and
+    NaN==NaN, Spark's eqNullSafe semantics) stay EQUAL and a tolerance can
+    only ever RELAX the exact predicate, never tighten it; the subtraction
+    runs in the column's OWN numeric type (exact for integers/decimals — a
+    premature double cast would hide a drift of 1 at 2⁵³ magnitude).
     """
     check_comparable(src, dst)
     keys = list(src.keys)
@@ -81,8 +85,17 @@ def diff(
                 delta = F.abs(a.cast("decimal(38,0)") - b.cast("decimal(38,0)"))
             else:
                 delta = F.abs(a - b)
+            spec = tolerances[v]
+            if isinstance(spec, tuple):
+                abs_eps, rel = spec
+                band = F.greatest(
+                    F.lit(float(abs_eps)),
+                    F.lit(float(rel)) * F.greatest(F.abs(a), F.abs(b)).cast("double"),
+                )
+            else:
+                band = F.lit(float(spec))
             within = a.eqNullSafe(b) | (
-                a.isNotNull() & b.isNotNull() & (delta <= F.lit(float(tolerances[v])))
+                a.isNotNull() & b.isNotNull() & (delta <= band)
             )
             value_mismatch = value_mismatch | ~within
         else:
@@ -103,13 +116,18 @@ def diff(
 def diff_tolerant(
     src: Keyed,
     dst: Keyed,
-    tolerances: dict[str, float],
+    tolerances: "dict[str, float | tuple[float, float]]",
     include_equal: bool = False,
 ) -> DataFrame:
     """Keyed diff with per-column NUMERIC tolerance: a column listed in
-    ``tolerances`` counts equal when ``|src − dst| <= eps`` (both-NULL is
-    equal, one-sided NULL differs); every other column keeps the exact
-    null-safe equality of :func:`diff`.
+    ``tolerances`` counts equal when its drift is within the band (both-NULL
+    is equal, one-sided NULL differs); every other column keeps the exact
+    null-safe equality of :func:`diff`.  A float value is an absolute
+    epsilon; an ``(abs_eps, rel)`` tuple adds RELATIVE tolerance —
+    ``|src − dst| <= max(abs_eps, rel · max(|src|, |dst|))`` — the form
+    recompute drift actually takes at scale (float error is proportional
+    to magnitude; a fixed eps is simultaneously too loose for small values
+    and too tight for large ones).
 
     Why it exists: re-encoded or recomputed float columns legitimately
     jitter in the last ulps (codec roundtrips, aggregation re-orders,
@@ -135,7 +153,7 @@ def diff_tolerant(
     check_comparable(src, dst)
     numeric = {"double", "float", "long", "integer", "short", "byte", "decimal"}
     dtypes = {f.name: f.dataType.typeName() for f in src.df.schema.fields}
-    for c, eps in tolerances.items():
+    for c, spec in tolerances.items():
         if c not in src.values:
             raise ValueError(f"tolerance column {c!r} is not a value column {src.values}")
         if dtypes.get(c) not in numeric:
@@ -143,8 +161,16 @@ def diff_tolerant(
                 f"tolerance column {c!r} has non-numeric type {dtypes.get(c)!r} — "
                 "a tolerance there would silently suppress all drift"
             )
-        if not (isinstance(eps, (int, float)) and math.isfinite(eps) and eps >= 0):
-            raise ValueError(f"tolerance for {c!r} must be a finite number >= 0, got {eps}")
+        parts = spec if isinstance(spec, tuple) else (spec,)
+        if isinstance(spec, tuple) and len(spec) != 2:
+            raise ValueError(
+                f"tolerance for {c!r} must be eps or (abs_eps, rel), got {spec!r}"
+            )
+        for eps in parts:
+            if not (isinstance(eps, (int, float)) and math.isfinite(eps) and eps >= 0):
+                raise ValueError(
+                    f"tolerance for {c!r} must be finite number(s) >= 0, got {spec!r}"
+                )
     return diff(src, dst, include_equal=include_equal, tolerances=tolerances)
 
 

@@ -412,7 +412,16 @@ def q_diff_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     (+1e-5, the re-encode/recompute noise a byte-exact compare reports as
     drift) and every 500th key carries real +1.0 drift, with tolerance
     1e-3 on the price — only the real drift may surface, so the gate
-    proves both the suppression AND the detection side of the predicate."""
+    proves both the suppression AND the detection side of the predicate.
+
+    Fourth label since r9 — ``side='rel_tolerant'``: the RELATIVE form
+    ``(abs_eps, rel)``, i.e. ``|src−dst| <= max(abs, rel·max(|src|,|dst|))``
+    — recompute drift at scale is proportional to magnitude, so a fixed
+    eps is too loose for small values and too tight for large ones.  Every
+    price carries ×(1+1e-7) multiplicative jitter and every 500th key a
+    real ×1.01 drift; tolerance (1e-9, 1e-5) must suppress exactly the
+    jitter and surface exactly the drift — both sides of the relative
+    predicate gated by the same oracle."""
     tune(spark)
     orders = _load(spark, sf_dir, "orders")
     src = _orders_keyed(orders)
@@ -440,10 +449,28 @@ def q_diff_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src_o_custkey").alias("o_custkey"),
         F.expr(_dc("src_o_totalprice")).alias("o_totalprice_c"),
     )
+    noisy_rel = _orders_keyed(
+        orders.withColumn(
+            "o_totalprice",
+            F.col("o_totalprice")
+            * (F.lit(1.0) + F.lit(1e-7))
+            * F.when(F.col("o_orderkey") % 500 == 0, F.lit(1.01)).otherwise(F.lit(1.0)),
+        )
+    )
+    rel_tol = diff_ops.diff_tolerant(
+        src, noisy_rel, {"o_totalprice": (1e-9, 1e-5)}
+    ).filter(F.col("status") == "changed")
+    rel_proj = rel_tol.select(
+        F.lit("rel_tolerant").alias("side"),
+        "o_orderkey",
+        F.col("src_o_custkey").alias("o_custkey"),
+        F.expr(_dc("src_o_totalprice")).alias("o_totalprice_c"),
+    )
     return (
         proj(diff_ops.only_in_src(src, dst), "src")
         .unionByName(proj(diff_ops.only_in_dst(src, dst), "dst"))
         .unionByName(tol_proj)
+        .unionByName(rel_proj)
     )
 
 
@@ -456,6 +483,9 @@ SELECT 'dst', o_orderkey, o_custkey, {_dc("o_totalprice")}
 FROM dst d WHERE NOT EXISTS (SELECT 1 FROM orders s WHERE s.o_orderkey = d.o_orderkey)
 UNION ALL
 SELECT 'tolerant', o_orderkey, o_custkey, {_dc("o_totalprice")}
+FROM orders WHERE o_orderkey % 500 = 0
+UNION ALL
+SELECT 'rel_tolerant', o_orderkey, o_custkey, {_dc("o_totalprice")}
 FROM orders WHERE o_orderkey % 500 = 0
 """
 
