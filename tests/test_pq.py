@@ -166,11 +166,14 @@ def test_resolve_n_probe_contract():
     plain int passes through untouched."""
     assert sim.resolve_n_probe(4, 0, 16) == 4
     assert sim.resolve_n_probe(99, 0, 16) == 99  # callers clamp to n_cells
-    # bench geometry: 2k vectors / 16 cells = 125 rows/cell -> 9 probes
+    # bench geometry: 2k vectors / 16 cells = 125 rows/cell -> a corpus
+    # this small degenerates to exhaustive probing (= exact search; 9/16
+    # probes measured only 0.62 recall in r9 — tiny corpora shouldn't
+    # sub-probe)
     sparse = sim.resolve_n_probe("auto", 2000, 16)
     # sf1 geometry: 20k vectors / 16 cells = 1250 rows/cell -> density floor
     dense = sim.resolve_n_probe("auto", 20000, 16)
-    assert sparse == 9 and dense == 4
+    assert sparse == 16 and dense == 4
     assert sparse > dense
     # a big rerank shortlist widens the target candidate pool
     assert sim.resolve_n_probe("auto", 20000, 16, rerank=2000) > dense

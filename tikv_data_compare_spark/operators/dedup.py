@@ -250,10 +250,35 @@ def jaccard_pairs(
     if shingles is None:
         shingles = shingle_arrays(df, id_col, text_col)
     cand = minhash_pairs(df, id_col, text_col, algo, shingles=shingles)
+    return jaccard_for_pairs(cand, df, id_col, text_col, shingles=shingles)
+
+
+def jaccard_for_pairs(
+    cand: DataFrame,
+    df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard (scaled ×10000) for GIVEN candidate pairs
+    ``(doc_a, doc_b)`` — the verify stage decoupled from candidate
+    generation, so ANY candidate source plugs in: the batch LSH self-join
+    (:func:`jaccard_pairs` delegates here), the persistent dedup index's
+    new-vs-indexed candidates (operators/dedup_index.py), or a hand-picked
+    audit list.
+
+    Scale shape: identical to the composed path — the candidate set is
+    already pruned, so both shingle-array joins resolve to broadcast/AQE
+    hash joins and the corpus arrays are probed map-side; the shuffle cost
+    is the candidate pairs, never the corpus shingles.
+    """
+    if shingles is None:
+        shingles = shingle_arrays(df, id_col, text_col)
     sa = shingles.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sha"))
     sb = shingles.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_shb"))
     return (
-        cand.join(sa, "doc_a")
+        cand.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         # stage the intersection size once; referencing array_intersect in
         # both numerator and denominator would evaluate it twice per row

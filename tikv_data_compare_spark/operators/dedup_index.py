@@ -1,0 +1,229 @@
+"""Persistent MinHash-LSH dedup index: incremental near-dup at corpus scale.
+
+At 100 TB you do not re-dedup the whole corpus on every ingest.  This module
+persists the corpus's LSH band keys ONCE — 4 rows × ~32 B per document,
+orders of magnitude smaller than the text — and each new batch then:
+
+1. computes its OWN band keys map-side (the same zero-shuffle array-HOF
+   signature pass as ``dedup.minhash_pairs`` — signatures are a pure
+   per-document function, so batch keys and stored keys are directly
+   comparable regardless of when either side was computed);
+2. equi-joins them against the stored band table → candidate
+   ``(new, indexed)`` pairs.  This is the ONLY shuffle, keyed on
+   ``(band, h1, h2)`` exactly like the batch self-join — hot buckets
+   (giant near-dup clusters) remain the AQE skew-join case;
+3. optionally appends its own band keys (:func:`append_to_dedup_index`),
+   so the NEXT batch dedups against everything ingested so far.
+
+Candidates feed the same exact-Jaccard verify as the batch path
+(``dedup.jaccard_for_pairs``) — the index stores no text, by design: at
+scale the band table is the only artifact small enough to keep hot, and
+the verify stage reads the two candidate documents' shingles from wherever
+the corpus lives (the candidate set is LSH-pruned, so those joins are
+broadcast-sized).
+
+The on-disk artifact mirrors the repo's other persisted summaries — the
+ANN index (operators/ann_index.py) and the checksum manifests
+(operators/checksum.py:234+): a compact derived table plus a one-row meta
+table holding the build parameters, validated on every load/query/append
+so band keys from different hash algorithms or a future format can never
+silently merge (the manifests' algo-gate contract).
+
+Layout under ``path/``:
+
+- ``bands/``  parquet ``(doc_id long, band int, h1 long, h2 long)`` — the
+              only corpus-sized artifact; append-only;
+- ``meta/``   one-row parquet (format version, shingle-hash algo, band
+              geometry, minhash modulus, doc count).
+
+The reference has no dedup surface (it is a KV-compare tool); this module
+is part of the LLM-data-pipeline extension mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tikv_data_compare_spark.functions.fsutil import swap_commit
+from tikv_data_compare_spark.operators.dedup import (
+    _band_rows,
+    _check_algo,
+    minhash_signatures,
+)
+
+DEDUP_INDEX_FORMAT_VERSION = 1
+#: fixed LSH geometry of dedup.minhash_signatures/_band_rows: 8 permutations
+#: in 4 bands of 2.  Recorded in the meta so a future geometry change bumps
+#: the format version instead of silently mis-joining old band tables.
+_N_BANDS = 4
+_ROWS_PER_BAND = 2
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """One-row meta table via the shared write-then-swap seam, so a
+    concurrent load never reads a half-written meta (same rationale as
+    ann_index._write_meta)."""
+    swap_commit(
+        spark.createDataFrame([tuple(meta.values())], list(meta.keys())),
+        f"{path}/meta",
+        coalesce=1,
+    )
+
+
+@dataclass
+class DedupIndex:
+    """A loaded index: the lazy band table + the build metadata."""
+
+    bands: DataFrame  # (doc_id, band, h1, h2)
+    meta: dict
+
+
+def band_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    algo: str = "md5i64",
+) -> DataFrame:
+    """``(doc_id, band, h1, h2)`` LSH band keys of each document — one
+    map-side pass (array-HOF shingle hashing + per-permutation array_min +
+    a 4-element explode), no shuffle.  Documents whose shingle hashes are
+    NULL under ``algo`` (NULL text with md5i64) get NULL band keys, which
+    never match an equi-join — identical to the batch self-join semantics.
+    """
+    return _band_rows(minhash_signatures(docs, id_col, text_col, algo), id_col).select(
+        F.col(id_col).alias("doc_id"), "band", "h1", "h2"
+    )
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    algo: str = "md5i64",
+) -> dict:
+    """Compute the corpus's band table in one map-side pass and persist it
+    (plus the meta) under ``path``.  Returns the metadata dict.
+
+    Scale shape: the corpus is scanned once; the only write is the band
+    table (4 small rows/doc).  No collect anywhere — the index build is
+    fully distributed, unlike the ANN index whose quantizer training needs
+    a bounded driver sample.
+    """
+    from tikv_data_compare_spark.queries import MINHASH_P
+
+    _check_algo(algo)
+    spark = docs.sparkSession
+    band_table(docs, id_col, text_col, algo).write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+    meta = {
+        "version": DEDUP_INDEX_FORMAT_VERSION,
+        "algo": algo,
+        "n_bands": _N_BANDS,
+        "rows_per_band": _ROWS_PER_BAND,
+        "minhash_p": int(MINHASH_P),
+        # counted from the WRITTEN parquet, not a plan re-execution
+        "n_docs": int(
+            spark.read.parquet(f"{path}/bands").select("doc_id").distinct().count()
+        ),
+    }
+    _write_meta(spark, path, meta)
+    return meta
+
+
+def load_dedup_index(spark: SparkSession, path: str) -> DedupIndex:
+    """Reopen a persisted index: meta is collected (one row); the band
+    table stays lazy parquet so query plans prune and push down into it."""
+    from tikv_data_compare_spark.queries import MINHASH_P
+
+    metarows = spark.read.parquet(f"{path}/meta").collect()
+    if len(metarows) != 1:
+        raise ValueError(f"dedup index at {path!r} has a malformed meta table")
+    meta = metarows[0].asDict()
+    if meta.get("version") != DEDUP_INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"dedup index format version {meta.get('version')} != supported "
+            f"{DEDUP_INDEX_FORMAT_VERSION}"
+        )
+    if (meta.get("n_bands"), meta.get("rows_per_band")) != (_N_BANDS, _ROWS_PER_BAND):
+        raise ValueError(
+            f"dedup index at {path!r} was built with band geometry "
+            f"{meta.get('n_bands')}×{meta.get('rows_per_band')}, this build "
+            f"uses {_N_BANDS}×{_ROWS_PER_BAND} — band keys are not comparable"
+        )
+    if meta.get("minhash_p") != int(MINHASH_P):
+        raise ValueError(
+            f"dedup index at {path!r} was built with minhash modulus "
+            f"{meta.get('minhash_p')}, this build uses {int(MINHASH_P)} — "
+            "signatures are not comparable"
+        )
+    return DedupIndex(bands=spark.read.parquet(f"{path}/bands"), meta=meta)
+
+
+def query_dedup_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs between a NEW batch and the indexed corpus:
+    ``(new_id, indexed_id)`` distinct pairs sharing ≥1 LSH band.  The
+    shingle-hash algorithm comes from the index meta — a batch can never be
+    hashed differently from the corpus it probes.
+
+    Semantics match the batch self-join restricted to cross pairs: because
+    signatures are per-document pure functions, querying batch B against an
+    index of corpus A yields exactly ``minhash_pairs(A ∪ B)`` filtered to
+    one-side-in-B pairs (contract-tested).  Intra-batch duplicates are the
+    ordinary ``minhash_pairs(B)`` self-join, run separately if wanted.
+
+    A document present in BOTH sides (same id) never pairs with itself;
+    distinct ids carrying identical text verify at Jaccard 10000 like any
+    exact duplicate.  Feed the result to ``dedup.jaccard_for_pairs`` for
+    the exact verify.
+    """
+    spark = new_docs.sparkSession
+    idx = load_dedup_index(spark, path)
+    qb = band_table(new_docs, id_col, text_col, idx.meta["algo"]).select(
+        F.col("doc_id").alias("new_id"), "band", "h1", "h2"
+    )
+    ib = idx.bands.select(F.col("doc_id").alias("indexed_id"), "band", "h1", "h2")
+    return (
+        qb.join(ib, on=["band", "h1", "h2"])
+        .filter(F.col("new_id") != F.col("indexed_id"))
+        .select("new_id", "indexed_id")
+        .distinct()
+    )
+
+
+def append_to_dedup_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Add a batch's band keys to the index (one map-side pass + an
+    append-only parquet write), so later batches dedup against it.  Returns
+    the number of documents appended.
+
+    Caller contract: ids must not collide with indexed ids (same as the ANN
+    index's append) — a re-appended id would duplicate its band rows, which
+    is harmless for candidate *correctness* (query() is distinct) but
+    double-counts ``n_docs``.  The algo comes from the meta, so appended
+    keys are always comparable with the stored ones.
+
+    The bands append and the meta swap are two commits: a crash between
+    them leaves a stale (under-)count that the NEXT append's recount fixes
+    — append-only semantics make that safe (same note as ann_index).
+    """
+    spark = new_docs.sparkSession
+    idx = load_dedup_index(spark, path)
+    band_table(new_docs, id_col, text_col, idx.meta["algo"]).write.mode(
+        "append"
+    ).parquet(f"{path}/bands")
+    n_total = int(
+        spark.read.parquet(f"{path}/bands").select("doc_id").distinct().count()
+    )
+    _write_meta(spark, path, {**idx.meta, "n_docs": n_total})
+    return n_total - int(idx.meta["n_docs"])

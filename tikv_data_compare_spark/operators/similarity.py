@@ -380,7 +380,7 @@ def resolve_n_probe(
     n_cells: int,
     k: int = 5,
     rerank: int = 0,
-    target_candidates: int = 1024,
+    target_candidates: int = 2048,
 ) -> int:
     """Resolve ``n_probe='auto'`` to a cell count sized by corpus density.
 
@@ -393,7 +393,12 @@ def resolve_n_probe(
     candidate pool reaches ``max(target_candidates, 4*max(k, rerank))``,
     floored at ceil(n_cells/4) (the FAISS-style lower bound so dense
     corpora keep a multi-cell safety margin) and capped at ``n_cells``
-    (degenerating to exact search when the corpus is tiny).
+    (degenerating to exact search when the corpus is tiny — at 2k vectors
+    the 2048 target resolves to exhaustive probing, which is the right
+    operating point: sub-exact probing of a corpus that small bought only
+    0.62 recall at 9/16 cells in the r9 measurement, and the remaining
+    recall loss at exhaustive probe is pure PQ distortion, the same
+    ~0.8 band as the no-coarse-quantizer pq_rerank path).
 
     An int ``n_probe`` passes through unchanged (clamped to ``n_cells`` by
     the callers, as before).

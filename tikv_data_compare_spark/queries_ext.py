@@ -73,9 +73,39 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     its exact word-shingle Jaccard.  The oracle recomputes the signatures,
     the banded pair set AND the Jaccard declaratively, so the signature
     computation (minhash_signatures), the band join (minhash_pairs) and the
-    verify stage (jaccard_pairs) are all hash-gated by this single row."""
+    verify stage (jaccard_pairs) are all hash-gated by this single row.
+
+    Second label since r9 — ``side='index_cross'``: the PERSISTENT dedup
+    index path (operators/dedup_index.py, the incremental-ingest shape: at
+    100 TB you dedup each new batch against a stored band table instead of
+    re-deduping the corpus).  The corpus docs (doc_id % 3 != 0) are built
+    into an on-disk index, the batch docs (doc_id % 3 == 0) query it, and
+    the candidates run the SAME exact-Jaccard verify — because signatures
+    are per-document pure functions, the result must equal the batch
+    self-join restricted to one-side-in-batch pairs, which is exactly what
+    the oracle's WHERE clause selects.  The build → parquet → load → query
+    roundtrip is inside the hash gate, not just the in-session math."""
+    import os
+    import tempfile
+
+    from tikv_data_compare_spark.operators import dedup_index as di
+
     tune(spark)
-    return dd.jaccard_pairs(_load(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = _load(spark, sf_dir, "documents")
+    base = dd.jaccard_pairs(docs, "doc_id", "text")
+    idx_path = os.path.join(tempfile.mkdtemp(prefix="dedup_idx_"), "idx")
+    di.build_dedup_index(docs.filter(F.col("doc_id") % 3 != 0), idx_path)
+    cross = di.query_dedup_index(docs.filter(F.col("doc_id") % 3 == 0), idx_path)
+    cross_pairs = cross.select(
+        F.least("new_id", "indexed_id").alias("doc_a"),
+        F.greatest("new_id", "indexed_id").alias("doc_b"),
+    )
+    verified = dd.jaccard_for_pairs(cross_pairs, docs, "doc_id", "text")
+    return base.select(F.lit("all").alias("side"), "doc_a", "doc_b", "jaccard_c").unionByName(
+        verified.select(
+            F.lit("index_cross").alias("side"), "doc_a", "doc_b", "jaccard_c"
+        )
+    )
 
 
 ORACLE_DEDUP_COMPONENTS = f"""
@@ -115,12 +145,21 @@ inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS ninter
   FROM cand c JOIN words wa ON wa.doc_id = c.doc_a JOIN words wb ON wb.doc_id = c.doc_b AND wa.w = wb.w
   GROUP BY c.doc_a, c.doc_b
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(ROUND(10000.0 * coalesce(i.ninter, 0) / (sa.n + sb.n - coalesce(i.ninter, 0))) AS BIGINT) AS jaccard_c
+  FROM cand c
+  JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 )
-SELECT c.doc_a, c.doc_b,
-       CAST(ROUND(10000.0 * coalesce(i.ninter, 0) / (sa.n + sb.n - coalesce(i.ninter, 0))) AS BIGINT) AS jaccard_c
-FROM cand c
-JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
-LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+SELECT 'all' AS side, doc_a, doc_b, jaccard_c FROM jac
+UNION ALL
+-- the persistent-index path: batch docs (doc_id % 3 = 0) queried against an
+-- index of the rest — per-doc-pure signatures make it exactly the self-join
+-- pair set restricted to one-side-in-batch
+SELECT 'index_cross' AS side, doc_a, doc_b, jaccard_c FROM jac
+WHERE (doc_a % 3 = 0) <> (doc_b % 3 = 0)
 """
 
 
