@@ -355,3 +355,88 @@ def test_pack_token_bins_null_text(spark):
     assert rows[2]["n_tok"] == 1 and rows[3]["n_tok"] == 1
     assert rows[1]["n_tok"] == 3
     assert all(r["pack_bin"] >= 0 and r["pack_pos"] >= 1 for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM fluency score (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_lm_score_separates_fluent_from_shuffled(spark):
+    """Docs made of the corpus's common bigrams score LOWER mean NLL than a
+    doc of the same words in never-seen orders — the CCNet separation."""
+    from tikv_data_compare_spark.operators.text import ngram_lm_score
+
+    fluent = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(1, 9)] + [(9, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_lm_score(docs).collect()}
+    assert rows[1]["lm_n_bigrams"] == 5
+    # every repeated doc shares the same score; the shuffled doc is worse
+    assert len({rows[i]["lm_nll_c"] for i in range(1, 9)}) == 1
+    assert rows[9]["lm_nll_c"] > rows[1]["lm_nll_c"]
+
+
+def test_ngram_lm_score_short_and_null_docs(spark):
+    from tikv_data_compare_spark.operators.text import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "single"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_lm_score(docs).collect()}
+    assert len(rows) == 4
+    assert rows[1]["lm_n_bigrams"] == 2 and rows[1]["lm_nll_c"] is not None
+    for d in (2, 3, 4):
+        assert rows[d]["lm_n_bigrams"] == 0 and rows[d]["lm_nll_c"] is None
+
+
+def test_ngram_lm_score_external_train_and_unseen(spark):
+    """With a separate train corpus, a doc of unseen bigrams costs more
+    than a doc the model saw; unseen-prefix floors at ln(V) not ln(0)."""
+    from pyspark.sql import functions as F
+
+    from tikv_data_compare_spark.operators.text import ngram_lm_score
+
+    train = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(100, 110)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "zz qq ww")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in ngram_lm_score(score, train=train).collect()}
+    assert rows[1]["lm_nll_c"] < rows[2]["lm_nll_c"]
+    assert rows[2]["lm_nll_c"] is not None  # smoothing: no infinities
+
+
+def test_ngram_lm_score_min_count_prunes(spark):
+    """A bigram below min_count falls back to the smoothing floor, so its
+    doc's score rises vs the unpruned model."""
+    from tikv_data_compare_spark.operators.text import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [(i, "common pair here") for i in range(1, 6)] + [(6, "rare duo once")],
+        "doc_id long, text string",
+    )
+    full = {r["doc_id"]: r["lm_nll_c"] for r in ngram_lm_score(docs).collect()}
+    pruned = {
+        r["doc_id"]: r["lm_nll_c"]
+        for r in ngram_lm_score(docs, min_count=2).collect()
+    }
+    assert pruned[6] > full[6]  # its bigrams were pruned out of the model
+    assert pruned[1] >= full[1]  # survivors only lose smoothing mass
+
+
+def test_ngram_lm_score_validation(spark):
+    import pytest as _pytest
+
+    from tikv_data_compare_spark.operators.text import ngram_lm_score
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="min_count"):
+        ngram_lm_score(docs, min_count=0)
+    with _pytest.raises(ValueError, match="alpha"):
+        ngram_lm_score(docs, alpha=0)

@@ -472,6 +472,111 @@ def tfidf_top_terms(
     )
 
 
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+    alpha: int = 1,
+    min_count: int = 1,
+) -> DataFrame:
+    """Bigram-LM fluency score per document — the CCNet/KenLM-shaped
+    perplexity filter (Wenzek et al. 2020 score docs with a KenLM trained
+    on clean text and drop the high-perplexity tail; Gopher and LLaMA reuse
+    the same gate).  Without a neural LM in the container, the statistical
+    core is the same: an add-α-smoothed word-bigram model trained on
+    ``train`` (default: the scored corpus itself), scored as each
+    document's mean negative log-likelihood per bigram.
+
+    Output: ``(id, lm_n_bigrams, lm_nll_c)`` where ``lm_nll_c`` is the mean
+    of per-bigram costs ``ROUND(ln((c1 + α·V)/(c2 + α)) × 1e6)`` (c2 =
+    bigram count, c1 = bigram-prefix count Σ_w2 c2(w1,·), V = train vocab),
+    FLOOR-ed to a BIGINT.  LOWER = more predictable/fluent; gibberish and
+    boilerplate-free natural text separate cleanly (tests).  Docs with < 2
+    words (or NULL text) get ``lm_n_bigrams = 0`` and a NULL score — "can't
+    evaluate" is not "perfectly fluent".
+
+    Cross-engine determinism: the model counts are exact integers, the
+    per-bigram cost is integer-frozen the same way tfidf's idf is (ln of an
+    exact-double rational, scaled and rounded — ln > 0 always since
+    c1 >= c2, so round-half conventions can't disagree), and the final mean
+    uses FLOOR, not ROUND: a mean of integers CAN land exactly on .5 where
+    HALF_UP/half-away engines could differ, while FLOOR of an IEEE-exact
+    division is engine-stable.
+
+    Scale shape: one explode over the train corpus builds the count tables
+    (bounded by the OBSERVED bigram domain — Zipf-truncated in practice;
+    ``min_count`` prunes the long tail like KenLM's pruning, pruned/unseen
+    bigrams falling back to the smoothing floor), one explode over the
+    scored corpus joins them back (equi-join on the bigram; broadcast when
+    the model is small, AQE skew-join handles the 'the'-prefix hot keys
+    otherwise), then one groupBy(doc) mean.  No UDFs, no collect.
+    """
+    from tikv_data_compare_spark.session import scale_out
+
+    if train is None:
+        train = df
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if alpha < 1:
+        raise ValueError(f"alpha must be a positive integer, got {alpha}")
+
+    def pairs_of(frame: DataFrame) -> DataFrame:
+        toks = frame.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+        )
+        return toks.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_toks) < 2 THEN array() "
+                    "ELSE transform(sequence(1, size(_toks) - 1), "
+                    "i -> named_struct('w1', element_at(_toks, i), "
+                    "'w2', element_at(_toks, i + 1))) END"
+                )
+            ).alias("_p"),
+        ).select(id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+
+    train_pairs = pairs_of(scale_out(train, key=id_col))
+    c2 = train_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    if min_count > 1:
+        c2 = c2.filter(F.col("c2") >= min_count)
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    vocab = (
+        scale_out(train, key=id_col)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .agg(F.count_distinct("w").cast("long").alias("v"))
+    )
+    scored = (
+        pairs_of(scale_out(df, key=id_col))
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_cost_c",
+            F.expr(
+                f"CAST(ROUND(LN((coalesce(c1, 0) + {int(alpha)} * 1.0 * v) / "
+                f"(coalesce(c2, 0) + {int(alpha)} * 1.0)) * 1000000) AS BIGINT)"
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("lm_n_bigrams"),
+        F.expr("CAST(FLOOR(1.0 * sum(_cost_c) / count(1)) AS BIGINT)").alias(
+            "lm_nll_c"
+        ),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("lm_n_bigrams", F.lit(0).cast("long")).alias("lm_n_bigrams"),
+            "lm_nll_c",
+        )
+    )
+
+
 def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Corpus-wide top-k adjacent word bigrams with fully deterministic
     ranking (count desc, bigram asc) — collocation mining for boilerplate /

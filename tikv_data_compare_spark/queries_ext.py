@@ -690,7 +690,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``ngram_pred_lang``/``ngram_dist_c``) — the oracle retrains the same
       profiles in SQL (char-3-gram counts → per-language rank window) and
       recomputes every doc's distance, so training AND classification are
-      hash-gated end-to-end."""
+      hash-gated end-to-end;
+    - bigram-LM fluency score (``ngram_lm_score``, since r9): the
+      CCNet/KenLM-shaped perplexity gate — an add-1-smoothed word-bigram
+      model TRAINED on this corpus in the query, each doc scored by its
+      mean integer-frozen bigram cost (``lm_n_bigrams``/``lm_nll_c``); the
+      oracle retrains the same counts and recomputes every cost in SQL, so
+      LM training and scoring are both inside the hash gate."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
     profiles = tx.train_lang_profiles(docs)
@@ -704,6 +710,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tx.lang_id(docs), "doc_id")
         .join(tx.repetition_stats(docs), "doc_id")
         .join(ng, "doc_id")
+        .join(tx.ngram_lm_score(docs), "doc_id")
     )
 
 
@@ -795,12 +802,31 @@ rep AS (
          CAST(ROUND(10000.0 * (w.n_words - w.n_distinct) / w.n_words) AS BIGINT) AS dup_word_frac_c,
          CAST(coalesce(ROUND(10000.0 * b.max_bi / b.n_bi), 0) AS BIGINT) AS top_bigram_frac_c
   FROM word_stats w LEFT JOIN big_top b ON w.doc_id = b.doc_id
+),
+-- bigram-LM fluency (r9): add-1-smoothed bigram model trained on this
+-- corpus, mean per-bigram cost ROUND(ln((c1+V)/(c2+1))*1e6) FLOORed —
+-- exactly text.ngram_lm_score's integer-frozen math
+lm2 AS (SELECT bigram, count(*) AS c2 FROM big GROUP BY 1),
+lm1 AS (SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+        FROM lm2 GROUP BY 1),
+lmv AS (SELECT count(DISTINCT w) AS v FROM wrd),
+lmdoc AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS lm_n_bigrams,
+         CAST(FLOOR(1.0 * sum(CAST(ROUND(LN((l1.c1 + 1.0 * v.v) / (l2.c2 + 1.0)) * 1000000) AS BIGINT)) / count(*)) AS BIGINT) AS lm_nll_c
+  FROM big b
+  JOIN lm2 l2 USING (bigram)
+  JOIN lm1 l1 ON l1.w1 = split_part(b.bigram, ' ', 1)
+  CROSS JOIN lmv v
+  GROUP BY b.doc_id
 )
 SELECT f.*, l.labeled_lang, l.pred_lang, {", ".join("l.c_" + la for la in langs)},
        r.dup_word_frac_c, r.top_bigram_frac_c,
-       ng.ngram_pred_lang, ng.ngram_dist_c
+       ng.ngram_pred_lang, ng.ngram_dist_c,
+       CAST(coalesce(lm.lm_n_bigrams, 0) AS BIGINT) AS lm_n_bigrams, lm.lm_nll_c
 FROM flags f JOIN langid l ON f.doc_id = l.doc_id JOIN rep r ON f.doc_id = r.doc_id
 JOIN ngbest ng ON f.doc_id = ng.doc_id
+LEFT JOIN lmdoc lm ON f.doc_id = lm.doc_id
 """
 
 
