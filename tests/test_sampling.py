@@ -125,3 +125,87 @@ def test_write_shards_roundtrip(spark, documents, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_sample_rates_and_epochs(spark):
+    from pyspark.sql import functions as F
+
+    from tikv_data_compare_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "web", f"web doc {i}") for i in range(400)]
+        + [(1000 + i, "wiki", f"wiki doc {i}") for i in range(40)]
+        + [(2000 + i, "books", f"book doc {i}") for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    out = mixture_sample(
+        docs, {"web": 2500, "wiki": (10000, 3)}, group_col="source"
+    ).cache()
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert "books" not in by_src  # unlisted source dropped
+    assert by_src["wiki"] == 40 * 3  # full keep x3 epochs
+    assert 0 < by_src["web"] < 400  # ~25% kept, hash-thresholded
+    assert out.filter((F.col("source") == "web") & (F.col("epoch") != 0)).count() == 0
+    wiki_epochs = {
+        r["epoch"] for r in out.filter(F.col("source") == "wiki").collect()
+    }
+    assert wiki_epochs == {0, 1, 2}
+    # replay-safe: identical on rerun
+    again = mixture_sample(docs, {"web": 2500, "wiki": (10000, 3)}, group_col="source")
+    key = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["epoch"], r["mix_bucket"]) for r in df.collect()
+    )
+    assert key(out) == key(again)
+
+
+def test_mixture_sample_validation(spark):
+    import pytest as _pytest
+
+    from tikv_data_compare_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(1, "web", "t")], "doc_id long, source string, text string"
+    )
+    with _pytest.raises(ValueError, match="rate"):
+        mixture_sample(docs, {"web": 10001}, group_col="source")
+    with _pytest.raises(ValueError, match="epochs"):
+        mixture_sample(docs, {"web": (100, 0)}, group_col="source")
+    with _pytest.raises(ValueError, match="at least one"):
+        mixture_sample(docs, {}, group_col="source")
+    with _pytest.raises(ValueError, match="strings"):
+        mixture_sample(docs, {7: 100}, group_col="source")
+
+
+def test_sqrt_mixture_flattens_toward_smallest(spark):
+    """Rates follow min(1, sqrt(n_min/n_g)): the 4x source keeps ~half, the
+    16x source ~quarter, the smallest keeps all (and doubles when
+    epochs_for_full=2)."""
+    from pyspark.sql import functions as F
+
+    from tikv_data_compare_spark.operators.sampling import sqrt_mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "small", f"s{i}") for i in range(50)]
+        + [(1000 + i, "mid", f"m{i}") for i in range(200)]
+        + [(10000 + i, "big", f"b{i}") for i in range(800)],
+        "doc_id long, source string, text string",
+    )
+    out = sqrt_mixture_sample(docs, group_col="source", epochs_for_full=2).cache()
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src["small"] == 100  # full rate x2 epochs
+    # mid keeps ~ sqrt(50/200) = 50%, big ~ sqrt(50/800) = 25% (hash noise)
+    assert 0.3 * 200 < by_src["mid"] < 0.7 * 200
+    assert 0.12 * 800 < by_src["big"] < 0.38 * 800
+    # buckets actually enforce the derived rate: every kept bucket < rate
+    assert out.filter(F.col("mix_bucket") >= 10000).count() == 0

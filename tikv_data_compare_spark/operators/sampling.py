@@ -178,3 +178,133 @@ def write_shards(
     # report those as explicit zeros so a reader iterating shard=0..n-1
     # can distinguish 'empty' from 'out of range' (r8 review)
     return {i: written.get(i, 0) for i in range(n_shards)}
+
+
+def _apply_mixture(
+    df: DataFrame,
+    rates: DataFrame,
+    group_col: str,
+    content_col: str,
+    bucket_col: str,
+    epoch_col: str,
+) -> DataFrame:
+    """Shared mixture core: join per-group ``(_rate_bp, _epochs)``, keep
+    rows whose content-hash bucket (per-10000) falls under the group's
+    rate, replicate kept rows ``_epochs`` times with an epoch index.
+    ``rates`` is tiny (one row per group) — the join broadcasts."""
+    if bucket_col in df.columns or epoch_col in df.columns:
+        raise ValueError(
+            f"output column {bucket_col!r}/{epoch_col!r} already exists on the input"
+        )
+    bucket = F.expr(f"(({sqlgen.hexfold_i64(_STAGE)} % 10000) + 10000) % 10000")
+    return (
+        _with_hash(df, content_col, bucket_col)
+        .withColumn(bucket_col, bucket.cast("long"))
+        .join(F.broadcast(rates), group_col)
+        .filter(F.col(bucket_col) < F.col("_rate_bp"))
+        .withColumn(epoch_col, F.explode(F.expr("sequence(0, CAST(_epochs AS INT) - 1)")))
+        .withColumn(epoch_col, F.col(epoch_col).cast("long"))
+        .drop(_STAGE, "_rate_bp", "_epochs")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: "dict[object, int | tuple[int, int]]",
+    group_col: str = "source",
+    content_col: str = "text",
+    bucket_col: str = "mix_bucket",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic source-mixture sampling — the data-mixing stage of a
+    pretraining pipeline (The Pile / LLaMA / Dolma publish exactly such
+    tables: per-source sampling percentages and epoch counts).
+
+    ``weights`` maps each ``group_col`` value to a keep-rate in basis
+    points of 10000 (downsampling), or to ``(rate_bp, epochs)`` where
+    ``epochs >= 1`` replicates every KEPT row that many times with an
+    ``epoch`` index (upsampling — how 'wiki ×3 epochs' is materialized;
+    the epoch column lets the training-shard writer keep replicas apart).
+    Groups absent from ``weights`` are DROPPED — the mixture spec is the
+    complete recipe, and silently passing an unlisted source through would
+    corrupt the published proportions.
+
+    Selection is keyed on the content hash (same replay-safe contract as
+    ``hash_sample``; per-10000 buckets for finer rates), so the mixture is
+    a pure function of the data: identical on re-run, on any cluster, and
+    in the SQL oracle.  Scale shape: map-side hash + a broadcast join
+    against the one-row-per-source rate table + the epoch explode — no
+    shuffle at all.
+    """
+    rows = []
+    for g, spec in weights.items():
+        if not isinstance(g, str):
+            raise ValueError(
+                f"weights keys must be strings matching {group_col!r} values, "
+                f"got {g!r} — cast the group column (or the keys) first"
+            )
+        rate, epochs = spec if isinstance(spec, tuple) else (spec, 1)
+        if not 0 <= int(rate) <= 10000:
+            raise ValueError(f"rate for {g!r} must be in [0, 10000], got {rate}")
+        if int(epochs) < 1:
+            raise ValueError(f"epochs for {g!r} must be >= 1, got {epochs}")
+        rows.append((g, int(rate), int(epochs)))
+    if not rows:
+        raise ValueError("weights must list at least one group")
+    rates = df.sparkSession.createDataFrame(
+        rows, f"{group_col} string, _rate_bp long, _epochs long"
+    )
+    return _apply_mixture(df, rates, group_col, content_col, bucket_col, epoch_col)
+
+
+def sqrt_mixture_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    content_col: str = "text",
+    epochs_for_full: int = 1,
+    bucket_col: str = "mix_bucket",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Temperature-flattened mixture at τ = 1/2, rates derived IN-PLAN from
+    the group sizes: each group keeps ``min(1, sqrt(n_min / n_g))`` of its
+    rows, so the LARGEST sources are damped toward the smallest one —
+    multilingual/multi-source rebalancing (the τ-temperature resampling of
+    mC4/mT5, at the one τ whose math is engine-exact).
+
+    τ = 1/2 specifically because the whole rate computation then stays
+    IEEE-deterministic: ``sqrt`` is correctly rounded (unlike ``pow``,
+    whose libm results differ across engines in the last ulp), the
+    division of two exact doubles is correctly rounded, and ``FLOOR`` of
+    that quotient cannot sit on a half-way case — so the derived integer
+    rates are reproducible bit-for-bit by the DuckDB oracle.  For
+    arbitrary τ compute rates driver-side and pass them to
+    :func:`mixture_sample` (the integer rate table is then the
+    deterministic artifact).
+
+    ``epochs_for_full`` optionally replicates the groups kept at the full
+    rate (the smallest sources — exactly the ones a mixture upsamples).
+    Scale shape: one tiny count aggregation + broadcast min, then the
+    same zero-shuffle mixture core as :func:`mixture_sample`.
+    """
+    if int(epochs_for_full) < 1:
+        raise ValueError(f"epochs_for_full must be >= 1, got {epochs_for_full}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = (
+        counts.crossJoin(F.broadcast(nmin))
+        .withColumn(
+            "_rate_bp",
+            F.least(
+                F.lit(10000).cast("long"),
+                F.floor(F.lit(10000) * F.sqrt(F.col("_nmin")) / F.sqrt(F.col("_n"))),
+            ).cast("long"),
+        )
+        .withColumn(
+            "_epochs",
+            F.when(F.col("_rate_bp") == 10000, F.lit(int(epochs_for_full)))
+            .otherwise(F.lit(1))
+            .cast("long"),
+        )
+        .select(group_col, "_rate_bp", "_epochs")
+    )
+    return _apply_mixture(df, rates, group_col, content_col, bucket_col, epoch_col)

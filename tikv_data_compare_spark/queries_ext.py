@@ -1240,11 +1240,20 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``shard_assignments``: content-hash mod 8 shards, intra-shard
       position in content-hash order with doc_id tiebreak — reproducible
       shard membership AND order on any cluster); metric packs both as
-      shard·100000 + position, so a drift in EITHER hash-mismatches."""
+      shard·100000 + position, so a drift in EITHER hash-mismatches;
+    - ``mixture`` (since r9): τ=1/2 temperature mixture over the language
+      groups (``sqrt_mixture_sample``): per-group keep-rates
+      min(1, √(n_min/n_g)) derived IN-PLAN from the group sizes (sqrt and
+      one double division are IEEE-exact, so the integer rates replay in
+      SQL), content-hash per-10000 bucket selection, smallest (full-rate)
+      groups replicated ×2 with an epoch index; metric packs
+      epoch·100000 + bucket, so rates, selection AND epoch replication all
+      hash-gate together."""
     tune(spark)
     from tikv_data_compare_spark.operators.sampling import (
         hash_sample,
         shard_assignments,
+        sqrt_mixture_sample,
         stratified_sample,
     )
 
@@ -1261,7 +1270,11 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("shard").alias("method"), "doc_id", "lang",
         (F.col("shard") * 100000 + F.col("shard_pos")).cast("long").alias("metric"),
     )
-    return h.unionByName(s).unionByName(sh)
+    mx = sqrt_mixture_sample(docs, group_col="lang", epochs_for_full=2).select(
+        F.lit("mixture").alias("method"), "doc_id", "lang",
+        (F.col("epoch") * 100000 + F.col("mix_bucket")).cast("long").alias("metric"),
+    )
+    return h.unionByName(s).unionByName(sh).unionByName(mx)
 
 
 ORACLE_SAMPLING = f"""
@@ -1287,6 +1300,25 @@ FROM (
     FROM (SELECT doc_id, lang, {sqlgen.hexfold_i64('_m')} AS h
           FROM (SELECT doc_id, lang, md5(coalesce(text, '')) AS _m FROM documents))
   )
+)
+UNION ALL
+-- τ=1/2 temperature mixture (r9): in-plan sqrt rates, per-10000 bucket
+-- selection, ×2 epochs for full-rate groups — sampling.sqrt_mixture_sample
+SELECT 'mixture', doc_id, lang, CAST(epoch * 100000 + bucket AS BIGINT)
+FROM (
+  SELECT k.doc_id, k.lang, k.bucket,
+         unnest(range(0, CASE WHEN k.rate_bp = 10000 THEN 2 ELSE 1 END)) AS epoch
+  FROM (
+    SELECT r.doc_id, r.lang, r.bucket, t.rate_bp
+    FROM (SELECT doc_id, lang, (({sqlgen.hexfold_i64('_m')} % 10000) + 10000) % 10000 AS bucket
+          FROM (SELECT doc_id, lang, md5(coalesce(text, '')) AS _m FROM documents)) r
+    JOIN (SELECT lang, CAST(LEAST(10000, FLOOR(10000 * sqrt(nmin) / sqrt(n))) AS BIGINT) AS rate_bp
+          FROM (SELECT lang, count(*) AS n FROM documents GROUP BY 1)
+          CROSS JOIN (SELECT min(n) AS nmin
+                      FROM (SELECT count(*) AS n FROM documents GROUP BY lang))) t
+      ON t.lang = r.lang
+    WHERE r.bucket < t.rate_bp
+  ) k
 )
 """
 
