@@ -601,3 +601,80 @@ def test_cli_diff_tolerance(capsys, spark, two_tables, tmp_path):
     assert all(r["status"] == "changed" for r in out)
     assert cli.main(["diff", "--src", src, "--dst", rel_jit, "--keys", keys,
                      "--tolerance", "l_quantity=1e-9:bogus"]) == 2
+
+
+def test_cli_dedup_batch_and_index_flow(capsys, spark, tmp_path):
+    """dedup subcommand: batch self-pairs, then build -> query -> verify ->
+    append over the persistent index, matching the library results."""
+    from pyspark.sql import functions as F
+
+    from tikv_data_compare_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        corpus.orderBy("doc_id").limit(1).withColumn("doc_id", F.lit(900001))
+    )
+    corpus_pq, batch_pq = str(tmp_path / "corpus.pq"), str(tmp_path / "batch.pq")
+    corpus.write.parquet(corpus_pq)
+    batch.write.parquet(batch_pq)
+
+    # batch self-join pairs == library jaccard_pairs count
+    rc = cli.main(["dedup", "--src", corpus_pq])
+    assert rc == 0
+    n_self = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["pairs"]
+    assert n_self == dd.jaccard_pairs(corpus, "doc_id", "text").count()
+
+    idx = str(tmp_path / "idx")
+    rc = cli.main(["dedup", "--src", corpus_pq, "--build-index", idx])
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_docs"] == corpus.count()
+
+    out_pq = str(tmp_path / "pairs.pq")
+    rc = cli.main(["dedup", "--src", batch_pq, "--index", idx,
+                   "--corpus", corpus_pq, "--out", out_pq])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["pairs"] >= 1
+    rows = spark.read.parquet(out_pq).collect()
+    planted = [r for r in rows if r["new_id"] == 900001]
+    assert planted and planted[0]["jaccard_c"] == 10000
+
+    rc = cli.main(["dedup", "--src", batch_pq, "--append-index", idx])
+    assert rc == 0
+    appended = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert appended["appended"] == batch.count()
+
+
+def test_cli_sample_methods(capsys, spark, tmp_path):
+    """sample subcommand: every method runs; mixture parses the weights
+    spec (rates + epochs) and rejects malformed specs cleanly."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    src = str(tmp_path / "docs.pq")
+    docs.write.parquet(src)
+
+    for extra in (
+        ["--method", "hash", "--pct", "30"],
+        ["--method", "stratified", "--group-col", "lang", "--k", "5"],
+        ["--method", "shard", "--n-shards", "4"],
+        ["--method", "sqrt-mixture", "--group-col", "lang", "--epochs-for-full", "2"],
+    ):
+        rc = cli.main(["sample", "--src", src] + extra)
+        assert rc == 0, extra
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["rows"] > 0
+
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    spec = f"{langs[0]}=10000x2,{langs[1]}=5000" if len(langs) > 1 else f"{langs[0]}=10000x2"
+    out_pq = str(tmp_path / "mix.pq")
+    rc = cli.main(["sample", "--src", src, "--method", "mixture",
+                   "--group-col", "lang", "--weights", spec, "--out", out_pq])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == spark.read.parquet(out_pq).count() > 0
+
+    rc = cli.main(["sample", "--src", src, "--method", "mixture",
+                   "--group-col", "lang", "--weights", "bad spec"])
+    assert rc == 2
+    assert "weights" in capsys.readouterr().err

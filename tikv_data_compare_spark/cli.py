@@ -213,6 +213,54 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--key", required=True)
         p.add_argument("--format", default="hex", choices=["raw", "hex", "escaped"], dest="key_format")
 
+    # near-dup detection over a documents parquet: the batch self-join by
+    # default, or the PERSISTENT band-table index for incremental ingest
+    # (--build-index / --append-index / --index, mirroring the ann flags)
+    p = sub.add_parser("dedup")
+    p.add_argument("--src", required=True, help="documents parquet (dir or file)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--dedup-algo", default="md5i64", choices=["md5i64", "xxhash64"],
+                   help="shingle-hash algorithm (index queries/appends read it "
+                        "from the index meta instead)")
+    p.add_argument("--build-index", default="",
+                   help="persist --src's LSH band table to this dir (4 rows × "
+                        "~32 B per doc) for later incremental queries")
+    p.add_argument("--append-index", default="",
+                   help="append --src's band keys to this index so later "
+                        "batches dedup against them")
+    p.add_argument("--index", default="",
+                   help="query --src as a NEW batch against this index: "
+                        "candidate (new_id, indexed_id) pairs")
+    p.add_argument("--corpus", default="",
+                   help="with --index: the indexed docs parquet — adds the "
+                        "exact-Jaccard verify column to the cross pairs")
+    p.add_argument("--out", default="", help="write result parquet here")
+    p.add_argument("--concurrency", type=int, default=0)
+
+    # deterministic corpus sampling: hash Bernoulli / stratified quota /
+    # training shards / source-mixture (explicit rates or sqrt-temperature)
+    p = sub.add_parser("sample")
+    p.add_argument("--src", required=True, help="documents parquet (dir or file)")
+    p.add_argument("--method", default="hash",
+                   choices=["hash", "stratified", "shard", "mixture", "sqrt-mixture"])
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--pct", type=int, default=10, help="hash: keep percentage")
+    p.add_argument("--k", type=int, default=20, help="stratified: rows per group")
+    p.add_argument("--group-col", default="source",
+                   help="stratified/mixture/sqrt-mixture group column")
+    p.add_argument("--n-shards", type=int, default=8, help="shard: shard count")
+    p.add_argument("--weights", default="",
+                   help="mixture spec GROUP=RATE_BP[xEPOCHS],... e.g. "
+                        "web=2500,wiki=10000x3 (rates per 10000; unlisted "
+                        "groups DROP)")
+    p.add_argument("--epochs-for-full", type=int, default=1,
+                   help="sqrt-mixture: replicate full-rate (smallest) groups "
+                        "this many times with an epoch index")
+    p.add_argument("--out", default="", help="write result parquet here")
+    p.add_argument("--concurrency", type=int, default=0)
+
     # the LLM-pipeline capstone as a first-class subcommand: run the full
     # curation chain (exact dedup → near-dup → quality → repetition →
     # optional PII / decontamination) over a documents parquet and write
@@ -316,6 +364,121 @@ def main(argv: list[str] | None = None) -> int:
         # (the reference's --concurrency sizes its range worker pool the
         # same way, config/config.go:36)
         spark.conf.set("spark.sql.shuffle.partitions", str(args.concurrency))
+
+    if args.cmd == "dedup":
+        from pyspark.sql import functions as F
+
+        from tikv_data_compare_spark.operators import dedup as dd
+        from tikv_data_compare_spark.operators import dedup_index as di
+
+        docs = spark.read.parquet(args.src)
+        try:
+            if args.build_index:
+                meta = di.build_dedup_index(
+                    docs, args.build_index, id_col=args.id_col,
+                    text_col=args.text_col, algo=args.dedup_algo,
+                )
+                print(json.dumps({"built": args.build_index, **meta}))
+                return 0
+            if args.append_index:
+                n = di.append_to_dedup_index(
+                    docs, args.append_index, id_col=args.id_col,
+                    text_col=args.text_col,
+                )
+                print(json.dumps({"appended": n, "index": args.append_index}))
+                return 0
+            if args.index:
+                out_df = di.query_dedup_index(
+                    docs, args.index, id_col=args.id_col, text_col=args.text_col
+                )
+                if args.corpus:
+                    # exact-Jaccard verify needs both sides' text; an id
+                    # shared between --src and --corpus must refer to the
+                    # same document (dropDuplicates keeps one copy)
+                    corpus = spark.read.parquet(args.corpus)
+                    both = (
+                        corpus.select(args.id_col, args.text_col)
+                        .unionByName(docs.select(args.id_col, args.text_col))
+                        .dropDuplicates([args.id_col])
+                    )
+                    pairs = out_df.select(
+                        F.col("new_id").alias("doc_a"),
+                        F.col("indexed_id").alias("doc_b"),
+                    )
+                    out_df = dd.jaccard_for_pairs(
+                        pairs, both, args.id_col, args.text_col
+                    ).select(
+                        F.col("doc_a").alias("new_id"),
+                        F.col("doc_b").alias("indexed_id"),
+                        "jaccard_c",
+                    )
+            else:
+                out_df = dd.jaccard_pairs(
+                    docs, args.id_col, args.text_col, algo=args.dedup_algo
+                )
+            result = {"pairs": out_df.count()}
+            if args.out:
+                out_df.write.mode("overwrite").parquet(args.out)
+                result["out"] = args.out
+            print(json.dumps(result))
+            return 0
+        except ValueError as e:
+            print(f"dedup: {e}", file=sys.stderr)
+            return 2
+
+    if args.cmd == "sample":
+        from tikv_data_compare_spark.operators import sampling as sp
+
+        docs = spark.read.parquet(args.src)
+        try:
+            if args.method == "hash":
+                out_df = sp.hash_sample(docs, args.text_col, pct=args.pct)
+            elif args.method == "stratified":
+                out_df = sp.stratified_sample(
+                    docs, [args.group_col], k=args.k, content_col=args.text_col,
+                    tiebreak_cols=[args.id_col],
+                )
+            elif args.method == "shard":
+                out_df = sp.shard_assignments(
+                    docs, args.n_shards, content_col=args.text_col,
+                    tiebreak_cols=[args.id_col],
+                )
+            elif args.method == "mixture":
+                weights: dict = {}
+                for spec in filter(None, args.weights.split(",")):
+                    g, sep, rate = spec.partition("=")
+                    if not sep or not g:
+                        raise ValueError(
+                            f"--weights entry {spec!r} is not GROUP=RATE_BP[xEPOCHS]"
+                        )
+                    rate_s, xsep, ep = rate.partition("x")
+                    try:
+                        weights[g] = (
+                            (int(rate_s), int(ep)) if xsep else int(rate_s)
+                        )
+                    except ValueError:
+                        raise ValueError(
+                            f"--weights entry {spec!r} has a non-integer "
+                            "rate/epochs"
+                        ) from None
+                out_df = sp.mixture_sample(
+                    docs, weights, group_col=args.group_col,
+                    content_col=args.text_col,
+                )
+            else:  # sqrt-mixture
+                out_df = sp.sqrt_mixture_sample(
+                    docs, group_col=args.group_col, content_col=args.text_col,
+                    epochs_for_full=args.epochs_for_full,
+                )
+            result = {"method": args.method, "rows": out_df.count()}
+            if args.out:
+                out_df.write.mode("overwrite").parquet(args.out)
+                result["out"] = args.out
+            print(json.dumps(result))
+            return 0
+        except ValueError as e:
+            print(f"sample: {e}", file=sys.stderr)
+            return 2
 
     if args.cmd == "curate":
         from tikv_data_compare_spark.operators.curate import curate
