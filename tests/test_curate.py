@@ -173,3 +173,75 @@ def test_curate_language_gate_validation_and_unknown_docs(spark):
         assert "language" in stages
     finally:
         kept.unpersist()
+
+
+def test_curate_fluency_gate(spark):
+    """max_lm_nll_c appends a 'fluency' stage: shuffled-word docs score
+    above the cap and drop; the repeated fluent docs survive; the funnel
+    reconciles."""
+    from pyspark.sql import functions as F
+
+    from tikv_data_compare_spark.operators.curate import curate
+    from tikv_data_compare_spark.operators.text import ngram_lm_score
+
+    en = ("the and is of to in it for on with this that was are "
+          "be have from or had").split()
+    fluent = " ".join(en)
+    # shuffled = same vocabulary, never-seen bigram orders
+    shuffled = " ".join(en[::2] + en[1::2][::-1])
+    rows = [(i, fluent + f" doc{i} filler") for i in range(10)]
+    rows += [(100, shuffled + " doc100 filler")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r["doc_id"]: r["lm_nll_c"] for r in ngram_lm_score(docs).collect()}
+    cap = (max(scores[i] for i in range(10)) + scores[100]) // 2
+    kept, attrition = curate(
+        docs, near_dup_jaccard_c=10001, max_lm_nll_c=int(cap),
+        max_dup_word_frac_c=10000, max_top_bigram_frac_c=10000,
+    )
+    try:
+        stages = {r["stage"]: (r["n_in"], r["n_out"]) for r in attrition.collect()}
+        assert "fluency" in stages and stages["fluency"] == (11, 10)
+        kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert kept_ids == set(range(10))
+        for r in attrition.collect():
+            assert r["n_in"] - r["n_dropped"] == r["n_out"]
+    finally:
+        kept.unpersist()
+
+    with __import__("pytest").raises(ValueError, match="max_lm_nll_c"):
+        curate(docs, max_lm_nll_c=0)
+
+
+def test_curate_fluency_gate_external_train(spark):
+    """lm_train scores against a clean reference model: docs fluent under
+    the reference survive, out-of-distribution docs drop — and unscoreable
+    (<2-word) docs drop at the fluency stage, not silently pass."""
+    from tikv_data_compare_spark.operators.curate import curate
+    from tikv_data_compare_spark.operators.text import ngram_lm_score
+
+    # stopword-rich so the docs clear the quality gate and actually REACH
+    # the fluency stage
+    base = ("the and is of to in it for on with alpha beta gamma delta "
+            "epsilon zeta eta theta iota kappa")
+    ref = spark.createDataFrame(
+        [(1000 + i, base) for i in range(10)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, base + " one"), (2, base + " two"),
+         (3, "the and is of to in it for on with zz qq ww rr tt yy uu ii oo pp")],
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r["lm_nll_c"]
+        for r in ngram_lm_score(docs, train=ref).collect()
+    }
+    cap = (max(scores[1], scores[2]) + scores[3]) // 2
+    kept, attrition = curate(
+        docs, near_dup_jaccard_c=10001, max_lm_nll_c=int(cap), lm_train=ref,
+        max_dup_word_frac_c=10000, max_top_bigram_frac_c=10000,
+    )
+    try:
+        kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert kept_ids == {1, 2}
+    finally:
+        kept.unpersist()

@@ -280,6 +280,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated language codes: appends a 'language' "
                         "stage keeping only docs whose stopword-overlap "
                         "prediction is listed (unpredictable docs drop)")
+    p.add_argument("--max-lm-nll-c", type=int, default=0,
+                   help="if > 0, appends a 'fluency' stage (CCNet-style "
+                        "perplexity gate): docs whose mean bigram-LM cost "
+                        "(x1e6) exceeds the cap drop; unscoreable docs drop")
+    p.add_argument("--lm-train", default="",
+                   help="with --max-lm-nll-c: train the bigram LM on this "
+                        "clean reference parquet instead of --src itself")
     p.add_argument("--algo", default="xxhash64", choices=["xxhash64", "md5i64"],
                    help="near-dup shingle hash (xxhash64 = throughput default)")
     p.add_argument("--concurrency", type=int, default=0)
@@ -497,6 +504,8 @@ def main(argv: list[str] | None = None) -> int:
                 probes=probes,
                 max_contamination_hits=args.max_contamination_hits,
                 keep_langs=args.keep_langs.split(",") if args.keep_langs else None,
+                max_lm_nll_c=args.max_lm_nll_c if args.max_lm_nll_c > 0 else None,
+                lm_train=spark.read.parquet(args.lm_train) if args.lm_train else None,
                 algo=args.algo,
             )
         except ValueError as e:

@@ -57,6 +57,8 @@ def curate(
     probes: DataFrame | None = None,
     max_contamination_hits: int = 0,
     keep_langs: list[str] | None = None,
+    max_lm_nll_c: int | None = None,
+    lm_train: DataFrame | None = None,
     algo: str = "md5i64",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation chain; see module docstring.
@@ -72,6 +74,13 @@ def curate(
     the list survive; a doc with no prediction (NULL/empty text) DROPS —
     an unconfirmable language is not a confirmed one, matching the
     core-gate convention rather than the pii/decontamination default-keep.
+    ``max_lm_nll_c`` (optional) appends a ``fluency`` stage — the
+    CCNet-style perplexity gate: docs whose mean bigram cost
+    (``text.ngram_lm_score``, scaled ×1e6) exceeds the cap drop, as do
+    unscoreable docs (< 2 words — same unconfirmable-drops convention);
+    ``lm_train`` optionally trains the LM on a CLEAN reference corpus
+    instead of the scored input (the CCNet setup: score web text with a
+    Wikipedia-trained model).
 
     The returned kept-docs DataFrame is **persisted** (its stage count
     already materialized it; unpersisting would make the caller's first
@@ -189,6 +198,23 @@ def curate(
         )
         stage_cols.append("s_lang")
         stage_names.append("language")
+    if max_lm_nll_c is not None:
+        if int(max_lm_nll_c) <= 0:
+            raise ValueError(
+                f"max_lm_nll_c must be a positive scaled cost, got {max_lm_nll_c}"
+            )
+        lm_ok = tx.ngram_lm_score(docs, id_col, text_col, train=lm_train).select(
+            id_col,
+            (
+                F.col("lm_nll_c").isNotNull()
+                & (F.col("lm_nll_c") <= int(max_lm_nll_c))
+            ).alias("_lm_ok"),
+        )
+        flags = flags.join(lm_ok, id_col, "left").withColumn(
+            "s_lm", F.col(stage_cols[-1]) & F.coalesce(F.col("_lm_ok"), F.lit(False))
+        )
+        stage_cols.append("s_lm")
+        stage_names.append("fluency")
 
     flags = flags.select(id_col, *stage_cols).persist()
     t0 = time.time()
