@@ -678,3 +678,72 @@ def test_cli_sample_methods(capsys, spark, tmp_path):
                    "--group-col", "lang", "--weights", "bad spec"])
     assert rc == 2
     assert "weights" in capsys.readouterr().err
+
+
+def test_cli_dedup_flag_conflicts_and_unverifiable_pairs(capsys, spark, tmp_path):
+    """r9 review: dedup mode flags are mutually exclusive; --out with
+    --build-index errors instead of silently skipping the write; --corpus
+    missing an appended indexed doc leaves the pair with NULL jaccard_c
+    rather than dropping it."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    a_pq, b_pq = str(tmp_path / "a.pq"), str(tmp_path / "b.pq")
+    a.write.parquet(a_pq)
+    b.write.parquet(b_pq)
+    idx = str(tmp_path / "idx")
+
+    rc = cli.main(["dedup", "--src", a_pq, "--build-index", idx, "--index", idx])
+    assert rc == 2 and "mutually exclusive" in capsys.readouterr().err
+    rc = cli.main(["dedup", "--src", a_pq, "--build-index", idx, "--out", str(tmp_path / "o")])
+    assert rc == 2 and "--out" in capsys.readouterr().err
+    rc = cli.main(["dedup", "--src", a_pq, "--corpus", b_pq])
+    assert rc == 2 and "--corpus requires --index" in capsys.readouterr().err
+
+    assert cli.main(["dedup", "--src", a_pq, "--build-index", idx]) == 0
+    assert cli.main(["dedup", "--src", b_pq, "--append-index", idx]) == 0
+    capsys.readouterr()
+    # batch c duplicates one doc from a (verifiable via --corpus a) and one
+    # from b (appended; NOT in --corpus -> NULL jaccard, pair still present)
+    c = (
+        a.orderBy("doc_id").limit(1).withColumn("doc_id", F.lit(700001))
+        .unionByName(b.orderBy("doc_id").limit(1).withColumn("doc_id", F.lit(700002)))
+    )
+    c_pq = str(tmp_path / "c.pq")
+    c.write.parquet(c_pq)
+    out_pq = str(tmp_path / "pairs.pq")
+    rc = cli.main(["dedup", "--src", c_pq, "--index", idx,
+                   "--corpus", a_pq, "--out", out_pq])
+    assert rc == 0
+    capsys.readouterr()
+    rows = spark.read.parquet(out_pq).collect()
+    a_first = a.select(F.min("doc_id")).collect()[0][0]
+    b_first = b.select(F.min("doc_id")).collect()[0][0]
+    verified = [r for r in rows if r["new_id"] == 700001 and r["indexed_id"] == a_first]
+    unverifiable = [r for r in rows if r["new_id"] == 700002 and r["indexed_id"] == b_first]
+    assert verified and verified[0]["jaccard_c"] == 10000
+    assert unverifiable and unverifiable[0]["jaccard_c"] is None
+
+
+def test_cli_sample_weights_whitespace_and_curate_lm_flags(capsys, spark, tmp_path):
+    """r9 review: comma-space weights specs keep the group; --lm-train
+    without a cap and a negative cap both error cleanly."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    src = str(tmp_path / "docs.pq")
+    docs.write.parquet(src)
+    langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+    assert len(langs) >= 2
+    spec = f"{langs[0]}=10000, {langs[1]}=10000"  # note the space
+    rc = cli.main(["sample", "--src", src, "--method", "mixture",
+                   "--group-col", "lang", "--weights", spec])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    both = docs.filter(docs.lang.isin(langs[:2])).count()
+    assert res["rows"] == both  # full rate on both groups, space stripped
+
+    rc = cli.main(["curate", "--src", src, "--lm-train", src])
+    assert rc == 2 and "--max-lm-nll-c" in capsys.readouterr().err
+    rc = cli.main(["curate", "--src", src, "--max-lm-nll-c", "-5"])
+    assert rc == 2 and "max_lm_nll_c" in capsys.readouterr().err

@@ -209,3 +209,38 @@ def test_sqrt_mixture_flattens_toward_smallest(spark):
     assert 0.12 * 800 < by_src["big"] < 0.38 * 800
     # buckets actually enforce the derived rate: every kept bucket < rate
     assert out.filter(F.col("mix_bucket") >= 10000).count() == 0
+
+
+def test_mixture_sample_rejects_float_rates(spark):
+    """A float rate (0.25 misread as a fraction) must error, not truncate
+    to 0 and silently drop the group (r9 review)."""
+    import pytest as _pytest
+
+    from tikv_data_compare_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(1, "web", "t")], "doc_id long, source string, text string"
+    )
+    with _pytest.raises(ValueError, match="basis points"):
+        mixture_sample(docs, {"web": 0.25}, group_col="source")
+    with _pytest.raises(ValueError, match="integer"):
+        mixture_sample(docs, {"web": (2500, 1.5)}, group_col="source")
+
+
+def test_sqrt_mixture_ignores_null_group(spark):
+    """NULL-group rows never join a rate, so they must not set n_min either
+    — a 2-row NULL group would otherwise crush every real rate (r9
+    review)."""
+    from pyspark.sql import functions as F
+
+    from tikv_data_compare_spark.operators.sampling import sqrt_mixture_sample
+
+    base = [(i, "web", f"w{i}") for i in range(100)]
+    docs = spark.createDataFrame(
+        base + [(900, None, "x"), (901, None, "y")],
+        "doc_id long, source string, text string",
+    )
+    out = sqrt_mixture_sample(docs, group_col="source").cache()
+    # web is the only (and smallest) real group -> full rate, all kept
+    assert out.filter(F.col("source") == "web").count() == 100
+    assert out.filter(F.col("source").isNull()).count() == 0

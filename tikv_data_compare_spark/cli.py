@@ -378,6 +378,24 @@ def main(argv: list[str] | None = None) -> int:
         from tikv_data_compare_spark.operators import dedup as dd
         from tikv_data_compare_spark.operators import dedup_index as di
 
+        modes = [
+            f for f, v in (("--build-index", args.build_index),
+                           ("--append-index", args.append_index),
+                           ("--index", args.index)) if v
+        ]
+        if len(modes) > 1:
+            print(f"dedup: {' and '.join(modes)} are mutually exclusive",
+                  file=sys.stderr)
+            return 2
+        if (args.build_index or args.append_index) and (args.out or args.corpus):
+            # returning 0 while silently skipping a requested --out would
+            # leave downstream tooling reading a stale/absent file
+            print("dedup: --out/--corpus only apply to --index queries or the "
+                  "batch self-join", file=sys.stderr)
+            return 2
+        if args.corpus and not args.index:
+            print("dedup: --corpus requires --index", file=sys.stderr)
+            return 2
         docs = spark.read.parquet(args.src)
         try:
             if args.build_index:
@@ -401,7 +419,11 @@ def main(argv: list[str] | None = None) -> int:
                 if args.corpus:
                     # exact-Jaccard verify needs both sides' text; an id
                     # shared between --src and --corpus must refer to the
-                    # same document (dropDuplicates keeps one copy)
+                    # same document (dropDuplicates keeps one copy).  Pairs
+                    # whose indexed doc is NOT in --corpus (e.g. appended
+                    # batches) keep a NULL jaccard_c instead of silently
+                    # vanishing from the candidate list — a LEFT join back
+                    # onto the full pair set, not the verify's inner joins.
                     corpus = spark.read.parquet(args.corpus)
                     both = (
                         corpus.select(args.id_col, args.text_col)
@@ -412,12 +434,14 @@ def main(argv: list[str] | None = None) -> int:
                         F.col("new_id").alias("doc_a"),
                         F.col("indexed_id").alias("doc_b"),
                     )
-                    out_df = dd.jaccard_for_pairs(
-                        pairs, both, args.id_col, args.text_col
-                    ).select(
-                        F.col("doc_a").alias("new_id"),
-                        F.col("doc_b").alias("indexed_id"),
-                        "jaccard_c",
+                    ver = dd.jaccard_for_pairs(pairs, both, args.id_col, args.text_col)
+                    out_df = (
+                        pairs.join(ver, ["doc_a", "doc_b"], "left")
+                        .select(
+                            F.col("doc_a").alias("new_id"),
+                            F.col("doc_b").alias("indexed_id"),
+                            "jaccard_c",
+                        )
                     )
             else:
                 out_df = dd.jaccard_pairs(
@@ -452,8 +476,11 @@ def main(argv: list[str] | None = None) -> int:
                 )
             elif args.method == "mixture":
                 weights: dict = {}
-                for spec in filter(None, args.weights.split(",")):
+                for spec in filter(None, (s.strip() for s in args.weights.split(","))):
                     g, sep, rate = spec.partition("=")
+                    # strip: 'web=2500, wiki=...' must not register ' wiki',
+                    # which would never match a source and silently drop it
+                    g = g.strip()
                     if not sep or not g:
                         raise ValueError(
                             f"--weights entry {spec!r} is not GROUP=RATE_BP[xEPOCHS]"
@@ -461,7 +488,9 @@ def main(argv: list[str] | None = None) -> int:
                     rate_s, xsep, ep = rate.partition("x")
                     try:
                         weights[g] = (
-                            (int(rate_s), int(ep)) if xsep else int(rate_s)
+                            (int(rate_s.strip()), int(ep.strip()))
+                            if xsep
+                            else int(rate_s.strip())
                         )
                     except ValueError:
                         raise ValueError(
@@ -490,6 +519,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "curate":
         from tikv_data_compare_spark.operators.curate import curate
 
+        if args.lm_train and args.max_lm_nll_c <= 0:
+            # exiting 0 without the fluency stage would let the user believe
+            # their clean-reference gate ran when it silently didn't
+            print("curate: --lm-train requires --max-lm-nll-c > 0 (the fluency "
+                  "gate is off without a cap)", file=sys.stderr)
+            return 2
         docs = spark.read.parquet(args.src)
         probes = spark.read.parquet(args.probes) if args.probes else None
         try:
@@ -504,7 +539,9 @@ def main(argv: list[str] | None = None) -> int:
                 probes=probes,
                 max_contamination_hits=args.max_contamination_hits,
                 keep_langs=args.keep_langs.split(",") if args.keep_langs else None,
-                max_lm_nll_c=args.max_lm_nll_c if args.max_lm_nll_c > 0 else None,
+                # 0 = off; a NEGATIVE cap passes through so curate()'s own
+                # validation rejects it loudly instead of silently disabling
+                max_lm_nll_c=args.max_lm_nll_c if args.max_lm_nll_c != 0 else None,
                 lm_train=spark.read.parquet(args.lm_train) if args.lm_train else None,
                 algo=args.algo,
             )

@@ -109,14 +109,20 @@ def build_dedup_index(
     table (4 small rows/doc).  No collect anywhere — the index build is
     fully distributed, unlike the ANN index whose quantizer training needs
     a bounded driver sample.
+
+    Both tables go through the write-then-swap seam, so a concurrent
+    reader never sees a half-written directory.  Bands and meta are still
+    TWO commits: a crash between them during an in-place REBUILD leaves
+    new bands under the old meta (e.g. a stale ``algo``), which load-time
+    validation cannot detect — rebuild to a fresh path and switch readers
+    over instead of rebuilding in place (the ann_index/manifest two-commit
+    note, same remedy).
     """
     from tikv_data_compare_spark.queries import MINHASH_P
 
     _check_algo(algo)
     spark = docs.sparkSession
-    band_table(docs, id_col, text_col, algo).write.mode("overwrite").parquet(
-        f"{path}/bands"
-    )
+    swap_commit(band_table(docs, id_col, text_col, algo), f"{path}/bands")
     meta = {
         "version": DEDUP_INDEX_FORMAT_VERSION,
         "algo": algo,

@@ -244,11 +244,21 @@ def mixture_sample(
                 f"got {g!r} — cast the group column (or the keys) first"
             )
         rate, epochs = spec if isinstance(spec, tuple) else (spec, 1)
-        if not 0 <= int(rate) <= 10000:
+        # ints only: a float rate like 0.25 (misread as a fraction instead
+        # of basis points) would int-truncate to 0 and silently drop the
+        # whole group
+        if isinstance(rate, bool) or not isinstance(rate, int):
+            raise ValueError(
+                f"rate for {g!r} must be an integer in basis points of "
+                f"10000 (e.g. 2500 = 25%), got {rate!r}"
+            )
+        if isinstance(epochs, bool) or not isinstance(epochs, int):
+            raise ValueError(f"epochs for {g!r} must be an integer, got {epochs!r}")
+        if not 0 <= rate <= 10000:
             raise ValueError(f"rate for {g!r} must be in [0, 10000], got {rate}")
-        if int(epochs) < 1:
+        if epochs < 1:
             raise ValueError(f"epochs for {g!r} must be >= 1, got {epochs}")
-        rows.append((g, int(rate), int(epochs)))
+        rows.append((g, rate, epochs))
     if not rows:
         raise ValueError("weights must list at least one group")
     rates = df.sparkSession.createDataFrame(
@@ -288,7 +298,14 @@ def sqrt_mixture_sample(
     """
     if int(epochs_for_full) < 1:
         raise ValueError(f"epochs_for_full must be >= 1, got {epochs_for_full}")
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # NULL-group rows can never join a rate (equi-join drops NULL keys), so
+    # they must not contribute a phantom group either — a tiny NULL group
+    # would otherwise set n_min and silently crush every real group's rate
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
     nmin = counts.agg(F.min("_n").alias("_nmin"))
     rates = (
         counts.crossJoin(F.broadcast(nmin))

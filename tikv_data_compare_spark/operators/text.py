@@ -504,13 +504,19 @@ def ngram_lm_score(
     HALF_UP/half-away engines could differ, while FLOOR of an IEEE-exact
     division is engine-stable.
 
-    Scale shape: one explode over the train corpus builds the count tables
-    (bounded by the OBSERVED bigram domain — Zipf-truncated in practice;
-    ``min_count`` prunes the long tail like KenLM's pruning, pruned/unseen
-    bigrams falling back to the smoothing floor), one explode over the
-    scored corpus joins them back (equi-join on the bigram; broadcast when
-    the model is small, AQE skew-join handles the 'the'-prefix hot keys
-    otherwise), then one groupBy(doc) mean.  No UDFs, no collect.
+    Scale shape: the train corpus is tokenized twice — once into bigram
+    pairs for the count tables (bounded by the OBSERVED bigram domain,
+    Zipf-truncated in practice; ``min_count`` prunes the long tail like
+    KenLM's pruning, pruned/unseen bigrams falling back to the smoothing
+    floor) and once for the vocabulary size (V counts ALL words including
+    each doc's last, which the pair frame lacks — dropping that pass would
+    change the smoothing denominator).  Scoring reuses the train pair
+    frame when ``train`` IS the scored corpus (the default), else adds one
+    tokenize pass over ``df``; the model joins back on the bigram
+    (broadcast when small, AQE skew-join handles the 'the'-prefix hot
+    keys), then one groupBy(doc) mean.  No UDFs, no collect.  A pipeline
+    calling this repeatedly should cache the train frame — the count
+    tables re-derive from it per call.
     """
     from tikv_data_compare_spark.session import scale_out
 
@@ -548,7 +554,7 @@ def ngram_lm_score(
         .agg(F.count_distinct("w").cast("long").alias("v"))
     )
     scored = (
-        pairs_of(scale_out(df, key=id_col))
+        (train_pairs if train is df else pairs_of(scale_out(df, key=id_col)))
         .join(c2, ["w1", "w2"], "left")
         .join(c1, "w1", "left")
         .crossJoin(F.broadcast(vocab))
