@@ -496,3 +496,86 @@ def test_manifest_stream_range_buckets_equal_batch(spark, tmp_path):
         fold_batch_into_manifest(
             keyed, mpath, bucket=F.floor(F.col("k") / 50), epoch_id=99
         )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup (r9): chunked ingest ≡ one-shot batch pairs
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_stream_chunked_equals_batch(spark, tmp_path):
+    """The per-doc-pure-signature contract: the union of every epoch's
+    (intra ∪ cross) candidate pairs equals the one-shot LSH self-join over
+    the full corpus — chunking must not matter."""
+    from tikv_data_compare_spark.operators import dedup as dd
+    from tikv_data_compare_spark.streaming.dedup_stream import dedup_stream
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(45)
+        .cache()
+    )
+    # plant dups across chunk boundaries so cross pairs exist
+    planted = docs.unionByName(
+        docs.limit(2).withColumn("doc_id", F.col("doc_id") + 500000)
+    ).cache()
+    src = str(tmp_path / "ddstream_src")
+    for lo, hi in ((0, 20), (20, 40), (40, 600000)):
+        planted.filter(
+            (F.col("doc_id") % 500000 >= lo) & (F.col("doc_id") % 500000 < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    idx = str(tmp_path / "ddstream_idx")
+    pairs_out = str(tmp_path / "ddstream_pairs")
+    stream = (
+        spark.readStream.schema(planted.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = dedup_stream(
+        stream, idx, pairs_out,
+        checkpoint_location=str(tmp_path / "ddstream_ckpt"),
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_out).collect()
+    }
+    batch = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_pairs(planted, "doc_id", "text").collect()
+    }
+    assert streamed == batch and streamed  # non-empty by construction
+
+
+def test_dedup_stream_requires_checkpoint(spark, tmp_path):
+    from tikv_data_compare_spark.streaming.dedup_stream import dedup_stream
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(tmp_path)  # exists (empty) — the guard must fire before any start()
+    )
+    with pytest.raises(ValueError, match="checkpoint_location"):
+        dedup_stream(stream, str(tmp_path / "i"), str(tmp_path / "p"))
+
+
+def test_ingest_batch_redelivery_noop(spark, tmp_path):
+    """A redelivered epoch is skipped wholesale: the watermark lives in the
+    index meta and the pair sink/bands are untouched."""
+    from tikv_data_compare_spark.operators import dedup_index as di
+    from tikv_data_compare_spark.streaming.dedup_stream import (
+        ingest_batch_into_dedup_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    assert ingest_batch_into_dedup_index(a, idx, pairs, epoch_id=0) is True
+    n0 = di.load_dedup_index(spark, idx).meta["n_docs"]
+    assert ingest_batch_into_dedup_index(a, idx, pairs, epoch_id=0) is False
+    assert di.load_dedup_index(spark, idx).meta["n_docs"] == n0
+    assert ingest_batch_into_dedup_index(b, idx, pairs, epoch_id=1) is True
+    meta = di.load_dedup_index(spark, idx).meta
+    assert meta["n_docs"] == docs.count() and meta["last_epoch"] == 1

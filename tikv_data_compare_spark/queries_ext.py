@@ -84,17 +84,31 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are per-document pure functions, the result must equal the batch
     self-join restricted to one-side-in-batch pairs, which is exactly what
     the oracle's WHERE clause selects.  The build → parquet → load → query
-    roundtrip is inside the hash gate, not just the in-session math."""
+    roundtrip is inside the hash gate, not just the in-session math — and
+    since r9 the index is BUILT THROUGH THE STREAMING INGEST PATH (two
+    ``ingest_batch_into_dedup_index`` epoch calls: bootstrap build +
+    watermarked append, streaming/dedup_stream.py), so the incremental
+    maintenance flow is hash-gated the same way checksum_range_compare
+    gates its streaming manifest folds."""
     import os
     import tempfile
 
     from tikv_data_compare_spark.operators import dedup_index as di
+    from tikv_data_compare_spark.streaming.dedup_stream import (
+        ingest_batch_into_dedup_index,
+    )
 
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
     base = dd.jaccard_pairs(docs, "doc_id", "text")
     idx_path = os.path.join(tempfile.mkdtemp(prefix="dedup_idx_"), "idx")
-    di.build_dedup_index(docs.filter(F.col("doc_id") % 3 != 0), idx_path)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    ingest_batch_into_dedup_index(
+        corpus.filter(F.col("doc_id") % 3 == 1), idx_path, epoch_id=0
+    )
+    ingest_batch_into_dedup_index(
+        corpus.filter(F.col("doc_id") % 3 == 2), idx_path, epoch_id=1
+    )
     cross = di.query_dedup_index(docs.filter(F.col("doc_id") % 3 == 0), idx_path)
     cross_pairs = cross.select(
         F.least("new_id", "indexed_id").alias("doc_a"),
