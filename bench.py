@@ -304,6 +304,11 @@ def main():
             }
         )
     )
+    # exit-code-gated automation must see the breach too: the stderr line
+    # and the JSON list are invisible to a `bench.py || alert` guard
+    # (r9 ADVICE).  The JSON line above is always printed first.
+    if recall_breach:
+        sys.exit(3)
 
 
 if __name__ == "__main__":

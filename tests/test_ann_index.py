@@ -141,6 +141,18 @@ def test_append_quantization_drift_gate(spark, emb, tmp_path_factory):
     assert ai.append_to_index(shifted, legacy) == emb.count()
 
 
+def test_append_empty_batch_noops_and_skips_drift_gate(spark, emb, tmp_path_factory):
+    """An empty append returns 0 without tripping the drift gate — pipelines
+    legitimately append whatever a possibly-empty upstream filter yields
+    (r9 ADVICE); only build_ann_index keeps the empty-frame error."""
+    path = str(tmp_path_factory.mktemp("annidx") / "idx")
+    ai.build_ann_index(emb, path, n_cells=4, m=8, k_codes=16)
+    n0 = ai.load_ann_index(spark, path).meta["n_vectors"]
+    empty = emb.filter(F.lit(False))
+    assert ai.append_to_index(empty, path) == 0  # default on_drift='fail'
+    assert ai.load_ann_index(spark, path).meta["n_vectors"] == n0
+
+
 def test_index_validation_errors(spark, emb, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("annidx") / "idx")
     ai.build_ann_index(emb, path, n_cells=4, m=8, k_codes=16)

@@ -163,6 +163,46 @@ def test_cli_scan_dual_source(capsys, two_tables, tmp_path):
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["equal"] is True
 
 
+def test_cli_scan_out_dst_requires_dst(capsys, two_tables, tmp_path):
+    """--out-dst without --dst is a flag-combination error (exit 2), not a
+    silently ignored flag that looks like a one-sided dual dump (r9
+    ADVICE); nothing is written."""
+    import os
+
+    src, _, _ = two_tables
+    out = str(tmp_path / "only")
+    odst = str(tmp_path / "ghost")
+    rc = cli.main(
+        ["scan", "--src", src, "--keys", "l_orderkey,l_linenumber",
+         "--out", out, "--out-dst", odst]
+    )
+    assert rc == 2
+    assert "--out-dst requires --dst" in capsys.readouterr().err
+    assert not os.path.exists(out) and not os.path.exists(odst)
+
+
+def test_cli_scan_dual_default_out_names_do_not_collide(capsys, two_tables, tmp_path):
+    """Default dump dirs must differ even for the worst case — src and dst
+    are the SAME path scanned within one second (self-compare smoke): the
+    dst default carries a '_dst' marker (r9 ADVICE)."""
+    import glob
+    import os
+    import shutil
+
+    src, _, _ = two_tables
+    t = os.path.join(str(tmp_path), "t")
+    shutil.copytree(src, t)
+    rc = cli.main(["scan", "--src", t, "--dst", t,
+                   "--keys", "l_orderkey,l_linenumber"])
+    assert rc == 0
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["out"] != v["out_dst"]
+    assert "_scan_dst.log." in v["out_dst"]
+    assert glob.glob(f"{v['out']}/part-*") and glob.glob(f"{v['out_dst']}/part-*")
+    for p in (v["out"], v["out_dst"]):
+        shutil.rmtree(p)  # defaults land beside the source inside tmp_path
+
+
 def test_cli_scan_dual_gates_version_before_dumping(capsys, two_tables, tmp_path):
     """A version-mismatched pair is rejected BEFORE either side is dumped
     (the precondition the reference enforces at scan/scan.go:74-86)."""

@@ -119,6 +119,58 @@ def test_meta_validation(spark, docs, tmp_path):
     di._write_meta(spark, path, bad)
     with pytest.raises(ValueError, match="format version"):
         di.load_dedup_index(spark, path)
+    # inconsistent geometry (n_perms != bands*rows) -> load refuses
+    di._write_meta(spark, path, {**idx.meta, "n_perms": 7})
+    with pytest.raises(ValueError, match="inconsistent band geometry"):
+        di.load_dedup_index(spark, path)
+
+
+def test_non_default_geometry_build_query_append(spark, docs, tmp_path):
+    """r10: geometry is a build parameter.  A 3×4 index (12 perms — forces
+    the deterministic permutation extension past the 8 frozen constants)
+    must store its geometry in the meta, band every later pass from the
+    meta, and reproduce the batch self-join at the SAME geometry."""
+    planted = docs.unionByName(
+        docs.limit(2).withColumn("doc_id", F.col("doc_id") + 100000)
+    ).cache()
+    corpus = planted.filter(F.col("doc_id") < 100000)
+    batch = planted.filter(F.col("doc_id") >= 100000)
+    path = os.path.join(str(tmp_path), "idx34")
+    meta = di.build_dedup_index(corpus, path, n_bands=3, rows_per_band=4)
+    assert (meta["n_bands"], meta["rows_per_band"], meta["n_perms"]) == (3, 4, 12)
+    got = _norm(di.query_dedup_index(batch, path).collect())
+    # ground truth: the batch self-join at the index's OWN geometry
+    pairs = dd.minhash_pairs(planted, "doc_id", "text", n_bands=3, rows_per_band=4)
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs.collect()
+        if (r["doc_a"] >= 100000) != (r["doc_b"] >= 100000)
+    }
+    assert got == want and got  # planted exact dup guarantees non-empty
+    # a stricter geometry (rows_per_band 4, threshold ~0.76) is a subset of
+    # the default wide-recall 4x2 candidates
+    loose = _cross_pairs_via_batch(planted, lambda d: d >= 100000)
+    assert got <= loose
+    # append derives the geometry from the meta — no geometry args needed
+    n = di.append_to_dedup_index(batch, path)
+    assert n == batch.count()
+    idx = di.load_dedup_index(spark, path)
+    assert idx.meta["n_docs"] == planted.count()
+    assert idx.bands.select("band").distinct().count() == 3
+    assert idx.bands.select(F.size("hkey")).distinct().collect()[0][0] == 4
+
+
+def test_minhash_perms_deterministic_extension(spark):
+    """Beyond the 8 frozen constants the permutation sequence must be
+    deterministic (an index built today is queried by a later session) and
+    prefix-stable (narrowing n_perms never changes earlier perms)."""
+    p12 = dd.minhash_perms(12)
+    assert p12[:8] == dd.minhash_perms(8) == dd.minhash_perms(12)[:8]
+    assert p12 == dd.minhash_perms(12)
+    assert len(set(p12)) == 12  # no accidental repeats
+    from tikv_data_compare_spark.queries import MINHASH_P
+
+    assert all(0 < a < MINHASH_P and 0 <= b < MINHASH_P for a, b in p12)
 
 
 def test_jaccard_for_pairs_matches_composed_path(docs):

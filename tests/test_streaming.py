@@ -579,3 +579,59 @@ def test_ingest_batch_redelivery_noop(spark, tmp_path):
     assert ingest_batch_into_dedup_index(b, idx, pairs, epoch_id=1) is True
     meta = di.load_dedup_index(spark, idx).meta
     assert meta["n_docs"] == docs.count() and meta["last_epoch"] == 1
+
+
+def test_ingest_crash_window_redelivery_is_label_stable(spark, tmp_path):
+    """r10 (r9 verdict #2): a crash AFTER the bands append but BEFORE the
+    meta swap leaves the batch's bands in the index with the watermark
+    unadvanced.  The redelivered epoch then queries an index that already
+    contains the batch — the self-candidates must be filtered so the
+    rewritten epoch directory carries the IDENTICAL (doc_a, doc_b, side)
+    set, not intra pairs relabeled 'cross'."""
+    from tikv_data_compare_spark.operators import dedup_index as di
+    from tikv_data_compare_spark.streaming.dedup_stream import (
+        ingest_batch_into_dedup_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    a = docs.filter(F.col("doc_id") % 2 == 0).cache()
+    # batch b: one doc duplicating an a-doc (cross pair) + two ids sharing
+    # one text (intra pair) — both label classes present
+    base = a.orderBy("doc_id").limit(1)
+    b = (
+        base.withColumn("doc_id", F.lit(900001).cast("long"))
+        .unionByName(base.withColumn("doc_id", F.lit(900002).cast("long")))
+        .unionByName(base.withColumn("doc_id", F.lit(900003).cast("long")))
+    ).cache()
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    assert ingest_batch_into_dedup_index(a, idx, pairs, epoch_id=0) is True
+
+    # clean run on a twin index for the expected epoch-1 output
+    idx2 = str(tmp_path / "idx2")
+    pairs2 = str(tmp_path / "pairs2")
+    assert ingest_batch_into_dedup_index(a, idx2, pairs2, epoch_id=0) is True
+    assert ingest_batch_into_dedup_index(b, idx2, pairs2, epoch_id=1) is True
+    want = {
+        (r["doc_a"], r["doc_b"], r["side"])
+        for r in spark.read.parquet(f"{pairs2}/epoch=1").collect()
+    }
+    assert any(s == "intra" for *_, s in want)
+    assert any(s == "cross" for *_, s in want)
+
+    # simulate the crash window on idx: bands appended, meta swap lost
+    meta_before = di.load_dedup_index(spark, idx).meta
+    di.append_to_dedup_index(b, idx)
+    di._write_meta(spark, idx, meta_before)  # roll the meta back
+
+    # redeliver epoch 1 — watermark says it never ran, index already has b
+    assert ingest_batch_into_dedup_index(b, idx, pairs, epoch_id=1) is True
+    got = {
+        (r["doc_a"], r["doc_b"], r["side"])
+        for r in spark.read.parquet(f"{pairs}/epoch=1").collect()
+    }
+    assert got == want  # identical pairs AND identical side labels
+    meta = di.load_dedup_index(spark, idx).meta
+    assert meta["last_epoch"] == 1
+    # duplicate band rows are the sole residue; n_docs recounts distinct ids
+    assert meta["n_docs"] == a.count() + 3

@@ -845,6 +845,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "scan":
             from tikv_data_compare_spark.operators.scan import export_hex
 
+            if args.out_dst and not args.dst:
+                # silently dropping the flag would look like a successful
+                # dual dump that wrote one side (r9 ADVICE)
+                print("scan: --out-dst requires --dst", file=sys.stderr)
+                return 2
             out = args.out or f"{args.src.rstrip('/')}_scan.log.{int(time.time())}"
             export_hex(src, path=out)
             result = {"out": out}
@@ -856,7 +861,10 @@ def main(argv: list[str] | None = None) -> int:
                 # second dump runs back-to-back rather than contending with
                 # the first for the same executor slots.
                 dst = _keyed(spark, args.dst, keys, args)
-                out_dst = args.out_dst or f"{args.dst.rstrip('/')}_scan.log.{int(time.time())}"
+                # '_dst' disambiguates from the src default: same basename
+                # pairs (or a re-run within one second) must not collide
+                # the two dump directories (r9 ADVICE)
+                out_dst = args.out_dst or f"{args.dst.rstrip('/')}_scan_dst.log.{int(time.time())}"
                 export_hex(dst, path=out_dst)
                 result["out_dst"] = out_dst
             print(json.dumps(result))

@@ -27,18 +27,27 @@ def swap_commit(df: DataFrame, final: str, coalesce: int | None = None) -> None:
     concurrent reader can therefore never observe partial rows, and the
     path-not-found window is the instant between the two renames — not the
     full duration of an ``rmtree`` (r8 ADVICE).  Crash-safe: a crash
-    between the renames leaves ``.old`` recoverable by hand; a crash after
-    leaves only a stale ``.old`` to garbage-collect (done eagerly below on
-    the next commit).  This is crash-safety with a tiny unavailability
+    between the renames leaves ``.old`` as the sole copy, which the NEXT
+    commit restores (rename back to ``final``) before staging — never
+    deletes (r9 ADVICE); a crash after the swap leaves only a stale
+    ``.old`` that the next commit garbage-collects.  This is crash-safety with a tiny unavailability
     window, not full atomicity — a production deployment swaps a
     transactional table format in at this seam.
     """
     stage = final.rstrip("/") + ".staging"
     old = final.rstrip("/") + ".old"
+    # Recovery runs on ENTRY, before the (possibly failing) staged write:
+    if os.path.exists(old):
+        if not os.path.exists(final):
+            # Crash landed between the two renames of a prior commit: ``.old``
+            # is the ONLY surviving copy.  Restore it instead of GC-ing it —
+            # an eager rmtree here would destroy the artifact and make the
+            # next reader treat the path as fresh state (r9 ADVICE medium).
+            os.rename(old, final)
+        else:  # stale leftover from a crash after the swap completed
+            shutil.rmtree(old)
     writer = (df.coalesce(coalesce) if coalesce else df).write.mode("overwrite")
     writer.parquet(stage)
-    if os.path.exists(old):  # stale leftover from a crashed prior commit
-        shutil.rmtree(old)
     had_prior = os.path.exists(final)
     if had_prior:
         os.rename(final, old)

@@ -268,7 +268,10 @@ def append_to_index(emb_new: DataFrame, path: str, id_col: str = "vec_id",
             "different vector space"
         )
     build_mse = idx.meta.get("pq_mse")
-    if build_mse is not None and on_drift != "skip":
+    # empty appends bypass the gate: there is no distribution to measure
+    # and nothing an empty append can degrade — pipelines legitimately
+    # append whatever a possibly-empty upstream filter yields (r9 ADVICE)
+    if build_mse is not None and on_drift != "skip" and not src.isEmpty():
         new_mse = _pq_quant_mse(src, idx.books, idx.meta["sample_rows"])
         # a small absolute floor so a near-lossless build (mse ~ 0, e.g.
         # few distinct vectors) doesn't trip on numeric noise

@@ -55,6 +55,29 @@ def _minhash_constants():
     return MINHASH_PERMS, MINHASH_P
 
 
+def minhash_perms(n: int) -> list[tuple[int, int]]:
+    """First ``n`` (a, b) MinHash permutation coefficients.
+
+    The first 8 are the frozen ``MINHASH_PERMS`` constants (every existing
+    signature, oracle and persisted band table is denominated in them);
+    beyond 8 the sequence extends deterministically from two public
+    multiplicative-hash primes (Knuth 2654435761, xxhash 2246822519) mod
+    ``MINHASH_P`` — same (a·h + b) % P family, reproducible in any engine,
+    no RNG.  Geometry-parameterized callers (dedup_index with r·b > 8)
+    depend on this determinism: an index built today must produce the same
+    band keys when queried by a later session.
+    """
+    perms, p = _minhash_constants()
+    if n <= len(perms):
+        return list(perms[:n])
+    out = list(perms)
+    for i in range(len(out), n):
+        a = ((2654435761 * (i + 1) + 1) % p) or 1
+        b = (2246822519 * (i + 1) + 7) % p
+        out.append((a, b))
+    return out
+
+
 def exact_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact-duplicate groups by content hash: (content_id, keep_doc_id, n_dups)."""
     hashed = df.withColumn("_m", F.md5(F.col(text_col))).withColumn(
@@ -154,8 +177,11 @@ def minhash_signatures(
     text_col: str,
     algo: str = "md5i64",
     shingles: DataFrame | None = None,
+    n_perms: int | None = None,
 ) -> DataFrame:
-    """8-permutation MinHash signature of each document's 3-shingle set.
+    """MinHash signature of each document's 3-shingle set — 8 frozen
+    permutations by default; ``n_perms`` widens/narrows via
+    :func:`minhash_perms` for geometry-parameterized callers.
 
     Entirely map-side: each permutation's min is ``array_min`` over a
     ``transform`` of the per-doc hashed-shingle array — no explode, no
@@ -166,7 +192,8 @@ def minhash_signatures(
     ``shingles`` lets a pipeline pass a precomputed (typically cached)
     :func:`shingle_arrays` frame so composed plans tokenize the text once.
     """
-    perms, p = _minhash_constants()
+    _, p = _minhash_constants()
+    perms = minhash_perms(n_perms) if n_perms is not None else _minhash_constants()[0]
     if shingles is None:
         shingles = shingle_arrays(df, id_col, text_col)
     hashed = _hashed_shingles(shingles, algo)
@@ -197,25 +224,69 @@ def _band_rows(sig: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def band_key_rows(
+    sig: DataFrame, id_col: str, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, hkey array<long>) rows for an ARBITRARY r×b geometry —
+    the general form of :func:`_band_rows`.  The band key is the exact
+    array of the band's ``rows_per_band`` permutation minima (no lossy
+    fold), so two documents share a band iff every row value matches —
+    equi-joins on array columns hash/compare element-wise in Spark, same
+    one-shuffle shape as the (band, h1, h2) fast path."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.array(
+                    *[F.col(f"m{rows_per_band * j + k}") for k in range(rows_per_band)]
+                ).alias("hkey"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    return sig.select(id_col, F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.hkey").alias("hkey")
+    )
+
+
 def minhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     algo: str = "md5i64",
     shingles: DataFrame | None = None,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
 ) -> DataFrame:
     """Candidate near-dup pairs sharing ≥1 LSH band.
 
     Scale shape: the self-join is an equi-join on (band, h1, h2) — each
     bucket meets in one shuffle partition; no O(n²) comparison.  Hot buckets
     (giant near-dup clusters) are the skew case AQE's skew-join handles.
+
+    The default 4×2 geometry keeps the frozen benched/oracled plan; a
+    non-default ``(n_bands, rows_per_band)`` routes through the general
+    array-keyed band join (the similarity threshold of r×b LSH is
+    ≈ (1/b)^(1/r), so corpus operators tune both — the dedup index exposes
+    this end to end).
     """
-    sig = minhash_signatures(df, id_col, text_col, algo, shingles=shingles)
-    b = _band_rows(sig, id_col)
-    a = b.select(F.col(id_col).alias("doc_a"), "band", "h1", "h2")
-    c = b.select(F.col(id_col).alias("doc_b"), "band", "h1", "h2")
+    if (n_bands, rows_per_band) == (4, 2):
+        sig = minhash_signatures(df, id_col, text_col, algo, shingles=shingles)
+        b = _band_rows(sig, id_col)
+        a = b.select(F.col(id_col).alias("doc_a"), "band", "h1", "h2")
+        c = b.select(F.col(id_col).alias("doc_b"), "band", "h1", "h2")
+        keys = ["band", "h1", "h2"]
+    else:
+        sig = minhash_signatures(
+            df, id_col, text_col, algo, shingles=shingles,
+            n_perms=n_bands * rows_per_band,
+        )
+        b = band_key_rows(sig, id_col, n_bands, rows_per_band)
+        a = b.select(F.col(id_col).alias("doc_a"), "band", "hkey")
+        c = b.select(F.col(id_col).alias("doc_b"), "band", "hkey")
+        keys = ["band", "hkey"]
     return (
-        a.join(c, on=["band", "h1", "h2"])
+        a.join(c, on=keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

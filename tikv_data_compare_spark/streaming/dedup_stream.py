@@ -7,7 +7,9 @@ while becoming part of "what we have" for the next batch.  Composing two
 existing pieces gives exactly that:
 
 1. the batch's intra-batch near-dup pairs — the ordinary LSH self-join
-   (``dedup.minhash_pairs``), map-side signatures + one band equi-join;
+   (``dedup.minhash_pairs``), map-side signatures + one band equi-join,
+   run at the INDEX's band geometry so intra and cross candidates share
+   one similarity threshold;
 2. the batch's cross pairs against everything ingested before it —
    ``dedup_index.query_dedup_index`` against the stored band table;
 3. the batch's own band keys appended (``append_to_dedup_index``) so the
@@ -18,16 +20,20 @@ all epochs' (intra ∪ cross) pairs equals the one-shot batch self-join over
 the full corpus — chunking must not matter, and the pytest contract pins
 exactly that (chunked ≡ batch pair-set identity).
 
-Exactly-once: ``foreachBatch`` may redeliver an epoch.  A re-run of step 3
-would duplicate the epoch's band rows — harmless for candidate
-correctness (query() is distinct, ``n_docs`` recounts distinct ids) but a
-redelivered query against an index that now CONTAINS the batch would
-reclassify its intra pairs as cross pairs and rewrite a different pair
-set into the same epoch directory.  The index meta therefore carries a
-``last_epoch`` watermark (the manifest_stream pattern): epochs ≤ it are
-skipped wholesale.  As there, the watermark is only meaningful against a
-PERSISTENT stream checkpoint — ``checkpoint_location`` is required and
-restart correctness depends on reusing it.
+Exactly-once: ``foreachBatch`` may redeliver an epoch.  The index meta
+carries a ``last_epoch`` watermark (the manifest_stream pattern): epochs
+≤ it are skipped wholesale.  The watermark commits IN THE SAME meta swap
+as the band append's doc count (``extra_meta`` threading, r9 ADVICE), so
+the only redelivery window left is "bands appended, meta swap lost" — and
+that window is label-stable too: cross candidates whose ``indexed_id`` is
+in the CURRENT batch (which only happens when the batch's own bands are
+already in the index from the half-committed first attempt) are filtered
+out before the pair write, so a re-run emits the identical
+``(doc_a, doc_b, side)`` set — duplicate band rows are the sole residue,
+harmless by construction (query() is distinct, ``n_docs`` recounts
+distinct ids).  As with the manifests, the watermark is only meaningful
+against a PERSISTENT stream checkpoint — ``checkpoint_location`` is
+required and restart correctness depends on reusing it.
 
 Per-epoch pair output lands under ``{pairs_out}/epoch=N/`` (overwrite per
 epoch, so a retried write is idempotent); read the whole directory for
@@ -41,7 +47,6 @@ import os
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from tikv_data_compare_spark.functions.fsutil import swap_commit
 from tikv_data_compare_spark.operators import dedup as dd
 from tikv_data_compare_spark.operators import dedup_index as di
 
@@ -62,13 +67,16 @@ def ingest_batch_into_dedup_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     algo: str = "md5i64",
+    n_bands: int = 4,
+    rows_per_band: int = 2,
 ) -> bool:
     """Process ONE batch: emit its near-dup pairs (intra-batch + against
     the index), then append its band keys.  Returns False when the epoch
     was already applied (redelivery skip).  The first batch bootstraps the
     index (intra pairs only — there is nothing to cross against yet);
-    ``algo`` applies only to that bootstrap, later batches read it from
-    the index meta.
+    ``algo``/``n_bands``/``rows_per_band`` apply only to that bootstrap,
+    later batches read both from the index meta so every epoch is hashed
+    and banded identically.
 
     Shared by the streaming sink below and any batch caller doing manual
     incremental ingests (e.g. nightly drops), mirroring
@@ -85,15 +93,28 @@ def ingest_batch_into_dedup_index(
     exists = os.path.exists(f"{index_path}/meta")
     idx = di.load_dedup_index(spark, index_path) if exists else None
     intra = dd.minhash_pairs(
-        batch_df, id_col, text_col, algo=(idx.meta["algo"] if idx else algo)
+        batch_df, id_col, text_col,
+        algo=(idx.meta["algo"] if idx else algo),
+        n_bands=(idx.meta["n_bands"] if idx else n_bands),
+        rows_per_band=(idx.meta["rows_per_band"] if idx else rows_per_band),
     ).select("doc_a", "doc_b", F.lit("intra").alias("side"))
     if exists:
-        cross = di.query_dedup_index(
-            batch_df, index_path, id_col=id_col, text_col=text_col
-        ).select(
-            F.least("new_id", "indexed_id").alias("doc_a"),
-            F.greatest("new_id", "indexed_id").alias("doc_b"),
-            F.lit("cross").alias("side"),
+        # Anti-join out candidates whose indexed side is in THIS batch:
+        # normally none exist (the batch is appended after the query), but a
+        # redelivered epoch whose first attempt crashed between the bands
+        # append and the meta swap queries an index that already holds the
+        # batch — without the filter its intra pairs would reappear labeled
+        # 'cross' (r9 verdict #2).  Broadcast-sized: one id column of a
+        # micro-batch.
+        batch_ids = batch_df.select(F.col(id_col).alias("indexed_id")).distinct()
+        cross = (
+            di.query_dedup_index(batch_df, index_path, id_col=id_col, text_col=text_col)
+            .join(F.broadcast(batch_ids), on="indexed_id", how="left_anti")
+            .select(
+                F.least("new_id", "indexed_id").alias("doc_a"),
+                F.greatest("new_id", "indexed_id").alias("doc_b"),
+                F.lit("cross").alias("side"),
+            )
         )
         pairs = intra.unionByName(cross)
     else:
@@ -101,24 +122,20 @@ def ingest_batch_into_dedup_index(
     if pairs_out is not None:
         # per-epoch overwrite: a retried foreachBatch write is idempotent
         pairs.write.mode("overwrite").parquet(f"{pairs_out}/epoch={int(epoch_id)}")
+    # the last_epoch watermark rides in the SAME meta swap as the doc count
+    # (extra_meta) — watermark and count commit together, shrinking the
+    # redelivery window to the bands append alone (r9 ADVICE)
+    watermark = {"last_epoch": int(epoch_id)}
     if exists:
-        di.append_to_dedup_index(batch_df, index_path, id_col=id_col, text_col=text_col)
-        meta = di.load_dedup_index(spark, index_path).meta
-    else:
-        meta = di.build_dedup_index(
-            batch_df, index_path, id_col=id_col, text_col=text_col, algo=algo
+        di.append_to_dedup_index(
+            batch_df, index_path, id_col=id_col, text_col=text_col,
+            extra_meta=watermark,
         )
-    # commit the watermark via the same one-directory meta swap the
-    # build/append path uses; bands+meta remain two commits (see module
-    # docstring for why redelivered band appends are tolerable)
-    swap_commit(
-        spark.createDataFrame(
-            [tuple({**meta, "last_epoch": int(epoch_id)}.values())],
-            list({**meta, "last_epoch": int(epoch_id)}.keys()),
-        ),
-        f"{index_path}/meta",
-        coalesce=1,
-    )
+    else:
+        di.build_dedup_index(
+            batch_df, index_path, id_col=id_col, text_col=text_col, algo=algo,
+            n_bands=n_bands, rows_per_band=rows_per_band, extra_meta=watermark,
+        )
     return True
 
 
@@ -130,6 +147,8 @@ def dedup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     algo: str = "md5i64",
+    n_bands: int = 4,
+    rows_per_band: int = 2,
     trigger_once: bool = True,
 ) -> StreamingQuery:
     """Maintain the dedup index from an append-only document stream,
@@ -154,6 +173,7 @@ def dedup_stream(
         ingest_batch_into_dedup_index(
             batch_df, index_path, pairs_out, epoch_id,
             id_col=id_col, text_col=text_col, algo=algo,
+            n_bands=n_bands, rows_per_band=rows_per_band,
         )
 
     writer = (
