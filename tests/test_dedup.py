@@ -149,3 +149,85 @@ def test_connected_components_raises_past_max_iter(spark):
     )
     with pytest.raises(RuntimeError):
         connected_components(edges, max_iter=2)
+
+
+# ------------------------------------------------------------ line dedup
+
+
+def _lines_map(df):
+    return {r["doc_id"]: r for r in df.collect()}
+
+
+def test_dedup_lines_first_occurrence_wins(spark):
+    from tikv_data_compare_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\nshared line\nalso unique"),
+            (2, "shared line\nsecond body"),
+            (3, "shared line"),
+            (4, "unique one"),
+        ],
+        "doc_id long, text string",
+    )
+    got = _lines_map(dedup_lines(df))
+    assert got[1]["new_text"] == "unique one\nshared line\nalso unique"
+    assert (got[1]["n_lines"], got[1]["n_kept"], got[1]["n_dropped"]) == (3, 3, 0)
+    # doc 2 loses the shared line but keeps its own body, order preserved
+    assert got[2]["new_text"] == "second body"
+    # docs 3 and 4 consist entirely of already-seen lines -> empty rebuild
+    assert got[3]["new_text"] == "" and got[3]["n_kept"] == 0
+    assert got[4]["new_text"] == "" and got[4]["n_dropped"] == 1
+
+
+def test_dedup_lines_intra_doc_repeat(spark):
+    """A line repeated INSIDE one document keeps only its first position."""
+    from tikv_data_compare_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(7, "a\nb\na\nc\na")], "doc_id long, text string"
+    )
+    r = _lines_map(dedup_lines(df))[7]
+    assert r["new_text"] == "a\nb\nc"
+    assert (r["n_lines"], r["n_kept"], r["n_dropped"]) == (5, 3, 2)
+
+
+def test_dedup_lines_custom_sep_is_literal(spark):
+    """sep is a literal string, not a regex — '|' must not split per-char."""
+    from tikv_data_compare_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "x|y"), (2, "y|z")], "doc_id long, text string"
+    )
+    got = _lines_map(dedup_lines(df, sep="|"))
+    assert got[1]["new_text"] == "x|y"
+    assert got[2]["new_text"] == "z"
+
+
+def test_dedup_lines_ordering_by_doc_then_pos(spark):
+    """Global first occurrence orders by (doc_id, pos): the LOWER doc keeps
+    the line even when the higher doc lists it at an earlier position."""
+    from tikv_data_compare_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(10, "body\ntail line"), (11, "tail line\nown body")],
+        "doc_id long, text string",
+    )
+    got = _lines_map(dedup_lines(df))
+    assert got[10]["new_text"] == "body\ntail line"
+    assert got[11]["new_text"] == "own body"
+
+
+def test_dedup_lines_rejects_nothing_but_counts_align(spark):
+    """n_kept + n_dropped == n_lines on every row; every input doc appears."""
+    from tikv_data_compare_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(i, f"shared\nbody {i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    rows = dedup_lines(df).collect()
+    assert len(rows) == 12
+    assert all(r["n_kept"] + r["n_dropped"] == r["n_lines"] for r in rows)
+    # 1 'shared' + 3 distinct bodies survive corpus-wide
+    assert sum(r["n_kept"] for r in rows) == 4

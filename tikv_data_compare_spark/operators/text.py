@@ -823,3 +823,111 @@ def pack_token_bins(
         (F.col("_bin") * n_shards + F.col("_shard")).cast("long").alias("pack_bin"),
         F.row_number().over(w2).cast("long").alias("pack_pos"),
     )
+
+
+def bm25_score_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    """The per-(query, doc, term) BM25 score expression, shared VERBATIM by
+    the Spark operator and the DuckDB oracle (over columns ``tf``, ``df``,
+    ``dl``, ``n_docs``, ``avgdl``).
+
+    Every float parameter is embedded as its shortest-roundtrip repr inside
+    CAST(.. AS DOUBLE): decimal literals are exact rationals in both
+    engines, so the cast is one correct rounding back to the identical
+    binary64 — and the derived constants (k1+1, 1-b) are folded in PYTHON,
+    never by either engine’s (differently-typed) constant folder.
+    """
+    k1p1 = repr(float(k1) + 1.0)
+    one_minus_b = repr(1.0 - float(b))
+    return (
+        "CAST(ROUND(1000000.0"
+        " * LN(1.0 + (CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))"
+        " / (df + CAST(0.5 AS DOUBLE)))"
+        f" * (tf * CAST({k1p1} AS DOUBLE)"
+        f" / (tf + CAST({repr(float(k1))} AS DOUBLE)"
+        f" * (CAST({one_minus_b} AS DOUBLE)"
+        f" + CAST({repr(float(b))} AS DOUBLE) * (dl / avgdl))))) AS BIGINT)"
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the corpus — the ranked-search stage a
+    curation pipeline uses for quality retrieval and decontamination lookups
+    (Robertson & Zaragoza 2009; the Lucene-default ``ln(1 + (N-df+0.5)/
+    (df+0.5))`` idf variant, which is always positive).
+
+    Returns ``(query_id, doc, rnk, n_terms, bm25_c)``: the top-``k``
+    documents per query by integer-frozen BM25 score, ties broken by doc id
+    ascending; ``n_terms`` counts the query's DISTINCT terms matched in the
+    doc (each query term contributes once, the standard short-query form).
+
+    Cross-engine determinism follows tfidf_top_terms / ngram_lm_score: every
+    input to the per-(query, doc, term) score is an exact integer (tf, df,
+    dl, N) or an exact-double ratio (avgdl = Σdl/N — one correctly-rounded
+    division), the float expression tree is written identically in both
+    engines, and the per-TERM score is frozen to ROUND(×1e6) BEFORE the
+    per-doc sum — so the sum is an integer sum with no float-accumulation
+    order to disagree on.  ``k1``/``b`` and the derived ``k1+1``/``1-b``
+    are precomputed in Python and embedded as shortest-roundtrip literals
+    wrapped in CAST(.. AS DOUBLE) — both engines parse decimal literals as
+    exact DECIMAL rationals, so the cast correctly-rounds each to the very
+    double Python held, with no cross-engine constant folding in between
+    (see :func:`bm25_score_sql`, shared verbatim with the oracle).
+
+    Scale shape (100 TB corpus, small query set): one explode → (doc, term)
+    tf with map-side partial agg; dl rides the same scan as an array size;
+    the df table (≤ vocabulary) and the 1-row (N, avgdl) scalar are
+    broadcast; the query-term table (tiny) is broadcast into the tf join,
+    so candidate scoring touches only docs containing a query term.  Only
+    the final per-query top-k window re-shuffles — bounded by candidate
+    count.  No UDFs, no driver-side collect.
+    """
+    from tikv_data_compare_spark.session import scale_out
+
+    df = scale_out(df, key=id_col)
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("_ws"),
+    ).withColumn("dl", F.expr("CAST(size(_ws) AS BIGINT)"))
+    words = toks.select("_id", "dl", F.explode("_ws").alias("w"))
+    tf = words.groupBy("_id", "dl", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scalars = toks.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).withColumn("avgdl", F.expr("CAST(sum_dl AS DOUBLE) / n_docs"))
+    qterms = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.explode(F.array_distinct(F.split(F.col(query_text_col), " "))).alias("w"),
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("score_c", F.expr(bm25_score_sql(k1, b)))
+    )
+    per_doc = scored.groupBy("qid", "_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("score_c").cast("long").alias("bm25_c"),
+    )
+    win = Window.partitionBy("qid").orderBy(F.col("bm25_c").desc(), F.col("_id").asc())
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            F.col("rnk").cast("long").alias("rnk"),
+            "n_terms",
+            "bm25_c",
+        )
+    )

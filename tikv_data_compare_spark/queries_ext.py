@@ -22,19 +22,67 @@ from tikv_data_compare_spark.session import tune
 # ========================================================== dedup: exact
 
 
+#: deterministic line-dedup fixture (the corpus has single-line docs, so the
+#: C4 boilerplate shape is planted the same way PII_SYNTH plants matches):
+#: every 97th doc's body is replaced by a shared line (exact body dup — the
+#: all-dropped edge when it carries no boilerplate, e.g. doc 97), every 3rd
+#: doc gains a newsletter footer, every 4th a rights footer in two variants.
+#: The same expression text runs in both engines.
+LINE_SYNTH = (
+    "concat(CASE WHEN doc_id % 97 = 0 THEN 'copied boilerplate body' ELSE text END,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(chr(10), 'subscribe to our newsletter today') ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN concat(chr(10), 'all rights reserved ', CAST(doc_id % 2 AS STRING)) ELSE '' END)"
+)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: group documents by content fingerprint; keep canonical
-    representative (min doc_id) + duplicate count."""
+    """Both EXACT dedup granularities in one labeled row set:
+
+    - ``part='exact'``: whole-document content groups (``exact_groups``) —
+      (content fingerprint, kept doc, group size), ``h=''``;
+    - ``part='lines'`` (r10): C4-style corpus-level line dedup
+      (``dedup_lines`` over the ``LINE_SYNTH``-planted corpus) — per doc
+      (kept lines, dropped lines, md5 of the rebuilt text), so the
+      global first-occurrence verdict AND the order-preserving rebuild are
+      both inside the hash gate."""
     tune(spark)
-    return dd.exact_groups(_load(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = _load(spark, sf_dir, "documents")
+    exact = dd.exact_groups(docs, "doc_id", "text").select(
+        F.lit("exact").alias("part"),
+        F.col("content_id").alias("a"),
+        F.col("keep_doc_id").alias("b"),
+        F.col("n_dups").alias("c"),
+        F.lit("").alias("h"),
+    )
+    planted = docs.select("doc_id", F.expr(LINE_SYNTH).alias("t2"))
+    lines = dd.dedup_lines(planted, "doc_id", "t2").select(
+        F.lit("lines").alias("part"),
+        F.col("doc_id").alias("a"),
+        F.col("n_kept").alias("b"),
+        F.col("n_dropped").alias("c"),
+        F.md5("new_text").alias("h"),
+    )
+    return exact.unionByName(lines)
 
 
 ORACLE_DEDUP_EXACT = f"""
-SELECT CAST({sqlgen.hexfold_i64('_m')} AS BIGINT) AS content_id,
-       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
-       CAST(count(*) AS BIGINT) AS n_dups
+WITH base AS (SELECT doc_id, {LINE_SYNTH} AS t2 FROM documents),
+ls AS (SELECT doc_id, string_split(t2, chr(10)) AS lsx FROM base),
+occ AS (SELECT doc_id, unnest(lsx) AS line, unnest(range(len(lsx))) AS pos FROM ls),
+firsts AS (SELECT line, min(doc_id * 1000000 + pos) AS fp FROM occ GROUP BY line),
+k AS (SELECT o.doc_id, o.pos, o.line, (o.doc_id * 1000000 + o.pos = f.fp) AS kept
+      FROM occ o JOIN firsts f ON o.line = f.line)
+SELECT 'exact' AS part, CAST({sqlgen.hexfold_i64('_m')} AS BIGINT) AS a,
+       CAST(min(doc_id) AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS c, '' AS h
 FROM (SELECT doc_id, md5(text) AS _m FROM documents)
-GROUP BY 1
+GROUP BY 2
+UNION ALL
+SELECT 'lines' AS part, CAST(doc_id AS BIGINT) AS a,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS c,
+       md5(COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos), '')) AS h
+FROM k GROUP BY doc_id
 """
 
 

@@ -295,15 +295,30 @@ FROM b GROUP BY bucket
 # ============================================================== text: tf-idf
 
 
+#: fixed retrieval query set for the bm25 gate — corpus-vocabulary words
+#: (FIXTURES.md: the synthetic docs draw from a small OLAP word list), one
+#: query with an out-of-vocabulary term to prove unmatched terms score 0.
+BM25_QUERIES = (
+    (0, "data query window"),
+    (1, "hash join merge table"),
+    (2, "stream batch nonexistentterm"),
+)
+
+
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both corpus term-ranking operators in one labeled row set:
+    """The corpus term-ranking/retrieval operators in one labeled row set:
 
     - ``part='tfidf'``: top-3 TF-IDF terms per document (``tfidf_top_terms``;
       idf frozen to ROUND(ln(N/df)×1e6) so ranking and score are integer and
       bit-identical across engines; term-ascending tie-break);
     - ``part='bigrams'`` (since r6): corpus-wide top-20 adjacent-word
       bigrams (``top_bigrams``; count desc, bigram asc), ``doc_id=-1`` /
-      ``score_c=0`` as the corpus-level placeholders."""
+      ``score_c=0`` as the corpus-level placeholders;
+    - ``part='bm25'`` (r10): Okapi BM25 top-5 docs per ``BM25_QUERIES``
+      query (``bm25_topk``; per-term scores integer-frozen before the
+      per-doc sum, the score expression shared verbatim with the oracle via
+      ``bm25_score_sql``) — ``term`` is the query text, ``tf`` the count of
+      matched distinct query terms, ``score_c`` the integer BM25 score."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     tfidf = tx.tfidf_top_terms(docs, "doc_id", "text", k=3).select(
@@ -317,7 +332,24 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("tf"),
         F.lit(0).cast("long").alias("score_c"),
     )
-    return tfidf.unionByName(bigr)
+    qdf = spark.createDataFrame(list(BM25_QUERIES), "query_id long, qtext string")
+    bm25 = (
+        tx.bm25_topk(docs, qdf, k=5)
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            F.lit("bm25").alias("part"),
+            "doc_id",
+            "rnk",
+            F.col("qtext").alias("term"),
+            F.col("n_terms").alias("tf"),
+            F.col("bm25_c").alias("score_c"),
+        )
+    )
+    return tfidf.unionByName(bigr).unionByName(bm25)
+
+
+def _bm25_values() -> str:
+    return ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
 
 
 ORACLE_TEXT_TFIDF = f"""
@@ -350,7 +382,44 @@ FROM (
     FROM (SELECT {sqlgen.split_words('text', DUCK)} AS ws FROM documents)
   ) GROUP BY bigram
 ) QUALIFY rnk <= 20
+UNION ALL
+SELECT 'bm25' AS part, CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS BIGINT) AS rnk,
+       qtext AS term, CAST(n_terms AS BIGINT) AS tf, bm25_c AS score_c
+FROM (
+  WITH toks AS (SELECT doc_id, {sqlgen.split_words('text', DUCK)} AS ws FROM documents),
+  w2 AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS w FROM toks),
+  tf2 AS (SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf FROM w2 GROUP BY 1, 2, 3),
+  dfreq2 AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY w),
+  scal AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM toks)
+  ),
+  qt AS (
+    SELECT qid, qtext, unnest(list_distinct(string_split(qtext, ' '))) AS w
+    FROM (VALUES {{BM25_VALUES}}) AS q(qid, qtext)
+  ),
+  sc2 AS (
+    SELECT qt.qid, qt.qtext, tf2.doc_id, {{BM25_SCORE}} AS score_c
+    FROM tf2 JOIN qt USING (w) JOIN dfreq2 USING (w) CROSS JOIN scal
+  ),
+  perdoc AS (
+    SELECT qid, qtext, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(score_c) AS BIGINT) AS bm25_c
+    FROM sc2 GROUP BY 1, 2, 3
+  )
+  SELECT qtext, doc_id, n_terms, bm25_c,
+         row_number() OVER (PARTITION BY qid ORDER BY bm25_c DESC, doc_id ASC) AS rnk
+  FROM perdoc QUALIFY rnk <= 5
+)
 """
+
+# the query VALUES and the per-term score expression are rendered OUTSIDE the
+# f-string so the score SQL is textually THE SAME string the Spark operator
+# compiles (bm25_score_sql) — the determinism argument rests on that.
+ORACLE_TEXT_TFIDF = ORACLE_TEXT_TFIDF.replace("{BM25_VALUES}", _bm25_values()).replace(
+    "{BM25_SCORE}", tx.bm25_score_sql()
+)
 
 
 # ============================================== sources: partitioned layout
