@@ -1,0 +1,193 @@
+"""Distributed k-means clustering + SemDeDup-style semantic deduplication.
+
+The clustering stage a 100 TB embedding pipeline needs twice: as the coarse
+quantizer behind IVF-style ANN (similarity.py trains ITS cells on a driver
+sample; this module is the full-corpus distributed trainer) and as the
+bucketing step of SemDeDup (Abbas et al. 2023: cluster the corpus, then
+search for semantic duplicates only WITHIN each cluster — turning an O(n²)
+pairwise problem into k independent O((n/k)²) ones that a bucketed equi-join
+executes with no cartesian product).
+
+Bit-determinism (the property Spark MLlib's KMeans does not give you): a
+naive distributed Lloyd update averages doubles, and a float sum's value
+depends on partition merge order — reruns and engine twins drift.  Here the
+update step accumulates CANON FIXED-POINT components (each embedding value
+frozen to ROUND(x·1e5) — the same canon similarity.embedding_exact_dup
+fingerprints with): integer sums are exact under any ordering, and the
+centroid component is one correctly-rounded division s/n.  Every distance
+then derives from exact integers and correctly-rounded divisions with an
+identical expression tree in any engine — assignments are a pure function of
+(data, k, n_iter), reproducible in SQL (the driver-contract oracle replays
+both Lloyd rounds in DuckDB).
+
+Scale shape per iteration: one map-side assignment pass (k fold-expressions
+over the vector array — no shuffle, no UDF), one posexplode → (cluster, pos)
+integer-sum aggregation (the only shuffle; k·dim result rows), one k·dim
+driver collect (bounded: 4 KB for k=64, dim=64 — NOT corpus-sized).  The
+final assignment runs map-side once more.  SemDeDup adds one cluster-keyed
+self-join bounded by the largest cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tikv_data_compare_spark.operators.similarity import _dot
+
+#: canon fixed-point scale for embedding components (matches
+#: similarity.embedding_exact_dup's fingerprint canon).
+CANON_SCALE = 100000
+
+
+def _canon_int_col(vec_col: str) -> str:
+    """The vector frozen to canon fixed-point BIGINTs (exact in any engine)."""
+    return (
+        f"transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) * {CANON_SCALE}) AS BIGINT))"
+    )
+
+
+def _assign_expr(centroids: list[list[float]]) -> str:
+    """argmin_j of (c_j·c_j − 2·v·c_j) over the canon fixed-point vector
+    ``_vi`` — the ||v||² term is constant across centroids and dropped.
+
+    Each centroid component is embedded as its shortest-roundtrip repr
+    (parses back to the identical binary64); the dot product uses the same
+    left-to-right fold as similarity.DOT, and ties break to the lowest
+    cluster index via strict ``<`` comparison in ascending order.
+    """
+    scores = []
+    for c in centroids:
+        cc = repr(_python_dot(c, c))
+        lit = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + ")"
+        dot = (
+            f"aggregate(zip_with(_vi, {lit}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        scores.append(f"(CAST({cc} AS DOUBLE) - 2.0 * {dot})")
+    arr = "array(" + ", ".join(scores) + ")"
+    # lowest index whose score equals the array minimum -> 0-based cluster id
+    return (
+        f"CAST(array_position({arr}, array_min({arr})) - 1 AS BIGINT)"
+    )
+
+
+def _python_dot(a: list[float], b: list[float]) -> float:
+    """Left-to-right float dot — the same accumulation order as the SQL fold."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Bit-deterministic distributed Lloyd over canon fixed-point vectors.
+
+    Init: the ``k`` vectors with the smallest ids (deterministic, no RNG —
+    callers wanting k-means++ variance can pre-shuffle ids by content hash).
+    Each iteration assigns map-side against broadcast centroid literals and
+    recomputes centroids from exact integer component sums (module
+    docstring).  Empty clusters keep their previous centroid.
+
+    Returns ``(assignments, centroids)``: assignments is
+    ``(id_col, cluster)`` under the FINAL centroids; centroids are in canon
+    fixed-point units (component = s/n of ROUND(x·1e5) values).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    vi = emb.select(
+        F.col(id_col).alias("_id"), F.expr(_canon_int_col(vec_col)).alias("_vi")
+    )
+    seed_rows = vi.orderBy("_id").limit(k).collect()  # k rows, bounded
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(seed_rows)}")
+    centroids = [[float(x) for x in r["_vi"]] for r in seed_rows]
+    for _ in range(n_iter):
+        assigned = vi.withColumn("_c", F.expr(_assign_expr(centroids)))
+        sums = (
+            assigned.select("_c", F.posexplode("_vi").alias("_pos", "_x"))
+            .groupBy("_c", "_pos")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()  # k*dim rows, bounded
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(int(r["_c"]), {})[int(r["_pos"])] = (
+                int(r["_s"]),
+                int(r["_n"]),
+            )
+        centroids = [
+            [by_cluster[j][p][0] / by_cluster[j][p][1] for p in range(len(centroids[j]))]
+            if j in by_cluster
+            else centroids[j]  # empty cluster: keep previous centroid
+            for j in range(k)
+        ]
+    out = vi.withColumn("_c", F.expr(_assign_expr(centroids))).select(
+        F.col("_id").alias(id_col), F.col("_c").alias("cluster")
+    )
+    return out, centroids
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 16,
+    n_iter: int = 2,
+    threshold_c: int = 9500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: k-means-bucketed semantic near-duplicate removal.
+
+    Clusters the corpus with :func:`kmeans`, then drops every vector that
+    has a SMALLER-id neighbor in the SAME cluster with scaled cosine ≥
+    ``threshold_c`` (cosine over the raw double vectors, ROUND(×10000) —
+    the same verify canon as similarity.embedding_near_dup; keep-lowest-id
+    is the deterministic stand-in for the paper's keep-farthest-from-
+    centroid, which ties to float centroid geometry).
+
+    Returns one verdict row per vector: ``(id_col, cluster, kept)``.
+
+    Scale shape: the pairwise search never leaves a cluster — a self
+    equi-join on the cluster id, O(Σ|cluster|²) with no cartesian product;
+    cluster-size skew is the k knob's job (k ~ n/1000 keeps the quadratic
+    term bounded) plus AQE skew-join splitting.  Cross-cluster duplicates
+    are invisible by design — that recall trade IS SemDeDup's contract, and
+    the LSH path (embedding_near_dup) remains the cluster-free alternative.
+    """
+    assign, _ = kmeans(emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    v = emb.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
+    ).join(assign.select(F.col(id_col).alias("_id"), "cluster"), "_id")
+    a = v.select(F.col("_id").alias("_ida"), F.col("_v").alias("_va"), "cluster")
+    b = v.select(F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), "cluster")
+    cos = (
+        "CAST(ROUND(10000.0 * " + _dot("_va", "_vb") + " / "
+        "(sqrt(" + _dot("_va", "_va") + ") * sqrt(" + _dot("_vb", "_vb") + "))) AS BIGINT)"
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn("_cos", F.expr(cos))
+        .filter(F.col("_cos") >= F.lit(threshold_c))
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+    )
+    return (
+        v.join(dropped.withColumn("_dropped", F.lit(True)), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("cluster"),
+            F.when(F.col("_dropped").isNotNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("kept"),
+        )
+    )

@@ -475,11 +475,28 @@ def q_similarity_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       components → kept-iff-component-minimum), one verdict per vector —
       (vec id, component, kept).
 
+    - ``part='semdedup'`` (r10): the SemDeDup verdict (``clustering.
+      semantic_dedup``: bit-deterministic fixed-point k-means, k=4 ×2 Lloyd
+      rounds, then within-cluster cosine ≥ 3000 drops the higher id) — one
+      (vec id, cluster, kept) row per vector.  The oracle replays BOTH
+      Lloyd rounds in SQL (``_oracle_kmeans_ctes``), so the distributed
+      trainer itself — not just the verdict join — is inside the hash gate.
+
     The oracle recomputes the exact fingerprints AND the transitive closure
     of the SQL-recomputed LSH pair set (recursive CTE), so the closure +
     verdict machinery is hash-gated, not just property-tested."""
+    from tikv_data_compare_spark.operators.clustering import semantic_dedup
+
     tune(spark)
     emb = _load(spark, sf_dir, "embeddings")
+    sem = semantic_dedup(
+        emb, k=SEMDEDUP_K, n_iter=SEMDEDUP_ITER, threshold_c=SEMDEDUP_THRESHOLD_C
+    ).select(
+        F.lit("semdedup").alias("part"),
+        F.col("vec_id").alias("a"),
+        F.col("cluster").alias("b"),
+        F.col("kept").alias("c"),
+    )
     exact = sim.embedding_exact_dup(emb).select(
         F.lit("exact").alias("part"),
         F.col("vec_fp").alias("a"),
@@ -499,7 +516,7 @@ def q_similarity_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("b"),
         F.col("kept").alias("c"),
     )
-    return exact.unionByName(canon)
+    return exact.unionByName(canon).unionByName(sem)
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,9 +604,75 @@ FROM stats JOIN norms ON stats.lang = norms.lang
 """
 
 
+#: SemDeDup gate geometry: k small enough that the SQL Lloyd replay stays
+#: readable, threshold at the near-dup canon (3000 drops ~half the fixture
+#: corpus — both verdicts exercised; 6000 drops none).
+SEMDEDUP_K = 4
+SEMDEDUP_ITER = 2
+SEMDEDUP_THRESHOLD_C = 3000
+
+
+def _oracle_kmeans_ctes(k: int, n_iter: int) -> str:
+    """CTE chain replaying operators/clustering.kmeans in DuckDB: canon
+    fixed-point vectors (``vi``), lowest-id seeds (``c0``), then per round
+    an argmin assignment (row_number over score asc, cluster asc — the same
+    lowest-index tie-break as the Spark array_position form) and an
+    exact-integer-sum centroid update; ``afin`` is the final assignment.
+    Score is (c·c − 2·v·c) with the shared ||v||² term dropped — identical
+    expression tree to clustering._assign_expr."""
+    from tikv_data_compare_spark.operators.clustering import CANON_SCALE
+
+    score = (
+        "(list_dot_product({p}.c, {p}.c)"
+        " - 2.0 * list_dot_product(CAST(vi.vi AS DOUBLE[]), {p}.c))"
+    )
+    ctes = [
+        "vi AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(ROUND(x * {CANON_SCALE}) AS BIGINT)) AS vi FROM embeddings)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, CAST(vi AS DOUBLE[]) AS c "
+        f"FROM (SELECT vec_id, vi FROM vi ORDER BY vec_id LIMIT {k}))",
+    ]
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        sc = score.format(p=prev)
+        ctes.append(
+            f"s{i} AS (SELECT vec_id, vi, j FROM (SELECT vi.vec_id, vi.vi, {prev}.j, "
+            f"row_number() OVER (PARTITION BY vi.vec_id ORDER BY {sc} ASC, {prev}.j ASC) AS rn "
+            f"FROM vi CROSS JOIN {prev}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"u{i} AS (SELECT j, pos, sum(x) AS s, count(*) AS n FROM "
+            f"(SELECT j, unnest(vi) AS x, unnest(range(len(vi))) AS pos FROM s{i}) GROUP BY j, pos)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT j, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS c FROM u{i} GROUP BY j)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT {prev}.j, COALESCE(m{i}.c, {prev}.c) AS c "
+            f"FROM {prev} LEFT JOIN m{i} ON {prev}.j = m{i}.j)"
+        )
+        prev = f"c{i}"
+    sc = score.format(p=prev)
+    ctes.append(
+        f"afin AS (SELECT vec_id, j AS cluster FROM (SELECT vi.vec_id, {prev}.j, "
+        f"row_number() OVER (PARTITION BY vi.vec_id ORDER BY {sc} ASC, {prev}.j ASC) AS rn "
+        f"FROM vi CROSS JOIN {prev}) WHERE rn = 1)"
+    )
+    return ",\n".join(ctes)
+
+
 def oracle_similarity_embed_dup() -> str:
     return f"""
 WITH RECURSIVE {_near_dup_ctes()},
+{_oracle_kmeans_ctes(SEMDEDUP_K, SEMDEDUP_ITER)},
+ec AS (SELECT e.vec_id, e.v, afin.cluster FROM e JOIN afin USING (vec_id)),
+sd_dropped AS (
+  SELECT DISTINCT b2.vec_id
+  FROM ec a2 JOIN ec b2 ON a2.cluster = b2.cluster AND a2.vec_id < b2.vec_id
+  WHERE CAST(ROUND(10000.0 * list_dot_product(a2.v, b2.v) /
+        (sqrt(list_dot_product(a2.v, a2.v)) * sqrt(list_dot_product(b2.v, b2.v)))) AS BIGINT)
+        >= {SEMDEDUP_THRESHOLD_C}
+),
 nd_edges AS (
   SELECT vec_a AS u, vec_b AS v FROM verified
   UNION
@@ -616,6 +699,12 @@ SELECT 'near_canonical' AS part,
        CAST(COALESCE(c.component, v.vec_id) AS BIGINT) AS b,
        CAST(CASE WHEN COALESCE(c.component, v.vec_id) = v.vec_id THEN 1 ELSE 0 END AS BIGINT) AS c
 FROM embeddings v LEFT JOIN comp c ON c.vec_id = v.vec_id
+UNION ALL
+SELECT 'semdedup' AS part,
+       CAST(af.vec_id AS BIGINT) AS a,
+       CAST(af.cluster AS BIGINT) AS b,
+       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS c
+FROM afin af LEFT JOIN sd_dropped dr ON dr.vec_id = af.vec_id
 """
 
 
