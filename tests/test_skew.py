@@ -51,8 +51,8 @@ def test_skew_agg_query_equals_plain_groupby(spark):
     from tikv_data_compare_spark.queries import _dc, _events_ms, q_skew_agg
 
     got = {
-        r["event_type"]: (r["n"], r["sum_value_c"], r["max_value_c"])
-        for r in q_skew_agg(spark, SF_DIR).collect()
+        r["event_type"]: (r["n"], r["v1"], r["v2"])
+        for r in q_skew_agg(spark, SF_DIR).filter("part = 'salted'").collect()
     }
     e, _ = _events_ms(spark, SF_DIR)
     want = {
@@ -109,3 +109,46 @@ def test_sessionize_hot_user_within_2x_of_uniform(spark):
     hot.unpersist()
     if os.environ.get("SPARK_GRAFT_TIMING_ASSERTS") == "1":
         assert skewed <= max(2.0 * uniform, uniform + 1.0), (skewed, uniform)
+
+
+# ------------------------------------------------------------- hot keys
+
+
+def test_hot_keys_exact_counts_and_share(spark):
+    from tikv_data_compare_spark.operators.skew import hot_keys
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    rows = hot_keys(df, ["k"], top_n=2).collect()
+    got = {r["k"]: r for r in rows}
+    assert [r["k"] for r in sorted(rows, key=lambda r: r["rank"])] == ["a", "b"]
+    assert got["a"]["n"] == 6 and got["a"]["share_bp"] == 6000
+    assert got["b"]["n"] == 3 and got["b"]["share_bp"] == 3000
+    # top_n=2 cuts 'c'
+    assert "c" not in got
+
+
+def test_hot_keys_tiebreak_and_validation(spark):
+    import pytest
+
+    from tikv_data_compare_spark.operators.skew import hot_keys
+
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], "k string")
+    rows = sorted(hot_keys(df, ["k"], top_n=3).collect(), key=lambda r: r["rank"])
+    # equal counts -> key-ascending order decides ranks deterministically
+    assert [r["k"] for r in rows] == ["a", "b", "c"]
+    with pytest.raises(ValueError):
+        hot_keys(df, ["k"], top_n=0)
+
+
+def test_hot_keys_composite_key(spark):
+    from tikv_data_compare_spark.operators.skew import hot_keys
+
+    df = spark.createDataFrame(
+        [("x", 1)] * 4 + [("x", 2)] * 2 + [("y", 1)] * 2,
+        "k string, sub long",
+    )
+    top = hot_keys(df, ["k", "sub"], top_n=1).collect()
+    assert len(top) == 1
+    assert (top[0]["k"], top[0]["sub"], top[0]["n"], top[0]["share_bp"]) == ("x", 1, 4, 5000)

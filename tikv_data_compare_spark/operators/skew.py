@@ -13,7 +13,7 @@ merges region partials), applied to any decomposable aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "_salt") -> DataFrame:
@@ -69,3 +69,41 @@ def salted_join(
     small_r = small.crossJoin(F.broadcast(salts))
     out = big_s.join(small_r, on=[*on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def hot_keys(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 100,
+) -> DataFrame:
+    """Exact heavy-hitter profile: the top-``top_n`` hottest keys with their
+    row counts and corpus share — the pre-flight check before a 100 TB join
+    or aggregation on ``key_cols`` (its output is how you SIZE ``with_salt``:
+    a key holding share_bp/10000 of the table needs ~share·cluster_cores
+    salts to spread across tasks).
+
+    Returns ``(rank, <key_cols...>, n, share_bp)``: rank by count desc with
+    key-ascending tie-break; ``share_bp`` = n·10000 / total rows (integer
+    floor division — exact in any engine).
+
+    Scale shape: ONE partial-aggregated groupBy over the keys, then a
+    distributed TakeOrdered (``orderBy().limit(top_n)`` — per-partition
+    top-N merge, NOT a global sort) plus a 1-row total broadcast; the final
+    rank window runs over ≤ top_n rows.  Exact, unlike a Misra-Gries /
+    count-min sketch — at the profile stage you want the true counts, and
+    one groupBy over the key column is a scan-shaped pass.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    grouped = df.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = grouped.agg(F.sum("n").cast("long").alias("_total"))
+    top = grouped.orderBy(
+        F.desc("n"), *[F.asc(k) for k in key_cols]
+    ).limit(top_n)
+    w = Window.orderBy(F.desc("n"), *[F.asc(k) for k in key_cols])
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("share_bp", F.expr("CAST(n * 10000 DIV _total AS BIGINT)"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", *key_cols, "n", "share_bp")
+    )

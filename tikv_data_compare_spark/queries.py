@@ -961,15 +961,19 @@ GROUP BY 2, 3
 
 
 def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-safe aggregation as a user-visible query: per-event_type totals
-    via two-stage salted aggregation (operators/skew.py) — the handful of
-    event types are giant hot groups at 100 TB, so stage 1 splits each
-    across 16 sub-keys before the merge (the same commutative-monoid split
-    the reference's region-parallel checksum merge relies on,
-    checksum/checksum.go:25-29).  Must equal the plain GROUP BY (the
-    oracle)."""
+    """Both skew-management operators in one labeled row set:
+
+    - ``part='salted'``: per-event_type totals via two-stage salted
+      aggregation (operators/skew.py) — the handful of event types are
+      giant hot groups at 100 TB, so stage 1 splits each across 16 sub-keys
+      before the merge (the same commutative-monoid split the reference's
+      region-parallel checksum merge relies on, checksum/checksum.go:25-29).
+      Must equal the plain GROUP BY (the oracle);
+    - ``part='hot'`` (r10): the exact heavy-hitter profile that SIZES the
+      salting (``skew.hot_keys``, top-3 of 5 types so the ranked cutoff is
+      exercised) — v1 = corpus share in basis points, v2 = rank."""
     tune(spark)
-    from tikv_data_compare_spark.operators.skew import salted_agg
+    from tikv_data_compare_spark.operators.skew import hot_keys, salted_agg
 
     e, _ = _events_ms(spark, sf_dir)
     base = e.select("event_type", F.expr(_dc("value")).alias("v_c"))
@@ -983,20 +987,39 @@ def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         n_salts=16,
     )
-    return out.select(
+    salted = out.select(
+        F.lit("salted").alias("part"),
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.col("sum_value_c").cast("long").alias("sum_value_c"),
-        F.col("max_value_c").cast("long").alias("max_value_c"),
+        F.col("sum_value_c").cast("long").alias("v1"),
+        F.col("max_value_c").cast("long").alias("v2"),
     )
+    hot = hot_keys(e, ["event_type"], top_n=3).select(
+        F.lit("hot").alias("part"),
+        "event_type",
+        "n",
+        F.col("share_bp").alias("v1"),
+        F.col("rank").alias("v2"),
+    )
+    return salted.unionByName(hot)
 
 
 ORACLE_SKEW_AGG = f"""
 WITH base AS (SELECT event_type, {_dc("value")} AS v_c FROM events)
-SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(v_c) AS BIGINT) AS sum_value_c,
-       CAST(max(v_c) AS BIGINT) AS max_value_c
+SELECT 'salted' AS part, event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v_c) AS BIGINT) AS v1,
+       CAST(max(v_c) AS BIGINT) AS v2
 FROM base GROUP BY event_type
+UNION ALL
+SELECT 'hot' AS part, event_type, n,
+       CAST(n * 10000 // total AS BIGINT) AS v1,
+       CAST(rnk AS BIGINT) AS v2
+FROM (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS total,
+         row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS rnk
+  FROM events GROUP BY event_type
+) WHERE rnk <= 3
 """
 
 
