@@ -35,6 +35,7 @@ def main():
     from tikv_data_compare_spark import queries_ext as qe
     from tikv_data_compare_spark import queries_more as qm
     from tikv_data_compare_spark.model import Keyed
+    from tikv_data_compare_spark.operators import clustering as clu
     from tikv_data_compare_spark.operators import dedup as dd
     from tikv_data_compare_spark.operators import similarity as sim
     from tikv_data_compare_spark.operators import text as tx
@@ -131,6 +132,22 @@ def main():
                 F.col("vec_id").alias("query_id"), "embedding"
             ),
             k=5, n_cells=16, n_probe=4, m=8, k_codes=32, rerank=100,
+        ).count(),
+        # r10 additions: the corpus-level line dedup (C4 boilerplate strip)
+        # over the planted-footer corpus (the registry-row workload), BM25
+        # retrieval for the fixed 3-query set, and SemDeDup at the operating
+        # geometry a 2k-vector corpus wants (k=16 -> ~125-vector clusters,
+        # ~125k within-cluster pairs; 2 Lloyd rounds).
+        "dedup_lines": lambda: dd.dedup_lines(
+            documents.select("doc_id", F.expr(qe.LINE_SYNTH).alias("t2")), "doc_id", "t2"
+        ).count(),
+        "bm25": lambda: tx.bm25_topk(
+            documents.select("doc_id", "text"),
+            spark.createDataFrame(list(qm.BM25_QUERIES), "query_id long, qtext string"),
+            k=5,
+        ).count(),
+        "semdedup": lambda: clu.semantic_dedup(
+            embeddings, k=16, n_iter=2, threshold_c=3000
         ).count(),
         "curation_pipeline": lambda: qe.q_curation_pipeline(spark, sf_dir).count(),
     }
