@@ -787,3 +787,86 @@ def test_cli_sample_weights_whitespace_and_curate_lm_flags(capsys, spark, tmp_pa
     assert rc == 2 and "--max-lm-nll-c" in capsys.readouterr().err
     rc = cli.main(["curate", "--src", src, "--max-lm-nll-c", "-5"])
     assert rc == 2 and "max_lm_nll_c" in capsys.readouterr().err
+
+
+def test_cli_search_one_shot_and_index_flow(capsys, spark, tmp_path):
+    """search subcommand: one-shot BM25 ≡ index-path BM25; build -> append
+    -> query over the persistent text index; flag conflicts exit 2."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    src = str(tmp_path / "docs.pq")
+    docs.write.parquet(src)
+
+    rc = cli.main(["search", "--src", src, "--query", "data query window", "--k", "3"])
+    assert rc == 0
+    one_shot = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(one_shot) == 3 and all(r["bm25_c"] > 0 for r in one_shot)
+
+    idx = str(tmp_path / "tix")
+    half1, half2 = str(tmp_path / "h1.pq"), str(tmp_path / "h2.pq")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(half1)
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(half2)
+    assert cli.main(["search", "--src", half1, "--build-index", idx]) == 0
+    capsys.readouterr()
+    assert cli.main(["search", "--src", half2, "--append-index", idx]) == 0
+    capsys.readouterr()
+    rc = cli.main(["search", "--index", idx, "--query", "data query window", "--k", "3"])
+    assert rc == 0
+    via_index = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert via_index == one_shot  # build+append ≡ whole-corpus one-shot
+
+    # colliding append surfaces as a clean error, not a stack trace
+    rc = cli.main(["search", "--src", half1, "--append-index", idx])
+    assert rc == 2
+    assert "already exist" in capsys.readouterr().err
+
+    # flag conflicts
+    assert cli.main(["search", "--query", "x"]) == 2
+    assert cli.main(["search", "--src", src, "--build-index", str(tmp_path / "z"),
+                     "--out", "q"]) == 2
+    assert cli.main(["search", "--src", src, "--index", idx,
+                     "--build-index", str(tmp_path / "z2")]) == 2
+    capsys.readouterr()
+
+
+def test_cli_semdedup_and_hotkeys(capsys, spark, tmp_path):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    src = str(tmp_path / "emb.pq")
+    emb.write.parquet(src)
+    out = str(tmp_path / "verdicts.pq")
+    rc = cli.main(["semdedup", "--src", src, "--k", "3",
+                   "--threshold-c", "3000", "--out", out])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["kept"] + res["dropped"] == res["total"] == 60
+    assert spark.read.parquet(out).count() == 60
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(100)
+    osrc = str(tmp_path / "orders.pq")
+    orders.write.parquet(osrc)
+    rc = cli.main(["hotkeys", "--src", osrc, "--keys", "o_orderstatus", "--top-n", "2"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 2 and rows[0]["rank"] == 1
+    assert sum(r["share_bp"] for r in rows) <= 10000
+
+
+def test_cli_dedup_lines(capsys, spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "only mine\nshared footer"), (2, "shared footer"), (3, "other body")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "d.pq")
+    docs.write.parquet(src)
+    out = str(tmp_path / "lines.pq")
+    rc = cli.main(["dedup", "--src", src, "--lines", "--out", out])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res == {"mode": "lines", "docs": 3, "out": out}
+    got = {r["doc_id"]: r["new_text"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "only mine\nshared footer", 2: "", 3: "other body"}
+    # --lines is exclusive with index modes
+    assert cli.main(["dedup", "--src", src, "--lines",
+                     "--build-index", str(tmp_path / "zz")]) == 2
+    capsys.readouterr()

@@ -1,0 +1,160 @@
+"""Tests for operators/text_index.py: the persistent BM25 index."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+DOCS = [
+    (1, "spark filter join join window"),
+    (2, "window scan filter"),
+    (3, "join merge hash hash hash"),
+    (4, "scan spark spark"),
+    (5, "merge window window filter scan"),
+    (6, "hash probe build side"),
+]
+QUERIES = [(0, "join hash"), (1, "window"), (2, "zz_unseen")]
+
+
+def _frames(spark):
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(QUERIES, "query_id long, qtext string")
+    return d, q
+
+
+def test_index_query_equals_direct_bm25(spark, tmp_path):
+    from tikv_data_compare_spark.operators.text import bm25_topk
+    from tikv_data_compare_spark.operators.text_index import (
+        build_text_index,
+        query_text_index,
+    )
+
+    d, q = _frames(spark)
+    p = os.path.join(tmp_path, "tix")
+    meta = build_text_index(d, p)
+    assert meta["n_docs"] == 6 and meta["sum_dl"] == sum(len(t.split()) for _, t in DOCS)
+    got = sorted(map(tuple, query_text_index(q, p, k=3).collect()))
+    want = sorted(map(tuple, bm25_topk(d, q, k=3).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_append_grows_corpus_exactly(spark, tmp_path):
+    """build(half) + append(half) must score IDENTICALLY to a whole-corpus
+    one-shot — the exact-sufficient-statistics claim."""
+    from tikv_data_compare_spark.operators.text import bm25_topk
+    from tikv_data_compare_spark.operators.text_index import (
+        append_to_text_index,
+        build_text_index,
+        query_text_index,
+    )
+
+    d, q = _frames(spark)
+    p = os.path.join(tmp_path, "tix")
+    build_text_index(d.filter("doc_id <= 3"), p)
+    assert append_to_text_index(d.filter("doc_id > 3"), p) == 3
+    got = sorted(map(tuple, query_text_index(q, p, k=5).collect()))
+    want = sorted(map(tuple, bm25_topk(d, q, k=5).collect()))
+    assert got == want
+
+
+def test_append_empty_batch_is_noop(spark, tmp_path):
+    from tikv_data_compare_spark.operators.text_index import (
+        append_to_text_index,
+        build_text_index,
+        load_text_index,
+    )
+
+    d, _ = _frames(spark)
+    p = os.path.join(tmp_path, "tix")
+    build_text_index(d, p)
+    before = load_text_index(spark, p).meta
+    assert append_to_text_index(d.filter("doc_id < 0"), p) == 0
+    assert load_text_index(spark, p).meta == before
+
+
+def test_load_validates_version_and_tokenizer(spark, tmp_path):
+    from tikv_data_compare_spark.operators import text_index as ti
+
+    d, _ = _frames(spark)
+    p = os.path.join(tmp_path, "tix")
+    ti.build_text_index(d, p)
+
+    # corrupt version
+    ti._write_meta(spark, p, {**ti.load_text_index(spark, p).meta, "version": 99})
+    with pytest.raises(ValueError, match="format version"):
+        ti.load_text_index(spark, p)
+    # corrupt tokenizer
+    ti._write_meta(
+        spark,
+        p,
+        {
+            "version": ti.TEXT_INDEX_FORMAT_VERSION,
+            "tokenizer": "other-v9",
+            "n_docs": 6,
+            "sum_dl": 10,
+        },
+    )
+    with pytest.raises(ValueError, match="tokenizer"):
+        ti.load_text_index(spark, p)
+
+
+def test_load_refuses_empty_index(spark, tmp_path):
+    from tikv_data_compare_spark.operators import text_index as ti
+
+    d, _ = _frames(spark)
+    p = os.path.join(tmp_path, "tix")
+    ti.build_text_index(d, p)
+    ti._write_meta(
+        spark,
+        p,
+        {
+            "version": ti.TEXT_INDEX_FORMAT_VERSION,
+            "tokenizer": ti.TOKENIZER,
+            "n_docs": 0,
+            "sum_dl": 0,
+        },
+    )
+    with pytest.raises(ValueError, match="empty"):
+        ti.load_text_index(spark, p)
+
+
+def test_query_reads_no_text(spark, tmp_path):
+    """The query plan touches only the index parquet — never the corpus
+    text (the build-once/query-many point)."""
+    from tikv_data_compare_spark.operators.text_index import (
+        build_text_index,
+        query_text_index,
+    )
+
+    d, q = _frames(spark)
+    p = os.path.join(tmp_path, "tix")
+    build_text_index(d, p)
+    import re
+
+    plan = query_text_index(q, p, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "postings" in plan and "dfreq" in plan
+    # the corpus `text` column never appears (qtext — the query string — does)
+    assert not re.search(r"(?<!q)text#", plan)
+
+
+def test_append_refuses_id_collisions(spark, tmp_path):
+    """Re-appending indexed ids would double postings and flip idf negative
+    for common terms — the append must refuse BEFORE writing anything."""
+    from tikv_data_compare_spark.operators.text_index import (
+        append_to_text_index,
+        build_text_index,
+        load_text_index,
+        query_text_index,
+    )
+
+    d, q = _frames(spark)
+    p = os.path.join(tmp_path, "tix")
+    build_text_index(d, p)
+    before = load_text_index(spark, p).meta
+    with pytest.raises(ValueError, match="already exist"):
+        append_to_text_index(d.filter("doc_id <= 2"), p)
+    # nothing was written: meta unchanged, scores still positive
+    assert load_text_index(spark, p).meta == before
+    assert all(r["bm25_c"] > 0 for r in query_text_index(q, p, k=3).collect())

@@ -235,6 +235,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--corpus", default="",
                    help="with --index: the indexed docs parquet — adds the "
                         "exact-Jaccard verify column to the cross pairs")
+    p.add_argument("--lines", action="store_true",
+                   help="C4-style corpus LINE dedup instead of document "
+                        "near-dup: drop every non-first occurrence of a line "
+                        "across the corpus, rebuild each doc in order "
+                        "(operators.dedup.dedup_lines)")
+    p.add_argument("--sep", default="\n", help="with --lines: literal line separator")
     p.add_argument("--out", default="", help="write result parquet here")
     p.add_argument("--concurrency", type=int, default=0)
 
@@ -345,6 +351,48 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", default="", help="write result parquet here instead of printing rows")
     p.add_argument("--concurrency", type=int, default=0)
 
+    # BM25 ranked retrieval over a documents parquet: one-shot scoring, or
+    # the persistent text index (build once / query many; appends keep the
+    # statistics EXACT for the grown corpus — operators/text_index.py)
+    p = sub.add_parser("search")
+    p.add_argument("--src", default="", help="documents parquet (one-shot scoring / --build-index / --append-index)")
+    p.add_argument("--query", action="append", default=[],
+                   help="query string (repeatable; ids assigned 0..n-1 in order)")
+    p.add_argument("--queries", default="",
+                   help="queries parquet (query_id, qtext) — alternative to --query")
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--build-index", default="",
+                   help="persist --src's BM25 statistics (postings/dfreq/meta) here and exit")
+    p.add_argument("--append-index", default="",
+                   help="append --src's postings to this index (df/avgdl re-derive exactly)")
+    p.add_argument("--index", default="",
+                   help="score queries against this persisted index instead of scanning --src")
+    p.add_argument("--out", default="", help="write result parquet here")
+    p.add_argument("--concurrency", type=int, default=0)
+
+    # SemDeDup: k-means-bucketed semantic near-duplicate verdicts over an
+    # embeddings parquet (operators/clustering.py)
+    p = sub.add_parser("semdedup")
+    p.add_argument("--src", required=True, help="embeddings parquet with (vec_id, embedding)")
+    p.add_argument("--k", type=int, default=16, help="cluster count (~n/1000 bounds the pairwise term)")
+    p.add_argument("--n-iter", type=int, default=2)
+    p.add_argument("--threshold-c", type=int, default=9500,
+                   help="scaled cosine (x10000) above which the higher id drops")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--out", default="", help="write verdict parquet here")
+    p.add_argument("--concurrency", type=int, default=0)
+
+    # exact heavy-hitter key profile: the pre-flight that sizes salting
+    p = sub.add_parser("hotkeys")
+    p.add_argument("--src", required=True, help="parquet to profile")
+    p.add_argument("--keys", required=True, help="comma-separated key columns")
+    p.add_argument("--top-n", type=int, default=20)
+    p.add_argument("--out", default="", help="write profile parquet here")
+    p.add_argument("--concurrency", type=int, default=0)
+
     args = top.parse_args(argv)
 
     # codec subcommands are pure driver-side (reference codec/codec.go:14-54)
@@ -396,7 +444,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.corpus and not args.index:
             print("dedup: --corpus requires --index", file=sys.stderr)
             return 2
+        if args.lines and modes:
+            print(f"dedup: --lines and {modes[0]} are mutually exclusive",
+                  file=sys.stderr)
+            return 2
         docs = spark.read.parquet(args.src)
+        if args.lines:
+            out_df = dd.dedup_lines(
+                docs, id_col=args.id_col, text_col=args.text_col, sep=args.sep
+            )
+            result = {"mode": "lines", "docs": out_df.count()}
+            if args.out:
+                out_df.write.mode("overwrite").parquet(args.out)
+                result["out"] = args.out
+            print(json.dumps(result))
+            return 0
         try:
             if args.build_index:
                 meta = di.build_dedup_index(
@@ -455,6 +517,116 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         except ValueError as e:
             print(f"dedup: {e}", file=sys.stderr)
+            return 2
+
+    if args.cmd == "search":
+        from tikv_data_compare_spark.operators import text_index as ti
+        from tikv_data_compare_spark.operators.text import bm25_topk
+
+        modes = [
+            f for f, v in (("--build-index", args.build_index),
+                           ("--append-index", args.append_index),
+                           ("--index", args.index)) if v
+        ]
+        if len(modes) > 1:
+            print(f"search: {' and '.join(modes)} are mutually exclusive",
+                  file=sys.stderr)
+            return 2
+        if (args.build_index or args.append_index) and (
+            args.query or args.queries or args.out
+        ):
+            print("search: --query/--queries/--out only apply to scoring runs "
+                  "(--index or one-shot --src)", file=sys.stderr)
+            return 2
+        if not (args.build_index or args.append_index or args.index) and not args.src:
+            print("search: one-shot scoring needs --src", file=sys.stderr)
+            return 2
+        try:
+            if args.build_index:
+                meta = ti.build_text_index(
+                    spark.read.parquet(args.src), args.build_index,
+                    id_col=args.id_col, text_col=args.text_col,
+                )
+                print(json.dumps({"built": args.build_index, **meta}))
+                return 0
+            if args.append_index:
+                n = ti.append_to_text_index(
+                    spark.read.parquet(args.src), args.append_index,
+                    id_col=args.id_col, text_col=args.text_col,
+                )
+                print(json.dumps({"appended": n, "index": args.append_index}))
+                return 0
+            if args.query and args.queries:
+                print("search: --query and --queries are mutually exclusive",
+                      file=sys.stderr)
+                return 2
+            if args.queries:
+                qdf = spark.read.parquet(args.queries)
+            elif args.query:
+                qdf = spark.createDataFrame(
+                    list(enumerate(args.query)), "query_id long, qtext string"
+                )
+            else:
+                print("search: scoring needs --query or --queries", file=sys.stderr)
+                return 2
+            if args.index:
+                out_df = ti.query_text_index(qdf, args.index, k=args.k)
+            else:
+                out_df = bm25_topk(
+                    spark.read.parquet(args.src), qdf,
+                    id_col=args.id_col, text_col=args.text_col, k=args.k,
+                )
+            if args.out:
+                out_df.write.mode("overwrite").parquet(args.out)
+                print(json.dumps({"out": args.out, "rows": out_df.count()}))
+            else:
+                # bounded: <= k rows per query
+                for row in out_df.toLocalIterator():
+                    print(json.dumps(row.asDict()))
+            return 0
+        except ValueError as e:
+            print(f"search: {e}", file=sys.stderr)
+            return 2
+
+    if args.cmd == "semdedup":
+        from tikv_data_compare_spark.operators.clustering import semantic_dedup
+
+        try:
+            out_df = semantic_dedup(
+                spark.read.parquet(args.src), k=args.k, n_iter=args.n_iter,
+                threshold_c=args.threshold_c,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            kept = out_df.filter("kept = 1").count()
+            total = out_df.count()
+            result = {"kept": kept, "dropped": total - kept, "total": total}
+            if args.out:
+                out_df.write.mode("overwrite").parquet(args.out)
+                result["out"] = args.out
+            print(json.dumps(result))
+            return 0
+        except ValueError as e:
+            print(f"semdedup: {e}", file=sys.stderr)
+            return 2
+
+    if args.cmd == "hotkeys":
+        from tikv_data_compare_spark.operators.skew import hot_keys
+
+        try:
+            out_df = hot_keys(
+                spark.read.parquet(args.src),
+                [c.strip() for c in args.keys.split(",") if c.strip()],
+                top_n=args.top_n,
+            )
+            if args.out:
+                out_df.write.mode("overwrite").parquet(args.out)
+                print(json.dumps({"out": args.out, "rows": out_df.count()}))
+            else:
+                for row in out_df.toLocalIterator():  # bounded: top_n rows
+                    print(json.dumps(row.asDict()))
+            return 0
+        except ValueError as e:
+            print(f"hotkeys: {e}", file=sys.stderr)
             return 2
 
     if args.cmd == "sample":

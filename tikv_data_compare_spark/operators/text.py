@@ -891,6 +891,30 @@ def bm25_topk(
     the final per-query top-k window re-shuffles — bounded by candidate
     count.  No UDFs, no driver-side collect.
     """
+    tf, dfreq, scalars = bm25_corpus_stats(df, id_col, text_col)
+    return bm25_rank(
+        tf, dfreq, scalars, queries,
+        id_col=id_col, query_id_col=query_id_col, query_text_col=query_text_col,
+        k=k, k1=k1, b=b,
+    )
+
+
+def bm25_corpus_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The corpus's BM25 sufficient statistics, as three frames:
+
+    - ``tf``      (_id, dl, w, tf) — one row per distinct (doc, term);
+    - ``dfreq``   (w, df) — vocabulary-sized document frequencies;
+    - ``scalars`` 1 row (n_docs, sum_dl, avgdl) with
+      avgdl = CAST(sum_dl AS DOUBLE) / n_docs (one correctly-rounded
+      division — the expression every scorer must share).
+
+    This is the expensive corpus pass (the 16-of-17 cpu-seconds of a
+    one-shot bm25_topk at sf0.1): a pipeline scoring several query batches
+    computes it once — or persists it via operators/text_index.py and
+    never recomputes it at all.
+    """
     from tikv_data_compare_spark.session import scale_out
 
     df = scale_out(df, key=id_col)
@@ -905,6 +929,24 @@ def bm25_topk(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     ).withColumn("avgdl", F.expr("CAST(sum_dl AS DOUBLE) / n_docs"))
+    return tf, dfreq, scalars
+
+
+def bm25_rank(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    scalars: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score + rank a query set against prepared corpus stats (the cheap
+    half of bm25_topk — shared by the one-shot path and the persisted
+    text index)."""
     qterms = queries.select(
         F.col(query_id_col).alias("qid"),
         F.explode(F.array_distinct(F.split(F.col(query_text_col), " "))).alias("w"),

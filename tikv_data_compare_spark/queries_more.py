@@ -315,10 +315,23 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
       bigrams (``top_bigrams``; count desc, bigram asc), ``doc_id=-1`` /
       ``score_c=0`` as the corpus-level placeholders;
     - ``part='bm25'`` (r10): Okapi BM25 top-5 docs per ``BM25_QUERIES``
-      query (``bm25_topk``; per-term scores integer-frozen before the
-      per-doc sum, the score expression shared verbatim with the oracle via
+      query (per-term scores integer-frozen before the per-doc sum, the
+      score expression shared verbatim with the oracle via
       ``bm25_score_sql``) — ``term`` is the query text, ``tf`` the count of
-      matched distinct query terms, ``score_c`` the integer BM25 score."""
+      matched distinct query terms, ``score_c`` the integer BM25 score.
+      The row runs the PERSISTED path (operators/text_index.py: build the
+      index on half the corpus, append the other half, query the index),
+      so build + exact-append + load + query are all inside the hash gate —
+      the oracle recomputes whole-corpus BM25, which only matches if the
+      appended statistics are exactly the corpus statistics."""
+    import tempfile
+
+    from tikv_data_compare_spark.operators.text_index import (
+        append_to_text_index,
+        build_text_index,
+        query_text_index,
+    )
+
     tune(spark)
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     tfidf = tx.tfidf_top_terms(docs, "doc_id", "text", k=3).select(
@@ -333,8 +346,11 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("score_c"),
     )
     qdf = spark.createDataFrame(list(BM25_QUERIES), "query_id long, qtext string")
+    tix = tempfile.mkdtemp(prefix="bm25_tix_") + "/index"
+    build_text_index(docs.filter("doc_id % 2 = 0"), tix)
+    append_to_text_index(docs.filter("doc_id % 2 = 1"), tix)
     bm25 = (
-        tx.bm25_topk(docs, qdf, k=5)
+        query_text_index(qdf, tix, k=5)
         .join(F.broadcast(qdf), "query_id")
         .select(
             F.lit("bm25").alias("part"),
