@@ -376,3 +376,68 @@ def test_ann_index_scan_prunes_to_code_columns(spark, embeddings, tmp_path):
     read_schemas = [l for l in s.splitlines() if "ReadSchema" in l and "pq_code" in l]
     assert read_schemas, s  # the index scan is present...
     assert all("embedding" not in l for l in read_schemas)  # ...and code-only
+
+
+# ----------------------------------------------------------- r10 operators
+
+
+def test_dedup_lines_join_not_window(spark, documents):
+    """The first-occurrence verdict must be an (AQE-splittable) equi-join on
+    the line hash, never a min-over-window — corpus-scale boilerplate lines
+    are exactly the hot keys a window partition cannot split."""
+    df = dd.dedup_lines(documents.limit(200), "doc_id", "text")
+    s = plans.plan_string(df)
+    assert "Window" not in s
+    assert not plans.has_cartesian(df)
+    assert plans.join_strategies(df) & {
+        "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"
+    }
+
+
+def test_bm25_broadcasts_everything_but_postings(spark, documents):
+    """Query terms, document frequencies and the 1-row scalars all broadcast
+    into the tf join — the only shuffles are the corpus-stats aggregations;
+    no cartesian anywhere (the scalars ride a broadcast nested loop, which
+    is fine for ONE row)."""
+    from tikv_data_compare_spark.operators.text import bm25_topk
+
+    q = spark.createDataFrame([(0, "data query")], "query_id long, qtext string")
+    df = bm25_topk(documents.limit(200), q, k=5)
+    assert "BroadcastHashJoin" in plans.join_strategies(df)
+    s = plans.plan_string(df)
+    assert "CartesianProduct" not in s
+
+
+def test_semdedup_pair_join_is_equi(spark):
+    """The within-cluster pair search is a cluster-keyed equi-join — the
+    SemDeDup point is precisely that it never goes cartesian."""
+    from tikv_data_compare_spark.operators.clustering import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    df = semantic_dedup(emb, k=2, n_iter=1, threshold_c=9999)
+    s = plans.plan_string(df)
+    assert "CartesianProduct" not in s
+    assert plans.join_strategies(df) & {
+        "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"
+    }
+
+
+def test_text_index_query_broadcasts_terms(spark, documents, tmp_path):
+    """The index-path scoring join broadcasts the query terms into the
+    postings scan — the corpus-sized side never shuffles for the probe."""
+    import os
+
+    from tikv_data_compare_spark.operators.text_index import (
+        build_text_index,
+        query_text_index,
+    )
+
+    p = os.path.join(tmp_path, "tix")
+    build_text_index(documents.limit(200), p)
+    q = spark.createDataFrame([(0, "data query")], "query_id long, qtext string")
+    df = query_text_index(q, p, k=5)
+    assert "BroadcastHashJoin" in plans.join_strategies(df)
+    assert "CartesianProduct" not in plans.plan_string(df)
