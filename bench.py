@@ -149,6 +149,14 @@ def main():
         "semdedup": lambda: clu.semantic_dedup(
             embeddings, k=16, n_iter=2, threshold_c=3000
         ).count(),
+        # r10: trained byte-level BPE end-to-end — learn 48 merges from the
+        # corpus's top-256 word-frequency table (one agg + bounded collect +
+        # driver loop), then count every doc's subword tokens with the
+        # map-side nested-HOF fold (zero shuffle)
+        "bpe_tokens": lambda: tx.bpe_token_count(
+            documents.select("doc_id", "text"),
+            tx.train_bpe_merges(documents.select("doc_id", "text")),
+        ).count(),
         "curation_pipeline": lambda: qe.q_curation_pipeline(spark, sf_dir).count(),
     }
 

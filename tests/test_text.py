@@ -440,3 +440,82 @@ def test_ngram_lm_score_validation(spark):
         ngram_lm_score(docs, min_count=0)
     with _pytest.raises(ValueError, match="alpha"):
         ngram_lm_score(docs, alpha=0)
+
+
+# --------------------------------------------------------------------- BPE
+
+
+def test_bpe_train_hand_computed(spark):
+    # corpus word counts: 'aa'×4, 'ab'×2, 'b'×1  (hex: a=61, b=62)
+    df = spark.createDataFrame(
+        [(1, "aa aa ab"), (2, "aa aa ab b")], "doc_id long, text string"
+    )
+    merges = tx.train_bpe_merges(df, n_merges=4)
+    # pair counts round 1: (61,61)=4 from 'aa', (61,62)=2 from 'ab' → merge (61,61)
+    # round 2: only (61,62)=2 remains → merge; round 3: nothing ≥2 → stop
+    assert merges == [("61", "61"), ("61", "62")]
+    out = {
+        r["doc_id"]: r["n_tokens_subword"]
+        for r in tx.bpe_token_count(df, merges).collect()
+    }
+    # doc1: 'aa'→1, 'aa'→1, 'ab'→1 = 3; doc2: + 'b'→1 = 4
+    assert out == {1: 3, 2: 4}
+
+
+def test_bpe_leftmost_nonoverlap_and_rank_order(spark):
+    # 'aaa' under merge (61,61): leftmost pass → [6161, 61] = 2 tokens,
+    # and the follow-up merge (6161,61) then joins them into 1.
+    df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    one = tx.bpe_token_count(df, [("61", "61")]).collect()[0]["n_tokens_subword"]
+    assert one == 2
+    both = tx.bpe_token_count(df, [("61", "61"), ("6161", "61")]).collect()[0][
+        "n_tokens_subword"
+    ]
+    assert both == 1
+    # python-side trainer applies the identical semantics
+    seg = tx._bpe_seg0_py("aaa").replace(",61,,61,", ",6161,")
+    assert seg == ",6161,,61,"
+
+
+def test_bpe_train_partitioning_invariant(spark, documents):
+    docs = documents.limit(200)
+    a = tx.train_bpe_merges(docs, n_merges=16, vocab_top=64)
+    b = tx.train_bpe_merges(docs.repartition(7), n_merges=16, vocab_top=64)
+    assert a == b and len(a) == 16
+
+
+def test_bpe_null_empty_and_multibyte(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "é"), (4, "a  b")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_tokens_subword"]
+        for r in tx.bpe_token_count(df, [("C3", "A9")]).collect()
+    }
+    # NULL/empty text → 0 tokens; 'é' = C3 A9 merged → 1; 'a  b' has an
+    # empty middle word contributing 0 → 2
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2}
+
+
+def test_pack_token_bins_redenominated(spark):
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 5)) for i in range(40)], "doc_id long, text string"
+    )
+    counted = tx.bpe_token_count(tx.token_count(df), [])
+    packed = tx.pack_token_bins(
+        counted, budget=4, n_shards=2, ntok_col="n_tokens_subword"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in packed}
+    sub = {r["doc_id"]: r["n_tokens_subword"] for r in counted.collect()}
+    # n_tok column reflects the supplied denomination
+    assert all(r["n_tok"] == sub[r["doc_id"]] for r in packed)
+    # concatenate-and-cut invariant: within every bin, the tokens BEFORE the
+    # last doc fit the budget (a doc only starts a new bin when the running
+    # total would place its start outside the current one)
+    bins = {}
+    for r in sorted(packed, key=lambda r: (r["pack_bin"], r["pack_pos"])):
+        bins.setdefault(r["pack_bin"], []).append(r["n_tok"])
+    for toks in bins.values():
+        assert sum(toks[:-1]) < 4 or toks[:-1] == []
+    assert len(by_id) == 40

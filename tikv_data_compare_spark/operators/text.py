@@ -422,6 +422,145 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Byte-level BPE: trained subword tokenization (r10)
+# ---------------------------------------------------------------------------
+#
+# Real byte-pair-encoding in the Sennrich sense: start from the UTF-8 bytes
+# of each whitespace word, repeatedly merge the most frequent adjacent token
+# pair, freeze the learned merge list, and count subword tokens by replaying
+# the merges in rank order.  Replaces the r5 "BPE-ish" length heuristic
+# (token_count.n_tokens_bpe) for mixture/packing budgets that published
+# pretraining recipes denominate in subword tokens.
+#
+# Engine-parity representation — the whole design hangs on one identity:
+# a word's segmentation is kept as a STRING of comma-wrapped uppercase hex
+# bytes (",41,,62," for "Ab"), and one BPE merge (l, r) applied with
+# leftmost-greedy non-overlap semantics is EXACTLY
+#
+#     replace(seg, ',l,,r,', ',lr,')
+#
+# in Python str.replace, Spark SQL replace, and DuckDB replace (all three
+# scan left to right and skip past each match).  Token content is hex only,
+# every complete token carries its own comma delimiters on both sides, so a
+# pattern match cannot straddle token boundaries ("241","412" does not
+# contain ",41,,41,").  Applying the merge list in learned-rank order, one
+# pass each, is complete: rule k's operands exist before any rule > k fires,
+# and a merge output l||r can never equal its own l or r, so no earlier rule
+# becomes newly applicable.  Token count falls out of the delimiters:
+# (length(seg) - length(replace(seg, ',', ''))) / 2.
+#
+# Training is the PQ-codebook bounded-collect pattern: the top `vocab_top`
+# words by (count DESC, word ASC) — one distributed agg + a global-sort
+# limit, deterministic under any partitioning — are collected and the merge
+# loop runs on the driver (n_merges × ≤vocab_top adjacent-pair counts,
+# microseconds).  Pair frequency counts EVERY adjacent position (AAA yields
+# two (A,A)); ties break (count DESC, l ASC, r ASC) — uppercase hex under
+# Python/DuckDB binary string order; training stops when the best pair's
+# count is < 2.  The DuckDB oracle retrains the same merges with chained
+# CTEs (one pair-count + argmax + replace stage per rank) and recomputes
+# every doc's count, so training AND application sit inside the hash gate —
+# pinned bit-identical in tests/test_text.py.
+
+BPE_N_MERGES = 48
+BPE_VOCAB_TOP = 256
+
+
+def _bpe_seg0_py(word: str) -> str:
+    h = word.encode("utf-8").hex().upper()
+    return "".join(f",{h[i:i + 2]}," for i in range(0, len(h), 2))
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_N_MERGES,
+    vocab_top: int = BPE_VOCAB_TOP,
+) -> list[tuple[str, str]]:
+    """Learn a byte-level BPE merge list from a corpus (see section comment).
+
+    Returns ``[(left_hex, right_hex), ...]`` in rank order, possibly shorter
+    than ``n_merges`` if pair frequencies bottom out.  The collect is
+    bounded at ``vocab_top`` rows (driver-safe at any corpus size); at
+    100 TB you would raise ``vocab_top``/``n_merges`` (32k-merge tokenizers
+    train from word-frequency tables of this exact shape) — the driver loop
+    is O(n_merges · vocab_top · word_len), data-size independent.
+    """
+    words = df.select(
+        F.explode(
+            F.split(F.coalesce(F.col(text_col).cast("string"), F.lit("")), " ")
+        ).alias("w")
+    )
+    vocab = (
+        words.where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(vocab_top)
+        .collect()
+    )
+    segs: list[list] = [[_bpe_seg0_py(r["w"]), r["n"]] for r in vocab]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for seg, n in segs:
+            toks = seg.strip(",").split(",,")
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        cand = [(l, r, c) for (l, r), c in pairs.items() if c >= 2]
+        if not cand:
+            break
+        l, r, _c = min(cand, key=lambda t: (-t[2], t[0], t[1]))
+        merges.append((l, r))
+        pat, rep = f",{l},,{r},", f",{l}{r},"
+        for s in segs:
+            s[0] = s[0].replace(pat, rep)
+    return merges
+
+
+def bpe_merges_array_sql(merges: list[tuple[str, str]]) -> str:
+    """The frozen merge table as a Spark SQL array-of-structs literal
+    (constant-folded by Catalyst — shipped once per task, not per row)."""
+    if not merges:
+        return "CAST(array() AS array<struct<pat:string,rep:string>>)"
+    items = ", ".join(
+        f"named_struct('pat', ',{l},,{r},', 'rep', ',{l}{r},')" for l, r in merges
+    )
+    return f"array({items})"
+
+
+def bpe_ntok_sql(text_col: str, merges: list[tuple[str, str]]) -> str:
+    """Spark SQL expression: total subword-token count of ``text_col`` under
+    the frozen ``merges`` — a purely map-side nested-HOF fold (zero shuffle,
+    whole-stage codegen): words → transform(fold over merges) → transform
+    (delimiter count) → aggregate sum.  The expensive merge fold runs ONCE
+    per word occurrence (the two-transform split exists so the token-count
+    arithmetic's double use of the segmentation string reads the already
+    computed element instead of re-folding)."""
+    seg0 = "regexp_replace(hex(encode(w, 'UTF-8')), '(..)', ',$1,')"
+    fold = (
+        f"aggregate({bpe_merges_array_sql(merges)}, {seg0}, "
+        f"(acc, m) -> replace(acc, m.pat, m.rep))"
+    )
+    ntok = "CAST((length(f) - length(replace(f, ',', ''))) / 2 AS BIGINT)"
+    return (
+        f"aggregate(transform(transform(split(coalesce({text_col}, ''), ' '), "
+        f"w -> {fold}), f -> {ntok}), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "n_tokens_subword",
+) -> DataFrame:
+    """Append the trained-BPE subword token count (NULL/empty text → 0 —
+    unlike the whitespace counts, an empty word holds zero bytes and hence
+    zero tokens)."""
+    return df.withColumn(out_col, F.expr(bpe_ntok_sql(text_col, merges)))
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
@@ -772,6 +911,7 @@ def pack_token_bins(
     n_shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ntok_col: str | None = None,
 ) -> DataFrame:
     """Assign every document to a token-budget bin — the sequence-packing
     step that turns a curated corpus into fixed-budget training batches:
@@ -795,6 +935,13 @@ def pack_token_bins(
     ``local_bin · n_shards + shard`` — unique for ANY bin count (a fixed
     shard multiplier would collide once a shard exceeds it; at 100 TB a
     512-token budget yields ~1e9 bins per shard — r8 review).
+
+    ``ntok_col`` (r10) re-denominates the budget: when given, the named
+    column of ``df`` (e.g. a trained-BPE subword count from
+    ``bpe_token_count`` — published packing recipes budget in subword
+    tokens, not whitespace words) is used as each document's token count
+    instead of the whitespace default.  A zero-count doc (empty text under
+    BPE) joins the current bin without advancing the cumsum.
     """
     from pyspark.sql import Window
 
@@ -804,12 +951,16 @@ def pack_token_bins(
         raise ValueError(f"budget must be >= 1, got {budget}")
     # shared deterministic staging (coalesce + staged md5 + hexfold + mod):
     # single-sourced in sampling.content_shards so the recipes cannot drift
+    cols = [id_col, text_col] + ([ntok_col] if ntok_col else [])
     staged = content_shards(
-        df.select(id_col, text_col), n_shards, content_col=text_col
+        df.select(*cols), n_shards, content_col=text_col
     ).withColumn(
         "_ntok",
-        F.size(F.split(F.coalesce(F.col(text_col).cast("string"), F.lit("")), " "))
-        .cast("long"),
+        F.col(ntok_col).cast("long")
+        if ntok_col
+        else F.size(
+            F.split(F.coalesce(F.col(text_col).cast("string"), F.lit("")), " ")
+        ).cast("long"),
     )
     w = Window.partitionBy("_shard").orderBy("_sample_h", id_col)
     cum = F.sum("_ntok").over(w)  # inclusive running total within the shard

@@ -769,31 +769,94 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     - whitespace word count plus a BPE-ish subword estimate (1 extra token
       per 6 chars beyond a word's first 6) for training-data budgeting —
       JVM higher-order array functions, no UDF (``token_count``);
+    - REAL byte-level BPE (since r10): a 48-merge tokenizer trained on this
+      corpus's top-256 word-frequency table (bounded driver loop, the
+      PQ-codebook pattern), applied as a purely map-side nested-HOF fold —
+      ``n_tokens_subword``.  The oracle RETRAINS the merge list with one
+      chained pair-count→argmax→replace CTE stage per rank and recomputes
+      every doc's count over the distinct-word vocabulary, so BPE training
+      and application are both inside the hash gate;
     - the normalization pre-pass before exact dedup (lowercase, strip
       sentence punctuation, collapse whitespace runs, trim) with its char
       delta, so the oracle verifies the transform text itself;
     - sequence packing (``pack_token_bins``, since r8): every doc's
       token-budget bin (512 tokens, 8 content-hash shards) and in-bin
       position — the concatenate-and-cut pretraining batch layout, fully
-      deterministic, recomputed by the oracle's window cumsum."""
+      deterministic, recomputed by the oracle's window cumsum.  Since r10
+      the packing is denominated in the TRAINED subword counts (published
+      packing recipes budget subword tokens, not whitespace words)."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     stripped = "replace(replace(replace(lower(text), '.', ''), ',', ''), '!', '')"
     norm = f"trim(regexp_replace({stripped}, ' +', ' '))"
-    packed = tx.pack_token_bins(docs, budget=512, n_shards=8).select(
-        "doc_id", "pack_bin", "pack_pos"
-    )
-    return tx.token_count(docs).select(
+    merges = tx.train_bpe_merges(docs)
+    counted = tx.bpe_token_count(tx.token_count(docs), merges)
+    packed = tx.pack_token_bins(
+        counted, budget=512, n_shards=8, ntok_col="n_tokens_subword"
+    ).select("doc_id", "pack_bin", "pack_pos")
+    return counted.select(
         "doc_id",
         "n_words",
         "n_tokens_bpe",
+        "n_tokens_subword",
         F.expr(norm).alias("norm_text"),
         F.expr(f"CAST(length(text) - length({norm}) AS BIGINT)").alias("chars_removed"),
     ).join(packed, "doc_id")
 
 
-ORACLE_TEXT_TOKENS = f"""
-WITH base AS (
+def _bpe_oracle_ctes(n_merges: int, vocab_top: int) -> str:
+    """DuckDB replay of ``text.train_bpe_merges`` + application: chained
+    CTEs, one (pair-count, argmax, merge-apply) stage per rank — see the
+    engine-parity section comment in operators/text.py.  Everything an
+    iterative trainer needs is expressible per stage: pair frequencies are
+    an unnest+GROUP BY over the current segmentations, the argmax is a
+    (c DESC, l, r) LIMIT 1 (made always-one-row via scalar subqueries so a
+    bottomed-out trainer degrades to identity stages, matching the Python
+    early-stop), and the merge itself is the shared leftmost-non-overlap
+    ``replace``.  MATERIALIZED pins linear evaluation — inlining would
+    re-expand each ts stage once per downstream reference."""
+    ctes = [
+        """bwords AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w FROM documents),
+btw AS (SELECT w, count(*) AS n FROM bwords WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT """
+        + str(vocab_top)
+        + """),
+bts0 AS MATERIALIZED (SELECT regexp_replace(hex(encode(w)), '(..)', ',\\1,', 'g') AS seg, n FROM btw),
+ba0 AS MATERIALIZED (SELECT w, regexp_replace(hex(encode(w)), '(..)', ',\\1,', 'g') AS seg
+       FROM (SELECT DISTINCT w FROM bwords WHERE w <> ''))"""
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"""bp{i} AS (
+  SELECT l, r, sum(n) AS c FROM (
+    SELECT n, unnest(list_transform(range(1, len(toks)), j -> {{'l': toks[j], 'r': toks[j+1]}}), recursive := true)
+    FROM (SELECT string_split(trim(seg, ','), ',,') AS toks, n FROM bts{i})
+  ) GROUP BY 1, 2
+),
+bm{i} AS MATERIALIZED (
+  SELECT (SELECT l FROM bp{i} WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1) AS l,
+         (SELECT r FROM bp{i} WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1) AS r),
+bts{i + 1} AS MATERIALIZED (
+  SELECT CASE WHEN m.l IS NULL THEN seg
+              ELSE replace(seg, ',' || m.l || ',,' || m.r || ',', ',' || m.l || m.r || ',') END AS seg, n
+  FROM bts{i}, bm{i} m),
+ba{i + 1} AS MATERIALIZED (
+  SELECT w, CASE WHEN m.l IS NULL THEN seg
+                 ELSE replace(seg, ',' || m.l || ',,' || m.r || ',', ',' || m.l || m.r || ',') END AS seg
+  FROM ba{i}, bm{i} m)"""
+        )
+    ctes.append(
+        f"""bwtok AS (SELECT w, CAST((length(seg) - length(replace(seg, ',', ''))) // 2 AS BIGINT) AS ntok
+          FROM ba{n_merges}),
+bcounts AS (SELECT d.doc_id, CAST(coalesce(sum(t.ntok), 0) AS BIGINT) AS n_tokens_subword
+            FROM bwords d LEFT JOIN bwtok t ON d.w = t.w GROUP BY d.doc_id)"""
+    )
+    return ",\n".join(ctes)
+
+
+def _oracle_text_tokens() -> str:
+    return f"""
+WITH {_bpe_oracle_ctes(tx.BPE_N_MERGES, tx.BPE_VOCAB_TOP)},
+base AS (
   SELECT doc_id, text, {sqlgen.split_words('text', DUCK)} AS ws,
          trim(regexp_replace(replace(replace(replace(lower(text), '.', ''), ',', ''), '!', ''), ' +', ' ', 'g')) AS norm_text
   FROM documents
@@ -807,10 +870,10 @@ packing AS (
            CAST(floor((sum(ntok) OVER (PARTITION BY shard ORDER BY h, doc_id)
                        - ntok) / 512.0) AS BIGINT) AS bin
     FROM (
-      SELECT doc_id, h, ((h % 8) + 8) % 8 AS shard,
-             len({sqlgen.split_words("coalesce(text, '')", DUCK)}) AS ntok
-      FROM (SELECT doc_id, text, {sqlgen.hexfold_i64('_m')} AS h
-            FROM (SELECT doc_id, text, md5(coalesce(text, '')) AS _m FROM documents))
+      SELECT hd.doc_id, hd.h, ((hd.h % 8) + 8) % 8 AS shard, c.n_tokens_subword AS ntok
+      FROM (SELECT doc_id, {sqlgen.hexfold_i64('_m')} AS h
+            FROM (SELECT doc_id, md5(coalesce(text, '')) AS _m FROM documents)) hd
+      JOIN bcounts c ON hd.doc_id = c.doc_id
     )
   )
 )
@@ -818,11 +881,17 @@ SELECT base.doc_id,
        CAST(len(ws) AS BIGINT) AS n_words,
        CAST(len(ws) + list_sum(list_transform(ws,
             w -> CAST(floor(greatest(length(w) - 6, 0) / 6.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe,
+       c.n_tokens_subword,
        norm_text,
        CAST(length(text) - length(norm_text) AS BIGINT) AS chars_removed,
        p.pack_bin, p.pack_pos
-FROM base JOIN packing p ON base.doc_id = p.doc_id
+FROM base
+JOIN packing p ON base.doc_id = p.doc_id
+JOIN bcounts c ON base.doc_id = c.doc_id
 """
+
+
+ORACLE_TEXT_TOKENS = _oracle_text_tokens()
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
