@@ -1,12 +1,14 @@
 #!/usr/bin/env python
-"""One-query cpu_sec A/B probe (VERDICT r8 tasks 1 & 7).
+"""One-query cpu_sec A/B probe (VERDICT r8 tasks 1 & 7; r9 task 7).
 
-Runs q_curation_pipeline (min-of-5) and export_hex (min-of-3) with the
-same warm-up + hygiene as bench.py, recording per-run wall and the
-container cgroup cpu-second delta.  Works unmodified on the r7 and r8
-tips (imports only symbols present in both).  Prints one JSON line.
+Runs the named bench entries (default: the r8 pair
+curation_pipeline/export_hex) with the same warm-up + hygiene as
+bench.py, recording per-run wall and the container cgroup cpu-second
+delta.  Works unmodified on the r7..r10 tips (imports only symbols
+present in all).  Prints one JSON line.
 
-Usage: python tools/probe_ab.py <label>
+Usage: python tools/probe_ab.py <label> [op ...]
+  ops: curation_pipeline export_hex tfidf funnel_gaps
 """
 from __future__ import annotations
 
@@ -54,13 +56,24 @@ def main():
     orders = q._load(spark, sf_dir, "orders")
     ord_src = Keyed.of(orders, keys=("o_orderkey",))
 
+    from tikv_data_compare_spark import queries_more as qm
+    from tikv_data_compare_spark.operators import text as tx
+
+    documents = q._load(spark, sf_dir, "documents")
     benches = {
         "curation_pipeline": lambda: qe.q_curation_pipeline(spark, sf_dir).count(),
         "export_hex": lambda: export_hex(ord_src).count(),
+        # the two r9-verdict cpu-delta entries, bench.py-identical shapes
+        "tfidf": lambda: tx.tfidf_top_terms(
+            documents.select("doc_id", "text"), "doc_id", "text", k=3
+        ).count(),
+        "funnel_gaps": lambda: qm.q_events_funnel_gaps(spark, sf_dir).count(),
     }
+    ops = sys.argv[2:] or ["curation_pipeline", "export_hex"]
+    benches = {k: benches[k] for k in ops}
 
-    # warm-up: full heaviest plan once, untimed (same as bench.py r8)
-    benches["curation_pipeline"]()
+    # warm-up: the heaviest selected plan once, untimed (same as bench.py r8)
+    next(iter(benches.values()))()
 
     out = {"label": label, "load_start": loadavg_1m(), "runs": {}, "cpu_runs": {}}
     for name, fn in benches.items():
