@@ -85,3 +85,41 @@ def test_max_edges_guard_raises(spark):
     # and max_edges=None disables the guard
     got = _labels(connected_components(edges, max_edges=None))
     assert set(got.values()) == {0}
+
+
+def test_incremental_fold_equals_batch(spark):
+    """Folding random edge batches one at a time through
+    incremental_components ends bit-identical to one-shot CC over the
+    union — the streamed-pair-log contract."""
+    from tikv_data_compare_spark.operators.graph import incremental_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(180)]
+    edges = [(a, b) for a, b in edges if a != b]
+    chunks = [edges[i::4] for i in range(4)]
+    labels = None
+    for ch in chunks:
+        df = spark.createDataFrame(ch, "doc_a long, doc_b long")
+        labels = incremental_components(labels, df)
+    batch = connected_components(
+        spark.createDataFrame(edges, "doc_a long, doc_b long")
+    )
+    assert _labels(labels) == _labels(batch)
+
+
+def test_incremental_cross_epoch_merge_and_idempotence(spark):
+    """A later epoch bridging two earlier components must relabel the
+    LOSING component's every node; refolding the same epoch is a no-op."""
+    from tikv_data_compare_spark.operators.graph import incremental_components
+
+    e1 = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    e2 = spark.createDataFrame([(10, 11), (11, 12)], "doc_a long, doc_b long")
+    bridge = spark.createDataFrame([(3, 10)], "doc_a long, doc_b long")
+    labels = incremental_components(None, e1)
+    labels = incremental_components(labels, e2)
+    assert _labels(labels) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    merged = incremental_components(labels, bridge)
+    want = {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1}
+    assert _labels(merged) == want
+    again = incremental_components(merged, bridge)  # redelivered epoch
+    assert _labels(again) == want

@@ -532,9 +532,11 @@ def test_dedup_stream_chunked_equals_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
+    labels_path = str(tmp_path / "ddstream_labels")
     q = dedup_stream(
         stream, idx, pairs_out,
         checkpoint_location=str(tmp_path / "ddstream_ckpt"),
+        labels_path=labels_path,
     )
     q.awaitTermination(180)
 
@@ -547,6 +549,28 @@ def test_dedup_stream_chunked_equals_batch(spark, tmp_path):
         for r in dd.minhash_pairs(planted, "doc_id", "text").collect()
     }
     assert streamed == batch and streamed  # non-empty by construction
+
+    # incremental canonicalization (r10): the label table maintained one
+    # epoch at a time must equal one-shot CC over the full pair log — the
+    # dedup_canonical labeling, without ever re-reading accumulated pairs
+    from tikv_data_compare_spark.operators.graph import connected_components
+
+    folded = {
+        (r["id"], r["component"])
+        for r in spark.read.parquet(labels_path).collect()
+    }
+    oneshot = {
+        (r["id"], r["component"])
+        for r in connected_components(
+            dd.minhash_pairs(planted, "doc_id", "text")
+        ).collect()
+    }
+    assert folded == oneshot and folded
+    # kept-set semantics: the min-id member of every component keeps
+    comps = {}
+    for i, c in folded:
+        comps.setdefault(c, []).append(i)
+    assert all(min(m) == c for c, m in comps.items())
 
 
 def test_dedup_stream_requires_checkpoint(spark, tmp_path):

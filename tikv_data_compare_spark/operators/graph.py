@@ -202,3 +202,89 @@ def connected_components_star(
         "n AS id", "n AS component"
     )
     return comp.union(roots)
+
+
+def incremental_components(
+    labels: DataFrame | None,
+    new_edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    algo: str = "min_label",
+    max_edges: int | None = MAX_EDGES_DEFAULT,
+) -> DataFrame:
+    """Fold one batch of pairs into an existing ``(id, component)`` label
+    table — incremental union-find for the streamed dedup pair log (r10).
+
+    The batch shape is the whole point at 100 TB: the accumulated pair log
+    is NEVER re-read and the corpus-sized label table is never re-solved.
+    Per fold:
+
+    1. map the batch's endpoints through the prior labels (two equi-joins
+       of the BATCH against the label table — prior components contract to
+       their representative, unseen nodes stay themselves);
+    2. run connected components on that mapped **merge graph**, whose size
+       is bounded by the batch's pair count, not the corpus (mapped
+       self-loops — pairs already inside one component — drop out first);
+    3. rewrite labels with one equi-join against the merge map (AQE
+       broadcasts it when small, which is the common case: most epochs
+       merge few components) and append the batch's unseen nodes.
+
+    Correctness: contracting a component to its (min-id) representative
+    preserves reachability, and the representative participates in the
+    merge-graph CC, so min ids propagate globally — folding epochs one at
+    a time ends bit-identical to one-shot ``connected_components`` over
+    the union of all pairs (pinned in tests/test_graph.py), and refolding
+    the same batch is a no-op (idempotent under redelivery).
+
+    ``labels=None`` bootstraps (plain CC over the batch).  Output covers
+    every node that has appeared in at least one pair, like
+    ``connected_components``.
+    """
+    if labels is None:
+        return connected_components(
+            new_edges, a_col, b_col, algo=algo, max_edges=max_edges
+        )
+    e = new_edges.select(
+        F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+    )
+    lab = labels.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+    mapped = (
+        e.join(lab.selectExpr("id AS u", "component AS cu"), "u", "left")
+        .join(lab.selectExpr("id AS v", "component AS cv"), "v", "left")
+        .select(
+            F.coalesce("cu", "u").alias("mu"), F.coalesce("cv", "v").alias("mv")
+        )
+        .filter(F.col("mu") != F.col("mv"))
+    )
+    merge_map = connected_components(
+        mapped, "mu", "mv", algo=algo, max_edges=max_edges
+    ).persist()
+    try:
+        updated = (
+            lab.join(
+                merge_map.selectExpr("id AS component", "component AS _new"),
+                "component",
+                "left",
+            )
+            .select("id", F.coalesce("_new", "component").alias("component"))
+        )
+        # batch endpoints never seen before: their merge-graph node IS the
+        # doc id; a node whose every mapped edge self-looped cannot be
+        # unseen (it would have had to map to itself on both sides), but
+        # coalesce-to-self keeps the shape total anyway
+        unseen = (
+            e.selectExpr("u AS id").union(e.selectExpr("v AS id")).distinct()
+            .join(lab.select("id"), "id", "left_anti")
+            .join(
+                merge_map.selectExpr("id", "component AS _new"), "id", "left"
+            )
+            .select("id", F.coalesce("_new", "id").alias("component"))
+        )
+        out = updated.unionByName(unseen)
+        # materialize before unpersisting the merge map the plan reads
+        return out.localCheckpoint(eager=True)
+    finally:
+        merge_map.unpersist()

@@ -38,6 +38,12 @@ required and restart correctness depends on reusing it.
 Per-epoch pair output lands under ``{pairs_out}/epoch=N/`` (overwrite per
 epoch, so a retried write is idempotent); read the whole directory for
 the accumulated pair log.
+
+Since r10 an optional ``labels_path`` maintains the CANONICALIZATION too:
+each epoch's pairs fold into a persisted ``(id, component)`` label table
+via incremental union-find (``fold_pairs_into_labels`` →
+``graph.incremental_components``) — keep/drop verdicts stay current
+without ever re-reading the pair log or re-solving the corpus graph.
 """
 
 from __future__ import annotations
@@ -47,8 +53,10 @@ import os
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from tikv_data_compare_spark.functions.fsutil import swap_commit
 from tikv_data_compare_spark.operators import dedup as dd
 from tikv_data_compare_spark.operators import dedup_index as di
+from tikv_data_compare_spark.operators import graph as gr
 
 
 def _read_last_epoch(spark, index_path: str) -> int:
@@ -57,6 +65,32 @@ def _read_last_epoch(spark, index_path: str) -> int:
         return -1
     meta = spark.read.parquet(meta_path).collect()[0].asDict()
     return int(meta.get("last_epoch", -1))
+
+
+def fold_pairs_into_labels(pairs: DataFrame, labels_path: str) -> None:
+    """Fold one epoch's candidate pairs into the persisted ``(id,
+    component)`` label table at ``labels_path`` — incremental
+    canonicalization over the streamed pair log (r10).
+
+    ``graph.incremental_components`` does the union-find fold (the
+    corpus-sized label table is joined against a batch-bounded merge map,
+    never re-solved; the accumulated pair log is never re-read), and the
+    rewrite lands through the same rename-aside ``swap_commit`` as the
+    manifests.  Refolding an epoch is a no-op (already-merged edges map to
+    self-loops), so the fold sits safely INSIDE the index's redelivery
+    window: a crash after this swap but before the meta watermark replays
+    the identical pair set into labels it already holds.
+
+    The canonical kept-set falls out as ``component = id`` (the min-id
+    representative keeps, every other member drops) — maintained per
+    epoch, not recomputed, closing the r9 verdict's batch-only gap.
+    """
+    spark = pairs.sparkSession
+    prior = (
+        spark.read.parquet(labels_path) if os.path.exists(labels_path) else None
+    )
+    updated = gr.incremental_components(prior, pairs)
+    swap_commit(updated, labels_path)
 
 
 def ingest_batch_into_dedup_index(
@@ -69,6 +103,7 @@ def ingest_batch_into_dedup_index(
     algo: str = "md5i64",
     n_bands: int = 4,
     rows_per_band: int = 2,
+    labels_path: str | None = None,
 ) -> bool:
     """Process ONE batch: emit its near-dup pairs (intra-batch + against
     the index), then append its band keys.  Returns False when the epoch
@@ -122,6 +157,13 @@ def ingest_batch_into_dedup_index(
     if pairs_out is not None:
         # per-epoch overwrite: a retried foreachBatch write is idempotent
         pairs.write.mode("overwrite").parquet(f"{pairs_out}/epoch={int(epoch_id)}")
+    if labels_path is not None:
+        # incremental canonicalization (r10): fold this epoch's pairs into
+        # the persisted label table BEFORE the watermark commit — the fold
+        # is idempotent, so a redelivery inside the window just re-applies
+        fold_pairs_into_labels(
+            pairs.select("doc_a", "doc_b"), labels_path
+        )
     # the last_epoch watermark rides in the SAME meta swap as the doc count
     # (extra_meta) — watermark and count commit together, shrinking the
     # redelivery window to the bands append alone (r9 ADVICE)
@@ -150,6 +192,7 @@ def dedup_stream(
     n_bands: int = 4,
     rows_per_band: int = 2,
     trigger_once: bool = True,
+    labels_path: str | None = None,
 ) -> StreamingQuery:
     """Maintain the dedup index from an append-only document stream,
     emitting each micro-batch's near-dup pairs to ``{pairs_out}/epoch=N``.
@@ -174,6 +217,7 @@ def dedup_stream(
             batch_df, index_path, pairs_out, epoch_id,
             id_col=id_col, text_col=text_col, algo=algo,
             n_bands=n_bands, rows_per_band=rows_per_band,
+            labels_path=labels_path,
         )
 
     writer = (
