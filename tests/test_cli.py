@@ -870,3 +870,29 @@ def test_cli_dedup_lines(capsys, spark, tmp_path):
     assert cli.main(["dedup", "--src", src, "--lines",
                      "--build-index", str(tmp_path / "zz")]) == 2
     capsys.readouterr()
+
+
+def test_cli_curate_c4_and_blocklist_flags(capsys, spark, tmp_path):
+    """--c4-rules / --block-sources append their stages; --block-sources
+    without the column exits 2 with a clean error."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_c4.pq")
+    docs.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "kept_c4.pq")
+    rc = cli.main([
+        "curate", "--src", src, "--out", out,
+        "--c4-rules", "--c4-min-kept-lines", "1",
+        "--block-sources", "no-such-source",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    stages = [l["stage"] for l in lines if "stage" in l]
+    assert stages[-2:] == ["boilerplate", "url_blocklist"]
+    blk = [l for l in lines if l.get("stage") == "url_blocklist"][0]
+    assert blk["n_dropped"] == 0  # no doc carries the blocked source
+
+    nosrc = str(tmp_path / "docs_nosrc.pq")
+    docs.drop("source").write.mode("overwrite").parquet(nosrc)
+    rc = cli.main(["curate", "--src", nosrc, "--block-sources", "web"])
+    assert rc == 2
+    assert "source" in capsys.readouterr().err

@@ -519,3 +519,34 @@ def test_pack_token_bins_redenominated(spark):
     for toks in bins.values():
         assert sum(toks[:-1]) < 4 or toks[:-1] == []
     assert len(by_id) == 40
+
+
+# ------------------------------------------------------------------- C4
+
+
+def test_c4_flags_rules_closed_form(spark):
+    body = "the quick brown fox jumps over the lazy dog."
+    df = spark.createDataFrame(
+        [
+            (1, "\n".join([body] * 3)),                       # clean, 3 kept
+            (2, body + "\nLorem Ipsum dolor."),               # lorem (any case)
+            (3, body + "\nif (x) { y(); }"),                  # brace
+            (4, body + "\nshort one.\nno punct line here\nenable javascript now."),
+            (5, None),                                        # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.c4_flags(df).collect()}
+    assert rows[1]["c4_keep"] and rows[1]["n_kept_lines"] == 3
+    assert rows[2]["has_lorem"] and not rows[2]["c4_keep"]
+    assert rows[3]["has_brace"] and not rows[3]["c4_keep"]
+    # doc 4: body keeps; 'short one.' (<3 words), no-punct line, javascript
+    # line all drop → 1 kept line < 3 → doc drops
+    assert rows[4]["n_lines"] == 4 and rows[4]["n_kept_lines"] == 1
+    assert not rows[4]["c4_keep"]
+    assert rows[4]["c4_text"] == body
+    # NULL text: one empty line, nothing kept, drops
+    assert rows[5]["n_kept_lines"] == 0 and not rows[5]["c4_keep"]
+    # threshold is a parameter
+    relaxed = {r["doc_id"]: r for r in tx.c4_flags(df, min_kept_lines=1).collect()}
+    assert relaxed[4]["c4_keep"]

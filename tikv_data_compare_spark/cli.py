@@ -293,6 +293,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lm-train", default="",
                    help="with --max-lm-nll-c: train the bigram LM on this "
                         "clean reference parquet instead of --src itself")
+    p.add_argument("--c4-rules", action="store_true",
+                   help="appends a 'boilerplate' stage: the C4 cleaning "
+                        "heuristics (lorem-ipsum/curly-brace docs drop; docs "
+                        "retaining < --c4-min-kept-lines clean lines drop)")
+    p.add_argument("--c4-min-kept-lines", type=int, default=3)
+    p.add_argument("--block-sources", default="",
+                   help="comma-separated source values: appends a "
+                        "'url_blocklist' stage dropping docs whose source "
+                        "column is listed (C4 badlist at provenance "
+                        "granularity)")
+    p.add_argument("--source-col", default="source")
     p.add_argument("--algo", default="xxhash64", choices=["xxhash64", "md5i64"],
                    help="near-dup shingle hash (xxhash64 = throughput default)")
     p.add_argument("--concurrency", type=int, default=0)
@@ -715,6 +726,12 @@ def main(argv: list[str] | None = None) -> int:
                 # validation rejects it loudly instead of silently disabling
                 max_lm_nll_c=args.max_lm_nll_c if args.max_lm_nll_c != 0 else None,
                 lm_train=spark.read.parquet(args.lm_train) if args.lm_train else None,
+                c4_rules=args.c4_rules,
+                c4_min_kept_lines=args.c4_min_kept_lines,
+                blocked_sources=(
+                    args.block_sources.split(",") if args.block_sources else None
+                ),
+                source_col=args.source_col,
                 algo=args.algo,
             )
         except ValueError as e:

@@ -59,6 +59,10 @@ def curate(
     keep_langs: list[str] | None = None,
     max_lm_nll_c: int | None = None,
     lm_train: DataFrame | None = None,
+    c4_rules: bool = False,
+    c4_min_kept_lines: int = 3,
+    blocked_sources: list[str] | None = None,
+    source_col: str = "source",
     algo: str = "md5i64",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation chain; see module docstring.
@@ -81,6 +85,17 @@ def curate(
     ``lm_train`` optionally trains the LM on a CLEAN reference corpus
     instead of the scored input (the CCNet setup: score web text with a
     Wikipedia-trained model).
+
+    ``c4_rules`` (r10) appends a ``boilerplate`` stage — the C4 cleaning
+    heuristics (``text.c4_flags``): docs containing 'lorem ipsum' or a
+    curly brace drop, as do docs retaining fewer than
+    ``c4_min_kept_lines`` boilerplate-clean lines (terminal punctuation,
+    ≥3 words, no 'javascript'); NULL/empty docs drop (core-gate
+    convention).  ``blocked_sources`` (r10) appends a ``url_blocklist``
+    stage — the C4 badlist shape at provenance granularity: docs whose
+    ``source_col`` value is in the list drop (a doc with a NULL source
+    KEEPS — absence of provenance is not a blocklist hit, the
+    pii/decontamination default-keep convention).
 
     The returned kept-docs DataFrame is **persisted** (its stage count
     already materialized it; unpersisting would make the caller's first
@@ -215,6 +230,35 @@ def curate(
         )
         stage_cols.append("s_lm")
         stage_names.append("fluency")
+    if c4_rules:
+        c4_ok = tx.c4_flags(
+            docs, id_col, text_col, min_kept_lines=c4_min_kept_lines
+        ).select(id_col, F.col("c4_keep").alias("_c4_ok"))
+        flags = flags.join(c4_ok, id_col, "left").withColumn(
+            "s_c4", F.col(stage_cols[-1]) & F.coalesce(F.col("_c4_ok"), F.lit(False))
+        )
+        stage_cols.append("s_c4")
+        stage_names.append("boilerplate")
+    if blocked_sources is not None:
+        if isinstance(blocked_sources, str):
+            blocked_sources = [blocked_sources]
+        blocked_sources = [str(s) for s in blocked_sources if str(s).strip()]
+        if not blocked_sources:
+            raise ValueError("blocked_sources must name at least one source")
+        if source_col not in docs.columns:
+            raise ValueError(
+                f"blocked_sources given but input has no {source_col!r} column"
+            )
+        src_ok = docs.select(
+            id_col,
+            (~F.col(source_col).isin(blocked_sources)).alias("_src_ok"),
+        )
+        flags = flags.join(src_ok, id_col, "left").withColumn(
+            "s_src",
+            F.col(stage_cols[-1]) & F.coalesce(F.col("_src_ok"), F.lit(True)),
+        )
+        stage_cols.append("s_src")
+        stage_names.append("url_blocklist")
 
     flags = flags.select(id_col, *stage_cols).persist()
     t0 = time.time()

@@ -1124,3 +1124,58 @@ def bm25_rank(
             "bm25_c",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style boilerplate rules (r10)
+# ---------------------------------------------------------------------------
+
+
+def c4_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2) as one map-side
+    pass — the most-cited curation gate missing from curate() until r10:
+
+    - a LINE is kept iff it ends in terminal punctuation (``. ! ? "``), has
+      at least 3 space-delimited words, and does not contain the word
+      ``javascript`` (case-insensitive) — the boilerplate-line rules;
+    - a DOC is kept (``c4_keep``) iff it contains neither the phrase
+      ``lorem ipsum`` (case-insensitive) nor a curly brace ``{``, and
+      retains at least ``min_kept_lines`` lines (C4 uses 5 sentences; the
+      default 3 fits line granularity);
+    - ``c4_text`` is the document rebuilt from its kept lines — what the
+      next pipeline stage would actually train on.
+
+    Returns ``(id, n_lines, n_kept_lines, has_lorem, has_brace, c4_keep,
+    c4_text)``.  Pure JVM array/string builtins over ``split(text, '\\n')``
+    — zero shuffle, whole-stage codegen, oracle-replayable (each rule is
+    the same expression in DuckDB; gated inside the ``text_stats`` row over
+    planted offenders).  NULL text behaves as ``''``: one empty line, kept
+    nothing, ``c4_keep=false`` — unconfirmable docs drop, the curate()
+    core-gate convention.
+    """
+    lines = f"split(coalesce({text_col}, ''), '\\n')"
+    kept = (
+        f"filter({lines}, l -> substring(l, -1, 1) IN ('.', '!', '?', '\"') "
+        f"AND size(split(l, ' ')) >= 3 "
+        f"AND NOT contains(lower(l), 'javascript'))"
+    )
+    return df.select(
+        id_col,
+        F.expr(f"CAST(size({lines}) AS BIGINT)").alias("n_lines"),
+        F.expr(f"CAST(size({kept}) AS BIGINT)").alias("n_kept_lines"),
+        F.expr(f"contains(lower(coalesce({text_col}, '')), 'lorem ipsum')").alias(
+            "has_lorem"
+        ),
+        F.expr(f"contains(coalesce({text_col}, ''), '{{')").alias("has_brace"),
+        F.expr(
+            f"NOT contains(lower(coalesce({text_col}, '')), 'lorem ipsum') "
+            f"AND NOT contains(coalesce({text_col}, ''), '{{') "
+            f"AND size({kept}) >= {int(min_kept_lines)}"
+        ).alias("c4_keep"),
+        F.expr(f"array_join({kept}, '\\n')").alias("c4_text"),
+    )

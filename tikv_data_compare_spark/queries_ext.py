@@ -137,36 +137,67 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ingest_batch_into_dedup_index`` epoch calls: bootstrap build +
     watermarked append, streaming/dedup_stream.py), so the incremental
     maintenance flow is hash-gated the same way checksum_range_compare
-    gates its streaming manifest folds."""
+    gates its streaming manifest folds.
+
+    Third label since r10 — ``side='labels'``: INCREMENTAL CANONICALIZATION
+    over the streamed pair log.  Each epoch's candidate pairs (epoch-0
+    intra, epoch-1 intra+cross, then the batch query's cross pairs) are
+    folded one at a time into a persisted ``(id, component)`` label table
+    (``fold_pairs_into_labels`` → ``graph.incremental_components`` →
+    ``swap_commit``), and the final table is emitted as
+    ``(doc_a=id, doc_b=component, jaccard_c=component size)``.  The oracle
+    recomputes the labeling as a one-shot recursive-CTE closure over the
+    same restricted pair set (every candidate pair except batch-intra,
+    which no epoch ever emits) — so the epoch-at-a-time union-find fold is
+    hash-gated against the from-scratch transitive closure."""
     import os
     import tempfile
 
     from tikv_data_compare_spark.operators import dedup_index as di
     from tikv_data_compare_spark.streaming.dedup_stream import (
+        fold_pairs_into_labels,
         ingest_batch_into_dedup_index,
     )
 
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
     base = dd.jaccard_pairs(docs, "doc_id", "text")
-    idx_path = os.path.join(tempfile.mkdtemp(prefix="dedup_idx_"), "idx")
+    tmp = tempfile.mkdtemp(prefix="dedup_idx_")
+    idx_path = os.path.join(tmp, "idx")
+    labels_path = os.path.join(tmp, "labels")
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
     ingest_batch_into_dedup_index(
-        corpus.filter(F.col("doc_id") % 3 == 1), idx_path, epoch_id=0
+        corpus.filter(F.col("doc_id") % 3 == 1), idx_path, epoch_id=0,
+        labels_path=labels_path,
     )
     ingest_batch_into_dedup_index(
-        corpus.filter(F.col("doc_id") % 3 == 2), idx_path, epoch_id=1
+        corpus.filter(F.col("doc_id") % 3 == 2), idx_path, epoch_id=1,
+        labels_path=labels_path,
     )
     cross = di.query_dedup_index(docs.filter(F.col("doc_id") % 3 == 0), idx_path)
     cross_pairs = cross.select(
         F.least("new_id", "indexed_id").alias("doc_a"),
         F.greatest("new_id", "indexed_id").alias("doc_b"),
     )
+    fold_pairs_into_labels(cross_pairs, labels_path)
+    labels = spark.read.parquet(labels_path)
+    label_rows = labels.join(
+        labels.groupBy("component").agg(F.count("*").alias("_sz")), "component"
+    ).select(
+        F.lit("labels").alias("side"),
+        F.col("id").alias("doc_a"),
+        F.col("component").alias("doc_b"),
+        F.col("_sz").cast("long").alias("jaccard_c"),
+    )
     verified = dd.jaccard_for_pairs(cross_pairs, docs, "doc_id", "text")
-    return base.select(F.lit("all").alias("side"), "doc_a", "doc_b", "jaccard_c").unionByName(
-        verified.select(
-            F.lit("index_cross").alias("side"), "doc_a", "doc_b", "jaccard_c"
+    return (
+        base.select(F.lit("all").alias("side"), "doc_a", "doc_b", "jaccard_c")
+        .unionByName(
+            verified.select(
+                F.lit("index_cross").alias("side"), "doc_a", "doc_b", "jaccard_c"
+            )
         )
+        .unionByName(label_rows)
     )
 
 
@@ -194,7 +225,7 @@ FROM reach GROUP BY u
 
 
 ORACLE_DEDUP_MINHASH_PAIRS = f"""
-WITH sig AS ({_oracle_minhash_sig_cte()}),
+WITH RECURSIVE sig AS ({_oracle_minhash_sig_cte()}),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
@@ -214,7 +245,25 @@ jac AS (
   FROM cand c
   JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
   LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-)
+),
+lg AS (
+  -- the pair set the streamed epochs actually emit: every candidate pair
+  -- except batch-intra (both sides doc_id % 3 = 0 — the batch is only
+  -- QUERIED against the index, never self-joined)
+  SELECT doc_a, doc_b FROM cand WHERE NOT (doc_a % 3 = 0 AND doc_b % 3 = 0)
+),
+ledges AS (
+  SELECT doc_a AS u, doc_b AS v FROM lg
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM lg
+),
+lreach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM ledges)
+  UNION
+  SELECT e.v, lreach.r FROM lreach JOIN ledges e ON e.u = lreach.u
+),
+llab AS (SELECT u AS id, min(r) AS component FROM lreach GROUP BY u),
+lsz AS (SELECT component, count(*) AS sz FROM llab GROUP BY component)
 SELECT 'all' AS side, doc_a, doc_b, jaccard_c FROM jac
 UNION ALL
 -- the persistent-index path: batch docs (doc_id % 3 = 0) queried against an
@@ -222,6 +271,12 @@ UNION ALL
 -- pair set restricted to one-side-in-batch
 SELECT 'index_cross' AS side, doc_a, doc_b, jaccard_c FROM jac
 WHERE (doc_a % 3 = 0) <> (doc_b % 3 = 0)
+UNION ALL
+-- incremental canonicalization (r10): the epoch-folded label table must
+-- equal the from-scratch min-reachable closure over the same pair set
+SELECT 'labels' AS side, CAST(l.id AS BIGINT) AS doc_a,
+       CAST(l.component AS BIGINT) AS doc_b, CAST(s.sz AS BIGINT) AS jaccard_c
+FROM llab l JOIN lsz s ON l.component = s.component
 """
 
 
@@ -722,6 +777,20 @@ PII_SYNTH = (
 )
 
 
+#: deterministic C4-offender synthesis (the fixture corpus is single-line
+#: with no braces/lorem/javascript, so each rule's trigger is planted per
+#: doc_id; the base text gets a terminal '.' so ordinary docs survive as a
+#: kept line and the gate separates docs by their PLANTED offenses)
+C4_SYNTH = (
+    "concat(text, '.',"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(chr(10), 'lorem ipsum dolor sit amet.') ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(chr(10), 'var f = function() { return 1; }') ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(chr(10), 'click here') ELSE '' END,"
+    " CASE WHEN doc_id % 2 = 0 THEN concat(chr(10), 'no terminal punctuation on this line') ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN concat(chr(10), 'enable JavaScript to continue viewing.') ELSE '' END)"
+)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring stats + PII audit in one per-doc row: tokens, chars,
     mean word length, stopword and punctuation counts (``text_stats``), and
@@ -729,12 +798,27 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     PII-augmented copy of the text (emails/URLs/long digit runs planted per
     doc_id — the fixture corpus has none naturally, so the oracle genuinely
     gates the match counting, with the patterns restricted to Java∩RE2
-    syntax)."""
+    syntax).
+
+    Since r10 the row also gates the C4 boilerplate rules (``c4_flags``)
+    over a C4-offender-planted copy (lorem-ipsum / curly-brace /
+    short-line / no-terminal-punctuation / javascript lines planted per
+    doc_id): kept-line count, both doc-level flags, the keep verdict AND
+    the md5 of the line-filtered rebuild, all recomputed by the oracle."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
     stats = tx.text_stats(docs)
     aug = docs.select("doc_id", F.expr(PII_SYNTH).alias("text"))
-    return stats.join(tx.pii_counts(aug), "doc_id")
+    c4aug = docs.select("doc_id", F.expr(C4_SYNTH).alias("text"))
+    c4 = tx.c4_flags(c4aug).select(
+        "doc_id",
+        F.col("n_kept_lines").alias("c4_n_kept"),
+        F.col("has_lorem").cast("long").alias("c4_lorem"),
+        F.col("has_brace").cast("long").alias("c4_brace"),
+        F.col("c4_keep").cast("long").alias("c4_keep"),
+        F.md5("c4_text").alias("c4_h"),
+    )
+    return stats.join(tx.pii_counts(aug), "doc_id").join(c4, "doc_id")
 
 
 def _sw_list_sql(words: list[str]) -> str:
@@ -745,7 +829,17 @@ ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
 
 ORACLE_TEXT_STATS = f"""
 WITH base AS (SELECT doc_id, text, {sqlgen.split_words('text', DUCK)} AS ws FROM documents),
-aug AS (SELECT doc_id, {PII_SYNTH} AS atext FROM documents)
+aug AS (SELECT doc_id, {PII_SYNTH} AS atext FROM documents),
+c4 AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(ctext, ''), chr(10)),
+                     l -> substring(l, -1, 1) IN ('.', '!', '?', '"')
+                          AND len(string_split(l, ' ')) >= 3
+                          AND NOT contains(lower(l), 'javascript')) AS kept,
+         contains(lower(coalesce(ctext, '')), 'lorem ipsum') AS lorem,
+         contains(coalesce(ctext, ''), '{{') AS brace
+  FROM (SELECT doc_id, {C4_SYNTH} AS ctext FROM documents)
+)
 SELECT b.doc_id,
        CAST(len(ws) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -758,8 +852,14 @@ SELECT b.doc_id,
        CAST(CASE WHEN len(regexp_extract_all(atext, '{tx.PII_EMAIL_RE}')) > 0
                    OR len(regexp_extract_all(atext, '{tx.PII_URL_RE}')) > 0
                    OR len(regexp_extract_all(atext, '{tx.PII_LONGNUM_RE}')) > 0
-            THEN 1 ELSE 0 END AS BIGINT) AS has_pii
-FROM base b JOIN aug a ON b.doc_id = a.doc_id
+            THEN 1 ELSE 0 END AS BIGINT) AS has_pii,
+       CAST(len(c.kept) AS BIGINT) AS c4_n_kept,
+       CAST(CASE WHEN c.lorem THEN 1 ELSE 0 END AS BIGINT) AS c4_lorem,
+       CAST(CASE WHEN c.brace THEN 1 ELSE 0 END AS BIGINT) AS c4_brace,
+       CAST(CASE WHEN NOT c.lorem AND NOT c.brace AND len(c.kept) >= 3
+            THEN 1 ELSE 0 END AS BIGINT) AS c4_keep,
+       md5(array_to_string(c.kept, chr(10))) AS c4_h
+FROM base b JOIN aug a ON b.doc_id = a.doc_id JOIN c4 c ON b.doc_id = c.doc_id
 """
 
 
