@@ -550,3 +550,72 @@ def test_c4_flags_rules_closed_form(spark):
     # threshold is a parameter
     relaxed = {r["doc_id"]: r for r in tx.c4_flags(df, min_kept_lines=1).collect()}
     assert relaxed[4]["c4_keep"]
+
+
+# ---------------------------------------------------- exact-substring decon
+
+
+def test_decontaminate_substring_span_contract(spark):
+    """The winnow+verify composition is exact at the span threshold: a doc
+    sharing exactly min_span chars with a probe is flagged; min_span-1 is
+    not — the GPT-3-style N-gram overlap criterion."""
+    span = "abcdefghijklmnopqrst"  # 20 chars
+    assert len(span) == 20
+    docs = spark.createDataFrame(
+        [
+            # boundaries chosen so the shared run is EXACTLY the span: the
+            # chars adjacent to it differ from the probe's ('X'/'Y' vs
+            # spaces), so no accidental extension across the boundary
+            (1, "leftfillerX" + span + "Yrightfiller"),        # exact 20 shared
+            (2, "leftfillerX" + span[:-1] + "Yrightside"),     # only 19 shared
+            (3, None),
+            (4, "totally unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "PROBE PREFIX " + span + " PROBE SUFFIX")],
+        "probe_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.decontaminate_substring(docs, probes, min_span=20).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_contam_probes"] == 1
+    assert not out[2]["contaminated"]
+    assert not out[3]["contaminated"] and out[3]["n_contam_probes"] == 0
+    assert not out[4]["contaminated"]
+    assert len(out) == 4  # every doc present
+
+
+def test_decontaminate_substring_equals_bruteforce(spark, documents):
+    """End result == brute-force exact check on real fixture docs with
+    planted probe spans (winnow guarantees recall, verify kills the false
+    positives)."""
+    docs = documents.limit(60).select("doc_id", "text").cache()
+    probes = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .selectExpr("doc_id AS probe_id", "substr(text, 6, 45) AS text")
+    ).cache()
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in tx.decontaminate_substring(docs, probes, min_span=24).collect()
+    }
+    # brute force via a cross join in-plan
+    brute = {
+        r["doc_id"]: bool(r["hit"])
+        for r in docs.crossJoin(probes.selectExpr("text AS _pt")).withColumn(
+            "_h",
+            F.expr(
+                "coalesce(CASE WHEN length(_pt) >= 24 THEN "
+                "exists(transform(sequence(1, length(_pt) - 23), i -> substr(_pt, i, 24)), "
+                "g -> contains(text, g)) ELSE false END, false)"
+            ),
+        ).groupBy("doc_id").agg(F.max("_h").alias("hit")).collect()
+    }
+    assert got == brute
+    assert any(got.values())  # planted spans guarantee hits
+
+    import pytest
+    with pytest.raises(ValueError, match="min_span"):
+        tx.decontaminate_substring(docs, probes, min_span=5, k=5)

@@ -1162,7 +1162,15 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       a deterministic probe corpus (docs with ``doc_id % 20 == 0`` standing
       in for the benchmark set) — distinct 3-gram count, hit count, hit
       fraction ×10000.  The probe gram set is broadcast; the oracle reuses
-      the same shingle CTE, so the overlap join is hash-gated."""
+      the same shingle CTE, so the overlap join is hash-gated;
+    - ``decontaminate_substring`` (since r10): EXACT-substring
+      decontamination (the GPT-3/LLaMA criterion) — winnow both sides at
+      span 24 (w = 20), fingerprint equi-join, verbatim `contains` verify.
+      Probes are 45-char spans cut from ``doc_id % 17 == 0`` docs, so
+      planted hits exist at every sf.  The winnow prune has no false
+      negatives and the verify is exact, so the oracle gates the END
+      RESULT with a from-scratch doc×probe substring check — the entire
+      composition must equal brute force."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
     fp = tx.fingerprint(docs)
@@ -1177,7 +1185,15 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     conta = tx.contamination(
         docs, docs.filter(F.col("doc_id") % 20 == 0), probe_id_col="doc_id", n=3
     )
-    return fp.join(wn, "doc_id").join(conta, "doc_id")
+    wprobes = docs.filter(F.col("doc_id") % 17 == 0).selectExpr(
+        "doc_id AS probe_id", "substr(text, 6, 45) AS text"
+    )
+    wd = tx.decontaminate_substring(docs, wprobes, min_span=24).select(
+        "doc_id",
+        F.col("n_contam_probes").alias("wd_contam_probes"),
+        F.col("contaminated").cast("long").alias("wd_contaminated"),
+    )
+    return fp.join(wn, "doc_id").join(conta, "doc_id").join(wd, "doc_id")
 
 
 _ORACLE_WINNOW_CTE = f"""
@@ -1230,10 +1246,28 @@ conta AS (
          CAST(ROUND(10000.0 * count(p.sh) / count(*)) AS BIGINT) AS hit_frac_c
   FROM shingles s LEFT JOIN probe_grams p ON p.sh = s.sh
   GROUP BY s.doc_id
+),
+wprobes AS (SELECT doc_id AS probe_id, substr(text, 6, 45) AS ptext
+            FROM documents WHERE doc_id % 17 = 0),
+wdec AS (
+  -- brute-force ground truth for the winnow+verify composition: does any
+  -- 24-char gram of any probe occur verbatim in the doc
+  SELECT doc_id,
+         CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS wd_contam_probes,
+         CAST(max(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS wd_contaminated
+  FROM (
+    SELECT d.doc_id AS doc_id,
+           coalesce(len(list_filter(generate_series(1, length(p.ptext) - 23),
+                    i -> contains(d.text, substr(p.ptext, i, 24)))) > 0, false) AS hit
+    FROM documents d CROSS JOIN wprobes p
+  )
+  GROUP BY doc_id
 )
 SELECT fp.doc_id, fp.fingerprint, wn.n_fp, wn.fp_xor,
-       c.n_grams, c.n_hit_grams, c.hit_frac_c
+       c.n_grams, c.n_hit_grams, c.hit_frac_c,
+       w2.wd_contam_probes, w2.wd_contaminated
 FROM fp JOIN wn ON fp.doc_id = wn.doc_id JOIN conta c ON fp.doc_id = c.doc_id
+JOIN wdec w2 ON fp.doc_id = w2.doc_id
 """
 
 
