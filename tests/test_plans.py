@@ -441,3 +441,32 @@ def test_text_index_query_broadcasts_terms(spark, documents, tmp_path):
     df = query_text_index(q, p, k=5)
     assert "BroadcastHashJoin" in plans.join_strategies(df)
     assert "CartesianProduct" not in plans.plan_string(df)
+
+
+def test_bpe_count_is_map_side_zero_shuffle(spark, documents):
+    """Trained-BPE token counting is one map-side nested-HOF fold over a
+    constant-folded merge literal: NO Exchange, NO join, NO UDF in the
+    plan — the property that lets it run inline over 100 TB of documents."""
+    from tikv_data_compare_spark.operators import text as tx
+
+    merges = tx.train_bpe_merges(documents.limit(100), n_merges=8, vocab_top=32)
+    df = tx.bpe_token_count(documents.limit(100).select("doc_id", "text"), merges)
+    s = plans.plan_string(df)
+    assert "Exchange" not in s
+    assert "Join" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_decontaminate_substring_broadcasts_probe_side(spark, documents):
+    """Both probe-side joins (fingerprints into the candidate join, probe
+    texts into the verify) broadcast — the corpus side never shuffles for
+    the join itself; no cartesian anywhere."""
+    from tikv_data_compare_spark.operators import text as tx
+
+    docs = documents.limit(120).select("doc_id", "text")
+    probes = docs.filter("doc_id % 9 = 0").selectExpr(
+        "doc_id AS probe_id", "substr(text, 6, 40) AS text"
+    )
+    df = tx.decontaminate_substring(docs, probes, min_span=24)
+    assert "BroadcastHashJoin" in plans.join_strategies(df)
+    assert not plans.has_cartesian(df)

@@ -619,3 +619,29 @@ def test_decontaminate_substring_equals_bruteforce(spark, documents):
     import pytest
     with pytest.raises(ValueError, match="min_span"):
         tx.decontaminate_substring(docs, probes, min_span=5, k=5)
+
+
+def test_bpe_encode_ids_closed_form(spark):
+    merges = [("61", "61"), ("61", "62")]  # 'aa'->256, 'ab'->257
+    df = spark.createDataFrame(
+        [(1, "aa ab b"), (2, "aaa"), (3, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["token_ids"] for r in tx.bpe_encode(df, merges).collect()}
+    assert out[1] == [256, 257, 0x62]
+    assert out[2] == [256, 0x61]  # leftmost pass: [aa, a]
+    assert out[3] == []
+    # id sequence and count derive from the same segmentation
+    both = tx.bpe_token_count(tx.bpe_encode(df, merges), merges)
+    for r in both.collect():
+        assert len(r["token_ids"]) == r["n_tokens_subword"]
+
+
+def test_bpe_vocab_decodes_ids(spark):
+    merges = [("61", "61"), ("6161", "62")]
+    vocab = dict(tx.bpe_vocab(merges))
+    assert len(vocab) == 258 and vocab[256] == "6161" and vocab[257] == "616162"
+    assert vocab[0x41] == "41"
+    # decoding the id stream reconstructs the word's utf-8 bytes
+    df = spark.createDataFrame([(1, "aaab")], "doc_id long, text string")
+    ids = tx.bpe_encode(df, merges).collect()[0]["token_ids"]
+    assert bytes.fromhex("".join(vocab[i] for i in ids)) == b"aaab"

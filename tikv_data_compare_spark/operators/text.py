@@ -1267,3 +1267,68 @@ def decontaminate_substring(
         ),
         F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
     )
+
+
+#: shared hex-nibble decode — identical expression in Spark SQL and DuckDB,
+#: exact integer math (used instead of conv()/from_hex(), which differ in
+#: signature across engines)
+BPE_HEXPAIR_INT = (
+    "((instr('0123456789ABCDEF', substr({t}, 1, 1)) - 1) * 16"
+    " + (instr('0123456789ABCDEF', substr({t}, 2, 1)) - 1))"
+)
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[tuple[int, str]]:
+    """The tokenizer's full vocabulary as ``(token_id, token_hex)``: ids
+    0–255 are the 256 raw bytes (id = byte value), merge rank r mints
+    token id ``256 + r`` for the concatenation ``l || r`` — every token a
+    segmentation can contain is one of these, by construction (each merge
+    creates exactly one new symbol).  Export this next to the merge table
+    to decode id streams back to bytes."""
+    base = [(i, f"{i:02X}") for i in range(256)]
+    return base + [(256 + r, l + rr) for r, (l, rr) in enumerate(merges)]
+
+
+def bpe_ids_sql(text_col: str, merges: list[tuple[str, str]]) -> str:
+    """Spark SQL expression: the document's full token-ID SEQUENCE under the
+    frozen merges — the array a pretraining pipeline actually feeds the
+    model (``bpe_ntok_sql`` counts are ``size`` of this).  Word-internal
+    BPE: the stream is the concatenation of each word's token ids in
+    document order; whitespace is a boundary, not a token (documented
+    convention — GPT-2-style space-marker bytes would fold spaces into the
+    words before training).  Map-side like the count: words → per-word
+    fold → token split → id lookup (byte tokens decode arithmetically,
+    merge tokens hit a ≤n_merges literal map) → flatten."""
+    seg0 = "regexp_replace(hex(encode(w, 'UTF-8')), '(..)', ',$1,')"
+    fold = (
+        f"aggregate({bpe_merges_array_sql(merges)}, {seg0}, "
+        f"(acc, m) -> replace(acc, m.pat, m.rep))"
+    )
+    hexpair = BPE_HEXPAIR_INT.format(t="t")
+    if merges:
+        entries = ", ".join(
+            f"'{l}{r}', {256 + rank}" for rank, (l, r) in enumerate(merges)
+        )
+        merged_id = f"element_at(map({entries}), t)"
+    else:
+        merged_id = "CAST(NULL AS INT)"
+    ids_of_word = (
+        f"transform(filter(split(trim(BOTH ',' FROM {fold}), ',,'), t -> t <> ''), "
+        f"t -> CAST(CASE WHEN length(t) = 2 THEN {hexpair} ELSE {merged_id} END AS INT))"
+    )
+    return (
+        f"flatten(transform(split(coalesce({text_col}, ''), ' '), "
+        f"w -> {ids_of_word}))"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Append the trained-BPE token-id sequence (``array<int>``); NULL/empty
+    text → empty array.  ``size(token_ids)`` always equals
+    ``bpe_token_count``'s count (both derive from the same segmentations)."""
+    return df.withColumn(out_col, F.expr(bpe_ids_sql(text_col, merges)))

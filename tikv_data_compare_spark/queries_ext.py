@@ -890,7 +890,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripped = "replace(replace(replace(lower(text), '.', ''), ',', ''), '!', '')"
     norm = f"trim(regexp_replace({stripped}, ' +', ' '))"
     merges = tx.train_bpe_merges(docs)
-    counted = tx.bpe_token_count(tx.token_count(docs), merges)
+    counted = tx.bpe_encode(tx.bpe_token_count(tx.token_count(docs), merges), merges)
     packed = tx.pack_token_bins(
         counted, budget=512, n_shards=8, ntok_col="n_tokens_subword"
     ).select("doc_id", "pack_bin", "pack_pos")
@@ -899,6 +899,12 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "n_tokens_bpe",
         "n_tokens_subword",
+        # the id SEQUENCE itself (bpe_encode, r10): hash of the comma-joined
+        # token ids — the oracle rebuilds every word's ids from its replayed
+        # segmentations and re-joins them in document word order
+        F.expr(
+            "md5(concat_ws(',', transform(token_ids, i -> CAST(i AS STRING))))"
+        ).alias("tok_ids_h"),
         F.expr(norm).alias("norm_text"),
         F.expr(f"CAST(length(text) - length({norm}) AS BIGINT)").alias("chars_removed"),
     ).join(packed, "doc_id")
@@ -916,7 +922,8 @@ def _bpe_oracle_ctes(n_merges: int, vocab_top: int) -> str:
     ``replace``.  MATERIALIZED pins linear evaluation — inlining would
     re-expand each ts stage once per downstream reference."""
     ctes = [
-        """bwords AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w FROM documents),
+        """bwords AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos
+        FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents)),
 btw AS (SELECT w, count(*) AS n FROM bwords WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT """
         + str(vocab_top)
         + """),
@@ -944,11 +951,27 @@ ba{i + 1} AS MATERIALIZED (
                  ELSE replace(seg, ',' || m.l || ',,' || m.r || ',', ',' || m.l || m.r || ',') END AS seg
   FROM ba{i}, bm{i} m)"""
         )
+    hexpair = tx.BPE_HEXPAIR_INT.format(t="b.t")
+    bmap_union = "\n    UNION ALL ".join(
+        f"SELECT 256 + {i} AS tid, l || r AS tok FROM bm{i} WHERE l IS NOT NULL"
+        for i in range(n_merges)
+    )
     ctes.append(
         f"""bwtok AS (SELECT w, CAST((length(seg) - length(replace(seg, ',', ''))) // 2 AS BIGINT) AS ntok
           FROM ba{n_merges}),
 bcounts AS (SELECT d.doc_id, CAST(coalesce(sum(t.ntok), 0) AS BIGINT) AS n_tokens_subword
-            FROM bwords d LEFT JOIN bwtok t ON d.w = t.w GROUP BY d.doc_id)"""
+            FROM bwords d LEFT JOIN bwtok t ON d.w = t.w GROUP BY d.doc_id),
+bmap AS ({bmap_union}),
+bwt AS (SELECT w, unnest(toks) AS t, unnest(range(len(toks))) AS ord
+        FROM (SELECT w, list_filter(string_split(trim(seg, ','), ',,'), x -> x <> '') AS toks
+              FROM ba{n_merges})),
+bwids AS (SELECT b.w, b.ord,
+                 CASE WHEN length(b.t) = 2 THEN {hexpair} ELSE m.tid END AS tid
+          FROM bwt b LEFT JOIN bmap m ON m.tok = b.t),
+bwseq AS (SELECT w, string_agg(CAST(tid AS VARCHAR), ',' ORDER BY ord) AS idstr
+          FROM bwids GROUP BY w),
+bdocseq AS (SELECT d.doc_id, coalesce(string_agg(s.idstr, ',' ORDER BY d.pos), '') AS ids
+            FROM bwords d LEFT JOIN bwseq s ON d.w = s.w GROUP BY d.doc_id)"""
     )
     return ",\n".join(ctes)
 
@@ -982,12 +1005,14 @@ SELECT base.doc_id,
        CAST(len(ws) + list_sum(list_transform(ws,
             w -> CAST(floor(greatest(length(w) - 6, 0) / 6.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe,
        c.n_tokens_subword,
+       md5(sq.ids) AS tok_ids_h,
        norm_text,
        CAST(length(text) - length(norm_text) AS BIGINT) AS chars_removed,
        p.pack_bin, p.pack_pos
 FROM base
 JOIN packing p ON base.doc_id = p.doc_id
 JOIN bcounts c ON base.doc_id = c.doc_id
+JOIN bdocseq sq ON base.doc_id = sq.doc_id
 """
 
 
