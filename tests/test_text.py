@@ -645,3 +645,56 @@ def test_bpe_vocab_decodes_ids(spark):
     df = spark.createDataFrame([(1, "aaab")], "doc_id long, text string")
     ids = tx.bpe_encode(df, merges).collect()[0]["token_ids"]
     assert bytes.fromhex("".join(vocab[i] for i in ids)) == b"aaab"
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def test_chunk_text_closed_form(spark):
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b"), (3, None)], "doc_id long, text string"
+    )
+    rows = tx.chunk_text(df, max_words=4, overlap=1).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by[1], key=lambda r: r["chunk_idx"])
+    # stride 3: starts 0,3,6,9 — last window start 9 because window at 6
+    # ends at word 9 (covers w6..w9)... window [6,10) reaches the end, so
+    # chunks are 0,3,6
+    assert [r["chunk_text"] for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert [r["n_chunk_words"] for r in c1] == [4, 4, 4]
+    # overlap contract: last word of chunk c == first word of chunk c+1
+    for a, b in zip(c1, c1[1:]):
+        assert a["chunk_text"].split()[-1] == b["chunk_text"].split()[0]
+    # short and NULL docs yield exactly one chunk
+    assert len(by[2]) == 1 and by[2][0]["chunk_text"] == "a b"
+    assert len(by[3]) == 1 and by[3][0]["chunk_text"] == ""
+
+
+def test_chunk_text_coverage_and_validation(spark):
+    import pytest
+
+    n = 53
+    df = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(n)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        tx.chunk_text(df, max_words=16, overlap=4).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # de-overlapped concatenation reconstructs the document exactly
+    rebuilt = rows[0]["chunk_text"].split()
+    for r in rows[1:]:
+        rebuilt += r["chunk_text"].split()[4:]
+    assert rebuilt == [str(i) for i in range(n)]
+    # last chunk short, all others full
+    assert all(r["n_chunk_words"] == 16 for r in rows[:-1])
+    assert rows[-1]["n_chunk_words"] <= 16
+    with pytest.raises(ValueError, match="overlap"):
+        tx.chunk_text(df, max_words=8, overlap=8)
+    with pytest.raises(ValueError, match="max_words"):
+        tx.chunk_text(df, max_words=0)

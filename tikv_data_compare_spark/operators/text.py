@@ -1332,3 +1332,56 @@ def bpe_encode(
     text → empty array.  ``size(token_ids)`` always equals
     ``bpe_token_count``'s count (both derive from the same segmentations)."""
     return df.withColumn(out_col, F.expr(bpe_ids_sql(text_col, merges)))
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_words: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window passage chunking (r10): cut every document into
+    word-window chunks of at most ``max_words`` with ``overlap`` words of
+    context carried between consecutive chunks — the long-document
+    preprocessing step in front of embedding models / context-bounded
+    training (stride = max_words − overlap, the Hugging Face
+    ``return_overflowing_tokens`` recipe at word granularity).
+
+    Chunk ``c`` covers words ``[c·stride, c·stride + max_words)``;
+    chunks are emitted while the previous window has not reached the end,
+    so every word is covered, the last chunk may be short, and a doc of
+    ``≤ max_words`` words yields exactly one chunk.  NULL text behaves as
+    ``''`` (one chunk of one empty word — every doc yields ≥1 row).
+
+    Returns ``(id, chunk_idx, n_chunk_words, chunk_text)``.  Entirely
+    map-side (one transform + explode, zero shuffle), deterministic, and
+    the window algebra replays in DuckDB (gated inside ``text_tokens``).
+    """
+    if max_words < 1:
+        raise ValueError(f"max_words must be >= 1, got {max_words}")
+    if not (0 <= overlap < max_words):
+        raise ValueError(
+            f"overlap must be in [0, max_words), got overlap={overlap} "
+            f"max_words={max_words}"
+        )
+    stride = max_words - overlap
+    ws = f"split(coalesce({text_col}, ''), ' ')"
+    nc = (
+        f"(1 + CAST((greatest(size({ws}) - {max_words}, 0) + {stride} - 1) "
+        f"div {stride} AS INT))"
+    )
+    chunks = (
+        f"transform(sequence(0, {nc} - 1), c -> named_struct("
+        f"'chunk_idx', CAST(c AS BIGINT), "
+        f"'n_chunk_words', CAST(size(slice({ws}, c * {stride} + 1, {max_words})) AS BIGINT), "
+        f"'chunk_text', concat_ws(' ', slice({ws}, c * {stride} + 1, {max_words}))))"
+    )
+    return df.select(
+        id_col, F.explode(F.expr(chunks)).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.n_chunk_words").alias("n_chunk_words"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+    )

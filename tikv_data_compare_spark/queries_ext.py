@@ -884,7 +884,10 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       position — the concatenate-and-cut pretraining batch layout, fully
       deterministic, recomputed by the oracle's window cumsum.  Since r10
       the packing is denominated in the TRAINED subword counts (published
-      packing recipes budget subword tokens, not whitespace words)."""
+      packing recipes budget subword tokens, not whitespace words);
+    - passage chunking (``chunk_text``, since r10): sliding word windows
+      (40 words, overlap 8) — chunk count + hash of the idx-ordered chunk
+      texts, the window algebra replayed by the oracle's list slicing."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     stripped = "replace(replace(replace(lower(text), '.', ''), ',', ''), '!', '')"
@@ -894,7 +897,17 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = tx.pack_token_bins(
         counted, budget=512, n_shards=8, ntok_col="n_tokens_subword"
     ).select("doc_id", "pack_bin", "pack_pos")
-    return counted.select(
+    # passage chunking (chunk_text, r10): per-doc chunk count + hash of the
+    # idx-ordered chunk texts — the oracle replays the same window algebra
+    chagg = tx.chunk_text(docs, max_words=40, overlap=8).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.expr(
+            "md5(concat_ws('|', transform(array_sort("
+            "collect_list(named_struct('i', chunk_idx, 't', chunk_text))), "
+            "s -> s.t)))"
+        ).alias("chunks_h"),
+    )
+    return counted.join(chagg, "doc_id").select(
         "doc_id",
         "n_words",
         "n_tokens_bpe",
@@ -905,6 +918,8 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "md5(concat_ws(',', transform(token_ids, i -> CAST(i AS STRING))))"
         ).alias("tok_ids_h"),
+        "n_chunks",
+        "chunks_h",
         F.expr(norm).alias("norm_text"),
         F.expr(f"CAST(length(text) - length({norm}) AS BIGINT)").alias("chars_removed"),
     ).join(packed, "doc_id")
@@ -984,6 +999,19 @@ base AS (
          trim(regexp_replace(replace(replace(replace(lower(text), '.', ''), ',', ''), '!', ''), ' +', ' ', 'g')) AS norm_text
   FROM documents
 ),
+chunks AS (
+  SELECT doc_id, i, t FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(0, nc - 1),
+           c -> {{'i': c, 't': array_to_string(ws[c*32+1 : c*32+40], ' ')}}), recursive := true)
+    FROM (SELECT doc_id, ws, 1 + (greatest(len(ws) - 40, 0) + 31) // 32 AS nc
+          FROM (SELECT doc_id, {sqlgen.split_words("coalesce(text, '')", DUCK)} AS ws FROM documents))
+  )
+),
+chagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         md5(string_agg(t, '|' ORDER BY i)) AS chunks_h
+  FROM chunks GROUP BY doc_id
+),
 packing AS (
   SELECT doc_id,
          CAST(bin * 8 + shard AS BIGINT) AS pack_bin,
@@ -1006,6 +1034,7 @@ SELECT base.doc_id,
             w -> CAST(floor(greatest(length(w) - 6, 0) / 6.0) AS BIGINT))) AS BIGINT) AS n_tokens_bpe,
        c.n_tokens_subword,
        md5(sq.ids) AS tok_ids_h,
+       ch.n_chunks, ch.chunks_h,
        norm_text,
        CAST(length(text) - length(norm_text) AS BIGINT) AS chars_removed,
        p.pack_bin, p.pack_pos
@@ -1013,6 +1042,7 @@ FROM base
 JOIN packing p ON base.doc_id = p.doc_id
 JOIN bcounts c ON base.doc_id = c.doc_id
 JOIN bdocseq sq ON base.doc_id = sq.doc_id
+JOIN chagg ch ON base.doc_id = ch.doc_id
 """
 
 
