@@ -896,3 +896,26 @@ def test_cli_curate_c4_and_blocklist_flags(capsys, spark, tmp_path):
     rc = cli.main(["curate", "--src", nosrc, "--block-sources", "web"])
     assert rc == 2
     assert "source" in capsys.readouterr().err
+
+
+def test_cli_tokenize(capsys, spark, tmp_path):
+    """tokenize subcommand: trains merges, writes counts (+ids with --ids),
+    exports the vocab, and the summary JSON reconciles."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_tok.pq")
+    docs.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "tokens.pq")
+    vocab = str(tmp_path / "vocab.pq")
+    rc = cli.main([
+        "tokenize", "--src", src, "--out", out, "--vocab-out", vocab,
+        "--n-merges", "16", "--vocab-top", "64", "--ids",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_merges"] == 16 and summary["vocab_size"] == 272
+    tok = spark.read.parquet(out)
+    assert summary["docs"] == tok.count() == docs.count()
+    rows = tok.limit(50).collect()
+    assert all(len(r["token_ids"]) == r["n_tokens_subword"] for r in rows)
+    v = spark.read.parquet(vocab)
+    assert v.count() == 272

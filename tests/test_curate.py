@@ -300,3 +300,34 @@ def test_curate_c4_and_blocklist_stages(spark):
         curate(docs, blocked_sources=[])
     with pytest.raises(ValueError, match="no 'source'"):
         curate(docs.drop("source"), blocked_sources=["web"])
+
+
+def test_curate_exact_span_decontamination_stage(spark):
+    """decontam_span switches the decontamination stage to the exact
+    verbatim-span criterion: a doc merely REUSING probe vocabulary (high
+    3-gram overlap, no long exact span) survives, while a doc embedding
+    the probe verbatim drops."""
+    span = "the quick brown fox jumps over the lazy dog"
+    verbatim = f"document that embeds {span} exactly once plus unique filler here."
+    reworded = ("quick brown animals jump; the fox is lazy; dogs jump over "
+                "the brown fox sometimes, quick and lazy.")
+    docs = spark.createDataFrame(
+        [(1, verbatim + " " + "pad " * 30), (2, reworded + " " + "pad " * 30)],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, span)], "probe_id long, text string"
+    )
+    kept, attrition = curate(
+        docs, probes=probes, decontam_span=30,
+        near_dup_jaccard_c=10001, max_dup_word_frac_c=10000,
+        max_top_bigram_frac_c=10000,
+    )
+    try:
+        stages = {r["stage"]: r["n_dropped"] for r in attrition.collect()}
+        assert "decontamination_exact" in stages
+        assert stages["decontamination_exact"] == 1
+        kept_ids = {r["doc_id"] for r in kept.collect()}
+        assert kept_ids == {2}
+    finally:
+        kept.unpersist()

@@ -133,8 +133,15 @@ def test_query_reads_no_text(spark, tmp_path):
     build_text_index(d, p)
     import re
 
-    plan = query_text_index(q, p, k=3)._jdf.queryExecution().executedPlan().toString()
-    assert "postings" in plan and "dfreq" in plan
+    out = query_text_index(q, p, k=3)
+    # inputFiles is never truncated (the plan string caps FileScan locations
+    # at 100 chars, which a deep pytest tmp_path can overflow): every file
+    # the plan reads is an index artifact, both index tables are read
+    files = out.inputFiles()
+    assert files and all("/tix/" in f for f in files)
+    assert any("/postings/" in f for f in files)
+    assert any("/dfreq/" in f for f in files)
+    plan = out._jdf.queryExecution().executedPlan().toString()
     # the corpus `text` column never appears (qtext — the query string — does)
     assert not re.search(r"(?<!q)text#", plan)
 

@@ -282,6 +282,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drop-pii", action="store_true")
     p.add_argument("--probes", default="", help="probe/benchmark parquet for decontamination")
     p.add_argument("--max-contamination-hits", type=int, default=0)
+    p.add_argument("--decontam-span", type=int, default=0,
+                   help="with --probes: if > 0, use EXACT-substring "
+                        "decontamination (drop docs sharing a verbatim span "
+                        "of at least this many chars with a probe) instead "
+                        "of the n-gram overlap screen")
     p.add_argument("--keep-langs", default="",
                    help="comma-separated language codes: appends a 'language' "
                         "stage keeping only docs whose stopword-overlap "
@@ -402,6 +407,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keys", required=True, help="comma-separated key columns")
     p.add_argument("--top-n", type=int, default=20)
     p.add_argument("--out", default="", help="write profile parquet here")
+    p.add_argument("--concurrency", type=int, default=0)
+
+    # trained byte-level BPE over a documents parquet: learn merges from the
+    # corpus word-frequency table, write (id, n_tokens_subword, token_ids)
+    # parquet + the merge/vocab tables for reuse
+    p = sub.add_parser("tokenize")
+    p.add_argument("--src", required=True, help="documents parquet (dir or file)")
+    p.add_argument("--out", default="", help="output parquet (default: {src}_tokens)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--n-merges", type=int, default=256)
+    p.add_argument("--vocab-top", type=int, default=4096)
+    p.add_argument("--vocab-out", default="",
+                   help="also write the (token_id, token_hex) vocab parquet here")
+    p.add_argument("--ids", action="store_true",
+                   help="include the token_ids array column (counts only "
+                        "otherwise — id arrays are ~8 B/token of output)")
     p.add_argument("--concurrency", type=int, default=0)
 
     args = top.parse_args(argv)
@@ -640,6 +662,38 @@ def main(argv: list[str] | None = None) -> int:
             print(f"hotkeys: {e}", file=sys.stderr)
             return 2
 
+    if args.cmd == "tokenize":
+        from pyspark.sql import functions as F
+
+        from tikv_data_compare_spark.operators import text as txo
+
+        docs = spark.read.parquet(args.src)
+        merges = txo.train_bpe_merges(
+            docs, text_col=args.text_col,
+            n_merges=args.n_merges, vocab_top=args.vocab_top,
+        )
+        out_df = txo.bpe_token_count(
+            docs.select(args.id_col, args.text_col), merges, text_col=args.text_col
+        )
+        if args.ids:
+            out_df = txo.bpe_encode(out_df, merges, text_col=args.text_col)
+        out = args.out or f"{args.src.rstrip('/')}_tokens"
+        out_df.drop(args.text_col).write.mode("overwrite").parquet(out)
+        if args.vocab_out:
+            spark.createDataFrame(
+                txo.bpe_vocab(merges), "token_id int, token_hex string"
+            ).write.mode("overwrite").parquet(args.vocab_out)
+        total = spark.read.parquet(out).agg(
+            F.sum("n_tokens_subword").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        print(json.dumps({
+            "out": out, "docs": int(total["n"]),
+            "total_tokens": int(total["s"] or 0),
+            "n_merges": len(merges), "vocab_size": 256 + len(merges),
+            "vocab_out": args.vocab_out or None,
+        }))
+        return 0
+
     if args.cmd == "sample":
         from tikv_data_compare_spark.operators import sampling as sp
 
@@ -721,6 +775,7 @@ def main(argv: list[str] | None = None) -> int:
                 drop_pii=args.drop_pii,
                 probes=probes,
                 max_contamination_hits=args.max_contamination_hits,
+                decontam_span=args.decontam_span if args.decontam_span != 0 else None,
                 keep_langs=args.keep_langs.split(",") if args.keep_langs else None,
                 # 0 = off; a NEGATIVE cap passes through so curate()'s own
                 # validation rejects it loudly instead of silently disabling

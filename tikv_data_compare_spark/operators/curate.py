@@ -56,6 +56,7 @@ def curate(
     drop_pii: bool = False,
     probes: DataFrame | None = None,
     max_contamination_hits: int = 0,
+    decontam_span: int | None = None,
     keep_langs: list[str] | None = None,
     max_lm_nll_c: int | None = None,
     lm_train: DataFrame | None = None,
@@ -69,7 +70,12 @@ def curate(
 
     Thresholds are scaled ×10000 like every engine fraction.  ``probes``
     enables the decontamination stage (docs with more than
-    ``max_contamination_hits`` overlapping n-grams are dropped).
+    ``max_contamination_hits`` overlapping n-grams are dropped);
+    ``decontam_span`` (r10) switches that stage to EXACT-substring
+    decontamination (``text.decontaminate_substring``, the GPT-3/LLaMA
+    criterion): any doc sharing a verbatim span of at least
+    ``decontam_span`` characters with a probe drops, regardless of
+    ``max_contamination_hits``.
     ``algo`` selects the near-dup stage's shingle hash — ``md5i64``
     (default, DuckDB-oracle checkable) or ``xxhash64`` (the throughput
     path, same knob as the dedup/checksum operators).  ``keep_langs``
@@ -176,14 +182,27 @@ def curate(
         stage_cols.append("s_pii")
         stage_names.append("pii")
     if probes is not None:
-        conta_ok = tx.contamination(docs, probes, id_col, text_col).select(
-            id_col, (F.col("n_hit_grams") <= max_contamination_hits).alias("_ct_ok")
-        )
+        if decontam_span is not None:
+            # probe id column: the conventional 'probe_id' (the
+            # contamination contract), else any first column stands in —
+            # the id only keys the candidate-pair dedup
+            pid = "probe_id" if "probe_id" in probes.columns else probes.columns[0]
+            conta_ok = tx.decontaminate_substring(
+                docs, probes, id_col, text_col,
+                probe_id_col=pid, min_span=int(decontam_span),
+            ).select(id_col, (~F.col("contaminated")).alias("_ct_ok"))
+            stage_name = "decontamination_exact"
+        else:
+            conta_ok = tx.contamination(docs, probes, id_col, text_col).select(
+                id_col,
+                (F.col("n_hit_grams") <= max_contamination_hits).alias("_ct_ok"),
+            )
+            stage_name = "decontamination"
         flags = flags.join(conta_ok, id_col, "left").withColumn(
             "s_conta", F.col(stage_cols[-1]) & F.coalesce(F.col("_ct_ok"), F.lit(True))
         )
         stage_cols.append("s_conta")
-        stage_names.append("decontamination")
+        stage_names.append(stage_name)
     if keep_langs is not None:
         # normalize + validate: a typo'd or unknown code would otherwise
         # silently drop the ENTIRE corpus (isin never matches), and a bare
