@@ -244,3 +244,78 @@ def test_sqrt_mixture_ignores_null_group(spark):
     # web is the only (and smallest) real group -> full rate, all kept
     assert out.filter(F.col("source") == "web").count() == 100
     assert out.filter(F.col("source").isNull()).count() == 0
+
+
+# ---------------------------------------------------------- token mixture
+
+
+def test_token_mixture_rates_closed_form(spark):
+    """Equal token-share targets over unequal corpora: the token-poor group
+    binds (rate 10000), the rich one downsamples by the exact token
+    ratio."""
+    from tikv_data_compare_spark.operators.sampling import token_mixture_sample
+
+    # unique texts: content-hash selection needs distinct contents (dup
+    # texts share one bucket and sample together, by design)
+    rows = [(i, "a", "w " * 9 + f"a{i}") for i in range(10)]          # 100 tokens
+    rows += [(100 + i, "b", "w " * 9 + f"b{i}") for i in range(100)]  # 1000 tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_mixture_sample(df, {"a": 5000, "b": 5000})
+    rates = {r["source"]: r["rate_bp"] for r in out.select("source", "rate_bp").distinct().collect()}
+    # gcd-normalized weights (1,1): u_a=100, u_b=1000 → b keeps 10%
+    assert rates["a"] == 10000
+    assert rates["b"] == 1000
+    kept = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in kept}
+    assert counts["a"] == 10
+    # ~10% of b's 100 docs by content-hash bucket (exact count is
+    # data-dependent but bounded well below full)
+    assert 0 < counts.get("b", 0) < 50
+
+
+def test_token_mixture_unlisted_drops_and_ntok_col(spark):
+    import pytest
+
+    from tikv_data_compare_spark.operators.sampling import token_mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y z", 30), (2, "b", "x", 1), (3, "c", "x x", 2)],
+        "doc_id long, source string, text string, ntok long",
+    )
+    out = token_mixture_sample(df, {"a": 100, "b": 100}, ntok_col="ntok").collect()
+    assert {r["source"] for r in out} <= {"a", "b"}  # 'c' dropped
+    # ntok_col drives the rates: a has 30 tokens vs b's 1 → b binds
+    rates = {r["source"]: r["rate_bp"] for r in out}
+    assert rates.get("b", 10000) == 10000
+    with pytest.raises(ValueError, match="positive weight"):
+        token_mixture_sample(df, {"a": 0})
+    with pytest.raises(ValueError, match="basis points"):
+        token_mixture_sample(df, {"a": 0.5})
+    with pytest.raises(ValueError, match="strings"):
+        token_mixture_sample(df, {7: 100})
+
+
+def test_token_mixture_determinism_and_share_convergence(spark, documents):
+    """On the fixture corpus: replay-identical, and the post-sample token
+    shares track the targets (within hash-bucket noise)."""
+    from tikv_data_compare_spark.operators.sampling import token_mixture_sample
+
+    docs = documents.select("doc_id", "lang", "text")
+    targets = {"en": 6000, "de": 2000, "fr": 2000}
+    a = token_mixture_sample(docs, targets, group_col="lang")
+    b = token_mixture_sample(docs.repartition(7), targets, group_col="lang")
+    ka = {(r["doc_id"], r["epoch"]) for r in a.select("doc_id", "epoch").collect()}
+    kb = {(r["doc_id"], r["epoch"]) for r in b.select("doc_id", "epoch").collect()}
+    assert ka == kb and ka
+    toks = {
+        r["lang"]: r["t"]
+        for r in a.groupBy("lang").agg(
+            F.sum(F.size(F.split("text", " "))).alias("t")
+        ).collect()
+    }
+    if set(toks) == set(targets):  # all languages present in the fixture
+        total = sum(toks.values())
+        shares = {g: toks[g] / total for g in toks}
+        want = {g: w / sum(targets.values()) for g, w in targets.items()}
+        for g in want:
+            assert abs(shares[g] - want[g]) < 0.12, (g, shares, want)

@@ -249,7 +249,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("sample")
     p.add_argument("--src", required=True, help="documents parquet (dir or file)")
     p.add_argument("--method", default="hash",
-                   choices=["hash", "stratified", "shard", "mixture", "sqrt-mixture"])
+                   choices=["hash", "stratified", "shard", "mixture",
+                            "token-mixture", "sqrt-mixture"])
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--pct", type=int, default=10, help="hash: keep percentage")
@@ -260,7 +261,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--weights", default="",
                    help="mixture spec GROUP=RATE_BP[xEPOCHS],... e.g. "
                         "web=2500,wiki=10000x3 (rates per 10000; unlisted "
-                        "groups DROP)")
+                        "groups DROP); token-mixture: GROUP=SHARE_BP token-"
+                        "share targets, keep-rates derived from token counts")
     p.add_argument("--epochs-for-full", type=int, default=1,
                    help="sqrt-mixture: replicate full-rate (smallest) groups "
                         "this many times with an epoch index")
@@ -736,6 +738,25 @@ def main(argv: list[str] | None = None) -> int:
                         ) from None
                 out_df = sp.mixture_sample(
                     docs, weights, group_col=args.group_col,
+                    content_col=args.text_col,
+                )
+            elif args.method == "token-mixture":
+                targets: dict = {}
+                for spec in filter(None, (s.strip() for s in args.weights.split(","))):
+                    g, sep, w = spec.partition("=")
+                    g = g.strip()
+                    if not sep or not g:
+                        raise ValueError(
+                            f"--weights entry {spec!r} is not GROUP=SHARE_BP"
+                        )
+                    try:
+                        targets[g] = int(w.strip())
+                    except ValueError:
+                        raise ValueError(
+                            f"--weights entry {spec!r} has a non-integer share"
+                        ) from None
+                out_df = sp.token_mixture_sample(
+                    docs, targets, group_col=args.group_col,
                     content_col=args.text_col,
                 )
             else:  # sqrt-mixture

@@ -187,25 +187,30 @@ def _apply_mixture(
     content_col: str,
     bucket_col: str,
     epoch_col: str,
+    keep_rate_col: str | None = None,
 ) -> DataFrame:
     """Shared mixture core: join per-group ``(_rate_bp, _epochs)``, keep
     rows whose content-hash bucket (per-10000) falls under the group's
     rate, replicate kept rows ``_epochs`` times with an epoch index.
-    ``rates`` is tiny (one row per group) — the join broadcasts."""
+    ``rates`` is tiny (one row per group) — the join broadcasts.
+    ``keep_rate_col`` optionally surfaces the applied rate per row (the
+    token-mixture caller gates its derived rates through it)."""
     if bucket_col in df.columns or epoch_col in df.columns:
         raise ValueError(
             f"output column {bucket_col!r}/{epoch_col!r} already exists on the input"
         )
     bucket = F.expr(f"(({sqlgen.hexfold_i64(_STAGE)} % 10000) + 10000) % 10000")
-    return (
+    out = (
         _with_hash(df, content_col, bucket_col)
         .withColumn(bucket_col, bucket.cast("long"))
         .join(F.broadcast(rates), group_col)
         .filter(F.col(bucket_col) < F.col("_rate_bp"))
         .withColumn(epoch_col, F.explode(F.expr("sequence(0, CAST(_epochs AS INT) - 1)")))
         .withColumn(epoch_col, F.col(epoch_col).cast("long"))
-        .drop(_STAGE, "_rate_bp", "_epochs")
     )
+    if keep_rate_col is not None:
+        out = out.withColumn(keep_rate_col, F.col("_rate_bp").cast("long"))
+    return out.drop(_STAGE, "_rate_bp", "_epochs")
 
 
 def mixture_sample(
@@ -325,3 +330,105 @@ def sqrt_mixture_sample(
         .select(group_col, "_rate_bp", "_epochs")
     )
     return _apply_mixture(df, rates, group_col, content_col, bucket_col, epoch_col)
+
+
+def token_mixture_sample(
+    df: DataFrame,
+    targets_bp: "dict[str, int]",
+    group_col: str = "source",
+    content_col: str = "text",
+    bucket_col: str = "mix_bucket",
+    epoch_col: str = "epoch",
+    rate_col: str = "rate_bp",
+    ntok_col: str | None = None,
+) -> DataFrame:
+    """TOKEN-denominated mixture sampling (r10): published mixture tables
+    (LLaMA, The Pile, Dolma) specify each source's share of the TRAINING
+    TOKENS, not its share of documents — a doc-rate mixture over sources
+    with different document lengths misses the published proportions.
+    ``targets_bp`` gives each group's desired token share as a relative
+    weight in basis points; the keep-RATES are derived IN-PLAN from the
+    observed per-group token counts so that post-sample token shares are
+    proportional to the targets, with the binding group kept in full
+    (rates can only downsample — use ``mixture_sample``'s epochs to
+    upsample).
+
+    Integer-exact derivation (the sqrt-τ discipline — every step replays
+    bit-for-bit in the SQL oracle):
+
+        u_g    = greatest(1, tokens_g DIV w_g)     -- tokens per weight unit
+        rate_g = least(10000, (10000 · min_h u_h) DIV u_g)
+
+    The group with the fewest tokens-per-weight is the constraint (rate
+    10000); everyone else downsamples by the exact integer ratio.  The
+    floor in ``u`` costs at most w/t relative error — vanishing at corpus
+    scale, and DEFINED (both engines floor identically) at toy scale.
+    Overflow-safe to ~9·10¹⁴ tokens in the binding group (10000·u must fit
+    int64).  Groups absent from ``targets_bp`` DROP (the mixture spec is
+    the complete recipe); a zero weight drops its group too.
+
+    Token counts default to whitespace (``size(split(text, ' '))``);
+    ``ntok_col`` substitutes a precomputed count column (e.g. trained-BPE
+    ``n_tokens_subword`` — counts and selection then both replay).
+
+    Scale shape: ONE partial-aggregated groupBy over (group, ntok) for the
+    rate table (one row per listed group), then the shared zero-shuffle
+    mixture core (map-side content hash + broadcast rate join).  Output
+    carries ``rate_bp`` so the derived rates are auditable (and
+    oracle-gated) per row.
+    """
+    for g, w in targets_bp.items():
+        if not isinstance(g, str):
+            raise ValueError(
+                f"targets_bp keys must be strings matching {group_col!r} "
+                f"values, got {g!r}"
+            )
+        if isinstance(w, bool) or not isinstance(w, int):
+            raise ValueError(
+                f"target for {g!r} must be an integer weight in basis "
+                f"points, got {w!r}"
+            )
+        if not 0 <= w <= 10000:
+            raise ValueError(f"target for {g!r} must be in [0, 10000], got {w}")
+    listed = [(g, w) for g, w in targets_bp.items() if w > 0]
+    if not listed:
+        raise ValueError("targets_bp must give at least one group a positive weight")
+    # normalize by the gcd: only weight RATIOS matter, and smaller weights
+    # lose less to the integer floor in u (targets are spec constants, so
+    # this driver-side step replays — the oracle embeds the same dict)
+    from math import gcd
+
+    g_all = 0
+    for _, w in listed:
+        g_all = gcd(g_all, w)
+    listed = [(g, w // g_all) for g, w in listed]
+    spark = df.sparkSession
+    targets = spark.createDataFrame(listed, f"{group_col} string, _w long")
+    ntok = (
+        F.col(ntok_col).cast("long")
+        if ntok_col
+        else F.size(
+            F.split(F.coalesce(F.col(content_col).cast("string"), F.lit("")), " ")
+        ).cast("long")
+    )
+    toks = (
+        df.select(group_col, ntok.alias("_ntok"))
+        .join(F.broadcast(targets), group_col)
+        .groupBy(group_col, "_w")
+        .agg(F.sum("_ntok").alias("_t"))
+        .withColumn("_u", F.expr("greatest(1L, _t div _w)"))
+    )
+    umin = toks.agg(F.min("_u").alias("_umin"))
+    rates = (
+        toks.crossJoin(F.broadcast(umin))
+        .withColumn(
+            "_rate_bp",
+            F.expr("least(10000L, (10000 * _umin) div _u)").cast("long"),
+        )
+        .withColumn("_epochs", F.lit(1).cast("long"))
+        .select(group_col, "_rate_bp", "_epochs")
+    )
+    return _apply_mixture(
+        df, rates, group_col, content_col, bucket_col, epoch_col,
+        keep_rate_col=rate_col,
+    )

@@ -1657,13 +1657,21 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
       SQL), content-hash per-10000 bucket selection, smallest (full-rate)
       groups replicated ×2 with an epoch index; metric packs
       epoch·100000 + bucket, so rates, selection AND epoch replication all
-      hash-gate together."""
+      hash-gate together;
+    - ``token_mixture`` (since r10): TOKEN-denominated mixture
+      (``token_mixture_sample``) at targets en 40% / de,fr,es 20% (zh
+      unlisted → drops): per-group keep-rates derived in-plan from the
+      observed token counts with pure integer math (u = max(1, t div w),
+      rate = min(10000, 10000·u_min div u)), so the published
+      share-of-tokens recipe is engine-exact; metric packs
+      rate_bp·100000 + bucket — rates AND selection hash-gate."""
     tune(spark)
     from tikv_data_compare_spark.operators.sampling import (
         hash_sample,
         shard_assignments,
         sqrt_mixture_sample,
         stratified_sample,
+        token_mixture_sample,
     )
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
@@ -1683,7 +1691,13 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mixture").alias("method"), "doc_id", "lang",
         (F.col("epoch") * 100000 + F.col("mix_bucket")).cast("long").alias("metric"),
     )
-    return h.unionByName(s).unionByName(sh).unionByName(mx)
+    tm = token_mixture_sample(
+        docs, {"en": 4000, "de": 2000, "fr": 2000, "es": 2000}, group_col="lang"
+    ).select(
+        F.lit("token_mixture").alias("method"), "doc_id", "lang",
+        (F.col("rate_bp") * 100000 + F.col("mix_bucket")).cast("long").alias("metric"),
+    )
+    return h.unionByName(s).unionByName(sh).unionByName(mx).unionByName(tm)
 
 
 ORACLE_SAMPLING = f"""
@@ -1728,6 +1742,36 @@ FROM (
       ON t.lang = r.lang
     WHERE r.bucket < t.rate_bp
   ) k
+)
+UNION ALL
+-- token-denominated mixture (r10): integer rates from per-group token
+-- counts — u = max(1, tokens div w), rate = min(10000, 10000·umin div u);
+-- weights (4000, 2000, 2000, 2000) gcd-normalize to (2, 1, 1, 1); zh is
+-- unlisted and drops — sampling.token_mixture_sample
+SELECT 'token_mixture', doc_id, lang, CAST(rate_bp * 100000 + bucket AS BIGINT)
+FROM (
+  SELECT r.doc_id, r.lang, r.bucket, t.rate_bp
+  FROM (SELECT doc_id, lang, (({sqlgen.hexfold_i64('_m')} % 10000) + 10000) % 10000 AS bucket
+        FROM (SELECT doc_id, lang, md5(coalesce(text, '')) AS _m FROM documents)) r
+  JOIN (
+    SELECT lang, CAST(LEAST(10000, (10000 * umin) // u) AS BIGINT) AS rate_bp
+    FROM (SELECT lang, greatest(1, t // w) AS u
+          FROM (SELECT d.lang, tw.w,
+                       sum(len(string_split(coalesce(d.text, ''), ' '))) AS t
+                FROM documents d
+                JOIN (VALUES ('en', 2), ('de', 1), ('fr', 1), ('es', 1)) tw(lang, w)
+                  ON d.lang = tw.lang
+                GROUP BY d.lang, tw.w))
+    CROSS JOIN (
+      SELECT min(greatest(1, t // w)) AS umin
+      FROM (SELECT d.lang, tw.w,
+                   sum(len(string_split(coalesce(d.text, ''), ' '))) AS t
+            FROM documents d
+            JOIN (VALUES ('en', 2), ('de', 1), ('fr', 1), ('es', 1)) tw(lang, w)
+              ON d.lang = tw.lang
+            GROUP BY d.lang, tw.w))
+  ) t ON t.lang = r.lang
+  WHERE r.bucket < t.rate_bp
 )
 """
 
