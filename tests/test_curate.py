@@ -331,3 +331,28 @@ def test_curate_exact_span_decontamination_stage(spark):
         assert kept_ids == {2}
     finally:
         kept.unpersist()
+
+
+def test_curate_exact_span_probes_sharing_id_column(spark):
+    """Probes cut from the corpus itself carry the same 'doc_id' column as
+    the docs side; the exact-span stage must not hit an ambiguous-column
+    error (r10 review: the probe id is renamed defensively)."""
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    filler = "and it is on the table with a friend of the house "
+    docs = spark.createDataFrame(
+        [(1, f"prefix {span} suffix " + filler * 3),
+         (2, "completely different text here " + filler * 3)],
+        "doc_id long, text string",
+    )
+    probes = docs.limit(1).selectExpr("doc_id", "substr(text, 8, 40) AS text")
+    kept, attrition = curate(
+        docs, probes=probes, decontam_span=24,
+        near_dup_jaccard_c=10001, max_dup_word_frac_c=10000,
+        max_top_bigram_frac_c=10000,
+    )
+    try:
+        stages = {r["stage"]: r["n_dropped"] for r in attrition.collect()}
+        assert stages["decontamination_exact"] == 1
+        assert {r["doc_id"] for r in kept.collect()} == {2}
+    finally:
+        kept.unpersist()

@@ -231,3 +231,49 @@ def test_dedup_lines_rejects_nothing_but_counts_align(spark):
     assert all(r["n_kept"] + r["n_dropped"] == r["n_lines"] for r in rows)
     # 1 'shared' + 3 distinct bodies survive corpus-wide
     assert sum(r["n_kept"] for r in rows) == 4
+
+
+def test_null_text_docs_never_pair_any_geometry(spark):
+    """NULL/empty-text docs hash to NULL signatures and must never become
+    candidate pairs — at the default geometry (scalar band keys: NULL
+    never equi-joins) AND at parameterized geometries (array band keys
+    compare NULL elements as EQUAL in Spark, so band_key_rows must drop
+    NULL-bearing keys — r10 review)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real words here")],
+        "doc_id long, text string",
+    )
+    assert dd.minhash_pairs(df, "doc_id", "text").collect() == []
+    assert dd.minhash_pairs(
+        df, "doc_id", "text", n_bands=3, rows_per_band=2
+    ).collect() == []
+
+
+def test_dedup_index_query_ignores_null_text(spark, tmp_path):
+    """The review's repro: a NULL-text batch doc must not 'match' a
+    NULL-text indexed doc through the array band keys."""
+    from tikv_data_compare_spark.operators.dedup_index import (
+        build_dedup_index,
+        query_dedup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, None), (3, "x y z w")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame([(2, None)], "doc_id long, text string")
+    p = str(tmp_path / "nullidx")
+    build_dedup_index(corpus, p)
+    assert query_dedup_index(batch, p).collect() == []
+
+
+def test_dedup_lines_keeps_null_text_docs(spark):
+    """One row per INPUT doc, as documented: a NULL-text doc reports zero
+    lines and an empty rebuild instead of vanishing (r10 review)."""
+    df = spark.createDataFrame(
+        [(1, "a b c."), (2, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in dd.dedup_lines(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["n_lines"] == 0 and rows[2]["n_kept"] == 0
+    assert rows[2]["new_text"] == ""
+    assert rows[1]["n_kept"] == 1

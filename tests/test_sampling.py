@@ -319,3 +319,20 @@ def test_token_mixture_determinism_and_share_convergence(spark, documents):
         want = {g: w / sum(targets.values()) for g, w in targets.items()}
         for g in want:
             assert abs(shares[g] - want[g]) < 0.12, (g, shares, want)
+
+
+def test_token_mixture_zero_token_group_drops_not_binds(spark):
+    """A listed group whose docs total zero tokens cannot anchor the
+    mixture: it drops (like an unlisted group) instead of binding at u=1
+    and collapsing every real group's rate to ~0 (r10 review)."""
+    from tikv_data_compare_spark.operators.sampling import token_mixture_sample
+
+    rows = [(i, "a", "w " * 9 + f"a{i}", 10) for i in range(40)]
+    rows += [(100 + i, "z", "", 0) for i in range(3)]  # zero-token group
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, ntok long"
+    )
+    out = token_mixture_sample(df, {"a": 5000, "z": 5000}, ntok_col="ntok")
+    got = out.select("source", "rate_bp").distinct().collect()
+    rates = {r["source"]: r["rate_bp"] for r in got}
+    assert rates == {"a": 10000}  # a keeps fully; z absent entirely

@@ -165,3 +165,32 @@ def test_append_refuses_id_collisions(spark, tmp_path):
     # nothing was written: meta unchanged, scores still positive
     assert load_text_index(spark, p).meta == before
     assert all(r["bm25_c"] > 0 for r in query_text_index(q, p, k=3).collect())
+
+
+def test_index_scores_match_oneshot_with_null_text(spark, tmp_path):
+    """NULL-text docs are corpus non-members in BOTH paths (the index
+    derives stats from postings, where they cannot appear) — scores stay
+    identical score-for-score (r10 review)."""
+    import os
+
+    from tikv_data_compare_spark.operators.text import bm25_topk
+    from tikv_data_compare_spark.operators.text_index import (
+        build_text_index,
+        query_text_index,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "beta beta delta")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "beta delta")], "query_id long, qtext string")
+    p = os.path.join(tmp_path, "tix_null")
+    build_text_index(d, p)
+    direct = sorted(
+        (r["query_id"], r["doc_id"], r["bm25_c"]) for r in bm25_topk(d, q, k=3).collect()
+    )
+    via_index = sorted(
+        (r["query_id"], r["doc_id"], r["bm25_c"])
+        for r in query_text_index(q, p, k=3).collect()
+    )
+    assert direct == via_index and direct

@@ -54,3 +54,18 @@ def swap_commit(df: DataFrame, final: str, coalesce: int | None = None) -> None:
     os.rename(stage, final)
     if had_prior:
         shutil.rmtree(old)
+
+
+def scratch_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` with process-exit cleanup: registry rows and
+    bench entries build scratch indexes/dumps/sinks per invocation, and
+    bare mkdtemp leaked one directory (sometimes a full parquet index) per
+    call across repeated gate/bench runs (r10 review).  atexit — not
+    eager deletion — because the returned DataFrames read these paths
+    lazily until the caller's final action."""
+    import atexit
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d

@@ -185,11 +185,18 @@ def curate(
         if decontam_span is not None:
             # probe id column: the conventional 'probe_id' (the
             # contamination contract), else any first column stands in —
-            # the id only keys the candidate-pair dedup
+            # the id only keys the candidate-pair dedup.  Renamed DEFENSIVELY
+            # to '_probe_id': probes cut from the corpus itself carry the
+            # same 'doc_id' column as the docs side, and the candidate join
+            # would hit an ambiguous-reference error (r10 review).
             pid = "probe_id" if "probe_id" in probes.columns else probes.columns[0]
+            probes_n = probes.select(
+                F.col(pid).alias("_probe_id"), F.col(text_col)
+            )
             conta_ok = tx.decontaminate_substring(
-                docs, probes, id_col, text_col,
-                probe_id_col=pid, min_span=int(decontam_span),
+                docs, probes_n, id_col, text_col,
+                probe_id_col="_probe_id", probe_text_col=text_col,
+                min_span=int(decontam_span),
             ).select(id_col, (~F.col("contaminated")).alias("_ct_ok"))
             stage_name = "decontamination_exact"
         else:

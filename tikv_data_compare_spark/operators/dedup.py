@@ -192,8 +192,9 @@ def minhash_signatures(
     ``shingles`` lets a pipeline pass a precomputed (typically cached)
     :func:`shingle_arrays` frame so composed plans tokenize the text once.
     """
-    _, p = _minhash_constants()
-    perms = minhash_perms(n_perms) if n_perms is not None else _minhash_constants()[0]
+    perms, p = _minhash_constants()
+    if n_perms is not None:
+        perms = minhash_perms(n_perms)
     if shingles is None:
         shingles = shingle_arrays(df, id_col, text_col)
     hashed = _hashed_shingles(shingles, algo)
@@ -232,7 +233,15 @@ def band_key_rows(
     array of the band's ``rows_per_band`` permutation minima (no lossy
     fold), so two documents share a band iff every row value matches —
     equi-joins on array columns hash/compare element-wise in Spark, same
-    one-shuffle shape as the (band, h1, h2) fast path."""
+    one-shuffle shape as the (band, h1, h2) fast path.
+
+    NULL minima (NULL/empty text hashes to NULL signatures) emit NO band
+    row: unlike scalar equi-join keys, ARRAY keys compare NULL elements as
+    equal in Spark (``array(NULL) = array(NULL)`` is true), so without the
+    filter every junk doc in the corpus would land in one giant bucket —
+    O(n²) candidate pairs at scale AND a semantics divergence from the
+    scalar fast path, where the NULL keys simply never join (r10 review).
+    """
     bands = F.array(
         *[
             F.struct(
@@ -244,8 +253,12 @@ def band_key_rows(
             for j in range(n_bands)
         ]
     )
-    return sig.select(id_col, F.explode(bands).alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.hkey").alias("hkey")
+    return (
+        sig.select(id_col, F.explode(bands).alias("b"))
+        .select(
+            id_col, F.col("b.band").alias("band"), F.col("b.hkey").alias("hkey")
+        )
+        .where(F.expr("NOT exists(hkey, x -> x IS NULL)"))
     )
 
 
@@ -478,7 +491,15 @@ def dedup_lines(
     ).withColumn("_h", F.xxhash64("_line"))
     occ = occ.withColumn(
         "_packed",
-        F.col("_id") * F.lit(max_lines_per_doc).cast("long") + F.col("_pos"),
+        # the ELSE arm enforces the documented alias guard lazily, with no
+        # extra pass: a doc exceeding max_lines_per_doc would silently pack
+        # into its neighbor's position range (r10 review)
+        F.expr(
+            f"CASE WHEN _pos < {int(max_lines_per_doc)}L "
+            f"THEN _id * {int(max_lines_per_doc)}L + _pos "
+            f"ELSE CAST(raise_error(CONCAT('dedup_lines: doc ', CAST(_id AS STRING), "
+            f"' exceeds max_lines_per_doc={int(max_lines_per_doc)}')) AS BIGINT) END"
+        ),
     )
     first = occ.groupBy("_h").agg(F.min("_packed").alias("_first"))
     verdict = occ.join(first, "_h").withColumn("_kept", F.col("_packed") == F.col("_first"))
@@ -488,7 +509,7 @@ def dedup_lines(
     verdict = verdict.withColumn(
         "_kept_struct", F.when(F.col("_kept"), F.struct(F.col("_pos"), F.col("_line")))
     )
-    return (
+    per_doc = (
         verdict.groupBy("_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
@@ -500,4 +521,20 @@ def dedup_lines(
         )
         .withColumn("n_dropped", (F.col("n_lines") - F.col("n_kept")).cast("long"))
         .select(F.col("_id").alias(id_col), "n_lines", "n_kept", "n_dropped", "new_text")
+    )
+    # one row per INPUT document, as documented: split(NULL) explodes to
+    # nothing, so a NULL-text doc would otherwise vanish from the rebuilt
+    # corpus — data loss through `cli dedup --lines --out` (r10 review).
+    # NULL text has zero lines; the rebuilt text is '' like an all-dropped
+    # doc, and none of its nothing enters the corpus line pool.
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
     )

@@ -416,6 +416,11 @@ def token_mixture_sample(
         .join(F.broadcast(targets), group_col)
         .groupBy(group_col, "_w")
         .agg(F.sum("_ntok").alias("_t"))
+        # a listed group with ZERO observed tokens cannot meet any token
+        # share — it drops like an unlisted group rather than binding as
+        # u=1 and collapsing every real group's rate to ~0 (r10 review);
+        # greatest(1, ·) still guards the tiny-nonzero floor
+        .where(F.col("_t") > 0)
         .withColumn("_u", F.expr("greatest(1L, _t div _w)"))
     )
     umin = toks.agg(F.min("_u").alias("_umin"))

@@ -1069,7 +1069,14 @@ def bm25_corpus_stats(
     from tikv_data_compare_spark.session import scale_out
 
     df = scale_out(df, key=id_col)
-    toks = df.select(
+    # NULL-text docs are NOT corpus members: they have no terms (split(NULL)
+    # explodes to nothing) so they can never match a query, and the
+    # persisted text index — which derives n_docs/sum_dl from the written
+    # postings — cannot see them either.  Counting them here but not there
+    # skewed avgdl/idf and broke the documented one-shot ≡ index score
+    # identity (r10 review).  ''-text docs stay members (one '' term) in
+    # BOTH paths.
+    toks = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.split(F.col(text_col), " ").alias("_ws"),
     ).withColumn("dl", F.expr("CAST(size(_ws) AS BIGINT)"))

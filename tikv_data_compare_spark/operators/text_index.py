@@ -199,21 +199,27 @@ def append_to_text_index(
     """
     spark = new_docs.sparkSession
     idx = load_text_index(spark, path)
-    batch = _postings(new_docs, id_col, text_col)
-    if batch.limit(1).count() == 0:
-        return 0
-    n_coll = (
-        batch.select("doc_id")
-        .distinct()
-        .join(idx.postings.select("doc_id").distinct(), "doc_id")
-        .count()
-    )
-    if n_coll:
-        raise ValueError(
-            f"append_to_text_index: {n_coll} batch ids already exist in the "
-            f"index at {path!r} — re-appending would duplicate postings and "
-            "corrupt df/idf; de-overlap the batch first"
+    # persist: the batch postings plan (tokenize + two aggregations) feeds
+    # the emptiness probe, the collision join AND the write — unpersisted
+    # it would run the full aggregation three times per append (r10 review)
+    batch = _postings(new_docs, id_col, text_col).persist()
+    try:
+        if batch.limit(1).count() == 0:
+            return 0
+        n_coll = (
+            batch.select("doc_id")
+            .distinct()
+            .join(idx.postings.select("doc_id").distinct(), "doc_id")
+            .count()
         )
-    batch.write.mode("append").parquet(f"{path}/postings")
+        if n_coll:
+            raise ValueError(
+                f"append_to_text_index: {n_coll} batch ids already exist in the "
+                f"index at {path!r} — re-appending would duplicate postings and "
+                "corrupt df/idf; de-overlap the batch first"
+            )
+        batch.write.mode("append").parquet(f"{path}/postings")
+    finally:
+        batch.unpersist()
     meta = _refresh_derived(spark, path, {})
     return int(meta["n_docs"]) - int(idx.meta["n_docs"])

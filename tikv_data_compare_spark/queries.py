@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from tikv_data_compare_spark.functions import sqlgen
+from tikv_data_compare_spark.functions import fsutil, sqlgen
 from tikv_data_compare_spark.functions.sqlgen import DUCK, SPARK
 from tikv_data_compare_spark.model import Keyed
 from tikv_data_compare_spark.operators import diff as diff_ops
@@ -178,7 +178,6 @@ def q_scan_dump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     RPC, scan/scan.go:45).  Output = the dump rows in range, re-hexed, with
     their original global running counters."""
     import os
-    import tempfile
 
     tune(spark)
     from tikv_data_compare_spark.sources.scandump import load_scan_dump
@@ -192,7 +191,7 @@ def q_scan_dump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-invocation scratch dir: a fixed shared path raced when bench and the
     # correctness gate ran concurrently over the same fixture (ADVICE r4)
-    dump = os.path.join(tempfile.mkdtemp(prefix="tdc_scandump_"), "dump")
+    dump = os.path.join(fsutil.scratch_dir(prefix="tdc_scandump_"), "dump")
     export_hex(Keyed(kv), path=dump)
 
     lo, hi = (_dump_key(b) for b in DUMP_RANGE)
@@ -237,12 +236,11 @@ def q_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributed write and read; three summary rows (fmt, n_rows, n_ok);
     any quote/parse/precision defect drops n_ok below n_rows."""
     import os
-    import tempfile
 
     tune(spark)
     # JSONL leg: documents
     docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    jd = os.path.join(tempfile.mkdtemp(prefix="tdc_jsonl_"), "docs")
+    jd = os.path.join(fsutil.scratch_dir(prefix="tdc_jsonl_"), "docs")
     docs.write.mode("overwrite").json(jd)
     jback = spark.read.schema(docs.schema).json(jd)
     jj = docs.alias("a").join(jback.alias("b"), "doc_id", "full_outer")
@@ -265,7 +263,7 @@ def q_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(sqlgen.canon("o_orderdate", sqlgen.TIMESTAMP, SPARK)).alias("o_orderdate_s"),
         "o_orderpriority",
     )
-    cd = os.path.join(tempfile.mkdtemp(prefix="tdc_csv_"), "orders")
+    cd = os.path.join(fsutil.scratch_dir(prefix="tdc_csv_"), "orders")
     staged.write.mode("overwrite").option("header", True).csv(cd)
     cback = (
         spark.read.option("header", True)
@@ -292,7 +290,7 @@ def q_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed = _load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
-    od = os.path.join(tempfile.mkdtemp(prefix="tdc_orc_"), "orders")
+    od = os.path.join(fsutil.scratch_dir(prefix="tdc_orc_"), "orders")
     typed.write.mode("overwrite").orc(od)
     oback = spark.read.orc(od)
     oj = typed.alias("a").join(oback.alias("b"), "o_orderkey", "full_outer")
@@ -1130,7 +1128,6 @@ def q_checksum_range_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
       pivot/drift-flag machinery is hash-gated."""
     tune(spark)
     import os
-    import tempfile
 
     from tikv_data_compare_spark.model import schema_diff
     from tikv_data_compare_spark.operators.checksum import compare_to_manifest
@@ -1210,7 +1207,7 @@ def q_checksum_range_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold_batch_into_manifest,
     )
 
-    mroot = os.path.join(tempfile.mkdtemp(prefix="cksum_manifest_"), "orders_manifest")
+    mroot = os.path.join(fsutil.scratch_dir(prefix="cksum_manifest_"), "orders_manifest")
     bucket_expr = (F.col("o_orderkey") / F.lit(1000)).cast("long")
     half = F.col("o_orderkey") % 2 == 0
     fold_batch_into_manifest(
@@ -1669,7 +1666,6 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
     import time
 
     tune(spark)
@@ -1682,8 +1678,8 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # three time-ordered chunk files with ascending mtimes → the file stream
     # source (maxFilesPerTrigger=1) replays history in order, one batch each
-    d = tempfile.mkdtemp(prefix="tdc_stream_sess_")
-    scratch = tempfile.mkdtemp(prefix="tdc_stream_sess_w_")
+    d = fsutil.scratch_dir(prefix="tdc_stream_sess_")
+    scratch = fsutil.scratch_dir(prefix="tdc_stream_sess_w_")
     bounds = [(None, b1), (b1, b2), (b2, None)]
     t0 = time.time() - 3600
     for i, (a, b) in enumerate(bounds):
@@ -1703,7 +1699,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(base.schema).option("maxFilesPerTrigger", "1").parquet(d)
     )
     emissions = sessionize_stateful(stream, "user_id", "ms", "event_id", gap_ms=1_800_000)
-    sink = tempfile.mkdtemp(prefix="tdc_stream_sess_out_")
+    sink = fsutil.scratch_dir(prefix="tdc_stream_sess_out_")
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(os.path.join(sink, f"epoch_{epoch_id}"))
@@ -1758,7 +1754,6 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
     import time
 
     tune(spark)
@@ -1771,8 +1766,8 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     late_pred = (F.col("ms") < F.lit(b1)) & (F.col("event_id") % 7 == 0)
     filler_pred = ~late_pred & (F.col("event_id") % 11 == 0)
 
-    d = tempfile.mkdtemp(prefix="tdc_stream_late_")
-    scratch = tempfile.mkdtemp(prefix="tdc_stream_late_w_")
+    d = fsutil.scratch_dir(prefix="tdc_stream_late_")
+    scratch = fsutil.scratch_dir(prefix="tdc_stream_late_w_")
     t0 = time.time() - 3600
     chunks = (
         base.filter(~late_pred & ~filler_pred),
@@ -1802,7 +1797,7 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_value_c").cast("long").alias("sum_value_c"),
         )
     )
-    sink = tempfile.mkdtemp(prefix="tdc_stream_late_out_")
+    sink = fsutil.scratch_dir(prefix="tdc_stream_late_out_")
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(os.path.join(sink, f"epoch_{epoch_id}"))
@@ -1872,7 +1867,6 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
     import time
 
     tune(spark)
@@ -1881,8 +1875,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = base.agg(F.min("ms"), F.max("ms")).first()
     b1, b2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
 
-    d = tempfile.mkdtemp(prefix="tdc_ss_join_")
-    scratch = tempfile.mkdtemp(prefix="tdc_ss_join_w_")
+    d = fsutil.scratch_dir(prefix="tdc_ss_join_")
+    scratch = fsutil.scratch_dir(prefix="tdc_ss_join_w_")
     t0 = time.time() - 3600
     for i, (a, b) in enumerate([(None, b1), (b1, b2), (b2, None)]):
         chunk = base
@@ -1931,7 +1925,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b_ms") - F.col("a_ms")).cast("long").alias("lag_ms"),
     )
 
-    sink = tempfile.mkdtemp(prefix="tdc_ss_join_out_")
+    sink = fsutil.scratch_dir(prefix="tdc_ss_join_out_")
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(os.path.join(sink, f"epoch_{epoch_id}"))
@@ -1968,13 +1962,12 @@ def q_stream_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch left-join diff, which is the DuckDB oracle.
     """
     import os
-    import tempfile
 
     tune(spark)
     from tikv_data_compare_spark.streaming.diff_stream import diff_stream
 
     schema = _load(spark, sf_dir, "orders").schema
-    d = tempfile.mkdtemp(prefix="tdc_stream_orders_")
+    d = fsutil.scratch_dir(prefix="tdc_stream_orders_")
     os.symlink(os.path.abspath(f"{sf_dir}/orders.parquet"), os.path.join(d, "orders.parquet"))
     stream = spark.readStream.schema(schema).parquet(d)
     reference = _orders_keyed(mutated_orders(spark, sf_dir))
@@ -1982,7 +1975,7 @@ def q_stream_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # findings land in a distributed parquet sink, one directory per epoch
     # (overwrite per epoch = idempotent on micro-batch retry) — never through
     # the driver: per-batch collect() was the one remaining scale-killer here
-    sink = tempfile.mkdtemp(prefix="tdc_stream_findings_")
+    sink = fsutil.scratch_dir(prefix="tdc_stream_findings_")
     ddl = "o_orderkey long, status string, ref_totalprice_c long, arr_totalprice_c long"
 
     def on_batch(findings: DataFrame, epoch_id: int) -> None:

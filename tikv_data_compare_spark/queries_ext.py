@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from tikv_data_compare_spark.functions import sqlgen
+from tikv_data_compare_spark.functions import fsutil, sqlgen
 from tikv_data_compare_spark.functions.sqlgen import DUCK
 from tikv_data_compare_spark.operators import dedup as dd
 from tikv_data_compare_spark.operators import similarity as sim
@@ -151,7 +151,6 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     which no epoch ever emits) — so the epoch-at-a-time union-find fold is
     hash-gated against the from-scratch transitive closure."""
     import os
-    import tempfile
 
     from tikv_data_compare_spark.operators import dedup_index as di
     from tikv_data_compare_spark.streaming.dedup_stream import (
@@ -162,7 +161,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
     base = dd.jaccard_pairs(docs, "doc_id", "text")
-    tmp = tempfile.mkdtemp(prefix="dedup_idx_")
+    tmp = fsutil.scratch_dir(prefix="dedup_idx_")
     idx_path = os.path.join(tmp, "idx")
     labels_path = os.path.join(tmp, "labels")
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
@@ -373,7 +372,6 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Selective-probe recall and pruning stay pytest-covered
     (tests/test_similarity.py, tests/test_pq.py)."""
     import os
-    import tempfile
 
     from tikv_data_compare_spark.operators import ann_index as ai
 
@@ -401,7 +399,7 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq_join = sim.topk_ivfpq_join(
         emb, qdf, k=5, n_cells=8, n_probe=8, m=8, k_codes=32, rerank=n
     )
-    idx_path = os.path.join(tempfile.mkdtemp(prefix="ann_idx_"), "idx")
+    idx_path = os.path.join(fsutil.scratch_dir(prefix="ann_idx_"), "idx")
     ai.build_ann_index(emb, idx_path, n_cells=8, m=8, k_codes=32)
     via_index = ai.topk_index(
         ai.load_ann_index(spark, idx_path), qdf, k=5, n_probe=8, rerank=n,

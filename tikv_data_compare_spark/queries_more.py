@@ -9,11 +9,9 @@ queries.oracle_sql().
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from tikv_data_compare_spark.functions import sqlgen
+from tikv_data_compare_spark.functions import fsutil, sqlgen
 from tikv_data_compare_spark.functions.sqlgen import DUCK
 from tikv_data_compare_spark.model import Keyed
 from tikv_data_compare_spark.operators import diff as df_ops
@@ -324,7 +322,6 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
       so build + exact-append + load + query are all inside the hash gate —
       the oracle recomputes whole-corpus BM25, which only matches if the
       appended statistics are exactly the corpus statistics."""
-    import tempfile
 
     from tikv_data_compare_spark.operators.text_index import (
         append_to_text_index,
@@ -346,7 +343,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("score_c"),
     )
     qdf = spark.createDataFrame(list(BM25_QUERIES), "query_id long, qtext string")
-    tix = tempfile.mkdtemp(prefix="bm25_tix_") + "/index"
+    tix = fsutil.scratch_dir(prefix="bm25_tix_") + "/index"
     build_text_index(docs.filter("doc_id % 2 = 0"), tix)
     append_to_text_index(docs.filter("doc_id % 2 = 1"), tix)
     bm25 = (
@@ -452,7 +449,7 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     this slice'.  Returns the per-status rollup of the pruned slice."""
     tune(spark)
     o = _load(spark, sf_dir, "orders")
-    d = tempfile.mkdtemp(prefix="tdc_part_")
+    d = fsutil.scratch_dir(prefix="tdc_part_")
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(d)
     back = spark.read.parquet(d).filter(F.col("o_orderpriority") == PRUNE_PRIORITY)
     return back.groupBy("o_orderstatus").agg(
