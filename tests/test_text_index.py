@@ -194,3 +194,101 @@ def test_index_scores_match_oneshot_with_null_text(spark, tmp_path):
         for r in query_text_index(q, p, k=3).collect()
     )
     assert direct == via_index and direct
+
+
+# ------------------------------------------------------------- streaming
+
+
+def test_text_index_stream_chunked_equals_oneshot(spark, tmp_path):
+    """Index maintained epoch-by-epoch from a stream scores IDENTICALLY to
+    a one-shot whole-corpus build — the exact-statistics contract carried
+    into continuous ingest."""
+    from tikv_data_compare_spark.operators.text import bm25_topk
+    from tikv_data_compare_spark.operators.text_index import query_text_index
+    from tikv_data_compare_spark.streaming.text_index_stream import (
+        text_index_stream,
+    )
+
+    d, q = _frames(spark)
+    src = str(tmp_path / "tixs_src")
+    for lo, hi in ((1, 3), (3, 5), (5, 7)):
+        d.filter(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    idx = str(tmp_path / "tixs_idx")
+    stream = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    query = text_index_stream(
+        stream, idx, checkpoint_location=str(tmp_path / "tixs_ckpt")
+    )
+    query.awaitTermination(180)
+    got = sorted(map(tuple, query_text_index(q, idx, k=5).collect()))
+    want = sorted(map(tuple, bm25_topk(d, q, k=5).collect()))
+    assert got == want and got
+
+
+def test_text_index_ingest_redelivery_and_skip_idempotence(spark, tmp_path):
+    """Watermarked epochs skip wholesale; a half-committed epoch (postings
+    appended, meta swap lost) re-appends as a no-op via on_collision='skip'
+    AND completes the lost watermark."""
+    from tikv_data_compare_spark.operators import text_index as ti
+    from tikv_data_compare_spark.streaming.text_index_stream import (
+        ingest_batch_into_text_index,
+    )
+
+    d, q = _frames(spark)
+    idx = str(tmp_path / "tixr_idx")
+    a, b = d.filter("doc_id <= 3"), d.filter("doc_id > 3")
+    assert ingest_batch_into_text_index(a, idx, epoch_id=0) is True
+    assert ingest_batch_into_text_index(b, idx, epoch_id=1) is True
+    m1 = ti.load_text_index(spark, idx).meta
+    # watermark skip: same epoch again is a no-op
+    assert ingest_batch_into_text_index(b, idx, epoch_id=1) is False
+    assert ti.load_text_index(spark, idx).meta == m1
+    # crash-window redelivery: bands appended but watermark lost — simulate
+    # by rolling the watermark back, then re-ingesting the SAME docs
+    ti._write_meta(spark, idx, {**m1, "last_epoch": 0})
+    assert ingest_batch_into_text_index(b, idx, epoch_id=1) is True
+    m2 = ti.load_text_index(spark, idx).meta
+    assert m2["n_docs"] == m1["n_docs"] and m2["sum_dl"] == m1["sum_dl"]
+    assert m2["last_epoch"] == 1
+    # and the postings were NOT duplicated (df would exceed n_docs)
+    from tikv_data_compare_spark.operators.text_index import query_text_index
+
+    assert all(r["bm25_c"] > 0 for r in query_text_index(q, idx, k=3).collect())
+
+
+def test_text_index_stream_requires_checkpoint(spark, tmp_path):
+    import pytest as _pytest
+
+    from tikv_data_compare_spark.streaming.text_index_stream import (
+        text_index_stream,
+    )
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(tmp_path))
+    with _pytest.raises(ValueError, match="checkpoint_location"):
+        text_index_stream(stream, str(tmp_path / "i"))
+
+
+def test_append_on_collision_skip_appends_only_new(spark, tmp_path):
+    """on_collision='skip': overlapping batch ids anti-join out; only the
+    genuinely-new docs append, and stats stay exact."""
+    from tikv_data_compare_spark.operators.text import bm25_topk
+    from tikv_data_compare_spark.operators.text_index import (
+        append_to_text_index,
+        build_text_index,
+        query_text_index,
+    )
+
+    d, q = _frames(spark)
+    p = os.path.join(tmp_path, "tix_skip")
+    build_text_index(d.filter("doc_id <= 4"), p)
+    # batch overlaps ids 3,4 and adds 5,6
+    added = append_to_text_index(d.filter("doc_id >= 3"), p, on_collision="skip")
+    assert added == 2
+    got = sorted(map(tuple, query_text_index(q, p, k=5).collect()))
+    want = sorted(map(tuple, bm25_topk(d, q, k=5).collect()))
+    assert got == want
+    with pytest.raises(ValueError, match="on_collision"):
+        append_to_text_index(d, p, on_collision="merge")

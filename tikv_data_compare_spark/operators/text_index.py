@@ -103,7 +103,11 @@ def _refresh_derived(spark: SparkSession, path: str, extra_meta: dict) -> dict:
 
 
 def build_text_index(
-    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_meta: dict | None = None,
 ) -> dict:
     """Run the corpus pass once and persist the BM25 sufficient statistics
     under ``path``.  Returns the metadata dict.
@@ -111,11 +115,13 @@ def build_text_index(
     Scale shape: one tokenize+aggregate scan of the corpus; the postings
     write is the only large output (distinct (doc, term) rows — far smaller
     than the text for natural documents).  Fully distributed, no collect
-    beyond the 1-row counts.
+    beyond the 1-row counts.  ``extra_meta`` rides in the meta swap (the
+    streaming face threads its epoch watermark through it, the
+    manifest/dedup-index pattern).
     """
     spark = docs.sparkSession
     swap_commit(_postings(docs, id_col, text_col), f"{path}/postings")
-    return _refresh_derived(spark, path, {})
+    return _refresh_derived(spark, path, dict(extra_meta or {}))
 
 
 def load_text_index(spark: SparkSession, path: str) -> TextIndex:
@@ -182,44 +188,63 @@ def query_text_index(
 
 
 def append_to_text_index(
-    new_docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    on_collision: str = "fail",
+    extra_meta: dict | None = None,
 ) -> int:
     """Add a batch's postings to the index and refresh the derived
     dfreq/meta, so queries immediately rank over the grown corpus with
     EXACT statistics (no drift — see module docstring).  Returns the
     number of documents appended; an empty batch is a no-op returning 0.
 
-    Id collisions are REFUSED, not merely documented (stricter than the
-    ANN/dedup index contract, deliberately): a re-appended document would
-    duplicate its postings rows, silently doubling df above n_docs and
-    flipping the idf NEGATIVE for common terms — observed corruption, not
-    a hypothetical — so the batch's ids are checked against the indexed
-    ids (one distinct column scan of the postings) before anything is
-    written.
+    Id collisions are REFUSED by default, not merely documented (stricter
+    than the ANN/dedup index contract, deliberately): a re-appended
+    document would duplicate its postings rows, silently doubling df above
+    n_docs and flipping the idf NEGATIVE for common terms — observed
+    corruption, not a hypothetical — so the batch's ids are checked
+    against the indexed ids (one distinct column scan of the postings)
+    before anything is written.  ``on_collision='skip'`` instead
+    anti-joins already-indexed ids OUT of the batch and appends only the
+    new ones — the id-keyed idempotence the streaming face needs (a
+    redelivered half-committed epoch re-appends as a no-op); accidental
+    overlap stays loud under the default.  ``extra_meta`` rides in the
+    derived-meta swap (epoch watermark threading).
     """
+    if on_collision not in ("fail", "skip"):
+        raise ValueError(f"on_collision must be 'fail' or 'skip', got {on_collision!r}")
     spark = new_docs.sparkSession
     idx = load_text_index(spark, path)
     # persist: the batch postings plan (tokenize + two aggregations) feeds
     # the emptiness probe, the collision join AND the write — unpersisted
     # it would run the full aggregation three times per append (r10 review)
-    batch = _postings(new_docs, id_col, text_col).persist()
+    raw = _postings(new_docs, id_col, text_col).persist()
+    batch = raw
     try:
         if batch.limit(1).count() == 0:
             return 0
-        n_coll = (
-            batch.select("doc_id")
-            .distinct()
-            .join(idx.postings.select("doc_id").distinct(), "doc_id")
-            .count()
-        )
-        if n_coll:
-            raise ValueError(
-                f"append_to_text_index: {n_coll} batch ids already exist in the "
-                f"index at {path!r} — re-appending would duplicate postings and "
-                "corrupt df/idf; de-overlap the batch first"
-            )
+        indexed_ids = idx.postings.select("doc_id").distinct()
+        if on_collision == "skip":
+            # the anti-join reads the persisted raw postings — no re-agg
+            batch = batch.join(indexed_ids, "doc_id", "left_anti")
+            if batch.limit(1).count() == 0:
+                # the whole batch was already indexed (redelivery): still
+                # swap the meta so a lost watermark commit completes
+                meta = _refresh_derived(spark, path, dict(extra_meta or {}))
+                return 0
+        else:
+            n_coll = batch.select("doc_id").distinct().join(indexed_ids, "doc_id").count()
+            if n_coll:
+                raise ValueError(
+                    f"append_to_text_index: {n_coll} batch ids already exist in the "
+                    f"index at {path!r} — re-appending would duplicate postings and "
+                    "corrupt df/idf; de-overlap the batch first (or pass "
+                    "on_collision='skip' for id-keyed idempotent ingest)"
+                )
         batch.write.mode("append").parquet(f"{path}/postings")
     finally:
-        batch.unpersist()
-    meta = _refresh_derived(spark, path, {})
+        raw.unpersist()
+    meta = _refresh_derived(spark, path, dict(extra_meta or {}))
     return int(meta["n_docs"]) - int(idx.meta["n_docs"])

@@ -317,16 +317,18 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
       score expression shared verbatim with the oracle via
       ``bm25_score_sql``) — ``term`` is the query text, ``tf`` the count of
       matched distinct query terms, ``score_c`` the integer BM25 score.
-      The row runs the PERSISTED path (operators/text_index.py: build the
-      index on half the corpus, append the other half, query the index),
-      so build + exact-append + load + query are all inside the hash gate —
-      the oracle recomputes whole-corpus BM25, which only matches if the
-      appended statistics are exactly the corpus statistics."""
+      The row runs the PERSISTED path (operators/text_index.py) and since
+      late r10 BUILDS IT THROUGH THE STREAMING INGEST
+      (streaming/text_index_stream.py: two watermarked
+      ``ingest_batch_into_text_index`` epoch calls — bootstrap build +
+      id-idempotent append), so the continuous-maintenance flow + load +
+      query are all inside the hash gate — the oracle recomputes
+      whole-corpus BM25, which only matches if every epoch's appended
+      statistics are exactly the corpus statistics."""
 
-    from tikv_data_compare_spark.operators.text_index import (
-        append_to_text_index,
-        build_text_index,
-        query_text_index,
+    from tikv_data_compare_spark.operators.text_index import query_text_index
+    from tikv_data_compare_spark.streaming.text_index_stream import (
+        ingest_batch_into_text_index,
     )
 
     tune(spark)
@@ -344,8 +346,8 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qdf = spark.createDataFrame(list(BM25_QUERIES), "query_id long, qtext string")
     tix = fsutil.scratch_dir(prefix="bm25_tix_") + "/index"
-    build_text_index(docs.filter("doc_id % 2 = 0"), tix)
-    append_to_text_index(docs.filter("doc_id % 2 = 1"), tix)
+    ingest_batch_into_text_index(docs.filter("doc_id % 2 = 0"), tix, epoch_id=0)
+    ingest_batch_into_text_index(docs.filter("doc_id % 2 = 1"), tix, epoch_id=1)
     bm25 = (
         query_text_index(qdf, tix, k=5)
         .join(F.broadcast(qdf), "query_id")
