@@ -86,10 +86,13 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline actually acts on, completing the
     pairs → components → decisions chain.
 
-    Since r6 the row gates BOTH component algorithms: the labeling is
-    computed by min-label propagation AND by alternating large/small-star
-    (operators/graph.py), and the returned rows are their INTERSECTION.
-    Closure is algorithm-independent, so the two labelings must be
+    Since r6 the row gates the component algorithms against each other:
+    the labeling is computed by min-label propagation AND by alternating
+    large/small-star (operators/graph.py) AND — since r10 — by the
+    INCREMENTAL union-find fold over three pair chunks
+    (graph.incremental_components, the streamed-pair-log maintenance
+    path); the returned rows are their three-way INTERSECTION.  Closure is
+    algorithm- and chunking-independent, so all labelings must be
     identical; any divergence shrinks the intersection and fails the
     unchanged recursive-CTE oracle's row count — a driver-hard equivalence
     gate, not just a property test."""
@@ -103,13 +106,23 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").select("doc_id")
     pairs = dd.minhash_pairs(_load(spark, sf_dir, "documents"), "doc_id", "text").cache()
     try:
-        # both CC variants run their rounds eagerly (localCheckpoint per
+        # all CC variants run their rounds eagerly (localCheckpoint per
         # round) and return lineage-cut frames, so the pair cache is fully
         # consumed here and can be released before returning — a long-lived
         # driver session must not accumulate cached pair partitions (r7,
         # ADVICE; mirrors curate()'s release pattern)
         comp_min = connected_components(pairs)
         comp_star = connected_components_star(pairs)
+        # third labeling since late r10: the INCREMENTAL union-find fold
+        # (graph.incremental_components) over three doc_id-keyed pair
+        # chunks — the streamed-pair-log maintenance path must land on the
+        # identical closure, so it joins the intersection gate
+        from tikv_data_compare_spark.operators.graph import incremental_components
+
+        comp_inc = None
+        for k in range(3):
+            chunk = pairs.filter((F.col("doc_a") % 3) == k)
+            comp_inc = incremental_components(comp_inc, chunk)
     finally:
         pairs.unpersist()
 
@@ -122,7 +135,11 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (component == F.col("doc_id")).cast("long").alias("kept"),
         )
 
-    return verdicts(comp_min).intersect(verdicts(comp_star))
+    return (
+        verdicts(comp_min)
+        .intersect(verdicts(comp_star))
+        .intersect(verdicts(comp_inc))
+    )
 
 
 def _oracle_dedup_canonical() -> str:
