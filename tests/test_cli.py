@@ -919,3 +919,59 @@ def test_cli_tokenize(capsys, spark, tmp_path):
     assert all(len(r["token_ids"]) == r["n_tokens_subword"] for r in rows)
     v = spark.read.parquet(vocab)
     assert v.count() == 272
+
+
+def test_cli_dedup_ingest_index_with_labels(capsys, spark, tmp_path):
+    """--ingest-index folds watermarked epochs (redelivery no-op) and
+    --labels maintains the canonical label table alongside."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    a = str(tmp_path / "ing_a.pq")
+    b = str(tmp_path / "ing_b.pq")
+    docs.filter("doc_id % 2 = 0").write.mode("overwrite").parquet(a)
+    # plant a near-dup across epochs so pairs + labels are non-trivial
+    docs.filter("doc_id % 2 = 1").unionByName(
+        docs.limit(1).selectExpr("doc_id + 900000 AS doc_id", "text", "lang",
+                                 "source", "n_chars")
+    ).write.mode("overwrite").parquet(b)
+    idx = str(tmp_path / "ing_idx")
+    pairs = str(tmp_path / "ing_pairs")
+    labels = str(tmp_path / "ing_labels")
+    for epoch, src in ((0, a), (1, b)):
+        rc = cli.main([
+            "dedup", "--src", src, "--ingest-index", idx,
+            "--epoch", str(epoch), "--pairs-out", pairs, "--labels", labels,
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["ingested"] is True and out["labels"] == labels
+    # redelivered epoch: no-op
+    rc = cli.main(["dedup", "--src", b, "--ingest-index", idx,
+                   "--epoch", "1", "--labels", labels])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ingested"] is False
+    # labels cover the planted duplicate's component
+    lab = {r["id"]: r["component"] for r in spark.read.parquet(labels).collect()}
+    assert lab  # the planted cross-epoch dup guarantees at least one pair
+    assert all(c <= i for i, c in lab.items())  # min-id representatives
+    # flag validation
+    rc = cli.main(["dedup", "--src", b, "--labels", labels])
+    assert rc == 2
+
+
+def test_cli_chunk(capsys, spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    src = str(tmp_path / "docs_ch.pq")
+    docs.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "chunks.pq")
+    rc = cli.main(["chunk", "--src", src, "--out", out,
+                   "--max-words", "20", "--overlap", "4"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs"] == 50 and summary["chunks"] >= 50
+    rows = spark.read.parquet(out).collect()
+    assert all(r["n_chunk_words"] <= 20 for r in rows)
+    # validation path
+    rc = cli.main(["chunk", "--src", src, "--overlap", "200"])
+    assert rc == 2
+    assert "overlap" in capsys.readouterr().err

@@ -698,3 +698,20 @@ def test_chunk_text_coverage_and_validation(spark):
         tx.chunk_text(df, max_words=8, overlap=8)
     with pytest.raises(ValueError, match="max_words"):
         tx.chunk_text(df, max_words=0)
+
+
+def test_bpe_vocab_variant_equals_inline_fold(spark, documents):
+    """The distinct-word join variant (the 32k-merge scale path) must count
+    identically to the map-side fold — same per-word fold, different
+    amortization."""
+    docs = documents.limit(80).select("doc_id", "text")
+    docs = docs.unionByName(
+        spark.createDataFrame([(990001, None), (990002, "")],
+                              "doc_id long, text string")
+    )
+    merges = tx.train_bpe_merges(docs, n_merges=24, vocab_top=128)
+    a = {r["doc_id"]: r["n_tokens_subword"]
+         for r in tx.bpe_token_count(docs, merges).collect()}
+    b = {r["doc_id"]: r["n_tokens_subword"]
+         for r in tx.bpe_token_count_via_vocab(docs, merges).collect()}
+    assert a == b and len(a) == 82

@@ -232,6 +232,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--index", default="",
                    help="query --src as a NEW batch against this index: "
                         "candidate (new_id, indexed_id) pairs")
+    p.add_argument("--ingest-index", default="",
+                   help="fold --src as ONE watermarked epoch into this index "
+                        "(bootstrap build if absent): emit the epoch's "
+                        "intra+cross candidate pairs, then append its band "
+                        "keys — the incremental-ingest flow "
+                        "(streaming.dedup_stream batch face)")
+    p.add_argument("--epoch", type=int, default=0,
+                   help="with --ingest-index: the epoch id (epochs <= the "
+                        "index's last_epoch watermark are redelivery no-ops)")
+    p.add_argument("--pairs-out", default="",
+                   help="with --ingest-index: write the epoch's pairs under "
+                        "PAIRS_OUT/epoch=N")
+    p.add_argument("--labels", default="",
+                   help="with --ingest-index: ALSO fold the epoch's pairs "
+                        "into this persisted (id, component) label table — "
+                        "incremental canonicalization (keep/drop verdicts "
+                        "stay current without re-reading the pair log)")
     p.add_argument("--corpus", default="",
                    help="with --index: the indexed docs parquet — adds the "
                         "exact-Jaccard verify column to the cross pairs")
@@ -411,6 +428,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", default="", help="write profile parquet here")
     p.add_argument("--concurrency", type=int, default=0)
 
+    # sliding-window passage chunking: cut long documents into word windows
+    # with carried overlap (the embedding-model / context-budget prep)
+    p = sub.add_parser("chunk")
+    p.add_argument("--src", required=True, help="documents parquet (dir or file)")
+    p.add_argument("--out", default="", help="output parquet (default: {src}_chunks)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--max-words", type=int, default=128)
+    p.add_argument("--overlap", type=int, default=16)
+    p.add_argument("--concurrency", type=int, default=0)
+
     # trained byte-level BPE over a documents parquet: learn merges from the
     # corpus word-frequency table, write (id, n_tokens_subword, token_ids)
     # parquet + the merge/vocab tables for reuse
@@ -464,10 +492,15 @@ def main(argv: list[str] | None = None) -> int:
         modes = [
             f for f, v in (("--build-index", args.build_index),
                            ("--append-index", args.append_index),
-                           ("--index", args.index)) if v
+                           ("--index", args.index),
+                           ("--ingest-index", args.ingest_index)) if v
         ]
         if len(modes) > 1:
             print(f"dedup: {' and '.join(modes)} are mutually exclusive",
+                  file=sys.stderr)
+            return 2
+        if (args.labels or args.pairs_out or args.epoch) and not args.ingest_index:
+            print("dedup: --labels/--pairs-out/--epoch require --ingest-index",
                   file=sys.stderr)
             return 2
         if (args.build_index or args.append_index) and (args.out or args.corpus):
@@ -495,6 +528,27 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(result))
             return 0
         try:
+            if args.ingest_index:
+                from tikv_data_compare_spark.streaming.dedup_stream import (
+                    ingest_batch_into_dedup_index,
+                )
+
+                applied = ingest_batch_into_dedup_index(
+                    docs, args.ingest_index,
+                    pairs_out=args.pairs_out or None,
+                    epoch_id=args.epoch,
+                    id_col=args.id_col, text_col=args.text_col,
+                    algo=args.dedup_algo,
+                    labels_path=args.labels or None,
+                )
+                result = {"ingested": bool(applied), "epoch": args.epoch,
+                          "index": args.ingest_index}
+                if args.pairs_out:
+                    result["pairs_out"] = f"{args.pairs_out}/epoch={args.epoch}"
+                if args.labels:
+                    result["labels"] = args.labels
+                print(json.dumps(result))
+                return 0
             if args.build_index:
                 meta = di.build_dedup_index(
                     docs, args.build_index, id_col=args.id_col,
@@ -663,6 +717,28 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError as e:
             print(f"hotkeys: {e}", file=sys.stderr)
             return 2
+
+    if args.cmd == "chunk":
+        from tikv_data_compare_spark.operators import text as txo
+
+        docs = spark.read.parquet(args.src)
+        try:
+            out_df = txo.chunk_text(
+                docs, id_col=args.id_col, text_col=args.text_col,
+                max_words=args.max_words, overlap=args.overlap,
+            )
+        except ValueError as e:
+            print(f"chunk: {e}", file=sys.stderr)
+            return 2
+        out = args.out or f"{args.src.rstrip('/')}_chunks"
+        out_df.write.mode("overwrite").parquet(out)
+        wrote = spark.read.parquet(out)
+        print(json.dumps({
+            "out": out,
+            "chunks": wrote.count(),
+            "docs": wrote.select(args.id_col).distinct().count(),
+        }))
+        return 0
 
     if args.cmd == "tokenize":
         from pyspark.sql import functions as F
