@@ -469,3 +469,77 @@ def test_audio_frames_windowing(spark):
     assert rows[0][3] == pytest.approx(100.0) and rows[0][4] == 100
     assert rows[1][3] == pytest.approx(math.sqrt((4 * 100**2 + 4 * 200**2) / 8))
     assert rows[2][3] == pytest.approx(200.0) and rows[2][4] == 200
+
+
+# ------------------------------------------------------------ image dhash
+
+
+def _gradient_png(w, h, noise: dict | None = None, seed_shift: int = 0):
+    """An RGB image with a strong horizontal gradient (stable dhash bits)
+    plus optional per-pixel overrides {(x, y): value}."""
+    rows = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            v = (x * 255 // max(w - 1, 1) + seed_shift) % 256
+            if noise and (x, y) in noise:
+                v = noise[(x, y)]
+            row += [v, v, v]
+        rows.append(row)
+    return _encode_png(rows, w, len(rows) and 3, [0] * h)
+
+
+def test_image_dhash_deterministic_and_perceptual(spark):
+    from tikv_data_compare_spark.operators.multimodal import image_dhash
+
+    base = _gradient_png(32, 32)
+    noisy = _gradient_png(32, 32, noise={(5, 5): 250, (20, 9): 3})
+    inverted = _gradient_png(32, 32, seed_shift=128)  # wraps → different layout
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(base)), (3, bytearray(noisy)),
+         (4, bytearray(inverted)), (5, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in image_dhash(df).collect()}
+    assert rows[1]["dhash"] == rows[2]["dhash"]          # identical bytes
+    assert rows[1]["decoded"] and not rows[5]["decoded"]
+    assert rows[5]["dhash"] is None
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    # few-pixel noise: small distance; wrapped gradient: large
+    assert ham(rows[1]["dhash"], rows[3]["dhash"]) <= 6
+    assert ham(rows[1]["dhash"], rows[4]["dhash"]) > 6
+    # two runs bit-identical
+    again = {r["doc_id"]: r["dhash"] for r in image_dhash(df.repartition(3)).collect()}
+    assert all(again[i] == rows[i]["dhash"] for i in (1, 2, 3, 4))
+
+
+def test_dhash_pairs_banded_join(spark):
+    from tikv_data_compare_spark.operators.multimodal import dhash_pairs, image_dhash
+
+    base = _gradient_png(32, 32)
+    noisy = _gradient_png(32, 32, noise={(5, 5): 250})
+    inverted = _gradient_png(32, 32, seed_shift=128)
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(noisy)), (3, bytearray(inverted)),
+         (4, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    hashes = image_dhash(df)
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dhash_pairs(hashes, max_hamming=6).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert all(3 not in p and 4 not in p for p in pairs)
+    # pigeonhole recall: a hash with exactly max_hamming flips in distinct
+    # bands still shares a band
+    import pytest
+    h = spark.createDataFrame(
+        [(10, 0), (11, 0b10000001_00000001_00000001 << 8)],  # 4 flips, 3 bands
+        "doc_id long, dhash long",
+    )
+    got = dhash_pairs(h, max_hamming=6).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in got] == [(10, 11, 4)]
+    with pytest.raises(ValueError, match="n_bands"):
+        dhash_pairs(h, n_bands=0)
+    with pytest.raises(ValueError, match="geometry"):
+        from tikv_data_compare_spark.operators.multimodal import image_dhash as ih
+        ih(df, hash_w=9, hash_h=9)

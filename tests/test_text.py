@@ -715,3 +715,31 @@ def test_bpe_vocab_variant_equals_inline_fold(spark, documents):
     b = {r["doc_id"]: r["n_tokens_subword"]
          for r in tx.bpe_token_count_via_vocab(docs, merges).collect()}
     assert a == b and len(a) == 82
+
+
+def test_bpe_counts_match_pure_python_reference(spark):
+    """Random unicode corpora: the Spark HOF fold must count exactly what an
+    independent pure-Python BPE applier counts (same merges)."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = "ab cd€é漢 xyz"
+    docs = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = tx.train_bpe_merges(df, n_merges=20, vocab_top=64)
+
+    def py_count(text):
+        total = 0
+        for w in (text or "").split(" "):
+            seg = tx._bpe_seg0_py(w)
+            for l, r in merges:
+                seg = seg.replace(f",{l},,{r},", f",{l}{r},")
+            total += (len(seg) - len(seg.replace(",", ""))) // 2
+        return total
+
+    got = {r["doc_id"]: r["n_tokens_subword"]
+           for r in tx.bpe_token_count(df, merges).collect()}
+    assert got == {i: py_count(t) for i, t in docs}

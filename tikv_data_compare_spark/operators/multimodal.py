@@ -593,3 +593,161 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             F.expr(f"sequence(0, greatest(octet_length(text) - 1, 0), {every_n_bytes})")
         ).alias("frame_idx", "byte_offset"),
     )
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """Perceptual image hash for IMAGE near-dup detection — the visual
+    analogue of SimHash over text: re-encodes, small crops/scales and
+    minor pixel noise leave most bits intact, so near-identical images
+    sit within a small hamming distance.
+
+    The DIFFERENCE hash (dHash, Krawetz) rather than DCT pHash,
+    deliberately: every step is integer math — luma
+    ``(299·R + 587·G + 114·B) // 1000``, nearest-neighbor resample to
+    ``(hash_w+1) × hash_h`` (the same index map as ``resize_images``),
+    bit = left pixel > right neighbor — so the hash is bit-deterministic
+    across platforms/BLAS builds, the repo-wide replay contract.  A
+    float DCT's threshold bits can flip in the last ulp between BLAS
+    libraries, which would make task retries disagree.
+
+    Returns ``(id, dhash, decoded)`` — ``dhash`` is a 64-bit BIGINT for
+    the default 8×8 geometry; undecodable payloads survive with NULL
+    hash and ``decoded=false`` (audit, never fail the batch).  One Arrow
+    pass over the payloads; pair search composes via
+    :func:`dhash_pairs`."""
+    if hash_w < 1 or hash_h < 1 or hash_w * hash_h > 64:
+        raise ValueError(
+            f"hash geometry must satisfy 1 <= hash_w*hash_h <= 64 bits, "
+            f"got {hash_w}x{hash_h}"
+        )
+    from tikv_data_compare_spark.operators import media_decode
+
+    out_schema = f"{id_col} long, dhash long, decoded boolean"
+    w_cols, h_rows = hash_w, hash_h
+
+    def work(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes, flags = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = None
+                try:
+                    for d in (decode_png, media_decode.decode_gif, media_decode.decode_jpeg):
+                        dec = d(bytes(payload))
+                        if dec is not None:
+                            break
+                except (ValueError, zlib.error, IndexError, KeyError,
+                        struct.error, OverflowError, MemoryError, ZeroDivisionError):
+                    dec = None
+                if dec is None:
+                    ids.append(int(doc_id))
+                    hashes.append(None)
+                    flags.append(False)
+                    continue
+                w, h, ch, rgb = dec
+                img = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, ch)
+                if ch in (1, 2):
+                    luma = img[:, :, 0].astype(np.int64)
+                elif ch >= 3:
+                    px = img[:, :, :3].astype(np.int64)
+                    luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+                # nearest-neighbor to (h_rows, w_cols+1): same index math as
+                # resize_images — integer-exact, platform-stable
+                gw = w_cols + 1
+                yi = np.minimum(((np.arange(h_rows) + 0.5) * h / h_rows).astype(int), h - 1)
+                xi = np.minimum(((np.arange(gw) + 0.5) * w / gw).astype(int), w - 1)
+                g = luma[yi][:, xi]
+                bits = (g[:, :-1] > g[:, 1:]).flatten()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # 64-bit two's complement into BIGINT
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(int(doc_id))
+                hashes.append(val)
+                flags.append(True)
+            # dhash MUST be a nullable Int64 column, never inferred: a batch
+            # mixing hashes with a None (undecodable row) would otherwise
+            # coerce to float64 and silently ROUND the 64-bit hash to 53
+            # bits of precision — observed as batch-composition-dependent
+            # hashes before this pin
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                    "decoded": flags,
+                }
+            )
+
+    return _scaled(df.select(id_col, payload_col), id_col).mapInPandas(work, out_schema)
+
+
+def dhash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    n_bands: int = 8,
+) -> DataFrame:
+    """Candidate + verified near-dup pairs over perceptual hashes: band the
+    64-bit hash into ``n_bands`` byte-slices, equi-join on (band, slice)
+    — two images within ``max_hamming <= n_bands - 1`` bit flips MUST
+    share at least one unflipped band (pigeonhole), so recall is complete
+    at the default geometry — then verify with the exact
+    ``bit_count(xor)``.  The same banded-equi-join shape as
+    ``simhash_pairs``: no all-pairs product anywhere, candidates bounded
+    by band collisions.  NULL hashes (undecodable images) never pair.
+
+    Returns ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``."""
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"n_bands must be in [1, 64], got {n_bands}")
+    from pyspark.sql import functions as F
+
+    width = 64 // n_bands
+    h = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.expr(f"(_h >> {j * width}) & {(1 << width) - 1}").alias("slice"),
+                )
+                for j in range(n_bands)
+            ]
+        )
+    ).alias("b")
+    rows = h.select("_id", "_h", bands).select(
+        "_id", "_h", F.col("b.band").alias("band"), F.col("b.slice").alias("slice")
+    )
+    a, b = rows.alias("a"), rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("CAST(bit_count(_ha ^ _hb) AS BIGINT)").alias("hamming"),
+    ).where(F.col("hamming") <= int(max_hamming))

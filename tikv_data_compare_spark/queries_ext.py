@@ -1367,6 +1367,35 @@ PCM_N, PCM_SR, PCM_FRAME, PCM_HOP = 64, 8000, 16, 8
 RSZ_SRC, RSZ_OUT = 4, 2
 
 
+def _dhash_expected_sql() -> str:
+    """Closed-form expected dHash (DuckDB SQL over ``doc_id``) of the
+    synthesized 4×4 PNG: every stage of ``multimodal.image_dhash`` is
+    integer math over the planted pixel formula
+    ``p(d,x,y,k) = (d + 3x + 5y + 11k) % 251``, so the 64 grid
+    comparisons expand to pure SQL — luma(d,x,y) =
+    ``(299·p0 + 587·p1 + 114·p2) // 1000``, 8×8 grid sampled at the
+    nearest-neighbor indices (fixed for a 4×4 source), bit i set iff the
+    left sample exceeds its right neighbor, MSB-first fold with bit 63
+    contributing −2⁶³ (two's complement into BIGINT)."""
+
+    def luma(x: int, y: int) -> str:
+        ps = [f"((doc_id + {3 * x + 5 * y + 11 * k}) % 251)" for k in range(3)]
+        return f"((299 * {ps[0]} + 587 * {ps[1]} + 114 * {ps[2]}) // 1000)"
+
+    yi = [min(int((i + 0.5) * RSZ_SRC / 8), RSZ_SRC - 1) for i in range(8)]
+    xi = [min(int((j + 0.5) * RSZ_SRC / 9), RSZ_SRC - 1) for j in range(9)]
+    terms = []
+    for i in range(8):
+        for j in range(8):
+            bit = 63 - (i * 8 + j)
+            weight = -(1 << 63) if bit == 63 else (1 << bit)
+            terms.append(
+                f"CASE WHEN {luma(xi[j], yi[i])} > {luma(xi[j + 1], yi[i])} "
+                f"THEN CAST({weight} AS BIGINT) ELSE 0 END"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
 def _resize_hex_sql() -> str:
     """Closed-form expected hex of the 2×2 nearest-neighbor resize of the
     synthesized 4×4 PNG: output pixel (x', y') samples source
@@ -1548,9 +1577,14 @@ def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = mm.resize_images(png_src, RSZ_OUT, RSZ_OUT).select(
         "doc_id", F.hex("rgb").alias("resized_hex")
     )
+    # perceptual image hash (r10): the dHash of the same planted PNGs —
+    # decode → integer luma → nearest-neighbor grid → 64 comparisons —
+    # is a pure integer function of doc_id the oracle rederives in SQL
+    dh = mm.image_dhash(png_src).select("doc_id", "dhash")
 
     return (
-        with_meta.join(frames, "doc_id").join(pcm, "doc_id").join(resized, "doc_id")
+        with_meta.join(frames, "doc_id").join(pcm, "doc_id")
+        .join(resized, "doc_id").join(dh, "doc_id")
     )
 
 
@@ -1613,19 +1647,23 @@ pcm AS (
 ),
 rsz AS (
   SELECT doc_id, {_resize_hex_sql()} AS resized_hex FROM documents
+),
+dhx AS (
+  SELECT doc_id, CAST({_dhash_expected_sql()} AS BIGINT) AS dhash FROM documents
 )
 SELECT meta.doc_id, meta.n_bytes, meta.content_id, meta.n_chunks,
        img.format, img.width, img.height,
        aud.channels, aud.sample_rate, aud.bits, aud.data_size, aud.duration_ms,
        frames.n_frames, frames.max_offset,
        pcm.pcm_frames, pcm.pcm_rms_c_sum, pcm.pcm_peak_max,
-       rsz.resized_hex
+       rsz.resized_hex, dhx.dhash
 FROM meta
 JOIN img ON meta.doc_id = img.doc_id
 JOIN aud ON meta.doc_id = aud.doc_id
 JOIN frames ON meta.doc_id = frames.doc_id
 JOIN pcm ON meta.doc_id = pcm.doc_id
 JOIN rsz ON meta.doc_id = rsz.doc_id
+JOIN dhx ON meta.doc_id = dhx.doc_id
 """
 
 
