@@ -1431,7 +1431,13 @@ def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       JVM-side from the parsed fields;
     - ``frame_sample``: 64-byte chunk-offset sampling (sequence +
       posexplode — the Spark shape of video frame extraction) reduced to
-      per-doc frame count + max offset.
+      per-doc frame count + max offset;
+    - ``image_dhash`` + ``dhash_pairs`` (r10): the perceptual hash of a
+      second planted payload family (closed-form 4×4 RGB PNGs) and the
+      banded hamming pair join over a doc_id % 23 subset — the oracle
+      rederives the hash as 64 integer comparisons over doc_id and the
+      pairs as a brute-force bit_count(xor) self-join (equal by the
+      pigeonhole recall guarantee).
 
     The oracle recomputes every field arithmetically from doc_id/text.
 
@@ -1581,10 +1587,32 @@ def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decode → integer luma → nearest-neighbor grid → 64 comparisons —
     # is a pure integer function of doc_id the oracle rederives in SQL
     dh = mm.image_dhash(png_src).select("doc_id", "dhash")
+    # ...and the banded pair join over a doc_id % 23 == 0 subset: at
+    # max_hamming 6 ≤ n_bands−1 the pigeonhole guarantee makes the banded
+    # result EQUAL brute force, so the oracle replays it as a plain
+    # self-join filter on bit_count(xor) of the rederived hashes; the
+    # per-doc count keeps the output per-doc-row shaped
+    dpairs = mm.dhash_pairs(
+        dh.where(F.col("doc_id") % 23 == 0), max_hamming=6
+    )
+    dpair_counts = (
+        dh.select("doc_id")
+        .join(
+            dpairs.selectExpr("doc_a AS doc_id")
+            .unionAll(dpairs.selectExpr("doc_b AS doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("dh_pairs")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("dh_pairs", F.lit(0)).cast("long").alias("dh_pairs")
+        )
+    )
 
     return (
         with_meta.join(frames, "doc_id").join(pcm, "doc_id")
-        .join(resized, "doc_id").join(dh, "doc_id")
+        .join(resized, "doc_id").join(dh, "doc_id").join(dpair_counts, "doc_id")
     )
 
 
@@ -1650,13 +1678,29 @@ rsz AS (
 ),
 dhx AS (
   SELECT doc_id, CAST({_dhash_expected_sql()} AS BIGINT) AS dhash FROM documents
+),
+dpe AS (
+  -- banded pairs ≡ brute force at max_hamming 6 ≤ n_bands−1 (pigeonhole)
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM dhx a JOIN dhx b
+    ON a.doc_id < b.doc_id
+   AND a.doc_id % 23 = 0 AND b.doc_id % 23 = 0
+   AND bit_count(xor(a.dhash, b.dhash)) <= 6
+),
+dpc AS (
+  SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS dh_pairs
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS n FROM (
+      SELECT doc_a AS doc_id FROM dpe UNION ALL SELECT doc_b FROM dpe
+    ) GROUP BY doc_id
+  ) p ON d.doc_id = p.doc_id
 )
 SELECT meta.doc_id, meta.n_bytes, meta.content_id, meta.n_chunks,
        img.format, img.width, img.height,
        aud.channels, aud.sample_rate, aud.bits, aud.data_size, aud.duration_ms,
        frames.n_frames, frames.max_offset,
        pcm.pcm_frames, pcm.pcm_rms_c_sum, pcm.pcm_peak_max,
-       rsz.resized_hex, dhx.dhash
+       rsz.resized_hex, dhx.dhash, dpc.dh_pairs
 FROM meta
 JOIN img ON meta.doc_id = img.doc_id
 JOIN aud ON meta.doc_id = aud.doc_id
@@ -1664,6 +1708,7 @@ JOIN frames ON meta.doc_id = frames.doc_id
 JOIN pcm ON meta.doc_id = pcm.doc_id
 JOIN rsz ON meta.doc_id = rsz.doc_id
 JOIN dhx ON meta.doc_id = dhx.doc_id
+JOIN dpc ON meta.doc_id = dpc.doc_id
 """
 
 
