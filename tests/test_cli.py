@@ -975,3 +975,24 @@ def test_cli_chunk(capsys, spark, tmp_path):
     rc = cli.main(["chunk", "--src", src, "--overlap", "200"])
     assert rc == 2
     assert "overlap" in capsys.readouterr().err
+
+
+def test_cli_imagehash(capsys, spark, tmp_path):
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo/tests")
+    from test_multimodal import _gradient_png
+
+    base = _gradient_png(32, 32)
+    noisy = _gradient_png(32, 32, noise={(5, 5): 250})
+    src = str(tmp_path / "imgs.pq")
+    spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(noisy)), (3, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "hashes.pq")
+    rc = cli.main(["imagehash", "--src", src, "--out", out, "--pairs"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["images"] == 3 and res["decoded"] == 2
+    assert res["pairs"] == 1  # base ~ noisy; junk never pairs
+    assert spark.read.parquet(out).count() == 3

@@ -428,6 +428,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", default="", help="write profile parquet here")
     p.add_argument("--concurrency", type=int, default=0)
 
+    # perceptual image hashing over a binary-payload parquet: per-image
+    # dHash (+ optional banded hamming near-dup pairs)
+    p = sub.add_parser("imagehash")
+    p.add_argument("--src", required=True, help="parquet with an image payload column")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--payload-col", default="payload")
+    p.add_argument("--out", default="", help="write (id, dhash, decoded) parquet here")
+    p.add_argument("--pairs", action="store_true",
+                   help="also emit near-dup pairs (banded hamming join)")
+    p.add_argument("--max-hamming", type=int, default=6)
+    p.add_argument("--pairs-out", default="", help="with --pairs: write pairs parquet here")
+    p.add_argument("--concurrency", type=int, default=0)
+
     # sliding-window passage chunking: cut long documents into word windows
     # with carried overlap (the embedding-model / context-budget prep)
     p = sub.add_parser("chunk")
@@ -717,6 +730,36 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError as e:
             print(f"hotkeys: {e}", file=sys.stderr)
             return 2
+
+    if args.cmd == "imagehash":
+        from tikv_data_compare_spark.operators.multimodal import (
+            dhash_pairs,
+            image_dhash,
+        )
+
+        src = spark.read.parquet(args.src)
+        hashes = image_dhash(src, id_col=args.id_col, payload_col=args.payload_col)
+        if args.out:
+            hashes.write.mode("overwrite").parquet(args.out)
+            hashes = spark.read.parquet(args.out)  # hash once, reuse for pairs
+        result = {
+            "images": hashes.count(),
+            "decoded": hashes.filter("decoded").count(),
+        }
+        if args.out:
+            result["out"] = args.out
+        if args.pairs:
+            pairs = dhash_pairs(
+                hashes, max_hamming=args.max_hamming, id_col=args.id_col
+            )
+            if args.pairs_out:
+                pairs.write.mode("overwrite").parquet(args.pairs_out)
+                result["pairs_out"] = args.pairs_out
+                result["pairs"] = spark.read.parquet(args.pairs_out).count()
+            else:
+                result["pairs"] = pairs.count()
+        print(json.dumps(result))
+        return 0
 
     if args.cmd == "chunk":
         from tikv_data_compare_spark.operators import text as txo
