@@ -900,7 +900,9 @@ def test_cli_curate_c4_and_blocklist_flags(capsys, spark, tmp_path):
 
 def test_cli_tokenize(capsys, spark, tmp_path):
     """tokenize subcommand: trains merges, writes counts (+ids with --ids),
-    exports the vocab, and the summary JSON reconciles."""
+    exports the vocab, packs sequences, and the summary JSON reconciles."""
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     src = str(tmp_path / "docs_tok.pq")
     docs.write.mode("overwrite").parquet(src)
@@ -909,10 +911,16 @@ def test_cli_tokenize(capsys, spark, tmp_path):
     rc = cli.main([
         "tokenize", "--src", src, "--out", out, "--vocab-out", vocab,
         "--n-merges", "16", "--vocab-top", "64", "--ids",
+        "--pack-seq-len", "64",
     ])
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["n_merges"] == 16 and summary["vocab_size"] == 272
+    seqs = spark.read.parquet(summary["seqs_out"])
+    assert summary["sequences"] == seqs.count() > 0
+    # conservation through the CLI: sequences hold exactly the corpus tokens
+    total_seq = seqs.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total_seq == summary["total_tokens"]
     tok = spark.read.parquet(out)
     assert summary["docs"] == tok.count() == docs.count()
     rows = tok.limit(50).collect()

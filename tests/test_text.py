@@ -743,3 +743,40 @@ def test_bpe_counts_match_pure_python_reference(spark):
     got = {r["doc_id"]: r["n_tokens_subword"]
            for r in tx.bpe_token_count(df, merges).collect()}
     assert got == {i: py_count(t) for i, t in docs}
+
+
+def test_pack_sequences_conservation_and_cuts(spark, documents):
+    """Concatenate-and-cut at token granularity: per shard, the sequences
+    re-concatenate to exactly the docs' id streams in pack order; every
+    sequence is seq_len ids except each shard's last; replay-identical."""
+    from tikv_data_compare_spark.operators.sampling import content_shards
+
+    docs = documents.limit(60).select("doc_id", "text")
+    merges = tx.train_bpe_merges(docs, n_merges=16, vocab_top=64)
+    L, S = 37, 4
+    seqs = tx.pack_sequences(docs, merges, seq_len=L, n_shards=S).collect()
+    by_shard = {}
+    for r in seqs:
+        by_shard.setdefault(r["shard"], []).append(r)
+    # expected stream per shard: bpe ids in (content-hash, id) order
+    enc = tx.bpe_encode(docs, merges)
+    staged = content_shards(enc, S, content_col="text").collect()
+    expect = {}
+    for r in sorted(staged, key=lambda r: (r["_shard"], r["_sample_h"], r["doc_id"])):
+        expect.setdefault(r["_shard"], []).extend(r["token_ids"])
+    for shard, rows in by_shard.items():
+        rows = sorted(rows, key=lambda r: r["seq_idx"])
+        got = [i for r in rows for i in r["token_ids"]]
+        assert got == expect[shard]
+        assert [r["seq_idx"] for r in rows] == list(range(len(rows)))
+        assert all(r["n_tokens"] == L for r in rows[:-1])
+        assert 1 <= rows[-1]["n_tokens"] <= L
+    assert set(expect) == set(by_shard)
+    # determinism under partitioning
+    again = tx.pack_sequences(docs.repartition(7), merges, seq_len=L, n_shards=S)
+    key = lambda rows: sorted((r["shard"], r["seq_idx"], tuple(r["token_ids"])) for r in rows)
+    assert key(again.collect()) == key(seqs)
+
+    import pytest
+    with pytest.raises(ValueError, match="seq_len"):
+        tx.pack_sequences(docs, merges, seq_len=0)

@@ -467,6 +467,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ids", action="store_true",
                    help="include the token_ids array column (counts only "
                         "otherwise — id arrays are ~8 B/token of output)")
+    p.add_argument("--pack-seq-len", type=int, default=0,
+                   help="if > 0, ALSO write concatenate-and-cut training "
+                        "sequences of this many token ids to "
+                        "{out}_seqs (pack_sequences)")
+    p.add_argument("--pack-shards", type=int, default=8)
     p.add_argument("--concurrency", type=int, default=0)
 
     args = top.parse_args(argv)
@@ -807,12 +812,22 @@ def main(argv: list[str] | None = None) -> int:
         total = spark.read.parquet(out).agg(
             F.sum("n_tokens_subword").alias("s"), F.count(F.lit(1)).alias("n")
         ).collect()[0]
-        print(json.dumps({
+        summary = {
             "out": out, "docs": int(total["n"]),
             "total_tokens": int(total["s"] or 0),
             "n_merges": len(merges), "vocab_size": 256 + len(merges),
             "vocab_out": args.vocab_out or None,
-        }))
+        }
+        if args.pack_seq_len > 0:
+            seq_out = f"{out}_seqs"
+            txo.pack_sequences(
+                docs, merges, seq_len=args.pack_seq_len,
+                n_shards=args.pack_shards,
+                id_col=args.id_col, text_col=args.text_col,
+            ).write.mode("overwrite").parquet(seq_out)
+            summary["seqs_out"] = seq_out
+            summary["sequences"] = spark.read.parquet(seq_out).count()
+        print(json.dumps(summary))
         return 0
 
     if args.cmd == "sample":

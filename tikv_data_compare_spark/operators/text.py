@@ -1443,3 +1443,82 @@ def bpe_token_count_via_vocab(
     return df.join(per_doc, id_col, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(0)).cast("long")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    seq_len: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The tokenization capstone (r10): corpus text → the fixed-length
+    token-ID sequences a pretraining job actually consumes.  Documents are
+    BPE-encoded (``bpe_encode``), laid out in deterministic content-hash
+    order within ``n_shards`` hash shards (the ``pack_token_bins``
+    contract), concatenated, and cut every ``seq_len`` tokens — true
+    concatenate-and-cut at TOKEN granularity: documents straddle sequence
+    boundaries, sequences are exactly ``seq_len`` ids except each shard's
+    last.
+
+    Returns ``(shard, seq_idx, token_ids, n_tokens)``; ``seq_idx`` is
+    shard-local (globally unique as ``seq_idx · n_shards + shard``).
+    Everything is a pure function of content — membership, order and every
+    cut replay identically on any cluster or retry.
+
+    Scale shape: per document, its token span [start, start+n) overlaps at
+    most ``ceil(n/seq_len)+1`` sequences, so the plan explodes per
+    (doc, sequence) SLICE — O(docs + sequences) rows, never per token —
+    then one groupBy (shard, seq) flattens the start-ordered pieces.  Two
+    shuffles: the shard window cumsum and the piece regroup.  Empty docs
+    contribute nothing (zero tokens own no span).
+    """
+    from pyspark.sql import Window
+
+    from tikv_data_compare_spark.operators.sampling import content_shards
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    enc = bpe_encode(df.select(id_col, text_col), merges)
+    staged = content_shards(enc, n_shards, content_col=text_col).withColumn(
+        "_ntok", F.size("token_ids").cast("long")
+    )
+    w = Window.partitionBy("_shard").orderBy("_sample_h", id_col)
+    staged = (
+        staged.withColumn("_start", (F.sum("_ntok").over(w) - F.col("_ntok")))
+        .where(F.col("_ntok") > 0)
+        .withColumn("_first", F.expr(f"_start div {seq_len}"))
+        .withColumn("_last", F.expr(f"(_start + _ntok - 1) div {seq_len}"))
+    )
+    pieces = staged.select(
+        "_shard",
+        F.explode(F.expr("sequence(_first, _last)")).alias("_seq"),
+        "_start",
+        "_ntok",
+        "token_ids",
+    ).select(
+        "_shard",
+        "_seq",
+        F.expr(f"greatest(_seq * {seq_len}, _start)").alias("_pstart"),
+        F.expr(
+            f"slice(token_ids, CAST(greatest(_seq * {seq_len} - _start, 0) + 1 AS INT), "
+            f"CAST(least((_seq + 1) * {seq_len}, _start + _ntok) "
+            f"- greatest(_seq * {seq_len}, _start) AS INT))"
+        ).alias("_piece"),
+    )
+    return (
+        pieces.groupBy("_shard", "_seq")
+        .agg(
+            F.expr(
+                "flatten(transform(array_sort(collect_list("
+                "named_struct('s', _pstart, 'p', _piece))), x -> x.p))"
+            ).alias("token_ids")
+        )
+        .select(
+            F.col("_shard").cast("long").alias("shard"),
+            F.col("_seq").cast("long").alias("seq_idx"),
+            "token_ids",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+        )
+    )
