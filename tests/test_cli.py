@@ -1004,3 +1004,19 @@ def test_cli_imagehash(capsys, spark, tmp_path):
     assert res["images"] == 3 and res["decoded"] == 2
     assert res["pairs"] == 1  # base ~ noisy; junk never pairs
     assert spark.read.parquet(out).count() == 3
+
+
+def test_cli_ingest_and_imagehash_flag_guards(capsys, spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+    src = str(tmp_path / "g.pq")
+    docs.write.mode("overwrite").parquet(src)
+    # --out with --ingest-index: refused, not silently ignored
+    rc = cli.main(["dedup", "--src", src, "--ingest-index", str(tmp_path / "i"),
+                   "--out", str(tmp_path / "o")])
+    assert rc == 2 and "--out" in capsys.readouterr().err
+    # explicit --epoch 0 without --ingest-index: refused (falsy-zero guard)
+    rc = cli.main(["dedup", "--src", src, "--epoch", "0"])
+    assert rc == 2 and "--ingest-index" in capsys.readouterr().err
+    # --pairs-out without --pairs: refused
+    rc = cli.main(["imagehash", "--src", src, "--pairs-out", str(tmp_path / "p")])
+    assert rc == 2 and "--pairs" in capsys.readouterr().err

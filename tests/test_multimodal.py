@@ -543,3 +543,15 @@ def test_dhash_pairs_banded_join(spark):
     with pytest.raises(ValueError, match="geometry"):
         from tikv_data_compare_spark.operators.multimodal import image_dhash as ih
         ih(df, hash_w=9, hash_h=9)
+
+
+def test_image_dhash_null_payload_survives(spark):
+    from tikv_data_compare_spark.operators.multimodal import image_dhash
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_gradient_png(16, 16))), (2, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in image_dhash(df).collect()}
+    assert rows[1]["decoded"] and rows[2]["dhash"] is None
+    assert not rows[2]["decoded"]

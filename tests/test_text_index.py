@@ -292,3 +292,23 @@ def test_append_on_collision_skip_appends_only_new(spark, tmp_path):
     assert got == want
     with pytest.raises(ValueError, match="on_collision"):
         append_to_text_index(d, p, on_collision="merge")
+
+
+def test_streaming_ingest_all_null_epoch_commits_watermark(spark, tmp_path):
+    """An epoch whose docs yield no postings (all-NULL text) must still
+    advance last_epoch — otherwise a restart would redeliver it forever
+    while the face reported it applied (r10 review)."""
+    from tikv_data_compare_spark.operators import text_index as ti
+    from tikv_data_compare_spark.streaming.text_index_stream import (
+        ingest_batch_into_text_index,
+    )
+
+    d, _ = _frames(spark)
+    idx = str(tmp_path / "tixw_idx")
+    assert ingest_batch_into_text_index(d, idx, epoch_id=0) is True
+    nulls = spark.createDataFrame([(100, None)], "doc_id long, text string")
+    assert ingest_batch_into_text_index(nulls, idx, epoch_id=1) is True
+    meta = ti.load_text_index(spark, idx).meta
+    assert meta["last_epoch"] == 1 and meta["n_docs"] == 6
+    # and the redelivery skip now fires
+    assert ingest_batch_into_text_index(nulls, idx, epoch_id=1) is False

@@ -238,9 +238,10 @@ def main(argv: list[str] | None = None) -> int:
                         "intra+cross candidate pairs, then append its band "
                         "keys — the incremental-ingest flow "
                         "(streaming.dedup_stream batch face)")
-    p.add_argument("--epoch", type=int, default=0,
-                   help="with --ingest-index: the epoch id (epochs <= the "
-                        "index's last_epoch watermark are redelivery no-ops)")
+    p.add_argument("--epoch", type=int, default=None,
+                   help="with --ingest-index: the epoch id, default 0 "
+                        "(epochs <= the index's last_epoch watermark are "
+                        "redelivery no-ops)")
     p.add_argument("--pairs-out", default="",
                    help="with --ingest-index: write the epoch's pairs under "
                         "PAIRS_OUT/epoch=N")
@@ -517,9 +518,15 @@ def main(argv: list[str] | None = None) -> int:
             print(f"dedup: {' and '.join(modes)} are mutually exclusive",
                   file=sys.stderr)
             return 2
-        if (args.labels or args.pairs_out or args.epoch) and not args.ingest_index:
+        if (args.labels or args.pairs_out or args.epoch is not None) and not args.ingest_index:
             print("dedup: --labels/--pairs-out/--epoch require --ingest-index",
                   file=sys.stderr)
+            return 2
+        if args.ingest_index and (args.out or args.corpus):
+            # silently skipping a requested --out would leave downstream
+            # tooling reading a stale/absent file (same rule as build/append)
+            print("dedup: --out/--corpus do not apply to --ingest-index "
+                  "(use --pairs-out for the epoch's pairs)", file=sys.stderr)
             return 2
         if (args.build_index or args.append_index) and (args.out or args.corpus):
             # returning 0 while silently skipping a requested --out would
@@ -551,18 +558,19 @@ def main(argv: list[str] | None = None) -> int:
                     ingest_batch_into_dedup_index,
                 )
 
+                epoch = args.epoch if args.epoch is not None else 0
                 applied = ingest_batch_into_dedup_index(
                     docs, args.ingest_index,
                     pairs_out=args.pairs_out or None,
-                    epoch_id=args.epoch,
+                    epoch_id=epoch,
                     id_col=args.id_col, text_col=args.text_col,
                     algo=args.dedup_algo,
                     labels_path=args.labels or None,
                 )
-                result = {"ingested": bool(applied), "epoch": args.epoch,
+                result = {"ingested": bool(applied), "epoch": epoch,
                           "index": args.ingest_index}
                 if args.pairs_out:
-                    result["pairs_out"] = f"{args.pairs_out}/epoch={args.epoch}"
+                    result["pairs_out"] = f"{args.pairs_out}/epoch={epoch}"
                 if args.labels:
                     result["labels"] = args.labels
                 print(json.dumps(result))
@@ -742,11 +750,18 @@ def main(argv: list[str] | None = None) -> int:
             image_dhash,
         )
 
+        if args.pairs_out and not args.pairs:
+            print("imagehash: --pairs-out requires --pairs", file=sys.stderr)
+            return 2
         src = spark.read.parquet(args.src)
         hashes = image_dhash(src, id_col=args.id_col, payload_col=args.payload_col)
         if args.out:
             hashes.write.mode("overwrite").parquet(args.out)
             hashes = spark.read.parquet(args.out)  # hash once, reuse for pairs
+        else:
+            # the Arrow decode pass feeds two counts and both sides of the
+            # pair self-join — persist so images decode once
+            hashes = hashes.persist()
         result = {
             "images": hashes.count(),
             "decoded": hashes.filter("decoded").count(),
@@ -763,6 +778,8 @@ def main(argv: list[str] | None = None) -> int:
                 result["pairs"] = spark.read.parquet(args.pairs_out).count()
             else:
                 result["pairs"] = pairs.count()
+        if not args.out:
+            hashes.unpersist()
         print(json.dumps(result))
         return 0
 
@@ -820,8 +837,12 @@ def main(argv: list[str] | None = None) -> int:
         }
         if args.pack_seq_len > 0:
             seq_out = f"{out}_seqs"
+            # out_df already carries token_ids when --ids was given;
+            # pack_sequences reuses an existing token_ids column instead of
+            # re-running the BPE fold over the corpus
+            pack_src = out_df if "token_ids" in out_df.columns else docs
             txo.pack_sequences(
-                docs, merges, seq_len=args.pack_seq_len,
+                pack_src, merges, seq_len=args.pack_seq_len,
                 n_shards=args.pack_shards,
                 id_col=args.id_col, text_col=args.text_col,
             ).write.mode("overwrite").parquet(seq_out)

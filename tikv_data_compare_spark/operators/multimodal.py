@@ -638,6 +638,11 @@ def image_dhash(
         for pdf in batches:
             ids, hashes, flags = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:  # NULL payloads audit, never fail
+                    ids.append(int(doc_id))
+                    hashes.append(None)
+                    flags.append(False)
+                    continue
                 dec = None
                 try:
                     for d in (decode_png, media_decode.decode_gif, media_decode.decode_jpeg):
@@ -721,7 +726,10 @@ def dhash_pairs(
             *[
                 F.struct(
                     F.lit(j).alias("band"),
-                    F.expr(f"(_h >> {j * width}) & {(1 << width) - 1}").alias("slice"),
+                    F.expr(
+                        f"{sqlgen.shiftright('_h', j * width, sqlgen.SPARK)}"
+                        f" & {(1 << width) - 1}"
+                    ).alias("slice"),
                 )
                 for j in range(n_bands)
             ]

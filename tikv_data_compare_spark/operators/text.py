@@ -1480,7 +1480,12 @@ def pack_sequences(
 
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
-    enc = bpe_encode(df.select(id_col, text_col), merges)
+    if "token_ids" in df.columns:
+        # caller already encoded (e.g. cli tokenize --ids): reuse instead
+        # of re-running the merge fold over the corpus (r10 review)
+        enc = df.select(id_col, text_col, "token_ids")
+    else:
+        enc = bpe_encode(df.select(id_col, text_col), merges)
     staged = content_shards(enc, n_shards, content_col=text_col).withColumn(
         "_ntok", F.size("token_ids").cast("long")
     )

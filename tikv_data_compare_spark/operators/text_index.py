@@ -224,6 +224,12 @@ def append_to_text_index(
     batch = raw
     try:
         if batch.limit(1).count() == 0:
+            # a batch with no postings (e.g. all-NULL text) still commits
+            # any threaded watermark — otherwise the streaming face would
+            # report the epoch applied while last_epoch stayed behind and
+            # a restart redelivered it (r10 review)
+            if extra_meta:
+                _refresh_derived(spark, path, dict(extra_meta))
             return 0
         indexed_ids = idx.postings.select("doc_id").distinct()
         if on_collision == "skip":
