@@ -356,3 +356,49 @@ def test_curate_exact_span_probes_sharing_id_column(spark):
         assert {r["doc_id"] for r in kept.collect()} == {2}
     finally:
         kept.unpersist()
+
+
+def test_curate_every_optional_stage_composes(spark):
+    """All seven opt-in gates enabled together: the funnel builds, stage
+    order is the documented one, counts reconcile, and the one planted
+    survivor passes every gate."""
+    en = ("the and is of to in it for on with this that was are be have "
+          "from or had we you").split()
+    body = " ".join(en) + ". " + " ".join(en[::-1]) + "."
+    rows = [
+        (1, body + " survivor doc one extra.", "web"),
+        (2, body + " lorem ipsum dolor sit amet.", "web"),      # c4
+        (3, body + " leak me now please today.", "web"),        # decontam
+        (4, body + " spam source doc here now.", "blockedsrc"),  # blocklist
+        (5, body + " mail bob@leak.example.com now.", "web"),   # pii
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    probes = spark.createDataFrame(
+        [(9, "leak me now please today")], "probe_id long, text string"
+    )
+    kept, attrition = curate(
+        docs,
+        near_dup_jaccard_c=10001, max_dup_word_frac_c=10000,
+        max_top_bigram_frac_c=10000,
+        drop_pii=True,
+        probes=probes, decontam_span=20,
+        keep_langs=["en"],
+        max_lm_nll_c=50_000_000,
+        c4_rules=True, c4_min_kept_lines=1,
+        blocked_sources=["blockedsrc"],
+    )
+    try:
+        stages = [r["stage"] for r in attrition.collect()]
+        assert stages == [
+            "exact_dedup", "near_dedup", "quality", "repetition", "pii",
+            "decontamination_exact", "language", "fluency", "boilerplate",
+            "url_blocklist",
+        ]
+        rep = {r["stage"]: (r["n_in"], r["n_out"], r["n_dropped"])
+               for r in attrition.collect()}
+        for a, b in zip(stages, stages[1:]):
+            assert rep[a][1] == rep[b][0]
+        kept_ids = {r["doc_id"] for r in kept.collect()}
+        assert kept_ids == {1}
+    finally:
+        kept.unpersist()
