@@ -470,3 +470,31 @@ def test_decontaminate_substring_broadcasts_probe_side(spark, documents):
     df = tx.decontaminate_substring(docs, probes, min_span=24)
     assert "BroadcastHashJoin" in plans.join_strategies(df)
     assert not plans.has_cartesian(df)
+
+
+def test_chunk_text_is_map_side_zero_shuffle(spark, documents):
+    """Passage chunking is one transform + explode: no Exchange, no join,
+    no UDF — it composes inline with any scan."""
+    from tikv_data_compare_spark.operators import text as tx
+
+    # no .limit() in the fixture: GlobalLimit inserts its own
+    # SinglePartition Exchange and would mask the operator's plan
+    df = tx.chunk_text(documents.select("doc_id", "text"),
+                       max_words=32, overlap=4)
+    s = plans.plan_string(df)
+    assert "Exchange" not in s and "Join" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_token_mixture_broadcasts_rates(spark, documents):
+    """The derived rate table (one row per listed source) broadcasts into
+    the selection join; no cartesian beyond the 1-row umin broadcast."""
+    from tikv_data_compare_spark.operators.sampling import token_mixture_sample
+
+    df = token_mixture_sample(
+        documents.select("doc_id", "lang", "text"),
+        {"en": 5000, "de": 5000}, group_col="lang",
+    )
+    assert "BroadcastHashJoin" in plans.join_strategies(df)
+    s = plans.plan_string(df)
+    assert "CartesianProduct" not in s
