@@ -99,3 +99,80 @@ def test_semantic_dedup_threshold_monotone(spark):
     kept_hi = sum(r["kept"] for r in semantic_dedup(df, k=2, threshold_c=9999).collect())
     assert kept_lo <= kept_hi
     assert kept_hi >= 1
+
+
+def test_assign_broadcast_matches_literal_fixed_seeds(spark):
+    """r10 verdict task 1: the broadcast-numpy assignment seam gives the
+    SAME cluster ids as the centroid-literal SQL expression — full kmeans
+    runs forced down each path agree on assignments AND centroids."""
+    from tikv_data_compare_spark.operators.clustering import kmeans
+
+    rows = [
+        (i, [float((i * 37 + d * 13) % 23) - 11.0 for d in range(6)])
+        for i in range(60)
+    ]
+    df = _emb(spark, rows)
+    a_lit, c_lit = kmeans(df, k=5, n_iter=2, assign_mode="literal")
+    a_bc, c_bc = kmeans(df, k=5, n_iter=2, assign_mode="broadcast")
+    assert c_lit == c_bc
+    assert {r["vec_id"]: r["cluster"] for r in a_lit.collect()} == {
+        r["vec_id"]: r["cluster"] for r in a_bc.collect()
+    }
+
+
+def test_assign_auto_routes_on_kdim(spark):
+    """auto == literal below the threshold (same plan text, centroid
+    literals visible); above it the plan carries no centroid literals."""
+    from tikv_data_compare_spark.operators.clustering import (
+        ASSIGN_LITERAL_MAX_KDIM,
+        _assign,
+    )
+    from pyspark.sql import functions as F
+
+    vi = _emb(spark, [(i, [float(i), 0.0]) for i in range(4)]).select(
+        F.col("vec_id").alias("_id"),
+        F.expr("transform(embedding, x -> CAST(x AS BIGINT))").alias("_vi"),
+    )
+    small = [[1.0, 2.0], [3.0, 4.0]]
+    plan_lit = _assign(vi, small, "auto")._jdf.queryExecution().toString()
+    assert "aggregate(zip_with" in plan_lit  # literal fold in the plan
+    dim = 2
+    big_k = ASSIGN_LITERAL_MAX_KDIM // dim + 1
+    big = [[float(j), float(j + 1)] for j in range(big_k)]
+    plan_bc = _assign(vi, big, "auto")._jdf.queryExecution().toString()
+    assert "aggregate(zip_with" not in plan_bc
+    assert "mapInPandas" in plan_bc.lower() or "MapInPandas" in plan_bc
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _assign(vi, small, "bogus")
+
+
+def test_semantic_dedup_broadcast_path_matches_literal(spark):
+    """End-to-end SemDeDup parity across assignment paths."""
+    from tikv_data_compare_spark.operators.clustering import semantic_dedup
+
+    rows = [(i, [float((i * 13) % 5) + 1, float((i * 7) % 3) + 1]) for i in range(30)]
+    df = _emb(spark, rows)
+    lit = {r["vec_id"]: (r["cluster"], r["kept"]) for r in semantic_dedup(
+        df, k=3, threshold_c=9000, assign_mode="literal"
+    ).collect()}
+    bc = {r["vec_id"]: (r["cluster"], r["kept"]) for r in semantic_dedup(
+        df, k=3, threshold_c=9000, assign_mode="broadcast"
+    ).collect()}
+    assert lit == bc
+
+
+def test_kmeans_k1024_broadcast_smoke(spark):
+    """The SemDeDup-scale geometry the literal path cannot compile: k=1024
+    centroids through the broadcast seam — every vector lands in a valid
+    cluster and the run completes in one pass."""
+    from tikv_data_compare_spark.operators.clustering import kmeans
+
+    rows = [(i, [float((i * 31 + d * 7) % 97) for d in range(4)]) for i in range(2048)]
+    assign, cents = kmeans(_emb(spark, rows), k=1024, n_iter=1, assign_mode="broadcast")
+    got = assign.collect()
+    assert len(got) == 2048
+    assert all(0 <= r["cluster"] < 1024 for r in got)
+    assert len(cents) == 1024

@@ -30,13 +30,22 @@ self-join bounded by the largest cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from tikv_data_compare_spark.operators.similarity import _dot
 
 #: canon fixed-point scale for embedding components (matches
 #: similarity.embedding_exact_dup's fingerprint canon).
 CANON_SCALE = 100000
+
+#: k·dim above which ``assign_mode='auto'`` switches from the centroid-
+#: literal SQL expression to the broadcast-numpy Arrow path.  The literal
+#: expression grows ~25 bytes per centroid component — fine at the gated
+#: k=64·dim=64 (≈100 KB of SQL), a plan-compile killer at SemDeDup-scale
+#: k=10k·dim=768 (tens of MB).  16384 keeps every currently-gated geometry
+#: on the oracle-replayable literal path and routes anything bigger through
+#: the broadcast seam.
+ASSIGN_LITERAL_MAX_KDIM = 16384
 
 
 def _canon_int_col(vec_col: str) -> str:
@@ -79,12 +88,69 @@ def _python_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
+def _assign_broadcast(vi: DataFrame, centroids: list[list[float]], out_col: str = "_c") -> DataFrame:
+    """The scale path for centroid assignment: broadcast a (k, dim) numpy
+    matrix and score each Arrow batch with one matmul — the same seam IVF
+    uses (similarity._assign_cells), so the plan carries a ~k·dim·8-byte
+    broadcast instead of a k·dim-term SQL literal.
+
+    Determinism: each row's assignment depends only on its own vector and
+    the broadcast matrix — no cross-row accumulation — and a BLAS dot's
+    summation order is fixed by (dim, kernel), not by batch size or
+    partition layout, so reruns at any partitioning give identical ids.
+    ``c_j·c_j`` is precomputed with the SAME left-to-right fold as the
+    literal path.  The only divergence from the literal path is the v·c_j
+    accumulation order (strict left-to-right in SQL vs blocked in BLAS):
+    both round correctly at each step, so assignments agree whenever the
+    runner-up margin exceeds the summation error bound (~dim·eps·Σ|x·c| —
+    astronomically smaller than any real inter-centroid gap); argmin ties
+    break to the lowest index in both.  The equivalence pytest pins exact
+    agreement on fixed-seed corpora; the hash-gated oracle row stays on the
+    literal path, which DuckDB replays term-for-term.
+    """
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cc = np.asarray([_python_dot(c, c) for c in centroids], dtype=np.float64)
+    bc = vi.sparkSession.sparkContext.broadcast((cent, cc))
+    schema = T.StructType(list(vi.schema.fields) + [T.StructField(out_col, T.LongType())])
+
+    def assign(batches):
+        import numpy as np
+
+        cent_m, cc_v = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vi"]])
+            scores = cc_v[None, :] - 2.0 * (mat @ cent_m.T)
+            out = pdf.copy()
+            out[out_col] = scores.argmin(axis=1).astype("int64")
+            yield out
+
+    return vi.mapInPandas(assign, schema)
+
+
+def _assign(vi: DataFrame, centroids: list[list[float]], mode: str = "auto") -> DataFrame:
+    """Route one assignment pass: ``'literal'`` embeds centroid literals in
+    the plan (oracle-replayable, bounded geometries), ``'broadcast'`` ships
+    them as a numpy broadcast (SemDeDup-scale k), ``'auto'`` switches on
+    k·dim > :data:`ASSIGN_LITERAL_MAX_KDIM`."""
+    if mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"assign_mode must be auto|literal|broadcast, got {mode!r}")
+    kdim = len(centroids) * (len(centroids[0]) if centroids else 0)
+    if mode == "broadcast" or (mode == "auto" and kdim > ASSIGN_LITERAL_MAX_KDIM):
+        return _assign_broadcast(vi, centroids)
+    return vi.withColumn("_c", F.expr(_assign_expr(centroids)))
+
+
 def kmeans(
     emb: DataFrame,
     k: int = 16,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_mode: str = "auto",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Bit-deterministic distributed Lloyd over canon fixed-point vectors.
 
@@ -110,7 +176,7 @@ def kmeans(
         raise ValueError(f"k={k} exceeds corpus size {len(seed_rows)}")
     centroids = [[float(x) for x in r["_vi"]] for r in seed_rows]
     for _ in range(n_iter):
-        assigned = vi.withColumn("_c", F.expr(_assign_expr(centroids)))
+        assigned = _assign(vi, centroids, assign_mode)
         sums = (
             assigned.select("_c", F.posexplode("_vi").alias("_pos", "_x"))
             .groupBy("_c", "_pos")
@@ -129,7 +195,7 @@ def kmeans(
             else centroids[j]  # empty cluster: keep previous centroid
             for j in range(k)
         ]
-    out = vi.withColumn("_c", F.expr(_assign_expr(centroids))).select(
+    out = _assign(vi, centroids, assign_mode).select(
         F.col("_id").alias(id_col), F.col("_c").alias("cluster")
     )
     return out, centroids
@@ -142,6 +208,7 @@ def semantic_dedup(
     threshold_c: int = 9500,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """SemDeDup: k-means-bucketed semantic near-duplicate removal.
 
@@ -161,7 +228,9 @@ def semantic_dedup(
     are invisible by design — that recall trade IS SemDeDup's contract, and
     the LSH path (embedding_near_dup) remains the cluster-free alternative.
     """
-    assign, _ = kmeans(emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    assign, _ = kmeans(
+        emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, assign_mode=assign_mode
+    )
     v = emb.select(
         F.col(id_col).alias("_id"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
