@@ -141,7 +141,7 @@ def test_assign_auto_routes_on_kdim(spark):
     big = [[float(j), float(j + 1)] for j in range(big_k)]
     plan_bc = _assign(vi, big, "auto")._jdf.queryExecution().toString()
     assert "aggregate(zip_with" not in plan_bc
-    assert "mapInPandas" in plan_bc.lower() or "MapInPandas" in plan_bc
+    assert "mapinpandas" in plan_bc.lower()
 
     import pytest as _pytest
 

@@ -47,6 +47,13 @@ CANON_SCALE = 100000
 #: the broadcast seam.
 ASSIGN_LITERAL_MAX_KDIM = 16384
 
+#: row-block size for the broadcast assignment's per-batch matmul.  The
+#: score matrix is rows×k float64; without blocking, a default 10k-row
+#: Arrow batch at SemDeDup-scale k=10k would materialize ~800 MB per task.
+#: Blocking at 1024 rows caps the scratch at ~8 MB·(k/1000) regardless of
+#: Arrow batch size.
+ASSIGN_ROW_BLOCK = 1024
+
 
 def _canon_int_col(vec_col: str) -> str:
     """The vector frozen to canon fixed-point BIGINTs (exact in any engine)."""
@@ -88,31 +95,49 @@ def _python_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
-def _assign_broadcast(vi: DataFrame, centroids: list[list[float]], out_col: str = "_c") -> DataFrame:
+def _assign_broadcast(
+    vi: DataFrame,
+    centroids: list[list[float]],
+    out_col: str = "_c",
+    bc_out: list | None = None,
+) -> DataFrame:
     """The scale path for centroid assignment: broadcast a (k, dim) numpy
-    matrix and score each Arrow batch with one matmul — the same seam IVF
-    uses (similarity._assign_cells), so the plan carries a ~k·dim·8-byte
-    broadcast instead of a k·dim-term SQL literal.
+    matrix and score each Arrow batch with row-blocked matmuls — the same
+    seam IVF uses (similarity._assign_cells), so the plan carries a
+    ~k·dim·8-byte broadcast instead of a k·dim-term SQL literal.
 
     Determinism: each row's assignment depends only on its own vector and
-    the broadcast matrix — no cross-row accumulation — and a BLAS dot's
-    summation order is fixed by (dim, kernel), not by batch size or
-    partition layout, so reruns at any partitioning give identical ids.
-    ``c_j·c_j`` is precomputed with the SAME left-to-right fold as the
-    literal path.  The only divergence from the literal path is the v·c_j
-    accumulation order (strict left-to-right in SQL vs blocked in BLAS):
-    both round correctly at each step, so assignments agree whenever the
-    runner-up margin exceeds the summation error bound (~dim·eps·Σ|x·c| —
-    astronomically smaller than any real inter-centroid gap); argmin ties
-    break to the lowest index in both.  The equivalence pytest pins exact
-    agreement on fixed-seed corpora; the hash-gated oracle row stays on the
-    literal path, which DuckDB replays term-for-term.
+    the broadcast matrix — no cross-row accumulation, and the row-block
+    boundaries don't change any per-row dot product — so reruns at any
+    partitioning or Arrow batch size give identical ids ON A GIVEN
+    (BLAS build, CPU arch).  ``c_j·c_j`` is precomputed with the SAME
+    left-to-right fold as the literal path.  The v·c_j accumulation order
+    inside one dot is the BLAS kernel's blocked order, which CAN differ
+    across BLAS builds or ISA dispatch on a heterogeneous cluster — so the
+    broadcast path's contract is determinism per (BLAS build, arch), not
+    the literal path's engine-independent bit-determinism.  Exact-distance
+    ties (possible on integer-lattice canon vectors) break to the lowest
+    index in both paths, but a tie in one rounding regime may not be a tie
+    in another.  For that reason every hash-gated oracle geometry stays on
+    the literal path, which DuckDB replays term-for-term; the equivalence
+    pytest pins agreement on fixed-seed corpora on this host.
+
+    Memory: scores are computed in :data:`ASSIGN_ROW_BLOCK`-row blocks so
+    peak scratch is block·k·8 bytes (~8 MB·k/1000), bounded independent of
+    the Arrow batch size (a 10k-row batch at k=10k would otherwise need
+    ~800 MB per task).
+
+    The SparkContext broadcast handle is appended to ``bc_out`` (if given)
+    so iterative callers can destroy consumed iterations' broadcasts
+    instead of pinning k·dim·8 bytes per iteration on executors.
     """
     import numpy as np
 
     cent = np.asarray(centroids, dtype=np.float64)
     cc = np.asarray([_python_dot(c, c) for c in centroids], dtype=np.float64)
     bc = vi.sparkSession.sparkContext.broadcast((cent, cc))
+    if bc_out is not None:
+        bc_out.append(bc)
     schema = T.StructType(list(vi.schema.fields) + [T.StructField(out_col, T.LongType())])
 
     def assign(batches):
@@ -123,15 +148,24 @@ def _assign_broadcast(vi: DataFrame, centroids: list[list[float]], out_col: str 
             if pdf.empty:
                 continue
             mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vi"]])
-            scores = cc_v[None, :] - 2.0 * (mat @ cent_m.T)
+            ids = np.empty(len(mat), dtype=np.int64)
+            for lo in range(0, len(mat), ASSIGN_ROW_BLOCK):
+                blk = mat[lo : lo + ASSIGN_ROW_BLOCK]
+                scores = cc_v[None, :] - 2.0 * (blk @ cent_m.T)
+                ids[lo : lo + len(blk)] = scores.argmin(axis=1)
             out = pdf.copy()
-            out[out_col] = scores.argmin(axis=1).astype("int64")
+            out[out_col] = ids
             yield out
 
     return vi.mapInPandas(assign, schema)
 
 
-def _assign(vi: DataFrame, centroids: list[list[float]], mode: str = "auto") -> DataFrame:
+def _assign(
+    vi: DataFrame,
+    centroids: list[list[float]],
+    mode: str = "auto",
+    bc_out: list | None = None,
+) -> DataFrame:
     """Route one assignment pass: ``'literal'`` embeds centroid literals in
     the plan (oracle-replayable, bounded geometries), ``'broadcast'`` ships
     them as a numpy broadcast (SemDeDup-scale k), ``'auto'`` switches on
@@ -140,7 +174,7 @@ def _assign(vi: DataFrame, centroids: list[list[float]], mode: str = "auto") -> 
         raise ValueError(f"assign_mode must be auto|literal|broadcast, got {mode!r}")
     kdim = len(centroids) * (len(centroids[0]) if centroids else 0)
     if mode == "broadcast" or (mode == "auto" and kdim > ASSIGN_LITERAL_MAX_KDIM):
-        return _assign_broadcast(vi, centroids)
+        return _assign_broadcast(vi, centroids, bc_out=bc_out)
     return vi.withColumn("_c", F.expr(_assign_expr(centroids)))
 
 
@@ -176,13 +210,19 @@ def kmeans(
         raise ValueError(f"k={k} exceeds corpus size {len(seed_rows)}")
     centroids = [[float(x) for x in r["_vi"]] for r in seed_rows]
     for _ in range(n_iter):
-        assigned = _assign(vi, centroids, assign_mode)
+        iter_bcs: list = []
+        assigned = _assign(vi, centroids, assign_mode, bc_out=iter_bcs)
         sums = (
             assigned.select("_c", F.posexplode("_vi").alias("_pos", "_x"))
             .groupBy("_c", "_pos")
             .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
             .collect()  # k*dim rows, bounded
         )
+        # this iteration's assignment is fully consumed by the collect —
+        # free its centroid broadcast instead of pinning it for the session
+        # (only the FINAL assignment's broadcast must outlive the return).
+        for bc in iter_bcs:
+            bc.destroy()
         by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
         for r in sums:
             by_cluster.setdefault(int(r["_c"]), {})[int(r["_pos"])] = (
