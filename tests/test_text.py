@@ -647,6 +647,83 @@ def test_bpe_vocab_decodes_ids(spark):
     assert bytes.fromhex("".join(vocab[i] for i in ids)) == b"aaab"
 
 
+def test_bpe_encode_broadcast_matches_literal(spark, documents):
+    """The scale path (broadcast ranks + Arrow priority-merge) must produce
+    bit-identical id sequences to the plan-literal SQL fold — trained
+    merges on real fixture docs, plus NULL/empty/multibyte rows."""
+    docs = documents.limit(40).select("doc_id", "text")
+    merges = tx.train_bpe_merges(docs, n_merges=64)
+    assert len(merges) >= 16
+    extra = spark.createDataFrame(
+        [(100001, None), (100002, ""), (100003, "héllo wörld héllo"), (100004, "  a  ")],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(extra)
+    lit = {r["doc_id"]: r["token_ids"] for r in tx.bpe_encode(
+        both, merges, encode_mode="literal"
+    ).collect()}
+    bc = {r["doc_id"]: r["token_ids"] for r in tx.bpe_encode(
+        both, merges, encode_mode="broadcast"
+    ).collect()}
+    assert lit == bc
+    assert bc[100001] == [] and bc[100002] == []
+
+
+def test_bpe_encode_rank_floor_edge(spark):
+    """A merge table violating the trained-rank invariant (an earlier rank's
+    pattern only becomes adjacent AFTER a later rank fires) must still match
+    the sequential fold: rank 0 ('AB','C') never applies because 'AB' is
+    minted by rank 1 — the floor forbids revisiting rank 0."""
+    merges = [("4142", "43"), ("41", "42")]  # ids: 414243->256, 4142->257
+    df = spark.createDataFrame([(1, "ABC")], "doc_id long, text string")
+    lit = tx.bpe_encode(df, merges, encode_mode="literal").collect()[0]["token_ids"]
+    bc = tx.bpe_encode(df, merges, encode_mode="broadcast").collect()[0]["token_ids"]
+    assert lit == bc == [257, 0x43]  # NOT [256]: sequential never re-runs rank 0
+
+
+def test_bpe_encode_repeated_pair_ranks(spark):
+    """The same pair learned at two ranks: each rank is one pass, both paths
+    agree (rank lists + floor on the broadcast side)."""
+    merges = [("61", "61"), ("6161", "6161"), ("61", "61")]
+    df = spark.createDataFrame(
+        [(1, "a" * 9), (2, "a" * 4), (3, "aa")], "doc_id long, text string"
+    )
+    lit = {r["doc_id"]: r["token_ids"] for r in tx.bpe_encode(
+        df, merges, encode_mode="literal"
+    ).collect()}
+    bc = {r["doc_id"]: r["token_ids"] for r in tx.bpe_encode(
+        df, merges, encode_mode="broadcast"
+    ).collect()}
+    assert lit == bc
+    assert lit[2] == [257]  # 'aaaa' minted by the rank-1 re-merge
+    assert lit[3] == [258]  # duplicate-minted '6161': LAST_WIN id in both paths
+
+
+def test_bpe_encode_auto_routes_on_merge_count(spark):
+    """auto == literal at gated sizes (merge literal visible in the plan);
+    above BPE_ENCODE_LITERAL_MAX_MERGES the plan carries a constant-size
+    mapInPandas instead, and ids still decode to the original bytes."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "aa ab")], "doc_id long, text string")
+    small = [("61", "61")]
+    plan_lit = tx.bpe_encode(df, small, encode_mode="auto")._jdf.queryExecution().toString()
+    assert "named_struct" in plan_lit  # merge table as a plan literal
+    # >512 merges: mostly inapplicable pairs + one real ('61','61')
+    big = [(f"{a:02X}", f"{b:02X}") for a in range(24) for b in range(24)][:600]
+    big[0] = ("61", "61")
+    assert len(big) > tx.BPE_ENCODE_LITERAL_MAX_MERGES
+    auto_df = tx.bpe_encode(df, big, encode_mode="auto")
+    plan_bc = auto_df._jdf.queryExecution().toString()
+    assert "mapinpandas" in plan_bc.lower()
+    assert "named_struct" not in plan_bc  # no merge literal in the plan
+    out = auto_df.collect()[0]["token_ids"]
+    vocab = dict(tx.bpe_vocab(big))
+    assert bytes.fromhex("".join(vocab[i] for i in out)) == b"aaab"
+    with pytest.raises(ValueError, match="encode_mode"):
+        tx.bpe_encode(df, small, encode_mode="bogus")
+
+
 # ---------------------------------------------------------------- chunking
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from tikv_data_compare_spark.functions import sqlgen
 
@@ -1313,9 +1313,14 @@ def bpe_ids_sql(text_col: str, merges: list[tuple[str, str]]) -> str:
     )
     hexpair = BPE_HEXPAIR_INT.format(t="t")
     if merges:
-        entries = ", ".join(
-            f"'{l}{r}', {256 + rank}" for rank, (l, r) in enumerate(merges)
-        )
+        # two merges CAN mint the same concatenated string (a pair re-learned
+        # after its contexts reform); Spark's map() default dedup policy is
+        # EXCEPTION, so dedup here with LAST_WIN (highest rank's id) — the
+        # broadcast path's dict build uses the same convention.
+        id_of: dict[str, int] = {}
+        for rank, (l, r) in enumerate(merges):
+            id_of[l + r] = 256 + rank
+        entries = ", ".join(f"'{k}', {v}" for k, v in id_of.items())
         merged_id = f"element_at(map({entries}), t)"
     else:
         merged_id = "CAST(NULL AS INT)"
@@ -1329,15 +1334,160 @@ def bpe_ids_sql(text_col: str, merges: list[tuple[str, str]]) -> str:
     )
 
 
-def bpe_encode(
+#: merge-table size above which ``encode_mode='auto'`` switches from the
+#: plan-literal SQL fold to the broadcast Arrow priority-merge encoder.
+#: The literal fold costs O(n_merges · word_len) per word occurrence AND
+#: embeds an n_merges-entry array + id map in the plan (~50 bytes/merge —
+#: fine at the gated 48–200 merges, a plan-compile and per-row killer at a
+#: production 32k-rank tokenizer).  512 keeps every gated geometry on the
+#: oracle-replayable literal path.
+BPE_ENCODE_LITERAL_MAX_MERGES = 512
+
+
+def _bpe_encode_word_py(
+    word: str,
+    ranks: dict[tuple[str, str], list[int]],
+    vocab_id: dict[str, int],
+) -> list[int]:
+    """Encode ONE word to token ids with rank-floor priority merging —
+    bit-identical to ``bpe_ids_sql``'s sequential replace fold, at
+    O(word_len²) instead of O(n_merges · word_len).
+
+    The sequential fold applies each merge rank exactly once, in rank
+    order, as a leftmost-non-overlapping pass.  Equivalent emulation:
+    repeatedly apply the SMALLEST present rank ≥ a floor, then raise the
+    floor past it — between two applied ranks the segmentation is
+    unchanged, so the smallest present rank ≥ floor is exactly the next
+    rank the sequential fold would apply non-trivially.  (For merges from
+    ``train_bpe_merges`` the floor never skips anything — a rank-r merge
+    can only create pairs involving its minted token, learnable only at
+    rank > r — but the floor keeps the emulation exact for ANY merge
+    table, including hand-crafted ones that violate that invariant.)
+    ``ranks`` maps a pair to its sorted rank list (the same pair can be
+    re-learned after its minted contexts reform); the merge pass is the
+    same left-to-right non-overlapping scan ``replace()`` does.
+    """
+    from bisect import bisect_left
+
+    h = word.encode("utf-8").hex().upper()
+    toks = [h[i : i + 2] for i in range(0, len(h), 2)]
+    floor = 0
+    while len(toks) > 1:
+        best_rank = -1
+        best_pair = None
+        for pair in zip(toks, toks[1:]):
+            rs = ranks.get(pair)
+            if rs is None:
+                continue
+            j = bisect_left(rs, floor)
+            if j < len(rs) and (best_pair is None or rs[j] < best_rank):
+                best_rank, best_pair = rs[j], pair
+        if best_pair is None:
+            break
+        left, right = best_pair
+        merged = left + right
+        out: list[str] = []
+        i, n = 0, len(toks)
+        while i < n:
+            if i + 1 < n and toks[i] == left and toks[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+        floor = best_rank + 1
+    return [vocab_id[t] for t in toks]
+
+
+def bpe_encode_broadcast(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "token_ids",
 ) -> DataFrame:
+    """The large-merge-table encode path: ship the merge table as ONE
+    SparkContext broadcast (ranks + vocab dicts, ~100 bytes/merge) and
+    encode Arrow batches with the rank-floor priority merger — the plan
+    stays constant-size however big the tokenizer, and per-word cost is
+    O(word_len²) instead of O(n_merges · word_len).
+
+    Zipf amortization without a shuffle: a per-PARTITION word→ids memo
+    means each distinct word in a partition is folded once (the top
+    hundred words cover half of all occurrences), and the whole encode
+    stays map-side — zero Exchange, exactly like the literal path, so
+    ``pack_sequences`` downstream keeps its two-shuffle shape.  The memo
+    is cleared at 1M entries to bound executor memory on pathological
+    vocabularies.
+
+    Id lookup mirrors the literal path's ``element_at(map(...))`` under
+    LAST_WIN semantics: if two merges mint the same concatenated string
+    the higher rank's id wins in both paths.
+    """
+    ranks: dict[tuple[str, str], list[int]] = {}
+    for rank, pair in enumerate(merges):
+        ranks.setdefault((pair[0], pair[1]), []).append(rank)
+    vocab_id = {th: tid for tid, th in bpe_vocab(merges)}
+    bc = df.sparkSession.sparkContext.broadcast((ranks, vocab_id))
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType()), False)]
+    )
+
+    def encode(batches):
+        ranks_b, vocab_b = bc.value
+        memo: dict[str, list[int]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            col = []
+            for t in pdf[text_col]:
+                if not isinstance(t, str):
+                    t = ""
+                ids: list[int] = []
+                for w in t.split(" "):
+                    if not w:
+                        continue
+                    got = memo.get(w)
+                    if got is None:
+                        if len(memo) >= 1_000_000:
+                            memo.clear()
+                        got = memo[w] = _bpe_encode_word_py(w, ranks_b, vocab_b)
+                    ids.extend(got)
+                col.append(ids)
+            out = pdf.copy()
+            out[out_col] = col
+            yield out
+
+    return df.mapInPandas(encode, schema)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    encode_mode: str = "auto",
+) -> DataFrame:
     """Append the trained-BPE token-id sequence (``array<int>``); NULL/empty
     text → empty array.  ``size(token_ids)`` always equals
-    ``bpe_token_count``'s count (both derive from the same segmentations)."""
+    ``bpe_token_count``'s count (both derive from the same segmentations).
+
+    ``encode_mode``: ``'literal'`` embeds the merge table in the plan as a
+    constant-folded SQL fold (oracle-replayable — the gated path),
+    ``'broadcast'`` ships it as a broadcast and encodes Arrow batches with
+    the rank-floor priority merger (:func:`bpe_encode_broadcast` — the
+    32k-merge production path), ``'auto'`` switches on
+    ``len(merges) > BPE_ENCODE_LITERAL_MAX_MERGES``.  Both paths produce
+    identical ids (equivalence-tested, incl. rank-order edge cases)."""
+    if encode_mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(
+            f"encode_mode must be auto|literal|broadcast, got {encode_mode!r}"
+        )
+    if encode_mode == "broadcast" or (
+        encode_mode == "auto" and len(merges) > BPE_ENCODE_LITERAL_MAX_MERGES
+    ):
+        return bpe_encode_broadcast(df, merges, text_col=text_col, out_col=out_col)
     return df.withColumn(out_col, F.expr(bpe_ids_sql(text_col, merges)))
 
 
