@@ -647,6 +647,66 @@ def test_bpe_vocab_decodes_ids(spark):
     assert bytes.fromhex("".join(vocab[i] for i in ids)) == b"aaab"
 
 
+def test_self_dedup_substring_equals_bruteforce(spark, documents):
+    """End result == pure-Python brute force over all ordered pairs, on real
+    fixture docs + planted cross-doc spans + NULL/short rows (winnow
+    guarantees recall, verify kills false positives — like the
+    decontaminate contract, but self-joined)."""
+    N = 24
+    base = [(r["doc_id"], r["text"]) for r in documents.limit(60).select("doc_id", "text").collect()]
+    # plant: a later doc copying a 40-char span from an earlier one, plus a
+    # NULL and a too-short doc
+    donor = base[3][1]
+    planted = [
+        (900001, "xx " + donor[10:50] + " yy"),
+        (900002, None),
+        (900003, "tiny"),
+    ]
+    rows = base + planted
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_dup_partners"], r["n_dup_starts"], r["n_dup_chars"], r["kept"])
+        for r in tx.self_dedup_substring(df, min_span=N).collect()
+    }
+    # pure-Python brute force with the same definitions
+    import itertools
+
+    partners: dict = {}
+    starts: dict = {}
+    by_id = dict(rows)
+    for ida, idb in itertools.combinations(sorted(by_id), 2):
+        at, bt = by_id[ida], by_id[idb]
+        if at is None or bt is None or len(at) < N or len(bt) < N:
+            continue
+        ss = [i for i in range(1, len(bt) - N + 2) if bt[i - 1 : i - 1 + N] in at]
+        if ss:
+            partners.setdefault(idb, set()).add(ida)
+            starts.setdefault(idb, set()).update(ss)
+    exp = {}
+    for did in by_id:
+        sv = sorted(starts.get(did, ()))
+        chars = 0
+        for prev, cur in zip([None] + sv, sv):
+            chars += N if prev is None else min(N, cur - prev)
+        exp[did] = (len(partners.get(did, ())), len(sv), chars, did not in partners)
+    assert got == exp
+    assert not got[900001][3]  # planted copy is dropped (later occurrence)
+    assert got[900002] == (0, 0, 0, True) and got[900003] == (0, 0, 0, True)
+    assert any(not v[3] for v in got.values())
+
+    # stop-fingerprint cap: flagged set can only SHRINK (recall trade)
+    capped = {
+        r["doc_id"]: r["kept"]
+        for r in tx.self_dedup_substring(df, min_span=N, max_fp_df=2).collect()
+    }
+    exact_flagged = {d for d, v in got.items() if not v[3]}
+    assert {d for d, kp in capped.items() if not kp} <= exact_flagged
+
+    import pytest
+    with pytest.raises(ValueError, match="min_span"):
+        tx.self_dedup_substring(df, min_span=5, k=5)
+
+
 def test_bpe_encode_broadcast_matches_literal(spark, documents):
     """The scale path (broadcast ranks + Arrow priority-merge) must produce
     bit-identical id sequences to the plan-literal SQL fold — trained

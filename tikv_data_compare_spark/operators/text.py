@@ -1276,6 +1276,129 @@ def decontaminate_substring(
     )
 
 
+def self_dedup_substring(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span: int = 20,
+    k: int = 5,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Corpus-INTERNAL exact-substring deduplication (r12): span-level
+    duplicate detection within the corpus itself — the suffix-array
+    ExactSubstr pass of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better"), recast as the self-joined composition
+    of :func:`decontaminate_substring`'s winnow machinery:
+
+    1. winnow the corpus ONCE at the target span (``w = min_span − k + 1``
+       guarantees any shared span of length ≥ ``min_span`` between two
+       docs shares a winnow fingerprint — no false negatives);
+    2. fingerprint self-equi-join with ``id_a < id_b`` → candidate pairs
+       (each unordered pair once, oriented earlier→later);
+    3. verify each candidate verbatim: the start positions ``i`` in the
+       LATER doc whose ``min_span``-gram occurs in the earlier doc;
+    4. aggregate per later doc: partners, the distinct start-position
+       union, and the covered-character count (union of the
+       ``[i, i+min_span)`` intervals — exact integer interval algebra).
+
+    The keep rule is globally-first (the same convention as
+    ``dedup.c4_line_dedup``): a doc is dropped iff it shares a span with
+    any SMALLER-id doc, so exactly one copy of every duplicated span
+    family survives and the verdict is a pure function of content + ids.
+    ``n_dup_chars`` is the trim size a span-removal pass would cut.
+
+    Scale shape: the winnow is map-side (zero shuffle); the self-join is
+    a fingerprint equi-join — never all-pairs — and the verify cost is
+    O(candidate pairs · span positions).  The one skew hazard is a
+    boilerplate span shared by thousands of docs (its fingerprint bucket
+    goes quadratic — the same hazard as any LSH band); ``max_fp_df``
+    drops fingerprints winnow-selected by more than that many docs, the
+    standard stop-fingerprint cap (a documented recall trade: a span
+    is then only guaranteed found while its fingerprint stays under the
+    cap — Lee et al. handle such spans by the suffix array's global
+    order instead).  Default None = exact, equal to brute force (the
+    oracle contract).
+
+    Returns one row per input doc:
+    ``(id, n_dup_partners, n_dup_starts, n_dup_chars, kept)``.
+    """
+    if min_span < k + 1:
+        raise ValueError(
+            f"min_span must be >= k + 1 (= {k + 1}) so the winnow window "
+            f"w = min_span - k + 1 is >= 2, got min_span={min_span}"
+        )
+    w = min_span - k + 1
+    fp = winnow_fingerprints(docs, id_col, text_col, k=k, w=w).where(
+        F.col("fp").isNotNull()
+    )
+    if max_fp_df is not None:
+        hot = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_fp_df)
+            .select("fp")
+        )
+        fp = fp.join(hot, "fp", "left_anti")
+    a = fp.select(F.col(id_col).alias("_ida"), "fp")
+    b = fp.select(F.col(id_col).alias("_idb"), "fp")
+    cand = (
+        a.join(b, "fp")
+        .where(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    texts = docs.select(F.col(id_col), F.col(text_col))
+    pairs = cand.join(
+        texts.select(F.col(id_col).alias("_ida"), F.col(text_col).alias("_at")),
+        "_ida",
+    ).join(
+        texts.select(F.col(id_col).alias("_idb"), F.col(text_col).alias("_bt")),
+        "_idb",
+    )
+    # sequence(1, n) DESCENDS for n < 1 and length(NULL) is NULL → guard both
+    starts = pairs.withColumn(
+        "_ss",
+        F.expr(
+            f"CASE WHEN length(_at) >= {min_span} AND length(_bt) >= {min_span} "
+            f"THEN filter(sequence(1, length(_bt) - {min_span} + 1), "
+            f"i -> contains(_at, substr(_bt, i, {min_span}))) "
+            f"ELSE CAST(array() AS array<int>) END"
+        ),
+    )
+    hit = starts.where(F.size("_ss") > 0)
+    partners = hit.groupBy("_idb").agg(
+        F.countDistinct("_ida").cast("long").alias("n_dup_partners")
+    )
+    # union of start positions across partners, then interval-union length:
+    # sorted starts s_1..s_m cover Σ min(min_span, s_j − s_{j−1}) + min_span
+    sunion = hit.select("_idb", F.explode("_ss").alias("_i")).distinct()
+    cov = (
+        sunion.groupBy("_idb")
+        .agg(F.sort_array(F.collect_list("_i")).alias("_sv"))
+        .select(
+            "_idb",
+            F.size("_sv").cast("long").alias("n_dup_starts"),
+            F.expr(
+                f"aggregate(slice(_sv, 2, greatest(size(_sv) - 1, 0)), "
+                f"named_struct('p', element_at(_sv, 1), 't', CAST({min_span} AS BIGINT)), "
+                f"(acc, s) -> named_struct('p', s, "
+                f"'t', acc.t + least(CAST({min_span} AS BIGINT), CAST(s - acc.p AS BIGINT))), "
+                f"acc -> acc.t)"
+            ).alias("n_dup_chars"),
+        )
+    )
+    verdict = partners.join(cov, "_idb")
+    return docs.select(id_col).join(
+        verdict.withColumnRenamed("_idb", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("n_dup_partners", F.lit(0)).cast("long").alias("n_dup_partners"),
+        F.coalesce("n_dup_starts", F.lit(0)).cast("long").alias("n_dup_starts"),
+        F.coalesce("n_dup_chars", F.lit(0)).cast("long").alias("n_dup_chars"),
+        F.col("n_dup_partners").isNull().alias("kept"),
+    )
+
+
 #: shared hex-nibble decode — identical expression in Spark SQL and DuckDB,
 #: exact integer math (used instead of conv()/from_hex(), which differ in
 #: signature across engines)

@@ -1223,9 +1223,22 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       planted hits exist at every sf.  The winnow prune has no false
       negatives and the verify is exact, so the oracle gates the END
       RESULT with a from-scratch doc×probe substring check — the entire
-      composition must equal brute force."""
+      composition must equal brute force;
+    - ``self_dedup_substring`` (since r12): corpus-INTERNAL exact-substring
+      self-dedup (Lee et al. 2021 ExactSubstr) — winnow self-join at span
+      24, verbatim verify, globally-first keep rule; per-doc partner count,
+      distinct start count, covered-char (trim) size, and keep verdict.
+      The oracle recomputes ALL of it brute force over every ordered doc
+      pair (the fixture corpus shares hundreds of natural 24-char spans)."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
+    sd = tx.self_dedup_substring(docs, min_span=24).select(
+        "doc_id",
+        F.col("n_dup_partners").alias("sd_partners"),
+        F.col("n_dup_starts").alias("sd_starts"),
+        F.col("n_dup_chars").alias("sd_chars"),
+        F.col("kept").cast("long").alias("sd_kept"),
+    )
     fp = tx.fingerprint(docs)
     wn = (
         tx.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
@@ -1246,7 +1259,12 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_contam_probes").alias("wd_contam_probes"),
         F.col("contaminated").cast("long").alias("wd_contaminated"),
     )
-    return fp.join(wn, "doc_id").join(conta, "doc_id").join(wd, "doc_id")
+    return (
+        fp.join(wn, "doc_id")
+        .join(conta, "doc_id")
+        .join(wd, "doc_id")
+        .join(sd, "doc_id")
+    )
 
 
 _ORACLE_WINNOW_CTE = f"""
@@ -1315,12 +1333,50 @@ wdec AS (
     FROM documents d CROSS JOIN wprobes p
   )
   GROUP BY doc_id
+),
+sd_pairs AS (
+  -- brute-force ground truth for the corpus-internal self-dedup: every
+  -- ordered pair (earlier, later), no winnow prune at all
+  SELECT a.doc_id AS ida, b.doc_id AS idb, a.text AS at2, b.text AS bt
+  FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+  WHERE length(a.text) >= 24 AND length(b.text) >= 24
+),
+sd_hit AS (
+  SELECT idb, ida, ss FROM (
+    SELECT idb, ida,
+           list_filter(generate_series(1, length(bt) - 23),
+                       i -> contains(at2, substr(bt, i, 24))) AS ss
+    FROM sd_pairs
+  ) WHERE len(ss) > 0
+),
+sd_partners AS (
+  SELECT idb, CAST(count(DISTINCT ida) AS BIGINT) AS sd_partners
+  FROM sd_hit GROUP BY idb
+),
+sd_sunion AS (SELECT DISTINCT idb, unnest(ss) AS i FROM sd_hit),
+sd_cov AS (
+  SELECT idb, CAST(count(*) AS BIGINT) AS sd_starts,
+         CAST(sum(CASE WHEN prev IS NULL THEN 24 ELSE least(24, i - prev) END) AS BIGINT) AS sd_chars
+  FROM (SELECT idb, i, lag(i) OVER (PARTITION BY idb ORDER BY i) AS prev FROM sd_sunion)
+  GROUP BY idb
+),
+sd AS (
+  SELECT d.doc_id,
+         coalesce(p.sd_partners, 0) AS sd_partners,
+         coalesce(v.sd_starts, 0) AS sd_starts,
+         coalesce(v.sd_chars, 0) AS sd_chars,
+         CAST(CASE WHEN p.idb IS NULL THEN 1 ELSE 0 END AS BIGINT) AS sd_kept
+  FROM documents d
+  LEFT JOIN sd_partners p ON d.doc_id = p.idb
+  LEFT JOIN sd_cov v ON d.doc_id = v.idb
 )
 SELECT fp.doc_id, fp.fingerprint, wn.n_fp, wn.fp_xor,
        c.n_grams, c.n_hit_grams, c.hit_frac_c,
-       w2.wd_contam_probes, w2.wd_contaminated
+       w2.wd_contam_probes, w2.wd_contaminated,
+       sd.sd_partners, sd.sd_starts, sd.sd_chars, sd.sd_kept
 FROM fp JOIN wn ON fp.doc_id = wn.doc_id JOIN conta c ON fp.doc_id = c.doc_id
 JOIN wdec w2 ON fp.doc_id = w2.doc_id
+JOIN sd ON fp.doc_id = sd.doc_id
 """
 
 
