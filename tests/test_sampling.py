@@ -336,3 +336,113 @@ def test_token_mixture_zero_token_group_drops_not_binds(spark):
     got = out.select("source", "rate_bp").distinct().collect()
     rates = {r["source"]: r["rate_bp"] for r in got}
     assert rates == {"a": 10000}  # a keeps fully; z absent entirely
+
+
+# -------------------------------------------------------------------- DSIR
+
+
+def _dsir_corpus(spark):
+    """Planted two-style corpus: even ids write target-style text (vocab A),
+    odd ids off-target (vocab B); plus NULL/empty rows."""
+    va = "alpha beta gamma delta epsilon zeta".split()
+    vb = "zero one two three four five".split()
+    rows = []
+    for i in range(60):
+        v = va if i % 2 == 0 else vb
+        words = [v[(i * 7 + j * 3) % len(v)] for j in range(20)]
+        rows.append((i, " ".join(words)))
+    rows += [(1001, None), (1002, "")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_weights_planted_distribution(spark):
+    from tikv_data_compare_spark.operators.sampling import dsir_weights
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100))
+    got = {r["doc_id"]: r for r in dsir_weights(docs, target, n_buckets=512).collect()}
+    assert len(got) == docs.count()
+    # every target-style doc outweighs every off-target doc
+    a_w = [got[i]["dsir_logw_c"] for i in range(0, 60, 2)]
+    b_w = [got[i]["dsir_logw_c"] for i in range(1, 60, 2)]
+    assert min(a_w) > max(b_w)
+    assert min(a_w) > 0 > max(b_w)
+    # feature counts: 20 unigrams + 19 bigrams per doc
+    assert all(got[i]["dsir_n_feats"] == 39 for i in range(60))
+    # NULL/empty: zero features, NULL score
+    for did in (1001, 1002):
+        assert got[did]["dsir_n_feats"] == 0 and got[did]["dsir_logw_c"] is None
+    # deterministic
+    again = {r["doc_id"]: r["dsir_logw_c"] for r in dsir_weights(
+        docs, target, n_buckets=512
+    ).collect()}
+    assert again == {k: v["dsir_logw_c"] for k, v in got.items()}
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_weights(docs, target, n_buckets=1)
+
+
+def test_dsir_sample_importance_resampling(spark):
+    from tikv_data_compare_spark.operators.sampling import dsir_sample
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100))
+    kept = dsir_sample(docs, target, tau_c=0, n_buckets=512)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    n_a = sum(1 for i in ids if i < 100 and i % 2 == 0)
+    n_b = sum(1 for i in ids if i < 100 and i % 2 == 1)
+    # weights separate by construction: all target-style docs sit above the
+    # pivot (always kept), off-target docs only survive the exponential tail
+    assert n_a == 30 and n_b < 30
+    assert 1001 not in ids and 1002 not in ids  # zero-feature docs drop
+    # audit columns present, rule replayed
+    for r in kept.collect():
+        assert r["dsir_u_c"] + r["dsir_logw_c"] >= 0
+    # raising tau keeps a subset
+    hi = {r["doc_id"] for r in dsir_sample(
+        docs, target, tau_c=2_000_000, n_buckets=512
+    ).select("doc_id").collect()}
+    assert hi <= ids
+    # deterministic
+    again = {r["doc_id"] for r in dsir_sample(
+        docs, target, tau_c=0, n_buckets=512
+    ).select("doc_id").collect()}
+    assert again == ids
+
+
+def test_curate_dsir_gate(spark):
+    """The gate needs docs that pass the upstream Gopher/repetition gates:
+    unique fillers keep dup-word-frac low, one stopword clears the ratio
+    floor, and interleaved style words carry the planted distribution."""
+    from tikv_data_compare_spark.operators.curate import curate
+
+    va = "alpha beta gamma delta epsilon zeta".split()
+    vb = "zero one two three four five".split()
+    rows = []
+    for i in range(40):
+        v = va if i % 2 == 0 else vb
+        words = []
+        for j in range(10):
+            words.append(f"u{i}w{j}")
+            words.append(v[(i * 7 + j * 3) % 6])
+        words.append("the")
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100))
+    kept, attrition = curate(docs, dsir_target=target, min_dsir_logw_c=0)
+    stages = [r["stage"] for r in attrition.collect()]
+    assert "dsir_quality" in stages
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # no off-target or unscoreable doc survives the threshold
+    assert all(i % 2 == 0 and i < 100 for i in ids)
+    assert len(ids) > 0
+    kept.unpersist()
+    # relative mode: top-50% pivot keeps exactly the target-style half even
+    # when the absolute scale shifts (weights separate by construction) —
+    # robust where min_dsir_logw_c=0 is bucket-geometry-dependent
+    kept2, attr2 = curate(docs, dsir_target=target, dsir_top_frac=0.5)
+    ids2 = {r["doc_id"] for r in kept2.select("doc_id").collect()}
+    assert all(i % 2 == 0 and i < 100 for i in ids2)
+    assert len(ids2) > 0
+    kept2.unpersist()
+    with pytest.raises(ValueError, match="dsir_top_frac"):
+        curate(docs, dsir_target=target, dsir_top_frac=1.5)

@@ -60,6 +60,10 @@ def curate(
     keep_langs: list[str] | None = None,
     max_lm_nll_c: int | None = None,
     lm_train: DataFrame | None = None,
+    dsir_target: DataFrame | None = None,
+    min_dsir_logw_c: int = 0,
+    dsir_top_frac: float | None = None,
+    dsir_n_buckets: int = 4096,
     c4_rules: bool = False,
     c4_min_kept_lines: int = 3,
     blocked_sources: list[str] | None = None,
@@ -91,6 +95,17 @@ def curate(
     ``lm_train`` optionally trains the LM on a CLEAN reference corpus
     instead of the scored input (the CCNet setup: score web text with a
     Wikipedia-trained model).
+
+    ``dsir_target`` (r12) appends a ``dsir_quality`` stage — the learned
+    quality dimension: each doc's DSIR hashed-n-gram importance weight
+    against the target corpus (``sampling.dsir_weights``, integer-frozen
+    ×1e6 log units).  Two pivot modes: ``dsir_top_frac=q`` keeps the top
+    ``q`` fraction of the corpus by weight (pivot = exact in-plan
+    quantile — the robust default for real corpora, since raw log-weights
+    shift with ``dsir_n_buckets`` and corpus mix); otherwise the absolute
+    ``min_dsir_logw_c`` threshold applies (use when you've calibrated the
+    scale, e.g. from a ``dsir_weights`` quantile probe).  Zero-feature
+    docs drop either way (unconfirmable-drops convention).
 
     ``c4_rules`` (r10) appends a ``boilerplate`` stage — the C4 cleaning
     heuristics (``text.c4_flags``): docs containing 'lorem ipsum' or a
@@ -256,6 +271,58 @@ def curate(
         )
         stage_cols.append("s_lm")
         stage_names.append("fluency")
+    if dsir_target is not None:
+        # DSIR-style learned quality gate (Xie et al. 2023): hashed-n-gram
+        # importance weight of each doc against the target corpus
+        # (sampling.dsir_weights — integer-frozen, bounded broadcast bucket
+        # tables); docs below the pivot drop, as do unscoreable docs
+        # (zero features — the fluency gate's unconfirmable-drops
+        # convention).  For RESAMPLING (probabilistic, ∝ weight) instead
+        # of thresholding, run sampling.dsir_sample downstream.
+        from tikv_data_compare_spark.operators.sampling import dsir_weights
+
+        dw = dsir_weights(
+            docs, dsir_target, id_col, text_col, n_buckets=int(dsir_n_buckets)
+        )
+        if dsir_top_frac is not None:
+            # relative mode: keep the top fraction of the corpus by weight.
+            # The pivot is the exact (1-frac)-quantile of the scored docs,
+            # derived IN-PLAN (1-row agg, broadcast) — robust to the fact
+            # that raw log-weights shift with n_buckets and corpus mix
+            # (absolute 0 can sit above every doc at fine bucket grain).
+            if not 0.0 < float(dsir_top_frac) <= 1.0:
+                raise ValueError(
+                    f"dsir_top_frac must be in (0, 1], got {dsir_top_frac}"
+                )
+            piv = (
+                dw.where(F.col("dsir_logw_c").isNotNull())
+                .agg(
+                    F.floor(
+                        F.percentile("dsir_logw_c", 1.0 - float(dsir_top_frac))
+                    ).cast("long").alias("_dsir_piv")
+                )
+            )
+            dw_ok = dw.crossJoin(F.broadcast(piv)).select(
+                id_col,
+                (
+                    F.col("dsir_logw_c").isNotNull()
+                    & (F.col("dsir_logw_c") >= F.col("_dsir_piv"))
+                ).alias("_dsir_ok"),
+            )
+        else:
+            dw_ok = dw.select(
+                id_col,
+                (
+                    F.col("dsir_logw_c").isNotNull()
+                    & (F.col("dsir_logw_c") >= int(min_dsir_logw_c))
+                ).alias("_dsir_ok"),
+            )
+        flags = flags.join(dw_ok, id_col, "left").withColumn(
+            "s_dsir",
+            F.col(stage_cols[-1]) & F.coalesce(F.col("_dsir_ok"), F.lit(False)),
+        )
+        stage_cols.append("s_dsir")
+        stage_names.append("dsir_quality")
     if c4_rules:
         c4_ok = tx.c4_flags(
             docs, id_col, text_col, min_kept_lines=c4_min_kept_lines

@@ -437,3 +437,148 @@ def token_mixture_sample(
         df, rates, group_col, content_col, bucket_col, epoch_col,
         keep_rate_col=rate_col,
     )
+
+
+def _dsir_feats(
+    frame: DataFrame, id_col: str | None, text_col: str, n_buckets: int
+) -> DataFrame:
+    """Hashed n-gram features (DSIR's representation): every word unigram
+    AND adjacent bigram of the doc, md5-hashed into ``n_buckets`` buckets —
+    one map-side explode, the same content-hash primitives as every
+    sampler.  Rows: ``(id, _b)`` (or just ``(_b,)`` when ``id_col`` is
+    None — the target side needs no ids), one per feature OCCURRENCE."""
+    ws = f"filter(split(coalesce({text_col}, ''), ' '), w -> w <> '')"
+    grams = (
+        f"CASE WHEN size({ws}) >= 2 THEN concat({ws}, "
+        f"transform(sequence(1, size({ws}) - 1), "
+        f"i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1)))) "
+        f"ELSE {ws} END"
+    )
+    ids = [F.col(id_col)] if id_col else []
+    bucket = F.expr(
+        f"((({sqlgen.hexfold_i64(_STAGE)}) % {n_buckets}) + {n_buckets}) "
+        f"% {n_buckets}"
+    ).cast("long").alias("_b")
+    return (
+        frame.select(*ids, F.explode(F.expr(grams)).alias("_g"))
+        .withColumn(_STAGE, F.md5("_g"))
+        .select(*ids, bucket)
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc by how
+    much more likely its hashed-n-gram features are under a TARGET corpus
+    (the clean/domain data you want more of) than under the raw corpus
+    itself.
+
+    Model: bag-of-hashed-n-grams with add-1 smoothing per side —
+    ``p(b) = (count_b + 1) / (total + n_buckets)`` — and the frozen
+    log-weight is the per-occurrence sum
+
+        dsir_logw_c = Σ_feat  cost_raw(b) − cost_tgt(b)
+        cost_side(b) = ROUND(1e6 · ln((T_side + B) / (c_side(b) + 1)))
+
+    Each cost is the ln of an exact-double rational ≥ 1 (single ln,
+    positive — the tfidf/ngram_lm_score freeze discipline, so round-half
+    conventions can't disagree cross-engine), and the doc score is an
+    exact integer sum.  Positive = target-like, negative = raw-typical.
+
+    Scale shape: two explode+groupBy bucket counts (partial-aggregated,
+    ≤ ``n_buckets`` result rows each), both bucket tables + 1-row totals
+    broadcast, one per-doc sum — the raw corpus text never shuffles.
+    Docs with zero features (NULL/empty text) get ``dsir_n_feats = 0``
+    and a NULL score ("can't evaluate", the ngram_lm_score convention).
+
+    Returns ``(id, dsir_n_feats, dsir_logw_c)``.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    tgt = _dsir_feats(target, None, target_text_col or text_col, n_buckets)
+    raw = _dsir_feats(df, id_col, text_col, n_buckets)
+    ct = tgt.groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias("_ct"))
+    cr = raw.groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias("_cr"))
+    tt = ct.agg(F.sum("_ct").cast("long").alias("_tt"))
+    tr = cr.agg(F.sum("_cr").cast("long").alias("_tr"))
+    scored = (
+        raw.join(F.broadcast(ct), "_b", "left")
+        .join(F.broadcast(cr), "_b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .withColumn(
+            "_w_c",
+            F.expr(
+                f"CAST(ROUND(LN((coalesce(_tr, 0) + {n_buckets}) * 1.0 / "
+                f"(coalesce(_cr, 0) + 1)) * 1000000) AS BIGINT) - "
+                f"CAST(ROUND(LN((coalesce(_tt, 0) + {n_buckets}) * 1.0 / "
+                f"(coalesce(_ct, 0) + 1)) * 1000000) AS BIGINT)"
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("dsir_n_feats"),
+        F.sum("_w_c").cast("long").alias("dsir_logw_c"),
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("dsir_n_feats", F.lit(0).cast("long")).alias("dsir_n_feats"),
+        "dsir_logw_c",
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: DataFrame,
+    tau_c: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    n_buckets: int = 4096,
+    logw_col: str = "dsir_logw_c",
+    u_col: str = "dsir_u_c",
+) -> DataFrame:
+    """DSIR importance RESAMPLING, deterministic: keep each doc with
+    probability ≈ ``min(1, exp((dsir_logw_c − tau_c) / 1e6))`` — docs at or
+    above the pivot ``tau_c`` always keep, acceptance decays exponentially
+    (∝ the importance weight) below it.  The coin is the content hash, the
+    same replay-safe primitive as every sampler here: the per-10000 bucket
+    becomes ``u = (bucket+1)/10000`` and the doc keeps iff
+
+        u_c + dsir_logw_c >= tau_c,   u_c = ROUND(1e6·ln(10000/(bucket+1)))
+
+    (``P[u_c ≥ x] = P[u ≤ e^(−x/1e6)]`` — rejection sampling in the frozen
+    log domain, integer comparisons only; the single positive ln freeze is
+    engine-exact like the weights).  ``tau_c`` is the selectivity knob in
+    the same ×1e6 log units — raise it to keep less, more target-skewed
+    data; DSIR's k-of-n resampling corresponds to setting it near the
+    corpus's k-th largest weight.  Zero-feature (NULL/empty) docs DROP —
+    an unevaluable importance ratio is not an accepted one.
+
+    Scale: :func:`dsir_weights` (bounded bucket tables, broadcast) + one
+    map-side hash + one id join of the narrow weight frame.  Output = the
+    kept rows of ``df`` plus ``(dsir_logw_c, dsir_u_c)`` for audit.
+    """
+    w = dsir_weights(
+        df, target, id_col=id_col, text_col=text_col,
+        target_text_col=target_text_col, n_buckets=n_buckets,
+    ).where(F.col("dsir_logw_c").isNotNull())
+    staged = _with_hash(df, text_col, u_col)
+    bucket = f"((({sqlgen.hexfold_i64(_STAGE)}) % 10000) + 10000) % 10000"
+    staged = staged.withColumn(
+        u_col,
+        F.expr(
+            f"CAST(ROUND(LN(10000.0 / (({bucket}) + 1)) * 1000000) AS BIGINT)"
+        ),
+    ).drop(_STAGE)
+    return (
+        staged.join(w.select(id_col, F.col("dsir_logw_c").alias(logw_col)), id_col)
+        .where(F.col(u_col) + F.col(logw_col) >= F.lit(int(tau_c)))
+    )

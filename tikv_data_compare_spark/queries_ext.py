@@ -1801,9 +1801,21 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
       observed token counts with pure integer math (u = max(1, t div w),
       rate = min(10000, 10000·u_min div u)), so the published
       share-of-tokens recipe is engine-exact; metric packs
-      rate_bp·100000 + bucket — rates AND selection hash-gate."""
+      rate_bp·100000 + bucket — rates AND selection hash-gate;
+    - ``dsir`` / ``dsir_kept`` (since r12): DSIR importance resampling
+      (Xie et al. 2023) with lang='en' docs as the target corpus:
+      ``dsir`` emits every doc's hashed-n-gram importance weight
+      (``dsir_weights``, 512 buckets, ×1e6-frozen log units, NULL for
+      zero-feature docs — the oracle recomputes the full
+      unigram+bigram → bucket → add-1-smoothed cost pipeline), and
+      ``dsir_kept`` the surviving rows of the deterministic exponential
+      rejection rule ``u_c + logw_c ≥ τ`` at τ=0 (``dsir_sample``) with
+      the content-hash coin ``u_c`` as metric — weights AND the
+      resampling rule both hash-gate."""
     tune(spark)
     from tikv_data_compare_spark.operators.sampling import (
+        dsir_sample,
+        dsir_weights,
         hash_sample,
         shard_assignments,
         sqrt_mixture_sample,
@@ -1834,10 +1846,64 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("token_mixture").alias("method"), "doc_id", "lang",
         (F.col("rate_bp") * 100000 + F.col("mix_bucket")).cast("long").alias("metric"),
     )
-    return h.unionByName(s).unionByName(sh).unionByName(mx).unionByName(tm)
+    target = docs.filter(F.col("lang") == "en")
+    ds = dsir_weights(docs, target, n_buckets=512).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
+        F.lit("dsir").alias("method"), "doc_id", "lang",
+        F.col("dsir_logw_c").alias("metric"),
+    )
+    dk = dsir_sample(docs, target, tau_c=0, n_buckets=512).select(
+        F.lit("dsir_kept").alias("method"), "doc_id", "lang",
+        F.col("dsir_u_c").alias("metric"),
+    )
+    return (
+        h.unionByName(s).unionByName(sh).unionByName(mx).unionByName(tm)
+        .unionByName(ds).unionByName(dk)
+    )
 
 
 ORACLE_SAMPLING = f"""
+-- DSIR scaffolding (r12): hashed unigram+bigram features (md5 fold mod
+-- 512), per-bucket occurrence counts for target (lang='en') vs raw, add-1
+-- smoothed costs frozen at 1e6 ln units — sampling.dsir_weights
+WITH dsir_feats AS MATERIALIZED (
+  SELECT doc_id, lang,
+         ((({sqlgen.hexfold_i64('_m')}) % 512) + 512) % 512 AS b
+  FROM (
+    SELECT doc_id, lang, md5(g) AS _m
+    FROM (
+      SELECT doc_id, lang,
+             unnest(CASE WHEN len(ws) >= 2
+                    THEN list_concat(ws, list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1]))
+                    ELSE ws END) AS g
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split(coalesce(text, ''), ' '),
+                               w -> w <> '') AS ws
+            FROM documents)
+    )
+  )
+),
+dsir_ct AS MATERIALIZED (
+  SELECT b, count(*) AS c FROM dsir_feats WHERE lang = 'en' GROUP BY 1
+),
+dsir_cr AS MATERIALIZED (
+  SELECT b, count(*) AS c FROM dsir_feats GROUP BY 1
+),
+dsir_w AS MATERIALIZED (
+  SELECT f.doc_id,
+         sum(CAST(ROUND(LN((t.tr + 512) * 1.0 / (coalesce(cr.c, 0) + 1))
+                        * 1000000) AS BIGINT)
+           - CAST(ROUND(LN((t.tt + 512) * 1.0 / (coalesce(ct.c, 0) + 1))
+                        * 1000000) AS BIGINT)) AS logw
+  FROM dsir_feats f
+  LEFT JOIN dsir_ct ct ON ct.b = f.b
+  LEFT JOIN dsir_cr cr ON cr.b = f.b
+  CROSS JOIN (SELECT (SELECT sum(c) FROM dsir_ct) AS tt,
+                     (SELECT sum(c) FROM dsir_cr) AS tr) t
+  GROUP BY 1
+)
 SELECT 'hash' AS method, doc_id, lang,
        CAST((({sqlgen.hexfold_i64('_m')} % 100) + 100) % 100 AS BIGINT) AS metric
 FROM (SELECT doc_id, lang, md5(text) AS _m FROM documents)
@@ -1910,6 +1976,26 @@ FROM (
   ) t ON t.lang = r.lang
   WHERE r.bucket < t.rate_bp
 )
+UNION ALL
+-- DSIR importance weights (r12): per-doc sum of frozen target-vs-raw
+-- costs; NULL metric = zero-feature doc — sampling.dsir_weights
+SELECT 'dsir', d.doc_id, d.lang, w.logw
+FROM documents d
+LEFT JOIN dsir_w w ON w.doc_id = d.doc_id
+UNION ALL
+-- DSIR resampling rule (r12): content-hash coin u_c, keep iff
+-- u_c + logw >= tau (tau = 0); zero-feature docs drop —
+-- sampling.dsir_sample
+SELECT 'dsir_kept', k.doc_id, k.lang, k.u_c
+FROM (
+  SELECT doc_id, lang,
+         CAST(ROUND(LN(10000.0 / (((({sqlgen.hexfold_i64('_m')}) % 10000)
+                                   + 10000) % 10000 + 1))
+                    * 1000000) AS BIGINT) AS u_c
+  FROM (SELECT doc_id, lang, md5(coalesce(text, '')) AS _m FROM documents)
+) k
+JOIN dsir_w w ON w.doc_id = k.doc_id
+WHERE w.logw IS NOT NULL AND k.u_c + w.logw >= 0
 """
 
 
