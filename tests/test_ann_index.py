@@ -174,3 +174,116 @@ def test_index_validation_errors(spark, emb, tmp_path_factory):
     ).write.mode("overwrite").parquet(f"{path}/meta")
     with pytest.raises(ValueError, match="version"):
         ai.load_ann_index(spark, path)
+
+
+# ---------------------------------------------------- streaming maintenance
+
+
+def test_ann_index_stream_chunked_equals_oneshot(spark, emb, tmp_path):
+    """Index maintained epoch-by-epoch from a stream (bootstrap build on
+    epoch 0, frozen-codebook appends after) queried at exhaustive probe +
+    full rerank must equal exact brute force over the WHOLE corpus — the
+    rerank contract is unconditional on how the index was grown."""
+    from tikv_data_compare_spark.streaming.ann_index_stream import (
+        ann_index_stream,
+    )
+
+    src = str(tmp_path / "aixs_src")
+    for m in range(3):
+        emb.filter(F.col("vec_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    idx_path = str(tmp_path / "aixs_idx")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = ann_index_stream(
+        stream, idx_path, checkpoint_location=str(tmp_path / "aixs_ckpt"),
+        build_opts={"n_cells": 8, "m": 8, "k_codes": 16},
+    )
+    query.awaitTermination(180)
+    idx = ai.load_ann_index(spark, idx_path)
+    n = emb.count()
+    assert idx.meta["n_vectors"] == n and idx.meta["last_epoch"] >= 1
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in sim.topk_bruteforce(emb, k=5, n_queries=6).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in ai.topk_index(
+            idx, _qdf(emb, 6), k=5, n_probe=8, rerank=n, emb_for_rerank=emb
+        ).collect()
+    )
+    assert got == exact
+
+
+def test_ann_index_ingest_redelivery_and_skip_idempotence(spark, emb, tmp_path):
+    """Watermarked epochs skip wholesale; a half-committed epoch (vectors
+    appended, meta swap lost) re-appends as a no-op via on_collision='skip'
+    AND completes the lost watermark."""
+    from tikv_data_compare_spark.streaming.ann_index_stream import (
+        ingest_batch_into_ann_index,
+    )
+
+    idx_path = str(tmp_path / "aixr_idx")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    opts = {"n_cells": 8, "m": 8, "k_codes": 16}
+    assert ingest_batch_into_ann_index(a, idx_path, epoch_id=0, build_opts=opts) is True
+    assert ingest_batch_into_ann_index(b, idx_path, epoch_id=1) is True
+    m1 = ai.load_ann_index(spark, idx_path).meta
+    assert m1["n_vectors"] == emb.count() and m1["last_epoch"] == 1
+    # watermark skip: same epoch again is a no-op
+    assert ingest_batch_into_ann_index(b, idx_path, epoch_id=1) is False
+    assert ai.load_ann_index(spark, idx_path).meta == m1
+    # crash-window redelivery: vectors appended but watermark lost —
+    # simulate by rolling the watermark back, then re-ingesting SAME batch
+    ai._write_meta(spark, idx_path, {**m1, "last_epoch": 0})
+    assert ingest_batch_into_ann_index(b, idx_path, epoch_id=1) is True
+    m2 = ai.load_ann_index(spark, idx_path).meta
+    # vectors NOT duplicated, watermark completed
+    assert m2["n_vectors"] == m1["n_vectors"] and m2["last_epoch"] == 1
+    n_rows = spark.read.parquet(f"{idx_path}/vectors").count()
+    assert n_rows == emb.count()
+
+
+def test_ann_index_stream_requires_checkpoint(spark, tmp_path):
+    from tikv_data_compare_spark.streaming.ann_index_stream import (
+        ann_index_stream,
+    )
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(str(tmp_path))
+    with pytest.raises(ValueError, match="checkpoint_location"):
+        ann_index_stream(stream, str(tmp_path / "i"))
+
+
+def test_append_on_collision_modes(spark, emb, tmp_path):
+    """'skip' appends only the genuinely-new vectors on overlap; 'fail'
+    refuses loudly; bad mode is rejected."""
+    idx_path = str(tmp_path / "aixc_idx")
+    ai.build_ann_index(
+        emb.filter(F.col("vec_id") < 100), idx_path, n_cells=8, m=8, k_codes=16
+    )
+    overlap = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 150))
+    n_new = overlap.filter(F.col("vec_id") >= 100).count()
+    with pytest.raises(ValueError, match="on_collision"):
+        ai.append_to_index(overlap, idx_path, on_collision="merge")
+    with pytest.raises(ValueError, match="already exist"):
+        ai.append_to_index(overlap, idx_path, on_collision="fail")
+    assert ai.append_to_index(overlap, idx_path, on_collision="skip") == n_new
+    meta = ai.load_ann_index(spark, idx_path).meta
+    assert meta["n_vectors"] == 100 + n_new
+    # all-duplicate batch: no-op append, but extra_meta still commits
+    assert (
+        ai.append_to_index(
+            overlap, idx_path, on_collision="skip", extra_meta={"last_epoch": 7}
+        )
+        == 0
+    )
+    meta = ai.load_ann_index(spark, idx_path).meta
+    assert meta["n_vectors"] == 100 + n_new and meta["last_epoch"] == 7

@@ -135,10 +135,13 @@ def build_ann_index(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_meta: dict | None = None,
 ) -> dict:
     """Train the coarse quantizer + PQ codebooks (bounded seeded samples),
     encode the corpus in one map-side pass, and persist everything under
-    ``path``.  Returns the metadata dict (also persisted).
+    ``path``.  Returns the metadata dict (also persisted).  ``extra_meta``
+    rides in the meta table (the streaming face threads its epoch
+    watermark through it — same pattern as the text/dedup indexes).
 
     Scale shape: the corpus is scanned twice (two bounded training collects
     share the first logical scan; the encode pass is the second) and never
@@ -172,6 +175,7 @@ def build_ann_index(
         # append_to_index compares appended rows against these bands, the
         # same meta-validation pattern as the checksum manifests
         "pq_mse": _pq_quant_mse(src, books, sample_rows),
+        **dict(extra_meta or {}),
     }
     _write_meta(spark, path, meta)
     return meta
@@ -225,7 +229,8 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
 
 def append_to_index(emb_new: DataFrame, path: str, id_col: str = "vec_id",
                     vec_col: str = "embedding", max_mse_ratio: float = 4.0,
-                    on_drift: str = "fail") -> int:
+                    on_drift: str = "fail", on_collision: str = "allow",
+                    extra_meta: dict | None = None) -> int:
     """Encode NEW vectors with the index's FROZEN quantizers and append them
     (the standard FAISS add() flow: codebooks never retrain on append, so
     existing codes stay valid and the append is one map-side pass over the
@@ -242,16 +247,34 @@ def append_to_index(emb_new: DataFrame, path: str, id_col: str = "vec_id",
     disables the gate.  Indexes built before the stats existed have no
     ``pq_mse`` and are not gated.
 
-    Caller contract: ids must not collide with existing index ids (same as
-    FAISS add_with_ids); exhaustive-probe + full-rerank queries remain
-    EXACT regardless of how poorly the frozen codebooks fit the new data —
-    codebook drift costs recall at selective probe, never correctness of
-    the rerank contract.
+    Id collisions (``on_collision``): ``'allow'`` (default) keeps the
+    FAISS add_with_ids contract — ids are the CALLER's responsibility and
+    no check runs (zero extra IO; a duplicated id merely duplicates a
+    candidate, it corrupts no global statistic, unlike the text index
+    where a re-appended doc flips idf — hence the different default).
+    ``'skip'`` anti-joins already-indexed ids out of the batch and appends
+    only the new vectors — the id-keyed idempotence the streaming face
+    needs (a redelivered half-committed epoch re-appends as a no-op); the
+    join touches only the index's vec_id column (8 B/row) with the small
+    batch side broadcast-able, so it scales.  ``'fail'`` checks the same
+    way and raises on any overlap.  ``extra_meta`` rides in the meta swap
+    (epoch watermark threading), and commits even when the whole batch
+    skips out — completing a lost watermark is the point.
+
+    Caller contract under ``'allow'``: ids must not collide with existing
+    index ids (same as FAISS add_with_ids); exhaustive-probe + full-rerank
+    queries remain EXACT regardless of how poorly the frozen codebooks fit
+    the new data — codebook drift costs recall at selective probe, never
+    correctness of the rerank contract.
     """
     import numpy as np
 
     if on_drift not in ("fail", "warn", "skip"):
         raise ValueError(f"on_drift must be 'fail', 'warn' or 'skip', got {on_drift!r}")
+    if on_collision not in ("allow", "skip", "fail"):
+        raise ValueError(
+            f"on_collision must be 'allow', 'skip' or 'fail', got {on_collision!r}"
+        )
     spark = emb_new.sparkSession
     idx = load_ann_index(spark, path)
     src = emb_new.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
@@ -267,6 +290,26 @@ def append_to_index(emb_new: DataFrame, path: str, id_col: str = "vec_id",
             f"dim {idx.meta['dim']} — frozen quantizers cannot encode a "
             "different vector space"
         )
+    persisted = None
+    if on_collision == "fail":
+        n_coll = (
+            idx.vectors.select("vec_id")
+            .join(F.broadcast(src.select("vec_id").distinct()), "vec_id")
+            .count()
+        )
+        if n_coll:
+            raise ValueError(
+                f"append_to_index: {n_coll} batch id(s) already exist in the "
+                f"index at {path!r} — de-overlap the batch first, or pass "
+                "on_collision='skip' for id-keyed idempotent ingest"
+            )
+    elif on_collision == "skip":
+        # anti-join out already-indexed ids; persist — the filtered frame
+        # feeds the drift sample AND the encode pass
+        src = src.join(
+            idx.vectors.select("vec_id").distinct(), "vec_id", "left_anti"
+        ).persist()
+        persisted = src
     build_mse = idx.meta.get("pq_mse")
     # empty appends bypass the gate: there is no distribution to measure
     # and nothing an empty append can degrade — pipelines legitimately
@@ -300,14 +343,21 @@ def append_to_index(emb_new: DataFrame, path: str, id_col: str = "vec_id",
     new_vecs = pq_encode(_assign_cells(src, cent_bc, "embedding"), books_bc).select(
         "vec_id", "cell", "pq_code"
     )
-    new_vecs.write.mode("append").parquet(f"{path}/vectors")
+    try:
+        new_vecs.write.mode("append").parquet(f"{path}/vectors")
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
     n_total = spark.read.parquet(f"{path}/vectors").count()
     n_new = n_total - idx.meta["n_vectors"]
     # the vectors append and this meta swap are two commits: a crash
     # between them leaves a stale (under-)count that the NEXT append
     # self-heals (n_total is always recounted from the written files) —
     # append-only semantics make that safe; the swap itself is atomic
-    _write_meta(spark, path, {**idx.meta, "n_vectors": int(n_total)})
+    _write_meta(
+        spark, path,
+        {**idx.meta, "n_vectors": int(n_total), **dict(extra_meta or {})},
+    )
     return int(n_new)
 
 

@@ -1,0 +1,216 @@
+"""Persistent dHash band index: incremental image near-dup at corpus scale.
+
+The visual sibling of the MinHash-LSH dedup index (operators/dedup_index.py)
+— at 100 TB of images you do not re-pair the whole corpus on every ingest.
+This module persists each indexed image's byte-slice band rows ONCE
+(``n_bands`` rows × ~32 B per image — the hash rides in every band row, so
+the verify stage needs no second join back to a hash table) and each new
+batch then:
+
+1. computes its OWN perceptual hashes map-side (``multimodal.image_dhash``
+   — all-integer, platform-stable, so batch hashes and stored hashes are
+   directly comparable regardless of when either side was computed);
+2. bands them through the SAME primitive as the batch self-join
+   (``multimodal.dhash_band_rows``) and equi-joins against the stored
+   band table → candidate ``(new, indexed)`` pairs — the only shuffle,
+   keyed on ``(band, slice)`` exactly like ``dhash_pairs``;
+3. verifies inline with the exact ``bit_count(xor)`` — both hashes are
+   already on the joined row;
+4. optionally appends its own band rows (:func:`append_to_dhash_index`),
+   so the NEXT batch pairs against everything ingested so far.
+
+Pigeonhole recall contract (same as ``dhash_pairs``): two hashes within
+``max_hamming <= n_bands - 1`` bit flips MUST share an unflipped band, so
+recall is complete at the stored geometry; ``n_bands`` is a BUILD
+parameter recorded in the meta and every later pass derives its banding
+from it — a batch can never be banded differently from the corpus it
+probes (the dedup-index geometry-gate contract).
+
+Layout under ``path/``:
+
+- ``bands/``  parquet ``(doc_id long, band int, slice long, dhash long)``
+              — the only corpus-sized artifact; append-only;
+- ``meta/``   one-row parquet (format version, n_bands, slice width,
+              doc count).
+
+The reference has no image surface (it is a KV-compare tool); this module
+is part of the LLM-data-pipeline extension mandated by the build brief,
+and its on-disk artifact mirrors the repo's other persisted summaries
+(dedup index, ANN index, checksum manifests: compact derived table + a
+validated one-row meta).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tikv_data_compare_spark.functions.fsutil import swap_commit
+from tikv_data_compare_spark.operators.multimodal import dhash_band_rows
+
+DHASH_INDEX_FORMAT_VERSION = 1
+_DEFAULT_N_BANDS = 8
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """One-row meta table via the shared write-then-swap seam (same
+    rationale as dedup_index/ann_index: a concurrent load must never read
+    a half-written meta)."""
+    swap_commit(
+        spark.createDataFrame([tuple(meta.values())], list(meta.keys())),
+        f"{path}/meta",
+        coalesce=1,
+    )
+
+
+@dataclass
+class DhashIndex:
+    """A loaded index: the lazy band table + the build metadata."""
+
+    bands: DataFrame  # (doc_id, band, slice, dhash)
+    meta: dict
+
+
+def build_dhash_index(
+    hashes: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    n_bands: int = _DEFAULT_N_BANDS,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Band the corpus's perceptual hashes in one map-side pass and persist
+    them (plus the meta) under ``path``.  ``hashes`` is the output of
+    ``multimodal.image_dhash`` (or any ``(id, int64)`` frame); NULL hashes
+    (undecodable images) are not indexed — they can never pair.  Returns
+    the metadata dict.
+
+    ``extra_meta`` rides in the SAME meta swap (watermark threading for a
+    future streaming face — the dedup/text/ann index convention).
+
+    Scale shape: one scan, no collect, the band explode is map-side; the
+    only write is the band table (``n_bands`` small rows/image).
+    """
+    if not 1 <= int(n_bands) <= 64:
+        raise ValueError(f"n_bands must be in [1, 64], got {n_bands}")
+    spark = hashes.sparkSession
+    swap_commit(
+        dhash_band_rows(hashes, id_col, hash_col, int(n_bands)),
+        f"{path}/bands",
+    )
+    meta = {
+        "version": DHASH_INDEX_FORMAT_VERSION,
+        "n_bands": int(n_bands),
+        "slice_width": 64 // int(n_bands),
+        # counted from the WRITTEN parquet, not a plan re-execution
+        "n_docs": int(
+            spark.read.parquet(f"{path}/bands").select("doc_id").distinct().count()
+        ),
+        **(extra_meta or {}),
+    }
+    _write_meta(spark, path, meta)
+    return meta
+
+
+def load_dhash_index(spark: SparkSession, path: str) -> DhashIndex:
+    """Reopen a persisted index: meta is collected (one row); the band
+    table stays lazy parquet.  Validation refuses a different format
+    version and an internally-inconsistent geometry (slice_width ≠
+    64 // n_bands — a corrupt or hand-edited meta), so band rows of
+    unknown provenance never silently join."""
+    metarows = spark.read.parquet(f"{path}/meta").collect()
+    if len(metarows) != 1:
+        raise ValueError(f"dhash index at {path!r} has a malformed meta table")
+    meta = metarows[0].asDict()
+    if meta.get("version") != DHASH_INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"dhash index format version {meta.get('version')} != supported "
+            f"{DHASH_INDEX_FORMAT_VERSION}"
+        )
+    nb = meta.get("n_bands")
+    if not nb or not 1 <= nb <= 64 or meta.get("slice_width") != 64 // nb:
+        raise ValueError(
+            f"dhash index at {path!r} has inconsistent band geometry: "
+            f"n_bands={nb}, slice_width={meta.get('slice_width')} — refusing "
+            "to join band rows of unknown provenance"
+        )
+    return DhashIndex(bands=spark.read.parquet(f"{path}/bands"), meta=meta)
+
+
+def query_dhash_index(
+    new_hashes: DataFrame,
+    path: str,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Verified near-dup pairs between a NEW batch and the indexed corpus:
+    ``(new_id, indexed_id, hamming)`` with ``hamming <= max_hamming``.
+    The band geometry comes from the index meta — a batch can never be
+    banded differently from the corpus it probes.
+
+    Semantics match the batch self-join (``dhash_pairs`` at the index's
+    geometry) restricted to cross pairs: hashes are per-image pure
+    functions, so querying batch B against an index of corpus A yields
+    exactly ``dhash_pairs(A ∪ B)`` filtered to one-side-in-B pairs
+    (contract-tested).  An image present in BOTH sides (same id) never
+    pairs with itself.  Recall is complete for
+    ``max_hamming <= n_bands - 1`` (pigeonhole).
+    """
+    spark = new_hashes.sparkSession
+    idx = load_dhash_index(spark, path)
+    qb = dhash_band_rows(
+        new_hashes, id_col, hash_col, idx.meta["n_bands"]
+    ).select(
+        F.col("doc_id").alias("new_id"), "band", "slice",
+        F.col("dhash").alias("_hq"),
+    )
+    ib = idx.bands.select(
+        F.col("doc_id").alias("indexed_id"), "band", "slice",
+        F.col("dhash").alias("_hi"),
+    )
+    return (
+        qb.join(ib, on=["band", "slice"])
+        .filter(F.col("new_id") != F.col("indexed_id"))
+        .select(
+            "new_id", "indexed_id",
+            F.expr("CAST(bit_count(_hq ^ _hi) AS BIGINT)").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= int(max_hamming))
+    )
+
+
+def append_to_dhash_index(
+    new_hashes: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    extra_meta: dict | None = None,
+) -> int:
+    """Add a batch's band rows to the index (one map-side pass + an
+    append-only parquet write), so later batches pair against it.  Returns
+    the number of images appended (NULL-hash rows never index).  The
+    geometry comes from the meta, so appended rows are always comparable
+    with the stored ones; ``extra_meta`` rides in the meta swap.
+
+    Caller contract: ids must not collide with indexed ids (the dedup
+    index's convention) — a re-appended id duplicates its band rows, which
+    is harmless for candidate correctness (query() is distinct) but
+    double-counts nothing since ``n_docs`` recounts distinct ids.
+
+    The bands append and the meta swap are two commits: a crash between
+    them leaves a stale (under-)count that the NEXT append's recount fixes
+    — append-only semantics make that safe (same note as the siblings).
+    """
+    spark = new_hashes.sparkSession
+    idx = load_dhash_index(spark, path)
+    dhash_band_rows(
+        new_hashes, id_col, hash_col, idx.meta["n_bands"]
+    ).write.mode("append").parquet(f"{path}/bands")
+    n_total = int(
+        spark.read.parquet(f"{path}/bands").select("doc_id").distinct().count()
+    )
+    _write_meta(spark, path, {**idx.meta, "n_docs": n_total, **(extra_meta or {})})
+    return n_total - int(idx.meta["n_docs"])

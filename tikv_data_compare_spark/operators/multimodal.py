@@ -696,6 +696,46 @@ def image_dhash(
     return _scaled(df.select(id_col, payload_col), id_col).mapInPandas(work, out_schema)
 
 
+def dhash_band_rows(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    n_bands: int = 8,
+) -> DataFrame:
+    """``(doc_id, band, slice, dhash)`` byte-slice band rows of each 64-bit
+    perceptual hash — one map-side explode, no shuffle.  The shared banding
+    primitive of :func:`dhash_pairs` (batch self-join) and the persistent
+    index (``operators/dhash_index.py``): both sides of any candidate join
+    MUST band through here so slices are always comparable.  NULL hashes
+    (undecodable images) are dropped — they can never pair."""
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"n_bands must be in [1, 64], got {n_bands}")
+    from pyspark.sql import functions as F
+
+    width = 64 // n_bands
+    h = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("dhash")
+    )
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.expr(
+                        f"{sqlgen.shiftright('dhash', j * width, sqlgen.SPARK)}"
+                        f" & {(1 << width) - 1}"
+                    ).alias("slice"),
+                )
+                for j in range(n_bands)
+            ]
+        )
+    ).alias("b")
+    return h.select("doc_id", "dhash", bands).select(
+        "doc_id", F.col("b.band").alias("band"),
+        F.col("b.slice").alias("slice"), "dhash",
+    )
+
+
 def dhash_pairs(
     hashes: DataFrame,
     max_hamming: int = 6,
@@ -713,44 +753,22 @@ def dhash_pairs(
     by band collisions.  NULL hashes (undecodable images) never pair.
 
     Returns ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``."""
-    if not 1 <= n_bands <= 64:
-        raise ValueError(f"n_bands must be in [1, 64], got {n_bands}")
     from pyspark.sql import functions as F
 
-    width = 64 // n_bands
-    h = hashes.where(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
-    )
-    bands = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.expr(
-                        f"{sqlgen.shiftright('_h', j * width, sqlgen.SPARK)}"
-                        f" & {(1 << width) - 1}"
-                    ).alias("slice"),
-                )
-                for j in range(n_bands)
-            ]
-        )
-    ).alias("b")
-    rows = h.select("_id", "_h", bands).select(
-        "_id", "_h", F.col("b.band").alias("band"), F.col("b.slice").alias("slice")
-    )
+    rows = dhash_band_rows(hashes, id_col, hash_col, n_bands)
     a, b = rows.alias("a"), rows.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.slice") == F.col("b.slice"))
-            & (F.col("a._id") < F.col("b._id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            F.col("a._h").alias("_ha"),
-            F.col("b._h").alias("_hb"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("_ha"),
+            F.col("b.dhash").alias("_hb"),
         )
         .distinct()
     )
