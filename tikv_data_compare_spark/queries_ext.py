@@ -364,10 +364,18 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``ivfpq_join_rerank``: the DataFrame-query join path (map-side query
       probing, cell equi-join, batch ADC decode, keyed rerank joins — the
       shape past the 16k driver-collect ceiling), same exact configuration;
-    - ``index_rerank`` (r8): the PERSISTED index path — build_ann_index to
-      a temp dir (train + encode + parquet write), load_ann_index back,
-      topk_index at the same exact configuration: the save → read-back →
-      query roundtrip is hash-gated, not just the in-session math.
+    - ``index_rerank`` (r8): the PERSISTED index path — the index is built
+      to a temp dir, loaded back, and queried via topk_index at the same
+      exact configuration: the save → read-back → query roundtrip is
+      hash-gated, not just the in-session math.  Since r12 the build runs
+      THROUGH THE STREAMING INGEST PATH (two ``ingest_batch_into_ann_index``
+      epoch calls: bootstrap build on the even vec_ids + watermarked
+      frozen-codebook append of the odd ones,
+      streaming/ann_index_stream.py) — codebooks train on epoch 0 only,
+      but exhaustive probe + full rerank keeps the result EXACT regardless
+      (the rerank contract), so the incremental maintenance flow is
+      hash-gated the way the dedup index's side='index_cross' gates its
+      streaming folds.
 
     Selective-probe recall and pruning stay pytest-covered
     (tests/test_similarity.py, tests/test_pq.py)."""
@@ -400,7 +408,17 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qdf, k=5, n_cells=8, n_probe=8, m=8, k_codes=32, rerank=n
     )
     idx_path = os.path.join(fsutil.scratch_dir(prefix="ann_idx_"), "idx")
-    ai.build_ann_index(emb, idx_path, n_cells=8, m=8, k_codes=32)
+    from tikv_data_compare_spark.streaming.ann_index_stream import (
+        ingest_batch_into_ann_index,
+    )
+
+    ingest_batch_into_ann_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx_path, epoch_id=0,
+        build_opts={"n_cells": 8, "m": 8, "k_codes": 32},
+    )
+    ingest_batch_into_ann_index(
+        emb.filter(F.col("vec_id") % 2 == 1), idx_path, epoch_id=1
+    )
     via_index = ai.topk_index(
         ai.load_ann_index(spark, idx_path), qdf, k=5, n_probe=8, rerank=n,
         emb_for_rerank=emb,
@@ -1493,7 +1511,13 @@ def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       banded hamming pair join over a doc_id % 23 subset — the oracle
       rederives the hash as 64 integer comparisons over doc_id and the
       pairs as a brute-force bit_count(xor) self-join (equal by the
-      pigeonhole recall guarantee).
+      pigeonhole recall guarantee);
+    - ``dh_idx_pairs`` (r12): the PERSISTENT dHash index path
+      (operators/dhash_index.py) — the even multiples of 23 build an
+      on-disk band index, the odd multiples query it, and the cross pairs
+      must equal the oracle's brute-force cross restriction: the
+      build → parquet → load → query roundtrip is inside the hash gate
+      (the dedup-index side='index_cross' pattern).
 
     The oracle recomputes every field arithmetically from doc_id/text.
 
@@ -1665,10 +1689,43 @@ def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.coalesce("dh_pairs", F.lit(0)).cast("long").alias("dh_pairs")
         )
     )
+    # persistent dHash index path (r12): the even multiples of 23 build an
+    # on-disk band index (operators/dhash_index.py), the odd multiples
+    # query it — hashes are per-image pure functions and recall is complete
+    # at max_hamming 6 ≤ n_bands−1 (pigeonhole), so the cross pairs must
+    # equal the brute-force cross restriction the oracle computes; the
+    # build → parquet → load → query roundtrip sits inside the hash gate
+    # (the dedup-index side='index_cross' pattern)
+    import os as _os
+
+    from tikv_data_compare_spark.operators import dhash_index as dhi
+
+    sub = dh.where(F.col("doc_id") % 23 == 0)
+    idx_path = _os.path.join(fsutil.scratch_dir(prefix="dhash_idx_"), "idx")
+    dhi.build_dhash_index(sub.where(F.col("doc_id") % 46 == 0), idx_path, n_bands=8)
+    dcross = dhi.query_dhash_index(
+        sub.where(F.col("doc_id") % 46 != 0), idx_path, max_hamming=6
+    )
+    didx_counts = (
+        dh.select("doc_id")
+        .join(
+            dcross.selectExpr("new_id AS doc_id")
+            .unionAll(dcross.selectExpr("indexed_id AS doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("dh_idx_pairs")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("dh_idx_pairs", F.lit(0)).cast("long").alias("dh_idx_pairs"),
+        )
+    )
 
     return (
         with_meta.join(frames, "doc_id").join(pcm, "doc_id")
         .join(resized, "doc_id").join(dh, "doc_id").join(dpair_counts, "doc_id")
+        .join(didx_counts, "doc_id")
     )
 
 
@@ -1750,13 +1807,26 @@ dpc AS (
       SELECT doc_a AS doc_id FROM dpe UNION ALL SELECT doc_b FROM dpe
     ) GROUP BY doc_id
   ) p ON d.doc_id = p.doc_id
+),
+dpi AS (
+  -- persistent-index cross pairs (r12): even-multiple-of-23 corpus vs
+  -- odd-multiple batch; complete recall at the same pigeonhole radius, so
+  -- the index roundtrip must reproduce this brute-force cross restriction
+  SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS dh_idx_pairs
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS n FROM (
+      SELECT doc_a AS doc_id FROM dpe WHERE (doc_a % 46 = 0) <> (doc_b % 46 = 0)
+      UNION ALL
+      SELECT doc_b FROM dpe WHERE (doc_a % 46 = 0) <> (doc_b % 46 = 0)
+    ) GROUP BY doc_id
+  ) p ON d.doc_id = p.doc_id
 )
 SELECT meta.doc_id, meta.n_bytes, meta.content_id, meta.n_chunks,
        img.format, img.width, img.height,
        aud.channels, aud.sample_rate, aud.bits, aud.data_size, aud.duration_ms,
        frames.n_frames, frames.max_offset,
        pcm.pcm_frames, pcm.pcm_rms_c_sum, pcm.pcm_peak_max,
-       rsz.resized_hex, dhx.dhash, dpc.dh_pairs
+       rsz.resized_hex, dhx.dhash, dpc.dh_pairs, dpi.dh_idx_pairs
 FROM meta
 JOIN img ON meta.doc_id = img.doc_id
 JOIN aud ON meta.doc_id = aud.doc_id
@@ -1765,6 +1835,7 @@ JOIN pcm ON meta.doc_id = pcm.doc_id
 JOIN rsz ON meta.doc_id = rsz.doc_id
 JOIN dhx ON meta.doc_id = dhx.doc_id
 JOIN dpc ON meta.doc_id = dpc.doc_id
+JOIN dpi ON meta.doc_id = dpi.doc_id
 """
 
 

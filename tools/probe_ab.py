@@ -69,6 +69,18 @@ def main():
         ).count(),
         "funnel_gaps": lambda: qm.q_events_funnel_gaps(spark, sf_dir).count(),
     }
+    # r11-verdict task 7 entries (bench.py-identical shapes); guarded so the
+    # script still runs on tips that predate them
+    from tikv_data_compare_spark.operators import dedup as dd
+
+    benches["dedup_simhash"] = lambda: dd.simhash(
+        documents, "doc_id", "text", algo="xxhash64"
+    ).count()
+    if hasattr(dd, "dedup_lines") and hasattr(qe, "LINE_SYNTH"):
+        benches["dedup_lines"] = lambda: dd.dedup_lines(
+            documents.select("doc_id", F.expr(qe.LINE_SYNTH).alias("t2")),
+            "doc_id", "t2",
+        ).count()
     ops = sys.argv[2:] or ["curation_pipeline", "export_hex"]
     benches = {k: benches[k] for k in ops}
 
