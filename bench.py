@@ -37,6 +37,7 @@ def main():
     from tikv_data_compare_spark.model import Keyed
     from tikv_data_compare_spark.operators import clustering as clu
     from tikv_data_compare_spark.operators import dedup as dd
+    from tikv_data_compare_spark.operators import sampling as sp
     from tikv_data_compare_spark.operators import similarity as sim
     from tikv_data_compare_spark.operators import text as tx
     from tikv_data_compare_spark.operators.checksum import compare_checksum
@@ -158,6 +159,14 @@ def main():
             tx.train_bpe_merges(documents.select("doc_id", "text")),
         ).count(),
         "curation_pipeline": lambda: qe.q_curation_pipeline(spark, sf_dir).count(),
+        # r12: DSIR importance resampling — two bounded bucket-count aggs
+        # (broadcast), map-side feature scoring, deterministic exponential
+        # rejection; target = the corpus's English docs
+        "dsir_sample": lambda: sp.dsir_sample(
+            documents.select("doc_id", "text"),
+            documents.filter(F.col("lang") == "en").select("doc_id", "text"),
+            tau_c=0, n_buckets=4096,
+        ).count(),
     }
 
     debug = os.environ.get("SPARK_GRAFT_BENCH_DEBUG", "") not in ("", "0")

@@ -1020,3 +1020,61 @@ def test_cli_ingest_and_imagehash_flag_guards(capsys, spark, tmp_path):
     # --pairs-out without --pairs: refused
     rc = cli.main(["imagehash", "--src", src, "--pairs-out", str(tmp_path / "p")])
     assert rc == 2 and "--pairs" in capsys.readouterr().err
+
+
+def test_cli_imagehash_index_roundtrip(capsys, spark, tmp_path):
+    """build-index → append-index → index query through the CLI: the
+    persisted-band path finds the same near-dup the batch self-join does."""
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo/tests")
+    from test_multimodal import _gradient_png
+
+    base = _gradient_png(32, 32)
+    noisy = _gradient_png(32, 32, noise={(5, 5): 250})
+    corpus = str(tmp_path / "corpus.pq")
+    spark.createDataFrame(
+        [(1, bytearray(base))], "doc_id long, payload binary"
+    ).write.mode("overwrite").parquet(corpus)
+    batch = str(tmp_path / "batch.pq")
+    spark.createDataFrame(
+        [(2, bytearray(noisy)), (3, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    ).write.mode("overwrite").parquet(batch)
+    idx = str(tmp_path / "dhidx")
+    rc = cli.main(["imagehash", "--src", corpus, "--build-index", idx])
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_docs"] == 1 and built["n_bands"] == 8
+    rc = cli.main(["imagehash", "--src", batch, "--index", idx])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["pairs"] == 1  # noisy ~ base; junk undecodable, never pairs
+    rc = cli.main(["imagehash", "--src", batch, "--append-index", idx])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["appended"] == 1  # junk's NULL hash never indexes
+    # mutual exclusion guard
+    rc = cli.main(["imagehash", "--src", batch, "--index", idx,
+                   "--build-index", str(tmp_path / "x")])
+    assert rc == 2 and "mutually exclusive" in capsys.readouterr().err
+
+
+def test_cli_sample_dsir(capsys, spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "d.pq")
+    docs.select("doc_id", "lang", "text").write.mode("overwrite").parquet(src)
+    tgt = str(tmp_path / "t.pq")
+    docs.filter("lang = 'en'").select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(tgt)
+    out = str(tmp_path / "kept.pq")
+    rc = cli.main(["sample", "--src", src, "--method", "dsir",
+                   "--target", tgt, "--out", out])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = spark.read.parquet(out)
+    assert 0 < res["rows"] == kept.count() < docs.count()
+    assert {"dsir_logw_c", "dsir_u_c"} <= set(kept.columns)
+    # missing --target is a loud usage error
+    rc = cli.main(["sample", "--src", src, "--method", "dsir"])
+    assert rc == 2 and "--target" in capsys.readouterr().err

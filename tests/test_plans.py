@@ -498,3 +498,19 @@ def test_token_mixture_broadcasts_rates(spark, documents):
     assert "BroadcastHashJoin" in plans.join_strategies(df)
     s = plans.plan_string(df)
     assert "CartesianProduct" not in s
+
+
+def test_dsir_weights_broadcasts_bucket_tables(spark, documents):
+    """The two bounded bucket-count tables (≤ n_buckets rows each) and the
+    1-row totals broadcast into the per-occurrence scoring join — the raw
+    corpus features never sit on the build side of a shuffle join; partial
+    aggregation (map-side combine) covers the bucket counts themselves."""
+    from tikv_data_compare_spark.operators.sampling import dsir_weights
+
+    docs = documents.select("doc_id", "text").limit(300)
+    target = documents.select("doc_id", "text").limit(100)
+    df = dsir_weights(docs, target, n_buckets=256)
+    assert "BroadcastHashJoin" in plans.join_strategies(df)
+    assert plans.has_partial_aggregation(df)
+    s = plans.plan_string(df)
+    assert "CartesianProduct" not in s

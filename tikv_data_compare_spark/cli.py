@@ -268,7 +268,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--src", required=True, help="documents parquet (dir or file)")
     p.add_argument("--method", default="hash",
                    choices=["hash", "stratified", "shard", "mixture",
-                            "token-mixture", "sqrt-mixture"])
+                            "token-mixture", "sqrt-mixture", "dsir"])
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--pct", type=int, default=10, help="hash: keep percentage")
@@ -284,6 +284,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--epochs-for-full", type=int, default=1,
                    help="sqrt-mixture: replicate full-rate (smallest) groups "
                         "this many times with an epoch index")
+    p.add_argument("--target", default="",
+                   help="dsir: target-corpus parquet (the clean/domain data "
+                        "you want more of); weights score --src against it")
+    p.add_argument("--tau-c", type=int, default=0,
+                   help="dsir: selectivity pivot in the x1e6 log units of "
+                        "dsir_logw_c — raise to keep less, more target-skewed "
+                        "data")
+    p.add_argument("--n-buckets", type=int, default=4096,
+                   help="dsir: hashed n-gram feature buckets")
     p.add_argument("--out", default="", help="write result parquet here")
     p.add_argument("--concurrency", type=int, default=0)
 
@@ -440,6 +449,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="also emit near-dup pairs (banded hamming join)")
     p.add_argument("--max-hamming", type=int, default=6)
     p.add_argument("--pairs-out", default="", help="with --pairs: write pairs parquet here")
+    p.add_argument("--n-bands", type=int, default=8,
+                   help="band count for --pairs / --build-index (pigeonhole: "
+                        "recall complete for max-hamming <= n-bands - 1)")
+    p.add_argument("--build-index", default="",
+                   help="persist --src's band rows as a dhash index here and "
+                        "exit (operators/dhash_index.py; later runs query it "
+                        "via --index)")
+    p.add_argument("--append-index", default="",
+                   help="band --src's hashes with this index's stored "
+                        "geometry and append them")
+    p.add_argument("--index", default="",
+                   help="near-dup pairs of --src's images against this "
+                        "persisted index (instead of the batch self-join)")
     p.add_argument("--concurrency", type=int, default=0)
 
     # sliding-window passage chunking: cut long documents into word windows
@@ -745,6 +767,7 @@ def main(argv: list[str] | None = None) -> int:
             return 2
 
     if args.cmd == "imagehash":
+        from tikv_data_compare_spark.operators import dhash_index as dhi
         from tikv_data_compare_spark.operators.multimodal import (
             dhash_pairs,
             image_dhash,
@@ -753,8 +776,46 @@ def main(argv: list[str] | None = None) -> int:
         if args.pairs_out and not args.pairs:
             print("imagehash: --pairs-out requires --pairs", file=sys.stderr)
             return 2
+        chosen = [
+            f for f, v in (("--build-index", args.build_index),
+                           ("--append-index", args.append_index),
+                           ("--index", args.index)) if v
+        ]
+        if len(chosen) > 1:
+            print(
+                f"imagehash: {' and '.join(chosen)} are mutually exclusive",
+                file=sys.stderr,
+            )
+            return 2
         src = spark.read.parquet(args.src)
         hashes = image_dhash(src, id_col=args.id_col, payload_col=args.payload_col)
+        if args.build_index:
+            meta = dhi.build_dhash_index(
+                hashes, args.build_index, id_col=args.id_col,
+                n_bands=args.n_bands,
+            )
+            print(json.dumps({"built": args.build_index, **meta}))
+            return 0
+        if args.append_index:
+            n = dhi.append_to_dhash_index(
+                hashes, args.append_index, id_col=args.id_col
+            )
+            print(json.dumps({"appended": n, "index": args.append_index}))
+            return 0
+        if args.index:
+            pairs = dhi.query_dhash_index(
+                hashes, args.index, max_hamming=args.max_hamming,
+                id_col=args.id_col,
+            )
+            result = {"index": args.index}
+            if args.pairs_out:
+                pairs.write.mode("overwrite").parquet(args.pairs_out)
+                result["pairs_out"] = args.pairs_out
+                result["pairs"] = spark.read.parquet(args.pairs_out).count()
+            else:
+                result["pairs"] = pairs.count()
+            print(json.dumps(result))
+            return 0
         if args.out:
             hashes.write.mode("overwrite").parquet(args.out)
             hashes = spark.read.parquet(args.out)  # hash once, reuse for pairs
@@ -770,7 +831,8 @@ def main(argv: list[str] | None = None) -> int:
             result["out"] = args.out
         if args.pairs:
             pairs = dhash_pairs(
-                hashes, max_hamming=args.max_hamming, id_col=args.id_col
+                hashes, max_hamming=args.max_hamming, id_col=args.id_col,
+                n_bands=args.n_bands,
             )
             if args.pairs_out:
                 pairs.write.mode("overwrite").parquet(args.pairs_out)
@@ -913,6 +975,17 @@ def main(argv: list[str] | None = None) -> int:
                 out_df = sp.token_mixture_sample(
                     docs, targets, group_col=args.group_col,
                     content_col=args.text_col,
+                )
+            elif args.method == "dsir":
+                if not args.target:
+                    raise ValueError(
+                        "--method dsir requires --target (the target-corpus "
+                        "parquet the importance weights score against)"
+                    )
+                out_df = sp.dsir_sample(
+                    docs, spark.read.parquet(args.target),
+                    tau_c=args.tau_c, id_col=args.id_col,
+                    text_col=args.text_col, n_buckets=args.n_buckets,
                 )
             else:  # sqrt-mixture
                 out_df = sp.sqrt_mixture_sample(
