@@ -123,3 +123,97 @@ def test_load_validation(spark, tmp_path):
     dhi._write_meta(spark, p, bad)
     with pytest.raises(ValueError, match="geometry"):
         dhi.load_dhash_index(spark, p)
+
+
+# ---------------------------------------------------- streaming maintenance
+
+
+def _png_rows(spark, ids_and_payloads):
+    return spark.createDataFrame(ids_and_payloads, "doc_id long, payload binary")
+
+
+def test_dhash_index_stream_chunked_equals_oneshot(spark, tmp_path):
+    """Index maintained epoch-by-epoch from an image stream finds the same
+    cross pairs as an index built one-shot from the union."""
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo/tests")
+    from test_multimodal import _gradient_png
+
+    from tikv_data_compare_spark.operators.multimodal import image_dhash
+    from tikv_data_compare_spark.streaming.dhash_index_stream import (
+        dhash_index_stream,
+    )
+
+    base = _gradient_png(32, 32)
+    noisy = _gradient_png(32, 32, noise={(5, 5): 250})
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(noisy)),
+        (3, bytearray(b"junk")),
+        (4, bytearray(_gradient_png(32, 32, noise={(1, 1): 9, (9, 9): 200}))),
+    ]
+    src = str(tmp_path / "dhxs_src")
+    for lo, hi in ((1, 3), (3, 5)):
+        _png_rows(
+            spark, [r for r in rows if lo <= r[0] < hi]
+        ).coalesce(1).write.mode("append").parquet(src)
+    idx = str(tmp_path / "dhxs_idx")
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = dhash_index_stream(
+        stream, idx, checkpoint_location=str(tmp_path / "dhxs_ckpt")
+    )
+    q.awaitTermination(120)
+    m = dhi.load_dhash_index(spark, idx).meta
+    assert m["n_docs"] == 3 and m["last_epoch"] >= 1  # junk never indexes
+    # a fresh probe image pairs against epoch-0 AND epoch-1 content
+    probe = image_dhash(_png_rows(spark, [(9, bytearray(base))]))
+    got = {
+        (r["new_id"], r["indexed_id"])
+        for r in dhi.query_dhash_index(probe, idx, max_hamming=64).collect()
+    }
+    assert got == {(9, 1), (9, 2), (9, 4)}
+
+
+def test_dhash_index_ingest_watermark_skip(spark, tmp_path):
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo/tests")
+    from test_multimodal import _gradient_png
+
+    from tikv_data_compare_spark.streaming.dhash_index_stream import (
+        ingest_batch_into_dhash_index,
+    )
+
+    a = _png_rows(spark, [(1, bytearray(_gradient_png(32, 32)))])
+    b = _png_rows(
+        spark, [(2, bytearray(_gradient_png(32, 32, noise={(5, 5): 250})))]
+    )
+    idx = str(tmp_path / "dhxw_idx")
+    assert ingest_batch_into_dhash_index(a, idx, epoch_id=0) is True
+    assert ingest_batch_into_dhash_index(b, idx, epoch_id=1) is True
+    m1 = dhi.load_dhash_index(spark, idx).meta
+    assert m1["n_docs"] == 2 and m1["last_epoch"] == 1
+    # watermark skip: same epoch again is a no-op
+    assert ingest_batch_into_dhash_index(b, idx, epoch_id=1) is False
+    assert dhi.load_dhash_index(spark, idx).meta == m1
+    # crash-window redelivery: duplicate band rows are harmless (distinct
+    # query, distinct n_docs recount) and the lost watermark completes
+    dhi._write_meta(spark, idx, {**m1, "last_epoch": 0})
+    assert ingest_batch_into_dhash_index(b, idx, epoch_id=1) is True
+    m2 = dhi.load_dhash_index(spark, idx).meta
+    assert m2["n_docs"] == 2 and m2["last_epoch"] == 1
+
+
+def test_dhash_index_stream_requires_checkpoint(spark, tmp_path):
+    from tikv_data_compare_spark.streaming.dhash_index_stream import (
+        dhash_index_stream,
+    )
+
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(
+        str(tmp_path)
+    )
+    with pytest.raises(ValueError, match="checkpoint_location"):
+        dhash_index_stream(stream, str(tmp_path / "i"))
