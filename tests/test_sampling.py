@@ -446,3 +446,68 @@ def test_curate_dsir_gate(spark):
     kept2.unpersist()
     with pytest.raises(ValueError, match="dsir_top_frac"):
         curate(docs, dsir_target=target, dsir_top_frac=1.5)
+
+
+# ------------------------------------------------------------ token budget
+
+
+def test_token_budget_fill_matches_brute_force(spark):
+    """Kept set == the greedy prefix of the (hash, id) order whose
+    cumulative-before token count is under budget — verified against a
+    pure-Python recomputation, audit columns exact."""
+    import hashlib
+
+    from tikv_data_compare_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(5 + i % 7))) for i in range(40)]
+    rows += [(100, None), (101, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def fold(text):
+        h = hashlib.md5((text or "").encode()).hexdigest()
+        v = 0
+        for c in h[:15]:
+            v = v * 16 + int(c, 16)
+        return v
+
+    ordered = sorted(
+        ((fold(t), i, len((t or "").split(" "))) for i, t in rows),
+    )
+    want, cum = {}, 0
+    for h, i, n in ordered:
+        if cum < 120:
+            want[i] = (cum, n)
+        cum += n
+    got = {
+        r["doc_id"]: (r["tokens_before"], r["n_tokens"])
+        for r in token_budget_sample(docs, 120).collect()
+    }
+    assert got == want and 0 < len(got) < len(rows)
+    # whole-corpus budget keeps everything
+    assert token_budget_sample(docs, 10_000_000).count() == len(rows)
+    # budget 1 keeps exactly the first doc in hash order
+    first = token_budget_sample(docs, 1).collect()
+    assert len(first) == 1 and first[0]["tokens_before"] == 0
+    with pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_sample(docs, 0)
+    with pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_sample(docs, True)
+
+
+def test_token_budget_score_order(spark):
+    """With a score column, high scores admit first; hash+id break ties
+    deterministically."""
+    from tikv_data_compare_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "a b c d e", (i % 5) * 100) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, q long")
+    kept = token_budget_sample(docs, 60, score_col="q")  # 12 docs of 5 tokens
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert len(ids) == 12
+    # the 6 score-400 and 6 score-300 docs fill the budget exactly
+    assert all(i % 5 in (3, 4) for i in ids)
+    again = {
+        r["doc_id"]
+        for r in token_budget_sample(docs, 60, score_col="q").select("doc_id").collect()
+    }
+    assert again == ids

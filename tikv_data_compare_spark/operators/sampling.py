@@ -582,3 +582,95 @@ def dsir_sample(
         staged.join(w.select(id_col, F.col("dsir_logw_c").alias(logw_col)), id_col)
         .where(F.col(u_col) + F.col(logw_col) >= F.lit(int(tau_c)))
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    score_col: str | None = None,
+    ntok_col: str | None = None,
+    before_col: str = "tokens_before",
+    ntok_out_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy token-budget fill — the "select N training tokens" op every
+    pretraining pipeline runs once the per-doc quality work is done: order
+    the corpus by ``(score desc, content hash, id)`` (content-hash order
+    when ``score_col`` is None — a deterministic pseudo-random fill) and
+    admit docs while the cumulative token count BEFORE them is under
+    ``budget_tokens``.  The budget-crossing doc is admitted, so overshoot
+    is bounded by one document; every doc with ``tokens_before <
+    budget_tokens`` keeps, everything after drops.  Deterministic by
+    content (the sampler-family replay contract): no RNG, no
+    partition-order dependence.
+
+    Token counts default to whitespace ``size(split(text, ' '))`` (the
+    ``token_mixture_sample`` convention); ``ntok_col`` substitutes a
+    precomputed count (e.g. trained-BPE ``n_tokens_subword``).  Scores
+    should be integer-frozen columns (the repo-wide discipline) so the
+    order — and therefore the kept set — replays across engines.
+
+    Scale shape: ``scan.with_global_index``'s bucketed-prefix pattern
+    generalized from COUNT to SUM — each row gets a data-derived
+    range-bucket id (driver-sampled boundary literals, pure function of
+    the row), a per-bucket window cumsum covers the local prefix, and a
+    tiny broadcast join adds each bucket's cumulative token offset
+    (#buckets rows).  No global single-partition window anywhere, so the
+    plan survives a 100× scale-up; one scan of the input plus the bounded
+    boundary-sampling pass.
+
+    Returns the kept rows of ``df`` plus ``(n_tokens, tokens_before)``
+    for audit (``tokens_before`` is also the admission proof: it is
+    strictly under the budget on every kept row).
+    """
+    from tikv_data_compare_spark.operators.scan import _range_bucket_expr
+
+    if isinstance(budget_tokens, bool) or not isinstance(budget_tokens, int):
+        raise ValueError(f"budget_tokens must be an integer, got {budget_tokens!r}")
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    ntok = (
+        F.col(ntok_col).cast("long")
+        if ntok_col
+        else F.size(
+            F.split(F.coalesce(F.col(content_col).cast("string"), F.lit("")), " ")
+        ).cast("long")
+    )
+    staged = _with_hash(df, content_col, "_tb_h")
+    staged = staged.withColumn(
+        "_tb_h", F.expr(sqlgen.hexfold_i64(_STAGE))
+    ).drop(_STAGE).withColumn("_tb_n", ntok)
+    order_cols = ["_tb_h", id_col]
+    if score_col is not None:
+        # negate so ascending bucket/window order = descending score;
+        # double negation keeps any numeric score type orderable
+        staged = staged.withColumn("_tb_s", -F.col(score_col).cast("double"))
+        order_cols = ["_tb_s"] + order_cols
+    n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    bucket = _range_bucket_expr(staged, order_cols, n)
+    w = (
+        Window.partitionBy("_bid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = staged.withColumn("_bid", bucket).withColumn(
+        "_tb_local", F.coalesce(F.sum("_tb_n").over(w), F.lit(0))
+    )
+    # bucket token totals: #buckets rows — the single-partition window is
+    # on tiny data, exactly the with_global_index offsets shape
+    woff = Window.orderBy("_bid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_bid")
+        .agg(F.sum("_tb_n").alias("_cnt"))
+        .withColumn("_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)))
+        .select("_bid", "_off")
+    )
+    out = (
+        local.join(F.broadcast(offsets), "_bid")
+        .withColumn(before_col, (F.col("_tb_local") + F.col("_off")).cast("long"))
+        .where(F.col(before_col) < int(budget_tokens))
+        .withColumn(ntok_out_col, F.col("_tb_n"))
+        .drop("_bid", "_tb_local", "_off", "_tb_h", "_tb_n")
+    )
+    return out.drop("_tb_s") if score_col is not None else out

@@ -1882,7 +1882,12 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``dsir_kept`` the surviving rows of the deterministic exponential
       rejection rule ``u_c + logw_c ≥ τ`` at τ=0 (``dsir_sample``) with
       the content-hash coin ``u_c`` as metric — weights AND the
-      resampling rule both hash-gate."""
+      resampling rule both hash-gate;
+    - ``token_budget`` (since r12): the greedy token-budget fill
+      (``token_budget_sample``, 15k-token budget in content-hash order):
+      metric = the cumulative token count BEFORE each kept doc, so the
+      bucketed-prefix machinery (no single-partition window) hash-gates
+      against the oracle's one-window cumulative sum."""
     tune(spark)
     from tikv_data_compare_spark.operators.sampling import (
         dsir_sample,
@@ -1891,6 +1896,7 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_assignments,
         sqrt_mixture_sample,
         stratified_sample,
+        token_budget_sample,
         token_mixture_sample,
     )
 
@@ -1928,9 +1934,13 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dsir_kept").alias("method"), "doc_id", "lang",
         F.col("dsir_u_c").alias("metric"),
     )
+    tb = token_budget_sample(docs, 15000).select(
+        F.lit("token_budget").alias("method"), "doc_id", "lang",
+        F.col("tokens_before").alias("metric"),
+    )
     return (
         h.unionByName(s).unionByName(sh).unionByName(mx).unionByName(tm)
-        .unionByName(ds).unionByName(dk)
+        .unionByName(ds).unionByName(dk).unionByName(tb)
     )
 
 
@@ -2067,6 +2077,22 @@ FROM (
 ) k
 JOIN dsir_w w ON w.doc_id = k.doc_id
 WHERE w.logw IS NOT NULL AND k.u_c + w.logw >= 0
+UNION ALL
+-- greedy token-budget fill (r12): cumulative whitespace-token prefix in
+-- (content-hash, doc_id) order, docs admitted while the tokens BEFORE
+-- them are under the budget — sampling.token_budget_sample
+SELECT 'token_budget', doc_id, lang, CAST(before_t AS BIGINT)
+FROM (
+  SELECT doc_id, lang,
+         coalesce(SUM(t) OVER (ORDER BY h, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS before_t
+  FROM (SELECT doc_id, lang, len(string_split(coalesce(text, ''), ' ')) AS t,
+               {sqlgen.hexfold_i64('_m')} AS h
+        FROM (SELECT doc_id, lang, text, md5(coalesce(text, '')) AS _m
+              FROM documents))
+)
+WHERE before_t < 15000
 """
 
 
