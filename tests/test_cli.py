@@ -1078,3 +1078,20 @@ def test_cli_sample_dsir(capsys, spark, tmp_path):
     # missing --target is a loud usage error
     rc = cli.main(["sample", "--src", src, "--method", "dsir"])
     assert rc == 2 and "--target" in capsys.readouterr().err
+
+
+def test_cli_sample_token_budget(capsys, spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "tbd.pq")
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "tbk.pq")
+    rc = cli.main(["sample", "--src", src, "--method", "token-budget",
+                   "--budget-tokens", "500", "--out", out])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = spark.read.parquet(out)
+    assert 0 < res["rows"] == kept.count() < docs.count()
+    assert kept.agg({"tokens_before": "max"}).collect()[0][0] < 500
+    # missing --budget-tokens is a loud usage error
+    rc = cli.main(["sample", "--src", src, "--method", "token-budget"])
+    assert rc == 2 and "--budget-tokens" in capsys.readouterr().err

@@ -268,7 +268,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--src", required=True, help="documents parquet (dir or file)")
     p.add_argument("--method", default="hash",
                    choices=["hash", "stratified", "shard", "mixture",
-                            "token-mixture", "sqrt-mixture", "dsir"])
+                            "token-mixture", "sqrt-mixture", "dsir",
+                            "token-budget"])
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--pct", type=int, default=10, help="hash: keep percentage")
@@ -293,6 +294,13 @@ def main(argv: list[str] | None = None) -> int:
                         "data")
     p.add_argument("--n-buckets", type=int, default=4096,
                    help="dsir: hashed n-gram feature buckets")
+    p.add_argument("--budget-tokens", type=int, default=0,
+                   help="token-budget: admit docs (best score first, then "
+                        "content-hash order) while the cumulative token "
+                        "count stays under this")
+    p.add_argument("--score-col", default="",
+                   help="token-budget: optional score column — higher "
+                        "scores admit first (integer-frozen scores replay)")
     p.add_argument("--out", default="", help="write result parquet here")
     p.add_argument("--concurrency", type=int, default=0)
 
@@ -986,6 +994,17 @@ def main(argv: list[str] | None = None) -> int:
                     docs, spark.read.parquet(args.target),
                     tau_c=args.tau_c, id_col=args.id_col,
                     text_col=args.text_col, n_buckets=args.n_buckets,
+                )
+            elif args.method == "token-budget":
+                if args.budget_tokens < 1:
+                    raise ValueError(
+                        "--method token-budget requires a positive "
+                        "--budget-tokens"
+                    )
+                out_df = sp.token_budget_sample(
+                    docs, args.budget_tokens, id_col=args.id_col,
+                    content_col=args.text_col,
+                    score_col=args.score_col or None,
                 )
             else:  # sqrt-mixture
                 out_df = sp.sqrt_mixture_sample(
