@@ -511,3 +511,27 @@ def test_token_budget_score_order(spark):
         for r in token_budget_sample(docs, 60, score_col="q").select("doc_id").collect()
     }
     assert again == ids
+
+
+def test_token_budget_null_scores_admit_last(spark):
+    """NULL scores (e.g. dsir_weights' zero-feature docs) must not crash
+    boundary sampling or corrupt the prefix — they admit LAST,
+    deterministically (r12 review)."""
+    from tikv_data_compare_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "a b c d e", 100 - i) for i in range(20)]
+    rows += [(100, "x y z", None), (101, "p q", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, q long")
+    kept = token_budget_sample(docs, 101, score_col="q").collect()
+    ids = {r["doc_id"] for r in kept}
+    # 20 scored docs × 5 tokens = 100 < 101: all scored admit, then the
+    # budget-crossing FIRST null-score doc (hash order) admits; the second
+    # sits at tokens_before >= 102 and drops whichever hash order holds
+    assert set(range(20)) <= ids and len(ids) == 21
+    nulls_kept = ids - set(range(20))
+    assert all(r["tokens_before"] == 100 for r in kept if r["doc_id"] in nulls_kept)
+    again = {
+        r["doc_id"]
+        for r in token_budget_sample(docs, 101, score_col="q").select("doc_id").collect()
+    }
+    assert again == ids

@@ -781,8 +781,11 @@ def main(argv: list[str] | None = None) -> int:
             image_dhash,
         )
 
-        if args.pairs_out and not args.pairs:
-            print("imagehash: --pairs-out requires --pairs", file=sys.stderr)
+        if args.pairs_out and not (args.pairs or args.index):
+            print(
+                "imagehash: --pairs-out requires --pairs or --index",
+                file=sys.stderr,
+            )
             return 2
         chosen = [
             f for f, v in (("--build-index", args.build_index),

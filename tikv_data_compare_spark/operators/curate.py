@@ -100,9 +100,10 @@ def curate(
     quality dimension: each doc's DSIR hashed-n-gram importance weight
     against the target corpus (``sampling.dsir_weights``, integer-frozen
     ×1e6 log units).  Two pivot modes: ``dsir_top_frac=q`` keeps the top
-    ``q`` fraction of the corpus by weight (pivot = exact in-plan
-    quantile — the robust default for real corpora, since raw log-weights
-    shift with ``dsir_n_buckets`` and corpus mix); otherwise the absolute
+    ``ceil(q·n)`` scored docs by weight (exact rank via the bucketed
+    global-index machinery, ties by id — the robust default for real
+    corpora, since raw log-weights shift with ``dsir_n_buckets`` and
+    corpus mix); otherwise the absolute
     ``min_dsir_logw_c`` threshold applies (use when you've calibrated the
     scale, e.g. from a ``dsir_weights`` quantile probe).  Zero-feature
     docs drop either way (unconfirmable-drops convention).
@@ -285,29 +286,41 @@ def curate(
             docs, dsir_target, id_col, text_col, n_buckets=int(dsir_n_buckets)
         )
         if dsir_top_frac is not None:
-            # relative mode: keep the top fraction of the corpus by weight.
-            # The pivot is the exact (1-frac)-quantile of the scored docs,
-            # derived IN-PLAN (1-row agg, broadcast) — robust to the fact
-            # that raw log-weights shift with n_buckets and corpus mix
-            # (absolute 0 can sit above every doc at fine bucket grain).
+            # relative mode: keep the top fraction of the corpus by weight
+            # — robust to the fact that raw log-weights shift with
+            # n_buckets and corpus mix (absolute 0 can sit above every doc
+            # at fine bucket grain).  EXACT rank via the bucketed
+            # global-index machinery (scan.with_global_index: data-derived
+            # range buckets + broadcast offsets — no single-partition
+            # window, no exact-percentile aggregate buffering every
+            # distinct weight in one task); ties break by id, keep count =
+            # ceil(frac · n_scored), n derived in-plan (1-row broadcast).
             if not 0.0 < float(dsir_top_frac) <= 1.0:
                 raise ValueError(
                     f"dsir_top_frac must be in (0, 1], got {dsir_top_frac}"
                 )
-            piv = (
-                dw.where(F.col("dsir_logw_c").isNotNull())
-                .agg(
-                    F.floor(
-                        F.percentile("dsir_logw_c", 1.0 - float(dsir_top_frac))
-                    ).cast("long").alias("_dsir_piv")
-                )
+            from tikv_data_compare_spark.operators.scan import (
+                with_global_index,
             )
-            dw_ok = dw.crossJoin(F.broadcast(piv)).select(
-                id_col,
-                (
-                    F.col("dsir_logw_c").isNotNull()
-                    & (F.col("dsir_logw_c") >= F.col("_dsir_piv"))
-                ).alias("_dsir_ok"),
+
+            scored = dw.where(F.col("dsir_logw_c").isNotNull()).withColumn(
+                "_dsir_neg", -F.col("dsir_logw_c")
+            )
+            ranked = with_global_index(
+                scored, ["_dsir_neg", id_col], name="_dsir_rk"
+            )
+            n_scored = scored.agg(
+                F.count(F.lit(1)).cast("long").alias("_dsir_n")
+            )
+            dw_ok = (
+                ranked.crossJoin(F.broadcast(n_scored))
+                .select(
+                    id_col,
+                    (
+                        F.col("_dsir_rk")
+                        <= F.ceil(F.col("_dsir_n") * float(dsir_top_frac))
+                    ).alias("_dsir_ok"),
+                )
             )
         else:
             dw_ok = dw.select(

@@ -447,20 +447,29 @@ def _dsir_feats(
     one map-side explode, the same content-hash primitives as every
     sampler.  Rows: ``(id, _b)`` (or just ``(_b,)`` when ``id_col`` is
     None — the target side needs no ids), one per feature OCCURRENCE."""
-    ws = f"filter(split(coalesce({text_col}, ''), ' '), w -> w <> '')"
-    grams = (
-        f"CASE WHEN size({ws}) >= 2 THEN concat({ws}, "
-        f"transform(sequence(1, size({ws}) - 1), "
-        f"i -> concat(element_at({ws}, i), ' ', element_at({ws}, i + 1)))) "
-        f"ELSE {ws} END"
-    )
     ids = [F.col(id_col)] if id_col else []
+    # stage the filtered word array into a COLUMN first: inlining the
+    # split+filter expression inside the transform lambda would re-tokenize
+    # the whole document once per bigram index (Catalyst does not CSE
+    # across lambda bodies — the hexfold_i64 'pass a column reference'
+    # hazard, O(n_words²) per doc)
+    words = frame.select(
+        *ids,
+        F.expr(f"filter(split(coalesce({text_col}, ''), ' '), w -> w <> '')")
+        .alias("_ws"),
+    )
+    grams = (
+        "CASE WHEN size(_ws) >= 2 THEN concat(_ws, "
+        "transform(sequence(1, size(_ws) - 1), "
+        "i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1)))) "
+        "ELSE _ws END"
+    )
     bucket = F.expr(
         f"((({sqlgen.hexfold_i64(_STAGE)}) % {n_buckets}) + {n_buckets}) "
         f"% {n_buckets}"
     ).cast("long").alias("_b")
     return (
-        frame.select(*ids, F.explode(F.expr(grams)).alias("_g"))
+        words.select(*ids, F.explode(F.expr(grams)).alias("_g"))
         .withColumn(_STAGE, F.md5("_g"))
         .select(*ids, bucket)
     )
@@ -643,9 +652,19 @@ def token_budget_sample(
     ).drop(_STAGE).withColumn("_tb_n", ntok)
     order_cols = ["_tb_h", id_col]
     if score_col is not None:
-        # negate so ascending bucket/window order = descending score;
-        # double negation keeps any numeric score type orderable
-        staged = staged.withColumn("_tb_s", -F.col(score_col).cast("double"))
+        # negate so ascending bucket/window order = descending score; NULL
+        # scores (e.g. dsir_weights' zero-feature docs, the natural
+        # composition) map to +inf — admitted LAST, deterministically, in
+        # hash/id order among themselves.  Without the coalesce a sampled
+        # NULL boundary tuple crashes the driver's sorted() and an
+        # unsampled one lands in a bucket that disagrees with the window
+        # order, corrupting tokens_before
+        staged = staged.withColumn(
+            "_tb_s",
+            F.coalesce(
+                -F.col(score_col).cast("double"), F.lit(float("inf"))
+            ),
+        )
         order_cols = ["_tb_s"] + order_cols
     n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     bucket = _range_bucket_expr(staged, order_cols, n)

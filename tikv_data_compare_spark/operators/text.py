@@ -1303,8 +1303,14 @@ def self_dedup_substring(
 
     The keep rule is globally-first (the same convention as
     ``dedup.c4_line_dedup``): a doc is dropped iff it shares a span with
-    any SMALLER-id doc, so exactly one copy of every duplicated span
-    family survives and the verdict is a pure function of content + ids.
+    any SMALLER-id doc, so the verdict is a pure function of content +
+    ids, KEPT docs are mutually span-disjoint, and every dropped doc has
+    an earlier partner.  Note the rule is per-DOC, not per-span-family:
+    under partner chains (A↔B on span1, B↔C on span2 with span2 absent
+    from A) a family can lose every carrier — B drops for span1, C drops
+    for span2 — the same property as Lee et al.'s document-level variant;
+    span-level surgical removal is what ``n_dup_chars`` sizes, not what
+    the drop rule performs.
     ``n_dup_chars`` is the trim size a span-removal pass would cut.
 
     Scale shape: the winnow is map-side (zero shuffle); the self-join is

@@ -71,11 +71,18 @@ def main():
     }
     # r11-verdict task 7 entries (bench.py-identical shapes); guarded so the
     # script still runs on tips that predate them
+    import inspect
+
     from tikv_data_compare_spark.operators import dedup as dd
 
-    benches["dedup_simhash"] = lambda: dd.simhash(
-        documents, "doc_id", "text", algo="xxhash64"
-    ).count()
+    if "algo" in inspect.signature(dd.simhash).parameters:
+        benches["dedup_simhash"] = lambda: dd.simhash(
+            documents, "doc_id", "text", algo="xxhash64"
+        ).count()
+    else:  # pre-algo tips: the then-only hash path
+        benches["dedup_simhash"] = lambda: dd.simhash(
+            documents, "doc_id", "text"
+        ).count()
     if hasattr(dd, "dedup_lines") and hasattr(qe, "LINE_SYNTH"):
         benches["dedup_lines"] = lambda: dd.dedup_lines(
             documents.select("doc_id", F.expr(qe.LINE_SYNTH).alias("t2")),
