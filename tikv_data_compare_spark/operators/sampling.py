@@ -447,6 +447,13 @@ def _dsir_feats(
     one map-side explode, the same content-hash primitives as every
     sampler.  Rows: ``(id, _b)`` (or just ``(_b,)`` when ``id_col`` is
     None — the target side needs no ids), one per feature OCCURRENCE."""
+    from tikv_data_compare_spark.session import scale_out
+
+    # the n-gram explode + md5 + hexfold is ~100× a plain scan's per-byte
+    # cost and runs BEFORE any shuffle: widen an under-split source so it
+    # isn't stranded on 1-2 input splits (cluster no-op; measured 2.5×
+    # wall on the whole operator at sf0.1's single-file parquet)
+    frame = scale_out(frame, key=id_col or text_col)
     ids = [F.col(id_col)] if id_col else []
     # stage the filtered word array into a COLUMN first: inlining the
     # split+filter expression inside the transform lambda would re-tokenize
@@ -502,8 +509,13 @@ def dsir_weights(
     exact integer sum.  Positive = target-like, negative = raw-typical.
 
     Scale shape: two explode+groupBy bucket counts (partial-aggregated,
-    ≤ ``n_buckets`` result rows each), both bucket tables + 1-row totals
-    broadcast, one per-doc sum — the raw corpus text never shuffles.
+    ≤ ``n_buckets`` result rows each), densified onto a ``range(n_buckets)``
+    bucket spine so the grand total rides on every row (one window over the
+    already-AGGREGATED ≤ ``n_buckets``-row table — computing totals as
+    separate 1-row aggs would silently re-run the whole corpus explode per
+    total, since broadcast builds don't share lineage), both bucket tables
+    broadcast, one per-doc sum — the raw corpus text is scanned exactly
+    twice (count pass + scoring pass) and never shuffles.
     Docs with zero features (NULL/empty text) get ``dsir_n_feats = 0``
     and a NULL score ("can't evaluate", the ngram_lm_score convention).
 
@@ -513,25 +525,47 @@ def dsir_weights(
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     tgt = _dsir_feats(target, None, target_text_col or text_col, n_buckets)
     raw = _dsir_feats(df, id_col, text_col, n_buckets)
-    ct = tgt.groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias("_ct"))
-    cr = raw.groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias("_cr"))
-    tt = ct.agg(F.sum("_ct").cast("long").alias("_tt"))
-    tr = cr.agg(F.sum("_cr").cast("long").alias("_tr"))
-    scored = (
-        raw.join(F.broadcast(ct), "_b", "left")
-        .join(F.broadcast(cr), "_b", "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(tr))
-        .withColumn(
-            "_w_c",
-            F.expr(
-                f"CAST(ROUND(LN((coalesce(_tr, 0) + {n_buckets}) * 1.0 / "
-                f"(coalesce(_cr, 0) + 1)) * 1000000) AS BIGINT) - "
-                f"CAST(ROUND(LN((coalesce(_tt, 0) + {n_buckets}) * 1.0 / "
-                f"(coalesce(_ct, 0) + 1)) * 1000000) AS BIGINT)"
-            ),
-        )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    spine = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("_b")
+    )
+    ct = (
+        spine.join(
+            tgt.groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias("_ct")),
+            "_b", "left",
+        )
+        .withColumn("_ct", F.coalesce("_ct", F.lit(0).cast("long")))
+        .withColumn("_tt", F.sum("_ct").over(w_all).cast("long"))
+    )
+    cr = (
+        spine.join(
+            raw.groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias("_cr")),
+            "_b", "left",
+        )
+        .withColumn("_cr", F.coalesce("_cr", F.lit(0).cast("long")))
+        .withColumn("_tr", F.sum("_cr").over(w_all).cast("long"))
+    )
+    # per-bucket weights precomputed on the ≤ n_buckets-row table: the two
+    # decimal divisions + LNs + rounds run 2·n_buckets times total instead
+    # of twice per feature OCCURRENCE, and the scoring pass probes ONE
+    # broadcast instead of two
+    wtab = ct.join(cr, "_b").select(
+        "_b",
+        F.expr(
+            f"CAST(ROUND(LN((_tr + {n_buckets}) * 1.0 / "
+            f"(_cr + 1)) * 1000000) AS BIGINT) - "
+            f"CAST(ROUND(LN((_tt + {n_buckets}) * 1.0 / "
+            f"(_ct + 1)) * 1000000) AS BIGINT)"
+        ).alias("_w_c"),
+    )
+    # LEFT join although the dense spine makes every key match: an INNER
+    # join lets Catalyst infer `isnotnull(_b)` on the stream side and push
+    # it BELOW the md5-staging Project, re-inlining the hexfold into the
+    # filter — md5 recomputed once per hex digit per n-gram (measured 2×
+    # wall on the whole operator)
+    scored = raw.join(F.broadcast(wtab), "_b", "left")
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("dsir_n_feats"),
         F.sum("_w_c").cast("long").alias("dsir_logw_c"),
@@ -693,3 +727,4 @@ def token_budget_sample(
         .drop("_bid", "_tb_local", "_off", "_tb_h", "_tb_n")
     )
     return out.drop("_tb_s") if score_col is not None else out
+
