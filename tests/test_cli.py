@@ -1095,3 +1095,37 @@ def test_cli_sample_token_budget(capsys, spark, tmp_path):
     # missing --budget-tokens is a loud usage error
     rc = cli.main(["sample", "--src", src, "--method", "token-budget"])
     assert rc == 2 and "--budget-tokens" in capsys.readouterr().err
+
+
+def test_cli_sample_split(capsys, spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "spd.pq")
+    docs.select("doc_id", "lang", "text").write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "spl.pq")
+    rc = cli.main(["sample", "--src", src, "--method", "split", "--out", out])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = spark.read.parquet(out)
+    assert res["rows"] == got.count() == docs.count()  # a labeling, not a filter
+    dist = {r["split"]: r["n"] for r in
+            got.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(dist) <= {"train", "val", "test"} and dist["train"] > dist.get("val", 0)
+    # group-keyed: every lang lands wholly in one split
+    out2 = str(tmp_path / "spg.pq")
+    rc = cli.main(["sample", "--src", src, "--method", "split",
+                   "--fractions", "train=8000,heldout=2000",
+                   "--split-group-col", "lang", "--out", out2])
+    assert rc == 0
+    capsys.readouterr()
+    per = spark.read.parquet(out2).groupBy("lang").agg(
+        F.countDistinct("split").alias("n")).collect()
+    assert per and all(r["n"] == 1 for r in per)
+    # malformed fractions are loud usage errors
+    rc = cli.main(["sample", "--src", src, "--method", "split",
+                   "--fractions", "train-9000"])
+    assert rc == 2 and "NAME=BASIS_POINTS" in capsys.readouterr().err
+    rc = cli.main(["sample", "--src", src, "--method", "split",
+                   "--fractions", "train=9000,val=500"])
+    assert rc == 2 and "10000" in capsys.readouterr().err

@@ -535,3 +535,80 @@ def test_token_budget_null_scores_admit_last(spark):
         for r in token_budget_sample(docs, 101, score_col="q").select("doc_id").collect()
     }
     assert again == ids
+
+
+def test_split_assign_matches_brute_force(spark):
+    """Content-keyed assignment == the md5-bucket CASE recomputed in pure
+    Python: full coverage (incl. NULL/empty text), bucket exposed, layout
+    follows fraction insertion order."""
+    import hashlib
+
+    from tikv_data_compare_spark.operators.sampling import split_assign
+
+    rows = [(i, f"doc number {i} body") for i in range(60)]
+    rows += [(100, None), (101, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fracs = {"train": 9000, "val": 500, "test": 500}
+
+    def fold(s):
+        h = hashlib.md5((s if s is not None else "").encode()).hexdigest()
+        v = 0
+        for c in h[:15]:
+            v = v * 16 + int(c, 16)
+        return v % 10000
+
+    got = {
+        r["doc_id"]: (r["split_bucket"], r["split"])
+        for r in split_assign(docs, fracs).collect()
+    }
+    assert len(got) == len(rows)
+    for i, t in rows:
+        b = fold(t)
+        want = "train" if b < 9000 else ("val" if b < 9500 else "test")
+        assert got[i] == (b, want)
+    again = {
+        r["doc_id"]: (r["split_bucket"], r["split"])
+        for r in split_assign(docs, fracs).collect()
+    }
+    assert got == again
+
+
+def test_split_assign_group_keyed_leakage_guard(spark):
+    """Group-keyed: every row of a group gets the group's split (the
+    leakage guard), and the assignment equals splitting the distinct keys
+    themselves — the coin is the key, nothing else."""
+    from tikv_data_compare_spark.operators.sampling import split_assign
+
+    rows = [(i, i % 7, f"unique text {i}") for i in range(70)]
+    docs = spark.createDataFrame(rows, "doc_id long, comp long, text string")
+    fracs = {"train": 8000, "val": 1000, "test": 1000}
+    out = split_assign(docs, fracs, group_col="comp")
+    per_group = out.groupBy("comp").agg(
+        F.countDistinct("split").alias("n"), F.first("split").alias("s")
+    ).collect()
+    assert all(r["n"] == 1 for r in per_group)
+    keys = docs.select(F.col("comp").alias("k")).distinct()
+    key_split = {
+        r["k"]: r["split"]
+        for r in split_assign(keys, fracs, content_col="k").collect()
+    }
+    assert {r["comp"]: r["s"] for r in per_group} == key_split
+
+
+def test_split_assign_validation(spark, documents):
+    from tikv_data_compare_spark.operators.sampling import split_assign
+
+    docs = documents.select("doc_id", "text")
+    with pytest.raises(ValueError):
+        split_assign(docs, {})
+    with pytest.raises(ValueError):
+        split_assign(docs, {"a": 5000, "b": 4000})  # sums to 9000
+    with pytest.raises(ValueError):
+        split_assign(docs, {"a": 10000, "b": 0})  # zero fraction
+    with pytest.raises(ValueError):
+        split_assign(docs, {"a": 9999, "b": True})  # bool is not a count
+    with pytest.raises(ValueError):
+        split_assign(docs.withColumn("split", F.lit("x")), {"all": 10000})
+    one = split_assign(docs, {"all": 10000})  # single split: no CASE at all
+    assert one.filter(F.col("split") != "all").count() == 0
+    assert one.count() == docs.count()

@@ -269,7 +269,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--method", default="hash",
                    choices=["hash", "stratified", "shard", "mixture",
                             "token-mixture", "sqrt-mixture", "dsir",
-                            "token-budget"])
+                            "token-budget", "split"])
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--pct", type=int, default=10, help="hash: keep percentage")
@@ -301,6 +301,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--score-col", default="",
                    help="token-budget: optional score column — higher "
                         "scores admit first (integer-frozen scores replay)")
+    p.add_argument("--fractions", default="train=9000,val=500,test=500",
+                   help="split: NAME=BASIS_POINTS,... summing to 10000; "
+                        "insertion order defines the bucket layout")
+    p.add_argument("--split-group-col", default="",
+                   help="split: key the coin on this column instead of the "
+                        "content — e.g. a canonical dup-component label, so "
+                        "near-dup families co-assign (leakage guard)")
     p.add_argument("--out", default="", help="write result parquet here")
     p.add_argument("--concurrency", type=int, default=0)
 
@@ -1008,6 +1015,26 @@ def main(argv: list[str] | None = None) -> int:
                     docs, args.budget_tokens, id_col=args.id_col,
                     content_col=args.text_col,
                     score_col=args.score_col or None,
+                )
+            elif args.method == "split":
+                fracs: dict = {}
+                for spec in filter(None, (x.strip() for x in args.fractions.split(","))):
+                    name, sep, bp = spec.partition("=")
+                    name = name.strip()
+                    if not sep or not name:
+                        raise ValueError(
+                            f"--fractions entry {spec!r} is not NAME=BASIS_POINTS"
+                        )
+                    try:
+                        fracs[name] = int(bp.strip())
+                    except ValueError:
+                        raise ValueError(
+                            f"--fractions entry {spec!r} has a non-integer "
+                            "basis-point count"
+                        ) from None
+                out_df = sp.split_assign(
+                    docs, fracs, content_col=args.text_col,
+                    group_col=args.split_group_col or None,
                 )
             else:  # sqrt-mixture
                 out_df = sp.sqrt_mixture_sample(

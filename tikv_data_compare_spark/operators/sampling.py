@@ -728,3 +728,65 @@ def token_budget_sample(
     )
     return out.drop("_tb_s") if score_col is not None else out
 
+
+
+def split_assign(
+    df: DataFrame,
+    fractions_bp: dict[str, int],
+    content_col: str = "text",
+    group_col: str | None = None,
+    split_col: str = "split",
+    bucket_col: str = "split_bucket",
+) -> DataFrame:
+    """Deterministic train/validation/test split assignment — the last
+    labeling a pretraining pipeline applies before writing shards, and the
+    one where a mistake is invisible until eval: if two near-duplicate
+    documents land in different splits, the held-out set leaks into
+    training.
+
+    ``fractions_bp`` maps split names to basis points (must sum to 10000);
+    INSERTION ORDER defines the bucket layout, so ``{"train": 9800,
+    "val": 100, "test": 100}`` assigns buckets [0, 9800) / [9800, 9900) /
+    [9900, 10000).  The coin is the content hash (``content_col``) by
+    default — replay-safe, partition-order independent, the sampler-family
+    contract — or, with ``group_col``, the GROUP key: every row of a group
+    gets the identical bucket, so splitting on a canonical duplicate-group
+    label (``connected_components``' output, ``dedup_exact``'s canonical
+    id) co-assigns entire near-dup families and structurally prevents
+    train/test contamination.  NULL keys hash as ``''`` (one deterministic
+    group, the :func:`hash_sample` convention).
+
+    Purely map-side: one md5 + integer CASE per row, no shuffle, no RNG —
+    adding a split column to a 100 TB corpus costs one scan.
+
+    Returns ``df`` plus ``(split, split_bucket)``; the bucket is exposed so
+    downstream stages can sub-slice a split without re-keying.
+    """
+    if not fractions_bp:
+        raise ValueError("fractions_bp must name at least one split")
+    for name, bp in fractions_bp.items():
+        if isinstance(bp, bool) or not isinstance(bp, int) or bp <= 0:
+            raise ValueError(
+                f"fraction for {name!r} must be a positive integer of basis "
+                f"points, got {bp!r}"
+            )
+    total = sum(fractions_bp.values())
+    if total != 10000:
+        raise ValueError(
+            f"fractions_bp must sum to 10000 basis points, got {total}"
+        )
+    if split_col in df.columns:
+        raise ValueError(f"output column {split_col!r} already exists on the input")
+    key_col = group_col if group_col is not None else content_col
+    staged = _with_hash(df, key_col, bucket_col)
+    bucket = F.expr(f"((({sqlgen.hexfold_i64(_STAGE)}) % 10000) + 10000) % 10000")
+    staged = staged.withColumn(bucket_col, bucket.cast("long")).drop(_STAGE)
+    case, lo = None, 0
+    names = list(fractions_bp)
+    for name in names[:-1]:
+        lo += fractions_bp[name]
+        cond = F.col(bucket_col) < lo
+        case = F.when(cond, name) if case is None else case.when(cond, name)
+    last = F.lit(names[-1])
+    split = last if case is None else case.otherwise(names[-1])
+    return staged.withColumn(split_col, split)

@@ -1887,13 +1887,20 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``token_budget_sample``, 15k-token budget in content-hash order):
       metric = the cumulative token count BEFORE each kept doc, so the
       bucketed-prefix machinery (no single-partition window) hash-gates
-      against the oracle's one-window cumulative sum."""
+      against the oracle's one-window cumulative sum;
+    - ``split`` (since r12): deterministic train/val/test assignment
+      (``split_assign``, 90/5/5 in basis points, content-hash coin):
+      metric packs split-index·100000 + bucket, where the index is derived
+      from the OPERATOR's emitted split name — the bucket layout CASE
+      itself hash-gates, not just the hash (the group-keyed leakage-guard
+      variant gates in ``dedup_canonical`` on real component labels)."""
     tune(spark)
     from tikv_data_compare_spark.operators.sampling import (
         dsir_sample,
         dsir_weights,
         hash_sample,
         shard_assignments,
+        split_assign,
         sqrt_mixture_sample,
         stratified_sample,
         token_budget_sample,
@@ -1938,9 +1945,21 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("token_budget").alias("method"), "doc_id", "lang",
         F.col("tokens_before").alias("metric"),
     )
+    sa = split_assign(docs, {"train": 9000, "val": 500, "test": 500}).select(
+        F.lit("split").alias("method"), "doc_id", "lang",
+        (
+            (
+                F.when(F.col("split") == "train", 0)
+                .when(F.col("split") == "val", 1)
+                .otherwise(2)
+            )
+            * 100000
+            + F.col("split_bucket")
+        ).cast("long").alias("metric"),
+    )
     return (
         h.unionByName(s).unionByName(sh).unionByName(mx).unionByName(tm)
-        .unionByName(ds).unionByName(dk).unionByName(tb)
+        .unionByName(ds).unionByName(dk).unionByName(tb).unionByName(sa)
     )
 
 
@@ -2093,6 +2112,18 @@ FROM (
               FROM documents))
 )
 WHERE before_t < 15000
+UNION ALL
+-- deterministic train/val/test split (r12): content-hash per-10000
+-- bucket, layout train [0,9000) / val [9000,9500) / test [9500,10000);
+-- metric = split_index*100000 + bucket — sampling.split_assign
+SELECT 'split', doc_id, lang,
+       CAST((CASE WHEN b < 9000 THEN 0 WHEN b < 9500 THEN 1 ELSE 2 END)
+            * 100000 + b AS BIGINT)
+FROM (
+  SELECT doc_id, lang,
+         ((({sqlgen.hexfold_i64('_m')}) % 10000) + 10000) % 10000 AS b
+  FROM (SELECT doc_id, lang, md5(coalesce(text, '')) AS _m FROM documents)
+)
 """
 
 

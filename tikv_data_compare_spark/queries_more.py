@@ -95,7 +95,14 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm- and chunking-independent, so all labelings must be
     identical; any divergence shrinks the intersection and fails the
     unchanged recursive-CTE oracle's row count — a driver-hard equivalence
-    gate, not just a property test."""
+    gate, not just a property test.
+
+    Since r12 the row also carries the LEAKAGE-SAFE train/val/test
+    assignment (``sampling.split_assign`` keyed on the component label,
+    90/5/5): every member of a near-dup family gets the identical split by
+    construction — the composition that stops eval contamination — and the
+    oracle recomputes bucket AND bucket-layout CASE from the component, so
+    the group-keyed coin is hash-gated on real canonical labels."""
     tune(spark)
     from tikv_data_compare_spark.operators import dedup as dd
     from tikv_data_compare_spark.operators.graph import (
@@ -135,22 +142,49 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (component == F.col("doc_id")).cast("long").alias("kept"),
         )
 
-    return (
+    from tikv_data_compare_spark.operators.sampling import split_assign
+
+    out = (
         verdicts(comp_min)
         .intersect(verdicts(comp_star))
         .intersect(verdicts(comp_inc))
+    )
+    # leakage-safe split: the coin is the COMPONENT label, so a whole
+    # near-dup family lands in one split (a pure function of the already
+    # intersection-gated component — applied once, after the gate)
+    return split_assign(
+        out, {"train": 9000, "val": 500, "test": 500}, group_col="component"
     )
 
 
 def _oracle_dedup_canonical() -> str:
     from tikv_data_compare_spark.queries_ext import ORACLE_DEDUP_COMPONENTS
 
+    from tikv_data_compare_spark.functions import sqlgen
+
     return f"""
-WITH comp AS ({ORACLE_DEDUP_COMPONENTS})
-SELECT d.doc_id,
-       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
-       CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS kept
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+WITH comp AS ({ORACLE_DEDUP_COMPONENTS}),
+verdicts AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+         CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+-- r12: leakage-safe split keyed on the component label (group coin:
+-- md5 of the label rendered as a string, per-10000 bucket, layout
+-- train [0,9000) / val [9000,9500) / test — sampling.split_assign
+SELECT doc_id, component, kept,
+       CAST(b AS BIGINT) AS split_bucket,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, component, kept,
+         ((({sqlgen.hexfold_i64('_m')}) % 10000) + 10000) % 10000 AS b
+  FROM (SELECT doc_id, component, kept,
+               md5(CAST(component AS VARCHAR)) AS _m
+        FROM verdicts)
+)
 """
 
 
