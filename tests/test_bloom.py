@@ -1,0 +1,221 @@
+"""Bloom membership gate: bit-exact brute-force parity, the no-false-
+negative contract, the exact prefilter composition, and the persistent /
+streaming index faces."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tikv_data_compare_spark.operators import bloom as bl
+
+M, K = 63 * 80, 4  # 5040 bits — small enough for brute force, real FPs
+
+
+def _fold(s: str) -> int:
+    h = hashlib.md5(s.encode()).hexdigest()
+    v = 0
+    for c in h[:15]:
+        v = v * 16 + int(c, 16)
+    return v
+
+
+def _py_positions(item, m=M, k=K):
+    key = item if item is not None else ""
+    return [_fold(f"{key}:{j}") % m for j in range(k)]
+
+
+def _py_bitmap(items, m=M, k=K):
+    words = {}
+    for it in items:
+        for pos in _py_positions(it, m, k):
+            w, b = pos // 63, pos % 63
+            words[w] = words.get(w, 0) | (1 << b)
+    return words
+
+
+def _py_member(bitmap, item, m=M, k=K):
+    return int(all(
+        (bitmap.get(pos // 63, 0) >> (pos % 63)) & 1
+        for pos in _py_positions(item, m, k)
+    ))
+
+
+def test_bloom_build_matches_brute_force(spark):
+    items = [f"needle {i}" for i in range(120)] + [None, ""]
+    df = spark.createDataFrame([(s,) for s in items], "s string")
+    got = {r["word"]: r["bits"] for r in bl.bloom_build(df, "s", M, K).collect()}
+    assert got == _py_bitmap(items)
+
+
+def test_bloom_probe_matches_brute_force_and_never_misses(spark):
+    members = [f"needle {i}" for i in range(120)]
+    df = spark.createDataFrame([(s,) for s in members], "s string")
+    bitmap = bl.bloom_build(df, "s", M, K)
+    py = _py_bitmap(members)
+    probes = members + [f"hay {i}" for i in range(300)] + [None, ""]
+    pdf = spark.createDataFrame([(s,) for s in probes], "s string")
+    got = {
+        r["s"]: r["might_contain"]
+        for r in bl.bloom_probe(pdf.distinct(), bitmap, "s", M, K).collect()
+    }
+    for s in probes:
+        assert got[s] == _py_member(py, s), s
+    # zero false negatives, by construction AND measured
+    assert all(got[s] == 1 for s in members)
+    # the false-positive rate at this geometry stays small but nonzero-able
+    fps = sum(got[f"hay {i}"] for i in range(300))
+    assert fps <= 15  # expected ~0.6% of 300; 5% is a loose determinism-safe cap
+
+
+def test_bloom_prefilter_composition_is_exact(spark, documents):
+    """bloom-probe the docs' winnow fingerprints against a filter of probe
+    fingerprints: every TRULY shared fingerprint flags (so the downstream
+    exact verify sees every candidate the fingerprint join would — the
+    prune can only over-select, never lose a hit), every doc the EXACT
+    decontaminator flags has at least one flagged fingerprint, and the
+    false-positive overhang at a production-ish geometry is tiny."""
+    from tikv_data_compare_spark.operators import text as tx
+
+    m2 = 63 * 4096  # ~258k bits: the size you'd ship, still a ~2 MB table
+    docs = documents.select("doc_id", "text")
+    wprobes = documents.filter(F.col("doc_id") % 17 == 0).selectExpr(
+        "doc_id AS probe_id", "substr(text, 6, 45) AS text"
+    )
+    p_fp = tx.winnow_fingerprints(wprobes, "probe_id", "text", k=5, w=20)
+    bitmap = bl.bloom_build(p_fp.where(F.col("fp").isNotNull()), "fp", m2, K)
+    d_fp = tx.winnow_fingerprints(docs, "doc_id", "text", k=5, w=20).where(
+        F.col("fp").isNotNull()
+    ).distinct()
+    probed = bl.bloom_probe(d_fp, bitmap, "fp", m2, K,
+                            id_cols=["doc_id", "fp"])
+    flagged_pairs = {
+        (r["doc_id"], r["fp"])
+        for r in probed.where(F.col("might_contain") == 1).collect()
+    }
+    shared_pairs = {
+        (r["doc_id"], r["fp"])
+        for r in d_fp.join(
+            p_fp.select("fp").where(F.col("fp").isNotNull()).distinct(), "fp"
+        ).collect()
+    }
+    assert shared_pairs, "fixture must share winnow fingerprints"
+    assert shared_pairs <= flagged_pairs  # zero false negatives
+    n_probed = d_fp.count()
+    overhang = len(flagged_pairs) - len(shared_pairs)
+    assert overhang <= max(5, n_probed // 100)  # FP overhang under ~1%
+    # end-to-end: every exactly-contaminated doc survives the prefilter
+    hits = {d for d, _ in flagged_pairs}
+    exact = tx.decontaminate_substring(docs, wprobes, min_span=24).collect()
+    contaminated = [r["doc_id"] for r in exact if r["contaminated"]]
+    assert contaminated, "fixture must plant contamination"
+    assert set(contaminated) <= hits
+    # doc-level fidelity: the bloom flags the same docs the exact
+    # fingerprint join would, plus at most the pair-level FP overhang
+    # (this fixture shares common 5-gram minima across most docs, so
+    # doc-level PRUNING is a property of the fingerprints, not the bloom —
+    # the bloom's contract is faithfulness to the fingerprint join at a
+    # bounded bitmap size)
+    shared_docs = {d for d, _ in shared_pairs}
+    assert shared_docs <= hits and len(hits - shared_docs) <= overhang
+
+
+def test_bloom_index_roundtrip_append_and_validation(spark, tmp_path):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "s string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "s string")
+    p = str(tmp_path / "blix")
+    meta = bl.build_bloom_index(a, p, "s", m_bits=M, k_hashes=K)
+    assert meta["n_items"] == 50 and meta["m_bits"] == M
+    probe = spark.createDataFrame([("a7",), ("b7",)], "s string")
+    got = {r["s"]: r["might_contain"]
+           for r in bl.query_bloom_index(probe, p, "s").collect()}
+    assert got["a7"] == 1
+    # b7 not yet inserted (could false-positive, but not at this geometry)
+    assert got["b7"] == _py_member(_py_bitmap([f"a{i}" for i in range(50)]), "b7")
+    meta2 = bl.append_to_bloom_index(b, p, "s")
+    assert meta2["n_items"] == 100
+    got2 = {r["s"]: r["might_contain"]
+            for r in bl.query_bloom_index(probe, p, "s").collect()}
+    assert got2 == {"a7": 1, "b7": 1}
+    # the merged bitmap is exactly the one-shot union build
+    words = {r["word"]: r["bits"]
+             for r in spark.read.parquet(f"{p}/words").collect()}
+    assert words == _py_bitmap([f"a{i}" for i in range(50)]
+                               + [f"b{i}" for i in range(50)])
+    # re-appending is a bitmap no-op (bit_or idempotence)
+    bl.append_to_bloom_index(b, p, "s")
+    words2 = {r["word"]: r["bits"]
+              for r in spark.read.parquet(f"{p}/words").collect()}
+    assert words2 == words
+    # geometry/validation guards
+    with pytest.raises(ValueError):
+        bl.bloom_build(a, "s", m_bits=10, k_hashes=4)
+    with pytest.raises(ValueError):
+        bl.bloom_build(a, "s", m_bits=M, k_hashes=0)
+    with pytest.raises(ValueError):
+        bl.bloom_probe(a, bl.bloom_build(a, "s", M, K), "s", M, K,
+                       id_cols=["nope"])
+    with pytest.raises(ValueError):
+        bl.bloom_probe(a.withColumn("might_contain", F.lit(1)),
+                       bl.bloom_build(a, "s", M, K), "s", M, K)
+    bl._write_meta(spark, p, {**meta2, "version": 99})
+    with pytest.raises(ValueError):
+        bl.load_bloom_index(spark, p)
+
+
+def test_bloom_stream_chunked_equals_oneshot(spark, tmp_path):
+    from tikv_data_compare_spark.streaming.bloom_index_stream import (
+        bloom_index_stream,
+    )
+
+    src = str(tmp_path / "bls_src")
+    for lo, hi in ((0, 40), (40, 80)):
+        spark.createDataFrame(
+            [(f"x{i}",) for i in range(lo, hi)], "item string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    idx = str(tmp_path / "bls_idx")
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = bloom_index_stream(
+        stream, idx, checkpoint_location=str(tmp_path / "bls_ckpt"),
+        m_bits=M, k_hashes=K,
+    )
+    q.awaitTermination(120)
+    _, meta = bl.load_bloom_index(spark, idx)
+    assert meta["n_items"] == 80 and meta["last_epoch"] >= 1
+    words = {r["word"]: r["bits"]
+             for r in spark.read.parquet(f"{idx}/words").collect()}
+    assert words == _py_bitmap([f"x{i}" for i in range(80)])
+    # checkpoint required
+    with pytest.raises(ValueError):
+        bloom_index_stream(stream, idx)
+
+
+def test_bloom_stream_watermark_and_redelivery(spark, tmp_path):
+    from tikv_data_compare_spark.streaming.bloom_index_stream import (
+        ingest_batch_into_bloom_index,
+    )
+
+    a = spark.createDataFrame([("x0",), ("x1",)], "item string")
+    b = spark.createDataFrame([("y0",), ("y1",)], "item string")
+    idx = str(tmp_path / "blw_idx")
+    assert ingest_batch_into_bloom_index(a, idx, 0, m_bits=M, k_hashes=K)
+    assert ingest_batch_into_bloom_index(b, idx, 1)
+    _, m1 = bl.load_bloom_index(spark, idx)
+    assert m1["n_items"] == 4 and m1["last_epoch"] == 1
+    # watermark skip: an already-applied epoch is a wholesale no-op
+    assert ingest_batch_into_bloom_index(b, idx, 1) is False
+    # crash-window redelivery (words swapped, meta swap lost): the re-OR
+    # leaves the bitmap bit-identical; only the additive counter moves
+    words_before = {r["word"]: r["bits"]
+                    for r in spark.read.parquet(f"{idx}/words").collect()}
+    bl._write_meta(spark, idx, {**m1, "last_epoch": 0})
+    assert ingest_batch_into_bloom_index(b, idx, 1) is True
+    words_after = {r["word"]: r["bits"]
+                   for r in spark.read.parquet(f"{idx}/words").collect()}
+    assert words_after == words_before
+    _, m2 = bl.load_bloom_index(spark, idx)
+    assert m2["last_epoch"] == 1

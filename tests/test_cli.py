@@ -1129,3 +1129,44 @@ def test_cli_sample_split(capsys, spark, tmp_path):
     rc = cli.main(["sample", "--src", src, "--method", "split",
                    "--fractions", "train=9000,val=500"])
     assert rc == 2 and "10000" in capsys.readouterr().err
+
+
+def test_cli_bloom(capsys, spark, tmp_path):
+    items = spark.createDataFrame([(f"k{i}",) for i in range(40)], "item string")
+    src = str(tmp_path / "bl_items.pq")
+    items.write.mode("overwrite").parquet(src)
+    idx = str(tmp_path / "bl_idx")
+    rc = cli.main(["bloom", "--src", src, "--build-index", idx,
+                   "--m-bits", str(63 * 64), "--k-hashes", "4"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_items"] == 40 and res["m_bits"] == 63 * 64
+    more = spark.createDataFrame([(f"m{i}",) for i in range(10)], "item string")
+    src2 = str(tmp_path / "bl_more.pq")
+    more.write.mode("overwrite").parquet(src2)
+    rc = cli.main(["bloom", "--src", src2, "--append-index", idx])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["n_items"] == 50
+    cand = spark.createDataFrame(
+        [("k3",), ("m3",), ("absent-item-xyz",)], "item string"
+    )
+    src3 = str(tmp_path / "bl_cand.pq")
+    cand.write.mode("overwrite").parquet(src3)
+    out = str(tmp_path / "bl_out.pq")
+    rc = cli.main(["bloom", "--src", src3, "--index", idx, "--out", out])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 3 and res["flagged"] >= 2
+    got = {r["item"]: r["might_contain"]
+           for r in spark.read.parquet(out).collect()}
+    assert got["k3"] == 1 and got["m3"] == 1
+    # exactly one mode flag is required
+    rc = cli.main(["bloom", "--src", src])
+    assert rc == 2 and "exactly one" in capsys.readouterr().err
+    rc = cli.main(["bloom", "--src", src, "--build-index", idx,
+                   "--index", idx])
+    assert rc == 2 and "exactly one" in capsys.readouterr().err
+    # bad geometry is a loud usage error
+    rc = cli.main(["bloom", "--src", src, "--build-index", idx,
+                   "--m-bits", "10"])
+    assert rc == 2 and "m_bits" in capsys.readouterr().err

@@ -514,3 +514,21 @@ def test_dsir_weights_broadcasts_bucket_tables(spark, documents):
     assert plans.has_partial_aggregation(df)
     s = plans.plan_string(df)
     assert "CartesianProduct" not in s
+
+
+def test_bloom_probe_broadcasts_bitmap(spark, documents):
+    """The bounded word table (<= ceil(m/63) rows) broadcasts into the
+    probe join — the probed side never shuffles its payload; the build is
+    a partially-aggregated bit_or onto the bounded word space."""
+    from tikv_data_compare_spark.operators import bloom as bl
+
+    items = documents.select("text").limit(200)
+    bitmap = bl.bloom_build(items, "text", 63 * 64, 4)
+    probed = bl.bloom_probe(
+        documents.select("doc_id", "text").limit(300), bitmap, "text",
+        63 * 64, 4, id_cols=["doc_id"],
+    )
+    assert "BroadcastHashJoin" in plans.join_strategies(probed)
+    assert plans.has_partial_aggregation(bitmap)
+    s = plans.plan_string(probed)
+    assert "CartesianProduct" not in s

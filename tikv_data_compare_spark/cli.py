@@ -479,6 +479,31 @@ def main(argv: list[str] | None = None) -> int:
                         "persisted index (instead of the batch self-join)")
     p.add_argument("--concurrency", type=int, default=0)
 
+    # deterministic Bloom membership filter: build/append a fixed-size
+    # bitmap from an item column (blocklists, held-out fingerprints) and
+    # probe candidate frames map-side (operators/bloom.py)
+    p = sub.add_parser("bloom")
+    p.add_argument("--src", required=True,
+                   help="items parquet: the insert set (--build-index/"
+                        "--append-index) or the candidates (--index)")
+    p.add_argument("--item-col", default="item")
+    p.add_argument("--m-bits", type=int, default=63 * 1024,
+                   help="build: bitmap size in bits (fixed however many "
+                        "items are inserted)")
+    p.add_argument("--k-hashes", type=int, default=4,
+                   help="build: probes per item (false-positive knob)")
+    p.add_argument("--build-index", default="",
+                   help="persist --src's items as a bloom index here and exit")
+    p.add_argument("--append-index", default="",
+                   help="OR --src's items into this index (stored geometry)")
+    p.add_argument("--index", default="",
+                   help="probe --src against this index; prints row/flag "
+                        "counts (use --out for the flagged frame)")
+    p.add_argument("--out", default="",
+                   help="with --index: write the probed frame (+ "
+                        "might_contain) here")
+    p.add_argument("--concurrency", type=int, default=0)
+
     # sliding-window passage chunking: cut long documents into word windows
     # with carried overlap (the embedding-model / context-budget prep)
     p = sub.add_parser("chunk")
@@ -780,6 +805,50 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError as e:
             print(f"hotkeys: {e}", file=sys.stderr)
             return 2
+
+    if args.cmd == "bloom":
+        from tikv_data_compare_spark.operators import bloom as bl
+
+        chosen = [
+            f for f, v in (("--build-index", args.build_index),
+                           ("--append-index", args.append_index),
+                           ("--index", args.index)) if v
+        ]
+        if len(chosen) != 1:
+            print(
+                "bloom: exactly one of --build-index/--append-index/--index "
+                "is required",
+                file=sys.stderr,
+            )
+            return 2
+        src = spark.read.parquet(args.src)
+        try:
+            if args.build_index:
+                meta = bl.build_bloom_index(
+                    src, args.build_index, args.item_col,
+                    m_bits=args.m_bits, k_hashes=args.k_hashes,
+                )
+                print(json.dumps({"built": args.build_index, **meta}))
+            elif args.append_index:
+                meta = bl.append_to_bloom_index(
+                    src, args.append_index, args.item_col
+                )
+                print(json.dumps({"appended": args.append_index, **meta}))
+            else:
+                probed = bl.query_bloom_index(src, args.index, args.item_col)
+                result = {
+                    "index": args.index,
+                    "rows": probed.count(),
+                    "flagged": probed.where("might_contain = 1").count(),
+                }
+                if args.out:
+                    probed.write.mode("overwrite").parquet(args.out)
+                    result["out"] = args.out
+                print(json.dumps(result))
+        except ValueError as e:
+            print(f"bloom: {e}", file=sys.stderr)
+            return 2
+        return 0
 
     if args.cmd == "imagehash":
         from tikv_data_compare_spark.operators import dhash_index as dhi

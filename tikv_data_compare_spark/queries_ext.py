@@ -1247,7 +1247,14 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       24, verbatim verify, globally-first keep rule; per-doc partner count,
       distinct start count, covered-char (trim) size, and keep verdict.
       The oracle recomputes ALL of it brute force over every ordered doc
-      pair (the fixture corpus shares hundreds of natural 24-char spans)."""
+      pair (the fixture corpus shares hundreds of natural 24-char spans);
+    - ``bloom`` prefilter (since r12): the docs' span-24 winnow
+      fingerprints probed against a 5040-bit / 4-probe Bloom filter of the
+      SAME probe corpus's fingerprints (``operators/bloom.py``) —
+      ``bl_hits`` counts each doc's might-contain fingerprints.  The
+      filter is integer-deterministic, so the oracle replays the bitmap
+      bit-for-bit INCLUDING which false positives occur — the fixed-size
+      broadcast membership gate is hash-gated, not just property-tested."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
     sd = tx.self_dedup_substring(docs, min_span=24).select(
@@ -1277,11 +1284,31 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_contam_probes").alias("wd_contam_probes"),
         F.col("contaminated").cast("long").alias("wd_contaminated"),
     )
+    from tikv_data_compare_spark.operators import bloom as bloom_ops
+
+    nn = docs.where(F.col("text").isNotNull())
+    pnn = wprobes.where(F.col("text").isNotNull())
+    p_fp20 = tx.winnow_fingerprints(pnn, "probe_id", "text", k=5, w=20).where(
+        F.col("fp").isNotNull()
+    )
+    bitmap = bloom_ops.bloom_build(p_fp20, "fp", m_bits=_BL_M, k_hashes=_BL_K)
+    d_fp20 = tx.winnow_fingerprints(nn, "doc_id", "text", k=5, w=20).where(
+        F.col("fp").isNotNull()
+    ).distinct()
+    blm = (
+        bloom_ops.bloom_probe(
+            d_fp20, bitmap, "fp", _BL_M, _BL_K, id_cols=["doc_id", "fp"]
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("might_contain").cast("long").alias("bl_hits"))
+    )
     return (
         fp.join(wn, "doc_id")
         .join(conta, "doc_id")
         .join(wd, "doc_id")
         .join(sd, "doc_id")
+        .join(blm, "doc_id", "left")
+        .withColumn("bl_hits", F.coalesce("bl_hits", F.lit(0).cast("long")))
     )
 
 
@@ -1310,6 +1337,63 @@ sel AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, CAST(bit_xor(fp) AS BIGINT) AS fp_xor
 FROM sel GROUP BY doc_id
 """
+
+# bloom-fold geometry (q_text_fingerprints + ORACLE_TEXT_FINGERPRINTS):
+# small enough that the sf0.01 gate exercises REAL false positives, so the
+# hash gate pins the full bitmap arithmetic, not just the happy path
+_BL_M = 63 * 80
+_BL_K = 4
+
+
+def _winnow20_sql(src: str, idc: str) -> str:
+    """DuckDB replay of ``winnow_fingerprints(k=5, w=20)`` over ``src``
+    (which must provide ``{idc}`` and a non-NULL ``_t``): distinct
+    (id, fp) rows, same full-window/truncated-window selection as the
+    Spark array-HOF implementation."""
+    return f"""
+  SELECT DISTINCT {idc}, wmin AS fp FROM (
+    SELECT {idc}, pos, _len,
+           min(h) OVER (PARTITION BY {idc} ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING) AS wmin
+    FROM (
+      SELECT {idc}, _len, pos, ({sqlgen.hexfold_i64('_m')}) & 1073741823 AS h
+      FROM (
+        SELECT {idc}, _len, pos, md5(substr(_t, pos + 1, 5)) AS _m
+        FROM (
+          SELECT {idc}, _t, length(_t) AS _len,
+                 unnest(generate_series(0, greatest(length(_t) - 5, 0))) AS pos
+          FROM ({src})
+        )
+      )
+    )
+  ) WHERE (pos <= greatest(_len - 4, 1) - 20 OR pos = 0) AND wmin IS NOT NULL
+"""
+
+
+def _bloom_probe_sql(fps_cte: str, filter_cte: str, idc: str) -> str:
+    """DuckDB replay of ``bloom.bloom_probe`` grouped per {idc}: for each
+    (id, fp) explode k probe coins, md5+hexfold mod m, 63-bit word/bit
+    split, AND across probes against the bitmap — identical integer
+    arithmetic to the Spark side, false positives included."""
+    return f"""
+  SELECT {idc}, CAST(sum(might) AS BIGINT) AS bl_hits FROM (
+    SELECT {idc}, fp, min((((coalesce(w.bits, 0) >> CAST((p.pos % 63) AS INT)) & 1))) AS might
+    FROM (
+      SELECT {idc}, fp, (((f % {_BL_M}) + {_BL_M}) % {_BL_M}) AS pos
+      FROM (
+        SELECT {idc}, fp, ({sqlgen.hexfold_i64('_m')}) AS f
+        FROM (
+          SELECT {idc}, fp,
+                 md5(CAST(fp AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS _m
+          FROM {fps_cte} CROSS JOIN (SELECT unnest(range(0, {_BL_K})) AS j) jt
+        )
+      )
+    ) p
+    LEFT JOIN {filter_cte} w ON w.word = (p.pos // 63)
+    GROUP BY {idc}, fp
+  ) GROUP BY {idc}
+"""
+
 
 ORACLE_TEXT_FINGERPRINTS = f"""
 WITH base AS (SELECT doc_id, text, {sqlgen.split_words('text', DUCK)} AS ws FROM documents),
@@ -1387,14 +1471,42 @@ sd AS (
   FROM documents d
   LEFT JOIN sd_partners p ON d.doc_id = p.idb
   LEFT JOIN sd_cov v ON d.doc_id = v.idb
-)
+),
+-- r12 bloom prefilter: span-24 winnow fingerprints of docs probed against
+-- a {_BL_M}-bit / {_BL_K}-probe filter of the probe corpus's fingerprints
+-- — operators/bloom.py replayed bit-for-bit, false positives included
+bl_pfps AS MATERIALIZED ({_winnow20_sql(
+    "SELECT doc_id AS probe_id, substr(text, 6, 45) AS _t "
+    "FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL",
+    "probe_id",
+)}),
+bl_words AS MATERIALIZED (
+  SELECT (pos // 63) AS word,
+         bit_or((CAST(1 AS BIGINT) << CAST((pos % 63) AS INT))) AS bits
+  FROM (
+    SELECT (((f % {_BL_M}) + {_BL_M}) % {_BL_M}) AS pos FROM (
+      SELECT ({sqlgen.hexfold_i64('_m')}) AS f FROM (
+        SELECT md5(CAST(fp AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS _m
+        FROM (SELECT DISTINCT fp FROM bl_pfps)
+        CROSS JOIN (SELECT unnest(range(0, {_BL_K})) AS j) jt
+      )
+    )
+  ) GROUP BY 1
+),
+bl_dfps AS MATERIALIZED ({_winnow20_sql(
+    "SELECT doc_id, text AS _t FROM documents WHERE text IS NOT NULL",
+    "doc_id",
+)}),
+bl AS ({_bloom_probe_sql("bl_dfps", "bl_words", "doc_id")})
 SELECT fp.doc_id, fp.fingerprint, wn.n_fp, wn.fp_xor,
        c.n_grams, c.n_hit_grams, c.hit_frac_c,
        w2.wd_contam_probes, w2.wd_contaminated,
-       sd.sd_partners, sd.sd_starts, sd.sd_chars, sd.sd_kept
+       sd.sd_partners, sd.sd_starts, sd.sd_chars, sd.sd_kept,
+       coalesce(b2.bl_hits, 0) AS bl_hits
 FROM fp JOIN wn ON fp.doc_id = wn.doc_id JOIN conta c ON fp.doc_id = c.doc_id
 JOIN wdec w2 ON fp.doc_id = w2.doc_id
 JOIN sd ON fp.doc_id = sd.doc_id
+LEFT JOIN bl b2 ON fp.doc_id = b2.doc_id
 """
 
 
