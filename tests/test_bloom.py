@@ -219,3 +219,23 @@ def test_bloom_stream_watermark_and_redelivery(spark, tmp_path):
     assert words_after == words_before
     _, m2 = bl.load_bloom_index(spark, idx)
     assert m2["last_epoch"] == 1
+
+
+def test_decontaminate_bloom_prefilter_equivalence(spark, documents):
+    """decontaminate_substring(bloom_m_bits=...) returns EXACTLY the base
+    path's rows at any bitmap size — zero false negatives plus the exact
+    re-join make the prefilter invisible in the result, even at a tiny
+    bitmap where most probes false-positive."""
+    from tikv_data_compare_spark.operators import text as tx
+
+    docs = documents.select("doc_id", "text")
+    wprobes = documents.filter(F.col("doc_id") % 17 == 0).selectExpr(
+        "doc_id AS probe_id", "substr(text, 6, 45) AS text"
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    base = key(tx.decontaminate_substring(docs, wprobes, min_span=24))
+    assert base == key(tx.decontaminate_substring(
+        docs, wprobes, min_span=24, bloom_m_bits=63 * 80))
+    # a deliberately saturated 63-bit filter: everything flags, result same
+    assert base == key(tx.decontaminate_substring(
+        docs, wprobes, min_span=24, bloom_m_bits=63, bloom_k_hashes=1))

@@ -1197,12 +1197,25 @@ def decontaminate_substring(
     probe_text_col: str = "text",
     min_span: int = 20,
     k: int = 5,
+    bloom_m_bits: int | None = None,
+    bloom_k_hashes: int = 4,
 ) -> DataFrame:
     """Exact-substring test-set decontamination (r10): flag every document
     sharing a VERBATIM character span of at least ``min_span`` with any
     probe/benchmark document — the GPT-3/LLaMA decontamination criterion
     (N-token exact overlap), complementing ``contamination``'s softer
     distinct-n-gram screen.
+
+    ``bloom_m_bits`` (r12) switches the probe-fingerprint side of the
+    candidate join from a broadcast TABLE to a fixed-size Bloom bitmap
+    (``operators/bloom.py``): the doc fingerprints are pre-screened
+    map-side against ≤ ``ceil(m/63)`` broadcast rows, and only flagged
+    fingerprints enter the equi-join.  Because the bloom has zero false
+    negatives and the fingerprint join re-checks every survivor exactly,
+    the RESULT is identical at any ``m`` (equivalence-tested) — the knob
+    trades broadcast size against join-input reduction when the probe
+    set itself is corpus-sized (a whole held-out corpus, not a
+    benchmark).
 
     Composition of machinery already in-tree (r9 verdict task 5):
 
@@ -1240,6 +1253,23 @@ def decontaminate_substring(
     p_fp = winnow_fingerprints(
         probes, probe_id_col, probe_text_col, k=k, w=w
     ).select(probe_id_col, "fp")
+    if bloom_m_bits is not None:
+        from tikv_data_compare_spark.operators.bloom import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        bitmap = bloom_build(
+            p_fp.where(F.col("fp").isNotNull()), "fp",
+            bloom_m_bits, bloom_k_hashes,
+        )
+        # winnow emits array_distinct fps per doc, so (id, fp) already
+        # uniquely keys the rows (the bloom_probe contract); NULL fps
+        # could never survive the scalar equi-join below either way
+        d_fp = bloom_probe(
+            d_fp.where(F.col("fp").isNotNull()), bitmap, "fp",
+            bloom_m_bits, bloom_k_hashes, id_cols=[id_col, "fp"],
+        ).where(F.col("might_contain") == 1).drop("might_contain")
     cand = (
         d_fp.join(F.broadcast(p_fp), "fp")
         .select(id_col, probe_id_col)
