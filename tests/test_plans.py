@@ -532,3 +532,5 @@ def test_bloom_probe_broadcasts_bitmap(spark, documents):
     assert plans.has_partial_aggregation(bitmap)
     s = plans.plan_string(probed)
     assert "CartesianProduct" not in s
+    # the probed side never shuffles: k broadcast joins, no hash exchange
+    assert "Exchange hashpartitioning" not in s

@@ -807,6 +807,8 @@ def main(argv: list[str] | None = None) -> int:
             return 2
 
     if args.cmd == "bloom":
+        from pyspark.sql import functions as F
+
         from tikv_data_compare_spark.operators import bloom as bl
 
         chosen = [
@@ -836,13 +838,21 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"appended": args.append_index, **meta}))
             else:
                 probed = bl.query_bloom_index(src, args.index, args.item_col)
-                result = {
-                    "index": args.index,
-                    "rows": probed.count(),
-                    "flagged": probed.where("might_contain = 1").count(),
-                }
+                # one execution of the probe lineage: write-then-recount
+                # from the materialized parquet, or a single two-metric agg
                 if args.out:
                     probed.write.mode("overwrite").parquet(args.out)
+                    probed = spark.read.parquet(args.out)
+                counts = probed.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("might_contain").alias("f"),
+                ).first()
+                result = {
+                    "index": args.index,
+                    "rows": int(counts["n"]),
+                    "flagged": int(counts["f"] or 0),
+                }
+                if args.out:
                     result["out"] = args.out
                 print(json.dumps(result))
         except ValueError as e:

@@ -69,3 +69,20 @@ def scratch_dir(prefix: str) -> str:
     d = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, d, True)
     return d
+
+
+def recover_swap(path: str) -> bool:
+    """Entry recovery for readers that check a swap-committed artifact's
+    EXISTENCE before any ``swap_commit`` runs (the streaming
+    bootstrap-vs-append dispatch): a crash between swap_commit's two
+    renames leaves ``path.old`` as the sole copy, and a bare existence
+    check would then mis-dispatch — a bootstrap over a half-swapped index
+    silently discards everything previously ingested, and an append path
+    would throw path-not-found on every retry.  Same restore rule as
+    swap_commit's own entry recovery (rename back, never delete); returns
+    whether the artifact exists afterwards."""
+    clean = path.rstrip("/")
+    old = clean + ".old"
+    if os.path.exists(old) and not os.path.exists(clean):
+        os.rename(old, clean)
+    return os.path.exists(clean)

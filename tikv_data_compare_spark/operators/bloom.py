@@ -25,10 +25,9 @@ replays the filter bit-for-bit — including which false positives occur:
 - membership = every one of the ``k_hashes`` probed bits set.
 
 Spark shape: build is one map-side explode + a ``bit_or`` group-by whose
-result is ≤ ``ceil(m_bits / 63)`` rows regardless of input size; probe is a
-broadcast join on the word index plus a per-item AND — the probed corpus
-never shuffles its payload, only ``k_hashes`` narrow (id, bit) rows per
-item reach the re-aggregation.
+result is ≤ ``ceil(m_bits / 63)`` rows regardless of input size; probe is
+``k_hashes`` broadcast-hash-joins of that bounded word table plus a
+per-row bitwise AND — the probed corpus never shuffles at all.
 
 The reference (a KV-compare CLI) has no membership surface; this module is
 part of the LLM-data-pipeline extension mandated by the build brief.
@@ -127,43 +126,63 @@ def bloom_probe(
     face threads it through a validated meta).  Zero false negatives: an
     inserted item always flags 1.
 
-    ``id_cols`` must uniquely key ``df``'s rows (default ``[item_col]`` —
-    sufficient when probing a distinct item frame); the probe explodes
-    ``k_hashes`` rows per input row and re-aggregates on them.  The bitmap
-    side is always broadcast (bounded by ``m_bits``), so the probed side
-    never shuffles its payload — only the narrow (id, hit) rows.
+    ENTIRELY map-side: each of the ``k_hashes`` probes is its own staged
+    md5 column plus a broadcast-hash-join against the bounded word table
+    (≤ ``ceil(m_bits / 63)`` rows), and the flag is the bitwise AND of the
+    per-probe bits — no explode, no re-aggregation, no shuffle of the
+    probed frame at all.  ``k_hashes`` broadcast joins of one tiny table
+    beat one shuffle of the corpus at any scale (the map-side-probe shape
+    the filter exists for).
+
+    ``id_cols`` is retained for call-shape compatibility and validated
+    when given, but the flag is computed per ROW, so no uniqueness
+    requirement applies.
     """
     _validate(m_bits, k_hashes)
-    keys = list(id_cols) if id_cols else [item_col]
-    for c in keys:
-        if c not in df.columns:
-            raise ValueError(f"id column {c!r} not in the probed frame")
+    if id_cols:
+        for c in id_cols:
+            if c not in df.columns:
+                raise ValueError(f"id column {c!r} not in the probed frame")
     if flag_col in df.columns:
         raise ValueError(f"output column {flag_col!r} already exists on the input")
-    cols = keys if item_col in keys else [*keys, item_col]
-    pos = _positions(df.select(*cols), item_col, m_bits, k_hashes, keep=keys)
-    hit = (
-        pos.join(F.broadcast(bloom), pos["_bword"] == bloom["word"], "left")
-        .withColumn(
-            "_bhit",
-            F.expr(
-                "(shiftright(coalesce(bits, CAST(0 AS BIGINT)), _bbit) & 1)"
-            ).cast("long"),
+    if _STAGE in df.columns:
+        raise ValueError(f"column name {_STAGE!r} is reserved by the bloom operators")
+    item = F.coalesce(F.col(item_col).cast("string"), F.lit(""))
+    out = df
+    hits = []
+    for j in range(k_hashes):
+        out = out.withColumn(
+            _STAGE, F.md5(F.concat_ws(":", item, F.lit(str(j))))
         )
-        .groupBy(*keys)
-        .agg(F.min("_bhit").cast("long").alias(flag_col))
-    )
-    # null-SAFE attach: a NULL key row still probed (as '', the family
-    # convention) and must get its flag back — a plain equi-join would
-    # leave it NULL
-    renamed = hit.select(
-        *[F.col(k).alias(f"_bk_{k}") for k in keys], flag_col
-    )
-    cond = None
-    for k in keys:
-        c = df[k].eqNullSafe(renamed[f"_bk_{k}"])
-        cond = c if cond is None else cond & c
-    return df.join(renamed, cond, "left").drop(*[f"_bk_{k}" for k in keys])
+        pos = F.expr(
+            f"((({sqlgen.hexfold_i64(_STAGE)}) % {m_bits}) + {m_bits}) % {m_bits}"
+        )
+        out = (
+            out.withColumn(f"_bpos{j}", pos.cast("long"))
+            .drop(_STAGE)
+            .withColumn(f"_bword{j}", F.expr(f"_bpos{j} div {_WORD_BITS}"))
+            .withColumn(
+                f"_bbit{j}", (F.col(f"_bpos{j}") % _WORD_BITS).cast("int")
+            )
+            .drop(f"_bpos{j}")
+        )
+        side = F.broadcast(
+            bloom.select(
+                F.col("word").alias(f"_bw{j}"), F.col("bits").alias(f"_bb{j}")
+            )
+        )
+        out = out.join(
+            side, F.col(f"_bword{j}") == F.col(f"_bw{j}"), "left"
+        ).drop(f"_bword{j}", f"_bw{j}")
+        out = out.withColumn(
+            f"_bhit{j}",
+            F.expr(
+                f"(shiftright(coalesce(_bb{j}, CAST(0 AS BIGINT)), _bbit{j}) & 1)"
+            ).cast("long"),
+        ).drop(f"_bb{j}", f"_bbit{j}")
+        hits.append(f"_bhit{j}")
+    flag = F.expr(" & ".join(hits)).cast("long")
+    return out.withColumn(flag_col, flag).drop(*hits)
 
 
 # ---------------------------------------------------------------------------

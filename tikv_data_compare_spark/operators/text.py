@@ -1206,16 +1206,16 @@ def decontaminate_substring(
     (N-token exact overlap), complementing ``contamination``'s softer
     distinct-n-gram screen.
 
-    ``bloom_m_bits`` (r12) switches the probe-fingerprint side of the
-    candidate join from a broadcast TABLE to a fixed-size Bloom bitmap
-    (``operators/bloom.py``): the doc fingerprints are pre-screened
-    map-side against ≤ ``ceil(m/63)`` broadcast rows, and only flagged
-    fingerprints enter the equi-join.  Because the bloom has zero false
-    negatives and the fingerprint join re-checks every survivor exactly,
-    the RESULT is identical at any ``m`` (equivalence-tested) — the knob
-    trades broadcast size against join-input reduction when the probe
-    set itself is corpus-sized (a whole held-out corpus, not a
-    benchmark).
+    ``bloom_m_bits`` (r12) is the corpus-sized-probe-set mode: the doc
+    fingerprints are pre-screened map-side against a fixed-size Bloom
+    bitmap of the probe fingerprints (``operators/bloom.py``, ≤
+    ``ceil(m/63)`` broadcast rows), and the candidate/verify joins that
+    follow run as ORDINARY shuffle joins instead of broadcasting the
+    probe fingerprint/text tables — nothing in the plan grows with the
+    probe set except the shuffles, which are sized by the (bloom-pruned)
+    candidate survivors.  Because the bloom has zero false negatives and
+    the fingerprint join re-checks every survivor exactly, the RESULT is
+    identical at any ``m`` (equivalence-tested).
 
     Composition of machinery already in-tree (r9 verdict task 5):
 
@@ -1270,15 +1270,21 @@ def decontaminate_substring(
             d_fp.where(F.col("fp").isNotNull()), bitmap, "fp",
             bloom_m_bits, bloom_k_hashes, id_cols=[id_col, "fp"],
         ).where(F.col("might_contain") == 1).drop("might_contain")
+    # benchmark-sized probes broadcast (the default); the bloom mode exists
+    # precisely because the probe tables are too big to broadcast there, so
+    # it leaves both joins to the planner (shuffle joins sized by the
+    # bloom-pruned survivors)
+    p_fp_side = p_fp if bloom_m_bits is not None else F.broadcast(p_fp)
     cand = (
-        d_fp.join(F.broadcast(p_fp), "fp")
+        d_fp.join(p_fp_side, "fp")
         .select(id_col, probe_id_col)
         .distinct()
     )
+    p_txt = probes.select(probe_id_col, F.col(probe_text_col).alias("_pt"))
     pairs = cand.join(
         docs.select(id_col, F.col(text_col).alias("_dt")), id_col
     ).join(
-        F.broadcast(probes.select(probe_id_col, F.col(probe_text_col).alias("_pt"))),
+        p_txt if bloom_m_bits is not None else F.broadcast(p_txt),
         probe_id_col,
     )
     # Spark's sequence(1, n) DESCENDS for n < 1, so the short-probe case is

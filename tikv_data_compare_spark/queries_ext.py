@@ -1292,9 +1292,11 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp").isNotNull()
     )
     bitmap = bloom_ops.bloom_build(p_fp20, "fp", m_bits=_BL_M, k_hashes=_BL_K)
+    # winnow emits array_distinct fps per doc — (doc_id, fp) rows are
+    # already distinct, no dedup shuffle needed
     d_fp20 = tx.winnow_fingerprints(nn, "doc_id", "text", k=5, w=20).where(
         F.col("fp").isNotNull()
-    ).distinct()
+    )
     blm = (
         bloom_ops.bloom_probe(
             d_fp20, bitmap, "fp", _BL_M, _BL_K, id_cols=["doc_id", "fp"]
@@ -1312,49 +1314,18 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_WINNOW_CTE = f"""
-WITH pos_exploded AS (
-  SELECT doc_id, text, length(text) AS _len,
-         unnest(generate_series(0, greatest(length(text) - 5, 0))) AS pos
-  FROM documents
-),
-grams AS (
-  SELECT doc_id, _len, pos, substr(text, pos + 1, 5) AS gram FROM pos_exploded
-),
-hashed AS (
-  SELECT doc_id, _len, pos, ({sqlgen.hexfold_i64('_m')}) & 1073741823 AS h
-  FROM (SELECT doc_id, _len, pos, md5(gram) AS _m FROM grams)
-),
-wins AS (
-  SELECT doc_id, pos, _len,
-         min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
-  FROM hashed
-),
-sel AS (
-  SELECT DISTINCT doc_id, wmin AS fp FROM wins
-  WHERE pos <= greatest(_len - 4, 1) - 4 OR pos = 0
-)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, CAST(bit_xor(fp) AS BIGINT) AS fp_xor
-FROM sel GROUP BY doc_id
-"""
-
-# bloom-fold geometry (q_text_fingerprints + ORACLE_TEXT_FINGERPRINTS):
-# small enough that the sf0.01 gate exercises REAL false positives, so the
-# hash gate pins the full bitmap arithmetic, not just the happy path
-_BL_M = 63 * 80
-_BL_K = 4
-
-
-def _winnow20_sql(src: str, idc: str) -> str:
-    """DuckDB replay of ``winnow_fingerprints(k=5, w=20)`` over ``src``
-    (which must provide ``{idc}`` and a non-NULL ``_t``): distinct
-    (id, fp) rows, same full-window/truncated-window selection as the
-    Spark array-HOF implementation."""
+def _winnow_sel_sql(src: str, idc: str, w: int) -> str:
+    """DuckDB replay of ``winnow_fingerprints(k=5, w=w)`` over ``src``
+    (which must provide ``{idc}`` and ``_t``): distinct (id, fp) rows,
+    same full-window/truncated-window selection as the Spark array-HOF
+    implementation.  ONE generator for every winnow oracle (the w=4
+    ``wn`` aggregate and the w=20 decontamination/bloom fingerprints), so
+    the selection algebra cannot drift per call site (r12 review)."""
     return f"""
   SELECT DISTINCT {idc}, wmin AS fp FROM (
     SELECT {idc}, pos, _len,
            min(h) OVER (PARTITION BY {idc} ORDER BY pos
-                        ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING) AS wmin
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin
     FROM (
       SELECT {idc}, _len, pos, ({sqlgen.hexfold_i64('_m')}) & 1073741823 AS h
       FROM (
@@ -1366,8 +1337,22 @@ def _winnow20_sql(src: str, idc: str) -> str:
         )
       )
     )
-  ) WHERE (pos <= greatest(_len - 4, 1) - 20 OR pos = 0) AND wmin IS NOT NULL
+  ) WHERE (pos <= greatest(_len - 4, 1) - {w} OR pos = 0) AND wmin IS NOT NULL
 """
+
+
+_ORACLE_WINNOW_CTE = f"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, CAST(bit_xor(fp) AS BIGINT) AS fp_xor
+FROM ({_winnow_sel_sql("SELECT doc_id, text AS _t FROM documents", "doc_id", 4)})
+GROUP BY doc_id
+"""
+
+# bloom-fold geometry (q_text_fingerprints + ORACLE_TEXT_FINGERPRINTS):
+# small enough that the sf0.01 gate exercises REAL false positives, so the
+# hash gate pins the full bitmap arithmetic, not just the happy path
+_BL_M = 63 * 80
+_BL_K = 4
+
 
 
 def _bloom_probe_sql(fps_cte: str, filter_cte: str, idc: str) -> str:
@@ -1475,10 +1460,10 @@ sd AS (
 -- r12 bloom prefilter: span-24 winnow fingerprints of docs probed against
 -- a {_BL_M}-bit / {_BL_K}-probe filter of the probe corpus's fingerprints
 -- — operators/bloom.py replayed bit-for-bit, false positives included
-bl_pfps AS MATERIALIZED ({_winnow20_sql(
+bl_pfps AS MATERIALIZED ({_winnow_sel_sql(
     "SELECT doc_id AS probe_id, substr(text, 6, 45) AS _t "
     "FROM documents WHERE doc_id % 17 = 0 AND text IS NOT NULL",
-    "probe_id",
+    "probe_id", 20,
 )}),
 bl_words AS MATERIALIZED (
   SELECT (pos // 63) AS word,
@@ -1493,9 +1478,9 @@ bl_words AS MATERIALIZED (
     )
   ) GROUP BY 1
 ),
-bl_dfps AS MATERIALIZED ({_winnow20_sql(
+bl_dfps AS MATERIALIZED ({_winnow_sel_sql(
     "SELECT doc_id, text AS _t FROM documents WHERE text IS NOT NULL",
-    "doc_id",
+    "doc_id", 20,
 )}),
 bl AS ({_bloom_probe_sql("bl_dfps", "bl_words", "doc_id")})
 SELECT fp.doc_id, fp.fingerprint, wn.n_fp, wn.fp_xor,

@@ -31,13 +31,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from tikv_data_compare_spark.operators import bloom as bl
+from tikv_data_compare_spark.streaming.epochs import epoch_stream, read_last_epoch
 
 
 def _read_last_epoch(spark, index_path: str) -> int:
-    if not os.path.exists(f"{index_path}/meta"):
-        return -1
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0].asDict()
-    return int(meta.get("last_epoch", -1))
+    # shared scaffolding incl. crash-window .old recovery (streaming/epochs.py)
+    return read_last_epoch(spark, index_path, parts=("words",))
 
 
 def ingest_batch_into_bloom_index(
@@ -82,27 +81,13 @@ def bloom_index_stream(
     module docstring for the exactly-once story; probes against
     ``index_path`` (``query_bloom_index``) see each epoch's items as soon
     as its word-table swap lands."""
-    if checkpoint_location is None:
-        raise ValueError(
-            "bloom_index_stream requires checkpoint_location= — a fresh "
-            "checkpoint restarts epoch ids at 0 and the last_epoch "
-            "watermark would skip new data; reuse one directory per "
-            "source+index pair"
-        )
-
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         ingest_batch_into_bloom_index(
             batch_df, index_path, epoch_id, item_col=item_col,
             m_bits=m_bits, k_hashes=k_hashes,
         )
 
-    writer = (
-        stream_df.writeStream.foreachBatch(process)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_location)
+    return epoch_stream(
+        stream_df, checkpoint_location, process, "bloom_index_stream",
+        trigger_once=trigger_once,
     )
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -57,14 +57,12 @@ from tikv_data_compare_spark.functions.fsutil import swap_commit
 from tikv_data_compare_spark.operators import dedup as dd
 from tikv_data_compare_spark.operators import dedup_index as di
 from tikv_data_compare_spark.operators import graph as gr
+from tikv_data_compare_spark.streaming.epochs import epoch_stream, read_last_epoch
 
 
 def _read_last_epoch(spark, index_path: str) -> int:
-    meta_path = f"{index_path}/meta"
-    if not os.path.exists(meta_path):
-        return -1
-    meta = spark.read.parquet(meta_path).collect()[0].asDict()
-    return int(meta.get("last_epoch", -1))
+    # shared scaffolding incl. crash-window .old recovery (streaming/epochs.py)
+    return read_last_epoch(spark, index_path, parts=("bands",))
 
 
 def fold_pairs_into_labels(pairs: DataFrame, labels_path: str) -> None:
@@ -203,16 +201,8 @@ def dedup_stream(
     checkpoint re-lists every source file at epoch 0 and the watermark
     would silently skip genuinely-new data.
     """
-    if checkpoint_location is None:
-        raise ValueError(
-            "dedup_stream requires checkpoint_location= — a fresh checkpoint "
-            "restarts epoch ids at 0 and the last_epoch watermark would skip "
-            "new data; reuse one directory per source+index pair"
-        )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         ingest_batch_into_dedup_index(
             batch_df, index_path, pairs_out, epoch_id,
             id_col=id_col, text_col=text_col, algo=algo,
@@ -220,11 +210,7 @@ def dedup_stream(
             labels_path=labels_path,
         )
 
-    writer = (
-        stream_df.writeStream.foreachBatch(process)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_location)
+    return epoch_stream(
+        stream_df, checkpoint_location, process, "dedup_stream",
+        trigger_once=trigger_once,
     )
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -34,13 +34,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from tikv_data_compare_spark.operators import text_index as ti
+from tikv_data_compare_spark.streaming.epochs import epoch_stream, read_last_epoch
 
 
 def _read_last_epoch(spark, index_path: str) -> int:
-    if not os.path.exists(f"{index_path}/meta"):
-        return -1
-    meta = spark.read.parquet(f"{index_path}/meta").collect()[0].asDict()
-    return int(meta.get("last_epoch", -1))
+    # shared scaffolding incl. crash-window .old recovery (streaming/epochs.py)
+    return read_last_epoch(spark, index_path, parts=("postings", "dfreq"))
 
 
 def ingest_batch_into_text_index(
@@ -83,26 +82,13 @@ def text_index_stream(
     the module docstring for the exactly-once story; queries against
     ``index_path`` (``query_text_index``) see each epoch's documents with
     exact corpus statistics as soon as its meta swap lands."""
-    if checkpoint_location is None:
-        raise ValueError(
-            "text_index_stream requires checkpoint_location= — a fresh "
-            "checkpoint restarts epoch ids at 0 and the last_epoch "
-            "watermark would skip new data; reuse one directory per "
-            "source+index pair"
-        )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         ingest_batch_into_text_index(
             batch_df, index_path, epoch_id, id_col=id_col, text_col=text_col
         )
 
-    writer = (
-        stream_df.writeStream.foreachBatch(process)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_location)
+    return epoch_stream(
+        stream_df, checkpoint_location, process, "text_index_stream",
+        trigger_once=trigger_once,
     )
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
