@@ -239,3 +239,22 @@ def test_decontaminate_bloom_prefilter_equivalence(spark, documents):
     # a deliberately saturated 63-bit filter: everything flags, result same
     assert base == key(tx.decontaminate_substring(
         docs, wprobes, min_span=24, bloom_m_bits=63, bloom_k_hashes=1))
+
+
+def test_curate_decontam_bloom_passthrough_equivalence(spark, documents):
+    """curate(decontam_bloom_m_bits=...) keeps exactly the same docs and
+    reports the same funnel as the broadcast-table path."""
+    from tikv_data_compare_spark.operators.curate import curate
+
+    docs = documents.select("doc_id", "lang", "text", "source").limit(200)
+    probes = documents.filter(F.col("doc_id") % 17 == 0).selectExpr(
+        "doc_id AS probe_id", "substr(text, 6, 45) AS text"
+    )
+    kept_a, attr_a = curate(docs, probes=probes, decontam_span=24)
+    kept_b, attr_b = curate(
+        docs, probes=probes, decontam_span=24, decontam_bloom_m_bits=63 * 80
+    )
+    ids = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())
+    assert ids(kept_a) == ids(kept_b)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(attr_a) == rows(attr_b)

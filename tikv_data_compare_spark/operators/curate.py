@@ -57,6 +57,7 @@ def curate(
     probes: DataFrame | None = None,
     max_contamination_hits: int = 0,
     decontam_span: int | None = None,
+    decontam_bloom_m_bits: int | None = None,
     keep_langs: list[str] | None = None,
     max_lm_nll_c: int | None = None,
     lm_train: DataFrame | None = None,
@@ -79,7 +80,9 @@ def curate(
     decontamination (``text.decontaminate_substring``, the GPT-3/LLaMA
     criterion): any doc sharing a verbatim span of at least
     ``decontam_span`` characters with a probe drops, regardless of
-    ``max_contamination_hits``.
+    ``max_contamination_hits``; ``decontam_bloom_m_bits`` (r12) passes
+    through to that stage's Bloom prefilter mode for corpus-sized probe
+    sets (result identical — equivalence-tested on the operator).
     ``algo`` selects the near-dup stage's shingle hash — ``md5i64``
     (default, DuckDB-oracle checkable) or ``xxhash64`` (the throughput
     path, same knob as the dedup/checksum operators).  ``keep_langs``
@@ -213,6 +216,7 @@ def curate(
                 docs, probes_n, id_col, text_col,
                 probe_id_col="_probe_id", probe_text_col=text_col,
                 min_span=int(decontam_span),
+                bloom_m_bits=decontam_bloom_m_bits,
             ).select(id_col, (~F.col("contaminated")).alias("_ct_ok"))
             stage_name = "decontamination_exact"
         else:
