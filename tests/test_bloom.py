@@ -258,3 +258,34 @@ def test_curate_decontam_bloom_passthrough_equivalence(spark, documents):
     assert ids(kept_a) == ids(kept_b)
     rows = lambda df: sorted(tuple(r) for r in df.collect())
     assert rows(attr_a) == rows(attr_b)
+
+
+def test_subtract_corpus_matches_brute_force(spark):
+    """Exact-content subtraction == a pure-Python membership check on the
+    coalesced content strings, incl. NULL/empty keys and duplicate rows on
+    both sides; bloom mode identical at any geometry."""
+    from tikv_data_compare_spark.operators.dedup import subtract_corpus
+
+    a_rows = [(i, f"text {i % 12}") for i in range(30)] + [(98, None), (99, "")]
+    b_rows = [(100 + i, f"text {i}") for i in range(6)] + [(200, None)]
+    a = spark.createDataFrame(a_rows, "doc_id long, text string")
+    b = spark.createDataFrame(b_rows, "doc_id long, text string")
+    bset = {t if t is not None else "" for _, t in b_rows}
+    want = {i: int((t if t is not None else "") in bset) for i, t in a_rows}
+
+    got = {r["doc_id"]: r["in_other"]
+           for r in subtract_corpus(a, b).collect()}
+    assert got == want
+    for m in (63, 63 * 80):  # saturated and realistic bitmaps: same result
+        gb = {r["doc_id"]: r["in_other"]
+              for r in subtract_corpus(a, b, bloom_m_bits=m).collect()}
+        assert gb == want, m
+    # other_content_col + reserved-column guards
+    b2 = b.withColumnRenamed("text", "body")
+    got2 = {r["doc_id"]: r["in_other"]
+            for r in subtract_corpus(a, b2, other_content_col="body").collect()}
+    assert got2 == want
+    with pytest.raises(ValueError):
+        subtract_corpus(a.withColumn("in_other", F.lit(1)), b)
+    with pytest.raises(ValueError):
+        subtract_corpus(a.withColumn("_sub_h", F.lit("x")), b)

@@ -1170,3 +1170,30 @@ def test_cli_bloom(capsys, spark, tmp_path):
     rc = cli.main(["bloom", "--src", src, "--build-index", idx,
                    "--m-bits", "10"])
     assert rc == 2 and "m_bits" in capsys.readouterr().err
+
+
+def test_cli_dedup_subtract(capsys, spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "sub_a.pq")
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(src)
+    other = str(tmp_path / "sub_b.pq")
+    docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10**6).alias("doc_id"), "text"
+    ).write.mode("overwrite").parquet(other)
+    out = str(tmp_path / "sub_out.pq")
+    rc = cli.main(["dedup", "--src", src, "--subtract", other, "--out", out])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n7 = docs.filter(F.col("doc_id") % 7 == 0).count()
+    assert res["rows"] == docs.count() and res["in_other"] >= n7
+    # bloom mode: identical counts
+    rc = cli.main(["dedup", "--src", src, "--subtract", other,
+                   "--subtract-bloom-bits", str(63 * 80)])
+    assert rc == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["in_other"] == res["in_other"]
+    # subtract is its own mode
+    rc = cli.main(["dedup", "--src", src, "--subtract", other, "--lines"])
+    assert rc == 2 and "own mode" in capsys.readouterr().err

@@ -259,6 +259,15 @@ def main(argv: list[str] | None = None) -> int:
                         "across the corpus, rebuild each doc in order "
                         "(operators.dedup.dedup_lines)")
     p.add_argument("--sep", default="\n", help="with --lines: literal line separator")
+    p.add_argument("--subtract", default="",
+                   help="cross-corpus exact-content subtraction: flag every "
+                        "--src doc whose content exists verbatim in this "
+                        "parquet (operators.dedup.subtract_corpus; the "
+                        "incremental-crawl dedup)")
+    p.add_argument("--subtract-bloom-bits", type=int, default=None,
+                   help="with --subtract: pre-screen through a fixed-size "
+                        "Bloom bitmap of this many bits (corpus-sized "
+                        "other-set mode; result identical)")
     p.add_argument("--out", default="", help="write result parquet here")
     p.add_argument("--concurrency", type=int, default=0)
 
@@ -570,6 +579,30 @@ def main(argv: list[str] | None = None) -> int:
         from tikv_data_compare_spark.operators import dedup as dd
         from tikv_data_compare_spark.operators import dedup_index as di
 
+        if args.subtract:
+            if args.build_index or args.append_index or args.index \
+                    or args.ingest_index or args.lines:
+                print("dedup: --subtract is its own mode (no index/lines "
+                      "flags)", file=sys.stderr)
+                return 2
+            flagged = dd.subtract_corpus(
+                spark.read.parquet(args.src),
+                spark.read.parquet(args.subtract),
+                id_col=args.id_col, content_col=args.text_col,
+                bloom_m_bits=args.subtract_bloom_bits,
+            )
+            if args.out:
+                flagged.write.mode("overwrite").parquet(args.out)
+                flagged = spark.read.parquet(args.out)
+            counts = flagged.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("in_other").alias("d")
+            ).first()
+            result = {"rows": int(counts["n"]),
+                      "in_other": int(counts["d"] or 0)}
+            if args.out:
+                result["out"] = args.out
+            print(json.dumps(result))
+            return 0
         modes = [
             f for f, v in (("--build-index", args.build_index),
                            ("--append-index", args.append_index),

@@ -538,3 +538,79 @@ def dedup_lines(
             F.coalesce("new_text", F.lit("")).alias("new_text"),
         )
     )
+
+
+def subtract_corpus(
+    df: DataFrame,
+    other: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    other_content_col: str | None = None,
+    bloom_m_bits: int | None = None,
+    bloom_k_hashes: int = 4,
+    flag_col: str = "in_other",
+) -> DataFrame:
+    """Cross-corpus exact-content subtraction (r12) — the incremental-crawl
+    dedup every pipeline runs between snapshots: flag each row of ``df``
+    whose content already exists (verbatim) anywhere in ``other``, so the
+    caller keeps ``in_other = 0``.  This is dedup BETWEEN corpora, the
+    complement of ``exact_groups``' dedup within one.
+
+    Content keys are md5 of the content string with NULL keyed as ``''``
+    (the sampler-family convention — two NULL/empty docs are the same
+    "content" deterministically, matching ``_with_hash``).
+
+    Scale shape: ``other`` reduces to its DISTINCT content-hash set (one
+    partial-aggregated shuffle of narrow hashes, never the payload); the
+    flag is a join of ``df``'s hash against it — broadcast when small (the
+    planner's call).  ``bloom_m_bits`` is the corpus-sized-``other`` mode:
+    the distinct hash set ALSO builds a fixed-size Bloom bitmap
+    (``operators/bloom.py``), every ``df`` row pre-screens map-side, and
+    only might-contain rows enter the exact hash join — zero false
+    negatives plus the exact re-check keep the result identical at any
+    ``m`` (equivalence-tested), while the join input shrinks to the
+    (tiny) bloom survivors.
+
+    Returns ``df`` plus ``(flag_col long 0/1)``.
+    """
+    if flag_col in df.columns:
+        raise ValueError(f"output column {flag_col!r} already exists on the input")
+    if "_sub_h" in df.columns:
+        raise ValueError("column name '_sub_h' is reserved by subtract_corpus")
+    occ = other_content_col or content_col
+    h_df = F.md5(F.coalesce(F.col(content_col).cast("string"), F.lit("")))
+    h_ot = F.md5(F.coalesce(F.col(occ).cast("string"), F.lit("")))
+    others = other.select(h_ot.alias("_sub_h")).distinct()
+    staged = df.withColumn("_sub_h", h_df)
+    if bloom_m_bits is None:
+        flagged = staged.join(
+            others.withColumn("_sub_hit", F.lit(1).cast("long")),
+            "_sub_h", "left",
+        )
+        return flagged.withColumn(
+            flag_col, F.coalesce("_sub_hit", F.lit(0).cast("long"))
+        ).drop("_sub_h", "_sub_hit")
+    from tikv_data_compare_spark.operators.bloom import bloom_build, bloom_probe
+
+    bitmap = bloom_build(others, "_sub_h", bloom_m_bits, bloom_k_hashes)
+    probed = bloom_probe(
+        staged, bitmap, "_sub_h", bloom_m_bits, bloom_k_hashes,
+        flag_col="_sub_might",
+    )
+    # exact re-check ONLY for the bloom survivors (a where-split, so
+    # non-survivors never enter the join's shuffle at all — they are
+    # definitively absent, zero false negatives); the split scans the
+    # map-side probe twice but shuffles only the survivors
+    survivors = (
+        probed.where(F.col("_sub_might") == 1)
+        .join(
+            others.withColumn("_sub_hit", F.lit(1).cast("long")),
+            "_sub_h", "left",
+        )
+        .withColumn(flag_col, F.coalesce("_sub_hit", F.lit(0).cast("long")))
+        .drop("_sub_hit")
+    )
+    rest = probed.where(F.col("_sub_might") == 0).withColumn(
+        flag_col, F.lit(0).cast("long")
+    )
+    return survivors.unionByName(rest).drop("_sub_h", "_sub_might")

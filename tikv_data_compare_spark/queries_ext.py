@@ -44,9 +44,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``dedup_lines`` over the ``LINE_SYNTH``-planted corpus) — per doc
       (kept lines, dropped lines, md5 of the rebuilt text), so the
       global first-occurrence verdict AND the order-preserving rebuild are
-      both inside the hash gate."""
+      both inside the hash gate;
+    - ``part='subtract'`` (r12): cross-corpus exact-content subtraction
+      (``subtract_corpus`` — the incremental-crawl dedup) against a
+      planted other-corpus (the ``doc_id % 7`` slice re-keyed, so every
+      flagged doc is known); the gate runs the BLOOM-prefilter mode
+      (5040 bits / 4 probes) while the oracle computes plain membership —
+      hash-matching proves the bloom path's exactness end-to-end, not
+      just the happy path."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
+    other = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    sub = dd.subtract_corpus(
+        docs.select("doc_id", "text"), other, bloom_m_bits=63 * 80
+    ).select(
+        F.lit("subtract").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("in_other").cast("long").alias("b"),
+        F.lit(0).cast("long").alias("c"),
+        F.lit("").alias("h"),
+    )
     exact = dd.exact_groups(docs, "doc_id", "text").select(
         F.lit("exact").alias("part"),
         F.col("content_id").alias("a"),
@@ -62,7 +81,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dropped").alias("c"),
         F.md5("new_text").alias("h"),
     )
-    return exact.unionByName(lines)
+    return exact.unionByName(lines).unionByName(sub)
 
 
 ORACLE_DEDUP_EXACT = f"""
@@ -83,6 +102,16 @@ SELECT 'lines' AS part, CAST(doc_id AS BIGINT) AS a,
        CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS c,
        md5(COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos), '')) AS h
 FROM k GROUP BY doc_id
+UNION ALL
+-- r12 cross-corpus subtraction: membership of each doc's content in the
+-- planted other-corpus (the %7 slice re-keyed) — dedup.subtract_corpus,
+-- whose gated run goes through the BLOOM prefilter mode
+SELECT 'subtract' AS part, CAST(d.doc_id AS BIGINT) AS a,
+       CAST(CASE WHEN coalesce(d.text, '') IN
+            (SELECT coalesce(text, '') FROM documents WHERE doc_id % 7 = 0)
+            THEN 1 ELSE 0 END AS BIGINT) AS b,
+       CAST(0 AS BIGINT) AS c, '' AS h
+FROM documents d
 """
 
 
