@@ -41,8 +41,18 @@ def _py_member(bitmap, item, m=M, k=K):
     ))
 
 
+_ADVERSARIAL = [
+    "néédlé ü",              # multibyte UTF-8 (md5 runs over the bytes)
+    "日本語テキスト",          # CJK
+    "emoji 🚀🎉",             # astral-plane codepoints
+    "with:colon:item",       # colons — must not collide with the :j coin
+    "with:colon:item:0",     # ...nor with another item's probe-0 coin
+    "tab\tand\nnewline",
+]
+
+
 def test_bloom_build_matches_brute_force(spark):
-    items = [f"needle {i}" for i in range(120)] + [None, ""]
+    items = [f"needle {i}" for i in range(120)] + [None, ""] + _ADVERSARIAL
     df = spark.createDataFrame([(s,) for s in items], "s string")
     got = {r["word"]: r["bits"] for r in bl.bloom_build(df, "s", M, K).collect()}
     assert got == _py_bitmap(items)
@@ -53,7 +63,7 @@ def test_bloom_probe_matches_brute_force_and_never_misses(spark):
     df = spark.createDataFrame([(s,) for s in members], "s string")
     bitmap = bl.bloom_build(df, "s", M, K)
     py = _py_bitmap(members)
-    probes = members + [f"hay {i}" for i in range(300)] + [None, ""]
+    probes = members + [f"hay {i}" for i in range(300)] + [None, ""] + _ADVERSARIAL
     pdf = spark.createDataFrame([(s,) for s in probes], "s string")
     got = {
         r["s"]: r["might_contain"]
