@@ -260,6 +260,8 @@ def test_curate_decontam_bloom_passthrough_equivalence(spark, documents):
     probes = documents.filter(F.col("doc_id") % 17 == 0).selectExpr(
         "doc_id AS probe_id", "substr(text, 6, 45) AS text"
     )
+    with pytest.raises(ValueError):  # orphaned scale knob is loud
+        curate(docs, probes=probes, decontam_bloom_m_bits=63 * 80)
     kept_a, attr_a = curate(docs, probes=probes, decontam_span=24)
     kept_b, attr_b = curate(
         docs, probes=probes, decontam_span=24, decontam_bloom_m_bits=63 * 80
@@ -299,3 +301,5 @@ def test_subtract_corpus_matches_brute_force(spark):
         subtract_corpus(a.withColumn("in_other", F.lit(1)), b)
     with pytest.raises(ValueError):
         subtract_corpus(a.withColumn("_sub_h", F.lit("x")), b)
+    with pytest.raises(ValueError):
+        subtract_corpus(a.withColumn("_sub_hit", F.lit(1)), b)

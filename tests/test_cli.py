@@ -1194,6 +1194,13 @@ def test_cli_dedup_subtract(capsys, spark, tmp_path):
     assert rc == 0
     res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res2["in_other"] == res["in_other"]
-    # subtract is its own mode
+    # subtract is its own mode; ingest-family flags are refused too
     rc = cli.main(["dedup", "--src", src, "--subtract", other, "--lines"])
     assert rc == 2 and "own mode" in capsys.readouterr().err
+    rc = cli.main(["dedup", "--src", src, "--subtract", other,
+                   "--pairs-out", str(tmp_path / "p")])
+    assert rc == 2 and "own mode" in capsys.readouterr().err
+    # operator validation errors follow the rc-2 stderr contract
+    rc = cli.main(["dedup", "--src", src, "--subtract", other,
+                   "--subtract-bloom-bits", "10"])
+    assert rc == 2 and "m_bits" in capsys.readouterr().err

@@ -581,22 +581,29 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.subtract:
             if args.build_index or args.append_index or args.index \
-                    or args.ingest_index or args.lines:
-                print("dedup: --subtract is its own mode (no index/lines "
-                      "flags)", file=sys.stderr)
+                    or args.ingest_index or args.lines or args.corpus \
+                    or args.labels or args.pairs_out or args.epoch is not None:
+                # silently ignoring a requested flag would leave downstream
+                # tooling reading stale/absent outputs (the sibling-mode rule)
+                print("dedup: --subtract is its own mode (only --out/"
+                      "--subtract-bloom-bits apply)", file=sys.stderr)
                 return 2
-            flagged = dd.subtract_corpus(
-                spark.read.parquet(args.src),
-                spark.read.parquet(args.subtract),
-                id_col=args.id_col, content_col=args.text_col,
-                bloom_m_bits=args.subtract_bloom_bits,
-            )
-            if args.out:
-                flagged.write.mode("overwrite").parquet(args.out)
-                flagged = spark.read.parquet(args.out)
-            counts = flagged.agg(
-                F.count(F.lit(1)).alias("n"), F.sum("in_other").alias("d")
-            ).first()
+            try:
+                flagged = dd.subtract_corpus(
+                    spark.read.parquet(args.src),
+                    spark.read.parquet(args.subtract),
+                    content_col=args.text_col,
+                    bloom_m_bits=args.subtract_bloom_bits,
+                )
+                if args.out:
+                    flagged.write.mode("overwrite").parquet(args.out)
+                    flagged = spark.read.parquet(args.out)
+                counts = flagged.agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("in_other").alias("d")
+                ).first()
+            except ValueError as e:
+                print(f"dedup: {e}", file=sys.stderr)
+                return 2
             result = {"rows": int(counts["n"]),
                       "in_other": int(counts["d"] or 0)}
             if args.out:

@@ -200,6 +200,16 @@ def curate(
         )
         stage_cols.append("s_pii")
         stage_names.append("pii")
+    if decontam_bloom_m_bits is not None and (
+        probes is None or decontam_span is None
+    ):
+        # silently ignoring the scale knob would run the unbounded probe
+        # broadcast the caller explicitly asked to avoid (the keep_langs
+        # loud-validation convention)
+        raise ValueError(
+            "decontam_bloom_m_bits requires probes= AND decontam_span= "
+            "(it is the exact-substring stage's corpus-sized-probe mode)"
+        )
     if probes is not None:
         if decontam_span is not None:
             # probe id column: the conventional 'probe_id' (the

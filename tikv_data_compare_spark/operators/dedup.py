@@ -543,7 +543,6 @@ def dedup_lines(
 def subtract_corpus(
     df: DataFrame,
     other: DataFrame,
-    id_col: str = "doc_id",
     content_col: str = "text",
     other_content_col: str | None = None,
     bloom_m_bits: int | None = None,
@@ -575,8 +574,11 @@ def subtract_corpus(
     """
     if flag_col in df.columns:
         raise ValueError(f"output column {flag_col!r} already exists on the input")
-    if "_sub_h" in df.columns:
-        raise ValueError("column name '_sub_h' is reserved by subtract_corpus")
+    for reserved in ("_sub_h", "_sub_hit", "_sub_might"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"column name {reserved!r} is reserved by subtract_corpus"
+            )
     occ = other_content_col or content_col
     h_df = F.md5(F.coalesce(F.col(content_col).cast("string"), F.lit("")))
     h_ot = F.md5(F.coalesce(F.col(occ).cast("string"), F.lit("")))

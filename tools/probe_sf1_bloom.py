@@ -28,6 +28,7 @@ def main():
 
     from tikv_data_compare_spark.operators import bloom as bl
     from tikv_data_compare_spark.operators import text as tx
+    from tikv_data_compare_spark.operators.dedup import subtract_corpus
     from tikv_data_compare_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
@@ -57,9 +58,7 @@ def main():
             d_fp, bl.bloom_build(p_fp, "fp", m, k), "fp", m, k,
             id_cols=["doc_id", "fp"],
         ).agg(F.sum("might_contain")).first()[0],
-        "subtract_corpus_bloom": lambda: __import__(
-            "tikv_data_compare_spark.operators.dedup", fromlist=["subtract_corpus"]
-        ).subtract_corpus(
+        "subtract_corpus_bloom": lambda: subtract_corpus(
             docs, docs.filter(F.col("doc_id") % 7 == 0).select(
                 (F.col("doc_id") + 10**7).alias("doc_id"), "text"),
             bloom_m_bits=m,
