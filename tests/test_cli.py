@@ -1122,6 +1122,21 @@ def test_cli_sample_split(capsys, spark, tmp_path):
     per = spark.read.parquet(out2).groupBy("lang").agg(
         F.countDistinct("split").alias("n")).collect()
     assert per and all(r["n"] == 1 for r in per)
+    # --split-dirs: one directory per split, the training-job layout
+    out3 = str(tmp_path / "spd_dirs")
+    rc = cli.main(["sample", "--src", src, "--method", "split",
+                   "--split-dirs", "--out", out3])
+    assert rc == 0
+    capsys.readouterr()
+    import os
+
+    subdirs = {d for d in os.listdir(out3) if d.startswith("split=")}
+    assert "split=train" in subdirs and len(subdirs) >= 2
+    back = spark.read.parquet(out3)
+    assert back.count() == docs.count()
+    rc = cli.main(["sample", "--src", src, "--method", "hash",
+                   "--split-dirs", "--out", out3])
+    assert rc == 2 and "--split-dirs" in capsys.readouterr().err
     # malformed fractions are loud usage errors
     rc = cli.main(["sample", "--src", src, "--method", "split",
                    "--fractions", "train-9000"])

@@ -317,6 +317,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="split: key the coin on this column instead of the "
                         "content — e.g. a canonical dup-component label, so "
                         "near-dup families co-assign (leakage guard)")
+    p.add_argument("--split-dirs", action="store_true",
+                   help="split + --out: write split=NAME/ partitioned "
+                        "parquet (one directory per split, the layout a "
+                        "training job consumes) instead of one flat table")
     p.add_argument("--out", default="", help="write result parquet here")
     p.add_argument("--concurrency", type=int, default=0)
 
@@ -1160,9 +1164,16 @@ def main(argv: list[str] | None = None) -> int:
                     docs, group_col=args.group_col, content_col=args.text_col,
                     epochs_for_full=args.epochs_for_full,
                 )
+            if args.split_dirs and (args.method != "split" or not args.out):
+                raise ValueError(
+                    "--split-dirs requires --method split and --out"
+                )
             result = {"method": args.method, "rows": out_df.count()}
             if args.out:
-                out_df.write.mode("overwrite").parquet(args.out)
+                writer = out_df.write.mode("overwrite")
+                if args.split_dirs:
+                    writer = writer.partitionBy("split")
+                writer.parquet(args.out)
                 result["out"] = args.out
             print(json.dumps(result))
             return 0
