@@ -110,6 +110,64 @@ def md5_i64(expr: str, engine: str = SPARK) -> str:
     return hexfold_i64(f"md5({expr})")
 
 
+#: det_ln tuning — 10 sqrts reduce the argument to its 1024th root, the
+#: 7-term odd atanh series then converges to < 1e-20 relative for any
+#: |ln(x)| <= 60 (x in [1e-26, 1e26] — every frozen-cost domain in the repo
+#: is inside [1e-5, 1e19] even at 100 TB feature totals)
+_DET_LN_SQRTS = 10
+_DET_LN_TERMS = 7
+
+
+def det_ln(x: str) -> str:
+    """Deterministic natural log: same SQL text, bit-identical result in
+    Spark AND DuckDB — unlike ``LN``, whose last ulp is implementation-
+    defined (JVM ``Math.log`` vs libm ``log`` both promise <= 1 ulp but
+    round differently), which flipped a ``ROUND-of-LN``-style frozen cost
+    across hosts in round 12 (CORRECTNESS_r12 ``sampling`` red).
+
+    Built ONLY from operations IEEE 754 requires to be correctly rounded —
+    ``+ - * /``, ``sqrt`` — plus exact ``CASE``/compare, so both engines
+    produce the same binary64 at every step:
+
+        m  = sqrt^10(y),  y = x if x >= 1 else 1/x      (1024th root)
+        t  = (m-1)/(m+1)
+        ln(y) ~= 1024 * 2t * (1 + t^2/3 + ... + t^12/13)   [atanh series]
+        ln(x) = sign * ln(y)
+
+    Series coefficients are embedded as ``CAST('<repr>' AS DOUBLE)`` —
+    string->double parsing is correctly rounded in both engines, sidestepping
+    DuckDB's DECIMAL literal typing.  Accuracy ~1e-13 relative (sqrt-chain
+    rounding), which is semantic-only: determinism never depends on it.
+
+    NOTE: ``x`` is textually repeated ~55x — pass a short column reference
+    (project big ratios into a column first), the :func:`hexfold_i64` rule.
+    """
+    y = f"(CASE WHEN ({x}) >= 1.0 THEN CAST(({x}) AS DOUBLE) ELSE 1.0 / CAST(({x}) AS DOUBLE) END)"
+    m = y
+    for _ in range(_DET_LN_SQRTS):
+        m = f"sqrt({m})"
+    t = f"(({m} - 1.0) / ({m} + 1.0))"
+    t2 = f"({t} * {t})"
+    h = f"CAST('{1.0 / (2 * _DET_LN_TERMS - 1)!r}' AS DOUBLE)"
+    for k in range(_DET_LN_TERMS - 2, -1, -1):
+        h = f"({h} * {t2} + CAST('{1.0 / (2 * k + 1)!r}' AS DOUBLE))"
+    sign = f"(CASE WHEN ({x}) >= 1.0 THEN 1.0 ELSE -1.0 END)"
+    scale = f"{float(2 * (1 << _DET_LN_SQRTS))!r}"
+    return f"({sign} * {scale} * {t} * {h})"
+
+
+def frozen_ln_c(x: str, scale: int = 1_000_000) -> str:
+    """Engine-exact frozen log cost: ``round(det_ln(x) * scale)`` as BIGINT.
+
+    The rounding is ``FLOOR(v + 0.5)`` (round-half-up toward +inf), not
+    ``ROUND`` — FLOOR is exact on both engines while ROUND's tie convention
+    differs (Spark HALF_UP vs DuckDB half-away) for negative values.  Since
+    :func:`det_ln` is bit-deterministic, both engines floor the identical
+    double and the BIGINT always agrees.
+    """
+    return f"CAST(FLOOR({det_ln(x)} * {float(scale)!r} + 0.5) AS BIGINT)"
+
+
 def xor(a: str, b: str, engine: str) -> str:
     """Bitwise xor of two bigints (DuckDB's ``^`` is exponentiation)."""
     return f"({a} ^ {b})" if engine == SPARK else f"xor({a}, {b})"

@@ -501,12 +501,16 @@ def dsir_weights(
     log-weight is the per-occurrence sum
 
         dsir_logw_c = Σ_feat  cost_raw(b) − cost_tgt(b)
-        cost_side(b) = ROUND(1e6 · ln((T_side + B) / (c_side(b) + 1)))
+        cost_side(b) = round(1e6 · det_ln((T_side + B) / (c_side(b) + 1)))
 
-    Each cost is the ln of an exact-double rational ≥ 1 (single ln,
-    positive — the tfidf/ngram_lm_score freeze discipline, so round-half
-    conventions can't disagree cross-engine), and the doc score is an
-    exact integer sum.  Positive = target-like, negative = raw-typical.
+    Each cost is frozen through ``sqlgen.frozen_ln_c`` — a deterministic
+    ln built only from IEEE-correctly-rounded ops (sqrt chain + atanh
+    series), bit-identical in Spark and DuckDB.  The r12 version used the
+    engine ``LN``, whose last ulp is implementation-defined; a single
+    cost landing a hair from a rounding boundary flipped the frozen
+    integer between hosts (CORRECTNESS_r12 ``sampling`` red).  The doc
+    score is an exact integer sum.  Positive = target-like, negative =
+    raw-typical.
 
     Scale shape: two explode+groupBy bucket counts (partial-aggregated,
     ≤ ``n_buckets`` result rows each), densified onto a ``range(n_buckets)``
@@ -551,14 +555,23 @@ def dsir_weights(
     # decimal divisions + LNs + rounds run 2·n_buckets times total instead
     # of twice per feature OCCURRENCE, and the scoring pass probes ONE
     # broadcast instead of two
-    wtab = ct.join(cr, "_b").select(
-        "_b",
-        F.expr(
-            f"CAST(ROUND(LN((_tr + {n_buckets}) * 1.0 / "
-            f"(_cr + 1)) * 1000000) AS BIGINT) - "
-            f"CAST(ROUND(LN((_tt + {n_buckets}) * 1.0 / "
-            f"(_ct + 1)) * 1000000) AS BIGINT)"
-        ).alias("_w_c"),
+    # frozen via sqlgen.frozen_ln_c (det_ln), NOT ROUND-of-LN: the bare
+    # LN's last ulp is engine-implementation-defined and flipped this cost
+    # across hosts in r12; ratios are projected to short columns first
+    # (det_ln repeats its argument textually ~55x)
+    wtab = (
+        ct.join(cr, "_b")
+        .select(
+            "_b",
+            F.expr(f"(_tr + {n_buckets}) * 1.0 / (_cr + 1)").alias("_rr"),
+            F.expr(f"(_tt + {n_buckets}) * 1.0 / (_ct + 1)").alias("_rt"),
+        )
+        .select(
+            "_b",
+            F.expr(
+                f"{sqlgen.frozen_ln_c('_rr')} - {sqlgen.frozen_ln_c('_rt')}"
+            ).alias("_w_c"),
+        )
     )
     # LEFT join although the dense spine makes every key match: an INNER
     # join lets Catalyst infer `isnotnull(_b)` on the stream side and push
@@ -595,11 +608,11 @@ def dsir_sample(
     same replay-safe primitive as every sampler here: the per-10000 bucket
     becomes ``u = (bucket+1)/10000`` and the doc keeps iff
 
-        u_c + dsir_logw_c >= tau_c,   u_c = ROUND(1e6·ln(10000/(bucket+1)))
+        u_c + dsir_logw_c >= tau_c,   u_c = round(1e6·det_ln(10000/(bucket+1)))
 
     (``P[u_c ≥ x] = P[u ≤ e^(−x/1e6)]`` — rejection sampling in the frozen
-    log domain, integer comparisons only; the single positive ln freeze is
-    engine-exact like the weights).  ``tau_c`` is the selectivity knob in
+    log domain, integer comparisons only; the ``sqlgen.frozen_ln_c``
+    freeze is bit-exact across engines like the weights).  ``tau_c`` is the selectivity knob in
     the same ×1e6 log units — raise it to keep less, more target-skewed
     data; DSIR's k-of-n resampling corresponds to setting it near the
     corpus's k-th largest weight.  Zero-feature (NULL/empty) docs DROP —
@@ -613,14 +626,25 @@ def dsir_sample(
         df, target, id_col=id_col, text_col=text_col,
         target_text_col=target_text_col, n_buckets=n_buckets,
     ).where(F.col("dsir_logw_c").isNotNull())
+    if "_u_bk" in df.columns:
+        raise ValueError("column name '_u_bk' is reserved by dsir_sample")
     staged = _with_hash(df, text_col, u_col)
     bucket = f"((({sqlgen.hexfold_i64(_STAGE)}) % 10000) + 10000) % 10000"
-    staged = staged.withColumn(
-        u_col,
-        F.expr(
-            f"CAST(ROUND(LN(10000.0 / (({bucket}) + 1)) * 1000000) AS BIGINT)"
-        ),
-    ).drop(_STAGE)
+    # the coin has only 10000 possible values: freeze them ONCE on a
+    # range(10000) frame (det_ln — engine-exact, see dsir_weights) and
+    # broadcast-join on the bucket, instead of inlining det_ln's ~55x
+    # textual expansion into the per-row projection — which pushed the
+    # whole-stage-codegen method past the JVM's 64 KB limit (interpreted
+    # fallback) next to the 30x hexfold
+    coins = df.sparkSession.range(10000).select(
+        F.col("id").cast("long").alias("_u_bk"),
+        F.expr(sqlgen.frozen_ln_c("10000.0 / (id + 1)")).alias(u_col),
+    )
+    staged = (
+        staged.withColumn("_u_bk", F.expr(bucket).cast("long"))
+        .join(F.broadcast(coins), "_u_bk")
+        .drop(_STAGE, "_u_bk")
+    )
     return (
         staged.join(w.select(id_col, F.col("dsir_logw_c").alias(logw_col)), id_col)
         .where(F.col(u_col) + F.col(logw_col) >= F.lit(int(tau_c)))

@@ -588,14 +588,17 @@ def tfidf_top_terms(
     tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     ndocs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "w")
-        .crossJoin(F.broadcast(ndocs))
-        .withColumn(
-            "score_c",
-            F.col("tf")
-            * F.expr("CAST(ROUND(LN(CAST(n_docs AS DOUBLE) / df) * 1000000) AS BIGINT)"),
-        )
+    # idf frozen ONCE per distinct term on the small dfreq frame (not per
+    # (doc, term) posting), via sqlgen.frozen_ln_c — the engine-exact
+    # det_ln freeze; the r12 ROUND-of-LN was one libm ulp from flipping
+    idf = (
+        dfreq.crossJoin(F.broadcast(ndocs))
+        .withColumn("_idf_r", F.expr("CAST(n_docs AS DOUBLE) / df"))
+        .withColumn("idf_c", F.expr(sqlgen.frozen_ln_c("_idf_r")))
+        .select("w", "df", "idf_c")
+    )
+    scored = tf.join(F.broadcast(idf), "w").withColumn(
+        "score_c", F.col("tf") * F.col("idf_c")
     )
     win = Window.partitionBy(id_col).orderBy(F.col("score_c").desc(), F.col("w").asc())
     return (
@@ -698,12 +701,17 @@ def ngram_lm_score(
         .join(c1, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
-            "_cost_c",
+            "_lm_r",
             F.expr(
-                f"CAST(ROUND(LN((coalesce(c1, 0) + {int(alpha)} * 1.0 * v) / "
-                f"(coalesce(c2, 0) + {int(alpha)} * 1.0)) * 1000000) AS BIGINT)"
+                f"(coalesce(c1, 0) + {int(alpha)} * 1.0 * v) / "
+                f"(coalesce(c2, 0) + {int(alpha)} * 1.0)"
             ),
         )
+        # det_ln freeze (sqlgen.frozen_ln_c) — engine-exact, unlike the
+        # engine LN whose last ulp is implementation-defined; the ratio
+        # can be < 1 (unseen bigram under a heavy prefix), det_ln's sign
+        # branch covers it
+        .withColumn("_cost_c", F.expr(sqlgen.frozen_ln_c("_lm_r")))
     )
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("lm_n_bigrams"),
@@ -986,17 +994,29 @@ def bm25_score_sql(k1: float = 1.2, b: float = 0.75) -> str:
     engines, so the cast is one correct rounding back to the identical
     binary64 — and the derived constants (k1+1, 1-b) are folded in PYTHON,
     never by either engine’s (differently-typed) constant folder.
+
+    The idf log is ``sqlgen.det_ln`` (sqrt-chain ln over correctly-rounded
+    ops only), not the engine ``LN`` whose last ulp is implementation-
+    defined — the freeze that flipped the r12 ``sampling`` gate; the final
+    rounding is ``FLOOR(v + 0.5)`` for the same reason (ROUND tie
+    conventions differ across engines for negatives).
     """
+    from tikv_data_compare_spark.functions import sqlgen
+
     k1p1 = repr(float(k1) + 1.0)
     one_minus_b = repr(1.0 - float(b))
+    idf_ratio = (
+        "1.0 + (CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))"
+        " / (df + CAST(0.5 AS DOUBLE))"
+    )
     return (
-        "CAST(ROUND(1000000.0"
-        " * LN(1.0 + (CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))"
-        " / (df + CAST(0.5 AS DOUBLE)))"
+        "CAST(FLOOR(1000000.0"
+        f" * {sqlgen.det_ln(idf_ratio)}"
         f" * (tf * CAST({k1p1} AS DOUBLE)"
         f" / (tf + CAST({repr(float(k1))} AS DOUBLE)"
         f" * (CAST({one_minus_b} AS DOUBLE)"
-        f" + CAST({repr(float(b))} AS DOUBLE) * (dl / avgdl))))) AS BIGINT)"
+        f" + CAST({repr(float(b))} AS DOUBLE) * (dl / avgdl))))"
+        " + 0.5) AS BIGINT)"
     )
 
 

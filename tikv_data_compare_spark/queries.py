@@ -2165,6 +2165,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal / sampling / capstone
         "multimodal_probe": qe.q_multimodal_probe,
         "sampling": qe.q_sampling,
+        # r13 localization slices of the sampling row — CORRECTNESS_r12
+        # recorded the 9-method combined row red with no way to tell which
+        # method drifted; these give the driver scoreboard the split
+        "sampling_dsir": qe.q_sampling_dsir,
+        "sampling_prefix": qe.q_sampling_prefix,
         "curation_pipeline": qe.q_curation_pipeline,
     }
 
@@ -2223,5 +2228,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": qm.ORACLE_TEXT_TFIDF,
         "multimodal_probe": qe.ORACLE_MULTIMODAL_PROBE,
         "sampling": qe.ORACLE_SAMPLING,
+        "sampling_dsir": qe.ORACLE_SAMPLING_DSIR,
+        "sampling_prefix": qe.ORACLE_SAMPLING_PREFIX,
         "curation_pipeline": qe._oracle_curation_pipeline(),
     }

@@ -1224,21 +1224,25 @@ rep AS (
   FROM word_stats w LEFT JOIN big_top b ON w.doc_id = b.doc_id
 ),
 -- bigram-LM fluency (r9): add-1-smoothed bigram model trained on this
--- corpus, mean per-bigram cost ROUND(ln((c1+V)/(c2+1))*1e6) FLOORed —
--- exactly text.ngram_lm_score's integer-frozen math
+-- corpus, mean per-bigram det_ln-frozen cost (sqlgen.frozen_ln_c,
+-- engine-exact) FLOORed — exactly text.ngram_lm_score's integer math
 lm2 AS (SELECT bigram, count(*) AS c2 FROM big GROUP BY 1),
 lm1 AS (SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
         FROM lm2 GROUP BY 1),
 lmv AS (SELECT count(DISTINCT w) AS v FROM wrd),
 lmdoc AS (
-  SELECT b.doc_id,
+  SELECT doc_id,
          CAST(count(*) AS BIGINT) AS lm_n_bigrams,
-         CAST(FLOOR(1.0 * sum(CAST(ROUND(LN((l1.c1 + 1.0 * v.v) / (l2.c2 + 1.0)) * 1000000) AS BIGINT)) / count(*)) AS BIGINT) AS lm_nll_c
-  FROM big b
-  JOIN lm2 l2 USING (bigram)
-  JOIN lm1 l1 ON l1.w1 = split_part(b.bigram, ' ', 1)
-  CROSS JOIN lmv v
-  GROUP BY b.doc_id
+         CAST(FLOOR(1.0 * sum({sqlgen.frozen_ln_c('lm_r')}) / count(*))
+              AS BIGINT) AS lm_nll_c
+  FROM (
+    SELECT b.doc_id, (l1.c1 + 1.0 * v.v) / (l2.c2 + 1.0) AS lm_r
+    FROM big b
+    JOIN lm2 l2 USING (bigram)
+    JOIN lm1 l1 ON l1.w1 = split_part(b.bigram, ' ', 1)
+    CROSS JOIN lmv v
+  )
+  GROUP BY doc_id
 )
 SELECT f.*, l.labeled_lang, l.pred_lang, {", ".join("l.c_" + la for la in langs)},
        r.dup_word_frac_c, r.top_bigram_frac_c,
@@ -1968,58 +1972,12 @@ JOIN dpi ON meta.doc_id = dpi.doc_id
 # ============================================================== sampling
 
 
-def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both deterministic sampling operators in one method-labeled result:
-
-    - ``hash``: 10% Bernoulli corpus sample keyed on content hash —
-      replay-safe, map-only (no shuffle, no RNG state); metric = the
-      content-hash bucket, so downstream stages can take disjoint slices;
-    - ``stratified``: 20 docs per language in content-hash order with
-      doc_id tiebreak — the per-stratum quota that keeps low-resource
-      languages represented, output bounded by k per group regardless of
-      group size (skew-safe by construction); metric = the in-stratum
-      rank;
-    - ``shard`` (since r8): deterministic training-shard assignment
-      (``shard_assignments``: content-hash mod 8 shards, intra-shard
-      position in content-hash order with doc_id tiebreak — reproducible
-      shard membership AND order on any cluster); metric packs both as
-      shard·100000 + position, so a drift in EITHER hash-mismatches;
-    - ``mixture`` (since r9): τ=1/2 temperature mixture over the language
-      groups (``sqrt_mixture_sample``): per-group keep-rates
-      min(1, √(n_min/n_g)) derived IN-PLAN from the group sizes (sqrt and
-      one double division are IEEE-exact, so the integer rates replay in
-      SQL), content-hash per-10000 bucket selection, smallest (full-rate)
-      groups replicated ×2 with an epoch index; metric packs
-      epoch·100000 + bucket, so rates, selection AND epoch replication all
-      hash-gate together;
-    - ``token_mixture`` (since r10): TOKEN-denominated mixture
-      (``token_mixture_sample``) at targets en 40% / de,fr,es 20% (zh
-      unlisted → drops): per-group keep-rates derived in-plan from the
-      observed token counts with pure integer math (u = max(1, t div w),
-      rate = min(10000, 10000·u_min div u)), so the published
-      share-of-tokens recipe is engine-exact; metric packs
-      rate_bp·100000 + bucket — rates AND selection hash-gate;
-    - ``dsir`` / ``dsir_kept`` (since r12): DSIR importance resampling
-      (Xie et al. 2023) with lang='en' docs as the target corpus:
-      ``dsir`` emits every doc's hashed-n-gram importance weight
-      (``dsir_weights``, 512 buckets, ×1e6-frozen log units, NULL for
-      zero-feature docs — the oracle recomputes the full
-      unigram+bigram → bucket → add-1-smoothed cost pipeline), and
-      ``dsir_kept`` the surviving rows of the deterministic exponential
-      rejection rule ``u_c + logw_c ≥ τ`` at τ=0 (``dsir_sample``) with
-      the content-hash coin ``u_c`` as metric — weights AND the
-      resampling rule both hash-gate;
-    - ``token_budget`` (since r12): the greedy token-budget fill
-      (``token_budget_sample``, 15k-token budget in content-hash order):
-      metric = the cumulative token count BEFORE each kept doc, so the
-      bucketed-prefix machinery (no single-partition window) hash-gates
-      against the oracle's one-window cumulative sum;
-    - ``split`` (since r12): deterministic train/val/test assignment
-      (``split_assign``, 90/5/5 in basis points, content-hash coin):
-      metric packs split-index·100000 + bucket, where the index is derived
-      from the OPERATOR's emitted split name — the bucket layout CASE
-      itself hash-gates, not just the hash (the group-keyed leakage-guard
-      variant gates in ``dedup_canonical`` on real component labels)."""
+def _sampling_parts(spark: SparkSession, sf_dir: str) -> dict:
+    """The nine method-labeled sampling parts, built once and composed by
+    :func:`q_sampling` (all nine — the historical gate) and the two
+    localization slices :func:`q_sampling_dsir` / :func:`q_sampling_prefix`
+    (r13: CORRECTNESS_r12 recorded the combined row red with no way to tell
+    WHICH method drifted; separate driver rows localize the next drift)."""
     tune(spark)
     from tikv_data_compare_spark.operators.sampling import (
         dsir_sample,
@@ -2083,16 +2041,99 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("split_bucket")
         ).cast("long").alias("metric"),
     )
-    return (
-        h.unionByName(s).unionByName(sh).unionByName(mx).unionByName(tm)
-        .unionByName(ds).unionByName(dk).unionByName(tb).unionByName(sa)
-    )
+    return {
+        "hash": h, "stratified": s, "shard": sh, "mixture": mx,
+        "token_mixture": tm, "dsir": ds, "dsir_kept": dk,
+        "token_budget": tb, "split": sa,
+    }
 
 
-ORACLE_SAMPLING = f"""
+def q_sampling_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two DSIR parts of :func:`q_sampling` alone (weights +
+    resampling rule) — the r12-new machinery whose frozen-log freeze was
+    the leading drift suspect; a dedicated driver row pins it."""
+    p = _sampling_parts(spark, sf_dir)
+    return p["dsir"].unionByName(p["dsir_kept"])
+
+
+def q_sampling_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two order-dependent r12 parts of :func:`q_sampling` alone
+    (token-budget prefix fill + split assignment) — gates the bucketed
+    prefix-sum machinery separately from the hash/ratio families."""
+    p = _sampling_parts(spark, sf_dir)
+    return p["token_budget"].unionByName(p["split"])
+
+
+def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both deterministic sampling operators in one method-labeled result:
+
+    - ``hash``: 10% Bernoulli corpus sample keyed on content hash —
+      replay-safe, map-only (no shuffle, no RNG state); metric = the
+      content-hash bucket, so downstream stages can take disjoint slices;
+    - ``stratified``: 20 docs per language in content-hash order with
+      doc_id tiebreak — the per-stratum quota that keeps low-resource
+      languages represented, output bounded by k per group regardless of
+      group size (skew-safe by construction); metric = the in-stratum
+      rank;
+    - ``shard`` (since r8): deterministic training-shard assignment
+      (``shard_assignments``: content-hash mod 8 shards, intra-shard
+      position in content-hash order with doc_id tiebreak — reproducible
+      shard membership AND order on any cluster); metric packs both as
+      shard·100000 + position, so a drift in EITHER hash-mismatches;
+    - ``mixture`` (since r9): τ=1/2 temperature mixture over the language
+      groups (``sqrt_mixture_sample``): per-group keep-rates
+      min(1, √(n_min/n_g)) derived IN-PLAN from the group sizes (sqrt and
+      one double division are IEEE-exact, so the integer rates replay in
+      SQL), content-hash per-10000 bucket selection, smallest (full-rate)
+      groups replicated ×2 with an epoch index; metric packs
+      epoch·100000 + bucket, so rates, selection AND epoch replication all
+      hash-gate together;
+    - ``token_mixture`` (since r10): TOKEN-denominated mixture
+      (``token_mixture_sample``) at targets en 40% / de,fr,es 20% (zh
+      unlisted → drops): per-group keep-rates derived in-plan from the
+      observed token counts with pure integer math (u = max(1, t div w),
+      rate = min(10000, 10000·u_min div u)), so the published
+      share-of-tokens recipe is engine-exact; metric packs
+      rate_bp·100000 + bucket — rates AND selection hash-gate;
+    - ``dsir`` / ``dsir_kept`` (since r12): DSIR importance resampling
+      (Xie et al. 2023) with lang='en' docs as the target corpus:
+      ``dsir`` emits every doc's hashed-n-gram importance weight
+      (``dsir_weights``, 512 buckets, ×1e6-frozen log units, NULL for
+      zero-feature docs — the oracle recomputes the full
+      unigram+bigram → bucket → add-1-smoothed cost pipeline), and
+      ``dsir_kept`` the surviving rows of the deterministic exponential
+      rejection rule ``u_c + logw_c ≥ τ`` at τ=0 (``dsir_sample``) with
+      the content-hash coin ``u_c`` as metric — weights AND the
+      resampling rule both hash-gate;
+    - ``token_budget`` (since r12): the greedy token-budget fill
+      (``token_budget_sample``, 15k-token budget in content-hash order):
+      metric = the cumulative token count BEFORE each kept doc, so the
+      bucketed-prefix machinery (no single-partition window) hash-gates
+      against the oracle's one-window cumulative sum;
+    - ``split`` (since r12): deterministic train/val/test assignment
+      (``split_assign``, 90/5/5 in basis points, content-hash coin):
+      metric packs split-index·100000 + bucket, where the index is derived
+      from the OPERATOR's emitted split name — the bucket layout CASE
+      itself hash-gates, not just the hash (the group-keyed leakage-guard
+      variant gates in ``dedup_canonical`` on real component labels)."""
+    p = _sampling_parts(spark, sf_dir)
+    out = p["hash"]
+    for key in (
+        "stratified", "shard", "mixture", "token_mixture",
+        "dsir", "dsir_kept", "token_budget", "split",
+    ):
+        out = out.unionByName(p[key])
+    return out
+
+
+# the DSIR CTE scaffolding and the per-method SELECTs are kept as separate
+# fragments so the combined `sampling` row AND the r13 localization rows
+# (`sampling_dsir`, `sampling_prefix`) compose from ONE source of truth —
+# a drift can never hide in a divergent copy
+_SAMPLING_DSIR_CTES = f"""
 -- DSIR scaffolding (r12): hashed unigram+bigram features (md5 fold mod
 -- 512), per-bucket occurrence counts for target (lang='en') vs raw, add-1
--- smoothed costs frozen at 1e6 ln units — sampling.dsir_weights
+-- smoothed costs frozen at 1e6 det_ln units — sampling.dsir_weights
 WITH dsir_feats AS MATERIALIZED (
   SELECT doc_id, lang,
          ((({sqlgen.hexfold_i64('_m')}) % 512) + 512) % 512 AS b
@@ -2118,19 +2159,25 @@ dsir_cr AS MATERIALIZED (
   SELECT b, count(*) AS c FROM dsir_feats GROUP BY 1
 ),
 dsir_w AS MATERIALIZED (
-  SELECT f.doc_id,
-         sum(CAST(ROUND(LN((t.tr + 512) * 1.0 / (coalesce(cr.c, 0) + 1))
-                        * 1000000) AS BIGINT)
-           - CAST(ROUND(LN((t.tt + 512) * 1.0 / (coalesce(ct.c, 0) + 1))
-                        * 1000000) AS BIGINT)) AS logw
-  FROM dsir_feats f
-  LEFT JOIN dsir_ct ct ON ct.b = f.b
-  LEFT JOIN dsir_cr cr ON cr.b = f.b
-  CROSS JOIN (SELECT (SELECT sum(c) FROM dsir_ct) AS tt,
-                     (SELECT sum(c) FROM dsir_cr) AS tr) t
+  -- ratios projected first, then the det_ln freeze (sqlgen.frozen_ln_c):
+  -- engine-exact sqrt-chain ln, same generated text the Spark operator
+  -- runs — the r12 ROUND-of-LN freeze drifted by one libm ulp per host
+  SELECT doc_id,
+         sum({sqlgen.frozen_ln_c('rr')} - {sqlgen.frozen_ln_c('rt')}) AS logw
+  FROM (
+    SELECT f.doc_id,
+           (t.tr + 512) * 1.0 / (coalesce(cr.c, 0) + 1) AS rr,
+           (t.tt + 512) * 1.0 / (coalesce(ct.c, 0) + 1) AS rt
+    FROM dsir_feats f
+    LEFT JOIN dsir_ct ct ON ct.b = f.b
+    LEFT JOIN dsir_cr cr ON cr.b = f.b
+    CROSS JOIN (SELECT (SELECT sum(c) FROM dsir_ct) AS tt,
+                       (SELECT sum(c) FROM dsir_cr) AS tr) t
+  )
   GROUP BY 1
-)
-SELECT 'hash' AS method, doc_id, lang,
+)"""
+
+_SAMPLING_CORE_PARTS = f"""SELECT 'hash' AS method, doc_id, lang,
        CAST((({sqlgen.hexfold_i64('_m')} % 100) + 100) % 100 AS BIGINT) AS metric
 FROM (SELECT doc_id, lang, md5(text) AS _m FROM documents)
 WHERE (({sqlgen.hexfold_i64('_m')} % 100) + 100) % 100 < 10
@@ -2201,11 +2248,11 @@ FROM (
             GROUP BY d.lang, tw.w))
   ) t ON t.lang = r.lang
   WHERE r.bucket < t.rate_bp
-)
-UNION ALL
--- DSIR importance weights (r12): per-doc sum of frozen target-vs-raw
+)"""
+
+_SAMPLING_DSIR_PARTS = f"""-- DSIR importance weights (r12): per-doc sum of frozen target-vs-raw
 -- costs; NULL metric = zero-feature doc — sampling.dsir_weights
-SELECT 'dsir', d.doc_id, d.lang, w.logw
+SELECT 'dsir' AS method, d.doc_id, d.lang, w.logw AS metric
 FROM documents d
 LEFT JOIN dsir_w w ON w.doc_id = d.doc_id
 UNION ALL
@@ -2214,19 +2261,21 @@ UNION ALL
 -- sampling.dsir_sample
 SELECT 'dsir_kept', k.doc_id, k.lang, k.u_c
 FROM (
-  SELECT doc_id, lang,
-         CAST(ROUND(LN(10000.0 / (((({sqlgen.hexfold_i64('_m')}) % 10000)
-                                   + 10000) % 10000 + 1))
-                    * 1000000) AS BIGINT) AS u_c
-  FROM (SELECT doc_id, lang, md5(coalesce(text, '')) AS _m FROM documents)
+  SELECT doc_id, lang, {sqlgen.frozen_ln_c("10000.0 / (bk + 1)")} AS u_c
+  FROM (
+    SELECT doc_id, lang,
+           ((({sqlgen.hexfold_i64('_m')}) % 10000) + 10000) % 10000 AS bk
+    FROM (SELECT doc_id, lang, md5(coalesce(text, '')) AS _m FROM documents)
+  )
 ) k
 JOIN dsir_w w ON w.doc_id = k.doc_id
-WHERE w.logw IS NOT NULL AND k.u_c + w.logw >= 0
-UNION ALL
--- greedy token-budget fill (r12): cumulative whitespace-token prefix in
+WHERE w.logw IS NOT NULL AND k.u_c + w.logw >= 0"""
+
+_SAMPLING_PREFIX_PARTS = f"""-- greedy token-budget fill (r12): cumulative whitespace-token prefix in
 -- (content-hash, doc_id) order, docs admitted while the tokens BEFORE
 -- them are under the budget — sampling.token_budget_sample
-SELECT 'token_budget', doc_id, lang, CAST(before_t AS BIGINT)
+SELECT 'token_budget' AS method, doc_id, lang,
+       CAST(before_t AS BIGINT) AS metric
 FROM (
   SELECT doc_id, lang,
          coalesce(SUM(t) OVER (ORDER BY h, doc_id
@@ -2249,7 +2298,21 @@ FROM (
   SELECT doc_id, lang,
          ((({sqlgen.hexfold_i64('_m')}) % 10000) + 10000) % 10000 AS b
   FROM (SELECT doc_id, lang, md5(coalesce(text, '')) AS _m FROM documents)
-)
+)"""
+
+ORACLE_SAMPLING = f"""{_SAMPLING_DSIR_CTES}
+{_SAMPLING_CORE_PARTS}
+UNION ALL
+{_SAMPLING_DSIR_PARTS}
+UNION ALL
+{_SAMPLING_PREFIX_PARTS}
+"""
+
+ORACLE_SAMPLING_DSIR = f"""{_SAMPLING_DSIR_CTES}
+{_SAMPLING_DSIR_PARTS}
+"""
+
+ORACLE_SAMPLING_PREFIX = f"""{_SAMPLING_PREFIX_PARTS}
 """
 
 

@@ -425,10 +425,16 @@ WITH words AS (
 tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
 dfreq AS (SELECT w, count(*) AS dfq FROM tf GROUP BY w),
 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+idf AS (
+  -- frozen per distinct term via the det_ln freeze (sqlgen.frozen_ln_c),
+  -- engine-exact — mirrors operators/text.py tfidf_topk
+  SELECT w, {sqlgen.frozen_ln_c('idf_r')} AS idf_c
+  FROM (SELECT dfreq.w, CAST(n.n_docs AS DOUBLE) / dfreq.dfq AS idf_r
+        FROM dfreq CROSS JOIN n)
+),
 scored AS (
-  SELECT tf.doc_id, tf.w, tf.tf,
-         tf.tf * CAST(ROUND(LN(CAST(n.n_docs AS DOUBLE) / dfreq.dfq) * 1000000) AS BIGINT) AS score_c
-  FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n
+  SELECT tf.doc_id, tf.w, tf.tf, tf.tf * idf.idf_c AS score_c
+  FROM tf JOIN idf ON tf.w = idf.w
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_c DESC, w ASC) AS rnk

@@ -88,6 +88,38 @@ def main():
             documents.select("doc_id", F.expr(qe.LINE_SYNTH).alias("t2")),
             "doc_id", "t2",
         ).count()
+    # r13-verdict task 2 entries: the four r12 bench deltas (topk_ivfpq
+    # breached its band; ivfpq_join/bm25/semdedup regressed with untouched
+    # code) — bench.py-identical shapes, guarded for older tips
+    from tikv_data_compare_spark.operators import similarity as sim
+
+    embeddings = q._load(spark, sf_dir, "embeddings")
+    benches["topk_ivfpq"] = lambda: sim.topk_ivfpq(
+        embeddings, k=5, n_queries=10, n_cells=16, n_probe=4, m=8,
+        k_codes=32, rerank=100,
+    ).count()
+    benches["topk_ivfpq_join"] = lambda: sim.topk_ivfpq_join(
+        embeddings,
+        embeddings.filter(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=5, n_cells=16, n_probe=4, m=8, k_codes=32, rerank=100,
+    ).count()
+    if hasattr(tx, "bm25_topk"):
+        benches["bm25"] = lambda: tx.bm25_topk(
+            documents.select("doc_id", "text"),
+            spark.createDataFrame(
+                list(qm.BM25_QUERIES), "query_id long, qtext string"
+            ),
+            k=5,
+        ).count()
+    from tikv_data_compare_spark.operators import clustering as clu
+
+    if hasattr(clu, "semantic_dedup"):
+        benches["semdedup"] = lambda: clu.semantic_dedup(
+            embeddings, k=16, n_iter=2, threshold_c=3000
+        ).count()
+
     ops = sys.argv[2:] or ["curation_pipeline", "export_hex"]
     benches = {k: benches[k] for k in ops}
 
