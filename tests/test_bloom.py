@@ -168,6 +168,18 @@ def test_bloom_index_roundtrip_append_and_validation(spark, tmp_path):
     with pytest.raises(ValueError):
         bl.bloom_probe(a.withColumn("might_contain", F.lit(1)),
                        bl.bloom_build(a, "s", M, K), "s", M, K)
+    # the full per-probe temporary namespace is reserved, not just the
+    # stage/flag columns (ADVICE r12): a pre-existing _bhit0/_bw1/... would
+    # make the probe join ambiguous or silently corrupt the flag
+    for clash in ("_bhit0", f"_bw{K - 1}", "_bpos1", "_bb0"):
+        with pytest.raises(ValueError):
+            bl.bloom_probe(a.withColumn(clash, F.lit(1)),
+                           bl.bloom_build(a, "s", M, K), "s", M, K)
+    # ...but a name OUTSIDE the probe range (j >= k_hashes) is allowed
+    assert bl.bloom_probe(
+        a.withColumn(f"_bhit{K}", F.lit(7)),
+        bl.bloom_build(a, "s", M, K), "s", M, K,
+    ).count() == a.count()
     bl._write_meta(spark, p, {**meta2, "version": 99})
     with pytest.raises(ValueError):
         bl.load_bloom_index(spark, p)

@@ -537,6 +537,24 @@ def test_token_budget_null_scores_admit_last(spark):
     assert again == ids
 
 
+def test_token_budget_null_ntok_drops(spark):
+    """A NULL precomputed token count DROPS the row (the dsir family's
+    'unevaluable drops' convention): admitting it would consume no budget
+    in the SUM prefix while its real token mass overshoots the cap
+    (ADVICE r12)."""
+    from tikv_data_compare_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, f"text {i}", 5) for i in range(10)]
+    rows += [(100, "unknown mass", None), (101, "also unknown", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, nt long")
+    kept = token_budget_sample(docs, 10_000, ntok_col="nt").collect()
+    ids = {r["doc_id"] for r in kept}
+    assert ids == set(range(10))  # NULL-count docs never admit
+    assert all(r["n_tokens"] == 5 for r in kept)
+    # and the budget math ignores them entirely
+    assert max(r["tokens_before"] for r in kept) == 45
+
+
 def test_split_assign_matches_brute_force(spark):
     """Content-keyed assignment == the md5-bucket CASE recomputed in pure
     Python: full coverage (incl. NULL/empty text), bucket exposed, layout

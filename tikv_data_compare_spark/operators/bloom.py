@@ -147,6 +147,20 @@ def bloom_probe(
         raise ValueError(f"output column {flag_col!r} already exists on the input")
     if _STAGE in df.columns:
         raise ValueError(f"column name {_STAGE!r} is reserved by the bloom operators")
+    # the full per-probe temporary namespace, not just _STAGE/flag_col: an
+    # input frame already carrying e.g. `_bhit0` would make the probe join
+    # ambiguous or silently corrupt the flag (ADVICE r12)
+    reserved = {
+        f"{p}{j}"
+        for j in range(k_hashes)
+        for p in ("_bpos", "_bword", "_bbit", "_bhit", "_bw", "_bb")
+    }
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"column names {clash} are reserved by bloom_probe's per-probe "
+            "temporaries; rename them on the input"
+        )
     item = F.coalesce(F.col(item_col).cast("string"), F.lit(""))
     out = df
     hits = []

@@ -529,7 +529,10 @@ def dsir_weights(
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     tgt = _dsir_feats(target, None, target_text_col or text_col, n_buckets)
     raw = _dsir_feats(df, id_col, text_col, n_buckets)
-    w_all = Window.partitionBy().rowsBetween(
+    from tikv_data_compare_spark.functions.winutil import bounded_global_window
+
+    # full-frame total over the ≤ n_buckets-row spine (bounded, no WARN)
+    w_all = bounded_global_window("_b").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     spine = df.sparkSession.range(n_buckets).select(
@@ -674,7 +677,10 @@ def token_budget_sample(
 
     Token counts default to whitespace ``size(split(text, ' '))`` (the
     ``token_mixture_sample`` convention); ``ntok_col`` substitutes a
-    precomputed count (e.g. trained-BPE ``n_tokens_subword``).  Scores
+    precomputed count (e.g. trained-BPE ``n_tokens_subword``).  Rows whose
+    ``ntok_col`` is NULL are DROPPED (the dsir family's "unevaluable
+    drops" convention) — admitting a doc whose token mass is unknown
+    cannot be budget-sound.  Scores
     should be integer-frozen columns (the repo-wide discipline) so the
     order — and therefore the kept set — replays across engines.
 
@@ -708,6 +714,12 @@ def token_budget_sample(
     staged = staged.withColumn(
         "_tb_h", F.expr(sqlgen.hexfold_i64(_STAGE))
     ).drop(_STAGE).withColumn("_tb_n", ntok)
+    if ntok_col:
+        # NULL precomputed counts DROP — the dsir family's "unevaluable
+        # drops" convention.  Admitting them would be budget-unsound: SUM
+        # skips NULLs, so the row would consume no budget in the prefix
+        # while its real token mass overshoots the cap (ADVICE r12)
+        staged = staged.where(F.col("_tb_n").isNotNull())
     order_cols = ["_tb_h", id_col]
     if score_col is not None:
         # negate so ascending bucket/window order = descending score; NULL
@@ -736,7 +748,12 @@ def token_budget_sample(
     )
     # bucket token totals: #buckets rows — the single-partition window is
     # on tiny data, exactly the with_global_index offsets shape
-    woff = Window.orderBy("_bid").rowsBetween(Window.unboundedPreceding, -1)
+    # (bounded_global_window: constant partition key, no WindowExec WARN)
+    from tikv_data_compare_spark.functions.winutil import bounded_global_window
+
+    woff = bounded_global_window("_bid", "_bid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     offsets = (
         local.groupBy("_bid")
         .agg(F.sum("_tb_n").alias("_cnt"))

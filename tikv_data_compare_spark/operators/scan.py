@@ -68,7 +68,12 @@ def with_global_index(
     w = Window.partitionBy("_bid").orderBy(*[F.col(c) for c in order_cols])
     local = df.withColumn("_bid", bucket).withColumn("_rn", F.row_number().over(w))
     # offsets: #buckets rows — the single-partition window is on tiny data
-    woff = Window.orderBy("_bid").rowsBetween(Window.unboundedPreceding, -1)
+    # (bounded_global_window: constant partition key, no WindowExec WARN)
+    from tikv_data_compare_spark.functions.winutil import bounded_global_window
+
+    woff = bounded_global_window("_bid", "_bid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     offsets = (
         local.groupBy("_bid")
         .agg(F.count(F.lit(1)).alias("_cnt"))

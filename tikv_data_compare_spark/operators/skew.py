@@ -100,7 +100,11 @@ def hot_keys(
     top = grouped.orderBy(
         F.desc("n"), *[F.asc(k) for k in key_cols]
     ).limit(top_n)
-    w = Window.orderBy(F.desc("n"), *[F.asc(k) for k in key_cols])
+    # final rank over ≤ top_n rows (bounded_global_window: constant
+    # partition key, no WindowExec WARN)
+    from tikv_data_compare_spark.functions.winutil import bounded_global_window
+
+    w = bounded_global_window("n", F.desc("n"), *[F.asc(k) for k in key_cols])
     return (
         top.crossJoin(F.broadcast(total))
         .withColumn("share_bp", F.expr("CAST(n * 10000 DIV _total AS BIGINT)"))

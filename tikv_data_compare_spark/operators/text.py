@@ -754,10 +754,16 @@ def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame
         ).alias("bigram")
     )
     counted = pairs.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    win = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    # TakeOrdered (orderBy().limit(k) = per-partition top-k merge, no global
+    # sort) BEFORE the rank window, which then runs over ≤ k rows — the
+    # previous global row_number ranked EVERY distinct bigram in one
+    # partition, a real scale-killer at corpus-wide vocabulary sizes
+    from tikv_data_compare_spark.functions.winutil import bounded_global_window
+
+    top = counted.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(k)
+    win = bounded_global_window("n", F.col("n").desc(), F.col("bigram").asc())
     return (
-        counted.withColumn("rnk", F.row_number().over(win))
-        .filter(F.col("rnk") <= k)
+        top.withColumn("rnk", F.row_number().over(win))
         .select(F.col("rnk").cast("long").alias("rnk"), "bigram", "n")
     )
 
