@@ -333,6 +333,42 @@ def test_curate_exact_span_decontamination_stage(spark):
         kept.unpersist()
 
 
+def test_curate_fuzzy_decontamination_stage(spark):
+    """decontam_fuzzy_jaccard_c appends the paraphrase-level screen as an
+    INDEPENDENT stage: a doc that is a light rewording of a probe (high
+    shingle Jaccard, no exact criterion in play) drops there, an unrelated
+    doc survives; probes sharing the 'doc_id' column are renamed
+    defensively like the exact stage."""
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank today in the late golden afternoon light")
+    para = " ".join(base.split()[2:])  # first two words dropped
+    docs = spark.createDataFrame(
+        [(1, base), (2, "entirely different content about parquet files "
+                        "and shuffle partitions in a cluster with many "
+                        "other things to read and write in every job")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(7, para)], "doc_id long, text string")
+    kept, attrition = curate(
+        docs, probes=probes, decontam_fuzzy_jaccard_c=8000,
+        max_contamination_hits=10**9,  # neutralize the n-gram stage
+        near_dup_jaccard_c=10001, max_dup_word_frac_c=10000,
+        max_top_bigram_frac_c=10000,
+    )
+    try:
+        stages = {r["stage"]: r["n_dropped"] for r in attrition.collect()}
+        assert "decontamination_fuzzy" in stages
+        assert stages["decontamination_fuzzy"] == 1
+        assert stages["decontamination"] == 0
+        assert {r["doc_id"] for r in kept.collect()} == {2}
+    finally:
+        kept.unpersist()
+    import pytest
+
+    with pytest.raises(ValueError, match="decontam_fuzzy_jaccard_c"):
+        curate(docs, decontam_fuzzy_jaccard_c=8000)
+
+
 def test_curate_exact_span_probes_sharing_id_column(spark):
     """Probes cut from the corpus itself carry the same 'doc_id' column as
     the docs side; the exact-span stage must not hit an ambiguous-column

@@ -227,6 +227,33 @@ def test_profile_compare_plan_and_approx_path(spark):
     assert abs(rows["k"]["src_n_distinct"] - 100) <= 15
 
 
+def test_profile_compare_approx_3rsd_contract(spark):
+    """The gated accuracy contract (checksum_range_compare part
+    'col_profile', n6): on real fixture data every column's HLL++ estimate
+    lands within 3·rsd of the exact distinct count on BOTH sides — the
+    profile_orders approx_ok rule applied to the drift gate."""
+    from tikv_data_compare_spark.operators.diff import profile_compare
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    dst = orders.filter(F.col("o_orderkey") % 7 != 0)
+    ks, kd = Keyed.of(orders, keys=("o_orderkey",)), Keyed.of(dst, keys=("o_orderkey",))
+    rsd = 0.05
+    exact = {r["col_name"]: r for r in profile_compare(ks, kd).collect()}
+    approx = {r["col_name"]: r for r in profile_compare(ks, kd, approx=True, rsd=rsd).collect()}
+    assert exact.keys() == approx.keys() and len(exact) == 4
+    for c in exact:
+        for side in ("src", "dst"):
+            e = exact[c][f"{side}_n_distinct"]
+            a = approx[c][f"{side}_n_distinct"]
+            assert abs(a - e) <= 3 * rsd * e, (c, side, e, a)
+        # nulls and canonical min/max stay EXACT in approx mode
+        for stat in ("n_nulls", "min_c", "max_c"):
+            for side in ("src", "dst"):
+                assert approx[c][f"{side}_{stat}"] == exact[c][f"{side}_{stat}"]
+
+
 def test_diff_tolerant_semantics(spark):
     """Per-column tolerance: sub-eps float jitter suppressed, real drift
     reported, NULL transitions always reported, non-tolerance columns stay

@@ -621,6 +621,77 @@ def test_decontaminate_substring_equals_bruteforce(spark, documents):
         tx.decontaminate_substring(docs, probes, min_span=5, k=5)
 
 
+def test_decontaminate_fuzzy_flags_paraphrases(spark):
+    """Paraphrase-level screen: a probe that is a light rewording of a doc
+    (shared 3-shingle majority) flags at the threshold; unrelated docs and
+    NULL text never flag; an exact copy flags at jaccard 10000."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    para = "quick brown fox jumps over the lazy dog near the old river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                       # paraphrase-hit
+            (2, "completely different words about spark and parquet files"),
+            (3, None),
+            (4, base),                       # duplicate content also hits
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, para), (101, base)], "probe_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.decontaminate_fuzzy(docs, probes, threshold_bp=8000).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["contaminated"] and out[1]["n_fuzzy_probes"] == 2
+    assert out[1]["max_jaccard_c"] == 10000  # the exact-copy probe
+    assert not out[2]["contaminated"] and out[2]["n_candidate_probes"] == 0
+    assert not out[3]["contaminated"]
+    assert out[4]["contaminated"]  # same content, same verdict (content-pure)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold_bp"):
+        tx.decontaminate_fuzzy(docs, probes, threshold_bp=0)
+    with pytest.raises(ValueError, match="probe_id_col"):
+        tx.decontaminate_fuzzy(docs, probes.withColumnRenamed("probe_id", "doc_id"),
+                               probe_id_col="doc_id")
+
+
+def test_decontaminate_fuzzy_verify_is_exact(spark, documents):
+    """Every verified verdict equals the brute-force shingle Jaccard of
+    that (doc, probe) pair — the LSH prune only limits WHICH pairs are
+    screened, never the score of a screened pair."""
+    from tikv_data_compare_spark.operators import dedup as dd
+
+    docs = documents.limit(40).select("doc_id", "text").cache()
+    probes = docs.selectExpr(
+        "doc_id AS probe_id",
+        "CASE WHEN size(split(text, ' ')) > 2 THEN "
+        "concat_ws(' ', slice(split(text, ' '), 3, size(split(text, ' ')) - 2)) "
+        "ELSE text END AS text",
+    ).filter(F.col("probe_id") % 3 == 0).cache()
+    got = tx.decontaminate_fuzzy(docs, probes, threshold_bp=8000)
+    flagged = {r["doc_id"]: r["max_jaccard_c"] for r in got.collect()
+               if r["n_candidate_probes"] > 0}
+    assert flagged, "planted paraphrases must produce candidates"
+    # brute force: exact jaccard of every doc x probe pair, keep the max
+    # over the pairs the operator screened
+    d_sh = {r["doc_id"]: set(r["_sh"]) for r in
+            dd.shingle_arrays(docs, "doc_id", "text").collect()}
+    p_sh = {r["probe_id"]: set(r["_sh"]) for r in
+            dd.shingle_arrays(probes, "probe_id", "text").collect()}
+    for did, maxj in flagged.items():
+        best = max(
+            round(10000 * len(d_sh[did] & ps) / len(d_sh[did] | ps))
+            for ps in p_sh.values()
+        )
+        # the operator's max is over CANDIDATES only, so it is <= the
+        # all-pairs best; the planted construction makes them equal here
+        assert maxj == best, (did, maxj, best)
+
+
 def test_bpe_encode_ids_closed_form(spark):
     merges = [("61", "61"), ("61", "62")]  # 'aa'->256, 'ab'->257
     df = spark.createDataFrame(

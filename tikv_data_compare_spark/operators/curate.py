@@ -58,6 +58,7 @@ def curate(
     max_contamination_hits: int = 0,
     decontam_span: int | None = None,
     decontam_bloom_m_bits: int | None = None,
+    decontam_fuzzy_jaccard_c: int | None = None,
     keep_langs: list[str] | None = None,
     max_lm_nll_c: int | None = None,
     lm_train: DataFrame | None = None,
@@ -83,6 +84,14 @@ def curate(
     ``max_contamination_hits``; ``decontam_bloom_m_bits`` (r12) passes
     through to that stage's Bloom prefilter mode for corpus-sized probe
     sets (result identical — equivalence-tested on the operator).
+    ``decontam_fuzzy_jaccard_c`` (r13) appends an INDEPENDENT
+    ``decontamination_fuzzy`` stage — the paraphrase-level screen
+    (``text.decontaminate_fuzzy``): docs whose shingle-set Jaccard with
+    any probe reaches the threshold drop; it composes WITH the exact
+    stages (published pipelines run both the verbatim and the fuzzy
+    criterion).  Docs the LSH candidate pass never surfaces keep (the
+    pii/decontamination default-keep convention — an unscreened doc is
+    not a confirmed leak).
     ``algo`` selects the near-dup stage's shingle hash — ``md5i64``
     (default, DuckDB-oracle checkable) or ``xxhash64`` (the throughput
     path, same knob as the dedup/checksum operators).  ``keep_langs``
@@ -211,17 +220,17 @@ def curate(
             "(it is the exact-substring stage's corpus-sized-probe mode)"
         )
     if probes is not None:
+        # probe id column: the conventional 'probe_id' (the contamination
+        # contract), else any first column stands in — the id only keys the
+        # candidate-pair dedup.  Renamed DEFENSIVELY to '_probe_id' for
+        # EVERY probe-consuming stage: probes cut from the corpus itself
+        # carry the same 'doc_id' column as the docs side, and the
+        # candidate joins would hit an ambiguous-reference error (r10
+        # review; generalized from the exact-span branch in r13 when the
+        # fuzzy stage landed).
+        pid = "probe_id" if "probe_id" in probes.columns else probes.columns[0]
+        probes_n = probes.select(F.col(pid).alias("_probe_id"), F.col(text_col))
         if decontam_span is not None:
-            # probe id column: the conventional 'probe_id' (the
-            # contamination contract), else any first column stands in —
-            # the id only keys the candidate-pair dedup.  Renamed DEFENSIVELY
-            # to '_probe_id': probes cut from the corpus itself carry the
-            # same 'doc_id' column as the docs side, and the candidate join
-            # would hit an ambiguous-reference error (r10 review).
-            pid = "probe_id" if "probe_id" in probes.columns else probes.columns[0]
-            probes_n = probes.select(
-                F.col(pid).alias("_probe_id"), F.col(text_col)
-            )
             conta_ok = tx.decontaminate_substring(
                 docs, probes_n, id_col, text_col,
                 probe_id_col="_probe_id", probe_text_col=text_col,
@@ -230,7 +239,10 @@ def curate(
             ).select(id_col, (~F.col("contaminated")).alias("_ct_ok"))
             stage_name = "decontamination_exact"
         else:
-            conta_ok = tx.contamination(docs, probes, id_col, text_col).select(
+            conta_ok = tx.contamination(
+                docs, probes_n, id_col, text_col,
+                probe_id_col="_probe_id", probe_text_col=text_col,
+            ).select(
                 id_col,
                 (F.col("n_hit_grams") <= max_contamination_hits).alias("_ct_ok"),
             )
@@ -240,6 +252,27 @@ def curate(
         )
         stage_cols.append("s_conta")
         stage_names.append(stage_name)
+    if decontam_fuzzy_jaccard_c is not None:
+        if probes is None:
+            raise ValueError(
+                "decontam_fuzzy_jaccard_c requires probes= (it thresholds "
+                "the shingle-Jaccard against the probe corpus)"
+            )
+        # an independently appended stage: paraphrase-level overlap is a
+        # different criterion than the verbatim-span / n-gram stages, and
+        # published pipelines run both screens (probes_n: the shared
+        # defensively-renamed probe frame from the block above)
+        fuzzy_ok = tx.decontaminate_fuzzy(
+            docs, probes_n, id_col, text_col,
+            probe_id_col="_probe_id", probe_text_col=text_col,
+            threshold_bp=int(decontam_fuzzy_jaccard_c), algo=algo,
+        ).select(id_col, (~F.col("contaminated")).alias("_fz_ok"))
+        flags = flags.join(fuzzy_ok, id_col, "left").withColumn(
+            "s_fuzzy",
+            F.col(stage_cols[-1]) & F.coalesce(F.col("_fz_ok"), F.lit(True)),
+        )
+        stage_cols.append("s_fuzzy")
+        stage_names.append("decontamination_fuzzy")
     if keep_langs is not None:
         # normalize + validate: a typo'd or unknown code would otherwise
         # silently drop the ENTIRE corpus (isin never matches), and a bare

@@ -1467,6 +1467,111 @@ def self_dedup_substring(
     )
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    probe_text_col: str = "text",
+    threshold_bp: int = 8000,
+    algo: str = "md5i64",
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Fuzzy / near-duplicate test-set decontamination (r13): flag every
+    document whose 3-shingle-set Jaccard with ANY probe/benchmark document
+    is at least ``threshold_bp`` (×10000) — the paraphrase-level screen
+    published pipelines (Gopher §A2, GPT-4-class reports) run alongside
+    verbatim matching, catching eval items that were lightly reworded,
+    re-punctuated, or truncated before landing in the training corpus
+    (where ``decontaminate_substring``'s exact-span criterion misses them).
+
+    Composition of the dedup machinery, pointed ACROSS corpora instead of
+    at a self-join: MinHash signatures on both sides (frozen permutations,
+    the ``dedup.minhash_signatures`` geometry), band-key equi-join of doc
+    bands against the broadcast probe bands → candidate (doc, probe)
+    pairs, exact shingle-set Jaccard verify on each candidate.  Candidate
+    generation is probabilistic in the standard LSH sense (a pair missing
+    every band is not screened — the same recall contract as
+    ``dedup.minhash_pairs``); every SURVIVING verdict is exact.
+
+    Scale shape: the probe side is benchmark-sized by contract, so its
+    band table and shingle arrays broadcast; the corpus side is one
+    map-side shingle+signature pass, a broadcast band join, and a
+    candidate-sized verify join (AQE turns it into a broadcast join when
+    the candidates are few; pathological band collisions degrade to a
+    shuffle join sized by the candidates, never all-pairs).  The corpus
+    text is scanned once and never shuffles.
+
+    Returns one row per input doc (the ``decontaminate_substring``
+    contract): ``(id, n_candidate_probes, n_fuzzy_probes, max_jaccard_c,
+    contaminated)`` — candidates screened, candidates at/above threshold,
+    the best verified Jaccard (×10000; 0 when no candidate), and the drop
+    flag.
+    """
+    from tikv_data_compare_spark.operators import dedup as dd
+
+    if not 0 < threshold_bp <= 10000:
+        raise ValueError(f"threshold_bp must be in (0, 10000], got {threshold_bp}")
+    if id_col == probe_id_col:
+        raise ValueError(
+            "id_col and probe_id_col must differ (the candidate join needs "
+            "unambiguous columns); alias one side"
+        )
+    n_perms = n_bands * rows_per_band
+    d_sh = dd.hashed_shingle_arrays(docs, id_col, text_col, algo)
+    p_sh = dd.hashed_shingle_arrays(probes, probe_id_col, probe_text_col, algo)
+    d_sig = dd.minhash_signatures(
+        docs, id_col, text_col, algo, shingles=d_sh, n_perms=n_perms
+    )
+    p_sig = dd.minhash_signatures(
+        probes, probe_id_col, probe_text_col, algo, shingles=p_sh, n_perms=n_perms
+    )
+    d_bands = dd.band_key_rows(d_sig, id_col, n_bands, rows_per_band)
+    p_bands = dd.band_key_rows(p_sig, probe_id_col, n_bands, rows_per_band)
+    cand = (
+        d_bands.join(F.broadcast(p_bands), ["band", "hkey"])
+        .select(id_col, probe_id_col)
+        .distinct()
+    )
+    # exact verify — the probe shingle arrays ride on the (bounded)
+    # candidate frame so the corpus-side join probes ONE relation
+    pside = cand.join(
+        F.broadcast(p_sh.select(probe_id_col, F.col("_sh").alias("_shp"))),
+        probe_id_col,
+    )
+    verified = (
+        d_sh.select(id_col, F.col("_sh").alias("_shd"))
+        .join(pside, id_col)
+        .withColumn("_ni", F.expr("size(array_intersect(_shd, _shp))"))
+        .withColumn(
+            "_j",
+            F.expr(
+                "CAST(ROUND(10000.0 * _ni / (size(_shd) + size(_shp) - _ni)) AS BIGINT)"
+            ),
+        )
+    )
+    verdicts = verified.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_probes"),
+        F.sum((F.col("_j") >= threshold_bp).cast("long")).cast("long").alias(
+            "n_fuzzy_probes"
+        ),
+        F.max("_j").cast("long").alias("max_jaccard_c"),
+    )
+    return docs.select(id_col).join(verdicts, id_col, "left").select(
+        id_col,
+        F.coalesce("n_candidate_probes", F.lit(0)).cast("long").alias(
+            "n_candidate_probes"
+        ),
+        F.coalesce("n_fuzzy_probes", F.lit(0)).cast("long").alias(
+            "n_fuzzy_probes"
+        ),
+        F.coalesce("max_jaccard_c", F.lit(0)).cast("long").alias("max_jaccard_c"),
+        (F.coalesce("n_fuzzy_probes", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 #: shared hex-nibble decode — identical expression in Spark SQL and DuckDB,
 #: exact integer math (used instead of conv()/from_hex(), which differ in
 #: signature across engines)

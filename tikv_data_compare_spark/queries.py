@@ -1125,7 +1125,11 @@ def q_checksum_range_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
       n3/n4, drifted flag n5, canonical min|max in t1/t2 per side) run
       before any row-level work.  One labeled-union aggregation pass per
       side; the oracle recomputes every stat per column, so the stack/
-      pivot/drift-flag machinery is hash-gated."""
+      pivot/drift-flag machinery is hash-gated.  Since r13 the approx
+      (HLL++) configuration runs alongside and n6 carries its 3·rsd
+      accuracy contract per column across BOTH sides (the profile_orders
+      approx_ok rule; oracle emits literal 1) — the 100 TB sketch-state
+      shape of the pre-flight gate is driver-gated too."""
     tune(spark)
     import os
 
@@ -1233,17 +1237,43 @@ def q_checksum_range_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status").alias("t1"),
         null_str.alias("t2"),
     )
-    prof = diff_ops.profile_compare(src_k, dst_k).select(
-        F.lit("col_profile").alias("part"),
-        F.col("col_name").alias("k"),
-        F.col("src_n_nulls").alias("n1"),
-        F.col("dst_n_nulls").alias("n2"),
-        F.col("src_n_distinct").alias("n3"),
-        F.col("dst_n_distinct").alias("n4"),
-        F.col("drifted").alias("n5"),
-        null_long.alias("n6"),
-        F.concat_ws("|", "src_min_c", "src_max_c").alias("t1"),
-        F.concat_ws("|", "dst_min_c", "dst_max_c").alias("t2"),
+    # the approx (HLL++) configuration runs NEXT TO the exact pass and its
+    # accuracy contract rides in n6 — the profile_orders approx_ok rule
+    # (each side's sketch within 3·rsd of the exact distinct, ≈3σ of
+    # HLL++'s relative error), so the 100 TB one-pass pre-flight shape is
+    # gated, not just unit-tested; sketch VALUES are engine-specific, the
+    # CONTRACT is not (oracle emits literal 1)
+    _rsd = 0.05
+    prof_a = diff_ops.profile_compare(src_k, dst_k, approx=True, rsd=_rsd).select(
+        "col_name",
+        F.col("src_n_distinct").alias("_a_src_nd"),
+        F.col("dst_n_distinct").alias("_a_dst_nd"),
+    )
+    approx_ok = (
+        (
+            F.abs(F.col("_a_src_nd") - F.col("src_n_distinct"))
+            <= 3 * _rsd * F.col("src_n_distinct")
+        )
+        & (
+            F.abs(F.col("_a_dst_nd") - F.col("dst_n_distinct"))
+            <= 3 * _rsd * F.col("dst_n_distinct")
+        )
+    )
+    prof = (
+        diff_ops.profile_compare(src_k, dst_k)
+        .join(prof_a, "col_name")
+        .select(
+            F.lit("col_profile").alias("part"),
+            F.col("col_name").alias("k"),
+            F.col("src_n_nulls").alias("n1"),
+            F.col("dst_n_nulls").alias("n2"),
+            F.col("src_n_distinct").alias("n3"),
+            F.col("dst_n_distinct").alias("n4"),
+            F.col("drifted").alias("n5"),
+            approx_ok.cast("long").alias("n6"),
+            F.concat_ws("|", "src_min_c", "src_max_c").alias("t1"),
+            F.concat_ws("|", "dst_min_c", "dst_max_c").alias("t2"),
+        )
     )
     return (
         buckets.unionByName(col_mm).unionByName(sd).unionByName(man).unionByName(prof)
@@ -1290,7 +1320,7 @@ def _col_profile_sql() -> str:
        CAST(CASE WHEN s.nn IS DISTINCT FROM d.nn OR s.nd IS DISTINCT FROM d.nd
                    OR s.mn IS DISTINCT FROM d.mn OR s.mx IS DISTINCT FROM d.mx
             THEN 1 ELSE 0 END AS BIGINT) AS n5,
-       CAST(NULL AS BIGINT) AS n6,
+       CAST(1 AS BIGINT) AS n6,
        s.mn || '|' || s.mx AS t1, d.mn || '|' || d.mx AS t2
 FROM ({s}) s, ({d}) d"""
         )

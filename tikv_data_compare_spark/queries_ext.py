@@ -128,19 +128,41 @@ DUCK_SHINGLES = f"""
 """
 
 
-def _oracle_minhash_sig_cte() -> str:
+def _duck_shingles_for(src: str, idc: str) -> str:
+    """DuckDB replay of ``dedup.shingle_arrays`` over an arbitrary
+    ``(idc, text)`` source — the parametric form of :data:`DUCK_SHINGLES`
+    (which stays pinned to ``documents``); one generator so cross-corpus
+    oracles (r13 fuzzy decontamination) cannot drift from the self-join
+    ones."""
+    return f"""
+  SELECT DISTINCT {idc}, w FROM (
+    SELECT {idc}, unnest(CASE WHEN len(ws) >= 3
+        THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        ELSE [text] END) AS w
+    FROM (SELECT {idc}, text, {sqlgen.split_words('text', DUCK)} AS ws FROM ({src}))
+  )
+"""
+
+
+def _duck_minhash_sig_for(shingle_src: str, idc: str) -> str:
+    """DuckDB replay of ``dedup.minhash_signatures`` (default 8-perm
+    geometry) over an arbitrary ``(idc, w)`` shingle source."""
     mins = ", ".join(
         f"CAST(min((CAST({a} AS BIGINT) * _h1 + {b}) % {MINHASH_P}) AS BIGINT) AS m{i}"
         for i, (a, b) in enumerate(MINHASH_PERMS)
     )
     return f"""
-  SELECT doc_id, {mins}
+  SELECT {idc}, {mins}
   FROM (
-    SELECT doc_id, ({sqlgen.hexfold_i64('_m')}) & 1073741823 AS _h1
-    FROM (SELECT doc_id, md5(w) AS _m FROM ({DUCK_SHINGLES}))
+    SELECT {idc}, ({sqlgen.hexfold_i64('_m')}) & 1073741823 AS _h1
+    FROM (SELECT {idc}, md5(w) AS _m FROM ({shingle_src}))
   )
-  GROUP BY doc_id
+  GROUP BY {idc}
 """
+
+
+def _oracle_minhash_sig_cte() -> str:
+    return _duck_minhash_sig_for(DUCK_SHINGLES, "doc_id")
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1287,7 +1309,15 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``bl_hits`` counts each doc's might-contain fingerprints.  The
       filter is integer-deterministic, so the oracle replays the bitmap
       bit-for-bit INCLUDING which false positives occur — the fixed-size
-      broadcast membership gate is hash-gated, not just property-tested."""
+      broadcast membership gate is hash-gated, not just property-tested;
+    - ``decontaminate_fuzzy`` (since r13): paraphrase-level decontamination
+      — the probe corpus is a PLANTED PARAPHRASE set (docs with
+      ``doc_id % 13 == 0``, first two words dropped — high-but-not-exact
+      shingle Jaccard), screened by the cross-corpus MinHash band join and
+      verified with exact Jaccard at threshold 8000.  The oracle replays
+      the frozen permutations, the band collisions AND the verify, so
+      candidate generation and the fuzzy verdict both hash-gate
+      (``fz_cands``/``fz_hits``/``fz_maxj``/``fz_flag``)."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
     sd = tx.self_dedup_substring(docs, min_span=24).select(
@@ -1337,6 +1367,24 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("might_contain").cast("long").alias("bl_hits"))
     )
+    # r13 fuzzy screen: planted paraphrases (doc_id % 13, first two words
+    # dropped — the CASE must match the oracle's DuckDB slice expression
+    # byte-for-byte in OUTPUT, so both sides shingle identical probe text)
+    fprobes = docs.selectExpr(
+        "doc_id AS fz_probe_id",
+        "CASE WHEN size(split(text, ' ')) > 2 THEN "
+        "concat_ws(' ', slice(split(text, ' '), 3, size(split(text, ' ')) - 2)) "
+        "ELSE text END AS text",
+    ).where(F.col("fz_probe_id") % 13 == 0)
+    fz = tx.decontaminate_fuzzy(
+        docs, fprobes, probe_id_col="fz_probe_id", threshold_bp=8000
+    ).select(
+        "doc_id",
+        F.col("n_candidate_probes").alias("fz_cands"),
+        F.col("n_fuzzy_probes").alias("fz_hits"),
+        F.col("max_jaccard_c").alias("fz_maxj"),
+        F.col("contaminated").cast("long").alias("fz_flag"),
+    )
     return (
         fp.join(wn, "doc_id")
         .join(conta, "doc_id")
@@ -1344,6 +1392,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sd, "doc_id")
         .join(blm, "doc_id", "left")
         .withColumn("bl_hits", F.coalesce("bl_hits", F.lit(0).cast("long")))
+        .join(fz, "doc_id")
     )
 
 
@@ -1515,16 +1564,67 @@ bl_dfps AS MATERIALIZED ({_winnow_sel_sql(
     "SELECT doc_id, text AS _t FROM documents WHERE text IS NOT NULL",
     "doc_id", 20,
 )}),
-bl AS ({_bloom_probe_sql("bl_dfps", "bl_words", "doc_id")})
+bl AS ({_bloom_probe_sql("bl_dfps", "bl_words", "doc_id")}),
+-- r13 fuzzy decontamination: planted paraphrase probes (doc_id % 13 = 0,
+-- first two words dropped), frozen-perm MinHash band join doc×probe,
+-- exact shingle-Jaccard verify at 8000 — text.decontaminate_fuzzy
+fzprobes AS (
+  SELECT doc_id AS probe_id,
+         CASE WHEN len(ws) > 2 THEN array_to_string(ws[3:], ' ')
+              ELSE text END AS text
+  FROM (SELECT doc_id, text, {sqlgen.split_words('text', DUCK)} AS ws
+        FROM documents)
+  WHERE doc_id % 13 = 0
+),
+fz_psh AS MATERIALIZED ({_duck_shingles_for("SELECT probe_id, text FROM fzprobes", "probe_id")}),
+fz_dsig AS MATERIALIZED ({_duck_minhash_sig_for("SELECT doc_id, sh AS w FROM shingles", "doc_id")}),
+fz_psig AS MATERIALIZED ({_duck_minhash_sig_for("SELECT probe_id, w FROM fz_psh", "probe_id")}),
+fz_cand AS (
+  SELECT d.doc_id, p.probe_id
+  FROM fz_dsig d JOIN fz_psig p ON (
+       (d.m0 = p.m0 AND d.m1 = p.m1) OR (d.m2 = p.m2 AND d.m3 = p.m3)
+    OR (d.m4 = p.m4 AND d.m5 = p.m5) OR (d.m6 = p.m6 AND d.m7 = p.m7))
+),
+fz_inter AS (
+  SELECT c.doc_id, c.probe_id, count(*) AS ninter
+  FROM fz_cand c
+  JOIN shingles wa ON wa.doc_id = c.doc_id
+  JOIN fz_psh wb ON wb.probe_id = c.probe_id AND wa.sh = wb.w
+  GROUP BY 1, 2
+),
+fz_sz_d AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+fz_sz_p AS (SELECT probe_id, count(*) AS n FROM fz_psh GROUP BY 1),
+fz_j AS (
+  SELECT c.doc_id, c.probe_id,
+         CAST(ROUND(10000.0 * coalesce(i.ninter, 0)
+              / (sa.n + sb.n - coalesce(i.ninter, 0))) AS BIGINT) AS j
+  FROM fz_cand c
+  JOIN fz_sz_d sa ON sa.doc_id = c.doc_id
+  JOIN fz_sz_p sb ON sb.probe_id = c.probe_id
+  LEFT JOIN fz_inter i ON i.doc_id = c.doc_id AND i.probe_id = c.probe_id
+),
+fz AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS fz_cands,
+         CAST(sum(CASE WHEN j >= 8000 THEN 1 ELSE 0 END) AS BIGINT) AS fz_hits,
+         CAST(max(j) AS BIGINT) AS fz_maxj,
+         CAST(max(CASE WHEN j >= 8000 THEN 1 ELSE 0 END) AS BIGINT) AS fz_flag
+  FROM fz_j GROUP BY 1
+)
 SELECT fp.doc_id, fp.fingerprint, wn.n_fp, wn.fp_xor,
        c.n_grams, c.n_hit_grams, c.hit_frac_c,
        w2.wd_contam_probes, w2.wd_contaminated,
        sd.sd_partners, sd.sd_starts, sd.sd_chars, sd.sd_kept,
-       coalesce(b2.bl_hits, 0) AS bl_hits
+       coalesce(b2.bl_hits, 0) AS bl_hits,
+       coalesce(z.fz_cands, 0) AS fz_cands,
+       coalesce(z.fz_hits, 0) AS fz_hits,
+       coalesce(z.fz_maxj, 0) AS fz_maxj,
+       coalesce(z.fz_flag, 0) AS fz_flag
 FROM fp JOIN wn ON fp.doc_id = wn.doc_id JOIN conta c ON fp.doc_id = c.doc_id
 JOIN wdec w2 ON fp.doc_id = w2.doc_id
 JOIN sd ON fp.doc_id = sd.doc_id
 LEFT JOIN bl b2 ON fp.doc_id = b2.doc_id
+LEFT JOIN fz z ON fp.doc_id = z.doc_id
 """
 
 
