@@ -93,6 +93,62 @@ def test_append_with_frozen_codebooks(spark, emb, tmp_path_factory):
     assert got == exact
 
 
+def test_compact_equals_oneshot_and_bounds_files(spark, emb, tmp_path_factory):
+    """N fragment-producing appends + compact ≡ a one-shot build: identical
+    (vec_id, cell, pq_code) content, identical query results, file count
+    bounded by target_files, n_compactions tracked in meta (VERDICT r12
+    task 7)."""
+    base = tmp_path_factory.mktemp("anncomp")
+    p_inc, p_one = str(base / "inc"), str(base / "one")
+    train = emb.filter(F.col("vec_id") % 4 == 0)
+    ai.build_ann_index(train, p_inc, n_cells=8, m=8, k_codes=16)
+    ai.build_ann_index(train, p_one, n_cells=8, m=8, k_codes=16)
+    # many small appends -> many parquet fragments; one-shot side appends
+    # the SAME rows in one pass (frozen codebooks -> identical codes)
+    rest = emb.filter(F.col("vec_id") % 4 != 0)
+    for j in range(1, 4):
+        ai.append_to_index(rest.filter(F.col("vec_id") % 4 == j), p_inc)
+    ai.append_to_index(rest, p_one)
+    files_before = len(spark.read.parquet(f"{p_inc}/vectors").inputFiles())
+    stats = ai.compact_index(spark, p_inc, target_files=2)
+    assert stats["files_before"] == files_before
+    assert stats["files_after"] <= 2 < files_before
+    assert stats["n_compactions"] == 1
+    # content: exact same code table as the one-shot build
+    cols = ["vec_id", "cell", "pq_code"]
+    inc_rows = sorted(
+        (r["vec_id"], r["cell"], bytes(r["pq_code"]))
+        for r in spark.read.parquet(f"{p_inc}/vectors").select(cols).collect()
+    )
+    one_rows = sorted(
+        (r["vec_id"], r["cell"], bytes(r["pq_code"]))
+        for r in spark.read.parquet(f"{p_one}/vectors").select(cols).collect()
+    )
+    assert inc_rows == one_rows and stats["n_vectors"] == len(one_rows)
+    # queries: compacted index ≡ one-shot index, and append still works on
+    # the compacted layout (meta self-heals counts from written files)
+    q = _qdf(emb, 5)
+    got_inc = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in ai.topk_index(
+            ai.load_ann_index(spark, p_inc), q, k=3, n_probe=8,
+            rerank=64, emb_for_rerank=emb,
+        ).collect()
+    )
+    got_one = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in ai.topk_index(
+            ai.load_ann_index(spark, p_one), q, k=3, n_probe=8,
+            rerank=64, emb_for_rerank=emb,
+        ).collect()
+    )
+    assert got_inc == got_one
+    # second compaction increments the counter; validation guard fires
+    assert ai.compact_index(spark, p_inc, target_files=1)["n_compactions"] == 2
+    with pytest.raises(ValueError, match="target_files"):
+        ai.compact_index(spark, p_inc, target_files=0)
+
+
 def test_append_quantization_drift_gate(spark, emb, tmp_path_factory):
     """Frozen codebooks encode a shifted distribution silently worse — the
     gate must trip LOUD: fail before any write (default), warn-and-proceed

@@ -492,6 +492,20 @@ def test_cli_ann_persistent_index(capsys, emb_parquet, tmp_path):
     # --index without --queries is a usage error
     assert cli.main(["ann", "--src", src, "--index", idx]) == 2
 
+    # --compact-index: bounded file set, queries unchanged (r13)
+    assert cli.main(["ann", "--compact-index", idx, "--target-files", "1"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["files_after"] <= 1 and stats["n_compactions"] == 1
+    assert stats["n_vectors"] == meta["n_vectors"]
+    assert cli.main(["ann", "--src", src, "--index", idx, "--queries", q,
+                     "--k", "3", "--n-probe", "8",
+                     "--rerank", str(meta["n_vectors"])]) == 0
+    got2 = sorted(
+        (r["query_id"], r["neighbor_id"], r["rnk"])
+        for r in map(json.loads, capsys.readouterr().out.strip().splitlines())
+    )
+    assert got2 == exact
+
 
 def test_cli_manifest_range_buckets(capsys, two_tables, tmp_path):
     """--range-key stores quantile boundaries in the manifest; compares

@@ -377,7 +377,9 @@ def main(argv: list[str] | None = None) -> int:
     # broadcast ceiling); without it, queries are the --n-queries lowest
     # vec_ids of the corpus via the broadcast path.
     p = sub.add_parser("ann")
-    p.add_argument("--src", required=True, help="embeddings parquet with (vec_id, embedding)")
+    p.add_argument("--src", default="",
+                   help="embeddings parquet with (vec_id, embedding) — required "
+                        "for everything except --compact-index")
     p.add_argument("--queries", default="",
                    help="queries parquet (query_id, embedding); ivf/ivfpq only — "
                         "runs the join path with no query-count ceiling")
@@ -418,6 +420,13 @@ def main(argv: list[str] | None = None) -> int:
                         "appends whose sample quantization error exceeds the "
                         "build-time band stored in the index meta; warn "
                         "proceeds loudly; skip disables the gate")
+    p.add_argument("--compact-index", default="",
+                   help="rewrite this index's vectors/ into a bounded, "
+                        "cell-clustered file set (swap-committed; queries "
+                        "unchanged) — run after many --append-index epochs")
+    p.add_argument("--target-files", type=int, default=0,
+                   help="file count for --compact-index (default: sized from "
+                        "the index row count)")
     p.add_argument("--index", default="",
                    help="query this persisted index (requires --queries; "
                         "--rerank reads float vectors from --src)")
@@ -1235,6 +1244,23 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "ann":
         from tikv_data_compare_spark.operators import similarity as sim
 
+        if args.compact_index:
+            from tikv_data_compare_spark.operators.ann_index import compact_index
+
+            try:
+                stats = compact_index(
+                    spark, args.compact_index,
+                    target_files=args.target_files or None,
+                )
+            except ValueError as e:
+                print(f"ann: {e}", file=sys.stderr)
+                return 2
+            print(json.dumps({"index": args.compact_index, **stats}))
+            return 0
+        if not args.src:
+            print("ann: --src is required (except with --compact-index)",
+                  file=sys.stderr)
+            return 2
         emb = spark.read.parquet(args.src)
         if args.build_index:
             from tikv_data_compare_spark.operators.ann_index import build_ann_index
