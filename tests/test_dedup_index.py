@@ -74,6 +74,37 @@ def test_append_extends_the_corpus(spark, docs, tmp_path):
     assert not any(b_first in p for p in before)
 
 
+def test_compact_preserves_results_and_bounds_files(spark, docs, tmp_path):
+    """N appends + compact: identical band rows and query results, file
+    count bounded, n_compactions in meta (the ANN compact contract on the
+    dedup index)."""
+    a = docs.filter(F.col("doc_id") % 3 == 1)
+    path = os.path.join(str(tmp_path), "idx")
+    di.build_dedup_index(a, path)
+    for j in (0, 2):
+        di.append_to_dedup_index(docs.filter(F.col("doc_id") % 3 == j), path)
+    c = a.orderBy("doc_id").limit(2).withColumn(
+        "doc_id", F.col("doc_id") + 900000
+    )
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(f"{path}/bands").collect())
+    )
+    before_q = _norm(di.query_dedup_index(c, path).collect())
+    stats = di.compact_dedup_index(spark, path, target_files=2)
+    assert stats["files_after"] <= 2 < stats["files_before"]
+    assert stats["n_compactions"] == 1
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{path}/bands").collect())
+    ) == before_rows
+    assert _norm(di.query_dedup_index(c, path).collect()) == before_q
+    assert before_q  # planted duplicates guarantee non-vacuous
+    # append still works on the compacted layout
+    assert di.append_to_dedup_index(c, path) == 2
+    assert di.compact_dedup_index(spark, path, target_files=1)[
+        "n_compactions"
+    ] == 2
+
+
 def test_same_id_never_self_pairs(spark, docs, tmp_path):
     """Re-querying a doc already in the index (same id) yields no self
     pair; a distinct id with identical text verifies at jaccard 10000."""

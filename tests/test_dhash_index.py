@@ -84,6 +84,31 @@ def test_append_grows_index_exactly(spark, tmp_path):
     assert dhi.load_dhash_index(spark, p).meta["last_epoch"] == 3
 
 
+def test_compact_preserves_pairs_and_bounds_files(spark, tmp_path):
+    """Appended fragments + compact: identical band rows and pair results,
+    bounded file count, n_compactions tracked."""
+    h = _hashes(spark)
+    p = str(tmp_path / "dhxc")
+    dhi.build_dhash_index(h.filter("doc_id = 1"), p, n_bands=8)
+    for d in (2, 3, 4):
+        dhi.append_to_dhash_index(h.filter(f"doc_id = {d}"), p)
+    q = h.filter("doc_id = 6")
+    before_rows = sorted(map(tuple, spark.read.parquet(f"{p}/bands").collect()))
+    before_q = sorted(
+        map(tuple, dhi.query_dhash_index(q, p, max_hamming=64).collect())
+    )
+    stats = dhi.compact_dhash_index(spark, p, target_files=1)
+    assert stats["files_after"] <= 1 < stats["files_before"]
+    assert stats["n_compactions"] == 1
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{p}/bands").collect())
+    ) == before_rows
+    assert sorted(
+        map(tuple, dhi.query_dhash_index(q, p, max_hamming=64).collect())
+    ) == before_q
+    assert before_q  # planted near-dups guarantee non-vacuous
+
+
 def test_geometry_comes_from_meta(spark, tmp_path):
     """A 4-band index bands its queries at 4 bands regardless of caller
     defaults — slice width differs from the 8-band default, so parity with

@@ -59,6 +59,43 @@ def test_append_grows_corpus_exactly(spark, tmp_path):
     assert got == want
 
 
+def test_compact_preserves_rankings_and_bounds_files(spark, tmp_path):
+    """Appended fragments + compact: identical postings, identical BM25
+    rankings (derived dfreq/meta refreshed from the rewritten table), file
+    count bounded, watermark extras preserved."""
+    from tikv_data_compare_spark.operators.text import bm25_topk
+    from tikv_data_compare_spark.operators.text_index import (
+        append_to_text_index,
+        build_text_index,
+        compact_text_index,
+        load_text_index,
+        query_text_index,
+    )
+
+    d, q = _frames(spark)
+    p = os.path.join(tmp_path, "tixc")
+    build_text_index(d.filter("doc_id <= 2"), p)
+    append_to_text_index(d.filter("doc_id IN (3, 4)"), p)
+    # the streaming face re-threads its watermark on every epoch; compact
+    # must then PRESERVE whatever the last epoch committed
+    append_to_text_index(d.filter("doc_id > 4"), p,
+                         extra_meta={"last_epoch": 7})
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(f"{p}/postings").collect())
+    )
+    stats = compact_text_index(spark, p, target_files=1)
+    assert stats["files_after"] <= 1 < stats["files_before"]
+    assert stats["n_compactions"] == 1
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{p}/postings").collect())
+    ) == before_rows
+    meta = load_text_index(spark, p).meta
+    assert meta["last_epoch"] == 7 and meta["n_docs"] == 6
+    got = sorted(map(tuple, query_text_index(q, p, k=5).collect()))
+    want = sorted(map(tuple, bm25_topk(d, q, k=5).collect()))
+    assert got == want and got
+
+
 def test_append_empty_batch_is_noop(spark, tmp_path):
     from tikv_data_compare_spark.operators.text_index import (
         append_to_text_index,

@@ -15,7 +15,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def swap_commit(df: DataFrame, final: str, coalesce: int | None = None) -> None:
@@ -54,6 +54,41 @@ def swap_commit(df: DataFrame, final: str, coalesce: int | None = None) -> None:
     os.rename(stage, final)
     if had_prior:
         shutil.rmtree(old)
+
+
+def compact_parquet_table(
+    spark,
+    table_path: str,
+    cluster_cols: list[str],
+    target_files: int,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Bounded, clustered rewrite of an append-accumulated parquet table —
+    the shared engine of every index's ``compact_*`` face (r13, VERDICT
+    r12 task 7).  ``mode('append')`` ingest leaves one fragment per epoch;
+    this reshuffles the rows into ``target_files`` partitions hash-keyed
+    on ``cluster_cols`` and sorted by ``sort_cols`` (default: the cluster
+    columns), so the file count is bounded and each key's rows land in
+    contiguous row groups whose min/max stats enable pruning.  Content is
+    bit-identical (same rows, new layout); the rewrite lands through
+    :func:`swap_commit`, so concurrent readers never observe partial rows.
+
+    Returns ``{files_before, files_after, n_rows}``.
+    """
+    if target_files < 1:
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
+    df = spark.read.parquet(table_path)
+    files_before = len(df.inputFiles())
+    shaped = df.repartition(
+        int(target_files), *[F.col(c) for c in cluster_cols]
+    ).sortWithinPartitions(*(sort_cols or cluster_cols))
+    swap_commit(shaped, table_path)
+    out = spark.read.parquet(table_path)
+    return {
+        "files_before": int(files_before),
+        "files_after": len(out.inputFiles()),
+        "n_rows": int(out.count()),
+    }
 
 
 def scratch_dir(prefix: str) -> str:

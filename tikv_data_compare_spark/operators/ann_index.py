@@ -395,31 +395,26 @@ def compact_index(
     """
     import math
 
-    from tikv_data_compare_spark.functions.fsutil import swap_commit
+    from tikv_data_compare_spark.functions.fsutil import compact_parquet_table
 
     idx = load_ann_index(spark, path)
-    files_before = len(idx.vectors.inputFiles())
     if target_files is None:
         rows_per_file = max(1, (64 << 20) // (int(idx.meta["m"]) + 16))
         target_files = max(1, math.ceil(idx.meta["n_vectors"] / rows_per_file))
-    if target_files < 1:
-        raise ValueError(f"target_files must be >= 1, got {target_files}")
-    shaped = idx.vectors.repartition(int(target_files), F.col("cell")).sortWithinPartitions(
-        "cell", "vec_id"
+    stats = compact_parquet_table(
+        spark, f"{path}/vectors", ["cell"], int(target_files),
+        sort_cols=["cell", "vec_id"],
     )
-    swap_commit(shaped, f"{path}/vectors")
-    out = spark.read.parquet(f"{path}/vectors")
-    n_total = int(out.count())
     meta = {
         **idx.meta,
-        "n_vectors": n_total,
+        "n_vectors": stats["n_rows"],
         "n_compactions": int(idx.meta.get("n_compactions") or 0) + 1,
     }
     _write_meta(spark, path, meta)
     return {
-        "files_before": int(files_before),
-        "files_after": len(out.inputFiles()),
-        "n_vectors": n_total,
+        "files_before": stats["files_before"],
+        "files_after": stats["files_after"],
+        "n_vectors": stats["n_rows"],
         "n_compactions": meta["n_compactions"],
     }
 

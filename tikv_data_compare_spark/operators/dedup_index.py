@@ -289,3 +289,25 @@ def append_to_dedup_index(
     )
     _write_meta(spark, path, {**idx.meta, "n_docs": n_total, **(extra_meta or {})})
     return n_total - int(idx.meta["n_docs"])
+
+
+def compact_dedup_index(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> dict:
+    """Bounded, band-clustered rewrite of the appended ``bands/`` fragments
+    (``fsutil.compact_parquet_table`` — see the ANN index's
+    ``compact_index`` for the rationale; thousand-epoch streams otherwise
+    accumulate one file per epoch).  Candidate results are unchanged:
+    same rows, new layout.  ``target_files`` defaults to the session's
+    parallelism, floored at 1."""
+    from tikv_data_compare_spark.functions.fsutil import compact_parquet_table
+
+    idx = load_dedup_index(spark, path)
+    if target_files is None:
+        target_files = max(1, spark.sparkContext.defaultParallelism)
+    stats = compact_parquet_table(
+        spark, f"{path}/bands", ["band", "hkey"], int(target_files)
+    )
+    n_comp = int(idx.meta.get("n_compactions") or 0) + 1
+    _write_meta(spark, path, {**idx.meta, "n_compactions": n_comp})
+    return {**stats, "n_compactions": n_comp}

@@ -214,3 +214,22 @@ def append_to_dhash_index(
     )
     _write_meta(spark, path, {**idx.meta, "n_docs": n_total, **(extra_meta or {})})
     return n_total - int(idx.meta["n_docs"])
+
+
+def compact_dhash_index(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> dict:
+    """Bounded, band-clustered rewrite of the appended ``bands/`` fragments
+    (``fsutil.compact_parquet_table`` — the ANN ``compact_index``
+    rationale).  Pair results are unchanged: same rows, new layout."""
+    from tikv_data_compare_spark.functions.fsutil import compact_parquet_table
+
+    idx = load_dhash_index(spark, path)
+    if target_files is None:
+        target_files = max(1, spark.sparkContext.defaultParallelism)
+    stats = compact_parquet_table(
+        spark, f"{path}/bands", ["band", "slice"], int(target_files)
+    )
+    n_comp = int(idx.meta.get("n_compactions") or 0) + 1
+    _write_meta(spark, path, {**idx.meta, "n_compactions": n_comp})
+    return {**stats, "n_compactions": n_comp}

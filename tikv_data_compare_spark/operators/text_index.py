@@ -254,3 +254,31 @@ def append_to_text_index(
         raw.unpersist()
     meta = _refresh_derived(spark, path, dict(extra_meta or {}))
     return int(meta["n_docs"]) - int(idx.meta["n_docs"])
+
+
+def compact_text_index(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> dict:
+    """Bounded, term-clustered rewrite of the appended ``postings/``
+    fragments (``fsutil.compact_parquet_table`` — the ANN
+    ``compact_index`` rationale).  Rankings are unchanged: identical
+    postings rows, and the derived dfreq/meta are refreshed from the
+    rewritten table through the same seam every append uses.  The meta's
+    non-derived extras (epoch watermarks) are preserved."""
+    from tikv_data_compare_spark.functions.fsutil import compact_parquet_table
+
+    idx = load_text_index(spark, path)
+    if target_files is None:
+        target_files = max(1, spark.sparkContext.defaultParallelism)
+    stats = compact_parquet_table(
+        spark, f"{path}/postings", ["w"], int(target_files),
+        sort_cols=["w", "doc_id"],
+    )
+    extras = {
+        k: v
+        for k, v in idx.meta.items()
+        if k not in ("version", "tokenizer", "n_docs", "sum_dl")
+    }
+    extras["n_compactions"] = int(extras.get("n_compactions") or 0) + 1
+    _refresh_derived(spark, path, extras)
+    return {**stats, "n_compactions": extras["n_compactions"]}
