@@ -454,6 +454,13 @@ def _dsir_feats(
     # isn't stranded on 1-2 input splits (cluster no-op; measured 2.5×
     # wall on the whole operator at sf0.1's single-file parquet)
     frame = scale_out(frame, key=id_col or text_col)
+    if id_col:
+        # NULL-id rows are excluded from the corpus model: they could never
+        # be scored or joined back anyway, and the EXPLICIT filter (rather
+        # than the isnotnull Catalyst infers on only ONE consumer branch)
+        # keeps the two dsir_weights branches canonically identical so AQE
+        # reuses the feature-explode stage instead of running it twice
+        frame = frame.where(F.col(id_col).isNotNull())
     ids = [F.col(id_col)] if id_col else []
     # stage the filtered word array into a COLUMN first: inlining the
     # split+filter expression inside the transform lambda would re-tokenize
@@ -479,6 +486,11 @@ def _dsir_feats(
         words.select(*ids, F.explode(F.expr(grams)).alias("_g"))
         .withColumn(_STAGE, F.md5("_g"))
         .select(*ids, bucket)
+        # _b is never NULL (pmod of a non-null fold) but Catalyst infers
+        # isnotnull(_b) on only the branch that inner/left-joins on it —
+        # state it explicitly for the same canonical-equality reason as the
+        # id filter above
+        .where(F.col("_b").isNotNull())
     )
 
 
@@ -512,14 +524,18 @@ def dsir_weights(
     score is an exact integer sum.  Positive = target-like, negative =
     raw-typical.
 
-    Scale shape: two explode+groupBy bucket counts (partial-aggregated,
-    ≤ ``n_buckets`` result rows each), densified onto a ``range(n_buckets)``
-    bucket spine so the grand total rides on every row (one window over the
-    already-AGGREGATED ≤ ``n_buckets``-row table — computing totals as
-    separate 1-row aggs would silently re-run the whole corpus explode per
-    total, since broadcast builds don't share lineage), both bucket tables
-    broadcast, one per-doc sum — the raw corpus text is scanned exactly
-    twice (count pass + scoring pass) and never shuffles.
+    Scale shape: the raw corpus's feature explode is pre-aggregated to
+    ``(id, bucket, count)`` once, and both consumers — the corpus bucket
+    counts and the per-doc scoring — hang off that same shuffle, so
+    ReuseExchange runs the explode+md5 map stage exactly ONCE (it is the
+    operator's dominant cost); bucket counts are densified onto a
+    ``range(n_buckets)`` spine so the grand total rides on every row (one
+    window over the already-AGGREGATED ≤ ``n_buckets``-row table —
+    computing totals as separate 1-row aggs would silently re-run the
+    whole corpus explode per total, since broadcast builds don't share
+    lineage), the weight table broadcasts, and the per-doc score is one
+    count-weighted sum.  The raw corpus text itself never shuffles — only
+    the bounded (id, bucket, count) frame does.
     Docs with zero features (NULL/empty text) get ``dsir_n_feats = 0``
     and a NULL score ("can't evaluate", the ngram_lm_score convention).
 
@@ -529,6 +545,27 @@ def dsir_weights(
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     tgt = _dsir_feats(target, None, target_text_col or text_col, n_buckets)
     raw = _dsir_feats(df, id_col, text_col, n_buckets)
+    # Pre-aggregate the raw occurrences to (id, bucket, count) ONCE and hang
+    # BOTH consumers (the corpus bucket counts and the per-doc scoring) off
+    # this same subtree: the two branches then share one canonical
+    # Exchange(hash(id, _b)), which Spark's ReuseExchange turns into a single
+    # physical run of the explode+md5+hexfold map stage — the operator's
+    # dominant cost, previously executed twice (count pass + scoring pass,
+    # measured ~1.6× whole-operator cpu_sec at sf0.1).  Only the cheap
+    # re-aggregations above the reused shuffle run per-branch.
+    if id_col == "_dsir_ct":
+        raise ValueError("column name '_dsir_ct' is reserved by dsir_weights")
+    # The trailing repartition is the reuse barrier, not a data move for its
+    # own sake: scale_out's hash(id) partitioning already satisfies the
+    # (id, _b) grouping, so without it the aggregate is purely map-side and
+    # each consumer branch re-runs the whole explode pipeline.  Shuffling
+    # the AGGREGATED (id, bucket, count) frame (bounded: ≤ min(features,
+    # n_buckets) rows per doc, far smaller than the occurrence stream —
+    # map-side combine stays below it) gives both branches one canonically
+    # identical exchange, which AQE materializes once and reuses.
+    rc = raw.groupBy(id_col, "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_dsir_ct")
+    ).repartition(F.col(id_col), F.col("_b"))
     from tikv_data_compare_spark.functions.winutil import bounded_global_window
 
     # full-frame total over the ≤ n_buckets-row spine (bounded, no WARN)
@@ -548,7 +585,7 @@ def dsir_weights(
     )
     cr = (
         spine.join(
-            raw.groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias("_cr")),
+            rc.groupBy("_b").agg(F.sum("_dsir_ct").cast("long").alias("_cr")),
             "_b", "left",
         )
         .withColumn("_cr", F.coalesce("_cr", F.lit(0).cast("long")))
@@ -581,10 +618,10 @@ def dsir_weights(
     # it BELOW the md5-staging Project, re-inlining the hexfold into the
     # filter — md5 recomputed once per hex digit per n-gram (measured 2×
     # wall on the whole operator)
-    scored = raw.join(F.broadcast(wtab), "_b", "left")
+    scored = rc.join(F.broadcast(wtab), "_b", "left")
     per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("dsir_n_feats"),
-        F.sum("_w_c").cast("long").alias("dsir_logw_c"),
+        F.sum("_dsir_ct").cast("long").alias("dsir_n_feats"),
+        F.sum(F.col("_dsir_ct") * F.col("_w_c")).cast("long").alias("dsir_logw_c"),
     )
     return df.select(id_col).join(per_doc, id_col, "left").select(
         id_col,
