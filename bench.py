@@ -299,6 +299,81 @@ def main():
         timings[name] = round(best, 3)
         load_seen.append(loadavg_1m())
 
+    # Per-entry wall-clock bands from BASELINE.md's table (sf0.1,
+    # local[32]).  Entries outside their band are re-run SOLO below and
+    # reported under "solo_reruns", so a contention-inflated suite number
+    # arrives pre-attributed: r12 burned a round proving topk_ivfpq's 8.47 s
+    # was ambient load, r13 the same for bm25 8.68→1.22 s and funnel_gaps
+    # 3.74→0.84 s at idle (VERDICT r13 task 4 — this block).
+    bands = {
+        "checksum_compare_xxh": (0.8, 4.0),
+        "diff_keyed": (0.4, 1.8),
+        "export_hex": (0.2, 1.5),
+        "dedup_minhash_pairs": (0.4, 4.0),
+        "dedup_simhash": (0.15, 0.8),
+        "similarity_topk": (0.3, 1.2),
+        "text_stats": (0.1, 0.5),
+        "sessionize": (0.4, 1.0),
+        "asof_join": (0.3, 0.8),
+        "join_region_revenue": (0.8, 2.0),
+        "funnel_gaps": (0.7, 2.2),
+        "tfidf": (0.5, 2.5),
+        "repair_plan": (0.5, 2.2),
+        "price_histogram": (0.2, 0.8),
+        "targeted_diff_1pct": (0.5, 3.0),
+        "diff_full_1pct": (0.3, 1.5),
+        "curation_pipeline": (2.0, 16.0),
+        "topk_pq_rerank": (0.8, 6.0),
+        "topk_ivfpq": (1.0, 6.0),
+        "topk_ivfpq_join": (1.0, 7.0),
+        "dedup_lines": (0.2, 1.5),
+        "bm25": (0.8, 4.0),
+        "semdedup": (1.5, 6.0),
+        "bpe_tokens": (0.2, 3.0),
+        "dsir_sample": (1.5, 12.0),
+    }
+    solo_reruns: dict[str, dict] = {}
+    for name, wall in timings.items():
+        band = bands.get(name)
+        # only re-attribute entries ABOVE their band: a below-floor wall is
+        # a faster build or a warmer session, not a regression to explain
+        if band is None or wall <= band[1]:
+            continue
+        runs2, best2, best_cpu = [], None, -1.0
+        load0 = loadavg_1m()
+        for _ in range(3):
+            spark.catalog.clearCache()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            c0 = container_cpu_sec()
+            t0 = time.time()
+            benches[name]()
+            dt = time.time() - t0
+            runs2.append(round(dt, 3))
+            if best2 is None or dt < best2:
+                best2 = dt
+                if c0 >= 0:
+                    best_cpu = round(container_cpu_sec() - c0, 3)
+        solo_reruns[name] = {
+            "suite_wall": wall,
+            "solo_wall": round(best2, 3),
+            "runs": runs2,
+            "cpu_sec": best_cpu,
+            "band": list(band),
+            "in_band_solo": best2 <= band[1],
+            "loadavg": [load0, loadavg_1m()],
+        }
+        verdict = (
+            "contention (solo back in band)"
+            if best2 <= band[1]
+            else "REGRESSION (still out of band solo)"
+        )
+        print(
+            f"[bench] band breach {name}: suite {wall}s > {band[1]}s; "
+            f"solo min-of-3 {round(best2, 3)}s -> {verdict}",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     # the suite grew from 10 to 14 operators in r5 — report the original-10
     # subtotal too so round-over-round totals stay comparable (BASELINE.md)
@@ -335,6 +410,10 @@ def main():
                 # flagged on stderr above)
                 "recall": recall,
                 "recall_breach": recall_breach,
+                # entries that breached their BASELINE.md band in-suite,
+                # re-measured solo at suite end (min-of-3): solo back in
+                # band = ambient contention, still out = real regression
+                "solo_reruns": solo_reruns,
             }
         )
     )

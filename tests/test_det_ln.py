@@ -136,6 +136,49 @@ def test_frozen_ln_c_is_bigint_and_round_half_up():
     assert abs(neg + 1000000) <= 1
 
 
+def test_no_decimal_feeds_frozen_log_paths(spark, documents):
+    """The r13 driver red, root-caused in the r13 verdict: Spark typed a
+    det_ln input quotient DECIMAL(34,12) — an extra rounding to 12 decimal
+    digits — where DuckDB typed the same text DOUBLE, so the two engines
+    fed det_ln different binary64s and the frozen integers flipped on the
+    driver host while matching locally.  Every frame on a frozen-log path
+    must be decimal-free end to end: the documents-table operators have no
+    decimal source columns, so ANY ``cast(... as decimal`` in the analyzed
+    plan is a smoothing-quotient regression (`x * 1.0 / y` instead of
+    `CAST(x AS DOUBLE) / CAST(y AS DOUBLE)`, or a driver-side literal
+    table skipped)."""
+    from pyspark.sql import functions as F
+
+    from tikv_data_compare_spark.operators.sampling import (
+        dsir_sample,
+        dsir_weights,
+    )
+    from tikv_data_compare_spark.operators.text import (
+        bm25_topk,
+        ngram_lm_score,
+        tfidf_top_terms,
+    )
+
+    docs = documents.select("doc_id", "lang", "text").limit(200)
+    target = docs.filter(F.col("lang") == "en")
+    q = spark.createDataFrame(
+        [(1, "data quality")], "query_id long, qtext string"
+    )
+    frames = {
+        "dsir_weights": dsir_weights(docs, target, n_buckets=64),
+        "dsir_sample": dsir_sample(docs, target, n_buckets=64),
+        "tfidf_top_terms": tfidf_top_terms(docs),
+        "ngram_lm_score": ngram_lm_score(docs),
+        "bm25_topk": bm25_topk(docs, q),
+    }
+    bad = []
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if "decimal" in plan.lower():
+            bad.append(name)
+    assert bad == [], f"decimal type in frozen-log plan(s): {bad}"
+
+
 def test_no_engine_ln_in_frozen_cost_operators():
     """Regression tripwire: no operator or oracle may reintroduce the
     engine LN into a frozen-cost expression (the r12 drift)."""

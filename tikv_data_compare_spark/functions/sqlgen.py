@@ -168,6 +168,27 @@ def frozen_ln_c(x: str, scale: int = 1_000_000) -> str:
     return f"CAST(FLOOR({det_ln(x)} * {float(scale)!r} + 0.5) AS BIGINT)"
 
 
+def frozen_ln_c_py(x: float, scale: int = 1_000_000) -> int:
+    """Python-side frozen log cost: ``floor(ln(x)·scale + 0.5)`` as int —
+    the :func:`frozen_ln_c` rounding convention applied to ``math.log``.
+
+    Used to precompute BOUNDED cost tables on the DRIVER and embed the
+    same integer literals in the Spark plan AND the DuckDB oracle (the
+    dsir_weights bucket-cost table, ≤ n_buckets rows, and the dsir_sample
+    u-coin table, 10000 rows).  With literals on both sides, the gated
+    metric contains NO cross-engine floating point at all — the r12/r13
+    ``sampling`` reds both came from an engine-divergent float step
+    (r12: the engine ``LN``'s last ulp; r13: Spark typing the smoothing
+    quotient DECIMAL(34,12) — double-rounding — where DuckDB types it
+    DOUBLE).  ``math.log`` here is the platform libm, NOT det_ln — that
+    is fine and the point: the value is computed ONCE and shared, so
+    cross-engine agreement is by construction, not by reproduction.
+    """
+    import math
+
+    return int(math.floor(math.log(x) * scale + 0.5))
+
+
 def xor(a: str, b: str, engine: str) -> str:
     """Bitwise xor of two bigints (DuckDB's ``^`` is exponentiation)."""
     return f"({a} ^ {b})" if engine == SPARK else f"xor({a}, {b})"

@@ -513,111 +513,99 @@ def dsir_weights(
     log-weight is the per-occurrence sum
 
         dsir_logw_c = Σ_feat  cost_raw(b) − cost_tgt(b)
-        cost_side(b) = round(1e6 · det_ln((T_side + B) / (c_side(b) + 1)))
+        cost_side(b) = floor(1e6 · ln((T_side + B) / (c_side(b) + 1)) + 0.5)
 
-    Each cost is frozen through ``sqlgen.frozen_ln_c`` — a deterministic
-    ln built only from IEEE-correctly-rounded ops (sqrt chain + atanh
-    series), bit-identical in Spark and DuckDB.  The r12 version used the
-    engine ``LN``, whose last ulp is implementation-defined; a single
-    cost landing a hair from a rounding boundary flipped the frozen
-    integer between hosts (CORRECTNESS_r12 ``sampling`` red).  The doc
-    score is an exact integer sum.  Positive = target-like, negative =
-    raw-typical.
+    The per-bucket costs are computed ON THE DRIVER in Python
+    (``sqlgen.frozen_ln_c_py``) from the two collected bucket-count
+    tables — bounded, ≤ ``n_buckets`` rows each — and embedded in the
+    plan as a literal broadcast table, so the gated metric contains NO
+    cross-engine floating point: only md5 bucketing and integer sums run
+    inside either engine, and the oracle embeds the SAME literals.
+    History: r12 froze via the engine ``LN`` (last ulp implementation-
+    defined → flipped across hosts); r13 switched to the det_ln sqrt
+    chain but fed it a smoothing quotient Spark types DECIMAL(34,12)
+    (double-rounding) where DuckDB types it DOUBLE — red again on the
+    driver host while green locally.  Literals end the class: both sides
+    read the one value Python computed.  The doc score is an exact
+    integer sum.  Positive = target-like, negative = raw-typical.
 
     Scale shape: the raw corpus's feature explode is pre-aggregated to
-    ``(id, bucket, count)`` once, and both consumers — the corpus bucket
-    counts and the per-doc scoring — hang off that same shuffle, so
-    ReuseExchange runs the explode+md5 map stage exactly ONCE (it is the
-    operator's dominant cost); bucket counts are densified onto a
-    ``range(n_buckets)`` spine so the grand total rides on every row (one
-    window over the already-AGGREGATED ≤ ``n_buckets``-row table —
-    computing totals as separate 1-row aggs would silently re-run the
-    whole corpus explode per total, since broadcast builds don't share
-    lineage), the weight table broadcasts, and the per-doc score is one
-    count-weighted sum.  The raw corpus text itself never shuffles — only
-    the bounded (id, bucket, count) frame does.
+    ``(id, bucket, count)`` once and PERSISTED (MEMORY_AND_DISK; far
+    smaller than the text — ≤ min(n_features, n_buckets) integer rows
+    per doc), so the explode+md5 map stage — the operator's dominant
+    cost — runs exactly once: the bucket-count collect materializes the
+    cache and the per-doc scoring re-reads it.  The weight table is a
+    driver-built ``n_buckets``-row literal and broadcasts; the per-doc
+    score is one count-weighted integer sum.  The raw corpus text itself
+    never shuffles — only the bounded (id, bucket, count) frame does.
     Docs with zero features (NULL/empty text) get ``dsir_n_feats = 0``
     and a NULL score ("can't evaluate", the ngram_lm_score convention).
+    Rows whose ``id_col`` is NULL are excluded from the raw corpus model
+    entirely (they never contribute to the bucket counts), not merely
+    left unscored — they could never be scored or joined back anyway.
 
     Returns ``(id, dsir_n_feats, dsir_logw_c)``.
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    # internal staging names: a user column colliding with any of them
+    # would silently mis-group or raise a confusing AnalysisException
+    reserved = {"_b", "_w_c", "_ws", "_g", "_dsir_ct", _STAGE}
+    for col in {id_col, text_col, target_text_col or text_col}:
+        if col in reserved:
+            raise ValueError(
+                f"column name {col!r} is reserved by dsir_weights"
+            )
     tgt = _dsir_feats(target, None, target_text_col or text_col, n_buckets)
     raw = _dsir_feats(df, id_col, text_col, n_buckets)
-    # Pre-aggregate the raw occurrences to (id, bucket, count) ONCE and hang
-    # BOTH consumers (the corpus bucket counts and the per-doc scoring) off
-    # this same subtree: the two branches then share one canonical
-    # Exchange(hash(id, _b)), which Spark's ReuseExchange turns into a single
-    # physical run of the explode+md5+hexfold map stage — the operator's
-    # dominant cost, previously executed twice (count pass + scoring pass,
-    # measured ~1.6× whole-operator cpu_sec at sf0.1).  Only the cheap
-    # re-aggregations above the reused shuffle run per-branch.
-    if id_col == "_dsir_ct":
-        raise ValueError("column name '_dsir_ct' is reserved by dsir_weights")
-    # The trailing repartition is the reuse barrier, not a data move for its
-    # own sake: scale_out's hash(id) partitioning already satisfies the
-    # (id, _b) grouping, so without it the aggregate is purely map-side and
-    # each consumer branch re-runs the whole explode pipeline.  Shuffling
-    # the AGGREGATED (id, bucket, count) frame (bounded: ≤ min(features,
-    # n_buckets) rows per doc, far smaller than the occurrence stream —
-    # map-side combine stays below it) gives both branches one canonically
-    # identical exchange, which AQE materializes once and reuses.
+    # Pre-aggregate the raw occurrences to (id, bucket, count) ONCE and
+    # persist: the bucket-count collect below materializes the cache, the
+    # per-doc scoring re-reads it, so the explode+md5+hexfold map stage —
+    # the operator's dominant cost — runs exactly once.  The cached frame
+    # is the AGGREGATED one (≤ min(n_features, n_buckets) integer rows per
+    # doc, far smaller than the occurrence stream or the text) and
+    # MEMORY_AND_DISK spills at corpus scale.
+    from pyspark.storagelevel import StorageLevel
+
     rc = raw.groupBy(id_col, "_b").agg(
         F.count(F.lit(1)).cast("long").alias("_dsir_ct")
-    ).repartition(F.col(id_col), F.col("_b"))
-    from tikv_data_compare_spark.functions.winutil import bounded_global_window
-
-    # full-frame total over the ≤ n_buckets-row spine (bounded, no WARN)
-    w_all = bounded_global_window("_b").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # The per-bucket smoothed log costs are frozen ON THE DRIVER from the
+    # two bounded (≤ n_buckets-row) collected count tables and embedded as
+    # a literal table: no ln, no division — no floating point AT ALL —
+    # executes inside Spark or the oracle, so the gate cannot drift on
+    # engine float semantics again (r12: engine-LN ulp; r13: Spark typing
+    # the quotient DECIMAL(34,12) vs DuckDB's DOUBLE).  Python's int
+    # division-to-float and math.log define the value once for both sides.
+    cr_counts = {
+        int(r["_b"]): int(r["_c"])
+        for r in rc.groupBy("_b")
+        .agg(F.sum("_dsir_ct").cast("long").alias("_c"))
+        .collect()
+    }
+    ct_counts = {
+        int(r["_b"]): int(r["_c"])
+        for r in tgt.groupBy("_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .collect()
+    }
+    tr, tt = sum(cr_counts.values()), sum(ct_counts.values())
+    wtab = df.sparkSession.createDataFrame(
+        [
+            (
+                b,
+                sqlgen.frozen_ln_c_py((tr + n_buckets) / (cr_counts.get(b, 0) + 1))
+                - sqlgen.frozen_ln_c_py((tt + n_buckets) / (ct_counts.get(b, 0) + 1)),
+            )
+            for b in range(n_buckets)
+        ],
+        "_b long, _w_c long",
     )
-    spine = df.sparkSession.range(n_buckets).select(
-        F.col("id").cast("long").alias("_b")
-    )
-    ct = (
-        spine.join(
-            tgt.groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias("_ct")),
-            "_b", "left",
-        )
-        .withColumn("_ct", F.coalesce("_ct", F.lit(0).cast("long")))
-        .withColumn("_tt", F.sum("_ct").over(w_all).cast("long"))
-    )
-    cr = (
-        spine.join(
-            rc.groupBy("_b").agg(F.sum("_dsir_ct").cast("long").alias("_cr")),
-            "_b", "left",
-        )
-        .withColumn("_cr", F.coalesce("_cr", F.lit(0).cast("long")))
-        .withColumn("_tr", F.sum("_cr").over(w_all).cast("long"))
-    )
-    # per-bucket weights precomputed on the ≤ n_buckets-row table: the two
-    # decimal divisions + LNs + rounds run 2·n_buckets times total instead
-    # of twice per feature OCCURRENCE, and the scoring pass probes ONE
-    # broadcast instead of two
-    # frozen via sqlgen.frozen_ln_c (det_ln), NOT ROUND-of-LN: the bare
-    # LN's last ulp is engine-implementation-defined and flipped this cost
-    # across hosts in r12; ratios are projected to short columns first
-    # (det_ln repeats its argument textually ~55x)
-    wtab = (
-        ct.join(cr, "_b")
-        .select(
-            "_b",
-            F.expr(f"(_tr + {n_buckets}) * 1.0 / (_cr + 1)").alias("_rr"),
-            F.expr(f"(_tt + {n_buckets}) * 1.0 / (_ct + 1)").alias("_rt"),
-        )
-        .select(
-            "_b",
-            F.expr(
-                f"{sqlgen.frozen_ln_c('_rr')} - {sqlgen.frozen_ln_c('_rt')}"
-            ).alias("_w_c"),
-        )
-    )
-    # LEFT join although the dense spine makes every key match: an INNER
-    # join lets Catalyst infer `isnotnull(_b)` on the stream side and push
-    # it BELOW the md5-staging Project, re-inlining the hexfold into the
-    # filter — md5 recomputed once per hex digit per n-gram (measured 2×
-    # wall on the whole operator)
+    # LEFT join although the dense literal domain makes every key match: an
+    # INNER join lets Catalyst infer `isnotnull(_b)` on the stream side and
+    # push it BELOW the md5-staging Project, re-inlining the hexfold into
+    # the filter — md5 recomputed once per hex digit per n-gram (measured
+    # 2× wall on the whole operator)
     scored = rc.join(F.broadcast(wtab), "_b", "left")
     per_doc = scored.groupBy(id_col).agg(
         F.sum("_dsir_ct").cast("long").alias("dsir_n_feats"),
@@ -648,11 +636,13 @@ def dsir_sample(
     same replay-safe primitive as every sampler here: the per-10000 bucket
     becomes ``u = (bucket+1)/10000`` and the doc keeps iff
 
-        u_c + dsir_logw_c >= tau_c,   u_c = round(1e6·det_ln(10000/(bucket+1)))
+        u_c + dsir_logw_c >= tau_c,   u_c = floor(1e6·ln(10000/(bucket+1)) + 0.5)
 
     (``P[u_c ≥ x] = P[u ≤ e^(−x/1e6)]`` — rejection sampling in the frozen
-    log domain, integer comparisons only; the ``sqlgen.frozen_ln_c``
-    freeze is bit-exact across engines like the weights).  ``tau_c`` is the selectivity knob in
+    log domain, integer comparisons only; like the weights, the 10000 coin
+    values are frozen ON THE DRIVER via ``sqlgen.frozen_ln_c_py`` and
+    embedded as a literal broadcast table in both the plan and the oracle,
+    so no engine float op touches them).  ``tau_c`` is the selectivity knob in
     the same ×1e6 log units — raise it to keep less, more target-skewed
     data; DSIR's k-of-n resampling corresponds to setting it near the
     corpus's k-th largest weight.  Zero-feature (NULL/empty) docs DROP —
@@ -670,16 +660,19 @@ def dsir_sample(
         raise ValueError("column name '_u_bk' is reserved by dsir_sample")
     staged = _with_hash(df, text_col, u_col)
     bucket = f"((({sqlgen.hexfold_i64(_STAGE)}) % 10000) + 10000) % 10000"
-    # the coin has only 10000 possible values: freeze them ONCE on a
-    # range(10000) frame (det_ln — engine-exact, see dsir_weights) and
-    # broadcast-join on the bucket, instead of inlining det_ln's ~55x
-    # textual expansion into the per-row projection — which pushed the
-    # whole-stage-codegen method past the JVM's 64 KB limit (interpreted
-    # fallback) next to the 30x hexfold
-    coins = df.sparkSession.range(10000).select(
-        F.col("id").cast("long").alias("_u_bk"),
-        F.expr(sqlgen.frozen_ln_c("10000.0 / (id + 1)")).alias(u_col),
-    )
+    # the coin has only 10000 possible values: freeze them ONCE on the
+    # DRIVER (frozen_ln_c_py — the oracle embeds the same literals, so no
+    # engine float op is involved, see dsir_weights) and broadcast-join on
+    # the bucket, instead of inlining a ~55x ln expansion into the per-row
+    # projection — which pushed the whole-stage-codegen method past the
+    # JVM's 64 KB limit (interpreted fallback) next to the 30x hexfold
+    coins = df.sparkSession.createDataFrame(
+        [
+            (b, sqlgen.frozen_ln_c_py(10000.0 / (b + 1)))
+            for b in range(10000)
+        ],
+        "_u_bk long, _u_c long",
+    ).withColumnRenamed("_u_c", u_col)
     staged = (
         staged.withColumn("_u_bk", F.expr(bucket).cast("long"))
         .join(F.broadcast(coins), "_u_bk")

@@ -701,10 +701,16 @@ def ngram_lm_score(
         .join(c1, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
+            # numerator and denominator are exact BIGINTs cast to DOUBLE,
+            # then ONE correctly-rounded IEEE division — never an
+            # intermediate DECIMAL: Spark types `x * 1.0 / y` as
+            # DECIMAL(34,12) (a second rounding) where DuckDB types it
+            # DOUBLE, the exact cross-engine drift class that kept the r13
+            # sampling gate red (VERDICT r13 §What's wrong 1)
             "_lm_r",
             F.expr(
-                f"(coalesce(c1, 0) + {int(alpha)} * 1.0 * v) / "
-                f"(coalesce(c2, 0) + {int(alpha)} * 1.0)"
+                f"CAST(coalesce(c1, 0) + {int(alpha)} * v AS DOUBLE) / "
+                f"CAST(coalesce(c2, 0) + {int(alpha)} AS DOUBLE)"
             ),
         )
         # det_ln freeze (sqlgen.frozen_ln_c) — engine-exact, unlike the
@@ -715,9 +721,14 @@ def ngram_lm_score(
     )
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("lm_n_bigrams"),
-        F.expr("CAST(FLOOR(1.0 * sum(_cost_c) / count(1)) AS BIGINT)").alias(
-            "lm_nll_c"
-        ),
+        # CAST-to-DOUBLE both operands, then ONE correctly-rounded IEEE
+        # division: `1.0 * sum(..) / count(..)` types DECIMAL in Spark
+        # (an extra rounding) but DOUBLE in DuckDB — the r13 sampling-gate
+        # drift class, caught here by test_no_decimal_feeds_frozen_log_paths
+        F.expr(
+            "CAST(FLOOR(CAST(sum(_cost_c) AS DOUBLE)"
+            " / CAST(count(1) AS DOUBLE)) AS BIGINT)"
+        ).alias("lm_nll_c"),
     )
     return (
         df.select(id_col)
@@ -990,10 +1001,35 @@ def pack_token_bins(
     )
 
 
+def bm25_idf_sql() -> str:
+    """The per-DISTINCT-term BM25 idf (Lucene's always-positive
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` variant) as an UN-rounded DOUBLE
+    over columns ``df`` and ``n_docs`` — shared VERBATIM by the Spark
+    operator and the DuckDB oracle.
+
+    Hoisted out of the per-(query, doc, term) score in r14: the det_ln
+    sqrt-chain (engine-exact, ~55× textual expansion — see
+    ``sqlgen.det_ln``) was previously inlined per candidate row, which
+    cost bm25 +37% solo cpu after the r13 LN→det_ln switch; evaluated per
+    distinct term it runs on a bounded query-vocabulary-sized frame
+    instead (the tfidf_top_terms pattern, operators/text.py idf).  The
+    score multiplies the identical binary64 either way, so scores are
+    bit-unchanged.
+    """
+    from tikv_data_compare_spark.functions import sqlgen
+
+    idf_ratio = (
+        "1.0 + (CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))"
+        " / (df + CAST(0.5 AS DOUBLE))"
+    )
+    return sqlgen.det_ln(idf_ratio)
+
+
 def bm25_score_sql(k1: float = 1.2, b: float = 0.75) -> str:
     """The per-(query, doc, term) BM25 score expression, shared VERBATIM by
-    the Spark operator and the DuckDB oracle (over columns ``tf``, ``df``,
-    ``dl``, ``n_docs``, ``avgdl``).
+    the Spark operator and the DuckDB oracle (over columns ``tf``, ``dl``,
+    ``avgdl`` and the precomputed per-term ``idf`` — see
+    :func:`bm25_idf_sql`).
 
     Every float parameter is embedded as its shortest-roundtrip repr inside
     CAST(.. AS DOUBLE): decimal literals are exact rationals in both
@@ -1001,23 +1037,14 @@ def bm25_score_sql(k1: float = 1.2, b: float = 0.75) -> str:
     binary64 — and the derived constants (k1+1, 1-b) are folded in PYTHON,
     never by either engine’s (differently-typed) constant folder.
 
-    The idf log is ``sqlgen.det_ln`` (sqrt-chain ln over correctly-rounded
-    ops only), not the engine ``LN`` whose last ulp is implementation-
-    defined — the freeze that flipped the r12 ``sampling`` gate; the final
-    rounding is ``FLOOR(v + 0.5)`` for the same reason (ROUND tie
+    The final rounding is ``FLOOR(v + 0.5)``, not ``ROUND`` (tie
     conventions differ across engines for negatives).
     """
-    from tikv_data_compare_spark.functions import sqlgen
-
     k1p1 = repr(float(k1) + 1.0)
     one_minus_b = repr(1.0 - float(b))
-    idf_ratio = (
-        "1.0 + (CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))"
-        " / (df + CAST(0.5 AS DOUBLE))"
-    )
     return (
         "CAST(FLOOR(1000000.0"
-        f" * {sqlgen.det_ln(idf_ratio)}"
+        " * idf"
         f" * (tf * CAST({k1p1} AS DOUBLE)"
         f" / (tf + CAST({repr(float(k1))} AS DOUBLE)"
         f" * (CAST({one_minus_b} AS DOUBLE)"
@@ -1135,10 +1162,20 @@ def bm25_rank(
         F.col(query_id_col).alias("qid"),
         F.explode(F.array_distinct(F.split(F.col(query_text_col), " "))).alias("w"),
     )
+    # idf per DISTINCT query term, computed on a bounded frame (dfreq
+    # filtered by the broadcast query vocabulary — ≤ |query terms| rows):
+    # det_ln's ~55× expansion never runs per candidate row (r14 hoist,
+    # see bm25_idf_sql); scores are bit-identical to the inlined form
+    idf_tab = (
+        dfreq.join(F.broadcast(qterms.select("w").distinct()), "w")
+        .crossJoin(F.broadcast(scalars.select("n_docs")))
+        .withColumn("idf", F.expr(bm25_idf_sql()))
+        .select("w", "idf")
+    )
     scored = (
         tf.join(F.broadcast(qterms), "w")
-        .join(F.broadcast(dfreq), "w")
-        .crossJoin(F.broadcast(scalars))
+        .join(F.broadcast(idf_tab), "w")
+        .crossJoin(F.broadcast(scalars.select("avgdl")))
         .withColumn("score_c", F.expr(bm25_score_sql(k1, b)))
     )
     per_doc = scored.groupBy("qid", "_id").agg(

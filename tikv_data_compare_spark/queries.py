@@ -2143,7 +2143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_prune": qm.q_partitioned_prune,
         # --- diff / comparison (J1, J2, F2, F3, S2)
         "diff_keyed": q_diff_keyed,
-        "bucketed_diff": q_bucketed_diff,
+        # q_bucketed_diff was a driver row through r13; dropped from the
+        # registry in r14 to restore the driver's 50-row window (it shares
+        # ORACLE_DIFF_KEYED verbatim with diff_keyed — same output, only
+        # the bucketed join strategy differs, and that strategy is pinned
+        # by tests/test_bucketed.py's zero-Exchange plan assertion)
         "diff_only": q_diff_only,
         "diff_positional": q_diff_positional,
         "diff_repair": qm.q_diff_repair,
@@ -2195,11 +2199,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal / sampling / capstone
         "multimodal_probe": qe.q_multimodal_probe,
         "sampling": qe.q_sampling,
-        # r13 localization slices of the sampling row — CORRECTNESS_r12
+        # r13 localization slice of the sampling row — CORRECTNESS_r12
         # recorded the 9-method combined row red with no way to tell which
-        # method drifted; these give the driver scoreboard the split
+        # method drifted; this row pins the DSIR family, which r13 proved
+        # WAS the drift.  (q_sampling_prefix exists too but its dedicated
+        # row was dropped in r14: it pushed the registry past the driver's
+        # 50-row window, ungating curation_pipeline — VERDICT r13 §2; its
+        # two parts still hash-gate inside the combined `sampling` row.)
         "sampling_dsir": qe.q_sampling_dsir,
-        "sampling_prefix": qe.q_sampling_prefix,
         "curation_pipeline": qe.q_curation_pipeline,
     }
 
@@ -2215,7 +2222,6 @@ def oracle_sql() -> dict[str, str]:
         "file_roundtrip": ORACLE_FILE_ROUNDTRIP,
         "partitioned_prune": qm.ORACLE_PARTITIONED_PRUNE,
         "diff_keyed": ORACLE_DIFF_KEYED,
-        "bucketed_diff": ORACLE_DIFF_KEYED,
         "diff_only": ORACLE_DIFF_ONLY,
         "diff_positional": ORACLE_DIFF_POSITIONAL,
         "diff_repair": qm.ORACLE_DIFF_REPAIR,
@@ -2257,8 +2263,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": qe.ORACLE_TEXT_FINGERPRINTS,
         "text_tfidf": qm.ORACLE_TEXT_TFIDF,
         "multimodal_probe": qe.ORACLE_MULTIMODAL_PROBE,
-        "sampling": qe.ORACLE_SAMPLING,
-        "sampling_dsir": qe.ORACLE_SAMPLING_DSIR,
-        "sampling_prefix": qe.ORACLE_SAMPLING_PREFIX,
+        "sampling": qe.oracle_sampling(),
+        "sampling_dsir": qe.oracle_sampling_dsir(),
         "curation_pipeline": qe._oracle_curation_pipeline(),
     }

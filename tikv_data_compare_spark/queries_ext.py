@@ -1255,10 +1255,13 @@ lmv AS (SELECT count(DISTINCT w) AS v FROM wrd),
 lmdoc AS (
   SELECT doc_id,
          CAST(count(*) AS BIGINT) AS lm_n_bigrams,
-         CAST(FLOOR(1.0 * sum({sqlgen.frozen_ln_c('lm_r')}) / count(*))
-              AS BIGINT) AS lm_nll_c
+         CAST(FLOOR(CAST(sum({sqlgen.frozen_ln_c('lm_r')}) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE)) AS BIGINT) AS lm_nll_c
   FROM (
-    SELECT b.doc_id, (l1.c1 + 1.0 * v.v) / (l2.c2 + 1.0) AS lm_r
+    -- CAST-to-DOUBLE before the division, mirroring text.ngram_lm_score:
+    -- an intermediate DECIMAL quotient double-rounds in Spark (r13 drift)
+    SELECT b.doc_id,
+           CAST(l1.c1 + v.v AS DOUBLE) / CAST(l2.c2 + 1 AS DOUBLE) AS lm_r
     FROM big b
     JOIN lm2 l2 USING (bigram)
     JOIN lm1 l1 ON l1.w1 = split_part(b.bigram, ' ', 1)
@@ -2227,14 +2230,14 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the DSIR CTE scaffolding and the per-method SELECTs are kept as separate
-# fragments so the combined `sampling` row AND the r13 localization rows
-# (`sampling_dsir`, `sampling_prefix`) compose from ONE source of truth —
-# a drift can never hide in a divergent copy
-_SAMPLING_DSIR_CTES = f"""
--- DSIR scaffolding (r12): hashed unigram+bigram features (md5 fold mod
--- 512), per-bucket occurrence counts for target (lang='en') vs raw, add-1
--- smoothed costs frozen at 1e6 det_ln units — sampling.dsir_weights
-WITH dsir_feats AS MATERIALIZED (
+# fragments so the combined `sampling` row AND the r13 localization row
+# (`sampling_dsir`) compose from ONE source of truth — a drift can never
+# hide in a divergent copy
+#
+# hashed unigram+bigram feature explode (md5 fold mod 512) — the one
+# fragment shared by the runtime oracle AND the generation-time count pass
+# that freezes the literal cost table (sampling.dsir_weights / _dsir_feats)
+_DSIR_FEATS_CTE = f"""dsir_feats AS MATERIALIZED (
   SELECT doc_id, lang,
          ((({sqlgen.hexfold_i64('_m')}) % 512) + 512) % 512 AS b
   FROM (
@@ -2251,29 +2254,86 @@ WITH dsir_feats AS MATERIALIZED (
             FROM documents)
     )
   )
-),
-dsir_ct AS MATERIALIZED (
-  SELECT b, count(*) AS c FROM dsir_feats WHERE lang = 'en' GROUP BY 1
-),
-dsir_cr AS MATERIALIZED (
-  SELECT b, count(*) AS c FROM dsir_feats GROUP BY 1
-),
+)"""
+
+#: (sf_dir → (wtab VALUES literal, u-coin list literal)) — computed once
+#: per process; the u-coin half is data-independent but cached alongside
+_DSIR_LIT_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _dsir_literals(sf_dir: str | None = None) -> tuple[str, str]:
+    """The two driver-frozen integer literal tables of the DSIR gate.
+
+    Mirrors sampling.dsir_weights / dsir_sample exactly: the per-bucket
+    counts are integers both engines provably agree on (md5 + hexfold),
+    and the smoothed log costs are frozen ONCE in Python
+    (``sqlgen.frozen_ln_c_py``) — the Spark operator collects its counts
+    and builds the same literals, so the gated metric has NO cross-engine
+    floating point left (the r12/r13 ``sampling`` red class).  The counts
+    here come from a generation-time DuckDB pass over the same parquet
+    the oracle runs on (``$SPARK_GRAFT_SF_DIR``, default the driver's
+    sf0.01), through the same ``_DSIR_FEATS_CTE`` text.
+
+    Returns ``(wtab_values, ucoin_list)``: a 512-row ``(b, w_c)`` VALUES
+    body and a 10000-element DuckDB list literal of u-coin costs.
+    """
+    import os
+
+    import duckdb
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if sf_dir in _DSIR_LIT_CACHE:
+        return _DSIR_LIT_CACHE[sf_dir]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    rows = con.sql(
+        f"""WITH {_DSIR_FEATS_CTE}
+        SELECT b,
+               count(*) FILTER (WHERE doc_id IS NOT NULL) AS cr,
+               count(*) FILTER (WHERE lang = 'en') AS ct
+        FROM dsir_feats GROUP BY 1"""
+    ).fetchall()
+    con.close()
+    cr = {int(b): int(c) for b, c, _ in rows}
+    ct = {int(b): int(c) for b, _, c in rows}
+    tr, tt = sum(cr.values()), sum(ct.values())
+    wtab = ", ".join(
+        "({}, {})".format(
+            b,
+            sqlgen.frozen_ln_c_py((tr + 512) / (cr.get(b, 0) + 1))
+            - sqlgen.frozen_ln_c_py((tt + 512) / (ct.get(b, 0) + 1)),
+        )
+        for b in range(512)
+    )
+    ucoin = "[{}]".format(
+        ", ".join(
+            str(sqlgen.frozen_ln_c_py(10000.0 / (bk + 1)))
+            for bk in range(10000)
+        )
+    )
+    _DSIR_LIT_CACHE[sf_dir] = (wtab, ucoin)
+    return wtab, ucoin
+
+
+def _sampling_dsir_ctes(sf_dir: str | None = None) -> str:
+    wtab, _ = _dsir_literals(sf_dir)
+    return f"""
+-- DSIR scaffolding (r12, literal-frozen r14): hashed unigram+bigram
+-- features (md5 fold mod 512); the per-bucket smoothed costs are the
+-- driver-frozen INTEGER literals below (frozen_ln_c_py — the Spark plan
+-- embeds the same values), so the per-doc weight is a pure integer sum —
+-- sampling.dsir_weights
+WITH {_DSIR_FEATS_CTE},
+dsir_wtab(b, w_c) AS (VALUES {wtab}),
 dsir_w AS MATERIALIZED (
-  -- ratios projected first, then the det_ln freeze (sqlgen.frozen_ln_c):
-  -- engine-exact sqrt-chain ln, same generated text the Spark operator
-  -- runs — the r12 ROUND-of-LN freeze drifted by one libm ulp per host
-  SELECT doc_id,
-         sum({sqlgen.frozen_ln_c('rr')} - {sqlgen.frozen_ln_c('rt')}) AS logw
-  FROM (
-    SELECT f.doc_id,
-           (t.tr + 512) * 1.0 / (coalesce(cr.c, 0) + 1) AS rr,
-           (t.tt + 512) * 1.0 / (coalesce(ct.c, 0) + 1) AS rt
-    FROM dsir_feats f
-    LEFT JOIN dsir_ct ct ON ct.b = f.b
-    LEFT JOIN dsir_cr cr ON cr.b = f.b
-    CROSS JOIN (SELECT (SELECT sum(c) FROM dsir_ct) AS tt,
-                       (SELECT sum(c) FROM dsir_cr) AS tr) t
-  )
+  SELECT f.doc_id, CAST(sum(w.w_c) AS BIGINT) AS logw
+  FROM dsir_feats f
+  JOIN dsir_wtab w ON w.b = f.b
+  WHERE f.doc_id IS NOT NULL
   GROUP BY 1
 )"""
 
@@ -2350,23 +2410,28 @@ FROM (
   WHERE r.bucket < t.rate_bp
 )"""
 
-_SAMPLING_DSIR_PARTS = f"""-- DSIR importance weights (r12): per-doc sum of frozen target-vs-raw
--- costs; NULL metric = zero-feature doc — sampling.dsir_weights
+def _sampling_dsir_parts(sf_dir: str | None = None) -> str:
+    _, ucoin = _dsir_literals(sf_dir)
+    return f"""-- DSIR importance weights (r12): per-doc sum of the driver-frozen
+-- integer costs; NULL metric = zero-feature doc — sampling.dsir_weights
 SELECT 'dsir' AS method, d.doc_id, d.lang, w.logw AS metric
 FROM documents d
 LEFT JOIN dsir_w w ON w.doc_id = d.doc_id
 UNION ALL
--- DSIR resampling rule (r12): content-hash coin u_c, keep iff
--- u_c + logw >= tau (tau = 0); zero-feature docs drop —
--- sampling.dsir_sample
-SELECT 'dsir_kept', k.doc_id, k.lang, k.u_c
+-- DSIR resampling rule (r12): content-hash coin u_c looked up in the
+-- driver-frozen 10000-entry literal table (frozen_ln_c_py — the Spark
+-- plan embeds the same values), keep iff u_c + logw >= tau (tau = 0);
+-- zero-feature docs drop — sampling.dsir_sample
+SELECT 'dsir_kept', k.doc_id, k.lang, CAST(k.u_c AS BIGINT)
 FROM (
-  SELECT doc_id, lang, {sqlgen.frozen_ln_c("10000.0 / (bk + 1)")} AS u_c
+  SELECT h.doc_id, h.lang, u.u_c
   FROM (
     SELECT doc_id, lang,
            ((({sqlgen.hexfold_i64('_m')}) % 10000) + 10000) % 10000 AS bk
     FROM (SELECT doc_id, lang, md5(coalesce(text, '')) AS _m FROM documents)
-  )
+  ) h
+  JOIN (SELECT unnest(range(10000)) AS bk,
+               unnest({ucoin}) AS u_c) u USING (bk)
 ) k
 JOIN dsir_w w ON w.doc_id = k.doc_id
 WHERE w.logw IS NOT NULL AND k.u_c + w.logw >= 0"""
@@ -2400,18 +2465,25 @@ FROM (
   FROM (SELECT doc_id, lang, md5(coalesce(text, '')) AS _m FROM documents)
 )"""
 
-ORACLE_SAMPLING = f"""{_SAMPLING_DSIR_CTES}
+def oracle_sampling(sf_dir: str | None = None) -> str:
+    return f"""{_sampling_dsir_ctes(sf_dir)}
 {_SAMPLING_CORE_PARTS}
 UNION ALL
-{_SAMPLING_DSIR_PARTS}
+{_sampling_dsir_parts(sf_dir)}
 UNION ALL
 {_SAMPLING_PREFIX_PARTS}
 """
 
-ORACLE_SAMPLING_DSIR = f"""{_SAMPLING_DSIR_CTES}
-{_SAMPLING_DSIR_PARTS}
+
+def oracle_sampling_dsir(sf_dir: str | None = None) -> str:
+    return f"""{_sampling_dsir_ctes(sf_dir)}
+{_sampling_dsir_parts(sf_dir)}
 """
 
+
+# kept (with q_sampling_prefix) for a future registry swap — its two parts
+# still gate inside the combined `sampling` row; the dedicated driver row
+# was dropped in r14 to restore the driver's 50-row window (VERDICT r13 §2)
 ORACLE_SAMPLING_PREFIX = f"""{_SAMPLING_PREFIX_PARTS}
 """
 

@@ -471,9 +471,14 @@ FROM (
     SELECT qid, qtext, unnest(list_distinct(string_split(qtext, ' '))) AS w
     FROM (VALUES {{BM25_VALUES}}) AS q(qid, qtext)
   ),
+  -- idf hoisted to one row per distinct term (r14, mirrors bm25_rank):
+  -- the det_ln expansion runs vocabulary-many times, never per candidate
+  bidf AS (
+    SELECT w, {{BM25_IDF}} AS idf FROM dfreq2 CROSS JOIN scal
+  ),
   sc2 AS (
     SELECT qt.qid, qt.qtext, tf2.doc_id, {{BM25_SCORE}} AS score_c
-    FROM tf2 JOIN qt USING (w) JOIN dfreq2 USING (w) CROSS JOIN scal
+    FROM tf2 JOIN qt USING (w) JOIN bidf USING (w) CROSS JOIN scal
   ),
   perdoc AS (
     SELECT qid, qtext, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
@@ -486,11 +491,14 @@ FROM (
 )
 """
 
-# the query VALUES and the per-term score expression are rendered OUTSIDE the
-# f-string so the score SQL is textually THE SAME string the Spark operator
-# compiles (bm25_score_sql) — the determinism argument rests on that.
-ORACLE_TEXT_TFIDF = ORACLE_TEXT_TFIDF.replace("{BM25_VALUES}", _bm25_values()).replace(
-    "{BM25_SCORE}", tx.bm25_score_sql()
+# the query VALUES and the idf/score expressions are rendered OUTSIDE the
+# f-string so the idf and score SQL are textually THE SAME strings the Spark
+# operator compiles (bm25_idf_sql / bm25_score_sql) — the determinism
+# argument rests on that.
+ORACLE_TEXT_TFIDF = (
+    ORACLE_TEXT_TFIDF.replace("{BM25_VALUES}", _bm25_values())
+    .replace("{BM25_IDF}", tx.bm25_idf_sql())
+    .replace("{BM25_SCORE}", tx.bm25_score_sql())
 )
 
 

@@ -8,7 +8,9 @@ delta.  Works unmodified on the r7..r10 tips (imports only symbols
 present in all).  Prints one JSON line.
 
 Usage: python tools/probe_ab.py <label> [op ...]
-  ops: curation_pipeline export_hex tfidf funnel_gaps
+  ops: curation_pipeline export_hex tfidf funnel_gaps dedup_simhash
+       dedup_lines topk_ivfpq topk_ivfpq_join bm25 semdedup dsir_sample
+       bpe_tokens topk_pq_rerank dedup_minhash_pairs text_stats sessionize
 """
 from __future__ import annotations
 
@@ -119,6 +121,34 @@ def main():
         benches["semdedup"] = lambda: clu.semantic_dedup(
             embeddings, k=16, n_iter=2, threshold_c=3000
         ).count()
+    # r14 (VERDICT r13 task 6): the remaining r12+ bench entries, so every
+    # open cpu question can be solo-A/B'd with the standard tool —
+    # dsir_sample hit a KeyError here while the r13 judge tried to A/B its
+    # in-suite 41→99 cpu-sec swing.  bench.py-identical shapes, guarded.
+    from tikv_data_compare_spark.operators import sampling as sp
+
+    if hasattr(sp, "dsir_sample"):
+        benches["dsir_sample"] = lambda: sp.dsir_sample(
+            documents.select("doc_id", "text"),
+            documents.filter(F.col("lang") == "en").select("doc_id", "text"),
+            tau_c=0, n_buckets=4096,
+        ).count()
+    if hasattr(tx, "bpe_token_count") and hasattr(tx, "train_bpe_merges"):
+        benches["bpe_tokens"] = lambda: tx.bpe_token_count(
+            documents.select("doc_id", "text"),
+            tx.train_bpe_merges(documents.select("doc_id", "text")),
+        ).count()
+    if hasattr(sim, "topk_pq"):
+        benches["topk_pq_rerank"] = lambda: sim.topk_pq(
+            embeddings, k=5, n_queries=10, m=8, k_codes=32, rerank=100
+        ).count()
+    if hasattr(dd, "minhash_pairs"):
+        benches["dedup_minhash_pairs"] = lambda: dd.minhash_pairs(
+            documents, "doc_id", "text", algo="xxhash64"
+        ).count()
+    if hasattr(tx, "text_stats"):
+        benches["text_stats"] = lambda: tx.text_stats(documents).count()
+    benches["sessionize"] = lambda: q.q_events_sessionize(spark, sf_dir).count()
 
     ops = sys.argv[2:] or ["curation_pipeline", "export_hex"]
     benches = {k: benches[k] for k in ops}
