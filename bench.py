@@ -335,6 +335,10 @@ def main():
     solo_reruns: dict[str, dict] = {}
     for name, wall in timings.items():
         band = bands.get(name)
+        # bands are calibrated at sf0.1 (BASELINE.md's measurement scale) —
+        # at any other sf a breach comparison is meaningless, skip
+        if sf != "0.1":
+            break
         # only re-attribute entries ABOVE their band: a below-floor wall is
         # a faster build or a warmer session, not a regression to explain
         if band is None or wall <= band[1]:

@@ -572,11 +572,12 @@ def dsir_weights(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # The per-bucket smoothed log costs are frozen ON THE DRIVER from the
     # two bounded (≤ n_buckets-row) collected count tables and embedded as
-    # a literal table: no ln, no division — no floating point AT ALL —
+    # a literal table: no ln, no division — no floating point at all —
     # executes inside Spark or the oracle, so the gate cannot drift on
     # engine float semantics again (r12: engine-LN ulp; r13: Spark typing
-    # the quotient DECIMAL(34,12) vs DuckDB's DOUBLE).  Python's int
-    # division-to-float and math.log define the value once for both sides.
+    # the quotient DECIMAL(34,12) vs DuckDB's DOUBLE — both engines fed
+    # det_ln different binary64s).  Python's int-division-to-float and
+    # math.log define each value once, shared verbatim by both sides.
     cr_counts = {
         int(r["_b"]): int(r["_c"])
         for r in rc.groupBy("_b")

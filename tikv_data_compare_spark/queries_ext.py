@@ -2271,8 +2271,13 @@ def _dsir_literals(sf_dir: str | None = None) -> tuple[str, str]:
     and builds the same literals, so the gated metric has NO cross-engine
     floating point left (the r12/r13 ``sampling`` red class).  The counts
     here come from a generation-time DuckDB pass over the same parquet
-    the oracle runs on (``$SPARK_GRAFT_SF_DIR``, default the driver's
-    sf0.01), through the same ``_DSIR_FEATS_CTE`` text.
+    the oracle runs on, through the same ``_DSIR_FEATS_CTE`` text.  The
+    data location defaults to the driver's documented correctness scale
+    (/root/testdata/sf0.01) and is overridden ONLY by the dedicated
+    ``$SPARK_GRAFT_ORACLE_SF_DIR`` (set by tools/check_oracles.py to its
+    own sf_dir) — deliberately NOT the bench-oriented
+    ``$SPARK_GRAFT_SF_DIR``, whose sf0.1 default would silently feed the
+    literals the wrong corpus if the driver exports it process-wide.
 
     Returns ``(wtab_values, ucoin_list)``: a 512-row ``(b, w_c)`` VALUES
     body and a 10000-element DuckDB list literal of u-coin costs.
@@ -2282,7 +2287,7 @@ def _dsir_literals(sf_dir: str | None = None) -> tuple[str, str]:
     import duckdb
 
     sf_dir = sf_dir or os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
     if sf_dir in _DSIR_LIT_CACHE:
         return _DSIR_LIT_CACHE[sf_dir]

@@ -51,6 +51,10 @@ def main():
     from tikv_data_compare_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    # data-dependent oracle literals (the dsir cost table) must be frozen
+    # from the SAME parquet this run compares against — the dedicated var
+    # exists so the driver's own env can never point them elsewhere
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     only = set(sys.argv[1:])
 
     spark = get_spark("check_oracles", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
