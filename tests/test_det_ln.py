@@ -179,6 +179,61 @@ def test_no_decimal_feeds_frozen_log_paths(spark, documents):
     assert bad == [], f"decimal type in frozen-log plan(s): {bad}"
 
 
+def test_dsir_literal_tables_agree_cross_engine(spark, documents):
+    """The r14 zero-float DSIR gate moves ALL floating point to the driver
+    (sqlgen.frozen_ln_c_py literals); the only cross-engine surface left
+    is the integer bucket counts — Spark computes its own (collected in
+    dsir_weights), the oracle generation computes DuckDB's
+    (queries_ext._dsir_literals).  If tokenization/md5/hexfold ever
+    diverged between the two pipelines, the literals would differ and the
+    driver row would go red — this test pins count parity directly: the
+    wtab the Spark operator would build from its counts must equal the
+    wtab embedded in the oracle, bucket by bucket."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tikv_data_compare_spark.operators.sampling import _dsir_feats
+    from tikv_data_compare_spark.queries_ext import _dsir_literals
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = documents.select("doc_id", "lang", "text")
+    raw = _dsir_feats(docs, "doc_id", "text", 512)
+    tgt = _dsir_feats(docs.filter(F.col("lang") == "en"), None, "text", 512)
+    cr = {int(r["_b"]): int(r["c"]) for r in raw.groupBy("_b").count().withColumnRenamed("count", "c").collect()}
+    ct = {int(r["_b"]): int(r["c"]) for r in tgt.groupBy("_b").count().withColumnRenamed("count", "c").collect()}
+    tr, tt = sum(cr.values()), sum(ct.values())
+    spark_w = {
+        b: sqlgen.frozen_ln_c_py((tr + 512) / (cr.get(b, 0) + 1))
+        - sqlgen.frozen_ln_c_py((tt + 512) / (ct.get(b, 0) + 1))
+        for b in range(512)
+    }
+    wtab_values, ucoin = _dsir_literals(sf_dir)
+    duck_w = {}
+    for pair in wtab_values.split("), ("):
+        b, w = pair.strip("() ").split(", ")
+        duck_w[int(b)] = int(w)
+    assert spark_w == duck_w
+    # the u-coin literal is data-independent: spot-pin its definition
+    coins = [int(v) for v in ucoin.strip("[]").split(", ")]
+    assert len(coins) == 10000
+    assert coins[0] == sqlgen.frozen_ln_c_py(10000.0)
+    assert coins[9999] == 0  # ln(10000/10000) == 0 exactly
+
+
+def test_frozen_ln_c_py_rounding_convention():
+    """floor(v·1e6 + 0.5) — the frozen_ln_c convention, incl. negatives."""
+    assert sqlgen.frozen_ln_c_py(1.0) == 0
+    assert sqlgen.frozen_ln_c_py(math.e) == 1000000
+    # negative domain: ln(1/e) = -1 → -1000000 (floor(+0.5) is half-UP,
+    # toward +inf, matching the SQL FLOOR(v + 0.5) freeze exactly)
+    assert sqlgen.frozen_ln_c_py(1.0 / math.e) == -1000000
+    assert (
+        sqlgen.frozen_ln_c_py(2.0)
+        == int(math.floor(math.log(2.0) * 1e6 + 0.5))
+    )
+
+
 def test_no_engine_ln_in_frozen_cost_operators():
     """Regression tripwire: no operator or oracle may reintroduce the
     engine LN into a frozen-cost expression (the r12 drift)."""
