@@ -418,6 +418,17 @@ def main():
                 # re-measured solo at suite end (min-of-3): solo back in
                 # band = ambient contention, still out = real regression
                 "solo_reruns": solo_reruns,
+                # the suite-level BASELINE band (8-45 s at sf0.1) with the
+                # same self-attribution: if the total breaches but every
+                # solo rerun landed back in band, the breach is contention
+                "suite_band": {
+                    "band": [8.0, 45.0],
+                    "breached": bool(sf == "0.1" and total > 45.0),
+                    "regressed_entries": sorted(
+                        n for n, r in solo_reruns.items()
+                        if not r["in_band_solo"]
+                    ),
+                },
             }
         )
     )

@@ -1,0 +1,42 @@
+"""Driver-contract registry invariants.
+
+The driver's correctness gate checks ONLY the first 50 ``queries()``
+entries.  In r13 the registry silently grew to 52: position 51
+(`sampling_prefix`) never ran and position 52 — `curation_pipeline`, the
+capstone, green since r6 — dropped off the scoreboard entirely
+(CORRECTNESS_r13 has neither; VERDICT r13 §What's wrong 2).  These tests
+make that failure mode loud and local instead of a silent driver-side
+truncation one round later.
+
+No Spark session needed — the registry builds lazily.
+"""
+
+from tikv_data_compare_spark import queries as q
+
+#: the driver's documented correctness window
+DRIVER_WINDOW = 50
+
+
+def test_registry_is_exactly_the_driver_window():
+    names = list(q.queries())
+    assert len(names) == DRIVER_WINDOW, (
+        f"queries() has {len(names)} entries; the driver checks only the "
+        f"first {DRIVER_WINDOW} — anything after "
+        f"{names[DRIVER_WINDOW - 1] if len(names) >= DRIVER_WINDOW else '?'} "
+        "is silently ungated (the r13 overflow). Fold new operators into "
+        "an existing labeled-union row instead of appending."
+    )
+
+
+def test_every_query_has_an_oracle_and_vice_versa():
+    qs, os_ = set(q.queries()), set(q.oracle_sql())
+    assert qs == os_, (
+        f"queries-without-oracle: {sorted(qs - os_)}; "
+        f"oracles-without-query: {sorted(os_ - qs)}"
+    )
+
+
+def test_capstone_and_localization_rows_are_inside_the_window():
+    names = list(q.queries())[:DRIVER_WINDOW]
+    for must in ("curation_pipeline", "sampling", "sampling_dsir"):
+        assert must in names, f"{must} fell outside the driver window"
