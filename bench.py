@@ -161,11 +161,14 @@ def main():
         "curation_pipeline": lambda: qe.q_curation_pipeline(spark, sf_dir).count(),
         # r12: DSIR importance resampling — two bounded bucket-count aggs
         # (broadcast), map-side feature scoring, deterministic exponential
-        # rejection; target = the corpus's English docs
+        # rejection; target = the corpus's English docs.  algo='xxhash64'
+        # since r14: the bench measures the throughput fast path (the
+        # minhash/checksum convention — checksum_compare_xxh vs the md5
+        # oracle mode); the driver gate's `sampling` rows keep md5i64
         "dsir_sample": lambda: sp.dsir_sample(
             documents.select("doc_id", "text"),
             documents.filter(F.col("lang") == "en").select("doc_id", "text"),
-            tau_c=0, n_buckets=4096,
+            tau_c=0, n_buckets=4096, algo="xxhash64",
         ).count(),
     }
 

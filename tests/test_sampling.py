@@ -409,6 +409,46 @@ def test_dsir_sample_importance_resampling(spark):
     assert again == ids
 
 
+def test_dsir_xxhash64_fast_path(spark):
+    """algo='xxhash64' (the r14 throughput path, dedup/checksum
+    convention): same contract as md5i64 — the planted distribution still
+    separates (any decent hash spreads the two vocabularies into disjoint
+    buckets), zero-feature docs still drop, replay is deterministic — only
+    the bucket assignment (and so the exact frozen values / kept set)
+    differs."""
+    from tikv_data_compare_spark.operators.sampling import (
+        dsir_sample,
+        dsir_weights,
+    )
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100))
+    got = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            docs, target, n_buckets=512, algo="xxhash64"
+        ).collect()
+    }
+    a_w = [got[i]["dsir_logw_c"] for i in range(0, 60, 2)]
+    b_w = [got[i]["dsir_logw_c"] for i in range(1, 60, 2)]
+    assert min(a_w) > max(b_w)
+    assert all(got[i]["dsir_n_feats"] == 39 for i in range(60))
+    assert got[1001]["dsir_logw_c"] is None
+    kept = dsir_sample(docs, target, tau_c=0, n_buckets=512, algo="xxhash64")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert sum(1 for i in ids if i < 100 and i % 2 == 0) == 30
+    assert 1001 not in ids and 1002 not in ids
+    again = {
+        r["doc_id"]
+        for r in dsir_sample(
+            docs, target, tau_c=0, n_buckets=512, algo="xxhash64"
+        ).select("doc_id").collect()
+    }
+    assert again == ids
+    with pytest.raises(ValueError, match="algo"):
+        dsir_weights(docs, target, algo="sha1")
+
+
 def test_curate_dsir_gate(spark):
     """The gate needs docs that pass the upstream Gopher/repetition gates:
     unique fillers keep dup-word-frac low, one stopword clears the ratio

@@ -440,13 +440,22 @@ def token_mixture_sample(
 
 
 def _dsir_feats(
-    frame: DataFrame, id_col: str | None, text_col: str, n_buckets: int
+    frame: DataFrame,
+    id_col: str | None,
+    text_col: str,
+    n_buckets: int,
+    algo: str = "md5i64",
 ) -> DataFrame:
     """Hashed n-gram features (DSIR's representation): every word unigram
-    AND adjacent bigram of the doc, md5-hashed into ``n_buckets`` buckets —
+    AND adjacent bigram of the doc, hashed into ``n_buckets`` buckets —
     one map-side explode, the same content-hash primitives as every
     sampler.  Rows: ``(id, _b)`` (or just ``(_b,)`` when ``id_col`` is
-    None — the target side needs no ids), one per feature OCCURRENCE."""
+    None — the target side needs no ids), one per feature OCCURRENCE.
+
+    ``algo`` mirrors the dedup/checksum switch: ``md5i64`` (default) is
+    the oracle-checkable path the driver gate runs; ``xxhash64`` is the
+    JVM-intrinsic fast path for throughput pipelines — the md5+hexfold
+    of every feature occurrence is this operator's dominant cost."""
     from tikv_data_compare_spark.session import scale_out
 
     # the n-gram explode + md5 + hexfold is ~100× a plain scan's per-byte
@@ -478,14 +487,20 @@ def _dsir_feats(
         "i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1)))) "
         "ELSE _ws END"
     )
-    bucket = F.expr(
-        f"((({sqlgen.hexfold_i64(_STAGE)}) % {n_buckets}) + {n_buckets}) "
-        f"% {n_buckets}"
-    ).cast("long").alias("_b")
+    exploded = words.select(*ids, F.explode(F.expr(grams)).alias("_g"))
+    if algo == "xxhash64":
+        hashed = exploded
+        bucket = F.expr(
+            f"(((xxhash64(_g)) % {n_buckets}) + {n_buckets}) % {n_buckets}"
+        ).cast("long").alias("_b")
+    else:
+        hashed = exploded.withColumn(_STAGE, F.md5("_g"))
+        bucket = F.expr(
+            f"((({sqlgen.hexfold_i64(_STAGE)}) % {n_buckets}) + {n_buckets}) "
+            f"% {n_buckets}"
+        ).cast("long").alias("_b")
     return (
-        words.select(*ids, F.explode(F.expr(grams)).alias("_g"))
-        .withColumn(_STAGE, F.md5("_g"))
-        .select(*ids, bucket)
+        hashed.select(*ids, bucket)
         # _b is never NULL (pmod of a non-null fold) but Catalyst infers
         # isnotnull(_b) on only the branch that inner/left-joins on it —
         # state it explicitly for the same canonical-equality reason as the
@@ -501,6 +516,7 @@ def dsir_weights(
     text_col: str = "text",
     target_text_col: str | None = None,
     n_buckets: int = 4096,
+    algo: str = "md5i64",
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw doc by how
@@ -543,9 +559,15 @@ def dsir_weights(
     Rows whose ``id_col`` is NULL are excluded from the raw corpus model
     entirely (they never contribute to the bucket counts), not merely
     left unscored — they could never be scored or joined back anyway.
+    ``algo`` picks the feature hash (dedup/checksum convention):
+    ``md5i64`` is the oracle-checkable gate path, ``xxhash64`` the
+    JVM-intrinsic fast path for throughput pipelines.
 
     Returns ``(id, dsir_n_feats, dsir_logw_c)``.
     """
+    from tikv_data_compare_spark.operators.dedup import _check_algo
+
+    _check_algo(algo)
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     # internal staging names: a user column colliding with any of them
@@ -556,8 +578,10 @@ def dsir_weights(
             raise ValueError(
                 f"column name {col!r} is reserved by dsir_weights"
             )
-    tgt = _dsir_feats(target, None, target_text_col or text_col, n_buckets)
-    raw = _dsir_feats(df, id_col, text_col, n_buckets)
+    tgt = _dsir_feats(
+        target, None, target_text_col or text_col, n_buckets, algo=algo
+    )
+    raw = _dsir_feats(df, id_col, text_col, n_buckets, algo=algo)
     # Pre-aggregate the raw occurrences to (id, bucket, count) ONCE and
     # persist: the bucket-count collect below materializes the cache, the
     # per-doc scoring re-reads it, so the explode+md5+hexfold map stage —
@@ -629,6 +653,7 @@ def dsir_sample(
     n_buckets: int = 4096,
     logw_col: str = "dsir_logw_c",
     u_col: str = "dsir_u_c",
+    algo: str = "md5i64",
 ) -> DataFrame:
     """DSIR importance RESAMPLING, deterministic: keep each doc with
     probability ≈ ``min(1, exp((dsir_logw_c − tau_c) / 1e6))`` — docs at or
@@ -652,15 +677,31 @@ def dsir_sample(
     Scale: :func:`dsir_weights` (bounded bucket tables, broadcast) + one
     map-side hash + one id join of the narrow weight frame.  Output = the
     kept rows of ``df`` plus ``(dsir_logw_c, dsir_u_c)`` for audit.
+    ``algo`` picks the feature AND coin hash (dedup/checksum convention):
+    ``md5i64`` is the oracle-checkable gate path, ``xxhash64`` the
+    JVM-intrinsic fast path — a different algo selects a different (but
+    equally deterministic, replay-safe) kept set.
     """
     w = dsir_weights(
         df, target, id_col=id_col, text_col=text_col,
-        target_text_col=target_text_col, n_buckets=n_buckets,
+        target_text_col=target_text_col, n_buckets=n_buckets, algo=algo,
     ).where(F.col("dsir_logw_c").isNotNull())
     if "_u_bk" in df.columns:
         raise ValueError("column name '_u_bk' is reserved by dsir_sample")
-    staged = _with_hash(df, text_col, u_col)
-    bucket = f"((({sqlgen.hexfold_i64(_STAGE)}) % 10000) + 10000) % 10000"
+    if algo == "xxhash64":
+        if _STAGE in df.columns:
+            raise ValueError(
+                f"column name {_STAGE!r} is reserved by the sampling operators"
+            )
+        if u_col in df.columns:
+            raise ValueError(f"output column {u_col!r} already exists on the input")
+        staged = df.withColumn(
+            _STAGE, F.expr(f"coalesce(CAST({text_col} AS STRING), '')")
+        )
+        bucket = f"(((xxhash64({_STAGE})) % 10000) + 10000) % 10000"
+    else:
+        staged = _with_hash(df, text_col, u_col)
+        bucket = f"((({sqlgen.hexfold_i64(_STAGE)}) % 10000) + 10000) % 10000"
     # the coin has only 10000 possible values: freeze them ONCE on the
     # DRIVER (frozen_ln_c_py — the oracle embeds the same literals, so no
     # engine float op is involved, see dsir_weights) and broadcast-join on

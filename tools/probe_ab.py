@@ -128,10 +128,17 @@ def main():
     from tikv_data_compare_spark.operators import sampling as sp
 
     if hasattr(sp, "dsir_sample"):
+        # bench.py-identical shape: the r14+ bench entry runs the xxhash64
+        # fast path; pre-r14 tips lack the algo param
+        _dsir_kw = (
+            {"algo": "xxhash64"}
+            if "algo" in inspect.signature(sp.dsir_sample).parameters
+            else {}
+        )
         benches["dsir_sample"] = lambda: sp.dsir_sample(
             documents.select("doc_id", "text"),
             documents.filter(F.col("lang") == "en").select("doc_id", "text"),
-            tau_c=0, n_buckets=4096,
+            tau_c=0, n_buckets=4096, **_dsir_kw,
         ).count()
     if hasattr(tx, "bpe_token_count") and hasattr(tx, "train_bpe_merges"):
         benches["bpe_tokens"] = lambda: tx.bpe_token_count(
