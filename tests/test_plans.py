@@ -501,10 +501,12 @@ def test_token_mixture_broadcasts_rates(spark, documents):
 
 
 def test_dsir_weights_broadcasts_bucket_tables(spark, documents):
-    """The two bounded bucket-count tables (≤ n_buckets rows each) and the
-    1-row totals broadcast into the per-occurrence scoring join — the raw
-    corpus features never sit on the build side of a shuffle join; partial
-    aggregation (map-side combine) covers the bucket counts themselves."""
+    """The driver-built literal weight table broadcasts into the scoring
+    join, and the persisted (id, bucket, count) aggregate is READ FROM
+    CACHE by the scoring pass (r14) — the explode+md5 map stage, the
+    operator's dominant cost, runs exactly once (the bucket-count collect
+    materialized it).  No sqrt chain and no decimal anywhere: the frozen
+    costs are Python-computed literals (the zero-float gate)."""
     from tikv_data_compare_spark.operators.sampling import dsir_weights
 
     docs = documents.select("doc_id", "text").limit(300)
@@ -514,6 +516,27 @@ def test_dsir_weights_broadcasts_bucket_tables(spark, documents):
     assert plans.has_partial_aggregation(df)
     s = plans.plan_string(df)
     assert "CartesianProduct" not in s
+    assert "InMemoryTableScan" in s or "InMemoryRelation" in s
+    assert "SQRT" not in s.upper()
+    assert "decimal" not in s.lower()
+
+
+def test_bm25_idf_hoisted_off_the_candidate_path(spark, documents):
+    """The r14 hoist pin (VERDICT r13 task 5): the det_ln sqrt chain
+    (bm25_idf_sql) is evaluated on the bounded per-distinct-term frame
+    only — the per-(query, doc, term) score projection multiplies the
+    precomputed idf column and contains NO sqrt itself."""
+    from tikv_data_compare_spark.operators.text import bm25_topk
+
+    q = spark.createDataFrame([(0, "data query")], "query_id long, qtext string")
+    s = plans.plan_string(bm25_topk(documents.limit(200), q, k=5))
+    score_lines = [l for l in s.splitlines() if "FLOOR" in l and "1000000" in l]
+    assert score_lines, "score projection not found in plan"
+    assert not any("sqrt" in l.lower() for l in score_lines), (
+        "det_ln re-inlined into the per-candidate score"
+    )
+    # the sqrt chain exists exactly once: the idf projection
+    assert sum(1 for l in s.splitlines() if "SQRT" in l.upper()) == 1
 
 
 def test_bloom_probe_broadcasts_bitmap(spark, documents):
