@@ -449,6 +449,36 @@ def test_dsir_xxhash64_fast_path(spark):
         dsir_weights(docs, target, algo="sha1")
 
 
+def test_dsir_sample_weights_reuse_seam(spark):
+    """dsir_sample(weights=dsir_weights(...)) must select the identical
+    kept set as the one-call form — the seam exists so a pipeline that
+    already built the weights (distribution inspection, tau selection,
+    multiple resampling runs) skips the second feature explode."""
+    from tikv_data_compare_spark.operators.sampling import (
+        dsir_sample,
+        dsir_weights,
+    )
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100))
+    one_call = {
+        r["doc_id"]
+        for r in dsir_sample(docs, target, tau_c=0, n_buckets=512)
+        .select("doc_id").collect()
+    }
+    w = dsir_weights(docs, target, n_buckets=512)
+    reused = {
+        r["doc_id"]
+        for r in dsir_sample(docs, None, tau_c=0, n_buckets=512, weights=w)
+        .select("doc_id").collect()
+    }
+    assert reused == one_call
+    with pytest.raises(ValueError, match="target corpus or a precomputed"):
+        dsir_sample(docs, None, tau_c=0)
+    with pytest.raises(ValueError, match="dsir_logw_c"):
+        dsir_sample(docs, None, tau_c=0, weights=docs.select("doc_id"))
+
+
 def test_curate_dsir_gate(spark):
     """The gate needs docs that pass the upstream Gopher/repetition gates:
     unique fillers keep dup-word-frac low, one stopword clears the ratio

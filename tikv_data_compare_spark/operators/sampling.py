@@ -645,7 +645,7 @@ def dsir_weights(
 
 def dsir_sample(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     tau_c: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -654,6 +654,7 @@ def dsir_sample(
     logw_col: str = "dsir_logw_c",
     u_col: str = "dsir_u_c",
     algo: str = "md5i64",
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance RESAMPLING, deterministic: keep each doc with
     probability ≈ ``min(1, exp((dsir_logw_c − tau_c) / 1e6))`` — docs at or
@@ -681,11 +682,36 @@ def dsir_sample(
     ``md5i64`` is the oracle-checkable gate path, ``xxhash64`` the
     JVM-intrinsic fast path — a different algo selects a different (but
     equally deterministic, replay-safe) kept set.
+
+    ``weights`` lets a pipeline that ALREADY computed :func:`dsir_weights`
+    (to inspect the weight distribution, pick ``tau_c`` from a quantile,
+    or feed several resampling runs) reuse that frame instead of paying
+    the feature explode + bucket-count collects a second time — it must
+    be the dsir_weights output for the same ``(df, target, id_col,
+    n_buckets, algo)``; ``target`` is then unused and may be None.
+
+    Each dsir_weights call persists its aggregated (id, bucket, count)
+    frame (MEMORY_AND_DISK) so its own count-collect and scoring passes
+    share one feature explode; long-lived sessions issuing many separate
+    calls should ``spark.catalog.clearCache()`` between unrelated runs
+    (the bench/oracle harnesses already do).
     """
-    w = dsir_weights(
-        df, target, id_col=id_col, text_col=text_col,
-        target_text_col=target_text_col, n_buckets=n_buckets, algo=algo,
-    ).where(F.col("dsir_logw_c").isNotNull())
+    if weights is None:
+        if target is None:
+            raise ValueError(
+                "dsir_sample needs either a target corpus or a precomputed "
+                "weights frame"
+            )
+        weights = dsir_weights(
+            df, target, id_col=id_col, text_col=text_col,
+            target_text_col=target_text_col, n_buckets=n_buckets, algo=algo,
+        )
+    elif not {id_col, "dsir_logw_c"} <= set(weights.columns):
+        raise ValueError(
+            f"weights must carry ({id_col!r}, 'dsir_logw_c') — pass the "
+            "dsir_weights output for the same inputs"
+        )
+    w = weights.where(F.col("dsir_logw_c").isNotNull())
     if "_u_bk" in df.columns:
         raise ValueError("column name '_u_bk' is reserved by dsir_sample")
     if algo == "xxhash64":

@@ -2118,13 +2118,18 @@ def _sampling_parts(spark: SparkSession, sf_dir: str) -> dict:
         (F.col("rate_bp") * 100000 + F.col("mix_bucket")).cast("long").alias("metric"),
     )
     target = docs.filter(F.col("lang") == "en")
-    ds = dsir_weights(docs, target, n_buckets=512).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    ).select(
+    # ONE dsir_weights build shared by both DSIR parts (r14): the weights
+    # frame — and with it the persisted feature aggregate and the two
+    # bounded count collects — is computed once; dsir_sample reuses it via
+    # its weights= seam instead of re-running the explode
+    w = dsir_weights(docs, target, n_buckets=512)
+    ds = w.join(docs.select("doc_id", "lang"), "doc_id").select(
         F.lit("dsir").alias("method"), "doc_id", "lang",
         F.col("dsir_logw_c").alias("metric"),
     )
-    dk = dsir_sample(docs, target, tau_c=0, n_buckets=512).select(
+    dk = dsir_sample(
+        docs, None, tau_c=0, n_buckets=512, weights=w
+    ).select(
         F.lit("dsir_kept").alias("method"), "doc_id", "lang",
         F.col("dsir_u_c").alias("metric"),
     )
