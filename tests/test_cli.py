@@ -365,6 +365,30 @@ def test_cli_curate(capsys, spark, tmp_path):
     assert lines[-1]["out"] == out
 
 
+def test_cli_curate_redact_pii_flag(capsys, spark, tmp_path):
+    """--redact-pii: written survivors carry masked text, funnel unchanged
+    (redaction is a transform, not a gate)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" mail u1@leak.com id 123456789"))
+    )
+    src = str(tmp_path / "docs.pq")
+    docs.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "kept.pq")
+    rc = cli.main(["curate", "--src", src, "--out", out, "--redact-pii"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    stages = [l for l in lines if "stage" in l]
+    kept = spark.read.parquet(out)
+    assert kept.count() == stages[-1]["n_out"] > 0
+    masked = kept.filter(F.col("text").contains("<EMAIL>"))
+    leaked = kept.filter(
+        F.col("text").contains("@leak.com") | F.col("text").contains("123456789")
+    )
+    assert masked.count() == kept.count() and leaked.count() == 0
+
+
 def test_cli_manifest_save_and_compare(capsys, two_tables, tmp_path):
     """manifest --save then --against: clean compare exits 0, drifted
     compare exits 1 and prints the drifted buckets; bucket-count mismatch

@@ -98,6 +98,51 @@ def test_curate_pii_and_decontamination_stages(spark):
     assert rep["pii"] == 1 and rep["decontamination"] == 1
 
 
+def test_curate_redact_pii_masks_survivors_without_changing_attrition(spark):
+    docs = _docs(spark).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 6,
+            F.concat(F.col("text"), F.lit(" mail bob@leak.com or 123456789")),
+        ).otherwise(F.col("text")),
+    )
+    kept_plain, attr_plain = curate(docs)
+    kept_red, attr_red = curate(docs, redact_pii=True)
+    try:
+        # a transform, not a gate: identical survivor ids and funnel counts
+        assert {r["doc_id"] for r in kept_red.collect()} == {
+            r["doc_id"] for r in kept_plain.collect()
+        }
+        assert sorted(map(tuple, attr_red.collect())) == sorted(
+            map(tuple, attr_plain.collect())
+        )
+        texts = {r["doc_id"]: r["text"] for r in kept_red.collect()}
+        assert texts[6].endswith(" mail <EMAIL> or <NUM>")
+        assert texts[1] == {r["doc_id"]: r["text"] for r in kept_plain.collect()}[1]
+    finally:
+        kept_plain.unpersist()
+        kept_red.unpersist()
+
+
+def test_curate_redact_composes_with_drop_pii(spark):
+    docs = _docs(spark).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 6,
+            F.concat(F.col("text"), F.lit(" mail bob@leak.com")),
+        ).otherwise(F.col("text")),
+    )
+    kept, attrition = curate(docs, drop_pii=True, redact_pii=True)
+    try:
+        # the flagged doc dropped at the pii GATE; redaction of the rest is
+        # a no-op, but the composition must not error or double-drop
+        assert {r["doc_id"] for r in kept.collect()} == {1}
+        rep = {r["stage"]: r["n_dropped"] for r in attrition.collect()}
+        assert rep["pii"] == 1
+    finally:
+        kept.unpersist()
+
+
 def test_curate_releases_broadcasts_and_returns_persisted_handle(spark):
     """After curate(): no live operator-module broadcasts (long-lived
     sessions looping curate must not accumulate executor blocks), and the

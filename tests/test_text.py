@@ -128,6 +128,51 @@ def test_pii_counts_against_python_re(spark):
         assert r["has_pii"] == int(exp_email + exp_url + exp_num > 0)
 
 
+def test_pii_redact_matches_python_re_chain(spark):
+    import re
+
+    texts = [
+        (1, "contact bob@example.com or visit https://example.com/page now"),
+        (2, "card 1234567890 and pin 12345 and code 999999"),
+        (3, "clean text with no identifiers at all"),
+        (4, "a@b.co a@b.co https://x.io/route/123456789 1234567"),
+        (5, "mixed u123456@host.net then 777777777 end"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in tx.pii_redact(df).collect()}
+    for doc_id, text in texts:
+        exp = text
+        for pat, tok in tx.PII_REDACTIONS:
+            exp = re.sub(pat, tok, exp)
+        assert got[doc_id] == exp, doc_id
+    # the clean doc is byte-unchanged
+    assert got[3] == texts[2][1]
+
+
+def test_pii_redact_is_fixed_point_and_audits_clean(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "bob@example.com https://x.io/123456789 999999"),
+            (2, "nothing to mask"),
+        ],
+        "doc_id long, text string",
+    )
+    once = {r["doc_id"]: r["text"] for r in tx.pii_redact(df).collect()}
+    twice = {
+        r["doc_id"]: r["text"] for r in tx.pii_redact(tx.pii_redact(df)).collect()
+    }
+    assert twice == once  # placeholders never re-match: one pass is final
+    audit = {r["doc_id"]: r["has_pii"] for r in tx.pii_counts(tx.pii_redact(df)).collect()}
+    assert audit == {1: 0, 2: 0}
+
+
+def test_pii_redact_out_col_preserves_original(spark):
+    df = spark.createDataFrame([(1, "mail bob@example.com")], "doc_id long, text string")
+    r = tx.pii_redact(df, out_col="red").collect()[0]
+    assert r["text"] == "mail bob@example.com"
+    assert r["red"] == "mail <EMAIL>"
+
+
 def test_top_bigrams_ranking_and_short_doc_guard(spark):
     df = spark.createDataFrame(
         [(1, "a b a b"), (2, "a b c"), (3, "single")],

@@ -343,6 +343,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-dup-word-frac-c", type=int, default=7000)
     p.add_argument("--max-top-bigram-frac-c", type=int, default=1800)
     p.add_argument("--drop-pii", action="store_true")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="mask PII spans in the kept docs' text with typed "
+                        "placeholders (<EMAIL>/<URL>/<NUM>) instead of "
+                        "dropping the documents; composes with --drop-pii")
     p.add_argument("--probes", default="", help="probe/benchmark parquet for decontamination")
     p.add_argument("--max-contamination-hits", type=int, default=0)
     p.add_argument("--decontam-span", type=int, default=0,
@@ -1217,6 +1221,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_dup_word_frac_c=args.max_dup_word_frac_c,
                 max_top_bigram_frac_c=args.max_top_bigram_frac_c,
                 drop_pii=args.drop_pii,
+                redact_pii=args.redact_pii,
                 probes=probes,
                 max_contamination_hits=args.max_contamination_hits,
                 decontam_span=args.decontam_span if args.decontam_span != 0 else None,

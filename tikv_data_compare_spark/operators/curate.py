@@ -54,6 +54,7 @@ def curate(
     max_dup_word_frac_c: int = 7000,
     max_top_bigram_frac_c: int = 1800,
     drop_pii: bool = False,
+    redact_pii: bool = False,
     probes: DataFrame | None = None,
     max_contamination_hits: int = 0,
     decontam_span: int | None = None,
@@ -74,7 +75,11 @@ def curate(
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation chain; see module docstring.
 
-    Thresholds are scaled ×10000 like every engine fraction.  ``probes``
+    Thresholds are scaled ×10000 like every engine fraction.
+    ``redact_pii`` (r15) masks PII spans in the SURVIVORS' text with typed
+    placeholders (``text.pii_redact``) instead of dropping the documents —
+    a transform applied after the last gate, so the attrition funnel is
+    byte-identical to a non-redacting run.  ``probes``
     enables the decontamination stage (docs with more than
     ``max_contamination_hits`` overlapping n-grams are dropped);
     ``decontam_span`` (r10) switches that stage to EXACT-substring
@@ -424,7 +429,15 @@ def curate(
 
     kept = docs.join(
         flags.filter(F.col(stage_cols[-1])).select(id_col), id_col, "left_semi"
-    ).persist()
+    )
+    if redact_pii:
+        # a TRANSFORM, not a gate: survivors keep their row (attrition is
+        # unchanged) with PII spans masked by typed placeholders — the
+        # release-time alternative to drop_pii (both may run: drop flagged
+        # docs, then redaction is the belt-and-braces no-op).  Map-side
+        # regexp_replace inside the same kept-materialization job.
+        kept = tx.pii_redact(kept, text_col=text_col)
+    kept = kept.persist()
     t0 = time.time()
     kept.count()  # materialize so flags/shingles can be released below
     t_kept = time.time() - t0

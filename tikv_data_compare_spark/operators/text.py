@@ -809,6 +809,49 @@ def pii_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+#: redaction order + placeholder per pattern.  Order is load-bearing:
+#: emails first (their digit runs must not be half-eaten by the long-number
+#: pass), then URLs (which may contain ≥6-digit runs), then bare digit
+#: runs.  Placeholders are uppercase/digit-free so NO later pattern (all
+#: lowercase/digit classes) can match inside an earlier replacement — one
+#: pass is a fixed point (idempotence is pytest-pinned).
+PII_REDACTIONS = (
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_URL_RE, "<URL>"),
+    (PII_LONGNUM_RE, "<NUM>"),
+)
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Span-replace every PII-pattern match with a typed placeholder token
+    (``<EMAIL>`` / ``<URL>`` / ``<NUM>``) — the release step after the
+    :func:`pii_counts` audit: instead of dropping flagged documents
+    (``curate(drop_pii=True)``), keep them with the spans masked
+    (``curate(redact_pii=True)``), the usual choice when PII-bearing docs
+    are too large a corpus fraction to discard.
+
+    Pure map-side ``regexp_replace`` chain over the same Java∩RE2 pattern
+    set as ``pii_counts`` (reference parity note: the reference engine has
+    no text pipeline; this extends its byte-transform surface, cf.
+    codec/codec.go:14-96, to the LLM-corpus domain).  Zero shuffle, zero
+    UDF, whole-stage-codegen eligible; Spark's ``regexp_replace`` is
+    global (all matches), matching DuckDB's ``'g'`` flag in the
+    ``text_stats`` oracle, which recomputes the md5 of the redacted text.
+
+    ``out_col=None`` rewrites ``text_col`` in place (all other columns
+    pass through).  Counting note: a digit run INSIDE a URL is counted by
+    both ``n_url`` and ``n_longnum`` in the audit, but redaction is
+    sequential — the URL pass consumes it first.
+    """
+    out_col = out_col or text_col
+    red = F.col(text_col)
+    for pat, token in PII_REDACTIONS:
+        red = F.regexp_replace(red, pat, token)
+    return df.withColumn(out_col, red)
+
+
 # ---------------------------------------------------------------------------
 # Character-n-gram language ID (Cavnar–Trenkle 1994 rank profiles)
 # ---------------------------------------------------------------------------

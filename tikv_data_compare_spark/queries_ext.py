@@ -871,11 +871,28 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a C4-offender-planted copy (lorem-ipsum / curly-brace /
     short-line / no-terminal-punctuation / javascript lines planted per
     doc_id): kept-line count, both doc-level flags, the keep verdict AND
-    the md5 of the line-filtered rebuild, all recomputed by the oracle."""
+    the md5 of the line-filtered rebuild, all recomputed by the oracle.
+
+    Since r15 the row also gates ``pii_redact`` (the release step after
+    the audit): the md5 of the redacted planted text (``red_h``) is
+    recomputed by the oracle's own regexp_replace chain, and
+    ``red_clean`` re-audits the redacted text with the SAME patterns —
+    hash-gating both the span replacement and its fixed-point property
+    (no pattern survives its own redaction)."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
     stats = tx.text_stats(docs)
     aug = docs.select("doc_id", F.expr(PII_SYNTH).alias("text"))
+    red_t = F.col("text")
+    red = tx.pii_redact(aug).select(
+        "doc_id",
+        F.md5(red_t).alias("red_h"),
+        (
+            (F.regexp_count(red_t, F.lit(tx.PII_EMAIL_RE)) == 0)
+            & (F.regexp_count(red_t, F.lit(tx.PII_URL_RE)) == 0)
+            & (F.regexp_count(red_t, F.lit(tx.PII_LONGNUM_RE)) == 0)
+        ).cast("long").alias("red_clean"),
+    )
     c4aug = docs.select("doc_id", F.expr(C4_SYNTH).alias("text"))
     c4 = tx.c4_flags(c4aug).select(
         "doc_id",
@@ -885,7 +902,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c4_keep").cast("long").alias("c4_keep"),
         F.md5("c4_text").alias("c4_h"),
     )
-    return stats.join(tx.pii_counts(aug), "doc_id").join(c4, "doc_id")
+    return (
+        stats.join(tx.pii_counts(aug), "doc_id").join(red, "doc_id").join(c4, "doc_id")
+    )
 
 
 def _sw_list_sql(words: list[str]) -> str:
@@ -897,6 +916,14 @@ ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
 ORACLE_TEXT_STATS = f"""
 WITH base AS (SELECT doc_id, text, {sqlgen.split_words('text', DUCK)} AS ws FROM documents),
 aug AS (SELECT doc_id, {PII_SYNTH} AS atext FROM documents),
+red AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(atext,
+             '{tx.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{tx.PII_URL_RE}', '<URL>', 'g'),
+             '{tx.PII_LONGNUM_RE}', '<NUM>', 'g') AS rtext
+  FROM aug
+),
 c4 AS (
   SELECT doc_id,
          list_filter(string_split(coalesce(ctext, ''), chr(10)),
@@ -920,13 +947,19 @@ SELECT b.doc_id,
                    OR len(regexp_extract_all(atext, '{tx.PII_URL_RE}')) > 0
                    OR len(regexp_extract_all(atext, '{tx.PII_LONGNUM_RE}')) > 0
             THEN 1 ELSE 0 END AS BIGINT) AS has_pii,
+       md5(r.rtext) AS red_h,
+       CAST(CASE WHEN len(regexp_extract_all(r.rtext, '{tx.PII_EMAIL_RE}')) = 0
+                  AND len(regexp_extract_all(r.rtext, '{tx.PII_URL_RE}')) = 0
+                  AND len(regexp_extract_all(r.rtext, '{tx.PII_LONGNUM_RE}')) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS red_clean,
        CAST(len(c.kept) AS BIGINT) AS c4_n_kept,
        CAST(CASE WHEN c.lorem THEN 1 ELSE 0 END AS BIGINT) AS c4_lorem,
        CAST(CASE WHEN c.brace THEN 1 ELSE 0 END AS BIGINT) AS c4_brace,
        CAST(CASE WHEN NOT c.lorem AND NOT c.brace AND len(c.kept) >= 3
             THEN 1 ELSE 0 END AS BIGINT) AS c4_keep,
        md5(array_to_string(c.kept, chr(10))) AS c4_h
-FROM base b JOIN aug a ON b.doc_id = a.doc_id JOIN c4 c ON b.doc_id = c.doc_id
+FROM base b JOIN aug a ON b.doc_id = a.doc_id JOIN red r ON b.doc_id = r.doc_id
+     JOIN c4 c ON b.doc_id = c.doc_id
 """
 
 
