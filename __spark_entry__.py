@@ -49,9 +49,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q.queries()
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted for Spark-only hash paths →
-    driver records the weaker rows-only check for those)."""
+    driver records the weaker rows-only check for those).
+
+    ``sf_dir`` (optional, r15): the directory the comparison runs against —
+    threads the corpus to the oracles embedding data-dependent literals
+    (the DSIR cost tables).  A no-arg call falls back to
+    ``$SPARK_GRAFT_ORACLE_SF_DIR`` (default /root/testdata/sf0.01)."""
     from tikv_data_compare_spark import queries as q
 
-    return q.oracle_sql()
+    return q.oracle_sql(sf_dir)

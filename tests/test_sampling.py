@@ -479,6 +479,58 @@ def test_dsir_sample_weights_reuse_seam(spark):
         dsir_sample(docs, None, tau_c=0, weights=docs.select("doc_id"))
 
 
+def test_dsir_weights_seam_rejects_mismatched_build_params(spark):
+    """dsir_weights stamps (n_buckets, algo, text_col) on the dsir_logw_c
+    column metadata; the weights= seam verifies them — a frame built with
+    a different geometry passed shape validation in r14 and silently
+    selected a different kept set (ADVICE r14)."""
+    from tikv_data_compare_spark.operators.sampling import (
+        dsir_sample,
+        dsir_weights,
+    )
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("doc_id") % 2 == 0)
+    w = dsir_weights(docs, target, n_buckets=512)
+    with pytest.raises(ValueError, match="dsir_n_buckets=512.*vs 1024"):
+        dsir_sample(docs, None, tau_c=0, n_buckets=1024, weights=w)
+    with pytest.raises(ValueError, match="dsir_algo"):
+        dsir_sample(docs, None, tau_c=0, n_buckets=512, algo="xxhash64", weights=w)
+    # an unstamped (user-built) frame is accepted as-is — the mismatch is
+    # undetectable there, which the docstring says out loud
+    bare = spark.createDataFrame(
+        [(r["doc_id"], r["dsir_logw_c"]) for r in w.collect()],
+        "doc_id long, dsir_logw_c long",
+    )
+    assert dsir_sample(docs, None, tau_c=0, n_buckets=512, weights=bare).count() > 0
+
+
+def test_dsir_cache_handle_release(spark):
+    """Every dsir_weights call persists one (id, bucket, count) frame; the
+    handle rides on the returned frame (and through dsir_sample) so
+    long-lived sessions can release it without clearCache() (ADVICE r14)."""
+    from tikv_data_compare_spark.operators.sampling import (
+        dsir_sample,
+        dsir_weights,
+        release_dsir_cache,
+    )
+
+    docs = _dsir_corpus(spark)
+    target = docs.filter(F.col("doc_id") % 2 == 0)
+    w = dsir_weights(docs, target, n_buckets=512)
+    assert w.dsir_cache.storageLevel.useMemory  # persisted
+    kept = dsir_sample(docs, None, tau_c=0, n_buckets=512, weights=w)
+    kept.count()
+    assert kept.dsir_cache is w.dsir_cache  # propagated, same frame
+    release_dsir_cache(kept)
+    assert not w.dsir_cache.storageLevel.useMemory  # released
+    release_dsir_cache(docs)  # no handle → no-op, no raise
+    # one-call form: the handle is created inside and still reachable
+    kept2 = dsir_sample(docs, target, tau_c=0, n_buckets=512)
+    assert hasattr(kept2, "dsir_cache")
+    release_dsir_cache(kept2)
+
+
 def test_curate_dsir_gate(spark):
     """The gate needs docs that pass the upstream Gopher/repetition gates:
     unique fillers keep dup-word-frac low, one stopword clears the ratio

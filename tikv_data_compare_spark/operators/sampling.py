@@ -524,6 +524,17 @@ def dsir_weights(
     (the clean/domain data you want more of) than under the raw corpus
     itself.
 
+    **EAGER, unlike every other operator here** (r14 ADVICE): constructing
+    the frame runs TWO collect() jobs (the bounded per-bucket count
+    tables) and freezes the weight literals against the data AS OF CALL
+    TIME — do not build it speculatively, and a source mutated between
+    construction and execution scores with the frozen (stale) costs.  The
+    call also persists an aggregated ``(id, bucket, count)`` frame
+    (MEMORY_AND_DISK); it is exposed as ``out.dsir_cache`` — call
+    ``out.dsir_cache.unpersist()`` (or :func:`release_dsir_cache`) once
+    the returned frame is no longer needed, or repeated calls in a
+    long-lived session accumulate cached frames.
+
     Model: bag-of-hashed-n-grams with add-1 smoothing per side —
     ``p(b) = (count_b + 1) / (total + n_buckets)`` — and the frozen
     log-weight is the per-occurrence sum
@@ -563,7 +574,12 @@ def dsir_weights(
     ``md5i64`` is the oracle-checkable gate path, ``xxhash64`` the
     JVM-intrinsic fast path for throughput pipelines.
 
-    Returns ``(id, dsir_n_feats, dsir_logw_c)``.
+    Returns ``(id, dsir_n_feats, dsir_logw_c)``; the ``dsir_logw_c``
+    column carries the build parameters (n_buckets / algo / text_col) as
+    column METADATA so :func:`dsir_sample`'s ``weights=`` seam can verify
+    the frame was built with matching arguments (r14 ADVICE — a frame
+    built with a different geometry would otherwise silently select a
+    different kept set).
     """
     from tikv_data_compare_spark.operators.dedup import _check_algo
 
@@ -636,11 +652,30 @@ def dsir_weights(
         F.sum("_dsir_ct").cast("long").alias("dsir_n_feats"),
         F.sum(F.col("_dsir_ct") * F.col("_w_c")).cast("long").alias("dsir_logw_c"),
     )
-    return df.select(id_col).join(per_doc, id_col, "left").select(
+    out = df.select(id_col).join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce("dsir_n_feats", F.lit(0).cast("long")).alias("dsir_n_feats"),
-        "dsir_logw_c",
+        F.col("dsir_logw_c").alias(
+            "dsir_logw_c",
+            metadata={
+                "dsir_n_buckets": n_buckets,
+                "dsir_algo": algo,
+                "dsir_text_col": text_col,
+            },
+        ),
     )
+    # the persisted feature frame's release handle (see docstring ¶2)
+    out.dsir_cache = rc
+    return out
+
+
+def release_dsir_cache(weights: DataFrame) -> None:
+    """Unpersist the ``(id, bucket, count)`` frame a :func:`dsir_weights`
+    call cached (no-op for frames without the handle — e.g. one read back
+    from parquet, which never carried a cache)."""
+    cache = getattr(weights, "dsir_cache", None)
+    if cache is not None:
+        cache.unpersist()
 
 
 def dsir_sample(
@@ -688,13 +723,20 @@ def dsir_sample(
     or feed several resampling runs) reuse that frame instead of paying
     the feature explode + bucket-count collects a second time — it must
     be the dsir_weights output for the same ``(df, target, id_col,
-    n_buckets, algo)``; ``target`` is then unused and may be None.
+    n_buckets, algo)``; ``target`` is then unused and may be None.  The
+    match IS verified (r15) against the build-parameter metadata
+    dsir_weights stamps on ``dsir_logw_c`` — a mismatched n_buckets /
+    algo / text_col raises instead of silently selecting a different
+    kept set; frames lacking the stamp (user-built) are accepted
+    unverified.
 
     Each dsir_weights call persists its aggregated (id, bucket, count)
     frame (MEMORY_AND_DISK) so its own count-collect and scoring passes
-    share one feature explode; long-lived sessions issuing many separate
-    calls should ``spark.catalog.clearCache()`` between unrelated runs
-    (the bench/oracle harnesses already do).
+    share one feature explode; the handle rides along as
+    ``.dsir_cache`` on the frame this function returns — unpersist it
+    (or :func:`release_dsir_cache`) when done, or
+    ``spark.catalog.clearCache()`` between unrelated runs (the
+    bench/oracle harnesses already do).
     """
     if weights is None:
         if target is None:
@@ -711,6 +753,34 @@ def dsir_sample(
             f"weights must carry ({id_col!r}, 'dsir_logw_c') — pass the "
             "dsir_weights output for the same inputs"
         )
+    else:
+        # dsir_weights stamps its build parameters on the column metadata;
+        # a frame built with a different geometry/hash/text column would
+        # pass the shape check yet silently select a DIFFERENT kept set
+        # (r14 ADVICE).  Frames without the stamp (e.g. read back from
+        # parquet, which drops attributes but keeps schema metadata, or
+        # user-built) are accepted as-is — the mismatch is undetectable
+        # there and the docstring says so.
+        meta = weights.schema["dsir_logw_c"].metadata or {}
+        expected = {
+            "dsir_n_buckets": n_buckets,
+            "dsir_algo": algo,
+            "dsir_text_col": text_col,
+        }
+        drift = {
+            k: (meta[k], v)
+            for k, v in expected.items()
+            if k in meta and meta[k] != v
+        }
+        if drift:
+            raise ValueError(
+                "weights frame was built with different dsir_weights "
+                "arguments than this dsir_sample call: "
+                + ", ".join(
+                    f"{k}={got!r} (weights) vs {want!r} (call)"
+                    for k, (got, want) in sorted(drift.items())
+                )
+            )
     w = weights.where(F.col("dsir_logw_c").isNotNull())
     if "_u_bk" in df.columns:
         raise ValueError("column name '_u_bk' is reserved by dsir_sample")
@@ -746,10 +816,16 @@ def dsir_sample(
         .join(F.broadcast(coins), "_u_bk")
         .drop(_STAGE, "_u_bk")
     )
-    return (
+    out = (
         staged.join(w.select(id_col, F.col("dsir_logw_c").alias(logw_col)), id_col)
         .where(F.col(u_col) + F.col(logw_col) >= F.lit(int(tau_c)))
     )
+    # surface the weights frame's cache handle (present iff this call — or
+    # the caller's dsir_weights — built it) so one-shot users can release
+    cache = getattr(weights, "dsir_cache", None)
+    if cache is not None:
+        out.dsir_cache = cache
+    return out
 
 
 def token_budget_sample(

@@ -2211,7 +2211,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """``sf_dir`` threads the comparison corpus to the oracles whose SQL
+    embeds DATA-DEPENDENT literals (the DSIR cost tables): pass the SAME
+    directory the Spark queries run against.  ``None`` falls back to
+    ``$SPARK_GRAFT_ORACLE_SF_DIR`` (default /root/testdata/sf0.01, the
+    driver's documented correctness scale) — the r14 env-var channel,
+    kept for no-arg harnesses; explicit beats implicit (r14 ADVICE)."""
     from tikv_data_compare_spark import queries_ext as qe
     from tikv_data_compare_spark import queries_more as qm
 
@@ -2263,7 +2269,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": qe.ORACLE_TEXT_FINGERPRINTS,
         "text_tfidf": qm.ORACLE_TEXT_TFIDF,
         "multimodal_probe": qe.ORACLE_MULTIMODAL_PROBE,
-        "sampling": qe.oracle_sampling(),
-        "sampling_dsir": qe.oracle_sampling_dsir(),
+        "sampling": qe.oracle_sampling(sf_dir),
+        "sampling_dsir": qe.oracle_sampling_dsir(sf_dir),
         "curation_pipeline": qe._oracle_curation_pipeline(),
     }

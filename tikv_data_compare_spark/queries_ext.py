@@ -2186,6 +2186,10 @@ def _sampling_parts(spark: SparkSession, sf_dir: str) -> dict:
         "hash": h, "stratified": s, "shard": sh, "mixture": mx,
         "token_mixture": tm, "dsir": ds, "dsir_kept": dk,
         "token_budget": tb, "split": sa,
+        # the dsir_weights cache handle (r15, ADVICE): one-shot harnesses
+        # that materialize a composed row should release it afterwards —
+        # sampling.release_dsir_cache(parts["_dsir_cache_holder"])
+        "_dsir_cache_holder": w,
     }
 
 
@@ -2194,7 +2198,9 @@ def q_sampling_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     resampling rule) — the r12-new machinery whose frozen-log freeze was
     the leading drift suspect; a dedicated driver row pins it."""
     p = _sampling_parts(spark, sf_dir)
-    return p["dsir"].unionByName(p["dsir_kept"])
+    out = p["dsir"].unionByName(p["dsir_kept"])
+    out.dsir_cache = p["_dsir_cache_holder"].dsir_cache
+    return out
 
 
 def q_sampling_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2264,6 +2270,7 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dsir", "dsir_kept", "token_budget", "split",
     ):
         out = out.unionByName(p[key])
+    out.dsir_cache = p["_dsir_cache_holder"].dsir_cache
     return out
 
 

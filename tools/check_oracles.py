@@ -63,7 +63,9 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # explicit sf_dir threading (r15) — the env var set above remains only
+    # as the fallback for no-arg harnesses like the driver's own gate
+    oracles = entrymod.oracle_sql(sf_dir=sf_dir)
     failures, n_checked, n_rows_only = [], 0, 0
 
     for name, fn in queries.items():
