@@ -37,6 +37,21 @@ def test_every_query_has_an_oracle_and_vice_versa():
 
 
 def test_capstone_and_localization_rows_are_inside_the_window():
+    # the active localization set is governed by SURVEY §8 "REGISTRY — the
+    # 50-row window swap policy": a slice enters when its family row reds
+    # unattributably, exits after ≥2 green rounds once a stronger invariant
+    # covers the failure class; update the policy section and this list in
+    # the same commit
     names = list(q.queries())[:DRIVER_WINDOW]
     for must in ("curation_pipeline", "sampling", "sampling_dsir"):
         assert must in names, f"{must} fell outside the driver window"
+
+
+def test_swap_candidates_stay_ready():
+    # SURVEY §8 REGISTRY keeps q_sampling_prefix + ORACLE_SAMPLING_PREFIX
+    # out of the window but ready to swap in; losing either silently
+    # removes the documented swap option
+    from tikv_data_compare_spark import queries_ext as qe
+
+    assert callable(qe.q_sampling_prefix)
+    assert "token_budget" in qe.ORACLE_SAMPLING_PREFIX
