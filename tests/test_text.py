@@ -633,6 +633,81 @@ def test_decontaminate_substring_span_contract(spark):
     assert len(out) == 4  # every doc present
 
 
+def test_winnow_and_decontaminate_xxhash64_algo_path(spark, documents):
+    """r15 algo knob: the winnow no-false-negative guarantee holds for any
+    deterministic gram hash and the verify is verbatim, so the xxhash64
+    fast path's VERIFIED columns equal the md5 gate path's on real docs
+    with planted spans; fingerprint values themselves differ."""
+    docs = documents.limit(40).select("doc_id", "text").cache()
+    donor = docs.filter(F.col("doc_id") == docs.agg(F.min("doc_id")).collect()[0][0])
+    dtext = donor.collect()[0]["text"]
+    docs2 = docs.union(
+        spark.createDataFrame([(900001, "zz " + dtext[5:50] + " qq")],
+                              "doc_id long, text string")
+    )
+    probes = spark.createDataFrame(
+        [(77, "PAD " + dtext[5:50] + " PAD")], "probe_id long, text string"
+    )
+    cols = ["doc_id", "n_contam_probes", "contaminated"]
+    md5_out = {
+        tuple(r[c] for c in cols)
+        for r in tx.decontaminate_substring(docs2, probes, min_span=24).collect()
+    }
+    xx_out = {
+        tuple(r[c] for c in cols)
+        for r in tx.decontaminate_substring(
+            docs2, probes, min_span=24, algo="xxhash64"
+        ).collect()
+    }
+    assert md5_out == xx_out
+    assert any(r[2] for r in md5_out)  # the planted doc is flagged
+    # self-dedup: full verified output identical across algos (no fp cap)
+    sd_md5 = sorted(map(tuple, tx.self_dedup_substring(docs2, min_span=24).collect()))
+    sd_xx = sorted(
+        map(tuple, tx.self_dedup_substring(docs2, min_span=24, algo="xxhash64").collect())
+    )
+    assert sd_md5 == sd_xx
+    # fingerprint VALUES differ across hash families (same doc set)
+    fp_md5 = {r["fp"] for r in tx.winnow_fingerprints(docs, k=5, w=20).collect()}
+    fp_xx = {
+        r["fp"]
+        for r in tx.winnow_fingerprints(docs, k=5, w=20, algo="xxhash64").collect()
+    }
+    assert fp_md5 != fp_xx and len(fp_xx) > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tx.winnow_fingerprints(docs, algo="sha9000")
+    docs.unpersist()
+
+
+def test_decontaminate_substring_max_fp_df_cap(spark, documents):
+    """r15 hot-fingerprint cap: a cap above every fingerprint's df is
+    byte-identical to exact; cap 0 drops every fingerprint, so nothing is
+    ever candidated (the documented recall trade, loud and total at the
+    extreme)."""
+    docs = documents.limit(40).select("doc_id", "text").cache()
+    dtext = docs.orderBy("doc_id").limit(1).collect()[0]["text"]
+    probes = spark.createDataFrame(
+        [(77, "PAD " + dtext[5:50] + " PAD")], "probe_id long, text string"
+    )
+    cols = ["doc_id", "n_contam_probes", "contaminated"]
+    exact = {
+        tuple(r[c] for c in cols)
+        for r in tx.decontaminate_substring(docs, probes, min_span=24).collect()
+    }
+    high_cap = {
+        tuple(r[c] for c in cols)
+        for r in tx.decontaminate_substring(
+            docs, probes, min_span=24, max_fp_df=10**9
+        ).collect()
+    }
+    assert high_cap == exact and any(r[2] for r in exact)
+    zero_cap = tx.decontaminate_substring(docs, probes, min_span=24, max_fp_df=0)
+    assert zero_cap.agg(F.sum(F.col("contaminated").cast("long"))).collect()[0][0] == 0
+    docs.unpersist()
+
+
 def test_decontaminate_substring_equals_bruteforce(spark, documents):
     """End result == brute-force exact check on real fixture docs with
     planted probe spans (winnow guarantees recall, verify kills the false

@@ -97,9 +97,12 @@ def curate(
     criterion).  Docs the LSH candidate pass never surfaces keep (the
     pii/decontamination default-keep convention — an unscreened doc is
     not a confirmed leak).
-    ``algo`` selects the near-dup stage's shingle hash — ``md5i64``
-    (default, DuckDB-oracle checkable) or ``xxhash64`` (the throughput
-    path, same knob as the dedup/checksum operators).  ``keep_langs``
+    ``algo`` selects the near-dup stage's shingle hash AND (r15) the
+    exact-decontamination stage's winnow gram hash — ``md5i64`` (default,
+    DuckDB-oracle checkable) or ``xxhash64`` (the throughput path, same
+    knob as the dedup/checksum operators).  The near-dup kept set is
+    algo-dependent (a different, equally valid LSH family); the
+    decontamination verdict is NOT (verbatim verify — operator docstring).  ``keep_langs``
     (optional, like ``drop_pii``/``probes``) appends a ``language`` stage:
     only docs whose stopword-overlap prediction (``text.lang_id``) is in
     the list survive; a doc with no prediction (NULL/empty text) DROPS —
@@ -241,6 +244,10 @@ def curate(
                 probe_id_col="_probe_id", probe_text_col=text_col,
                 min_span=int(decontam_span),
                 bloom_m_bits=decontam_bloom_m_bits,
+                # the same hash knob as the near-dup stage (r15): the
+                # verified verdict is algo-independent (operator docstring),
+                # so the throughput path composes without touching results
+                algo=algo,
             ).select(id_col, (~F.col("contaminated")).alias("_ct_ok"))
             stage_name = "decontamination_exact"
         else:

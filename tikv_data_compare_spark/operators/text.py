@@ -362,6 +362,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 5,
     w: int = 4,
+    algo: str = "md5i64",
 ) -> DataFrame:
     """Winnowing rolling-hash fingerprints (MOSS-style, Schleimer et al.):
     hash every character ``k``-gram, slide a window of ``w`` consecutive
@@ -377,17 +378,38 @@ def winnow_fingerprints(
     a position explode + a doc-keyed ROWS window + a corpus-wide distinct.
     The identical window algebra runs in DuckDB for the oracle.
     Rows: ``(id, fp)`` — one row per distinct fingerprint hash.
+
+    ``algo`` (r15) picks the gram hash, the dedup/checksum/DSIR
+    convention: ``md5i64`` (default) is the DuckDB-oracle-checkable gate
+    path; ``xxhash64`` is the JVM-intrinsic fast path — the per-gram md5
+    is the dominant cpu of every winnow consumer at scale
+    (~195 cpu-s/50k docs at w=4, BASELINE.md r15 attribution).  Either
+    hash preserves the winnow guarantee (it needs only determinism);
+    fingerprint VALUES differ across algos, so both sides of any
+    fingerprint equi-join must use the same algo — the consumers thread
+    one knob through both sides for exactly that reason.
     """
+    from tikv_data_compare_spark.operators.dedup import _check_algo
     from tikv_data_compare_spark.session import scale_out
 
-    hashed = scale_out(df, key=id_col).select(
-        F.col(id_col),
-        F.expr(
+    _check_algo(algo)
+    if algo == "xxhash64":
+        hash_chain = (
+            f"transform("
+            f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)), "
+            f"i -> substr({text_col}, i, {k})), "
+            f"g -> xxhash64(g) & {(1 << 30) - 1})"
+        )
+    else:
+        hash_chain = (
             f"transform(transform("
             f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)), "
             f"i -> substr({text_col}, i, {k})), "
             f"g -> md5(g)), m -> ({sqlgen.hexfold_i64('m')}) & {(1 << 30) - 1})"
-        ).alias("_hs"),
+        )
+    hashed = scale_out(df, key=id_col).select(
+        F.col(id_col),
+        F.expr(hash_chain).alias("_hs"),
     )
     # full windows [j, j+w-1] only (window start j = 0 .. n_grams - w); a doc
     # with fewer than w grams keeps its single truncated window, so every
@@ -1312,6 +1334,8 @@ def decontaminate_substring(
     k: int = 5,
     bloom_m_bits: int | None = None,
     bloom_k_hashes: int = 4,
+    algo: str = "md5i64",
+    max_fp_df: int | None = None,
 ) -> DataFrame:
     """Exact-substring test-set decontamination (r10): flag every document
     sharing a VERBATIM character span of at least ``min_span`` with any
@@ -1355,6 +1379,25 @@ def decontaminate_substring(
     candidates are winnow-level (implementation detail, for observability);
     ``n_contam_probes``/``contaminated`` are exact.  NULL/short texts are
     never contaminated (no span of ``min_span`` chars exists).
+
+    ``algo`` (r15) picks the winnow gram hash on BOTH sides — ``md5i64``
+    (default, oracle gate path) or ``xxhash64`` (throughput).  The winnow
+    no-false-negative guarantee holds for any deterministic hash and the
+    verify is a hash-independent verbatim ``contains``, so
+    ``n_contam_probes``/``contaminated`` are identical across algos
+    (equivalence-tested); only the observability-only candidate count may
+    differ (different hash → different coincidental collisions).
+
+    ``max_fp_df`` (r15) — the HOT-FINGERPRINT cap, ``self_dedup``'s knob
+    generalized here after measurement: on template-heavy corpora the
+    winnow minima of common phrases occur in a large corpus fraction, and
+    the candidate join inflates to (hot-fp df × probes sharing it) pairs
+    — measured 62.2M candidates / 2157 cpu-s verify for 2.5k probes ×
+    50k docs at sf1 (BASELINE.md r15).  Fingerprints whose CORPUS
+    document-frequency exceeds the cap are dropped from both sides
+    before the join.  APPROXIMATE: a contaminated pair sharing only a
+    capped fingerprint is missed (the self_dedup caveat verbatim);
+    default None = exact, the oracle-gate path.
     """
     if min_span < k + 1:
         raise ValueError(
@@ -1362,10 +1405,21 @@ def decontaminate_substring(
             f"w = min_span - k + 1 is >= 2, got min_span={min_span}"
         )
     w = min_span - k + 1
-    d_fp = winnow_fingerprints(docs, id_col, text_col, k=k, w=w)
+    # ONE algo for both sides — fingerprints only equi-join within a hash
+    # family (winnow_fingerprints docstring, r15)
+    d_fp = winnow_fingerprints(docs, id_col, text_col, k=k, w=w, algo=algo)
     p_fp = winnow_fingerprints(
-        probes, probe_id_col, probe_text_col, k=k, w=w
+        probes, probe_id_col, probe_text_col, k=k, w=w, algo=algo
     ).select(probe_id_col, "fp")
+    if max_fp_df is not None:
+        hot = (
+            d_fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > int(max_fp_df))
+            .select("fp")
+        )
+        d_fp = d_fp.join(F.broadcast(hot), "fp", "left_anti")
+        p_fp = p_fp.join(F.broadcast(hot), "fp", "left_anti")
     if bloom_m_bits is not None:
         from tikv_data_compare_spark.operators.bloom import (
             bloom_build,
@@ -1432,6 +1486,7 @@ def self_dedup_substring(
     min_span: int = 20,
     k: int = 5,
     max_fp_df: int | None = None,
+    algo: str = "md5i64",
 ) -> DataFrame:
     """Corpus-INTERNAL exact-substring deduplication (r12): span-level
     duplicate detection within the corpus itself — the suffix-array
@@ -1474,6 +1529,13 @@ def self_dedup_substring(
     order instead).  Default None = exact, equal to brute force (the
     oracle contract).
 
+    ``algo`` (r15) picks the winnow gram hash — ``md5i64`` (default, the
+    oracle gate path) or ``xxhash64`` (throughput; the PRUNE changes but
+    the verbatim verify is hash-independent, so the verified output is
+    identical — equivalence-tested).  Caveat: with ``max_fp_df`` set, the
+    hot-fingerprint cut is applied in hash space, so the approximation —
+    already documented as such — may differ across algos.
+
     Returns one row per input doc:
     ``(id, n_dup_partners, n_dup_starts, n_dup_chars, kept)``.
     """
@@ -1483,7 +1545,7 @@ def self_dedup_substring(
             f"w = min_span - k + 1 is >= 2, got min_span={min_span}"
         )
     w = min_span - k + 1
-    fp = winnow_fingerprints(docs, id_col, text_col, k=k, w=w).where(
+    fp = winnow_fingerprints(docs, id_col, text_col, k=k, w=w, algo=algo).where(
         F.col("fp").isNotNull()
     )
     if max_fp_df is not None:

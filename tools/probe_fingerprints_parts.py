@@ -94,33 +94,73 @@ def main():
             .count()
         )
 
+    # Evaluation MUST consume the verdict columns: several parts end in a
+    # per-id-aggregated LEFT join, which Catalyst legally ELIMINATES under
+    # a bare count() (unique-key outer-join removal) — the r15 first cut
+    # measured 0.4-0.5 s "walls" for decontam/self-dedup/fuzzy that were
+    # really just the doc-id scan.  Aggregating the verdict columns forces
+    # the real plan.
     parts = {
-        "fingerprint": lambda: tx.fingerprint(docs).count(),
+        "fingerprint": lambda: tx.fingerprint(docs)
+        .agg(F.sum("fingerprint")).collect(),
         "winnow": lambda: tx.winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_fp"), F.bit_xor("fp").alias("fp_xor"))
-        .count(),
+        .agg(F.sum("n_fp"), F.sum("fp_xor")).collect(),
         "contamination": lambda: tx.contamination(
             docs, docs.filter(F.col("doc_id") % 20 == 0),
             probe_id_col="doc_id", n=3,
-        ).count(),
+        ).agg(F.sum("n_hit_grams"), F.sum("n_grams")).collect(),
         "decontam_exact": lambda: tx.decontaminate_substring(
             docs, wprobes, min_span=24
-        ).count(),
+        ).agg(
+            F.sum("n_contam_probes"), F.sum(F.col("contaminated").cast("long"))
+        ).collect(),
         "bloom": bloom_part,
-        "self_dedup": lambda: tx.self_dedup_substring(docs, min_span=24).count(),
+        # the analytic candidate count of the UNCAPPED self-join: one cheap
+        # df histogram, sum df·(df−1)/2 — the uncapped run itself was
+        # killed after 15+ min at sf1 (hot common-phrase fingerprints make
+        # the candidate set quadratic in their document frequency)
+        "self_dedup_uncapped_candidates": lambda: tx.winnow_fingerprints(
+            docs, "doc_id", "text", k=5, w=20
+        )
+        .where(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .agg(F.sum(F.expr("_df * (_df - 1) / 2")).alias("cand")).collect(),
+        # the measured operating point: the max_fp_df hot-fingerprint cap
+        # (the operator's own documented knob for exactly this corpus shape)
+        "self_dedup_capped50": lambda: tx.self_dedup_substring(
+            docs, min_span=24, max_fp_df=50
+        ).agg(
+            F.sum("n_dup_partners"), F.sum("n_dup_chars"),
+            F.sum(F.col("kept").cast("long")),
+        ).collect(),
         "fuzzy": lambda: tx.decontaminate_fuzzy(
             docs, fprobes, probe_id_col="fz_probe_id", threshold_bp=8000
-        ).count(),
-        "composed_row": lambda: qe.q_text_fingerprints(spark, sf_dir).count(),
+        ).agg(
+            F.sum("n_fuzzy_probes"), F.sum(F.col("contaminated").cast("long"))
+        ).collect(),
+        # every column feeds one hash so NOTHING is prunable — the
+        # driver's gate collects all columns, this is its cost model
+        "composed_row": lambda: (
+            lambda df: df.agg(
+                F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))
+            ).collect()
+        )(qe.q_text_fingerprints(spark, sf_dir)),
     }
 
+    only = {
+        p for p in os.environ.get("SPARK_GRAFT_PROBE_PARTS", "").split(",") if p
+    }
     out = {
         "probe": "fingerprints_parts", "sf_dir": sf_dir,
         "n_docs": docs.count(), "load_start": loadavg_1m(),
         "walls": {}, "cpu": {}, "runs": {},
     }
     for name, fn in parts.items():
+        if only and name not in only:
+            continue
         best, best_cpu, walls = None, -1.0, []
         for _ in range(3):
             spark.catalog.clearCache()
