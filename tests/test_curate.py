@@ -143,6 +143,30 @@ def test_curate_redact_composes_with_drop_pii(spark):
         kept.unpersist()
 
 
+def test_curate_decontam_max_fp_df_passthrough(spark):
+    docs = _docs(spark)
+    probes = spark.createDataFrame(
+        [(9, "fox jumps over the lazy dog and")], "probe_id long, text string"
+    )
+    # a generous cap is byte-identical to the exact stage
+    kept_exact, attr_exact = curate(docs, probes=probes, decontam_span=24)
+    kept_cap, attr_cap = curate(
+        docs, probes=probes, decontam_span=24, decontam_max_fp_df=10**9
+    )
+    try:
+        assert {r["doc_id"] for r in kept_cap.collect()} == {
+            r["doc_id"] for r in kept_exact.collect()
+        }
+        rep = {r["stage"]: r["n_dropped"] for r in attr_exact.collect()}
+        assert rep["decontamination_exact"] >= 1  # the probe really bites
+    finally:
+        kept_exact.unpersist()
+        kept_cap.unpersist()
+    # loud validation, the bloom-knob convention
+    with pytest.raises(ValueError, match="decontam_max_fp_df requires"):
+        curate(docs, decontam_max_fp_df=50)
+
+
 def test_curate_releases_broadcasts_and_returns_persisted_handle(spark):
     """After curate(): no live operator-module broadcasts (long-lived
     sessions looping curate must not accumulate executor blocks), and the

@@ -354,6 +354,12 @@ def main(argv: list[str] | None = None) -> int:
                         "decontamination (drop docs sharing a verbatim span "
                         "of at least this many chars with a probe) instead "
                         "of the n-gram overlap screen")
+    p.add_argument("--decontam-max-fp-df", type=int, default=0,
+                   help="with --decontam-span: if > 0, cap the winnow "
+                        "fingerprints joined on at this corpus document "
+                        "frequency (hot-fingerprint prune for template-"
+                        "heavy corpora; APPROXIMATE — a pair sharing only "
+                        "a hotter fingerprint is missed)")
     p.add_argument("--keep-langs", default="",
                    help="comma-separated language codes: appends a 'language' "
                         "stage keeping only docs whose stopword-overlap "
@@ -1225,6 +1231,9 @@ def main(argv: list[str] | None = None) -> int:
                 probes=probes,
                 max_contamination_hits=args.max_contamination_hits,
                 decontam_span=args.decontam_span if args.decontam_span != 0 else None,
+                decontam_max_fp_df=(
+                    args.decontam_max_fp_df if args.decontam_max_fp_df != 0 else None
+                ),
                 keep_langs=args.keep_langs.split(",") if args.keep_langs else None,
                 # 0 = off; a NEGATIVE cap passes through so curate()'s own
                 # validation rejects it loudly instead of silently disabling

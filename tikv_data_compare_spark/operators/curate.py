@@ -59,6 +59,7 @@ def curate(
     max_contamination_hits: int = 0,
     decontam_span: int | None = None,
     decontam_bloom_m_bits: int | None = None,
+    decontam_max_fp_df: int | None = None,
     decontam_fuzzy_jaccard_c: int | None = None,
     keep_langs: list[str] | None = None,
     max_lm_nll_c: int | None = None,
@@ -89,6 +90,10 @@ def curate(
     ``max_contamination_hits``; ``decontam_bloom_m_bits`` (r12) passes
     through to that stage's Bloom prefilter mode for corpus-sized probe
     sets (result identical — equivalence-tested on the operator).
+    ``decontam_max_fp_df`` (r15) passes through the exact stage's
+    hot-fingerprint cap — set it from the corpus's fingerprint-df
+    histogram when the candidate join dominates the funnel (APPROXIMATE:
+    the operator docstring's recall trade; None = exact).
     ``decontam_fuzzy_jaccard_c`` (r13) appends an INDEPENDENT
     ``decontamination_fuzzy`` stage — the paraphrase-level screen
     (``text.decontaminate_fuzzy``): docs whose shingle-set Jaccard with
@@ -227,6 +232,15 @@ def curate(
             "decontam_bloom_m_bits requires probes= AND decontam_span= "
             "(it is the exact-substring stage's corpus-sized-probe mode)"
         )
+    if decontam_max_fp_df is not None and (
+        probes is None or decontam_span is None
+    ):
+        # same loud-validation convention: a silently-ignored cap would let
+        # the caller believe the hot-fingerprint prune ran when it didn't
+        raise ValueError(
+            "decontam_max_fp_df requires probes= AND decontam_span= "
+            "(it caps the exact-substring stage's fingerprint join)"
+        )
     if probes is not None:
         # probe id column: the conventional 'probe_id' (the contamination
         # contract), else any first column stands in — the id only keys the
@@ -248,6 +262,11 @@ def curate(
                 # verified verdict is algo-independent (operator docstring),
                 # so the throughput path composes without touching results
                 algo=algo,
+                # hot-fingerprint cap (r15): on template-heavy corpora the
+                # exact-decontam candidate join otherwise dominates the
+                # whole funnel (BASELINE.md r15 degeneracy measurement);
+                # None = exact (the gate path)
+                max_fp_df=decontam_max_fp_df,
             ).select(id_col, (~F.col("contaminated")).alias("_ct_ok"))
             stage_name = "decontamination_exact"
         else:
