@@ -557,3 +557,24 @@ def test_bloom_probe_broadcasts_bitmap(spark, documents):
     assert "CartesianProduct" not in s
     # the probed side never shuffles: k broadcast joins, no hash exchange
     assert "Exchange hashpartitioning" not in s
+
+
+def test_contamination_single_corpus_pass(spark, documents):
+    """r15 one-pass rewrite: the corpus gram explode+distinct subtree runs
+    ONCE (a left broadcast join with a probe marker folds totals and hit
+    counts into one aggregation) — the r6-r14 shape ran it twice, one
+    subtree per count branch.  Exactly two Generates survive optimization:
+    one corpus-side, one probe-side."""
+    from tikv_data_compare_spark.operators import text as tx
+
+    probes = documents.filter("doc_id % 20 = 0").select("doc_id", "text")
+    out = tx.contamination(
+        documents.select("doc_id", "text"), probes, probe_id_col="doc_id", n=3
+    )
+    import re
+
+    s = plans.plan_string(out)
+    n_generates = len(re.findall(r"^\(\d+\) Generate", s, re.MULTILINE))
+    assert n_generates == 2, s
+    assert "BroadcastHashJoin" in plans.join_strategies(out)
+    assert "CartesianProduct" not in s
