@@ -681,6 +681,56 @@ def test_winnow_and_decontaminate_xxhash64_algo_path(spark, documents):
     docs.unpersist()
 
 
+def test_winnow_doc_fps_reuse_seam(spark, documents):
+    """r15 doc_fps= seam: passing a precomputed winnow frame yields the
+    identical verified output for both consumers; a frame built at a
+    different geometry raises via the column-metadata stamp (the dsir
+    weights= convention)."""
+    docs = documents.limit(40).select("doc_id", "text").cache()
+    dtext = docs.orderBy("doc_id").limit(1).collect()[0]["text"]
+    probes = spark.createDataFrame(
+        [(77, "PAD " + dtext[5:50] + " PAD")], "probe_id long, text string"
+    )
+    fps24 = tx.winnow_fingerprints(docs, k=5, w=20)  # min_span 24 geometry
+    cols = ["doc_id", "n_contam_probes", "contaminated"]
+    base = {
+        tuple(r[c] for c in cols)
+        for r in tx.decontaminate_substring(docs, probes, min_span=24).collect()
+    }
+    seam = {
+        tuple(r[c] for c in cols)
+        for r in tx.decontaminate_substring(
+            docs, probes, min_span=24, doc_fps=fps24
+        ).collect()
+    }
+    assert seam == base
+    sd_base = sorted(map(tuple, tx.self_dedup_substring(docs, min_span=24).collect()))
+    sd_seam = sorted(
+        map(tuple, tx.self_dedup_substring(docs, min_span=24, doc_fps=fps24).collect())
+    )
+    assert sd_seam == sd_base
+    # geometry mismatch raises: w differs (min_span 30 → w 26, frame has 20)
+    with pytest.raises(ValueError, match="winnow_w=20.*vs 26"):
+        tx.decontaminate_substring(docs, probes, min_span=30, doc_fps=fps24)
+    with pytest.raises(ValueError, match="winnow_algo"):
+        tx.self_dedup_substring(docs, min_span=24, algo="xxhash64", doc_fps=fps24)
+    # shape check stays loud
+    with pytest.raises(ValueError, match="doc_fps must carry"):
+        tx.decontaminate_substring(docs, probes, min_span=24, doc_fps=docs)
+    # an unstamped frame (same values, metadata stripped) is accepted
+    bare = spark.createDataFrame(
+        [(r["doc_id"], r["fp"]) for r in fps24.collect()], "doc_id long, fp long"
+    )
+    seam2 = {
+        tuple(r[c] for c in cols)
+        for r in tx.decontaminate_substring(
+            docs, probes, min_span=24, doc_fps=bare
+        ).collect()
+    }
+    assert seam2 == base
+    docs.unpersist()
+
+
 def test_decontaminate_substring_max_fp_df_cap(spark, documents):
     """r15 hot-fingerprint cap: a cap above every fingerprint's df is
     byte-identical to exact; cap 0 drops every fingerprint, so nothing is

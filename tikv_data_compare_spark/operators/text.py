@@ -418,6 +418,7 @@ def winnow_fingerprints(
         F.col(id_col),
         F.expr(hash_chain).alias("_hs"),
     )
+    fp_meta = {"winnow_k": k, "winnow_w": w, "winnow_algo": algo}
     # full windows [j, j+w-1] only (window start j = 0 .. n_grams - w); a doc
     # with fewer than w grams keeps its single truncated window, so every
     # doc has at least one fingerprint — same selection as the r6 ROWS
@@ -439,7 +440,41 @@ def winnow_fingerprints(
     # (the truncated-window branch guarantees ≥1 element), so the only
     # behavior difference is a (id, NULL) row for NULL text — which is
     # exactly what the r6 window shape emitted.
-    return fps.select(id_col, F.explode_outer("_fps").alias("fp"))
+    exploded = fps.select(id_col, F.explode_outer("_fps").alias("fp"))
+    # the winnow geometry rides as column METADATA (the dsir_weights stamp
+    # convention, r15) so the doc_fps= reuse seams can verify a precomputed
+    # frame was built with matching (k, w, algo).  Stamped via a plain
+    # projection: alias metadata on a generator output is silently dropped.
+    return exploded.select(id_col, F.col("fp").alias("fp", metadata=fp_meta))
+
+
+def _check_winnow_fps(fps: DataFrame, id_col: str, k: int, w: int, algo: str) -> None:
+    """Validate a precomputed winnow-fingerprint frame against the
+    geometry a consumer is about to join it with (the dsir ``weights=``
+    convention: shape always, build parameters when the stamp is
+    present — unstamped frames are accepted as-is and the docstrings say
+    the mismatch is undetectable there)."""
+    if not {id_col, "fp"} <= set(fps.columns):
+        raise ValueError(
+            f"doc_fps must carry ({id_col!r}, 'fp') — pass the "
+            "winnow_fingerprints output for the same corpus"
+        )
+    meta = fps.schema["fp"].metadata or {}
+    expected = {"winnow_k": k, "winnow_w": w, "winnow_algo": algo}
+    drift = {
+        key: (meta[key], v)
+        for key, v in expected.items()
+        if key in meta and meta[key] != v
+    }
+    if drift:
+        raise ValueError(
+            "doc_fps frame was built with a different winnow geometry "
+            "than this call: "
+            + ", ".join(
+                f"{key}={got!r} (frame) vs {want!r} (call)"
+                for key, (got, want) in sorted(drift.items())
+            )
+        )
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1343,6 +1378,7 @@ def decontaminate_substring(
     bloom_k_hashes: int = 4,
     algo: str = "md5i64",
     max_fp_df: int | None = None,
+    doc_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-substring test-set decontamination (r10): flag every document
     sharing a VERBATIM character span of at least ``min_span`` with any
@@ -1405,6 +1441,14 @@ def decontaminate_substring(
     before the join.  APPROXIMATE: a contaminated pair sharing only a
     capped fingerprint is missed (the self_dedup caveat verbatim);
     default None = exact, the oracle-gate path.
+
+    ``doc_fps`` (r15) — the reuse seam (the dsir ``weights=``
+    convention): a pipeline that already winnowed the corpus (for
+    :func:`self_dedup_substring`, a Bloom index, or several
+    decontamination runs) passes the persisted
+    :func:`winnow_fingerprints` output instead of paying the
+    ~200-cpu-s/50k-doc winnow pass again; geometry is verified against
+    the frame's column-metadata stamp when present.
     """
     if min_span < k + 1:
         raise ValueError(
@@ -1414,7 +1458,11 @@ def decontaminate_substring(
     w = min_span - k + 1
     # ONE algo for both sides — fingerprints only equi-join within a hash
     # family (winnow_fingerprints docstring, r15)
-    d_fp = winnow_fingerprints(docs, id_col, text_col, k=k, w=w, algo=algo)
+    if doc_fps is not None:
+        _check_winnow_fps(doc_fps, id_col, k, w, algo)
+        d_fp = doc_fps.select(id_col, "fp")
+    else:
+        d_fp = winnow_fingerprints(docs, id_col, text_col, k=k, w=w, algo=algo)
     p_fp = winnow_fingerprints(
         probes, probe_id_col, probe_text_col, k=k, w=w, algo=algo
     ).select(probe_id_col, "fp")
@@ -1494,6 +1542,7 @@ def self_dedup_substring(
     k: int = 5,
     max_fp_df: int | None = None,
     algo: str = "md5i64",
+    doc_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-INTERNAL exact-substring deduplication (r12): span-level
     duplicate detection within the corpus itself — the suffix-array
@@ -1542,6 +1591,9 @@ def self_dedup_substring(
     identical — equivalence-tested).  Caveat: with ``max_fp_df`` set, the
     hot-fingerprint cut is applied in hash space, so the approximation —
     already documented as such — may differ across algos.
+    ``doc_fps`` (r15) reuses a precomputed :func:`winnow_fingerprints`
+    frame (geometry metadata-verified) — see
+    :func:`decontaminate_substring`.
 
     Returns one row per input doc:
     ``(id, n_dup_partners, n_dup_starts, n_dup_chars, kept)``.
@@ -1552,9 +1604,13 @@ def self_dedup_substring(
             f"w = min_span - k + 1 is >= 2, got min_span={min_span}"
         )
     w = min_span - k + 1
-    fp = winnow_fingerprints(docs, id_col, text_col, k=k, w=w, algo=algo).where(
-        F.col("fp").isNotNull()
-    )
+    if doc_fps is not None:
+        _check_winnow_fps(doc_fps, id_col, k, w, algo)
+        fp = doc_fps.select(id_col, "fp").where(F.col("fp").isNotNull())
+    else:
+        fp = winnow_fingerprints(docs, id_col, text_col, k=k, w=w, algo=algo).where(
+            F.col("fp").isNotNull()
+        )
     if max_fp_df is not None:
         hot = (
             fp.groupBy("fp")
