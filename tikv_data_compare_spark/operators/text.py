@@ -388,9 +388,10 @@ def winnow_fingerprints(
 
     ``algo`` (r15) picks the gram hash, the dedup/checksum/DSIR
     convention: ``md5i64`` (default) is the DuckDB-oracle-checkable gate
-    path; ``xxhash64`` is the JVM-intrinsic fast path — the per-gram md5
-    is the dominant cpu of every winnow consumer at scale
-    (~195 cpu-s/50k docs at w=4, BASELINE.md r15 attribution).  Either
+    path; ``xxhash64`` is the JVM-intrinsic fast path — measured 1.45×
+    wall / 1.3× cpu at w=20 over 50k docs (BASELINE.md r15: the window-min
+    HOF fold, not the hash, is the larger term here, unlike the
+    shingle-hash operators where xxhash64 buys more).  Either
     hash preserves the winnow guarantee (it needs only determinism);
     fingerprint VALUES differ across algos, so both sides of any
     fingerprint equi-join must use the same algo — the consumers thread
