@@ -8,9 +8,24 @@ Prints ONE JSON line:
 Queries benched are the engine's headline operators at their fast settings
 (xxhash64 checksum — the md5 oracle mode exists for correctness checking,
 not throughput; keyed diff; hex export; minhash near-dup; cosine top-k;
-sessionization).  Each is collected (or counted) to force full execution.
+sessionization).
 
-Each query is timed as the MIN of two runs: at sub-second operator scale the
+EVALUATION FORCING (r16 — VERDICT r15 finding 1): every entry is forced
+through a full-column canon aggregate, ``bit_xor(xxhash64(<all output
+columns>))`` — never ``.count()``.  The r15 audit showed ``.count()`` lets
+Catalyst prune map-side operators entirely: ``text_stats(...).count()``,
+``q_asof_join(...).count()`` and ``dedup_lines(...).count()`` optimized to
+``Aggregate [count(1)] <- Project [] <- Relation parquet`` (a parquet
+row-count, timing nothing), ``dedup_simhash`` to a bare ``doc_id`` scan and
+``export_hex`` to the bucket-join skeleton without the hex projection /
+row_number window.  Hashing every output column makes pruning impossible by
+construction: Catalyst must materialize each column to feed the hash.
+``tests/test_bench_forcing.py`` pins this (no count(1)-only plans; every
+output column referenced in the optimized forced plan).  BASELINE.md bands
+for the five formerly-pruned entries were recalibrated r16; the r15 sf1
+x10 factors for them are withdrawn as measurement artifacts.
+
+Each query is timed as the MIN of N runs: at sub-second operator scale the
 first execution is dominated by whole-stage-codegen compilation and JVM JIT
 (observed 11.6s cold vs 0.9s steady-state for the same checksum plan), which
 measures the JVM, not the operator.  The min isolates steady-state operator
@@ -28,7 +43,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
+def forced(df):
+    """Canon-aggregate frame that forces FULL evaluation of ``df``.
+
+    ``bit_xor(xxhash64(c1, ..., cn))`` over every output column: order-
+    insensitive, overflow-free (XOR, unlike SUM, can't hit ANSI overflow),
+    and — the point — unprunable: Catalyst must compute every column of
+    every row to produce the hash, so the whole operator executes."""
+    from pyspark.sql import functions as F
+
+    cols = ", ".join(f"`{c}`" for c in df.columns)
+    return df.select(F.expr(f"bit_xor(xxhash64({cols}))").alias("canon"))
+
+
+def run_forced(df) -> None:
+    forced(df).collect()
+
+
+def build_benches(spark, sf_dir: str):
+    """name -> zero-arg thunk returning the operator's OUTPUT DataFrame.
+
+    Split from main() so tests/test_bench_forcing.py can audit the exact
+    plans the bench times (the r15 lesson: audit the forced plan, not the
+    operator's)."""
     from pyspark.sql import functions as F
 
     from tikv_data_compare_spark import queries as q
@@ -43,21 +80,11 @@ def main():
     from tikv_data_compare_spark.operators.checksum import compare_checksum
     from tikv_data_compare_spark.operators.diff import diff, targeted_diff
     from tikv_data_compare_spark.operators.scan import export_hex
-    from tikv_data_compare_spark.session import get_spark
-
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
-    spark = get_spark("bench", cpus=cpus)
 
     lineitem = q._load(spark, sf_dir, "lineitem")
     orders = q._load(spark, sf_dir, "orders")
     documents = q._load(spark, sf_dir, "documents")
     embeddings = q._load(spark, sf_dir, "embeddings")
-
-    # warm the JVM/codegen once so bench numbers measure the operators
-    lineitem.limit(1).count()
 
     li_keyed = Keyed.of(lineitem, keys=("l_orderkey", "l_linenumber"))
     li_mut = Keyed.of(
@@ -89,41 +116,41 @@ def main():
     )
     bucket_expr = F.floor(F.col("o_orderkey") / F.lit(max(1, okmax // 256)))
 
-    benches = {
-        "checksum_compare_xxh": lambda: compare_checksum(li_keyed, li_mut).collect(),
-        "diff_keyed": lambda: diff(ord_src, ord_dst).count(),
-        "export_hex": lambda: export_hex(ord_src).count(),
+    return {
+        "checksum_compare_xxh": lambda: compare_checksum(li_keyed, li_mut),
+        "diff_keyed": lambda: diff(ord_src, ord_dst),
+        "export_hex": lambda: export_hex(ord_src),
         "dedup_minhash_pairs": lambda: dd.minhash_pairs(
             documents, "doc_id", "text", algo="xxhash64"
-        ).count(),
-        "dedup_simhash": lambda: dd.simhash(documents, "doc_id", "text", algo="xxhash64").count(),
-        "similarity_topk": lambda: sim.topk_bruteforce(embeddings, k=5, n_queries=10).count(),
-        "text_stats": lambda: tx.text_stats(documents).count(),
-        "sessionize": lambda: q.q_events_sessionize(spark, sf_dir).count(),
-        "asof_join": lambda: q.q_asof_join(spark, sf_dir).count(),
-        "join_region_revenue": lambda: q.q_join_region_revenue(spark, sf_dir).count(),
-        "funnel_gaps": lambda: qm.q_events_funnel_gaps(spark, sf_dir).count(),
+        ),
+        "dedup_simhash": lambda: dd.simhash(documents, "doc_id", "text", algo="xxhash64"),
+        "similarity_topk": lambda: sim.topk_bruteforce(embeddings, k=5, n_queries=10),
+        "text_stats": lambda: tx.text_stats(documents),
+        "sessionize": lambda: q.q_events_sessionize(spark, sf_dir),
+        "asof_join": lambda: q.q_asof_join(spark, sf_dir),
+        "join_region_revenue": lambda: q.q_join_region_revenue(spark, sf_dir),
+        "funnel_gaps": lambda: qm.q_events_funnel_gaps(spark, sf_dir),
         # the operator ALONE — the q_text_tfidf registry row has unioned
         # top_bigrams since r6, which made the r6 bench number (+14%) measure
         # both branches; benching tfidf_top_terms directly keeps the series
         # comparable with r5 and earlier (BASELINE.md note)
         "tfidf": lambda: tx.tfidf_top_terms(
             documents.select("doc_id", "text"), "doc_id", "text", k=3
-        ).count(),
-        "repair_plan": lambda: qm.q_diff_repair(spark, sf_dir).count(),
-        "price_histogram": lambda: qm.q_price_histogram(spark, sf_dir).count(),
-        "targeted_diff_1pct": lambda: targeted_diff(ord_src, drifted, bucket_expr).count(),
-        "diff_full_1pct": lambda: diff(ord_src, drifted).count(),
+        ),
+        "repair_plan": lambda: qm.q_diff_repair(spark, sf_dir),
+        "price_histogram": lambda: qm.q_price_histogram(spark, sf_dir),
+        "targeted_diff_1pct": lambda: targeted_diff(ord_src, drifted, bucket_expr),
+        "diff_full_1pct": lambda: diff(ord_src, drifted),
         # the compressed-ANN paths (r8): PQ codes + ADC with exact rerank of
         # the top-100 shortlist, and the composed IVFPQ layout probing 1/4 of
         # the cells — the 100 TB memory/selectivity shapes.  Recall vs exact
         # brute force is measured (untimed) and reported alongside.
         "topk_pq_rerank": lambda: sim.topk_pq(
             embeddings, k=5, n_queries=10, m=8, k_codes=32, rerank=100
-        ).count(),
+        ),
         "topk_ivfpq": lambda: sim.topk_ivfpq(
             embeddings, k=5, n_queries=10, n_cells=16, n_probe=4, m=8, k_codes=32, rerank=100
-        ).count(),
+        ),
         # the DataFrame-query join path (r8): 100 queries streamed as a
         # DataFrame (no driver collect), selective probe + rerank — the
         # query-side shape past the 16k broadcast ceiling
@@ -133,7 +160,7 @@ def main():
                 F.col("vec_id").alias("query_id"), "embedding"
             ),
             k=5, n_cells=16, n_probe=4, m=8, k_codes=32, rerank=100,
-        ).count(),
+        ),
         # r10 additions: the corpus-level line dedup (C4 boilerplate strip)
         # over the planted-footer corpus (the registry-row workload), BM25
         # retrieval for the fixed 3-query set, and SemDeDup at the operating
@@ -141,15 +168,13 @@ def main():
         # ~125k within-cluster pairs; 2 Lloyd rounds).
         "dedup_lines": lambda: dd.dedup_lines(
             documents.select("doc_id", F.expr(qe.LINE_SYNTH).alias("t2")), "doc_id", "t2"
-        ).count(),
+        ),
         "bm25": lambda: tx.bm25_topk(
             documents.select("doc_id", "text"),
             spark.createDataFrame(list(qm.BM25_QUERIES), "query_id long, qtext string"),
             k=5,
-        ).count(),
-        "semdedup": lambda: clu.semantic_dedup(
-            embeddings, k=16, n_iter=2, threshold_c=3000
-        ).count(),
+        ),
+        "semdedup": lambda: clu.semantic_dedup(embeddings, k=16, n_iter=2, threshold_c=3000),
         # r10: trained byte-level BPE end-to-end — learn 48 merges from the
         # corpus's top-256 word-frequency table (one agg + bounded collect +
         # driver loop), then count every doc's subword tokens with the
@@ -157,8 +182,8 @@ def main():
         "bpe_tokens": lambda: tx.bpe_token_count(
             documents.select("doc_id", "text"),
             tx.train_bpe_merges(documents.select("doc_id", "text")),
-        ).count(),
-        "curation_pipeline": lambda: qe.q_curation_pipeline(spark, sf_dir).count(),
+        ),
+        "curation_pipeline": lambda: qe.q_curation_pipeline(spark, sf_dir),
         # r12: DSIR importance resampling — two bounded bucket-count aggs
         # (broadcast), map-side feature scoring, deterministic exponential
         # rejection; target = the corpus's English docs.  algo='xxhash64'
@@ -169,16 +194,41 @@ def main():
             documents.select("doc_id", "text"),
             documents.filter(F.col("lang") == "en").select("doc_id", "text"),
             tau_c=0, n_buckets=4096, algo="xxhash64",
-        ).count(),
+        ),
     }
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from tikv_data_compare_spark.operators import similarity as sim
+    from tikv_data_compare_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark("bench", cpus=cpus)
+
+    from tikv_data_compare_spark import queries as q
+
+    embeddings = q._load(spark, sf_dir, "embeddings")
+
+    # warm the JVM/codegen once so bench numbers measure the operators
+    q._load(spark, sf_dir, "lineitem").limit(1).count()
+
+    benches = build_benches(spark, sf_dir)
 
     debug = os.environ.get("SPARK_GRAFT_BENCH_DEBUG", "") not in ("", "0")
     order = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "")
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     names = list(benches)
     if order == "reverse":
         names = names[::-1]
     elif order:
         names = [n for n in order.split(",") if n in benches]
+    if only:
+        names = [n for n in only.split(",") if n in benches]
 
     # Inter-query hygiene, in order:
     #   1. Python gc.collect() detaches dead py4j proxies, releasing the JVM
@@ -227,7 +277,7 @@ def main():
     # executing the full curation plan once brings the JVM to the
     # steady-state every later min-of-N actually measures.
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") not in ("", "0"):
-        benches["curation_pipeline"]()
+        run_forced(benches["curation_pipeline"]())
 
     # ANN quality guardrail (untimed): recall@5 of the compressed paths vs
     # exact brute force, so a quantization/probe regression is visible in
@@ -284,7 +334,7 @@ def main():
             spark.sparkContext._jvm.System.gc()
             c0 = container_cpu_sec()
             t0 = time.time()
-            fn()
+            run_forced(fn())
             dt = time.time() - t0
             runs.append(round(dt, 3))
             if best is None or dt < best:
@@ -308,16 +358,18 @@ def main():
     # arrives pre-attributed: r12 burned a round proving topk_ivfpq's 8.47 s
     # was ambient load, r13 the same for bm25 8.68→1.22 s and funnel_gaps
     # 3.74→0.84 s at idle (VERDICT r13 task 4 — this block).
+    # Bands recalibrated r16 for the canon-hash forcing (min-of-3 at low
+    # load; the formerly count()-pruned five now time real work).
     bands = {
         "checksum_compare_xxh": (0.8, 4.0),
         "diff_keyed": (0.4, 1.8),
-        "export_hex": (0.2, 1.5),
+        "export_hex": (0.3, 2.5),
         "dedup_minhash_pairs": (0.4, 4.0),
-        "dedup_simhash": (0.15, 0.8),
+        "dedup_simhash": (0.3, 2.0),
         "similarity_topk": (0.3, 1.2),
-        "text_stats": (0.1, 0.5),
-        "sessionize": (0.4, 1.0),
-        "asof_join": (0.3, 0.8),
+        "text_stats": (0.2, 1.5),
+        "sessionize": (0.4, 1.6),
+        "asof_join": (0.4, 2.0),
         "join_region_revenue": (0.8, 2.0),
         "funnel_gaps": (0.7, 2.2),
         "tfidf": (0.5, 2.5),
@@ -329,7 +381,7 @@ def main():
         "topk_pq_rerank": (0.8, 6.0),
         "topk_ivfpq": (1.0, 6.0),
         "topk_ivfpq_join": (1.0, 7.0),
-        "dedup_lines": (0.2, 1.5),
+        "dedup_lines": (0.3, 2.5),
         "bm25": (0.8, 4.0),
         "semdedup": (1.5, 6.0),
         "bpe_tokens": (0.2, 3.0),
@@ -354,7 +406,7 @@ def main():
             spark.sparkContext._jvm.System.gc()
             c0 = container_cpu_sec()
             t0 = time.time()
-            benches[name]()
+            run_forced(benches[name]())
             dt = time.time() - t0
             runs2.append(round(dt, 3))
             if best2 is None or dt < best2:
@@ -400,6 +452,9 @@ def main():
                 "core10_total": round(sum(timings[n] for n in core10 if n in timings), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
+                # r16 forcing change marker: totals before/after are NOT
+                # comparable round-over-round (BASELINE.md r16 note)
+                "forcing": "canon_hash_all_columns",
                 # host 1-min load sampled between queries: this container is
                 # not alone on the machine, and external load directly
                 # inflates the timings above (documented contention

@@ -389,6 +389,36 @@ def test_cli_curate_redact_pii_flag(capsys, spark, tmp_path):
     assert masked.count() == kept.count() and leaked.count() == 0
 
 
+def test_cli_curate_span_stage_flags(capsys, spark, tmp_path):
+    """--self-dedup-span appends the ExactSubstr stage; --decontam-algo
+    rides along as the span stages' winnow hash (r16)."""
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha intro {span} unique tail one " + "pad " * 20),
+            (2, f"beta body {span} other filler text " + "mat " * 20),
+            (3, "a storm is coming over the hills and the farmers are "
+                "bringing in the harvest before the rain starts to fall"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.pq")
+    docs.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "kept.pq")
+    rc = cli.main([
+        "curate", "--src", src, "--out", out,
+        "--self-dedup-span", "30", "--decontam-algo", "xxhash64",
+        "--near-dup-jaccard-c", "10001", "--max-dup-word-frac-c", "10000",
+        "--max-top-bigram-frac-c", "10000",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    stages = {l["stage"]: l for l in lines if "stage" in l}
+    assert stages["self_dedup_span"]["n_dropped"] == 1
+    kept = spark.read.parquet(out)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+
+
 def test_cli_manifest_save_and_compare(capsys, two_tables, tmp_path):
     """manifest --save then --against: clean compare exits 0, drifted
     compare exits 1 and prints the drifted buckets; bucket-count mismatch

@@ -402,6 +402,110 @@ def test_curate_exact_span_decontamination_stage(spark):
         kept.unpersist()
 
 
+def test_curate_self_dedup_span_stage(spark):
+    """self_dedup_span appends the corpus-internal ExactSubstr gate: a doc
+    sharing a verbatim span with a SMALLER-id doc drops (globally-first
+    keep rule); unrelated docs and the earliest carrier keep."""
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"first carrier intro {span} unique tail one " + "pad " * 20),
+            (2, f"second carrier body {span} other filler text " + "mat " * 20),
+            (3, GOOD2 + " completely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept, attrition = curate(
+        docs, self_dedup_span=30,
+        near_dup_jaccard_c=10001, max_dup_word_frac_c=10000,
+        max_top_bigram_frac_c=10000,
+    )
+    try:
+        stages = {r["stage"]: r["n_dropped"] for r in attrition.collect()}
+        assert stages.get("self_dedup_span") == 1
+        assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+    finally:
+        kept.unpersist()
+
+
+def test_curate_span_stages_share_one_winnow_pass(spark, monkeypatch):
+    """VERDICT r15 task 6: with decontam_span == self_dedup_span, curate
+    winnows the corpus ONCE and threads the persisted frame through both
+    operators' doc_fps= seams — pinned by counting winnow_fingerprints
+    invocations (corpus 1 + probes 1 = 2; unequal spans fall back to one
+    corpus pass per operator = 3)."""
+    from tikv_data_compare_spark.operators import curate as cur_mod
+    from tikv_data_compare_spark.operators import text as tx
+
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha intro {span} unique tail one " + "pad " * 20),
+            (2, f"beta body {span} other filler text " + "mat " * 20),
+            (3, GOOD2 + " unrelated content"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(9, span)], "probe_id long, text string")
+    calls = []
+    real = tx.winnow_fingerprints
+
+    def counting(df, *a, **kw):
+        calls.append(1)
+        return real(df, *a, **kw)
+
+    monkeypatch.setattr(tx, "winnow_fingerprints", counting)
+    off = dict(near_dup_jaccard_c=10001, max_dup_word_frac_c=10000,
+               max_top_bigram_frac_c=10000)
+    kept, attrition = cur_mod.curate(
+        docs, probes=probes, decontam_span=30, self_dedup_span=30, **off
+    )
+    try:
+        assert len(calls) == 2, f"expected 1 corpus + 1 probe winnow, saw {len(calls)}"
+        stages = {r["stage"]: r["n_dropped"] for r in attrition.collect()}
+        # decontamination (runs first) drops both carriers; self-dedup then
+        # has nothing left to drop — both stages present in the funnel
+        assert "decontamination_exact" in stages and "self_dedup_span" in stages
+        assert {r["doc_id"] for r in kept.collect()} == {3}
+    finally:
+        kept.unpersist()
+    calls.clear()
+    kept2, _ = cur_mod.curate(
+        docs, probes=probes, decontam_span=30, self_dedup_span=26, **off
+    )
+    try:
+        assert len(calls) == 3, f"unequal spans: expected 3 winnows, saw {len(calls)}"
+    finally:
+        kept2.unpersist()
+
+
+def test_curate_decontam_algo_override(spark):
+    """decontam_algo switches only the span stages' winnow hash; the
+    verbatim verdicts are algo-independent, so the kept set is identical."""
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha intro {span} unique tail one " + "pad " * 20),
+            (2, GOOD2 + " unrelated content"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(9, span)], "probe_id long, text string")
+    off = dict(near_dup_jaccard_c=10001, max_dup_word_frac_c=10000,
+               max_top_bigram_frac_c=10000)
+    base, _ = curate(docs, probes=probes, decontam_span=30, **off)
+    fast, _ = curate(
+        docs, probes=probes, decontam_span=30, decontam_algo="xxhash64", **off
+    )
+    try:
+        assert {r["doc_id"] for r in fast.collect()} == {
+            r["doc_id"] for r in base.collect()
+        } == {2}
+    finally:
+        base.unpersist()
+        fast.unpersist()
+
+
 def test_curate_fuzzy_decontamination_stage(spark):
     """decontam_fuzzy_jaccard_c appends the paraphrase-level screen as an
     INDEPENDENT stage: a doc that is a light rewording of a probe (high

@@ -530,6 +530,21 @@ def test_dsir_cache_handle_release(spark):
     assert hasattr(kept2, "dsir_cache")
     release_dsir_cache(kept2)
 
+    # r16 (ADVICE r15): a caller that composes on the returned frame loses
+    # the ad-hoc attribute — the module registry still releases the cache
+    from tikv_data_compare_spark.operators.sampling import (
+        release_all_dsir_caches,
+    )
+
+    w3 = dsir_weights(docs, target, n_buckets=512)
+    composed = w3.filter(F.col("dsir_logw_c").isNotNull())
+    assert not hasattr(composed, "dsir_cache")  # the documented loss
+    rc3 = w3.dsir_cache
+    assert rc3.storageLevel.useMemory
+    assert release_all_dsir_caches() >= 1
+    assert not rc3.storageLevel.useMemory
+    assert release_all_dsir_caches() == 0  # registry drained
+
 
 def test_curate_dsir_gate(spark):
     """The gate needs docs that pass the upstream Gopher/repetition gates:

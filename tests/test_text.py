@@ -732,10 +732,13 @@ def test_winnow_doc_fps_reuse_seam(spark, documents):
 
 
 def test_decontaminate_substring_max_fp_df_cap(spark, documents):
-    """r15 hot-fingerprint cap: a cap above every fingerprint's df is
-    byte-identical to exact; cap 0 drops every fingerprint, so nothing is
-    ever candidated (the documented recall trade, loud and total at the
-    extreme)."""
+    """r16 hot-fingerprint handling: the default rekey mode is EXACT at any
+    threshold — even max_fp_df=1, which marks nearly every fingerprint hot
+    and routes almost the whole corpus through the gram re-key path — while
+    legacy drop mode can only shrink the flagged set, and a zero/negative
+    threshold raises (loud-validation, ADVICE r15)."""
+    import pytest
+
     docs = documents.limit(40).select("doc_id", "text").cache()
     dtext = docs.orderBy("doc_id").limit(1).collect()[0]["text"]
     probes = spark.createDataFrame(
@@ -746,15 +749,31 @@ def test_decontaminate_substring_max_fp_df_cap(spark, documents):
         tuple(r[c] for c in cols)
         for r in tx.decontaminate_substring(docs, probes, min_span=24).collect()
     }
-    high_cap = {
-        tuple(r[c] for c in cols)
+    assert any(r[2] for r in exact)
+    for cap in (1, 3, 10**9):
+        rekey = {
+            tuple(r[c] for c in cols)
+            for r in tx.decontaminate_substring(
+                docs, probes, min_span=24, max_fp_df=cap
+            ).collect()
+        }
+        assert rekey == exact, f"rekey mode diverged from exact at cap={cap}"
+    # legacy drop mode: recall-lossy by design — flagged set only shrinks
+    dropped = {
+        r["doc_id"]
         for r in tx.decontaminate_substring(
-            docs, probes, min_span=24, max_fp_df=10**9
+            docs, probes, min_span=24, max_fp_df=1, hot_fp_mode="drop"
         ).collect()
+        if r["contaminated"]
     }
-    assert high_cap == exact and any(r[2] for r in exact)
-    zero_cap = tx.decontaminate_substring(docs, probes, min_span=24, max_fp_df=0)
-    assert zero_cap.agg(F.sum(F.col("contaminated").cast("long"))).collect()[0][0] == 0
+    assert dropped <= {r[0] for r in exact if r[2]}
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="max_fp_df"):
+            tx.decontaminate_substring(docs, probes, min_span=24, max_fp_df=bad)
+    with pytest.raises(ValueError, match="hot_fp_mode"):
+        tx.decontaminate_substring(
+            docs, probes, min_span=24, max_fp_df=2, hot_fp_mode="rekeyed"
+        )
     docs.unpersist()
 
 
@@ -888,6 +907,81 @@ def test_bpe_vocab_decodes_ids(spark):
     assert bytes.fromhex("".join(vocab[i] for i in ids)) == b"aaab"
 
 
+def test_substring_rekey_catches_hot_only_pairs(spark):
+    """The adversarial case for the r15 drop cap — a pair whose ONLY shared
+    content is boilerplate hot enough to exceed the threshold.  Drop mode
+    provably misses it (the documented recall hole, wrong direction for a
+    safety gate); r16 rekey mode must flag it, byte-identical to uncapped.
+    """
+    import random
+
+    rng = random.Random(416)
+    license_span = "Licensed under the Apache License Version 2 point 0 you may not use this file"
+    rows = []
+    # 30 docs all carrying the license verbatim (its winnow fps go hot at
+    # cap=5), each padded with unique random text so no OTHER span is shared
+    for i in range(30):
+        pad_a = "".join(rng.choice("abcdefghij ") for _ in range(80))
+        pad_b = "".join(rng.choice("klmnopqrst ") for _ in range(80))
+        rows.append((i, f"{pad_a} {license_span} {pad_b}"))
+    # plus clean docs sharing nothing
+    for i in range(30, 40):
+        rows.append((i, "".join(rng.choice("uvwxyz ") for _ in range(180))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        r["doc_id"]: r["kept"]
+        for r in tx.self_dedup_substring(df, min_span=24).collect()
+    }
+    # uncapped ground truth: doc 0 keeps, docs 1..29 drop, clean docs keep
+    assert exact == {i: (i == 0 or i >= 30) for i in range(40)}
+    rekey = {
+        r["doc_id"]: r["kept"]
+        for r in tx.self_dedup_substring(df, min_span=24, max_fp_df=5).collect()
+    }
+    assert rekey == exact
+    dropped_mode = {
+        r["doc_id"]: r["kept"]
+        for r in tx.self_dedup_substring(
+            df, min_span=24, max_fp_df=5, hot_fp_mode="drop"
+        ).collect()
+    }
+    # drop mode MISSES license carriers (their span-interior fps are all
+    # hot; only pad-boundary-straddling windows yield rare fps, catching a
+    # few pairs) — the recall hole rekey exists to close.  If the missed
+    # set ever goes empty the fixture no longer exercises the hole.
+    missed = {d for d, kp in dropped_mode.items() if kp} - {
+        d for d, kp in exact.items() if kp
+    }
+    assert missed, "drop mode caught everything — fixture no longer adversarial"
+
+    # decontamination flavor of the same trap: probe = the license text
+    probes = spark.createDataFrame(
+        [(1, f"intro text {license_span} outro text")], "probe_id long, text string"
+    )
+    dec_exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in tx.decontaminate_substring(df, probes, min_span=24).collect()
+    }
+    assert dec_exact == {i: i < 30 for i in range(40)}
+    dec_rekey = {
+        r["doc_id"]: r["contaminated"]
+        for r in tx.decontaminate_substring(
+            df, probes, min_span=24, max_fp_df=5
+        ).collect()
+    }
+    assert dec_rekey == dec_exact
+    dec_drop = {
+        r["doc_id"]: r["contaminated"]
+        for r in tx.decontaminate_substring(
+            df, probes, min_span=24, max_fp_df=5, hot_fp_mode="drop"
+        ).collect()
+    }
+    assert sum(dec_drop.values()) < sum(dec_exact.values()), (
+        "drop mode caught every contaminated doc — fixture no longer adversarial"
+    )
+
+
 def test_self_dedup_substring_equals_bruteforce(spark, documents):
     """End result == pure-Python brute force over all ordered pairs, on real
     fixture docs + planted cross-doc spans + NULL/short rows (winnow
@@ -935,10 +1029,25 @@ def test_self_dedup_substring_equals_bruteforce(spark, documents):
     assert got[900002] == (0, 0, 0, True) and got[900003] == (0, 0, 0, True)
     assert any(not v[3] for v in got.values())
 
-    # stop-fingerprint cap: flagged set can only SHRINK (recall trade)
+    # r16 rekey mode (default): EXACT at any threshold — the aggressive
+    # cap=1 routes nearly all docs through the gram re-key path, cap=2
+    # exercises the mixed cold-verify + gram-join split; full 4-tuple
+    # output (partners, starts, chars, kept) must equal brute force
+    for cap in (1, 2):
+        rekeyed = {
+            r["doc_id"]: (
+                r["n_dup_partners"], r["n_dup_starts"], r["n_dup_chars"], r["kept"]
+            )
+            for r in tx.self_dedup_substring(df, min_span=N, max_fp_df=cap).collect()
+        }
+        assert rekeyed == exp, f"rekey mode diverged from brute force at cap={cap}"
+
+    # legacy drop mode: flagged set can only SHRINK (recall trade)
     capped = {
         r["doc_id"]: r["kept"]
-        for r in tx.self_dedup_substring(df, min_span=N, max_fp_df=2).collect()
+        for r in tx.self_dedup_substring(
+            df, min_span=N, max_fp_df=2, hot_fp_mode="drop"
+        ).collect()
     }
     exact_flagged = {d for d, v in got.items() if not v[3]}
     assert {d for d, kp in capped.items() if not kp} <= exact_flagged

@@ -355,11 +355,26 @@ def main(argv: list[str] | None = None) -> int:
                         "of at least this many chars with a probe) instead "
                         "of the n-gram overlap screen")
     p.add_argument("--decontam-max-fp-df", type=int, default=0,
-                   help="with --decontam-span: if > 0, cap the winnow "
-                        "fingerprints joined on at this corpus document "
-                        "frequency (hot-fingerprint prune for template-"
-                        "heavy corpora; APPROXIMATE — a pair sharing only "
-                        "a hotter fingerprint is missed)")
+                   help="with --decontam-span: if > 0, winnow fingerprints "
+                        "above this corpus document frequency are re-keyed "
+                        "at full span resolution instead of joined "
+                        "(hot-fingerprint split for template-heavy corpora; "
+                        "EXACT at any value since r16 — a pure performance "
+                        "knob; negative values are rejected loudly)")
+    p.add_argument("--decontam-algo", default="",
+                   choices=["", "md5i64", "xxhash64"],
+                   help="winnow gram hash for the exact span stages only "
+                        "(--decontam-span / --self-dedup-span); default "
+                        "inherits --algo.  The span verdicts are "
+                        "algo-independent (verbatim verify), so xxhash64 "
+                        "is a pure throughput knob here")
+    p.add_argument("--self-dedup-span", type=int, default=0,
+                   help="if > 0, appends a 'self_dedup_span' stage: corpus-"
+                        "internal ExactSubstr dedup (Lee et al. 2021) — "
+                        "docs sharing a verbatim span of at least this many "
+                        "chars with a smaller-id doc drop.  When equal to "
+                        "--decontam-span (with --probes), the corpus is "
+                        "winnowed once for both stages")
     p.add_argument("--keep-langs", default="",
                    help="comma-separated language codes: appends a 'language' "
                         "stage keeping only docs whose stopword-overlap "
@@ -1233,6 +1248,10 @@ def main(argv: list[str] | None = None) -> int:
                 decontam_span=args.decontam_span if args.decontam_span != 0 else None,
                 decontam_max_fp_df=(
                     args.decontam_max_fp_df if args.decontam_max_fp_df != 0 else None
+                ),
+                decontam_algo=args.decontam_algo or None,
+                self_dedup_span=(
+                    args.self_dedup_span if args.self_dedup_span != 0 else None
                 ),
                 keep_langs=args.keep_langs.split(",") if args.keep_langs else None,
                 # 0 = off; a NEGATIVE cap passes through so curate()'s own

@@ -60,6 +60,8 @@ def curate(
     decontam_span: int | None = None,
     decontam_bloom_m_bits: int | None = None,
     decontam_max_fp_df: int | None = None,
+    decontam_algo: str | None = None,
+    self_dedup_span: int | None = None,
     decontam_fuzzy_jaccard_c: int | None = None,
     keep_langs: list[str] | None = None,
     max_lm_nll_c: int | None = None,
@@ -90,10 +92,28 @@ def curate(
     ``max_contamination_hits``; ``decontam_bloom_m_bits`` (r12) passes
     through to that stage's Bloom prefilter mode for corpus-sized probe
     sets (result identical — equivalence-tested on the operator).
-    ``decontam_max_fp_df`` (r15) passes through the exact stage's
-    hot-fingerprint cap — set it from the corpus's fingerprint-df
-    histogram when the candidate join dominates the funnel (APPROXIMATE:
-    the operator docstring's recall trade; None = exact).
+    ``decontam_max_fp_df`` (r15; EXACT since r16) passes through the
+    exact stage's hot-fingerprint threshold — set it from the corpus's
+    fingerprint-df histogram when the candidate join dominates the
+    funnel.  Since r16 the operator's default ``hot_fp_mode="rekey"``
+    makes the verdict byte-identical to uncapped at any threshold (the
+    hot fingerprints are re-keyed at full span resolution, not dropped
+    — operator docstring), so this is a pure performance knob here.
+    ``decontam_algo`` (r16) overrides the winnow gram hash for the
+    exact-substring stages ONLY (``md5i64``/``xxhash64``), letting the
+    near-dup stage keep the oracle-checkable ``algo`` while the
+    decontamination/self-dedup winnow runs the throughput hash — the
+    verified span verdicts are algo-independent (operator docstrings);
+    default None inherits ``algo``.
+    ``self_dedup_span`` (r16) appends a ``self_dedup_span`` stage — the
+    corpus-INTERNAL ExactSubstr pass (``text.self_dedup_substring``, Lee
+    et al. 2021): any doc sharing a verbatim span of at least that many
+    chars with a SMALLER-id doc drops (globally-first keep rule).  When
+    it equals ``decontam_span`` (and probes are given), the corpus is
+    winnowed ONCE and the persisted fingerprint frame feeds both stages
+    through their ``doc_fps=`` seams — one winnow pass in the plan
+    instead of two (plan-pinned; ~200 cpu-s per 50k docs at sf1 saved,
+    BASELINE.md r15 attribution).
     ``decontam_fuzzy_jaccard_c`` (r13) appends an INDEPENDENT
     ``decontamination_fuzzy`` stage — the paraphrase-level screen
     (``text.decontaminate_fuzzy``): docs whose shingle-set Jaccard with
@@ -241,6 +261,26 @@ def curate(
             "decontam_max_fp_df requires probes= AND decontam_span= "
             "(it caps the exact-substring stage's fingerprint join)"
         )
+    # one winnow pass for both span stages (r16, VERDICT r15 task 6): when
+    # the exact-decontam and self-dedup stages run at the SAME span, the
+    # corpus fingerprint frame is computed once, persisted, and passed to
+    # both operators through their doc_fps= seams (geometry is re-verified
+    # by the frame's metadata stamp inside each operator).  k mirrors both
+    # operators' default; the frame is released after the funnel counts
+    # materialize, with the other curate caches.
+    _sd_k = 5
+    da = decontam_algo if decontam_algo is not None else algo
+    shared_fps = None
+    if (
+        probes is not None
+        and decontam_span is not None
+        and self_dedup_span is not None
+        and int(self_dedup_span) == int(decontam_span)
+    ):
+        shared_fps = tx.winnow_fingerprints(
+            docs, id_col, text_col,
+            k=_sd_k, w=int(decontam_span) - _sd_k + 1, algo=da,
+        ).persist()
     if probes is not None:
         # probe id column: the conventional 'probe_id' (the contamination
         # contract), else any first column stands in — the id only keys the
@@ -258,15 +298,18 @@ def curate(
                 probe_id_col="_probe_id", probe_text_col=text_col,
                 min_span=int(decontam_span),
                 bloom_m_bits=decontam_bloom_m_bits,
-                # the same hash knob as the near-dup stage (r15): the
-                # verified verdict is algo-independent (operator docstring),
-                # so the throughput path composes without touching results
-                algo=algo,
-                # hot-fingerprint cap (r15): on template-heavy corpora the
-                # exact-decontam candidate join otherwise dominates the
+                # the span stages' own hash knob (r16: decontam_algo, falls
+                # back to the near-dup algo): the verified verdict is
+                # algo-independent (operator docstring), so the throughput
+                # path composes without touching results
+                algo=da,
+                # hot-fingerprint threshold (r15): on template-heavy corpora
+                # the exact-decontam candidate join otherwise dominates the
                 # whole funnel (BASELINE.md r15 degeneracy measurement);
-                # None = exact (the gate path)
+                # r16: the operator's rekey default keeps this EXACT at any
+                # value; None = no split (the gate path)
                 max_fp_df=decontam_max_fp_df,
+                doc_fps=shared_fps,
             ).select(id_col, (~F.col("contaminated")).alias("_ct_ok"))
             stage_name = "decontamination_exact"
         else:
@@ -304,6 +347,21 @@ def curate(
         )
         stage_cols.append("s_fuzzy")
         stage_names.append("decontamination_fuzzy")
+    if self_dedup_span is not None:
+        # corpus-internal ExactSubstr dedup (r16): globally-first keep rule
+        # — 'kept' is a definitive per-doc verdict (one row per input doc,
+        # short/NULL docs keep: no min_span span exists in them)
+        sd_ok = tx.self_dedup_substring(
+            docs, id_col, text_col,
+            min_span=int(self_dedup_span), k=_sd_k,
+            algo=da, doc_fps=shared_fps,
+        ).select(id_col, F.col("kept").alias("_sd_ok"))
+        flags = flags.join(sd_ok, id_col, "left").withColumn(
+            "s_sdd",
+            F.col(stage_cols[-1]) & F.coalesce(F.col("_sd_ok"), F.lit(True)),
+        )
+        stage_cols.append("s_sdd")
+        stage_names.append("self_dedup_span")
     if keep_langs is not None:
         # normalize + validate: a typo'd or unknown code would otherwise
         # silently drop the ENTIRE corpus (isin never matches), and a bare
@@ -473,6 +531,8 @@ def curate(
     )
     flags.unpersist()
     sh.unpersist()
+    if shared_fps is not None:
+        shared_fps.unpersist()
     # drop any operator-module broadcasts created along the way (plane/query
     # matrices etc.) — a long-lived session calling curate() in a loop must
     # not accumulate executor-side broadcast blocks

@@ -664,18 +664,49 @@ def dsir_weights(
             },
         ),
     )
-    # the persisted feature frame's release handle (see docstring ¶2)
+    # the persisted feature frame's release handle (see docstring ¶2).
+    # The attribute is an ad-hoc Python attribute: it survives ONLY on the
+    # exact returned object — any further transformation (select/filter/
+    # union) returns a new DataFrame without it (r15 ADVICE).  The
+    # module-level registry below is the attribute-survival-independent
+    # fallback: release_all_dsir_caches() frees every live handle even
+    # when callers composed the frame away.
     out.dsir_cache = rc
+    _DSIR_CACHES.append(rc)
     return out
+
+
+#: live (id, bucket, count) cache handles from dsir_weights calls this
+#: session, in creation order — see release_all_dsir_caches()
+_DSIR_CACHES: list[DataFrame] = []
 
 
 def release_dsir_cache(weights: DataFrame) -> None:
     """Unpersist the ``(id, bucket, count)`` frame a :func:`dsir_weights`
     call cached (no-op for frames without the handle — e.g. one read back
-    from parquet, which never carried a cache)."""
+    from parquet, which never carried a cache, or any frame derived by
+    further transformation, which loses the Python attribute; for those,
+    use :func:`release_all_dsir_caches`)."""
     cache = getattr(weights, "dsir_cache", None)
     if cache is not None:
         cache.unpersist()
+        try:
+            _DSIR_CACHES.remove(cache)
+        except ValueError:
+            pass
+
+
+def release_all_dsir_caches() -> int:
+    """Unpersist EVERY live dsir_weights feature cache created this
+    session and return how many were released — the long-lived-session
+    escape hatch for callers that composed on the returned frame and lost
+    its ``.dsir_cache`` attribute (r15 ADVICE).  Safe to call anytime:
+    the caches are pure performance state (recomputed on demand)."""
+    n = len(_DSIR_CACHES)
+    for rc in _DSIR_CACHES:
+        rc.unpersist()
+    _DSIR_CACHES.clear()
+    return n
 
 
 def dsir_sample(
@@ -727,8 +758,10 @@ def dsir_sample(
     match IS verified (r15) against the build-parameter metadata
     dsir_weights stamps on ``dsir_logw_c`` — a mismatched n_buckets /
     algo / text_col raises instead of silently selecting a different
-    kept set; frames lacking the stamp (user-built) are accepted
-    unverified.
+    kept set.  Parquet round-trips preserve column metadata, so a
+    persisted-and-reloaded dsir_weights frame is verified too (r15
+    ADVICE correction); only user-BUILT frames lacking the stamp are
+    accepted unverified.
 
     Each dsir_weights call persists its aggregated (id, bucket, count)
     frame (MEMORY_AND_DISK) so its own count-collect and scoring passes
@@ -757,10 +790,11 @@ def dsir_sample(
         # dsir_weights stamps its build parameters on the column metadata;
         # a frame built with a different geometry/hash/text column would
         # pass the shape check yet silently select a DIFFERENT kept set
-        # (r14 ADVICE).  Frames without the stamp (e.g. read back from
-        # parquet, which drops attributes but keeps schema metadata, or
-        # user-built) are accepted as-is — the mismatch is undetectable
-        # there and the docstring says so.
+        # (r14 ADVICE).  Parquet round-trips PRESERVE column metadata, so
+        # a persisted-and-reloaded dsir_weights output is still verified
+        # here (r15 ADVICE correction); only user-BUILT frames without the
+        # stamp are accepted as-is — the mismatch is undetectable there
+        # and the docstring says so.
         meta = weights.schema["dsir_logw_c"].metadata or {}
         expected = {
             "dsir_n_buckets": n_buckets,

@@ -363,6 +363,65 @@ def repetition_stats(
     )
 
 
+def _winnow_hash_chain(text_col: str, k: int, algo: str) -> str:
+    """SQL for the per-doc char-``k``-gram hash array (winnow stage 1).
+
+    Shared by :func:`winnow_fingerprints` and the hot-fingerprint re-key
+    pass (which must reproduce the winnow window minima positionally)."""
+    from tikv_data_compare_spark.operators.dedup import _check_algo
+
+    _check_algo(algo)
+    if algo == "xxhash64":
+        return (
+            f"transform("
+            f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)), "
+            f"i -> substr({text_col}, i, {k})), "
+            f"g -> xxhash64(g) & {(1 << 30) - 1})"
+        )
+    return (
+        f"transform(transform("
+        f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)), "
+        f"i -> substr({text_col}, i, {k})), "
+        f"g -> md5(g)), m -> ({sqlgen.hexfold_i64('m')}) & {(1 << 30) - 1})"
+    )
+
+
+def _span_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_span: int,
+    with_pos: bool = False,
+) -> DataFrame:
+    """Every ``min_span``-character gram of every doc, as rows.
+
+    ``(id, gram)`` — or ``(id, _i, gram)`` with the 1-based start position
+    when ``with_pos`` — one row per POSITION (not deduplicated: callers on
+    the 100 TB side keep this map-side and dedupe after their joins, so the
+    corpus text never shuffles here).  Docs shorter than ``min_span``
+    contribute nothing (no span of that length exists).  This is the exact
+    re-key primitive of the hot-fingerprint path: two docs share a span of
+    ``>= min_span`` chars iff they share a gram STRING, so a join on
+    ``gram`` is itself the verbatim check — no hash, no false positives.
+    """
+    from tikv_data_compare_spark.session import scale_out
+
+    base = scale_out(df, key=id_col).where(F.length(text_col) >= min_span)
+    arr = (
+        f"transform(sequence(1, length({text_col}) - {min_span} + 1), "
+        f"i -> named_struct('i', i, 'g', substr({text_col}, i, {min_span})))"
+    )
+    # explode_OUTER for the same reason as winnow_fingerprints: plain
+    # explode triggers InferFiltersFromGenerate, inlining the transform
+    # chain into a pushed filter (re-running it); the array is never empty
+    # after the length guard, so outer adds no rows
+    g = base.select(F.col(id_col), F.explode_outer(F.expr(arr)).alias("_sg"))
+    cols = [F.col(id_col), F.col("_sg.g").alias("gram")]
+    if with_pos:
+        cols.insert(1, F.col("_sg.i").alias("_i"))
+    return g.select(*cols)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -397,29 +456,22 @@ def winnow_fingerprints(
     fingerprint equi-join must use the same algo — the consumers thread
     one knob through both sides for exactly that reason.
     """
-    from tikv_data_compare_spark.operators.dedup import _check_algo
     from tikv_data_compare_spark.session import scale_out
 
-    _check_algo(algo)
-    if algo == "xxhash64":
-        hash_chain = (
-            f"transform("
-            f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)), "
-            f"i -> substr({text_col}, i, {k})), "
-            f"g -> xxhash64(g) & {(1 << 30) - 1})"
-        )
-    else:
-        hash_chain = (
-            f"transform(transform("
-            f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)), "
-            f"i -> substr({text_col}, i, {k})), "
-            f"g -> md5(g)), m -> ({sqlgen.hexfold_i64('m')}) & {(1 << 30) - 1})"
-        )
+    hash_chain = _winnow_hash_chain(text_col, k, algo)
     hashed = scale_out(df, key=id_col).select(
         F.col(id_col),
         F.expr(hash_chain).alias("_hs"),
     )
-    fp_meta = {"winnow_k": k, "winnow_w": w, "winnow_algo": algo}
+    fp_meta = {
+        "winnow_k": k,
+        "winnow_w": w,
+        "winnow_algo": algo,
+        # r16 (ADVICE r15): the text column is part of the geometry too — a
+        # doc_fps frame winnowed over a DIFFERENT column would pass the
+        # (k, w, algo) check and silently mis-candidate every consumer
+        "winnow_text_col": text_col,
+    }
     # full windows [j, j+w-1] only (window start j = 0 .. n_grams - w); a doc
     # with fewer than w grams keeps its single truncated window, so every
     # doc has at least one fingerprint — same selection as the r6 ROWS
@@ -449,19 +501,28 @@ def winnow_fingerprints(
     return exploded.select(id_col, F.col("fp").alias("fp", metadata=fp_meta))
 
 
-def _check_winnow_fps(fps: DataFrame, id_col: str, k: int, w: int, algo: str) -> None:
+def _check_winnow_fps(
+    fps: DataFrame, id_col: str, k: int, w: int, algo: str, text_col: str
+) -> None:
     """Validate a precomputed winnow-fingerprint frame against the
     geometry a consumer is about to join it with (the dsir ``weights=``
     convention: shape always, build parameters when the stamp is
     present — unstamped frames are accepted as-is and the docstrings say
-    the mismatch is undetectable there)."""
+    the mismatch is undetectable there).  ``text_col`` joined the stamp
+    r16 (ADVICE r15): a frame winnowed over a different text column is a
+    geometry mismatch exactly like a different ``k``."""
     if not {id_col, "fp"} <= set(fps.columns):
         raise ValueError(
             f"doc_fps must carry ({id_col!r}, 'fp') — pass the "
             "winnow_fingerprints output for the same corpus"
         )
     meta = fps.schema["fp"].metadata or {}
-    expected = {"winnow_k": k, "winnow_w": w, "winnow_algo": algo}
+    expected = {
+        "winnow_k": k,
+        "winnow_w": w,
+        "winnow_algo": algo,
+        "winnow_text_col": text_col,
+    }
     drift = {
         key: (meta[key], v)
         for key, v in expected.items()
@@ -1380,6 +1441,7 @@ def decontaminate_substring(
     algo: str = "md5i64",
     max_fp_df: int | None = None,
     doc_fps: DataFrame | None = None,
+    hot_fp_mode: str = "rekey",
 ) -> DataFrame:
     """Exact-substring test-set decontamination (r10): flag every document
     sharing a VERBATIM character span of at least ``min_span`` with any
@@ -1432,16 +1494,42 @@ def decontaminate_substring(
     (equivalence-tested); only the observability-only candidate count may
     differ (different hash → different coincidental collisions).
 
-    ``max_fp_df`` (r15) — the HOT-FINGERPRINT cap, ``self_dedup``'s knob
-    generalized here after measurement: on template-heavy corpora the
-    winnow minima of common phrases occur in a large corpus fraction, and
-    the candidate join inflates to (hot-fp df × probes sharing it) pairs
-    — measured 62.2M candidates / 2157 cpu-s verify for 2.5k probes ×
-    50k docs at sf1 (BASELINE.md r15).  Fingerprints whose CORPUS
-    document-frequency exceeds the cap are dropped from both sides
-    before the join.  APPROXIMATE: a contaminated pair sharing only a
-    capped fingerprint is missed (the self_dedup caveat verbatim);
-    default None = exact, the oracle-gate path.
+    ``max_fp_df`` (r15, EXACT since r16) — the HOT-FINGERPRINT threshold:
+    on template-heavy corpora the winnow minima of common phrases occur in
+    a large corpus fraction, and the candidate join inflates to
+    (hot-fp df × probes sharing it) pairs — measured 62.2M candidates /
+    2157 cpu-s verify for 2.5k probes × 50k docs at sf1 (BASELINE.md
+    r15).  Fingerprints whose CORPUS document-frequency exceeds the
+    threshold are pulled out of the candidate join; what happens to them
+    is ``hot_fp_mode``:
+
+    * ``"rekey"`` (default, r16 — VERDICT r15 task 2): docs and probes
+      carrying a hot fingerprint are RE-KEYED at full span resolution —
+      every ``min_span``-gram of the affected docs joins (map-side,
+      broadcast in the default small-probe mode) against the affected
+      probes' gram sets on the literal gram STRING, so the join equality
+      IS the verbatim check.  Recall-complete: a contaminated pair either
+      shares a cold fingerprint (winnow path — the no-false-negative
+      guarantee restricted to cold fps, since a shared span whose
+      selected fingerprint is hot makes BOTH members affected) or both
+      members are affected (gram path, exact by construction).  The
+      RESULT is byte-identical to uncapped exact for the verdict columns
+      at ANY threshold and either ``algo`` (equivalence-tested);
+      ``max_fp_df`` becomes a pure performance knob — it trades winnow
+      candidate-join fan-out against re-key gram fan-out — never a
+      recall trade.  Only ``n_candidate_probes`` (observability) can
+      differ: re-keyed pairs enter the candidate set post-verification,
+      so hot-path candidates are already true hits.
+    * ``"drop"`` (the r15 behavior, kept for measurement): hot
+      fingerprints are dropped from both sides.  APPROXIMATE — a
+      contaminated pair sharing only hot fingerprints is silently missed,
+      the wrong failure direction for a decontamination safety gate; use
+      only to bound the winnow path's cost contribution.
+
+    Default None = no split, the uncapped oracle-gate path.
+    ``max_fp_df`` must be ``>= 1`` when given (a zero/negative threshold
+    would mark every fingerprint hot — in drop mode that silently
+    decontaminates nothing; loud-validation convention, ADVICE r15).
 
     ``doc_fps`` (r15) — the reuse seam (the dsir ``weights=``
     convention): a pipeline that already winnowed the corpus (for
@@ -1456,17 +1544,29 @@ def decontaminate_substring(
             f"min_span must be >= k + 1 (= {k + 1}) so the winnow window "
             f"w = min_span - k + 1 is >= 2, got min_span={min_span}"
         )
+    if max_fp_df is not None and int(max_fp_df) < 1:
+        raise ValueError(
+            f"max_fp_df must be >= 1 when given (got {max_fp_df}): a "
+            "zero/negative threshold marks every fingerprint hot — in "
+            "drop mode the decontamination stage would then flag nothing "
+            "while appearing to run"
+        )
+    if hot_fp_mode not in ("rekey", "drop"):
+        raise ValueError(
+            f"hot_fp_mode must be 'rekey' or 'drop', got {hot_fp_mode!r}"
+        )
     w = min_span - k + 1
     # ONE algo for both sides — fingerprints only equi-join within a hash
     # family (winnow_fingerprints docstring, r15)
     if doc_fps is not None:
-        _check_winnow_fps(doc_fps, id_col, k, w, algo)
+        _check_winnow_fps(doc_fps, id_col, k, w, algo, text_col)
         d_fp = doc_fps.select(id_col, "fp")
     else:
         d_fp = winnow_fingerprints(docs, id_col, text_col, k=k, w=w, algo=algo)
     p_fp = winnow_fingerprints(
         probes, probe_id_col, probe_text_col, k=k, w=w, algo=algo
     ).select(probe_id_col, "fp")
+    hot_pairs = None
     if max_fp_df is not None:
         hot = (
             d_fp.groupBy("fp")
@@ -1474,6 +1574,36 @@ def decontaminate_substring(
             .where(F.col("_df") > int(max_fp_df))
             .select("fp")
         )
+        if hot_fp_mode == "rekey":
+            # affected = members carrying >= 1 hot fingerprint; their
+            # re-keyed gram join below is the exact replacement for the
+            # hot part of the candidate join
+            d_aff = (
+                d_fp.join(F.broadcast(hot), "fp", "left_semi")
+                .select(id_col).distinct()
+            )
+            p_aff = (
+                p_fp.join(F.broadcast(hot), "fp", "left_semi")
+                .select(probe_id_col).distinct()
+            )
+            # doc side stays map-side: positions NOT deduplicated (a
+            # distinct would shuffle 20x the affected corpus bytes); the
+            # (doc, probe) distinct below runs on the join output, which
+            # is sized by true hits.  Probe side dedupes per probe — it
+            # is benchmark-sized and (default mode) broadcast.
+            d_g = _span_grams(
+                docs.join(d_aff, id_col, "left_semi"),
+                id_col, text_col, min_span,
+            )
+            p_g = _span_grams(
+                probes.join(p_aff, probe_id_col, "left_semi"),
+                probe_id_col, probe_text_col, min_span,
+            ).distinct()
+            hot_pairs = (
+                d_g.join(p_g if bloom_m_bits is not None else F.broadcast(p_g), "gram")
+                .select(id_col, probe_id_col)
+                .distinct()
+            )
         d_fp = d_fp.join(F.broadcast(hot), "fp", "left_anti")
         p_fp = p_fp.join(F.broadcast(hot), "fp", "left_anti")
     if bloom_m_bits is not None:
@@ -1503,6 +1633,10 @@ def decontaminate_substring(
         .select(id_col, probe_id_col)
         .distinct()
     )
+    if hot_pairs is not None:
+        # re-keyed pairs are verified hits already; running them through
+        # the shared verify below keeps one pipeline and stays exact
+        cand = cand.unionByName(hot_pairs).distinct()
     p_txt = probes.select(probe_id_col, F.col(probe_text_col).alias("_pt"))
     pairs = cand.join(
         docs.select(id_col, F.col(text_col).alias("_dt")), id_col
@@ -1544,6 +1678,7 @@ def self_dedup_substring(
     max_fp_df: int | None = None,
     algo: str = "md5i64",
     doc_fps: DataFrame | None = None,
+    hot_fp_mode: str = "rekey",
 ) -> DataFrame:
     """Corpus-INTERNAL exact-substring deduplication (r12): span-level
     duplicate detection within the corpus itself — the suffix-array
@@ -1579,11 +1714,37 @@ def self_dedup_substring(
     O(candidate pairs · span positions).  The one skew hazard is a
     boilerplate span shared by thousands of docs (its fingerprint bucket
     goes quadratic — the same hazard as any LSH band); ``max_fp_df``
-    drops fingerprints winnow-selected by more than that many docs, the
-    standard stop-fingerprint cap (a documented recall trade: a span
-    is then only guaranteed found while its fingerprint stays under the
-    cap — Lee et al. handle such spans by the suffix array's global
-    order instead).  Default None = exact, equal to brute force (the
+    marks fingerprints winnow-selected by more than that many docs HOT
+    (must be >= 1 when given), and ``hot_fp_mode`` picks their handling:
+
+    * ``"rekey"`` (default, r16 — VERDICT r15 task 2, exactness-
+      preserving): docs carrying a hot fingerprint ("affected") are
+      re-keyed at full span resolution — every positional
+      ``min_span``-gram of the affected docs joins against the affected
+      docs' distinct gram sets on the literal gram STRING (``a < b``),
+      which yields the COMPLETE ``(later doc, earlier partner, start)``
+      hit triples for every affected×affected pair in one bounded join
+      (gram equality is the verbatim check; join output is sized by true
+      hits).  Cold candidate pairs with at least one unaffected member
+      keep the per-pair verify (complete per pair); pairs where BOTH
+      members are affected are excluded from it — the gram join already
+      covers them.  Recall-complete: a shared span's selected
+      fingerprint is either cold (winnow path catches the pair — if it
+      were hot, both members would be affected) or hot (both affected →
+      gram path).  Output is byte-identical to uncapped/brute force at
+      ANY threshold and either ``algo`` (equivalence-tested);
+      ``max_fp_df`` is a pure performance knob trading winnow
+      candidate fan-out against gram-join fan-out.  On corpora whose
+      TRUE duplicate-pair set is itself quadratic (50k docs sharing one
+      license span), the cost is proportional to that answer — the
+      irreducible floor for pair-level exact semantics.
+    * ``"drop"`` (the r12–r15 behavior, kept for measurement): hot
+      fingerprints are dropped — the standard stop-fingerprint cap, a
+      documented recall trade (a span is only guaranteed found while its
+      fingerprint stays under the cap; Lee et al. handle such spans by
+      the suffix array's global order instead).
+
+    Default ``max_fp_df=None`` = exact, equal to brute force (the
     oracle contract).
 
     ``algo`` (r15) picks the winnow gram hash — ``md5i64`` (default, the
@@ -1604,14 +1765,27 @@ def self_dedup_substring(
             f"min_span must be >= k + 1 (= {k + 1}) so the winnow window "
             f"w = min_span - k + 1 is >= 2, got min_span={min_span}"
         )
+    if max_fp_df is not None and int(max_fp_df) < 1:
+        raise ValueError(
+            f"max_fp_df must be >= 1 when given (got {max_fp_df}): a "
+            "zero/negative threshold marks every fingerprint hot — in "
+            "drop mode the dedup pass would then flag nothing while "
+            "appearing to run"
+        )
+    if hot_fp_mode not in ("rekey", "drop"):
+        raise ValueError(
+            f"hot_fp_mode must be 'rekey' or 'drop', got {hot_fp_mode!r}"
+        )
     w = min_span - k + 1
     if doc_fps is not None:
-        _check_winnow_fps(doc_fps, id_col, k, w, algo)
+        _check_winnow_fps(doc_fps, id_col, k, w, algo, text_col)
         fp = doc_fps.select(id_col, "fp").where(F.col("fp").isNotNull())
     else:
         fp = winnow_fingerprints(docs, id_col, text_col, k=k, w=w, algo=algo).where(
             F.col("fp").isNotNull()
         )
+    hits_hot = None
+    aff = None
     if max_fp_df is not None:
         hot = (
             fp.groupBy("fp")
@@ -1619,6 +1793,26 @@ def self_dedup_substring(
             .where(F.col("_df") > max_fp_df)
             .select("fp")
         )
+        if hot_fp_mode == "rekey":
+            aff = (
+                fp.join(F.broadcast(hot), "fp", "left_semi")
+                .select(id_col).distinct()
+            )
+            adocs = docs.join(aff, id_col, "left_semi").select(id_col, text_col)
+            # positional grams of the LATER doc join the distinct gram
+            # sets of the EARLIER — one bounded gram equi-join computes
+            # the complete hit triples for every affected×affected pair
+            # (gram equality IS the verbatim check, so no verify pass)
+            grams_pos = _span_grams(adocs, id_col, text_col, min_span, with_pos=True)
+            grams_set = grams_pos.select(
+                F.col(id_col).alias("_ida"), "gram"
+            ).distinct()
+            hits_hot = (
+                grams_pos.select(F.col(id_col).alias("_idb"), "_i", "gram")
+                .join(grams_set, "gram")
+                .where(F.col("_ida") < F.col("_idb"))
+                .select("_idb", "_ida", "_i")
+            )
         fp = fp.join(hot, "fp", "left_anti")
     a = fp.select(F.col(id_col).alias("_ida"), "fp")
     b = fp.select(F.col(id_col).alias("_idb"), "fp")
@@ -1628,6 +1822,23 @@ def self_dedup_substring(
         .select("_ida", "_idb")
         .distinct()
     )
+    if hits_hot is not None:
+        # both-affected pairs are COMPLETE in the gram join — excluding
+        # them here only avoids redundant verify work (the downstream
+        # aggregation deduplicates hit triples either way)
+        aff_a = aff.select(F.col(id_col).alias("_ida"), F.lit(True).alias("_affa"))
+        aff_b = aff.select(F.col(id_col).alias("_idb"), F.lit(True).alias("_affb"))
+        cand = (
+            cand.join(aff_a, "_ida", "left")
+            .join(aff_b, "_idb", "left")
+            .where(
+                ~(
+                    F.coalesce(F.col("_affa"), F.lit(False))
+                    & F.coalesce(F.col("_affb"), F.lit(False))
+                )
+            )
+            .select("_ida", "_idb")
+        )
     texts = docs.select(F.col(id_col), F.col(text_col))
     pairs = cand.join(
         texts.select(F.col(id_col).alias("_ida"), F.col(text_col).alias("_at")),
@@ -1647,12 +1858,15 @@ def self_dedup_substring(
         ),
     )
     hit = starts.where(F.size("_ss") > 0)
-    partners = hit.groupBy("_idb").agg(
+    hits = hit.select("_idb", "_ida", F.explode("_ss").alias("_i"))
+    if hits_hot is not None:
+        hits = hits.unionByName(hits_hot)
+    partners = hits.groupBy("_idb").agg(
         F.countDistinct("_ida").cast("long").alias("n_dup_partners")
     )
     # union of start positions across partners, then interval-union length:
     # sorted starts s_1..s_m cover Σ min(min_span, s_j − s_{j−1}) + min_span
-    sunion = hit.select("_idb", F.explode("_ss").alias("_i")).distinct()
+    sunion = hits.select("_idb", "_i").distinct()
     cov = (
         sunion.groupBy("_idb")
         .agg(F.sort_array(F.collect_list("_i")).alias("_sv"))

@@ -116,6 +116,15 @@ def main():
         ).agg(
             F.sum("n_contam_probes"), F.sum(F.col("contaminated").cast("long"))
         ).collect(),
+        # r16: the rekey split at threshold 50 — byte-identical verdicts to
+        # decontam_exact (equivalence-tested), with the hot fingerprints
+        # routed through the broadcast gram join instead of the winnow
+        # candidate join (the 76 s / 2157 cpu-s uncapped row's replacement)
+        "decontam_rekey50": lambda: tx.decontaminate_substring(
+            docs, wprobes, min_span=24, max_fp_df=50
+        ).agg(
+            F.sum("n_contam_probes"), F.sum(F.col("contaminated").cast("long"))
+        ).collect(),
         "bloom": bloom_part,
         # the analytic candidate count of the UNCAPPED self-join: one cheap
         # df histogram, sum df·(df−1)/2 — the uncapped run itself was
@@ -128,9 +137,20 @@ def main():
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))
         .agg(F.sum(F.expr("_df * (_df - 1) / 2")).alias("cand")).collect(),
-        # the measured operating point: the max_fp_df hot-fingerprint cap
-        # (the operator's own documented knob for exactly this corpus shape)
+        # the r15 measured operating point: the max_fp_df hot-fingerprint
+        # DROP cap — pinned to hot_fp_mode='drop' so the series stays
+        # comparable with the r15 numbers now that the operator default is
+        # the exact rekey mode (measured separately below)
         "self_dedup_capped50": lambda: tx.self_dedup_substring(
+            docs, min_span=24, max_fp_df=50, hot_fp_mode="drop"
+        ).agg(
+            F.sum("n_dup_partners"), F.sum("n_dup_chars"),
+            F.sum(F.col("kept").cast("long")),
+        ).collect(),
+        # r16: the EXACT rekey mode at the same threshold — the honest
+        # replacement for the killed uncapped run (byte-identical results,
+        # bounded by the true duplicate-pair set instead of hot-fp df^2)
+        "self_dedup_rekey50": lambda: tx.self_dedup_substring(
             docs, min_span=24, max_fp_df=50
         ).agg(
             F.sum("n_dup_partners"), F.sum("n_dup_chars"),
