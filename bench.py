@@ -195,6 +195,15 @@ def build_benches(spark, sf_dir: str):
             documents.filter(F.col("lang") == "en").select("doc_id", "text"),
             tau_c=0, n_buckets=4096, algo="xxhash64",
         ),
+        # r16: the model-based quality classifier (registry swap tenant) —
+        # NB bucket weights + driver-trained logistic threshold at the
+        # bench geometry (4096 buckets, xxhash64 fast path; the driver
+        # gate's row runs 512/md5i64)
+        "quality_classifier": lambda: sp.quality_classifier(
+            documents.select("doc_id", "text"),
+            documents.filter(F.col("lang") == "en").select("text"),
+            n_buckets=4096, algo="xxhash64",
+        ),
     }
 
 
@@ -386,6 +395,7 @@ def main():
         "semdedup": (1.5, 6.0),
         "bpe_tokens": (0.2, 3.0),
         "dsir_sample": (1.5, 12.0),
+        "quality_classifier": (1.0, 10.0),
     }
     solo_reruns: dict[str, dict] = {}
     for name, wall in timings.items():

@@ -42,16 +42,22 @@ def test_capstone_and_localization_rows_are_inside_the_window():
     # unattributably, exits after ≥2 green rounds once a stronger invariant
     # covers the failure class; update the policy section and this list in
     # the same commit
+    # r16 swap: sampling_dsir EXITED (exit condition met — family green
+    # r14+r15, failure class closed by literal freeze + margin audit);
+    # quality_classifier is the slot's tenant (VERDICT r15 task 4)
     names = list(q.queries())[:DRIVER_WINDOW]
-    for must in ("curation_pipeline", "sampling", "sampling_dsir"):
+    for must in ("curation_pipeline", "sampling", "quality_classifier"):
         assert must in names, f"{must} fell outside the driver window"
 
 
 def test_swap_candidates_stay_ready():
-    # SURVEY §8 REGISTRY keeps q_sampling_prefix + ORACLE_SAMPLING_PREFIX
-    # out of the window but ready to swap in; losing either silently
-    # removes the documented swap option
+    # SURVEY §8 REGISTRY keeps the retired localization slices out of the
+    # window but ready to swap back in (q_sampling_dsir since r16,
+    # q_sampling_prefix since r14); losing any silently removes the
+    # documented swap option
     from tikv_data_compare_spark import queries_ext as qe
 
     assert callable(qe.q_sampling_prefix)
+    assert callable(qe.q_sampling_dsir)
     assert "token_budget" in qe.ORACLE_SAMPLING_PREFIX
+    assert "dsir" in qe.oracle_sampling_dsir("/root/testdata/sf0.001")

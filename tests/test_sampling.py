@@ -767,3 +767,123 @@ def test_split_assign_validation(spark, documents):
     one = split_assign(docs, {"all": 10000})  # single split: no CASE at all
     assert one.filter(F.col("split") != "all").count() == 0
     assert one.count() == docs.count()
+
+
+def _qc_corpus(spark):
+    """Separable labeled fixture: 'clean' docs share a reference-English
+    style vocabulary; 'junk' docs are keyboard-mash tokens.  Seed = a
+    subset of the clean docs (the crawl-contains-seed setup the class
+    balancing exists for)."""
+    clean_v = ("the quick brown fox jumps over a lazy dog while reading "
+               "morning papers in the quiet village library").split()
+    junk_v = "qw3rt zxcv88 plm0k jjjj9 uuu77 m3m3m x9x9 v0v0v".split()
+    rows = []
+    for i in range(40):
+        words = [clean_v[(i * 7 + j) % len(clean_v)] for j in range(30)]
+        rows.append((i, " ".join(words), "clean"))
+    for i in range(40, 80):
+        words = [junk_v[(i * 5 + j) % len(junk_v)] for j in range(30)]
+        rows.append((i, " ".join(words), "junk"))
+    rows.append((80, None, "null"))
+    rows.append((81, "", "empty"))
+    return spark.createDataFrame(rows, "doc_id long, text string, kind string")
+
+
+def test_quality_classifier_separates_and_is_deterministic(spark):
+    from tikv_data_compare_spark.operators.sampling import quality_classifier
+
+    docs = _qc_corpus(spark)
+    seed = docs.filter((F.col("kind") == "clean") & (F.col("doc_id") < 20)).select("text")
+    out = quality_classifier(docs.select("doc_id", "text"), seed, n_buckets=512)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 82
+    meta = out.schema["q_sum_c"].metadata
+    assert set(meta) == {"qc_thr_c", "qc_n_buckets", "qc_algo", "qc_text_col"}
+    thr = meta["qc_thr_c"]
+    # every clean doc keeps, every junk doc drops — full separation on the
+    # planted vocabularies (including clean docs OUTSIDE the seed subset:
+    # the model generalizes by vocabulary, not membership)
+    for i in range(40):
+        assert rows[i]["q_keep"] is True, f"clean doc {i} dropped"
+    for i in range(40, 80):
+        assert rows[i]["q_keep"] is False, f"junk doc {i} kept"
+    # zero-feature docs: 0 feats, NULL score, NULL verdict (unconfirmable)
+    for i in (80, 81):
+        assert rows[i]["q_n_feats"] == 0
+        assert rows[i]["q_sum_c"] is None and rows[i]["q_keep"] is None
+    # the verdict IS the cross-multiplied threshold test
+    for r in rows.values():
+        if r["q_sum_c"] is not None:
+            assert r["q_keep"] == (r["q_sum_c"] >= thr * r["q_n_feats"])
+    # deterministic end-to-end (driver-frozen literals, no rand anywhere)
+    again = {r["doc_id"]: r for r in quality_classifier(
+        docs.select("doc_id", "text"), seed, n_buckets=512
+    ).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+
+def test_quality_classifier_explicit_crawl_and_validation(spark):
+    import pytest
+
+    from tikv_data_compare_spark.operators.sampling import quality_classifier
+
+    docs = _qc_corpus(spark)
+    seed = docs.filter(F.col("kind") == "clean").select("text")
+    crawl = docs.filter(F.col("kind") == "junk").select(F.col("text").alias("body"))
+    out = quality_classifier(
+        docs.select("doc_id", "text"), seed, crawl=crawl,
+        crawl_text_col="body", n_buckets=512,
+    )
+    rows = {r["doc_id"]: r["q_keep"] for r in out.collect()}
+    assert all(rows[i] for i in range(40))
+    assert not any(rows[i] for i in range(40, 80))
+    # note on "inverted labels": they do NOT fail — the NB weights are
+    # learned FROM the labels, so the seed class scores high by
+    # construction whichever way round it is passed (the classifier just
+    # learns the inverted notion of quality).  The degenerate case the
+    # slope guard exists for is seed ≡ crawl: every bucket weight freezes
+    # to exactly 0, all docs land in one histogram bin, and the ridge
+    # keeps the slope at 0 → loud failure, not a silently-useless gate.
+    same = docs.filter(F.col("kind") == "clean").select("text")
+    with pytest.raises(ValueError, match="separate seed from crawl"):
+        quality_classifier(
+            docs.select("doc_id", "text"), same, crawl=same, n_buckets=512
+        )
+    with pytest.raises(ValueError, match="n_buckets"):
+        quality_classifier(docs.select("doc_id", "text"), seed, n_buckets=1)
+
+
+def test_curate_quality_classifier_gate(spark):
+    from tikv_data_compare_spark.operators.curate import curate
+
+    docs = _qc_corpus(spark).filter(F.col("doc_id").isin(
+        *[i for i in range(0, 10)], *[i for i in range(40, 50)]
+    )).select("doc_id", "text")
+    seed = _qc_corpus(spark).filter(
+        (F.col("kind") == "clean") & (F.col("doc_id") >= 20)
+    ).select("text")
+    off = dict(near_dup_jaccard_c=10001, max_dup_word_frac_c=10000,
+               max_top_bigram_frac_c=10000)
+    kept, attrition = curate(docs, quality_seed=seed, **off)
+    try:
+        stages = {r["stage"]: r["n_dropped"] for r in attrition.collect()}
+        assert "quality_classifier" in stages
+        kept_ids = {r["doc_id"] for r in kept.collect()}
+        assert kept_ids == set(range(0, 10))
+    finally:
+        kept.unpersist()
+    # explicit threshold override: an absurdly high bar drops everything
+    kept2, attr2 = curate(docs, quality_seed=seed, min_quality_c=10**9, **off)
+    try:
+        stages2 = {r["stage"]: r["n_out"] for r in attr2.collect()}
+        assert stages2["quality_classifier"] == 0
+    finally:
+        kept2.unpersist()
+    # loud validation
+    import pytest
+    with pytest.raises(ValueError, match="min_quality_c requires"):
+        curate(docs, min_quality_c=5, **off)
+    with pytest.raises(ValueError, match="quality_crawl requires"):
+        curate(docs, quality_crawl=seed, **off)

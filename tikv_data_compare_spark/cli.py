@@ -386,6 +386,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lm-train", default="",
                    help="with --max-lm-nll-c: train the bigram LM on this "
                         "clean reference parquet instead of --src itself")
+    p.add_argument("--quality-seed", default="",
+                   help="reference-corpus parquet: appends a "
+                        "'quality_classifier' stage — the model-based "
+                        "seed-vs-crawl quality filter (NB hashed-n-gram "
+                        "weights + driver-trained logistic threshold); docs "
+                        "scoring below the trained boundary drop")
+    p.add_argument("--quality-crawl", default="",
+                   help="with --quality-seed: explicit negative-class "
+                        "parquet (default: the input corpus itself)")
+    p.add_argument("--min-quality-c", type=int, default=None,
+                   help="with --quality-seed: override the trained decision "
+                        "boundary with this x1e6 mean-log-odds threshold")
+    p.add_argument("--quality-n-buckets", type=int, default=2048)
     p.add_argument("--c4-rules", action="store_true",
                    help="appends a 'boilerplate' stage: the C4 cleaning "
                         "heuristics (lorem-ipsum/curly-brace docs drop; docs "
@@ -1258,6 +1271,18 @@ def main(argv: list[str] | None = None) -> int:
                 # validation rejects it loudly instead of silently disabling
                 max_lm_nll_c=args.max_lm_nll_c if args.max_lm_nll_c != 0 else None,
                 lm_train=spark.read.parquet(args.lm_train) if args.lm_train else None,
+                quality_seed=(
+                    spark.read.parquet(args.quality_seed)
+                    if args.quality_seed else None
+                ),
+                quality_crawl=(
+                    spark.read.parquet(args.quality_crawl)
+                    if args.quality_crawl else None
+                ),
+                # None = off; the trained boundary applies when only
+                # --quality-seed is given
+                min_quality_c=args.min_quality_c,
+                quality_n_buckets=args.quality_n_buckets,
                 c4_rules=args.c4_rules,
                 c4_min_kept_lines=args.c4_min_kept_lines,
                 blocked_sources=(

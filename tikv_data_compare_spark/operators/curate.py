@@ -70,6 +70,10 @@ def curate(
     min_dsir_logw_c: int = 0,
     dsir_top_frac: float | None = None,
     dsir_n_buckets: int = 4096,
+    quality_seed: DataFrame | None = None,
+    quality_crawl: DataFrame | None = None,
+    min_quality_c: int | None = None,
+    quality_n_buckets: int = 2048,
     c4_rules: bool = False,
     c4_min_kept_lines: int = 3,
     blocked_sources: list[str] | None = None,
@@ -153,6 +157,20 @@ def curate(
     scale, e.g. from a ``dsir_weights`` quantile probe).  Zero-feature
     docs drop either way (unconfirmable-drops convention).
 
+    ``quality_seed`` (r16) appends a ``quality_classifier`` stage — the
+    model-based quality dimension (``sampling.quality_classifier``, the
+    fastText-style seed-vs-crawl filter of the GPT-3/LLaMA stacks): NB
+    hashed-n-gram bucket weights from the labeled split plus a
+    driver-trained logistic decision threshold on the length-normalized
+    score, all integer-frozen.  ``quality_crawl`` is the negative class
+    (default: the input corpus itself); docs keep when their mean
+    log-odds clears the TRAINED boundary, or — when ``min_quality_c`` is
+    given — the explicit ×1e6 threshold instead (the comparison
+    cross-multiplies, ``q_sum_c >= thr · q_n_feats``, so no division
+    enters the gate).  Zero-feature docs drop (unconfirmable-drops
+    convention).  This is the learned-classifier sibling of the
+    ``dsir_target`` gate: DSIR weights raw importance for RESAMPLING,
+    the classifier draws a calibrated keep/drop boundary.
     ``c4_rules`` (r10) appends a ``boilerplate`` stage — the C4 cleaning
     heuristics (``text.c4_flags``): docs containing 'lorem ipsum' or a
     curly brace drop, as do docs retaining fewer than
@@ -472,6 +490,46 @@ def curate(
         )
         stage_cols.append("s_dsir")
         stage_names.append("dsir_quality")
+    if min_quality_c is not None and quality_seed is None:
+        # the keep_langs loud-validation convention: a threshold with no
+        # model silently gates nothing
+        raise ValueError(
+            "min_quality_c requires quality_seed= (it thresholds the "
+            "trained classifier's length-normalized score)"
+        )
+    if quality_crawl is not None and quality_seed is None:
+        raise ValueError(
+            "quality_crawl requires quality_seed= (it is the classifier's "
+            "negative class)"
+        )
+    if quality_seed is not None:
+        from tikv_data_compare_spark.operators.sampling import (
+            quality_classifier,
+        )
+
+        qc = quality_classifier(
+            docs, quality_seed, crawl=quality_crawl,
+            id_col=id_col, text_col=text_col,
+            n_buckets=int(quality_n_buckets),
+        )
+        if min_quality_c is not None:
+            # explicit ×1e6 mean-log-odds threshold, cross-multiplied so
+            # the gate stays integer-exact (no division)
+            q_ok = qc.select(
+                id_col,
+                (
+                    F.col("q_sum_c")
+                    >= F.lit(int(min_quality_c)) * F.col("q_n_feats")
+                ).alias("_qc_ok"),
+            )
+        else:
+            q_ok = qc.select(id_col, F.col("q_keep").alias("_qc_ok"))
+        flags = flags.join(q_ok, id_col, "left").withColumn(
+            "s_qc",
+            F.col(stage_cols[-1]) & F.coalesce(F.col("_qc_ok"), F.lit(False)),
+        )
+        stage_cols.append("s_qc")
+        stage_names.append("quality_classifier")
     if c4_rules:
         c4_ok = tx.c4_flags(
             docs, id_col, text_col, min_kept_lines=c4_min_kept_lines

@@ -1039,3 +1039,299 @@ def split_assign(
     last = F.lit(names[-1])
     split = last if case is None else case.otherwise(names[-1])
     return staged.withColumn(split_col, split)
+
+
+def _fit_logistic_1d(
+    bins: "list[tuple[float, float, float]]",
+    n_iter: int = 50,
+    lam: float = 1e-3,
+) -> tuple[float, float]:
+    """Newton-fit a 1-D logistic head σ(a·x + b) on BINNED labeled scores.
+
+    ``bins`` is a deterministic-order list of ``(x_mid, n_pos, n_neg)``:
+    the bounded sufficient statistics of logistic regression on a single
+    feature (the NB mean log-odds score) — the whole fit runs on the
+    DRIVER in pure CPython floats, so the trained (a, b) is computed ONCE
+    and shared verbatim by the Spark operator and the DuckDB oracle
+    builder (the frozen_ln_c_py doctrine: cross-engine agreement by
+    construction, not reproduction).  λ is a small L2 ridge that keeps the
+    Newton step finite on perfectly separable histograms (where the MLE
+    slope diverges).  Returns ``(a, b)``; the decision boundary is
+    ``x = −b/a``.
+    """
+    import math
+
+    a, b = 0.0, 0.0
+    for _ in range(n_iter):
+        g_a, g_b = lam * a, lam * b
+        h_aa, h_ab, h_bb = lam, 0.0, lam
+        for x, n_pos, n_neg in bins:
+            z = a * x + b
+            if z >= 0:
+                p = 1.0 / (1.0 + math.exp(-z))
+            else:
+                e = math.exp(z)
+                p = e / (1.0 + e)
+            r = n_pos * (p - 1.0) + n_neg * p
+            wgt = (n_pos + n_neg) * p * (1.0 - p)
+            g_a += r * x
+            g_b += r
+            h_aa += wgt * x * x
+            h_ab += wgt * x
+            h_bb += wgt
+        det = h_aa * h_bb - h_ab * h_ab
+        if det <= 1e-12:
+            break
+        da = (h_bb * g_a - h_ab * g_b) / det
+        db = (h_aa * g_b - h_ab * g_a) / det
+        a -= da
+        b -= db
+        if abs(da) + abs(db) < 1e-12:
+            break
+    return a, b
+
+
+#: histogram geometry of the quality classifier's calibration pass: mean
+#: log-odds (×1e6) binned at QC_BIN_STEP_C, clamped to ±QC_BIN_MAX bins —
+#: module constants because the oracle builder must mirror them exactly
+QC_BIN_STEP_C = 50_000
+QC_BIN_MAX = 200
+
+
+def quality_weight_table(
+    seed_counts: "dict[int, int]",
+    crawl_counts: "dict[int, int]",
+    n_buckets: int,
+) -> "dict[int, int]":
+    """Per-bucket NB log-odds weights (×1e6, driver-frozen ints) from the
+    two bounded label count tables: ``w(b) = cost_crawl(b) − cost_seed(b)``
+    with add-1 smoothing — positive = seed-like (the dsir_weights cost
+    algebra with the labeled corpora as the two sides).  Shared verbatim
+    by the operator and the oracle builder."""
+    t_seed = sum(seed_counts.values())
+    t_crawl = sum(crawl_counts.values())
+    return {
+        b: sqlgen.frozen_ln_c_py((t_crawl + n_buckets) / (crawl_counts.get(b, 0) + 1))
+        - sqlgen.frozen_ln_c_py((t_seed + n_buckets) / (seed_counts.get(b, 0) + 1))
+        for b in range(n_buckets)
+    }
+
+
+def quality_threshold_c(
+    hist: "dict[tuple[int, int], int]",
+    bin_step_c: int = QC_BIN_STEP_C,
+) -> int:
+    """Train the logistic head on the binned score histogram and freeze
+    its decision boundary as an integer mean-log-odds threshold (×1e6).
+
+    ``hist`` maps ``(label, bin)`` → doc count (label 1 = seed, 0 =
+    crawl); bins are ``floor(q_sum_c / (q_n_feats · bin_step_c))``.  The
+    fit runs in :func:`_fit_logistic_1d` over bin midpoints in natural
+    log-odds units, with CLASS-BALANCED weights (each class rescaled to
+    equal total mass).  Balancing is load-bearing, not cosmetic: in the
+    default crawl=docs setup the seed is a SUBSET of the crawl, so the
+    unbalanced posterior p(seed|x) can never exceed
+    T_seed/(T_seed+T_crawl_at_x) ≤ 1/2 and the 0.5 boundary diverges to
+    +∞ (measured: the gate kept 0 docs).  The balanced boundary sits
+    where the two NORMALIZED class densities cross — "more seed-like
+    than crawl-typical", the fastText class-weighting semantics.  Raises
+    if the trained slope is not positive — a non-separating (or
+    inverted) seed/crawl split means the classifier would gate on noise,
+    and a silent fallback threshold would let the caller believe a model
+    trained (loud-validation convention)."""
+    t_pos = sum(n for (y, _), n in hist.items() if y == 1)
+    t_neg = sum(n for (y, _), n in hist.items() if y == 0)
+    if t_pos == 0 or t_neg == 0:
+        raise ValueError(
+            "quality classifier needs scoreable docs in BOTH classes "
+            f"(seed={t_pos}, crawl={t_neg} histogram mass)"
+        )
+    w_pos = (t_pos + t_neg) / (2.0 * t_pos)
+    w_neg = (t_pos + t_neg) / (2.0 * t_neg)
+    bin_ids = sorted({b for (_, b) in hist})
+    bins = [
+        (
+            (b + 0.5) * bin_step_c / 1e6,
+            hist.get((1, b), 0) * w_pos,
+            hist.get((0, b), 0) * w_neg,
+        )
+        for b in bin_ids
+    ]
+    a, bb = _fit_logistic_1d(bins)
+    if a <= 0.0:
+        raise ValueError(
+            "quality classifier failed to separate seed from crawl "
+            f"(trained slope {a:.4g} <= 0): the seed corpus does not score "
+            "above the crawl under the NB feature weights — check the "
+            "labeled inputs"
+        )
+    return int(round(-bb / a * 1e6))
+
+
+def quality_classifier(
+    docs: DataFrame,
+    seed: DataFrame,
+    crawl: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_text_col: str | None = None,
+    crawl_text_col: str | None = None,
+    n_buckets: int = 2048,
+    algo: str = "md5i64",
+) -> DataFrame:
+    """fastText-style model-based document quality scorer (r16, VERDICT
+    r15 task 5): "looks like the reference corpus vs looks like crawl" —
+    the learned quality dimension that sits beside DSIR in published
+    curation stacks (GPT-3 WebText-vs-CommonCrawl filter, LLaMA's
+    Wikipedia-reference classifier), trained and frozen entirely from
+    bounded driver-side state.
+
+    Model = hashed unigram+bigram features (``_dsir_feats``, the DSIR
+    representation), per-bucket Naive-Bayes log-odds weights from the two
+    label count tables (:func:`quality_weight_table`, driver-frozen ×1e6
+    ints — the literal-table doctrine), and a driver-trained LOGISTIC
+    HEAD on the length-normalized score: per-doc mean log-odds are binned
+    in-engine (bounded ≤ 2·(2·QC_BIN_MAX+1)-row histogram collect), the
+    1-D logistic is Newton-fit in pure Python
+    (:func:`_fit_logistic_1d`), and its decision boundary freezes to ONE
+    integer threshold (:func:`quality_threshold_c`).  Unlike raw DSIR
+    weights the score is per-OCCURRENCE (length-normalized — a long doc
+    is not seed-like merely by being long), and the keep verdict is the
+    calibrated boundary, not an uncalibrated zero.
+
+    ``crawl`` defaults to ``docs`` itself — the GPT-3 setup (classify
+    the corpus being filtered against a clean seed); pass an explicit
+    negative-class sample when one exists.  ``seed``/``crawl`` rows need
+    no ids (features aggregate per synthetic row id for the histogram;
+    the histogram is invariant to id values).
+
+    EAGER like :func:`dsir_weights` (three bounded collects: two
+    ≤ ``n_buckets``-row count tables + the score histogram) and frozen
+    against the data as of call time.
+
+    Scale shape: the corpus feature explode is map-side; scoring is one
+    ``(id, bucket, count)`` aggregation joined with the broadcast
+    ``n_buckets``-row literal weight table and one per-doc integer sum —
+    the corpus text never shuffles.  The keep test multiplies instead of
+    divides (``q_sum_c >= thr_c · q_n_feats``), so the gated columns stay
+    pure integers end-to-end; the only in-engine float is the histogram
+    bin's binary64 division, which IEEE 754 rounds identically in every
+    engine (unlike ln/exp — the det_ln history).
+
+    Returns one row per input doc:
+    ``(id, q_n_feats, q_sum_c, q_keep)`` — ``q_sum_c`` is the ×1e6
+    log-odds SUM over feature occurrences (NULL for zero-feature docs,
+    the dsir convention), ``q_keep`` the calibrated verdict (NULL when
+    unscoreable; gates coalesce to drop — unconfirmable-drops).  The
+    trained threshold and build geometry ride as column metadata on
+    ``q_sum_c`` (``qc_thr_c`` / ``qc_n_buckets`` / ``qc_algo`` /
+    ``qc_text_col``).
+    """
+    from tikv_data_compare_spark.operators.dedup import _check_algo
+
+    _check_algo(algo)
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    crawl_frame = crawl if crawl is not None else docs
+    s_tc = seed_text_col or text_col
+    c_tc = crawl_text_col or (text_col if crawl is not None else text_col)
+
+    # synthetic per-row ids for the labeled sides: the histogram groups per
+    # doc but is invariant to the id VALUES, so monotonically_increasing_id
+    # (stable within one execution) is safe here — nothing gated depends on
+    # which doc got which id
+    s_docs = seed.select(F.monotonically_increasing_id().alias("_qid"), F.col(s_tc))
+    c_docs = crawl_frame.select(
+        F.monotonically_increasing_id().alias("_qid"), F.col(c_tc)
+    )
+    s_feats = _dsir_feats(s_docs, "_qid", s_tc, n_buckets, algo=algo)
+    c_feats = _dsir_feats(c_docs, "_qid", c_tc, n_buckets, algo=algo)
+
+    from pyspark.storagelevel import StorageLevel
+
+    s_rc = s_feats.groupBy("_qid", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_ct")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    c_rc = c_feats.groupBy("_qid", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_ct")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seed_counts = {
+            int(r["_b"]): int(r["_c"])
+            for r in s_rc.groupBy("_b").agg(F.sum("_ct").alias("_c")).collect()
+        }
+        crawl_counts = {
+            int(r["_b"]): int(r["_c"])
+            for r in c_rc.groupBy("_b").agg(F.sum("_ct").alias("_c")).collect()
+        }
+        wtab_py = quality_weight_table(seed_counts, crawl_counts, n_buckets)
+        spark = docs.sparkSession
+        wtab = spark.createDataFrame(
+            list(wtab_py.items()), "_b long, _w_c long"
+        )
+
+        def doc_scores(rc):
+            scored = rc.join(F.broadcast(wtab), "_b", "left")
+            return scored.groupBy("_qid").agg(
+                F.sum("_ct").cast("long").alias("_nf"),
+                F.sum(F.col("_ct") * F.col("_w_c")).cast("long").alias("_sc"),
+            )
+
+        # calibration histogram: floor of the binary64 quotient — both
+        # engines IEEE-divide the same exact-integer doubles, so the bin
+        # index is engine-independent by construction
+        def hist_bins(per_doc, label):
+            return per_doc.select(
+                F.lit(int(label)).alias("_y"),
+                F.greatest(
+                    F.lit(-QC_BIN_MAX),
+                    F.least(
+                        F.lit(QC_BIN_MAX),
+                        F.floor(
+                            F.col("_sc")
+                            / (F.col("_nf") * F.lit(float(QC_BIN_STEP_C)))
+                        ).cast("long"),
+                    ),
+                ).alias("_bin"),
+            )
+
+        hist_rows = (
+            hist_bins(doc_scores(s_rc), 1)
+            .unionByName(hist_bins(doc_scores(c_rc), 0))
+            .groupBy("_y", "_bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+            .collect()
+        )
+    finally:
+        s_rc.unpersist()
+        c_rc.unpersist()
+    hist = {(int(r["_y"]), int(r["_bin"])): int(r["_n"]) for r in hist_rows}
+    thr_c = quality_threshold_c(hist)
+
+    # score the target corpus: the dsir_weights scoring shape verbatim
+    corpus = _dsir_feats(docs, id_col, text_col, n_buckets, algo=algo)
+    rc = corpus.groupBy(id_col, "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_ct")
+    )
+    per_doc = (
+        rc.join(F.broadcast(wtab), "_b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_ct").cast("long").alias("q_n_feats"),
+            F.sum(F.col("_ct") * F.col("_w_c")).cast("long").alias("q_sum_c"),
+        )
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("q_n_feats", F.lit(0).cast("long")).alias("q_n_feats"),
+        F.col("q_sum_c").alias(
+            "q_sum_c",
+            metadata={
+                "qc_thr_c": thr_c,
+                "qc_n_buckets": n_buckets,
+                "qc_algo": algo,
+                "qc_text_col": text_col,
+            },
+        ),
+        (F.col("q_sum_c") >= F.lit(thr_c) * F.col("q_n_feats")).alias("q_keep"),
+    )

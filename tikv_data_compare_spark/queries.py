@@ -2199,14 +2199,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal / sampling / capstone
         "multimodal_probe": qe.q_multimodal_probe,
         "sampling": qe.q_sampling,
-        # r13 localization slice of the sampling row — CORRECTNESS_r12
-        # recorded the 9-method combined row red with no way to tell which
-        # method drifted; this row pins the DSIR family, which r13 proved
-        # WAS the drift.  (q_sampling_prefix exists too but its dedicated
-        # row was dropped in r14: it pushed the registry past the driver's
-        # 50-row window, ungating curation_pipeline — VERDICT r13 §2; its
-        # two parts still hash-gate inside the combined `sampling` row.)
-        "sampling_dsir": qe.q_sampling_dsir,
+        # r16 REGISTRY SWAP (SURVEY §8 policy; VERDICT r15 task 4): the
+        # `sampling_dsir` localization slice EXITED the window — its exit
+        # condition was met (family green r14 AND r15; the rounding-flip
+        # class it localized is closed by the literal freeze + the
+        # tools/audit_round_sites.py margin audit) — and the slot's new
+        # tenant is the round's new gated operator: the r16 model-based
+        # quality classifier (NB bucket weights + driver-trained logistic
+        # threshold, sampling.quality_classifier).  q_sampling_dsir and
+        # q_sampling_prefix both remain implemented (queries_ext) and
+        # their families still hash-gate inside the combined `sampling`
+        # row; either re-ENTERS by swapping if its family reds there.
+        "quality_classifier": qe.q_quality_classifier,
         "curation_pipeline": qe.q_curation_pipeline,
     }
 
@@ -2270,6 +2274,6 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "text_tfidf": qm.ORACLE_TEXT_TFIDF,
         "multimodal_probe": qe.ORACLE_MULTIMODAL_PROBE,
         "sampling": qe.oracle_sampling(sf_dir),
-        "sampling_dsir": qe.oracle_sampling_dsir(sf_dir),
+        "quality_classifier": qe.oracle_quality_classifier(sf_dir),
         "curation_pipeline": qe._oracle_curation_pipeline(),
     }

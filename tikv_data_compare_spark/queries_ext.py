@@ -2538,6 +2538,137 @@ ORACLE_SAMPLING_PREFIX = f"""{_SAMPLING_PREFIX_PARTS}
 """
 
 
+# ================================== model-based quality classifier (r16)
+
+#: (sf_dir → (wtab VALUES literal, thr_c)) — the quality classifier's two
+#: driver-frozen artifacts, computed once per process like _DSIR_LIT_CACHE
+_QC_LIT_CACHE: dict[str, tuple[str, int]] = {}
+
+
+def _quality_literals(sf_dir: str | None = None) -> tuple[str, int]:
+    """The frozen artifacts of the r16 quality classifier gate: the
+    512-bucket NB weight VALUES literal and the trained logistic decision
+    threshold (×1e6 mean log-odds).
+
+    Mirrors ``sampling.quality_classifier`` exactly through SHARED Python:
+    the per-bucket label counts and the score histogram are computed here
+    by DuckDB over the same parquet the oracle reads (through the same
+    ``_DSIR_FEATS_CTE`` text, mod 512 — integer-provably equal to the
+    Spark side), then fed to the ONE pair of functions both sides use —
+    ``sampling.quality_weight_table`` and ``sampling.quality_threshold_c``
+    (which Newton-fits the class-balanced logistic head in pure CPython).
+    No cross-engine float: the histogram bin is a binary64 division both
+    engines round identically (IEEE), and everything downstream of the
+    collect happens once on the driver.
+
+    Labeled split = the gate fixture's: seed = ``lang = 'en'`` documents,
+    crawl = the whole corpus (the GPT-3 filter setup).  The histogram
+    groups per ``doc_id`` where the operator groups per synthetic row id —
+    equivalent whenever ids are unique and non-NULL, which the fixture
+    corpus guarantees (and the histogram is invariant to id VALUES).
+    """
+    import os
+
+    import duckdb
+
+    from tikv_data_compare_spark.operators.sampling import (
+        QC_BIN_MAX,
+        QC_BIN_STEP_C,
+        quality_threshold_c,
+        quality_weight_table,
+    )
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if sf_dir in _QC_LIT_CACHE:
+        return _QC_LIT_CACHE[sf_dir]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    rows = con.sql(
+        f"""WITH {_DSIR_FEATS_CTE}
+        SELECT b,
+               count(*) AS c_crawl,
+               count(*) FILTER (WHERE lang = 'en') AS c_seed
+        FROM dsir_feats GROUP BY 1"""
+    ).fetchall()
+    crawl_counts = {int(b): int(c) for b, c, _ in rows}
+    seed_counts = {int(b): int(c) for b, _, c in rows}
+    wtab_py = quality_weight_table(seed_counts, crawl_counts, 512)
+    wtab = ", ".join(f"({b}, {w})" for b, w in sorted(wtab_py.items()))
+    hist_rows = con.sql(
+        f"""WITH {_DSIR_FEATS_CTE},
+        qc_wtab(b, w_c) AS (VALUES {wtab}),
+        per_doc AS (
+          SELECT f.doc_id, f.lang,
+                 CAST(count(*) AS BIGINT) AS nf,
+                 CAST(sum(w.w_c) AS BIGINT) AS sc
+          FROM dsir_feats f JOIN qc_wtab w ON w.b = f.b
+          GROUP BY 1, 2
+        )
+        SELECT y, bin, count(*) AS n FROM (
+          SELECT 1 AS y,
+                 greatest(-{QC_BIN_MAX}, least({QC_BIN_MAX},
+                   CAST(floor(sc / (nf * {float(QC_BIN_STEP_C)})) AS BIGINT))) AS bin
+          FROM per_doc WHERE lang = 'en'
+          UNION ALL
+          SELECT 0,
+                 greatest(-{QC_BIN_MAX}, least({QC_BIN_MAX},
+                   CAST(floor(sc / (nf * {float(QC_BIN_STEP_C)})) AS BIGINT)))
+          FROM per_doc
+        ) GROUP BY 1, 2"""
+    ).fetchall()
+    con.close()
+    hist = {(int(y), int(b)): int(n) for y, b, n in hist_rows}
+    thr_c = quality_threshold_c(hist)
+    _QC_LIT_CACHE[sf_dir] = (wtab, thr_c)
+    return wtab, thr_c
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r16 model-based quality scorer (sampling.quality_classifier) at
+    the gate fixture's labeled split: seed = English documents, crawl =
+    the corpus itself — NB bucket weights + the driver-trained logistic
+    decision threshold, all integer-frozen (registry swap tenant for the
+    retired ``sampling_dsir`` localization row, VERDICT r15 task 4)."""
+    from tikv_data_compare_spark.operators import sampling as sp
+
+    docs = _load(spark, sf_dir, "documents")
+    seed = docs.filter(F.col("lang") == "en").select("text")
+    return sp.quality_classifier(
+        docs.select("doc_id", "text"), seed, n_buckets=512
+    )
+
+
+def oracle_quality_classifier(sf_dir: str | None = None) -> str:
+    wtab, thr_c = _quality_literals(sf_dir)
+    return f"""
+-- r16 quality classifier: hashed unigram+bigram features (shared DSIR
+-- feature CTE, md5 fold mod 512), driver-frozen NB weight literals, and
+-- the trained logistic threshold embedded as ONE integer — the keep test
+-- multiplies (sum >= thr * n_feats), so no division reaches the gate
+WITH {_DSIR_FEATS_CTE},
+qc_wtab(b, w_c) AS (VALUES {wtab}),
+qc_scored AS MATERIALIZED (
+  SELECT f.doc_id,
+         CAST(count(*) AS BIGINT) AS q_n_feats,
+         CAST(sum(w.w_c) AS BIGINT) AS q_sum_c
+  FROM dsir_feats f
+  JOIN qc_wtab w ON w.b = f.b
+  WHERE f.doc_id IS NOT NULL
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(s.q_n_feats, 0) AS q_n_feats,
+       s.q_sum_c AS q_sum_c,
+       (s.q_sum_c >= {thr_c} * s.q_n_feats) AS q_keep
+FROM documents d
+LEFT JOIN qc_scored s ON s.doc_id = d.doc_id
+"""
+
+
 # ===================================================== pipeline capstone
 
 
