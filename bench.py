@@ -258,13 +258,54 @@ def main():
         except (OSError, ValueError):
             return -1.0
 
+    def proc_tree_cpu_sec() -> float:
+        """utime+stime of THIS process + every live descendant (the JVM),
+        from /proc — the sibling-pollution-proof cpu metric (r16).
+
+        The r16 A/B probe (tools/probe_ab_tfidf_load.py) proved the cgroup
+        counter below has a hole the r15 tfidf drift fell into: it is
+        CONTAINER-wide, so any sibling process running during a timed
+        query (a concurrent pytest, the judge's probe load) inflates the
+        per-query delta ~1:1 — measured: 8 in-container burners added
+        exactly their burn (16.4 vs 8.3 cpu-s) to the cgroup delta while
+        this metric stayed flat.  Attribution doctrine: use cpu_proc_sec
+        for regression-vs-contention calls; cgroup cpu_sec is kept for
+        series continuity and as the whole-container sanity bound."""
+        root = os.getpid()
+        hz = os.sysconf("SC_CLK_TCK")
+        ppid_map: dict[int, int] = {}
+        cpu: dict[int, float] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    raw = f.read()
+            except OSError:
+                continue
+            rest = raw.rsplit(")", 1)[1].split()
+            ppid_map[int(d)] = int(rest[1])
+            cpu[int(d)] = (int(rest[11]) + int(rest[12])) / hz
+        total = 0.0
+        for pid in cpu:
+            p, seen = pid, set()
+            while p > 1 and p not in seen:
+                if p == root:
+                    total += cpu[pid]
+                    break
+                seen.add(p)
+                p = ppid_map.get(p, 1)
+        return total
+
     def container_cpu_sec() -> float:
         """This container's cumulative CPU seconds (cgroup v1 or v2).
 
         The per-query DELTA separates contention from regression in a way
         loadavg cannot (our own 32-thread bursts inflate load): if a query's
         wall time grows but its CPU seconds stay flat, the machine was taken
-        from us; if CPU grew too, the plan is doing more work."""
+        from us; if CPU grew too, the plan is doing more work.  CAVEAT
+        (r16, proven): counts SIBLING processes in the container too — see
+        proc_tree_cpu_sec above for the clean per-query attribution."""
         try:  # cgroup v1
             with open("/sys/fs/cgroup/cpuacct/cpuacct.usage") as f:
                 return int(f.read()) / 1e9
@@ -327,6 +368,7 @@ def main():
 
     timings = {}
     cpu_sec: dict[str, float] = {}
+    cpu_proc_sec: dict[str, float] = {}
     stages: dict[str, float] = {}
     load_seen = [loadavg_1m()]
     for name in names:
@@ -342,6 +384,7 @@ def main():
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             c0 = container_cpu_sec()
+            p0 = proc_tree_cpu_sec()
             t0 = time.time()
             run_forced(fn())
             dt = time.time() - t0
@@ -350,6 +393,7 @@ def main():
                 best = dt
                 if c0 >= 0:
                     cpu_sec[name] = round(container_cpu_sec() - c0, 3)
+                cpu_proc_sec[name] = round(proc_tree_cpu_sec() - p0, 3)
             # stage-level visibility into the suite's dominant entry: keep the
             # per-stage min across runs (same steady-state rule as the total)
             if name == "curation_pipeline":
@@ -392,7 +436,10 @@ def main():
         "topk_ivfpq_join": (1.0, 7.0),
         "dedup_lines": (0.3, 2.5),
         "bm25": (0.8, 4.0),
-        "semdedup": (1.5, 6.0),
+        # r16: the canon-hash forcing executes semdedup's full output
+        # columns (count() pruned part of the plan through r15) — solo
+        # min-of-3 measured 6.1-7.5 s under the new forcing
+        "semdedup": (1.5, 9.0),
         "bpe_tokens": (0.2, 3.0),
         "dsir_sample": (1.5, 12.0),
         "quality_classifier": (1.0, 10.0),
@@ -474,8 +521,12 @@ def main():
                 "loadavg_median": sorted(load_seen)[len(load_seen) // 2],
                 # container CPU seconds burned by each query's BEST run:
                 # wall up + cpu flat = external contention; both up = the
-                # plan is doing more work (a real regression)
+                # plan is doing more work (a real regression).  cpu_sec is
+                # the cgroup counter (container-wide, sibling-pollutable —
+                # r16 probe); cpu_proc_sec is this process tree only, the
+                # metric regression attributions should use
                 "cpu_sec": cpu_sec,
+                "cpu_proc_sec": cpu_proc_sec,
                 # recall@5 vs exact brute force for the compressed-ANN
                 # entries (untimed guardrail); any entry under its
                 # BASELINE.md floor is listed in recall_breach (and

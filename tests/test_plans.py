@@ -578,3 +578,50 @@ def test_contamination_single_corpus_pass(spark, documents):
     assert n_generates == 2, s
     assert "BroadcastHashJoin" in plans.join_strategies(out)
     assert "CartesianProduct" not in s
+
+
+def test_text_stats_plan_shape(spark, documents):
+    """text_stats's honest shape (pinned r16, VERDICT r15 task 7 — one of
+    the five entries r15 caught bench-timing a pruned scan): the stopword
+    table is BROADCAST (never shuffled), and the word-explode → per-doc
+    aggregate → join-back tree costs at most 4 shuffle Exchanges.  A 5th
+    Exchange or a vanished broadcast means the stopword join or the
+    explode re-planned into something worse."""
+    import re
+
+    from tikv_data_compare_spark.operators import text as tx
+
+    docs = documents.limit(50).select("doc_id", "text")
+    s = plans.plan_string(tx.text_stats(docs))
+    nodes = re.findall(r"^\(\d+\) (\w*Exchange)", s, re.M)
+    assert nodes.count("BroadcastExchange") >= 1, s
+    assert nodes.count("Exchange") <= 4, nodes
+
+
+def test_pii_redact_zero_shuffle(spark, documents):
+    """pii_redact is an ordered JVM regexp_replace chain — map-side, no
+    Exchange, no Python UDF in the plan."""
+    from tikv_data_compare_spark.operators import text as tx
+
+    docs = documents.limit(50).select("doc_id", "text")
+    s = plans.plan_string(tx.pii_redact(docs))
+    assert "Exchange" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_decontam_rekey_gram_join_broadcasts_probes(spark, documents):
+    """The r16 hot-fingerprint re-key path (default small-probe mode):
+    the witness-gram join must BROADCAST the probe grams — the corpus
+    gram stream stays map-side (no cartesian anywhere; the corpus text
+    never shuffles through the hot path)."""
+    from tikv_data_compare_spark.operators import text as tx
+
+    docs = documents.limit(80).select("doc_id", "text")
+    probes = documents.limit(5).selectExpr(
+        "doc_id AS probe_id", "substr(text, 3, 60) AS text"
+    )
+    s = plans.plan_string(
+        tx.decontaminate_substring(docs, probes, min_span=24, max_fp_df=1)
+    )
+    assert "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s

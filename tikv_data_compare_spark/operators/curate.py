@@ -288,17 +288,32 @@ def curate(
     # materialize, with the other curate caches.
     _sd_k = 5
     da = decontam_algo if decontam_algo is not None else algo
+    # Persist whenever ANY span stage runs, not only when both share a
+    # geometry: with max_fp_df set, decontaminate_substring consumes the
+    # corpus winnow subtree in three places (hot-df aggregate, affected-id
+    # semi-join, cold side) — an unpersisted frame would recompute the
+    # ~200-cpu-s/50k-doc HOF chain per consumer.
     shared_fps = None
-    if (
-        probes is not None
-        and decontam_span is not None
-        and self_dedup_span is not None
-        and int(self_dedup_span) == int(decontam_span)
-    ):
+    fps_span = None
+    if probes is not None and decontam_span is not None:
+        fps_span = int(decontam_span)
+    elif self_dedup_span is not None:
+        fps_span = int(self_dedup_span)
+    if fps_span is not None:
         shared_fps = tx.winnow_fingerprints(
             docs, id_col, text_col,
-            k=_sd_k, w=int(decontam_span) - _sd_k + 1, algo=da,
+            k=_sd_k, w=fps_span - _sd_k + 1, algo=da,
         ).persist()
+    # the self-dedup stage reuses the frame only when its geometry matches
+    sd_fps = (
+        shared_fps
+        if (
+            shared_fps is not None
+            and self_dedup_span is not None
+            and int(self_dedup_span) == fps_span
+        )
+        else None
+    )
     if probes is not None:
         # probe id column: the conventional 'probe_id' (the contamination
         # contract), else any first column stands in — the id only keys the
@@ -372,7 +387,7 @@ def curate(
         sd_ok = tx.self_dedup_substring(
             docs, id_col, text_col,
             min_span=int(self_dedup_span), k=_sd_k,
-            algo=da, doc_fps=shared_fps,
+            algo=da, doc_fps=sd_fps,
         ).select(id_col, F.col("kept").alias("_sd_ok"))
         flags = flags.join(sd_ok, id_col, "left").withColumn(
             "s_sdd",

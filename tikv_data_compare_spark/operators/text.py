@@ -1537,7 +1537,11 @@ def decontaminate_substring(
     decontamination runs) passes the persisted
     :func:`winnow_fingerprints` output instead of paying the
     ~200-cpu-s/50k-doc winnow pass again; geometry is verified against
-    the frame's column-metadata stamp when present.
+    the frame's column-metadata stamp when present.  With ``max_fp_df``
+    set this matters even for a SINGLE run: the corpus fingerprint frame
+    feeds three subtrees (hot-df aggregate, affected-id semi-join, cold
+    side), and Spark does not dedupe unpersisted subplans — curate()
+    passes a persisted frame whenever a span stage is active (r16).
     """
     if min_span < k + 1:
         raise ValueError(
