@@ -173,6 +173,9 @@ def main():
     only = {
         p for p in os.environ.get("SPARK_GRAFT_PROBE_PARTS", "").split(",") if p
     }
+    # r16: run-count knob for the heavy sf1 rekey entries (min-of-3 on a
+    # multi-minute exact pass triples the probe for no attribution gain)
+    n_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
     out = {
         "probe": "fingerprints_parts", "sf_dir": sf_dir,
         "n_docs": docs.count(), "load_start": loadavg_1m(),
@@ -182,7 +185,7 @@ def main():
         if only and name not in only:
             continue
         best, best_cpu, walls = None, -1.0, []
-        for _ in range(3):
+        for _ in range(n_runs):
             spark.catalog.clearCache()
             gc.collect()
             spark.sparkContext._jvm.System.gc()
