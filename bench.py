@@ -60,6 +60,43 @@ def run_forced(df) -> None:
     forced(df).collect()
 
 
+#: per-entry wall-clock bands at sf0.1 (BASELINE.md; recalibrated r16 for
+#: the canon-hash forcing).  Module-level so tests/test_bench_forcing.py can
+#: pin band<->entry key parity — a new bench entry must ship with a band.
+BANDS = {
+    "checksum_compare_xxh": (0.8, 4.0),
+    "diff_keyed": (0.4, 1.8),
+    "export_hex": (0.3, 2.5),
+    "dedup_minhash_pairs": (0.4, 4.0),
+    "dedup_simhash": (0.3, 2.0),
+    "similarity_topk": (0.3, 1.2),
+    "text_stats": (0.2, 1.5),
+    "sessionize": (0.4, 1.6),
+    "asof_join": (0.4, 2.0),
+    "join_region_revenue": (0.8, 2.0),
+    "funnel_gaps": (0.7, 2.2),
+    "tfidf": (0.5, 2.5),
+    "repair_plan": (0.5, 2.2),
+    "price_histogram": (0.2, 0.8),
+    "targeted_diff_1pct": (0.5, 3.0),
+    "diff_full_1pct": (0.3, 1.5),
+    "curation_pipeline": (2.0, 16.0),
+    "topk_pq_rerank": (0.8, 6.0),
+    "topk_ivfpq": (1.0, 6.0),
+    "topk_ivfpq_join": (1.0, 7.0),
+    "dedup_lines": (0.3, 2.5),
+    "bm25": (0.8, 4.0),
+    # r16: the canon-hash forcing executes semdedup's full output
+    # columns (count() pruned part of the plan through r15) — solo
+    # min-of-3 measured 6.1-7.5 s under the new forcing
+    "semdedup": (1.5, 9.0),
+    "bpe_tokens": (0.2, 3.0),
+    "dsir_sample": (1.5, 12.0),
+    "quality_classifier": (1.0, 10.0),
+}
+
+
+
 def build_benches(spark, sf_dir: str):
     """name -> zero-arg thunk returning the operator's OUTPUT DataFrame.
 
@@ -285,7 +322,14 @@ def main():
                 continue
             rest = raw.rsplit(")", 1)[1].split()
             ppid_map[int(d)] = int(rest[1])
-            cpu[int(d)] = (int(rest[11]) + int(rest[12])) / hz
+            # utime+stime of the live process PLUS cutime+cstime (cpu of
+            # its REAPED children — accumulated at reap time, so a worker
+            # dying mid-measurement moves from the live sum into its
+            # parent's cutime instead of vanishing; without these two the
+            # delta can go NEGATIVE, observed on the sf1 tfidf entry)
+            cpu[int(d)] = (
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+            ) / hz
         total = 0.0
         for pid in cpu:
             p, seen = pid, set()
@@ -413,37 +457,7 @@ def main():
     # 3.74→0.84 s at idle (VERDICT r13 task 4 — this block).
     # Bands recalibrated r16 for the canon-hash forcing (min-of-3 at low
     # load; the formerly count()-pruned five now time real work).
-    bands = {
-        "checksum_compare_xxh": (0.8, 4.0),
-        "diff_keyed": (0.4, 1.8),
-        "export_hex": (0.3, 2.5),
-        "dedup_minhash_pairs": (0.4, 4.0),
-        "dedup_simhash": (0.3, 2.0),
-        "similarity_topk": (0.3, 1.2),
-        "text_stats": (0.2, 1.5),
-        "sessionize": (0.4, 1.6),
-        "asof_join": (0.4, 2.0),
-        "join_region_revenue": (0.8, 2.0),
-        "funnel_gaps": (0.7, 2.2),
-        "tfidf": (0.5, 2.5),
-        "repair_plan": (0.5, 2.2),
-        "price_histogram": (0.2, 0.8),
-        "targeted_diff_1pct": (0.5, 3.0),
-        "diff_full_1pct": (0.3, 1.5),
-        "curation_pipeline": (2.0, 16.0),
-        "topk_pq_rerank": (0.8, 6.0),
-        "topk_ivfpq": (1.0, 6.0),
-        "topk_ivfpq_join": (1.0, 7.0),
-        "dedup_lines": (0.3, 2.5),
-        "bm25": (0.8, 4.0),
-        # r16: the canon-hash forcing executes semdedup's full output
-        # columns (count() pruned part of the plan through r15) — solo
-        # min-of-3 measured 6.1-7.5 s under the new forcing
-        "semdedup": (1.5, 9.0),
-        "bpe_tokens": (0.2, 3.0),
-        "dsir_sample": (1.5, 12.0),
-        "quality_classifier": (1.0, 10.0),
-    }
+    bands = BANDS
     solo_reruns: dict[str, dict] = {}
     for name, wall in timings.items():
         band = bands.get(name)

@@ -101,3 +101,10 @@ def test_forced_helper_hashes_every_column(spark):
         assert c in plan
     # deterministic value: same frame, same canon
     assert f.collect()[0][0] == bench.forced(df).collect()[0][0]
+
+
+def test_every_bench_entry_has_a_band(benches):
+    """Band ↔ entry key parity: a new bench entry must ship with a
+    BASELINE band (and a dead band means an entry was renamed/removed
+    without recalibrating)."""
+    assert set(bench.BANDS) == set(benches)

@@ -91,7 +91,11 @@ def proc_tree_cpu_sec(
         rest = raw.rsplit(")", 1)[1].split()
         pid = int(d)
         ppid_map[pid] = int(rest[1])
-        cpu[pid] = (int(rest[11]) + int(rest[12])) / hz
+        # incl. cutime/cstime: reaped-child cpu accumulates to the parent,
+        # keeping the tree total monotonic when workers die mid-measurement
+        cpu[pid] = (
+            int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        ) / hz
     total = 0.0
     for pid in cpu:
         p = pid
