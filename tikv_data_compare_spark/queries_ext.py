@@ -1356,7 +1356,14 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``fz_cands``/``fz_hits``/``fz_maxj``/``fz_flag``)."""
     tune(spark)
     docs = _load(spark, sf_dir, "documents")
-    sd = tx.self_dedup_substring(docs, min_span=24).select(
+    # r16: the self-dedup part runs the hot-fingerprint REKEY split
+    # (max_fp_df=50, the default exact mode) so the new path is DRIVER-
+    # hash-gated every round — its output is provably byte-identical to
+    # the uncapped call this row ran through r15 (full-row equality
+    # verified on this exact corpus at sf0.01/sf0.001; operator docstring
+    # for the completeness proof), while the decontam part below stays
+    # uncapped so the pure winnow path remains gated too.
+    sd = tx.self_dedup_substring(docs, min_span=24, max_fp_df=50).select(
         "doc_id",
         F.col("n_dup_partners").alias("sd_partners"),
         F.col("n_dup_starts").alias("sd_starts"),
