@@ -90,6 +90,7 @@ BANDS = {
     # columns (count() pruned part of the plan through r15) — solo
     # min-of-3 measured 6.1-7.5 s under the new forcing
     "semdedup": (1.5, 9.0),
+    "semdedup_auto": (1.5, 9.0),
     "bpe_tokens": (0.2, 3.0),
     "dsir_sample": (1.5, 12.0),
     "quality_classifier": (1.0, 10.0),
@@ -212,6 +213,13 @@ def build_benches(spark, sf_dir: str):
             k=5,
         ),
         "semdedup": lambda: clu.semantic_dedup(embeddings, k=16, n_iter=2, threshold_c=3000),
+        # r16: the SCALE geometry — k='auto' (ceil(n/100) cells, broadcast
+        # assignment above the literal threshold) keeps the within-cell
+        # pair term linear in the corpus; the fixed-k entry above stays as
+        # the published series datapoint (and the honest quadratic shape)
+        "semdedup_auto": lambda: clu.semantic_dedup(
+            embeddings, k="auto", n_iter=2, threshold_c=3000
+        ),
         # r10: trained byte-level BPE end-to-end — learn 48 merges from the
         # corpus's top-256 word-frequency table (one agg + bounded collect +
         # driver loop), then count every doc's subword tokens with the

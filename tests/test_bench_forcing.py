@@ -46,8 +46,8 @@ def _top_aggregate_line(plan: str) -> str:
     "asof_join", "join_region_revenue", "funnel_gaps", "tfidf",
     "repair_plan", "price_histogram", "targeted_diff_1pct", "diff_full_1pct",
     "topk_pq_rerank", "topk_ivfpq", "topk_ivfpq_join", "dedup_lines",
-    "bm25", "semdedup", "bpe_tokens", "curation_pipeline", "dsir_sample",
-    "quality_classifier",
+    "bm25", "semdedup", "semdedup_auto", "bpe_tokens", "curation_pipeline",
+    "dsir_sample", "quality_classifier",
 ])
 def test_forced_plan_is_canon_hash_and_unpruned(benches, name):
     df = benches[name]()

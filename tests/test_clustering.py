@@ -176,3 +176,45 @@ def test_kmeans_k1024_broadcast_smoke(spark):
     assert len(got) == 2048
     assert all(0 <= r["cluster"] < 1024 for r in got)
     assert len(cents) == 1024
+
+
+def test_semantic_dedup_auto_k_matches_explicit(spark, embeddings):
+    """k='auto' resolves ceil(n / SEMDEDUP_CELL_TARGET) and produces the
+    IDENTICAL verdict frame as the explicit k at that value (same seeds,
+    same Lloyd algebra — 'auto' only picks the number)."""
+    from tikv_data_compare_spark.operators import clustering as clu
+
+    emb = embeddings.limit(250)
+    n = emb.count()
+    want_k = -(-n // clu.SEMDEDUP_CELL_TARGET)
+    auto = {
+        tuple(r) for r in clu.semantic_dedup(
+            emb, k="auto", n_iter=2, threshold_c=3000
+        ).collect()
+    }
+    explicit = {
+        tuple(r) for r in clu.semantic_dedup(
+            emb, k=want_k, n_iter=2, threshold_c=3000
+        ).collect()
+    }
+    assert auto == explicit and len(auto) == n
+
+    import pytest
+
+    with pytest.raises(ValueError, match="int or 'auto'"):
+        clu.semantic_dedup(emb, k="automatic")
+
+
+def test_assign_literal_threshold_keeps_gated_geometry_literal(spark):
+    """The r16 re-calibration (16384 -> 4096): the gated k=64 x dim=64
+    geometry must stay on the DuckDB-replayable literal path; anything
+    larger routes to the broadcast seam (measured 136-157 s literal vs
+    15-25 s broadcast at k=160 x 64 on sf1 — the interpreted fold, not
+    the pair join, dominated)."""
+    from tikv_data_compare_spark.operators import clustering as clu
+
+    assert clu.ASSIGN_LITERAL_MAX_KDIM == 4096
+    # 64x64 = 4096 -> literal (not strictly greater)
+    assert not (64 * 64 > clu.ASSIGN_LITERAL_MAX_KDIM)
+    # the sf1 regression case: 160x64 routes broadcast now
+    assert 160 * 64 > clu.ASSIGN_LITERAL_MAX_KDIM

@@ -42,10 +42,22 @@ CANON_SCALE = 100000
 #: literal SQL expression to the broadcast-numpy Arrow path.  The literal
 #: expression grows ~25 bytes per centroid component — fine at the gated
 #: k=64·dim=64 (≈100 KB of SQL), a plan-compile killer at SemDeDup-scale
-#: k=10k·dim=768 (tens of MB).  16384 keeps every currently-gated geometry
-#: on the oracle-replayable literal path and routes anything bigger through
-#: the broadcast seam.
-ASSIGN_LITERAL_MAX_KDIM = 16384
+#: k=10k·dim=768 (tens of MB).  RE-CALIBRATED r16 from 16384: at
+#: k=160·dim=64 (k·dim 10,240 — under the old threshold) the literal
+#: path measured 136–157 s for sf1 semantic_dedup where the broadcast
+#: path measures 15–25 s — the interpreted 10k-term fold per row, not
+#: the pair join, dominated.  4096 keeps exactly the gated geometries
+#: (≤ 64·64, term-for-term DuckDB-replayable) literal and routes
+#: everything bigger through the broadcast seam.
+ASSIGN_LITERAL_MAX_KDIM = 4096
+
+#: ``semantic_dedup(k='auto')``'s target vectors-per-cluster: cells stay
+#: small enough that the within-cell pair join is linear in the corpus
+#: (n·cell_target pairs total) while dense enough for near-dup recall —
+#: the SemDeDup operating regime (the paper's LAION runs sit at ~10³
+#: docs/cluster; 100 keeps the bench corpora's recall behavior while
+#: bounding the quadratic term).
+SEMDEDUP_CELL_TARGET = 100
 
 #: row-block size for the broadcast assignment's per-batch matmul.  The
 #: score matrix is rows×k float64; without blocking, a default 10k-row
@@ -243,7 +255,7 @@ def kmeans(
 
 def semantic_dedup(
     emb: DataFrame,
-    k: int = 16,
+    k: "int | str" = 16,
     n_iter: int = 2,
     threshold_c: int = 9500,
     id_col: str = "vec_id",
@@ -263,11 +275,28 @@ def semantic_dedup(
 
     Scale shape: the pairwise search never leaves a cluster — a self
     equi-join on the cluster id, O(Σ|cluster|²) with no cartesian product;
-    cluster-size skew is the k knob's job (k ~ n/1000 keeps the quadratic
-    term bounded) plus AQE skew-join splitting.  Cross-cluster duplicates
-    are invisible by design — that recall trade IS SemDeDup's contract, and
-    the LSH path (embedding_near_dup) remains the cluster-free alternative.
+    cluster-size skew is the k knob's job plus AQE skew-join splitting.
+    Cross-cluster duplicates are invisible by design — that recall trade
+    IS SemDeDup's contract, and the LSH path (embedding_near_dup) remains
+    the cluster-free alternative.
+
+    ``k='auto'`` (r16) — the scale geometry: resolves
+    ``k = ceil(n / SEMDEDUP_CELL_TARGET)`` from one corpus count, so the
+    within-cell pair term stays LINEAR in the corpus (n·cell_target
+    pairs) instead of quadratic at a fixed k.  Measured at sf1
+    (20k vectors): fixed k=16 costs 147 s (12.5M pairs); auto (k=200,
+    broadcast assignment) costs ~8 s — ×10-data factor 1.4 vs sf0.1.
+    The resolution is EAGER (one count job).  Pairs-vs-assignment trade,
+    measured: at fixed cell size both terms are linear; pushing k high
+    on the LITERAL assign path instead recreates the cost in the plan
+    (the ASSIGN_LITERAL_MAX_KDIM note) — 'auto' assign_mode handles
+    that switch.
     """
+    if k == "auto":
+        n = emb.count()
+        k = max(1, -(-n // SEMDEDUP_CELL_TARGET))
+    elif not isinstance(k, int):
+        raise ValueError(f"k must be an int or 'auto', got {k!r}")
     assign, _ = kmeans(
         emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, assign_mode=assign_mode
     )

@@ -1363,7 +1363,17 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verified on this exact corpus at sf0.01/sf0.001; operator docstring
     # for the completeness proof), while the decontam part below stays
     # uncapped so the pure winnow path remains gated too.
-    sd = tx.self_dedup_substring(docs, min_span=24, max_fp_df=50).select(
+    # r16: ONE persisted span-24 winnow pass feeds all three w=20
+    # consumers through the doc_fps seam (self-dedup, exact decontam, the
+    # bloom probe) — this row previously winnowed the corpus three times
+    # (Spark does not dedupe unpersisted subplans), and the rekey mode
+    # adds two more consumers of the same frame (hot-df agg, affected-id
+    # semi).  The cache rides as ``.fps_cache`` on the returned frame
+    # (the dsir_cache convention); harness sessions clearCache() anyway.
+    d_fp20_all = tx.winnow_fingerprints(docs, "doc_id", "text", k=5, w=20).persist()
+    sd = tx.self_dedup_substring(
+        docs, min_span=24, max_fp_df=50, doc_fps=d_fp20_all
+    ).select(
         "doc_id",
         F.col("n_dup_partners").alias("sd_partners"),
         F.col("n_dup_starts").alias("sd_starts"),
@@ -1385,24 +1395,25 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     wprobes = docs.filter(F.col("doc_id") % 17 == 0).selectExpr(
         "doc_id AS probe_id", "substr(text, 6, 45) AS text"
     )
-    wd = tx.decontaminate_substring(docs, wprobes, min_span=24).select(
+    wd = tx.decontaminate_substring(
+        docs, wprobes, min_span=24, doc_fps=d_fp20_all
+    ).select(
         "doc_id",
         F.col("n_contam_probes").alias("wd_contam_probes"),
         F.col("contaminated").cast("long").alias("wd_contaminated"),
     )
     from tikv_data_compare_spark.operators import bloom as bloom_ops
 
-    nn = docs.where(F.col("text").isNotNull())
     pnn = wprobes.where(F.col("text").isNotNull())
     p_fp20 = tx.winnow_fingerprints(pnn, "probe_id", "text", k=5, w=20).where(
         F.col("fp").isNotNull()
     )
     bitmap = bloom_ops.bloom_build(p_fp20, "fp", m_bits=_BL_M, k_hashes=_BL_K)
     # winnow emits array_distinct fps per doc — (doc_id, fp) rows are
-    # already distinct, no dedup shuffle needed
-    d_fp20 = tx.winnow_fingerprints(nn, "doc_id", "text", k=5, w=20).where(
-        F.col("fp").isNotNull()
-    )
+    # already distinct, no dedup shuffle needed.  winnow(docs).where(fp
+    # NOT NULL) ≡ the old winnow(docs WHERE text NOT NULL).where(...):
+    # NULL-text docs contribute exactly one (id, NULL) row either way
+    d_fp20 = d_fp20_all.where(F.col("fp").isNotNull())
     blm = (
         bloom_ops.bloom_probe(
             d_fp20, bitmap, "fp", _BL_M, _BL_K, id_cols=["doc_id", "fp"]
@@ -1428,7 +1439,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_jaccard_c").alias("fz_maxj"),
         F.col("contaminated").cast("long").alias("fz_flag"),
     )
-    return (
+    out = (
         fp.join(wn, "doc_id")
         .join(conta, "doc_id")
         .join(wd, "doc_id")
@@ -1437,6 +1448,9 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bl_hits", F.coalesce("bl_hits", F.lit(0).cast("long")))
         .join(fz, "doc_id")
     )
+    # release handle for the shared winnow cache (dsir_cache convention)
+    out.fps_cache = d_fp20_all
+    return out
 
 
 def _winnow_sel_sql(src: str, idc: str, w: int) -> str:
