@@ -690,8 +690,18 @@ def bpe_token_count(
 ) -> DataFrame:
     """Append the trained-BPE subword token count (NULL/empty text → 0 —
     unlike the whitespace counts, an empty word holds zero bytes and hence
-    zero tokens)."""
-    return df.withColumn(out_col, F.expr(bpe_ntok_sql(text_col, merges)))
+    zero tokens).
+
+    Widened via ``scale_out`` (r16): the per-word merge fold is the most
+    CPU-dense HOF in the repo, and an under-split compact parquet source
+    strands it on 1-2 cores — measured at sf1: 16.2 s wall ≈ 18 cpu-s
+    (parallelism ~1) before, cluster no-op (scale_out inserts nothing
+    when the source is well-split)."""
+    from tikv_data_compare_spark.session import scale_out
+
+    return scale_out(df, key=text_col).withColumn(
+        out_col, F.expr(bpe_ntok_sql(text_col, merges))
+    )
 
 
 def tfidf_top_terms(
