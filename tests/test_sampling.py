@@ -887,3 +887,47 @@ def test_curate_quality_classifier_gate(spark):
         curate(docs, min_quality_c=5, **off)
     with pytest.raises(ValueError, match="quality_crawl requires"):
         curate(docs, quality_crawl=seed, **off)
+
+
+def test_quality_model_parquet_roundtrip_scores_identically(spark, tmp_path):
+    """The fit/score seam: quality_model -> parquet -> read -> score must
+    equal the one-call quality_classifier bit-for-bit (parquet preserves
+    the column-metadata stamp carrying the trained threshold), and an
+    unstamped weight table is rejected loudly."""
+    import pytest
+
+    from tikv_data_compare_spark.operators.sampling import (
+        quality_classifier,
+        quality_model,
+        quality_score_with_model,
+    )
+
+    docs = _qc_corpus(spark)
+    seed = docs.filter((F.col("kind") == "clean") & (F.col("doc_id") < 20)).select("text")
+    corpus = docs.select("doc_id", "text")
+    one_call = {tuple(r) for r in quality_classifier(corpus, seed, n_buckets=512).collect()}
+
+    model = quality_model(corpus, seed, n_buckets=512)
+    path = str(tmp_path / "qc_model.pq")
+    model.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    assert (reloaded.schema["_w_c"].metadata or {}).get("qc_n_buckets") == 512
+    scored = {
+        tuple(r)
+        for r in quality_score_with_model(corpus, reloaded).collect()
+    }
+    assert scored == one_call
+
+    # a second corpus scores with the SAME frozen model (the score-many
+    # half): only junk docs -> nothing keeps
+    junk_only = docs.filter(F.col("kind") == "junk").select("doc_id", "text")
+    j = quality_score_with_model(junk_only, reloaded)
+    assert j.agg(F.sum(F.col("q_keep").cast("long"))).collect()[0][0] == 0
+
+    bare = spark.createDataFrame(
+        [(r["_b"], r["_w_c"]) for r in reloaded.collect()], "_b long, _w_c long"
+    )
+    with pytest.raises(ValueError, match="build stamp"):
+        quality_score_with_model(corpus, bare)
+    with pytest.raises(ValueError, match="quality_model"):
+        quality_score_with_model(corpus, corpus)

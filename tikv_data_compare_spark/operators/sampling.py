@@ -1227,6 +1227,48 @@ def quality_classifier(
     ``q_sum_c`` (``qc_thr_c`` / ``qc_n_buckets`` / ``qc_algo`` /
     ``qc_text_col``).
     """
+    # ONE implementation: delegate to the fit/score seam below (r16 —
+    # quality_model trains and stamps the weight frame, score applies it;
+    # this one-call form exists for the eager fit-and-filter usage and
+    # the driver gate row)
+    model = quality_model(
+        docs, seed, crawl=crawl, text_col=text_col,
+        seed_text_col=seed_text_col, crawl_text_col=crawl_text_col,
+        n_buckets=n_buckets, algo=algo,
+    )
+    return quality_score_with_model(docs, model, id_col=id_col, text_col=text_col)
+
+
+def quality_model(
+    docs: DataFrame,
+    seed: DataFrame,
+    crawl: DataFrame | None = None,
+    text_col: str = "text",
+    seed_text_col: str | None = None,
+    crawl_text_col: str | None = None,
+    n_buckets: int = 2048,
+    algo: str = "md5i64",
+) -> DataFrame:
+    """Train the quality classifier ONCE and return it as a persistable
+    MODEL FRAME — the build-once/score-many seam of the index artifacts
+    (ann_index / text_index / dedup_index), for the real deployment
+    pattern: fit the seed-vs-crawl filter on one labeled snapshot, then
+    score every future corpus shard with :func:`quality_score_with_model`.
+
+    The frame is ``(_b, _w_c)`` — the NB bucket weight table — with the
+    trained threshold and build geometry stamped as column METADATA on
+    ``_w_c`` (``qc_thr_c`` / ``qc_n_buckets`` / ``qc_algo`` /
+    ``qc_text_col``).  Parquet round-trips preserve column metadata, so
+    ``spark.read.parquet(path)`` returns a frame this module scores with
+    directly; geometry is re-verified at score time (the dsir
+    ``weights=`` convention).  ``docs`` supplies the default crawl class
+    (``crawl=None`` — the GPT-3 setup) and is NOT scored here.
+
+    Training = :func:`quality_classifier`'s exact driver-side path (two
+    bounded label count collects → :func:`quality_weight_table`; binned
+    score histogram → :func:`quality_threshold_c`'s class-balanced
+    logistic) — one source of truth, shared verbatim.
+    """
     from tikv_data_compare_spark.operators.dedup import _check_algo
 
     _check_algo(algo)
@@ -1234,12 +1276,7 @@ def quality_classifier(
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     crawl_frame = crawl if crawl is not None else docs
     s_tc = seed_text_col or text_col
-    c_tc = crawl_text_col or (text_col if crawl is not None else text_col)
-
-    # synthetic per-row ids for the labeled sides: the histogram groups per
-    # doc but is invariant to the id VALUES, so monotonically_increasing_id
-    # (stable within one execution) is safe here — nothing gated depends on
-    # which doc got which id
+    c_tc = crawl_text_col or text_col
     s_docs = seed.select(F.monotonically_increasing_id().alias("_qid"), F.col(s_tc))
     c_docs = crawl_frame.select(
         F.monotonically_increasing_id().alias("_qid"), F.col(c_tc)
@@ -1266,9 +1303,7 @@ def quality_classifier(
         }
         wtab_py = quality_weight_table(seed_counts, crawl_counts, n_buckets)
         spark = docs.sparkSession
-        wtab = spark.createDataFrame(
-            list(wtab_py.items()), "_b long, _w_c long"
-        )
+        wtab = spark.createDataFrame(list(wtab_py.items()), "_b long, _w_c long")
 
         def doc_scores(rc):
             scored = rc.join(F.broadcast(wtab), "_b", "left")
@@ -1277,9 +1312,6 @@ def quality_classifier(
                 F.sum(F.col("_ct") * F.col("_w_c")).cast("long").alias("_sc"),
             )
 
-        # calibration histogram: floor of the binary64 quotient — both
-        # engines IEEE-divide the same exact-integer doubles, so the bin
-        # index is engine-independent by construction
         def hist_bins(per_doc, label):
             return per_doc.select(
                 F.lit(int(label)).alias("_y"),
@@ -1307,14 +1339,61 @@ def quality_classifier(
         c_rc.unpersist()
     hist = {(int(r["_y"]), int(r["_bin"])): int(r["_n"]) for r in hist_rows}
     thr_c = quality_threshold_c(hist)
+    return wtab.select(
+        "_b",
+        F.col("_w_c").alias(
+            "_w_c",
+            metadata={
+                "qc_thr_c": thr_c,
+                "qc_n_buckets": n_buckets,
+                "qc_algo": algo,
+                "qc_text_col": text_col,
+            },
+        ),
+    )
 
-    # score the target corpus: the dsir_weights scoring shape verbatim
+
+def quality_score_with_model(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score a corpus with a trained :func:`quality_model` frame — the
+    score-many half of the seam.  Map-side features, one broadcast join
+    against the ≤ n_buckets-row weight table, one per-doc integer sum;
+    the corpus text never shuffles.  Output schema matches
+    :func:`quality_classifier` exactly: ``(id, q_n_feats, q_sum_c,
+    q_keep)``.
+
+    The model's geometry rides in its ``_w_c`` column metadata (parquet
+    preserves it); a frame without the stamp is rejected — scoring with
+    unknown (n_buckets, algo, threshold) would silently mis-bucket every
+    feature, and unlike the dsir ``weights=`` seam there is no safe
+    interpretation of an unstamped weight table (the threshold is not
+    recoverable from the rows)."""
+    if not {"_b", "_w_c"} <= set(model.columns):
+        raise ValueError(
+            "model must carry ('_b', '_w_c') — pass the quality_model "
+            "output (or its parquet round-trip)"
+        )
+    meta = model.schema["_w_c"].metadata or {}
+    missing = {"qc_thr_c", "qc_n_buckets", "qc_algo"} - set(meta)
+    if missing:
+        raise ValueError(
+            f"model frame lacks the build stamp ({sorted(missing)}); "
+            "scoring with unknown geometry would mis-bucket every feature "
+            "— pass quality_model's output or its parquet round-trip"
+        )
+    thr_c = int(meta["qc_thr_c"])
+    n_buckets = int(meta["qc_n_buckets"])
+    algo = str(meta["qc_algo"])
     corpus = _dsir_feats(docs, id_col, text_col, n_buckets, algo=algo)
     rc = corpus.groupBy(id_col, "_b").agg(
         F.count(F.lit(1)).cast("long").alias("_ct")
     )
     per_doc = (
-        rc.join(F.broadcast(wtab), "_b", "left")
+        rc.join(F.broadcast(model.select("_b", "_w_c")), "_b", "left")
         .groupBy(id_col)
         .agg(
             F.sum("_ct").cast("long").alias("q_n_feats"),
@@ -1324,14 +1403,6 @@ def quality_classifier(
     return docs.select(id_col).join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce("q_n_feats", F.lit(0).cast("long")).alias("q_n_feats"),
-        F.col("q_sum_c").alias(
-            "q_sum_c",
-            metadata={
-                "qc_thr_c": thr_c,
-                "qc_n_buckets": n_buckets,
-                "qc_algo": algo,
-                "qc_text_col": text_col,
-            },
-        ),
+        F.col("q_sum_c").alias("q_sum_c", metadata=dict(meta)),
         (F.col("q_sum_c") >= F.lit(thr_c) * F.col("q_n_feats")).alias("q_keep"),
     )
