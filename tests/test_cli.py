@@ -1287,3 +1287,39 @@ def test_cli_dedup_subtract(capsys, spark, tmp_path):
     rc = cli.main(["dedup", "--src", src, "--subtract", other,
                    "--subtract-bloom-bits", "10"])
     assert rc == 2 and "m_bits" in capsys.readouterr().err
+
+
+def test_cli_quality_fit_then_score(capsys, spark, tmp_path):
+    """quality subcommand round-trip: fit writes the stamped model parquet
+    (threshold in the JSON summary), score applies it to a corpus and
+    writes the kept docs; mode validation is loud."""
+    clean = ("the quick brown fox jumps over a lazy dog while reading "
+             "morning papers in the quiet village library").split()
+    junk = "qw3rt zxcv88 plm0k jjjj9 uuu77 m3m3m".split()
+    rows = [(i, " ".join(clean[(i * 7 + j) % len(clean)] for j in range(25)))
+            for i in range(30)]
+    rows += [(100 + i, " ".join(junk[(i * 5 + j) % len(junk)] for j in range(25)))
+             for i in range(30)]
+    src = str(tmp_path / "docs.pq")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    seed = str(tmp_path / "seed.pq")
+    spark.createDataFrame(
+        [(r,) for _, r in rows[:15]], "text string"
+    ).write.parquet(seed)
+    model = str(tmp_path / "model.pq")
+    rc = cli.main(["quality", "--src", src, "--seed", seed,
+                   "--model-out", model, "--n-buckets", "512"])
+    assert rc == 0
+    fit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fit["model"] == model and isinstance(fit["qc_thr_c"], int)
+
+    out = str(tmp_path / "kept.pq")
+    rc = cli.main(["quality", "--src", src, "--model", model, "--out", out])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n"] == 60 and 0 < res["kept"] < 60
+    kept_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept_ids == set(range(30))  # clean keep, junk drop
+
+    assert cli.main(["quality", "--src", src, "--seed", seed]) == 2
+    assert cli.main(["quality", "--src", src]) == 2

@@ -414,6 +414,35 @@ def main(argv: list[str] | None = None) -> int:
                    help="near-dup shingle hash (xxhash64 = throughput default)")
     p.add_argument("--concurrency", type=int, default=0)
 
+    # model-based quality classifier (r16): fit the seed-vs-crawl filter
+    # once (--seed + --model-out, writes the stamped weight-table parquet)
+    # or score a corpus with a frozen model (--model [+ --out]) — the
+    # build-once/score-many CLI shape of the ann/bm25 index subcommands
+    p = sub.add_parser("quality")
+    p.add_argument("--src", required=True,
+                   help="documents parquet: the crawl/default negative "
+                        "class when fitting; the corpus to score otherwise")
+    p.add_argument("--seed", default="",
+                   help="reference-corpus parquet — enables FIT mode "
+                        "(requires --model-out)")
+    p.add_argument("--crawl", default="",
+                   help="fit: explicit negative-class parquet (default: "
+                        "--src itself)")
+    p.add_argument("--model-out", default="",
+                   help="fit: directory for the stamped model parquet")
+    p.add_argument("--model", default="",
+                   help="score: trained model parquet from --model-out")
+    p.add_argument("--out", default="",
+                   help="score: write kept docs here (default: print the "
+                        "scoring summary only)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--n-buckets", type=int, default=2048)
+    p.add_argument("--algo", default="md5i64", choices=["md5i64", "xxhash64"],
+                   help="feature hash (md5i64 = oracle-checkable, "
+                        "xxhash64 = throughput)")
+    p.add_argument("--concurrency", type=int, default=0)
+
     # approximate-nearest-neighbor search over an embeddings parquet: every
     # ANN path (exact brute force, LSH buckets, IVF cells, PQ codes, the
     # composed IVFPQ) behind one subcommand.  With --queries the IVF/IVFPQ
@@ -1106,6 +1135,61 @@ def main(argv: list[str] | None = None) -> int:
             summary["sequences"] = spark.read.parquet(seq_out).count()
         print(json.dumps(summary))
         return 0
+
+    if args.cmd == "quality":
+        from pyspark.sql import functions as QF
+
+        from tikv_data_compare_spark.operators import sampling as sp
+
+        fit_mode = bool(args.seed)
+        if fit_mode and not args.model_out:
+            print("quality: --seed (fit mode) requires --model-out",
+                  file=sys.stderr)
+            return 2
+        if not fit_mode and not args.model:
+            print("quality: pass --seed + --model-out to fit, or --model "
+                  "to score", file=sys.stderr)
+            return 2
+        docs = spark.read.parquet(args.src)
+        try:
+            if fit_mode:
+                model = sp.quality_model(
+                    docs.select(args.id_col, args.text_col),
+                    spark.read.parquet(args.seed),
+                    crawl=spark.read.parquet(args.crawl) if args.crawl else None,
+                    text_col=args.text_col,
+                    n_buckets=args.n_buckets, algo=args.algo,
+                )
+                model.write.mode("overwrite").parquet(args.model_out)
+                meta = model.schema["_w_c"].metadata or {}
+                print(json.dumps({
+                    "model": args.model_out,
+                    "qc_thr_c": int(meta["qc_thr_c"]),
+                    "n_buckets": args.n_buckets, "algo": args.algo,
+                }))
+                return 0
+            scored = sp.quality_score_with_model(
+                docs.select(args.id_col, args.text_col),
+                spark.read.parquet(args.model),
+                id_col=args.id_col, text_col=args.text_col,
+            )
+            row = scored.agg(
+                QF.count(QF.lit(1)).alias("n"),
+                QF.sum(QF.col("q_keep").cast("long")).alias("kept"),
+            ).collect()[0]
+            if args.out:
+                docs.join(
+                    scored.filter(QF.col("q_keep")).select(args.id_col),
+                    args.id_col, "left_semi",
+                ).write.mode("overwrite").parquet(args.out)
+            result = {"n": int(row["n"]), "kept": int(row["kept"] or 0)}
+            if args.out:
+                result["out"] = args.out
+            print(json.dumps(result))
+            return 0
+        except ValueError as e:
+            print(f"quality: {e}", file=sys.stderr)
+            return 2
 
     if args.cmd == "sample":
         from tikv_data_compare_spark.operators import sampling as sp
