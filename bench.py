@@ -559,12 +559,18 @@ def main():
                 # re-measured solo at suite end (min-of-3): solo back in
                 # band = ambient contention, still out = real regression
                 "solo_reruns": solo_reruns,
-                # the suite-level BASELINE band (8-45 s at sf0.1) with the
-                # same self-attribution: if the total breaches but every
-                # solo rerun landed back in band, the breach is contention
+                # the suite-level BASELINE band with the same
+                # self-attribution: if the total breaches but every solo
+                # rerun landed back in band, the breach is contention.
+                # Widened r16 10-55 s: the canon-hash forcing (every entry
+                # now pays a full-column aggregate and the five formerly
+                # count()-pruned rows execute real work) plus two new
+                # entries (semdedup_auto ~6 s, quality_classifier ~2.7 s)
+                # grew the honest floor; 27-entry totals measured 34.5
+                # and 45.7 s under ambient load
                 "suite_band": {
-                    "band": [8.0, 45.0],
-                    "breached": bool(sf == "0.1" and total > 45.0),
+                    "band": [10.0, 55.0],
+                    "breached": bool(sf == "0.1" and total > 55.0),
                     "regressed_entries": sorted(
                         n for n, r in solo_reruns.items()
                         if not r["in_band_solo"]
