@@ -611,3 +611,33 @@ def test_curate_every_optional_stage_composes(spark):
         assert kept_ids == {1}
     finally:
         kept.unpersist()
+
+
+def test_curate_self_dedup_threads_hot_fp_threshold(spark):
+    """decontam_max_fp_df applies to the self_dedup_span stage too (r16 —
+    omitting it ran the uncapped winnow self-join, measured catastrophic
+    at sf1): legal without probes when self_dedup_span is set, and the
+    kept set is identical to the unthresholded run (rekey is exact)."""
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"first carrier intro {span} unique tail one " + "pad " * 20),
+            (2, f"second carrier body {span} other filler text " + "mat " * 20),
+            (3, GOOD2 + " completely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    off = dict(near_dup_jaccard_c=10001, max_dup_word_frac_c=10000,
+               max_top_bigram_frac_c=10000)
+    base, _ = curate(docs, self_dedup_span=30, **off)
+    capped, _ = curate(docs, self_dedup_span=30, decontam_max_fp_df=1, **off)
+    try:
+        assert {r["doc_id"] for r in capped.collect()} == {
+            r["doc_id"] for r in base.collect()
+        } == {1, 3}
+    finally:
+        base.unpersist()
+        capped.unpersist()
+    # still loud with NO span stage at all
+    with pytest.raises(ValueError, match="span stage"):
+        curate(docs, decontam_max_fp_df=50, **off)

@@ -96,13 +96,19 @@ def curate(
     ``max_contamination_hits``; ``decontam_bloom_m_bits`` (r12) passes
     through to that stage's Bloom prefilter mode for corpus-sized probe
     sets (result identical — equivalence-tested on the operator).
-    ``decontam_max_fp_df`` (r15; EXACT since r16) passes through the
-    exact stage's hot-fingerprint threshold — set it from the corpus's
-    fingerprint-df histogram when the candidate join dominates the
-    funnel.  Since r16 the operator's default ``hot_fp_mode="rekey"``
-    makes the verdict byte-identical to uncapped at any threshold (the
-    hot fingerprints are re-keyed at full span resolution, not dropped
-    — operator docstring), so this is a pure performance knob here.
+    ``decontam_max_fp_df`` (r15; EXACT since r16) passes the
+    hot-fingerprint threshold to BOTH span stages (exact decontamination
+    and, since r16, ``self_dedup_span``) — set it from the corpus's
+    fingerprint-df histogram when a candidate join dominates the funnel.
+    Since r16 the operators' default ``hot_fp_mode="rekey"`` makes the
+    verdicts byte-identical to uncapped at any threshold (hot
+    fingerprints are re-keyed at full span resolution, not dropped —
+    operator docstrings), so this is a pure performance knob here —
+    and on template/boilerplate-heavy corpora it is NOT optional in
+    practice: at sf1, the uncapped self-dedup winnow self-join was
+    killed at >15 min inside the funnel where the split costs ~90 s,
+    and uncapped decontamination costs 251 s where the split costs 26 s
+    (identical kept sets, probe_curate_sf1).
     ``decontam_algo`` (r16) overrides the winnow gram hash for the
     exact-substring stages ONLY (``md5i64``/``xxhash64``), letting the
     near-dup stage keep the oracle-checkable ``algo`` while the
@@ -271,13 +277,14 @@ def curate(
             "(it is the exact-substring stage's corpus-sized-probe mode)"
         )
     if decontam_max_fp_df is not None and (
-        probes is None or decontam_span is None
+        (probes is None or decontam_span is None) and self_dedup_span is None
     ):
         # same loud-validation convention: a silently-ignored cap would let
         # the caller believe the hot-fingerprint prune ran when it didn't
         raise ValueError(
-            "decontam_max_fp_df requires probes= AND decontam_span= "
-            "(it caps the exact-substring stage's fingerprint join)"
+            "decontam_max_fp_df requires a span stage — probes= AND "
+            "decontam_span=, and/or self_dedup_span= (it routes both "
+            "stages' hot fingerprints through the exact rekey split)"
         )
     # one winnow pass for both span stages (r16, VERDICT r15 task 6): when
     # the exact-decontam and self-dedup stages run at the SAME span, the
@@ -388,6 +395,13 @@ def curate(
             docs, id_col, text_col,
             min_span=int(self_dedup_span), k=_sd_k,
             algo=da, doc_fps=sd_fps,
+            # the shared hot-fingerprint threshold (r16): rekey mode is
+            # exact at any value, so threading it here only bounds the
+            # candidate join — omitting it was measured CATASTROPHIC on
+            # the sf1 template corpus (uncapped winnow self-join = the
+            # r15 5.37e9-candidate path, killed at >15 min inside the
+            # funnel, vs ~90 s with the split)
+            max_fp_df=decontam_max_fp_df,
         ).select(id_col, F.col("kept").alias("_sd_ok"))
         flags = flags.join(sd_ok, id_col, "left").withColumn(
             "s_sdd",

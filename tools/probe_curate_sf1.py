@@ -78,10 +78,19 @@ def main():
         ("core4", {}),
         ("+redact_pii", {"redact_pii": True}),
         ("+decontam_exact", {"probes": probes, "decontam_span": 24}),
+        # r16: the hot-fingerprint rekey split on the SAME stage (exact —
+        # the marginal wall vs the step above is the rekey-vs-uncapped
+        # delta inside the full funnel)
+        ("+decontam_rekey50", {"decontam_max_fp_df": 50}),
         ("+decontam_fuzzy", {"decontam_fuzzy_jaccard_c": 8000}),
+        # r16: corpus-internal ExactSubstr gate at the SAME span as the
+        # decontam stage — exercises the shared one-winnow-pass seam
+        ("+self_dedup_span24", {"self_dedup_span": 24}),
         ("+language", {"keep_langs": langs}),
         ("+fluency", {"max_lm_nll_c": 50_000_000}),
         ("+dsir", {"dsir_target": target, "dsir_top_frac": 0.9}),
+        # r16: the model-based quality gate (seed = the English slice)
+        ("+quality_clf", {"quality_seed": target.select("text")}),
         ("+c4_rules", {"c4_rules": True, "c4_min_kept_lines": 1}),
         ("+blocklist", {"blocked_sources": ["absent_source"]}),
     ]
@@ -102,8 +111,17 @@ def main():
     k0.unpersist()
     kwargs: dict = {"algo": "xxhash64"}
     n_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2"))
+    # chunking knob (r16): the cumulative design means later configs each
+    # cost minutes at sf1 — $SPARK_GRAFT_PROBE_ONLY (comma-separated
+    # labels) APPLIES every step's delta in order but TIMES only the
+    # listed ones, so the probe can run in harness-timeout-sized chunks
+    only = {
+        p for p in os.environ.get("SPARK_GRAFT_PROBE_ONLY", "").split(",") if p
+    }
     for label, delta in steps:
         kwargs.update(delta)
+        if only and label not in only:
+            continue
         best, best_cpu, walls, split, n_kept, stages = None, -1.0, [], {}, 0, []
         for _ in range(n_runs):
             spark.catalog.clearCache()
