@@ -399,6 +399,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --quality-seed: override the trained decision "
                         "boundary with this x1e6 mean-log-odds threshold")
     p.add_argument("--quality-n-buckets", type=int, default=2048)
+    p.add_argument("--quality-algo", default="md5i64",
+                   choices=["md5i64", "xxhash64"],
+                   help="quality stage's feature hash — NOT inherited from "
+                        "--algo: the classifier's kept set is feature-hash-"
+                        "dependent, so switching it is an explicit decision "
+                        "(xxhash64 = throughput; the md5 feature fold "
+                        "dominates the stage's cost at scale)")
     p.add_argument("--c4-rules", action="store_true",
                    help="appends a 'boilerplate' stage: the C4 cleaning "
                         "heuristics (lorem-ipsum/curly-brace docs drop; docs "
@@ -1367,6 +1374,7 @@ def main(argv: list[str] | None = None) -> int:
                 # --quality-seed is given
                 min_quality_c=args.min_quality_c,
                 quality_n_buckets=args.quality_n_buckets,
+                quality_algo=args.quality_algo,
                 c4_rules=args.c4_rules,
                 c4_min_kept_lines=args.c4_min_kept_lines,
                 blocked_sources=(

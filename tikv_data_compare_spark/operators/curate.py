@@ -74,6 +74,7 @@ def curate(
     quality_crawl: DataFrame | None = None,
     min_quality_c: int | None = None,
     quality_n_buckets: int = 2048,
+    quality_algo: str = "md5i64",
     c4_rules: bool = False,
     c4_min_kept_lines: int = 3,
     blocked_sources: list[str] | None = None,
@@ -536,10 +537,18 @@ def curate(
             quality_classifier,
         )
 
+        # quality_algo is its OWN knob (default md5i64), not a decontam_algo
+        # fallback: unlike the span stages' hash-independent verdicts, the
+        # classifier's kept set IS feature-hash-dependent (different bucket
+        # collisions → different weights), so switching it must be an
+        # explicit caller decision.  xxhash64 is the throughput path — the
+        # md5 feature fold dominates the stage's sf1 cost
+        # (probe_curate_sf1_runs r16).
         qc = quality_classifier(
             docs, quality_seed, crawl=quality_crawl,
             id_col=id_col, text_col=text_col,
             n_buckets=int(quality_n_buckets),
+            algo=quality_algo,
         )
         if min_quality_c is not None:
             # explicit ×1e6 mean-log-odds threshold, cross-multiplied so
