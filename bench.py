@@ -60,6 +60,56 @@ def run_forced(df) -> None:
     forced(df).collect()
 
 
+def proc_tree_cpu_sec(root: int | None = None) -> float:
+    """utime+stime of THIS process + every live descendant (the JVM),
+    from /proc — the sibling-pollution-proof cpu metric (r16; module-level
+    since r17 so tests can gate its invariants directly).
+
+    The r16 A/B probe (tools/probe_ab_tfidf_load.py) proved the cgroup
+    counter (container_cpu_sec in main) has a hole the r15 tfidf drift
+    fell into: it is CONTAINER-wide, so any sibling process running during
+    a timed query (a concurrent pytest, the judge's probe load) inflates
+    the per-query delta ~1:1 — measured: 8 in-container burners added
+    exactly their burn (16.4 vs 8.3 cpu-s) to the cgroup delta while
+    this metric stayed flat.  Attribution doctrine: use cpu_proc_sec
+    for regression-vs-contention calls; cgroup cpu_sec is kept for
+    series continuity and as the whole-container sanity bound."""
+    if root is None:
+        root = os.getpid()
+    hz = os.sysconf("SC_CLK_TCK")
+    ppid_map: dict[int, int] = {}
+    cpu: dict[int, float] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        rest = raw.rsplit(")", 1)[1].split()
+        ppid_map[int(d)] = int(rest[1])
+        # utime+stime of the live process PLUS cutime+cstime (cpu of
+        # its REAPED children — accumulated at reap time, so a worker
+        # dying mid-measurement moves from the live sum into its
+        # parent's cutime instead of vanishing; without these two the
+        # delta can go NEGATIVE, observed on the sf1 tfidf entry in
+        # BENCH_sf1_r16; tests/test_bench_cpu_metric.py pins the fix)
+        cpu[int(d)] = (
+            int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        ) / hz
+    total = 0.0
+    for pid in cpu:
+        p, seen = pid, set()
+        while p > 1 and p not in seen:
+            if p == root:
+                total += cpu[pid]
+                break
+            seen.add(p)
+            p = ppid_map.get(p, 1)
+    return total
+
+
 #: per-entry wall-clock bands at sf0.1 (BASELINE.md; recalibrated r16 for
 #: the canon-hash forcing).  Module-level so tests/test_bench_forcing.py can
 #: pin band<->entry key parity — a new bench entry must ship with a band.
@@ -303,52 +353,6 @@ def main():
         except (OSError, ValueError):
             return -1.0
 
-    def proc_tree_cpu_sec() -> float:
-        """utime+stime of THIS process + every live descendant (the JVM),
-        from /proc — the sibling-pollution-proof cpu metric (r16).
-
-        The r16 A/B probe (tools/probe_ab_tfidf_load.py) proved the cgroup
-        counter below has a hole the r15 tfidf drift fell into: it is
-        CONTAINER-wide, so any sibling process running during a timed
-        query (a concurrent pytest, the judge's probe load) inflates the
-        per-query delta ~1:1 — measured: 8 in-container burners added
-        exactly their burn (16.4 vs 8.3 cpu-s) to the cgroup delta while
-        this metric stayed flat.  Attribution doctrine: use cpu_proc_sec
-        for regression-vs-contention calls; cgroup cpu_sec is kept for
-        series continuity and as the whole-container sanity bound."""
-        root = os.getpid()
-        hz = os.sysconf("SC_CLK_TCK")
-        ppid_map: dict[int, int] = {}
-        cpu: dict[int, float] = {}
-        for d in os.listdir("/proc"):
-            if not d.isdigit():
-                continue
-            try:
-                with open(f"/proc/{d}/stat") as f:
-                    raw = f.read()
-            except OSError:
-                continue
-            rest = raw.rsplit(")", 1)[1].split()
-            ppid_map[int(d)] = int(rest[1])
-            # utime+stime of the live process PLUS cutime+cstime (cpu of
-            # its REAPED children — accumulated at reap time, so a worker
-            # dying mid-measurement moves from the live sum into its
-            # parent's cutime instead of vanishing; without these two the
-            # delta can go NEGATIVE, observed on the sf1 tfidf entry)
-            cpu[int(d)] = (
-                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
-            ) / hz
-        total = 0.0
-        for pid in cpu:
-            p, seen = pid, set()
-            while p > 1 and p not in seen:
-                if p == root:
-                    total += cpu[pid]
-                    break
-                seen.add(p)
-                p = ppid_map.get(p, 1)
-        return total
-
     def container_cpu_sec() -> float:
         """This container's cumulative CPU seconds (cgroup v1 or v2).
 
@@ -421,6 +425,13 @@ def main():
     timings = {}
     cpu_sec: dict[str, float] = {}
     cpu_proc_sec: dict[str, float] = {}
+    # impossible-value guard (r17, VERDICT r16 task 3): a NEGATIVE
+    # proc-tree delta means the metric lost cpu between samples — the
+    # pre-cutime r16 hole was a worker reaped mid-window (its utime
+    # vanished from the live sum; BENCH_sf1_r16 shipped tfidf = -32.02).
+    # cutime/cstime close that hole, but any residual negative must be
+    # FLAGGED in the record, never silently published
+    cpu_proc_anomalies: dict[str, float] = {}
     stages: dict[str, float] = {}
     load_seen = [loadavg_1m()]
     for name in names:
@@ -445,7 +456,19 @@ def main():
                 best = dt
                 if c0 >= 0:
                     cpu_sec[name] = round(container_cpu_sec() - c0, 3)
-                cpu_proc_sec[name] = round(proc_tree_cpu_sec() - p0, 3)
+                p_delta = round(proc_tree_cpu_sec() - p0, 3)
+                cpu_proc_sec[name] = p_delta
+                if p_delta < 0:
+                    cpu_proc_anomalies[name] = p_delta
+                    print(
+                        f"[bench] CPU ANOMALY: {name} cpu_proc_sec delta "
+                        f"{p_delta} < 0 — impossible value, do not use this "
+                        f"entry for attribution (reaped-child accounting "
+                        f"hole; see proc_tree_cpu_sec docstring)",
+                        file=sys.stderr,
+                    )
+                elif name in cpu_proc_anomalies:
+                    del cpu_proc_anomalies[name]
             # stage-level visibility into the suite's dominant entry: keep the
             # per-stage min across runs (same steady-state rule as the total)
             if name == "curation_pipeline":
@@ -513,6 +536,12 @@ def main():
         )
 
     total = round(sum(timings.values()), 3)
+    # the 'semdedup' entry is the DELIBERATE fixed-k quadratic exemplar
+    # (k=16 pinned; the operator's default is 'auto' since r17) — at sf1
+    # it alone is ~65% of the suite wall, so the headline is reported both
+    # ways to keep round-over-round comparisons readable (VERDICT r16
+    # finding 3); 'semdedup_auto' is the production-geometry entry
+    total_ex_exemplar = round(total - timings.get("semdedup", 0.0), 3)
     # the suite grew from 10 to 14 operators in r5 — report the original-10
     # subtotal too so round-over-round totals stay comparable (BASELINE.md)
     core10 = [
@@ -525,6 +554,10 @@ def main():
             {
                 "metric": "headline_operator_suite_wall_clock",
                 "value": total,
+                # suite wall EXCLUDING the deliberate fixed-k quadratic
+                # exemplar entry ('semdedup', k=16 pinned) — the
+                # production-geometry headline (VERDICT r16 finding 3)
+                "value_ex_quadratic_exemplar": total_ex_exemplar,
                 "unit": "sec",
                 "queries": timings,
                 "stages": stages,
@@ -549,6 +582,10 @@ def main():
                 # metric regression attributions should use
                 "cpu_sec": cpu_sec,
                 "cpu_proc_sec": cpu_proc_sec,
+                # entries whose BEST-run proc-tree delta came back negative
+                # (impossible — flagged loudly on stderr too); empty means
+                # every cpu_proc_sec value above is attribution-safe (r17)
+                "cpu_proc_anomalies": cpu_proc_anomalies,
                 # recall@5 vs exact brute force for the compressed-ANN
                 # entries (untimed guardrail); any entry under its
                 # BASELINE.md floor is listed in recall_breach (and

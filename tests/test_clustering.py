@@ -205,6 +205,29 @@ def test_semantic_dedup_auto_k_matches_explicit(spark, embeddings):
         clu.semantic_dedup(emb, k="automatic")
 
 
+def test_semantic_dedup_default_is_auto(spark, embeddings):
+    """r17 (VERDICT r16 finding 1): the DEFAULT k is 'auto' — a naive
+    semantic_dedup(emb) call gets the linear ceil(n/cell_target) geometry,
+    not the fixed-k quadratic path.  Checked two ways: the signature
+    default itself, and verdict-frame identity with an explicit
+    k='auto' call on the same corpus."""
+    import inspect
+
+    from tikv_data_compare_spark.operators import clustering as clu
+
+    assert inspect.signature(clu.semantic_dedup).parameters["k"].default == "auto"
+    emb = embeddings.limit(120)
+    default = {
+        tuple(r)
+        for r in clu.semantic_dedup(emb, n_iter=1, threshold_c=3000).collect()
+    }
+    auto = {
+        tuple(r)
+        for r in clu.semantic_dedup(emb, k="auto", n_iter=1, threshold_c=3000).collect()
+    }
+    assert default == auto and len(default) == 120
+
+
 def test_assign_literal_threshold_keeps_gated_geometry_literal(spark):
     """The r16 re-calibration (16384 -> 4096): the gated k=64 x dim=64
     geometry must stay on the DuckDB-replayable literal path; anything

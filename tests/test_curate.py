@@ -641,3 +641,93 @@ def test_curate_self_dedup_threads_hot_fp_threshold(spark):
     # still loud with NO span stage at all
     with pytest.raises(ValueError, match="span stage"):
         curate(docs, decontam_max_fp_df=50, **off)
+
+
+def test_curate_decontam_algo_requires_span_stage(spark):
+    """r17 (ADVICE): decontam_algo only feeds the exact-span winnow stages
+    — with neither configured it must raise, not be silently ignored."""
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="decontam_algo requires a span stage"):
+        curate(docs, decontam_algo="xxhash64")
+    # fuzzy-only decontamination does NOT consume decontam_algo either
+    probes = spark.createDataFrame([(9, GOOD)], "probe_id long, text string")
+    with pytest.raises(ValueError, match="decontam_algo requires a span stage"):
+        curate(
+            docs, probes=probes, decontam_fuzzy_jaccard_c=8000,
+            decontam_algo="xxhash64",
+        )
+
+
+def test_curate_validations_run_before_any_frame_is_built(spark, monkeypatch):
+    """r17 (ADVICE): every cheap argument validation fires BEFORE the
+    shared winnow frame is built/persisted — on the old layout a bad
+    keep_langs after shared_fps.persist() leaked the persisted frame.
+    Pinned by counting winnow_fingerprints calls: a raising call must
+    make ZERO."""
+    from tikv_data_compare_spark.operators import text as tx
+
+    docs = _docs(spark)
+    probes = spark.createDataFrame([(9, GOOD)], "probe_id long, text string")
+    calls = []
+    real = tx.winnow_fingerprints
+
+    def counting(df, *a, **kw):
+        calls.append(1)
+        return real(df, *a, **kw)
+
+    monkeypatch.setattr(tx, "winnow_fingerprints", counting)
+    for bad_kwargs, msg in [
+        (dict(keep_langs=["xx"]), "keep_langs"),
+        (dict(max_lm_nll_c=0), "max_lm_nll_c"),
+        (dict(min_quality_c=5), "min_quality_c requires quality_seed"),
+        (dict(quality_crawl=docs), "quality_crawl requires quality_seed"),
+        (dict(dsir_target=docs, dsir_top_frac=1.5), "dsir_top_frac"),
+        (dict(blocked_sources=[]), "blocked_sources"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            curate(docs, probes=probes, decontam_span=30, **bad_kwargs)
+    assert calls == [], "a validation error was raised AFTER frame building"
+
+
+def test_curate_self_dedup_own_geometry_winnow_is_persisted(spark, monkeypatch):
+    """r17 (ADVICE): when self_dedup_span differs from decontam_span, the
+    self-dedup stage gets its OWN pre-persisted winnow frame through the
+    doc_fps seam (its subtree has up to three consumers under max_fp_df)
+    instead of recomputing the HOF chain per consumer."""
+    from tikv_data_compare_spark.operators import text as tx
+
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha intro {span} unique tail one " + "pad " * 20),
+            (2, f"beta body {span} other filler text " + "mat " * 20),
+            (3, GOOD2 + " unrelated content"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(9, span)], "probe_id long, text string")
+    seen = {}
+    real = tx.self_dedup_substring
+
+    def capturing(*a, **kw):
+        fps = kw.get("doc_fps")
+        seen["doc_fps"] = fps
+        # snapshot at CALL time: curate() unpersists the frame before
+        # returning, so a post-return storageLevel read would show cold
+        if fps is not None:
+            lv = fps.storageLevel
+            seen["persisted_at_call"] = lv.useMemory or lv.useDisk
+        return real(*a, **kw)
+
+    monkeypatch.setattr(tx, "self_dedup_substring", capturing)
+    off = dict(near_dup_jaccard_c=10001, max_dup_word_frac_c=10000,
+               max_top_bigram_frac_c=10000)
+    kept, _ = curate(
+        docs, probes=probes, decontam_span=30, self_dedup_span=26,
+        decontam_max_fp_df=50, **off
+    )
+    try:
+        assert seen["doc_fps"] is not None, "self-dedup ran without a doc_fps frame"
+        assert seen["persisted_at_call"], "doc_fps frame was not persisted"
+    finally:
+        kept.unpersist()

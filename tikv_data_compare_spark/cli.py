@@ -538,7 +538,11 @@ def main(argv: list[str] | None = None) -> int:
     # embeddings parquet (operators/clustering.py)
     p = sub.add_parser("semdedup")
     p.add_argument("--src", required=True, help="embeddings parquet with (vec_id, embedding)")
-    p.add_argument("--k", type=int, default=16, help="cluster count (~n/1000 bounds the pairwise term)")
+    p.add_argument(
+        "--k", default="auto",
+        help="cluster count, or 'auto' (default) = ceil(n/cell_target) — "
+        "the linear geometry; a FIXED k is quadratic in corpus growth",
+    )
     p.add_argument("--n-iter", type=int, default=2)
     p.add_argument("--threshold-c", type=int, default=9500,
                    help="scaled cosine (x10000) above which the higher id drops")
@@ -902,8 +906,9 @@ def main(argv: list[str] | None = None) -> int:
         from tikv_data_compare_spark.operators.clustering import semantic_dedup
 
         try:
+            k = args.k if args.k == "auto" else int(args.k)
             out_df = semantic_dedup(
-                spark.read.parquet(args.src), k=args.k, n_iter=args.n_iter,
+                spark.read.parquet(args.src), k=k, n_iter=args.n_iter,
                 threshold_c=args.threshold_c,
                 id_col=args.id_col, vec_col=args.vec_col,
             )

@@ -198,6 +198,94 @@ def curate(
     """
     spark = docs.sparkSession
 
+    # ---- loud-validation preamble (r17, ADVICE) -------------------------
+    # EVERY cheap argument validation runs here, before any frame is built
+    # or persisted: a ValueError after shared_fps.persist() used to leak
+    # the persisted frame (no unpersist on the error path), and scattering
+    # the checks let one knob (decontam_algo) slip through silently.
+    if decontam_bloom_m_bits is not None and (
+        probes is None or decontam_span is None
+    ):
+        # silently ignoring the scale knob would run the unbounded probe
+        # broadcast the caller explicitly asked to avoid (the keep_langs
+        # loud-validation convention)
+        raise ValueError(
+            "decontam_bloom_m_bits requires probes= AND decontam_span= "
+            "(it is the exact-substring stage's corpus-sized-probe mode)"
+        )
+    if decontam_max_fp_df is not None and (
+        (probes is None or decontam_span is None) and self_dedup_span is None
+    ):
+        # same loud-validation convention: a silently-ignored cap would let
+        # the caller believe the hot-fingerprint prune ran when it didn't
+        raise ValueError(
+            "decontam_max_fp_df requires a span stage — probes= AND "
+            "decontam_span=, and/or self_dedup_span= (it routes both "
+            "stages' hot fingerprints through the exact rekey split)"
+        )
+    if decontam_algo is not None and (
+        (probes is None or decontam_span is None) and self_dedup_span is None
+    ):
+        # r17 (ADVICE): decontam_algo only feeds the exact-span winnow
+        # stages; with neither configured it would be silently ignored —
+        # the caller believing the throughput hash ran when nothing did
+        raise ValueError(
+            "decontam_algo requires a span stage — probes= AND "
+            "decontam_span=, and/or self_dedup_span= (it selects the "
+            "exact-substring stages' winnow gram hash)"
+        )
+    if decontam_fuzzy_jaccard_c is not None and probes is None:
+        raise ValueError(
+            "decontam_fuzzy_jaccard_c requires probes= (it thresholds "
+            "the shingle-Jaccard against the probe corpus)"
+        )
+    if keep_langs is not None:
+        # normalize + validate: a typo'd or unknown code would otherwise
+        # silently drop the ENTIRE corpus (isin never matches), and a bare
+        # string would explode into characters (r8 review).  Known codes
+        # are the classifier's stopword inventory.
+        if isinstance(keep_langs, str):
+            keep_langs = [keep_langs]
+        keep_langs = [str(c).strip().lower() for c in keep_langs if str(c).strip()]
+        known = set(tx._stopwords())
+        unknown = sorted(set(keep_langs) - known)
+        if not keep_langs or unknown:
+            raise ValueError(
+                f"keep_langs {unknown or keep_langs} not in the classifier's "
+                f"languages {sorted(known)}"
+            )
+    if max_lm_nll_c is not None and int(max_lm_nll_c) <= 0:
+        raise ValueError(
+            f"max_lm_nll_c must be a positive scaled cost, got {max_lm_nll_c}"
+        )
+    if dsir_top_frac is not None and not 0.0 < float(dsir_top_frac) <= 1.0:
+        raise ValueError(
+            f"dsir_top_frac must be in (0, 1], got {dsir_top_frac}"
+        )
+    if min_quality_c is not None and quality_seed is None:
+        # the keep_langs loud-validation convention: a threshold with no
+        # model silently gates nothing
+        raise ValueError(
+            "min_quality_c requires quality_seed= (it thresholds the "
+            "trained classifier's length-normalized score)"
+        )
+    if quality_crawl is not None and quality_seed is None:
+        raise ValueError(
+            "quality_crawl requires quality_seed= (it is the classifier's "
+            "negative class)"
+        )
+    if blocked_sources is not None:
+        if isinstance(blocked_sources, str):
+            blocked_sources = [blocked_sources]
+        blocked_sources = [str(s) for s in blocked_sources if str(s).strip()]
+        if not blocked_sources:
+            raise ValueError("blocked_sources must name at least one source")
+        if source_col not in docs.columns:
+            raise ValueError(
+                f"blocked_sources given but input has no {source_col!r} column"
+            )
+    # ---- end preamble: everything below may build and persist frames ----
+
     # Every gate except near-dup is a PER-DOC-independent predicate, and the
     # near-dup loser set only depends on the exact-survivor subset — so the
     # whole funnel reduces to ONE narrow flags frame (id + one boolean per
@@ -267,26 +355,6 @@ def curate(
         )
         stage_cols.append("s_pii")
         stage_names.append("pii")
-    if decontam_bloom_m_bits is not None and (
-        probes is None or decontam_span is None
-    ):
-        # silently ignoring the scale knob would run the unbounded probe
-        # broadcast the caller explicitly asked to avoid (the keep_langs
-        # loud-validation convention)
-        raise ValueError(
-            "decontam_bloom_m_bits requires probes= AND decontam_span= "
-            "(it is the exact-substring stage's corpus-sized-probe mode)"
-        )
-    if decontam_max_fp_df is not None and (
-        (probes is None or decontam_span is None) and self_dedup_span is None
-    ):
-        # same loud-validation convention: a silently-ignored cap would let
-        # the caller believe the hot-fingerprint prune ran when it didn't
-        raise ValueError(
-            "decontam_max_fp_df requires a span stage — probes= AND "
-            "decontam_span=, and/or self_dedup_span= (it routes both "
-            "stages' hot fingerprints through the exact rekey split)"
-        )
     # one winnow pass for both span stages (r16, VERDICT r15 task 6): when
     # the exact-decontam and self-dedup stages run at the SAME span, the
     # corpus fingerprint frame is computed once, persisted, and passed to
@@ -322,6 +390,20 @@ def curate(
         )
         else None
     )
+    # r17 (ADVICE): when the self-dedup geometry DIFFERS from the shared
+    # frame's, build the self-dedup winnow here and persist it too — the
+    # operator consumes its doc_fps subtree in up to three places (the
+    # self-join's two sides; with max_fp_df also the hot-df aggregate +
+    # affected-id semi-join), and an unpersisted frame recomputes the
+    # ~200-cpu-s/50k-doc HOF chain per consumer.  Released with the other
+    # curate caches below.
+    sd_own_fps = None
+    if self_dedup_span is not None and sd_fps is None:
+        sd_own_fps = tx.winnow_fingerprints(
+            docs, id_col, text_col,
+            k=_sd_k, w=int(self_dedup_span) - _sd_k + 1, algo=da,
+        ).persist()
+        sd_fps = sd_own_fps
     if probes is not None:
         # probe id column: the conventional 'probe_id' (the contamination
         # contract), else any first column stands in — the id only keys the
@@ -368,11 +450,6 @@ def curate(
         stage_cols.append("s_conta")
         stage_names.append(stage_name)
     if decontam_fuzzy_jaccard_c is not None:
-        if probes is None:
-            raise ValueError(
-                "decontam_fuzzy_jaccard_c requires probes= (it thresholds "
-                "the shingle-Jaccard against the probe corpus)"
-            )
         # an independently appended stage: paraphrase-level overlap is a
         # different criterion than the verbatim-span / n-gram stages, and
         # published pipelines run both screens (probes_n: the shared
@@ -411,20 +488,7 @@ def curate(
         stage_cols.append("s_sdd")
         stage_names.append("self_dedup_span")
     if keep_langs is not None:
-        # normalize + validate: a typo'd or unknown code would otherwise
-        # silently drop the ENTIRE corpus (isin never matches), and a bare
-        # string would explode into characters (r8 review).  Known codes
-        # are the classifier's stopword inventory.
-        if isinstance(keep_langs, str):
-            keep_langs = [keep_langs]
-        keep_langs = [str(c).strip().lower() for c in keep_langs if str(c).strip()]
-        known = set(tx._stopwords())
-        unknown = sorted(set(keep_langs) - known)
-        if not keep_langs or unknown:
-            raise ValueError(
-                f"keep_langs {unknown or keep_langs} not in the classifier's "
-                f"languages {sorted(known)}"
-            )
+        # (normalized + validated in the preamble)
         # cost note: this stage runs its own explode + stopword broadcast
         # join over the corpus — the same tokenize pass quality_flags
         # already runs (Spark does not dedupe the subplans).  At extreme
@@ -440,10 +504,6 @@ def curate(
         stage_cols.append("s_lang")
         stage_names.append("language")
     if max_lm_nll_c is not None:
-        if int(max_lm_nll_c) <= 0:
-            raise ValueError(
-                f"max_lm_nll_c must be a positive scaled cost, got {max_lm_nll_c}"
-            )
         lm_ok = tx.ngram_lm_score(docs, id_col, text_col, train=lm_train).select(
             id_col,
             (
@@ -479,10 +539,6 @@ def curate(
             # window, no exact-percentile aggregate buffering every
             # distinct weight in one task); ties break by id, keep count =
             # ceil(frac · n_scored), n derived in-plan (1-row broadcast).
-            if not 0.0 < float(dsir_top_frac) <= 1.0:
-                raise ValueError(
-                    f"dsir_top_frac must be in (0, 1], got {dsir_top_frac}"
-                )
             from tikv_data_compare_spark.operators.scan import (
                 with_global_index,
             )
@@ -520,18 +576,6 @@ def curate(
         )
         stage_cols.append("s_dsir")
         stage_names.append("dsir_quality")
-    if min_quality_c is not None and quality_seed is None:
-        # the keep_langs loud-validation convention: a threshold with no
-        # model silently gates nothing
-        raise ValueError(
-            "min_quality_c requires quality_seed= (it thresholds the "
-            "trained classifier's length-normalized score)"
-        )
-    if quality_crawl is not None and quality_seed is None:
-        raise ValueError(
-            "quality_crawl requires quality_seed= (it is the classifier's "
-            "negative class)"
-        )
     if quality_seed is not None:
         from tikv_data_compare_spark.operators.sampling import (
             quality_classifier,
@@ -578,15 +622,7 @@ def curate(
         stage_cols.append("s_c4")
         stage_names.append("boilerplate")
     if blocked_sources is not None:
-        if isinstance(blocked_sources, str):
-            blocked_sources = [blocked_sources]
-        blocked_sources = [str(s) for s in blocked_sources if str(s).strip()]
-        if not blocked_sources:
-            raise ValueError("blocked_sources must name at least one source")
-        if source_col not in docs.columns:
-            raise ValueError(
-                f"blocked_sources given but input has no {source_col!r} column"
-            )
+        # (normalized + validated in the preamble)
         src_ok = docs.select(
             id_col,
             (~F.col(source_col).isin(blocked_sources)).alias("_src_ok"),
@@ -629,6 +665,8 @@ def curate(
     sh.unpersist()
     if shared_fps is not None:
         shared_fps.unpersist()
+    if sd_own_fps is not None:
+        sd_own_fps.unpersist()
     # drop any operator-module broadcasts created along the way (plane/query
     # matrices etc.) — a long-lived session calling curate() in a loop must
     # not accumulate executor-side broadcast blocks

@@ -19,6 +19,26 @@ from tikv_data_compare_spark.operators import text as tx
 from tikv_data_compare_spark.queries import MINHASH_P, MINHASH_PERMS, STOPWORDS, _load
 from tikv_data_compare_spark.session import tune
 
+#: live persisted frames created by query functions in this module, in
+#: creation order — the attribute-survival-independent release registry
+#: (r17, ADVICE; the sampling._DSIR_CACHES pattern).  Ad-hoc handles like
+#: ``out.fps_cache`` are lost on ANY further DataFrame transformation, so
+#: a long-lived session calling a query row repeatedly would otherwise
+#: accumulate persisted frames with no way to free them.
+_QUERY_CACHES: list[DataFrame] = []
+
+
+def release_all_query_caches() -> int:
+    """Unpersist EVERY live cache a query function in this module created
+    this session and return how many were released.  Safe to call anytime:
+    the caches are pure performance state (recomputed on demand)."""
+    n = len(_QUERY_CACHES)
+    for rc in _QUERY_CACHES:
+        rc.unpersist()
+    _QUERY_CACHES.clear()
+    return n
+
+
 # ========================================================== dedup: exact
 
 
@@ -1371,6 +1391,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semi).  The cache rides as ``.fps_cache`` on the returned frame
     # (the dsir_cache convention); harness sessions clearCache() anyway.
     d_fp20_all = tx.winnow_fingerprints(docs, "doc_id", "text", k=5, w=20).persist()
+    _QUERY_CACHES.append(d_fp20_all)
     sd = tx.self_dedup_substring(
         docs, min_span=24, max_fp_df=50, doc_fps=d_fp20_all
     ).select(
@@ -1448,7 +1469,9 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bl_hits", F.coalesce("bl_hits", F.lit(0).cast("long")))
         .join(fz, "doc_id")
     )
-    # release handle for the shared winnow cache (dsir_cache convention)
+    # release handle for the shared winnow cache (dsir_cache convention);
+    # the attribute survives only on THIS object — the module registry
+    # above (release_all_query_caches) is the durable release path (r17)
     out.fps_cache = d_fp20_all
     return out
 
