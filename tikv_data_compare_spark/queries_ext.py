@@ -2676,14 +2676,45 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate fixture's labeled split: seed = English documents, crawl =
     the corpus itself — NB bucket weights + the driver-trained logistic
     decision threshold, all integer-frozen (registry swap tenant for the
-    retired ``sampling_dsir`` localization row, VERDICT r15 task 4)."""
+    retired ``sampling_dsir`` localization row, VERDICT r15 task 4).
+
+    Two labeled slices since r17 (VERDICT r16 task 6 — folding the
+    fit→persist→reload→score seam INTO the gated row instead of swapping):
+
+    - ``part='live'``: ``quality_model`` fit once, scored with the
+      in-memory frame — byte-equal to the r16 one-call
+      ``quality_classifier`` output (same delegation path);
+    - ``part='persisted'``: the SAME model written to parquet, read back,
+      and scored via ``quality_score_with_model`` — the deployment
+      pattern (fit one labeled snapshot, score every future shard), so
+      the metadata stamp's parquet round-trip (threshold + geometry ride
+      as column metadata on ``_w_c``) is driver-hash-gated, not just
+      pytest-covered.
+
+    The oracle emits both slices from ONE scored CTE: the operator
+    contract is that the round-trip is verdict-IDENTICAL, so any drift
+    between the two slices (a lost stamp, a re-trained threshold, a
+    weight-table write truncation) breaks the hash gate."""
+    import tempfile
+
     from tikv_data_compare_spark.operators import sampling as sp
 
+    tune(spark)
     docs = _load(spark, sf_dir, "documents")
     seed = docs.filter(F.col("lang") == "en").select("text")
-    return sp.quality_classifier(
-        docs.select("doc_id", "text"), seed, n_buckets=512
-    )
+    corpus = docs.select("doc_id", "text")
+    model = sp.quality_model(corpus, seed, n_buckets=512)
+    path = tempfile.mkdtemp(prefix="qc_model_gate_") + "/model.parquet"
+    model.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+
+    def slab(label: str, m: DataFrame) -> DataFrame:
+        return sp.quality_score_with_model(corpus, m).select(
+            F.lit(label).alias("part"),
+            "doc_id", "q_n_feats", "q_sum_c", "q_keep",
+        )
+
+    return slab("live", model).unionByName(slab("persisted", reloaded))
 
 
 def oracle_quality_classifier(sf_dir: str | None = None) -> str:
@@ -2704,12 +2735,17 @@ qc_scored AS MATERIALIZED (
   WHERE f.doc_id IS NOT NULL
   GROUP BY 1
 )
-SELECT d.doc_id,
+-- two slices, ONE scored CTE (r17): the Spark row scores once with the
+-- in-memory model ('live') and once with its parquet round-trip
+-- ('persisted'); the contract is verdict-identity, so the oracle emits
+-- the same rows under both labels — any round-trip drift hash-fails
+SELECT p.part, d.doc_id,
        COALESCE(s.q_n_feats, 0) AS q_n_feats,
        s.q_sum_c AS q_sum_c,
        (s.q_sum_c >= {thr_c} * s.q_n_feats) AS q_keep
 FROM documents d
 LEFT JOIN qc_scored s ON s.doc_id = d.doc_id
+CROSS JOIN (VALUES ('live'), ('persisted')) AS p(part)
 """
 
 
