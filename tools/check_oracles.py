@@ -7,7 +7,14 @@ row count, column-name set, and the order-insensitive multiset of normalized
 row values (columns sorted by name — the driver's documented compare).
 
 Usage:  python tools/check_oracles.py [query_name ...]
+        python tools/check_oracles.py --all [--out tools/oracle_sweep.jsonl]
 Exit 0 iff every checked query matches.
+
+``--all`` (r17, VERDICT r16 task 8): the committed-artifact form of the
+full sweep — runs every registry row (same as passing no names) AND
+writes one JSON line per row (name, status, rows, sec, detail) plus a
+trailing summary line to ``--out`` (default ``tools/oracle_sweep.jsonl``),
+converting "green locally" from a claim into a per-round record.
 """
 
 from __future__ import annotations
@@ -55,8 +62,25 @@ def main():
     # from the SAME parquet this run compares against — the dedicated var
     # exists so the driver's own env can never point them elsewhere
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    sweep_out = None
+    if "--out" in args:
+        i = args.index("--out")
+        sweep_out = args[i + 1]
+        del args[i : i + 2]
+    if "--all" in args:
+        args.remove("--all")
+        if args:
+            print("--all takes no query names", file=sys.stderr)
+            sys.exit(2)
+        if sweep_out is None:
+            sweep_out = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "oracle_sweep.jsonl"
+            )
+    only = set(args)
+    records: list[dict] = []
 
+    t_start = time.time()
     spark = get_spark("check_oracles", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     con = duckdb.connect()
     for t in TABLES:
@@ -83,10 +107,20 @@ def main():
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"[FAIL] {name}: spark error: {str(e)[:300]}")
+            records.append(
+                {"name": name, "status": "fail",
+                 "detail": f"spark error: {str(e)[:300]}",
+                 "sec": round(time.time() - t0, 1)}
+            )
             continue
         if name not in oracles:
             n_rows_only += 1
             print(f"[rows-only] {name}: {len(srows)} rows, {time.time()-t0:.1f}s")
+            status = "rows_only" if srows else "fail"
+            records.append(
+                {"name": name, "status": status, "rows": len(srows),
+                 "sec": round(time.time() - t0, 1)}
+            )
             if len(srows) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
@@ -97,6 +131,11 @@ def main():
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"[FAIL] {name}: duckdb error: {str(e)[:300]}")
+            records.append(
+                {"name": name, "status": "fail",
+                 "detail": f"duckdb error: {str(e)[:300]}",
+                 "sec": round(time.time() - t0, 1)}
+            )
             continue
         n_checked += 1
         problems = []
@@ -113,14 +152,43 @@ def main():
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"[FAIL] {name}: {'; '.join(p[:400] for p in problems)}")
+            records.append(
+                {"name": name, "status": "fail", "rows": len(srows),
+                 "detail": "; ".join(p[:400] for p in problems),
+                 "sec": round(time.time() - t0, 1)}
+            )
         else:
             print(f"[ok]   {name}: {len(srows)} rows match, {time.time()-t0:.1f}s")
+            records.append(
+                {"name": name, "status": "ok", "rows": len(srows),
+                 "sec": round(time.time() - t0, 1)}
+            )
 
     print(
         f"\n{n_checked} oracle-checked, {n_rows_only} rows-only, {len(failures)} failures"
     )
     for name, why in failures:
         print(f"  FAIL {name}: {why[:500]}")
+    if sweep_out is not None:
+        import json
+
+        with open(sweep_out, "w") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
+            f.write(
+                json.dumps(
+                    {
+                        "summary": True,
+                        "sf_dir": sf_dir,
+                        "oracle_checked": n_checked,
+                        "rows_only": n_rows_only,
+                        "failures": [n for n, _ in failures],
+                        "wall_sec": round(time.time() - t_start, 1),
+                    }
+                )
+                + "\n"
+            )
+        print(f"sweep record written: {sweep_out}")
     sys.exit(1 if failures else 0)
 
 
