@@ -65,6 +65,16 @@ def proc_tree_cpu_sec(root: int | None = None) -> float:
     from /proc — the sibling-pollution-proof cpu metric (r16; module-level
     since r17 so tests can gate its invariants directly).
 
+    MAX OF TWO SCANS (r17): a single /proc walk can only UNDERCOUNT —
+    every per-pid counter is monotone and each pid is summed at most
+    once, so the only error mode is a miss (a transient stat-read
+    failure or a ppid-chain break dropping a live descendant, worst
+    case the JVM itself and ALL its accumulated cpu: the first sf1 r17
+    run lost 1374 cpu-s in one sample exactly this way).  Overcount is
+    impossible, so ``max(scan, scan)`` strictly dominates one scan;
+    bench's timing loop additionally RESAMPLES when a window delta
+    comes back negative (see the anomaly guard there).
+
     The r16 A/B probe (tools/probe_ab_tfidf_load.py) proved the cgroup
     counter (container_cpu_sec in main) has a hole the r15 tfidf drift
     fell into: it is CONTAINER-wide, so any sibling process running during
@@ -76,6 +86,11 @@ def proc_tree_cpu_sec(root: int | None = None) -> float:
     series continuity and as the whole-container sanity bound."""
     if root is None:
         root = os.getpid()
+    return max(_proc_tree_cpu_scan(root), _proc_tree_cpu_scan(root))
+
+
+def _proc_tree_cpu_scan(root: int) -> float:
+    """One /proc walk (see proc_tree_cpu_sec for the max-of-2 rationale)."""
     hz = os.sysconf("SC_CLK_TCK")
     ppid_map: dict[int, int] = {}
     cpu: dict[int, float] = {}
@@ -457,14 +472,26 @@ def main():
                 if c0 >= 0:
                     cpu_sec[name] = round(container_cpu_sec() - c0, 3)
                 p_delta = round(proc_tree_cpu_sec() - p0, 3)
+                # a negative delta is impossible (monotone counters) — it
+                # means the closing sample MISSED a live descendant (a
+                # transient stat-read / ppid race; observed: the JVM's
+                # entire 1374 cpu-s vanished from one sf1 sample).  A
+                # miss heals on resample, so retry before flagging; only
+                # a PERSISTENT negative (real cpu left the tree, e.g. an
+                # orphaned descendant reparented to init) is recorded as
+                # an anomaly.
+                for _ in range(2):
+                    if p_delta >= 0:
+                        break
+                    p_delta = round(proc_tree_cpu_sec() - p0, 3)
                 cpu_proc_sec[name] = p_delta
                 if p_delta < 0:
                     cpu_proc_anomalies[name] = p_delta
                     print(
                         f"[bench] CPU ANOMALY: {name} cpu_proc_sec delta "
                         f"{p_delta} < 0 — impossible value, do not use this "
-                        f"entry for attribution (reaped-child accounting "
-                        f"hole; see proc_tree_cpu_sec docstring)",
+                        f"entry for attribution (cpu left the process tree "
+                        f"mid-window; see proc_tree_cpu_sec docstring)",
                         file=sys.stderr,
                     )
                 elif name in cpu_proc_anomalies:
