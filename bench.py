@@ -89,6 +89,82 @@ def proc_tree_cpu_sec(root: int | None = None) -> float:
     return max(_proc_tree_cpu_scan(root), _proc_tree_cpu_scan(root))
 
 
+class ProcTreeCpuMeter:
+    """Stateful MONOTONE cpu meter for this process tree (r17).
+
+    The stateless scan has a proven unfixable hole: PySpark's idle-worker
+    reaper kills Python UDF workers ~60 s after their last task, and the
+    pyspark daemon auto-reaps them with SIGCHLD ignored — POSIX then
+    credits their cpu to NOBODY (no cutime anywhere), so it simply
+    vanishes from every instantaneous /proc walk.  Measured: the sf1
+    suite's workers carried ~800 cpu-s; whichever entry happened to span
+    the 60-s idle boundary ate a negative delta that size
+    (BENCH_sf1 r17 run A: diff_full_1pct −1374; run B: −821 — the probe
+    in tools/ watched 16 workers leave the tree with zero cutime growth).
+
+    The meter samples the live tree and REMEMBERS every (pid, starttime)
+    it has seen with its last cpu reading; when one disappears (or its
+    starttime changes — pid reuse), its last-seen cpu moves to a
+    ``departed`` tally that the total keeps forever.  A worker killed
+    mid-window therefore contributes exactly its pre-window cpu to both
+    window edges — delta clean, nothing negative.  A transient scan miss
+    that resurrects (same pid+starttime reappears) is pulled back out of
+    the tally, so no double count."""
+
+    def __init__(self, root: int | None = None):
+        self.root = root if root is not None else os.getpid()
+        self._last: dict[int, tuple[int, float]] = {}
+        self._departed: dict[tuple[int, int], float] = {}
+
+    def sample(self) -> float:
+        a = _proc_tree_cpu_scan_full(self.root)
+        b = _proc_tree_cpu_scan_full(self.root)
+        live: dict[int, tuple[int, float]] = dict(a)
+        for pid, (st, c) in b.items():
+            prev = live.get(pid)
+            if prev is None or (prev[0] == st and c > prev[1]):
+                live[pid] = (st, c)
+        for pid, (st, c) in self._last.items():
+            cur = live.get(pid)
+            if cur is None or cur[0] != st:
+                self._departed[(pid, st)] = c
+        for pid, (st, _) in live.items():
+            self._departed.pop((pid, st), None)
+        self._last = live
+        return sum(c for _, c in live.values()) + sum(self._departed.values())
+
+
+def _proc_tree_cpu_scan_full(root: int) -> dict[int, tuple[int, float]]:
+    """One /proc walk → {pid: (starttime, cpu_sec)} for the root's tree."""
+    hz = os.sysconf("SC_CLK_TCK")
+    ppid_map: dict[int, int] = {}
+    info: dict[int, tuple[int, float]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        rest = raw.rsplit(")", 1)[1].split()
+        ppid_map[int(d)] = int(rest[1])
+        info[int(d)] = (
+            int(rest[19]),  # starttime — the (pid, starttime) identity key
+            (int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])) / hz,
+        )
+    mine: dict[int, tuple[int, float]] = {}
+    for pid in info:
+        p, seen = pid, set()
+        while p > 1 and p not in seen:
+            if p == root:
+                mine[pid] = info[pid]
+                break
+            seen.add(p)
+            p = ppid_map.get(p, 1)
+    return mine
+
+
 def _proc_tree_cpu_scan(root: int) -> float:
     """One /proc walk (see proc_tree_cpu_sec for the max-of-2 rationale)."""
     hz = os.sysconf("SC_CLK_TCK")
@@ -447,6 +523,9 @@ def main():
     # cutime/cstime close that hole, but any residual negative must be
     # FLAGGED in the record, never silently published
     cpu_proc_anomalies: dict[str, float] = {}
+    # ONE meter for the whole suite: it has to see every worker ALIVE to
+    # credit its cpu when the idle reaper kills it (class docstring)
+    cpu_meter = ProcTreeCpuMeter()
     stages: dict[str, float] = {}
     load_seen = [loadavg_1m()]
     for name in names:
@@ -462,7 +541,7 @@ def main():
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             c0 = container_cpu_sec()
-            p0 = proc_tree_cpu_sec()
+            p0 = cpu_meter.sample()
             t0 = time.time()
             run_forced(fn())
             dt = time.time() - t0
@@ -471,19 +550,17 @@ def main():
                 best = dt
                 if c0 >= 0:
                     cpu_sec[name] = round(container_cpu_sec() - c0, 3)
-                p_delta = round(proc_tree_cpu_sec() - p0, 3)
-                # a negative delta is impossible (monotone counters) — it
-                # means the closing sample MISSED a live descendant (a
-                # transient stat-read / ppid race; observed: the JVM's
-                # entire 1374 cpu-s vanished from one sf1 sample).  A
-                # miss heals on resample, so retry before flagging; only
-                # a PERSISTENT negative (real cpu left the tree, e.g. an
-                # orphaned descendant reparented to init) is recorded as
-                # an anomaly.
+                p_delta = round(cpu_meter.sample() - p0, 3)
+                # a negative delta is impossible (the meter is monotone by
+                # construction: live counters only grow and departed cpu is
+                # tallied forever — ProcTreeCpuMeter docstring).  Retry
+                # before flagging anyway: the guard is the backstop that
+                # caught both prior holes (reaped-child cutime in r16, the
+                # SIGCHLD-ignore worker-reap vanish in r17).
                 for _ in range(2):
                     if p_delta >= 0:
                         break
-                    p_delta = round(proc_tree_cpu_sec() - p0, 3)
+                    p_delta = round(cpu_meter.sample() - p0, 3)
                 cpu_proc_sec[name] = p_delta
                 if p_delta < 0:
                     cpu_proc_anomalies[name] = p_delta

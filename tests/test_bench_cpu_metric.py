@@ -54,3 +54,52 @@ def test_proc_tree_cpu_monotone_under_quiet_load():
     time.sleep(0.05)
     b = bench.proc_tree_cpu_sec()
     assert b >= a - 1e-9, f"cpu counter went backwards: {a} -> {b}"
+
+
+def test_meter_keeps_cpu_of_autoreaped_children():
+    """The r17 hole the stateful meter exists for: with SIGCHLD ignored
+    (exactly what the pyspark daemon does to its workers), a dead child is
+    auto-reaped by the kernel and its cpu is credited to NOBODY — the
+    stateless tree scan loses it, the meter must not."""
+    import os
+    import signal
+
+    meter = bench.ProcTreeCpuMeter()
+    base = meter.sample()
+    old = signal.signal(signal.SIGCHLD, signal.SIG_IGN)
+    try:
+        proc = subprocess.Popen([sys.executable, "-c", BURN])
+        pid = proc.pid
+        # poll while alive so the meter's last-seen reading tracks the burn
+        deadline = time.time() + 30
+        while os.path.exists(f"/proc/{pid}") and time.time() < deadline:
+            meter.sample()
+            time.sleep(0.05)
+        assert not os.path.exists(f"/proc/{pid}"), "burner did not exit"
+        after = meter.sample()
+    finally:
+        signal.signal(signal.SIGCHLD, old)
+    delta = after - base
+    # the child burned 1.0 cpu-s and was auto-reaped (no cutime anywhere);
+    # the meter's departed tally must retain (almost all of) it
+    assert delta >= 0.8, f"auto-reaped child's cpu vanished from the meter: {delta}"
+    assert delta < 10.0, f"delta {delta} implausibly large for a 1s burn"
+    # sanity: the meter never goes backwards
+    assert meter.sample() >= after - 1e-9
+
+
+def test_meter_resurrection_does_not_double_count():
+    """A transient scan miss that 'resurrects' (same pid+starttime seen
+    again) must be pulled back out of the departed tally — simulated by
+    corrupting the meter's state the way a missed scan would."""
+    meter = bench.ProcTreeCpuMeter()
+    meter.sample()
+    me = next(iter(meter._last))  # some live pid (ours)
+    st, cpu = meter._last[me]
+    # simulate: a scan missed this pid, so it was tallied as departed
+    meter._departed[(me, st)] = cpu
+    del meter._last[me]
+    a = meter.sample()  # resurrection: pid is live again, tally must drop it
+    assert (me, st) not in meter._departed
+    b = meter.sample()
+    assert abs(b - a) < 1.0, f"double-count after resurrection: {a} -> {b}"
