@@ -178,6 +178,16 @@ def curate(
     convention).  This is the learned-classifier sibling of the
     ``dsir_target`` gate: DSIR weights raw importance for RESAMPLING,
     the classifier draws a calibrated keep/drop boundary.
+    ``quality_algo`` selects the classifier's FEATURE hash — ``md5i64``
+    (default, DuckDB-oracle checkable) or ``xxhash64``.  Measured at sf1
+    (BASELINE.md r17 A/B, tools/probe_quality_algo_sf1_runs.jsonl):
+    xxhash64 is ~12× faster at the operator (1.4 vs 16.6 s; 22 vs
+    436 cpu-s) and ~5× in-funnel (14.1 vs 74.6 s) — but the kept sets
+    are NOT interchangeable (29% of verdicts differ at near-equal keep
+    rates: a different hash family trains a different, equally valid
+    model), so the default stays oracle-checkable and the switch is an
+    explicit caller decision; prefer ``xxhash64`` in production when
+    DuckDB replay is not needed.
     ``c4_rules`` (r10) appends a ``boilerplate`` stage — the C4 cleaning
     heuristics (``text.c4_flags``): docs containing 'lorem ipsum' or a
     curly brace drop, as do docs retaining fewer than
