@@ -1323,3 +1323,34 @@ def test_cli_quality_fit_then_score(capsys, spark, tmp_path):
 
     assert cli.main(["quality", "--src", src, "--seed", seed]) == 2
     assert cli.main(["quality", "--src", src]) == 2
+
+
+def test_cli_dedup_self_trim(capsys, spark, tmp_path):
+    """--self-dedup-trim cuts shared spans out of later docs (r17,
+    text.self_dedup_trim) and is exclusive with the other dedup modes."""
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha head {span} alpha tail"),
+            (2, f"beta head {span} beta tail"),
+            (3, "totally unrelated text body here"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "d.pq")
+    docs.write.parquet(src)
+    out = str(tmp_path / "trim.pq")
+    rc = cli.main(["dedup", "--src", src, "--self-dedup-trim", "24",
+                   "--out", out])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 3 and res["docs_cut"] == 1 and res["chars_trimmed"] > 0
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["kept_intact"] and got[3]["kept_intact"]
+    assert not got[2]["kept_intact"]
+    assert span not in got[2]["text_trimmed"]
+    assert got[2]["text_trimmed"].endswith("beta tail")
+    # exclusive with the index/lines/subtract modes
+    assert cli.main(["dedup", "--src", src, "--self-dedup-trim", "24",
+                     "--lines"]) == 2
+    capsys.readouterr()

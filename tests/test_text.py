@@ -1267,3 +1267,70 @@ def test_pack_sequences_conservation_and_cuts(spark, documents):
     import pytest
     with pytest.raises(ValueError, match="seq_len"):
         tx.pack_sequences(docs, merges, seq_len=0)
+
+
+def test_self_dedup_trim_equals_bruteforce(spark, documents):
+    """r17 span-surgical mode: trimmed text == pure-Python surgery over the
+    brute-force start set (remove the union of [i, i+N) from the later
+    doc), on real fixture docs + planted spans + NULL/short rows; the
+    rekey split must be byte-identical; n_trimmed_chars must equal the
+    drop operator's n_dup_chars and kept_intact its kept."""
+    N = 24
+    base = [
+        (r["doc_id"], r["text"])
+        for r in documents.limit(40).select("doc_id", "text").collect()
+    ]
+    donor = base[3][1]
+    rows = base + [
+        (900001, "xx " + donor[10:50] + " yy"),
+        (900002, None),
+        (900003, "tiny"),
+        (900004, donor[:N]),  # exactly one span: trims to empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_trimmed"], r["n_trimmed_chars"], r["kept_intact"])
+        for r in tx.self_dedup_trim(df, min_span=N).collect()
+    }
+    import itertools
+
+    by_id = dict(rows)
+    starts: dict = {}
+    for ida, idb in itertools.combinations(sorted(by_id), 2):
+        at, bt = by_id[ida], by_id[idb]
+        if at is None or bt is None or len(at) < N or len(bt) < N:
+            continue
+        ss = [i for i in range(1, len(bt) - N + 2) if bt[i - 1 : i - 1 + N] in at]
+        if ss:
+            starts.setdefault(idb, set()).update(ss)
+    exp = {}
+    for did, t in by_id.items():
+        sv = starts.get(did)
+        if not sv:
+            exp[did] = (t, 0, True)
+            continue
+        cov = set()
+        for s in sv:
+            cov.update(range(s - 1, s - 1 + N))  # starts are 1-based
+        trimmed = "".join(c for i, c in enumerate(t) if i not in cov)
+        exp[did] = (trimmed, len(t) - len(trimmed), False)
+    assert got == exp
+    assert got[900004] == ("", N, False)
+    assert got[900002] == (None, 0, True) and got[900003] == ("tiny", 0, True)
+
+    # rekey split: byte-identical at any threshold (the exactness contract)
+    for cap in (1, 2):
+        rekeyed = {
+            r["doc_id"]: (r["text_trimmed"], r["n_trimmed_chars"], r["kept_intact"])
+            for r in tx.self_dedup_trim(df, min_span=N, max_fp_df=cap).collect()
+        }
+        assert rekeyed == exp, f"trim rekey diverged at cap={cap}"
+
+    # cross-operator invariants vs the drop verdict
+    drop = {
+        r["doc_id"]: (r["n_dup_chars"], r["kept"])
+        for r in tx.self_dedup_substring(df, min_span=N).collect()
+    }
+    for did, (_, n_trim, intact) in got.items():
+        assert n_trim == drop[did][0], did
+        assert intact == drop[did][1], did

@@ -268,6 +268,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --subtract: pre-screen through a fixed-size "
                         "Bloom bitmap of this many bits (corpus-sized "
                         "other-set mode; result identical)")
+    p.add_argument("--self-dedup-trim", type=int, default=0, metavar="SPAN",
+                   help="span-SURGICAL corpus-internal ExactSubstr dedup "
+                        "(r17, text.self_dedup_trim): cut every >= SPAN-char "
+                        "verbatim span shared with a smaller-id doc out of "
+                        "the later doc's text (Lee et al.'s removal mode; "
+                        "the drop verdict is curate's self_dedup_span stage)")
+    p.add_argument("--max-fp-df", type=int, default=None,
+                   help="with --self-dedup-trim: hot-fingerprint rekey "
+                        "threshold (exact at any value; bounds the candidate "
+                        "join on template-heavy corpora)")
     p.add_argument("--out", default="", help="write result parquet here")
     p.add_argument("--concurrency", type=int, default=0)
 
@@ -676,6 +686,39 @@ def main(argv: list[str] | None = None) -> int:
         from tikv_data_compare_spark.operators import dedup as dd
         from tikv_data_compare_spark.operators import dedup_index as di
 
+        if args.self_dedup_trim:
+            if args.subtract or args.build_index or args.append_index \
+                    or args.index or args.ingest_index or args.lines:
+                print("dedup: --self-dedup-trim is its own mode (only "
+                      "--out/--max-fp-df/--dedup-algo apply)", file=sys.stderr)
+                return 2
+            from tikv_data_compare_spark.operators import text as tx
+
+            try:
+                trimmed = tx.self_dedup_trim(
+                    spark.read.parquet(args.src),
+                    id_col=args.id_col, text_col=args.text_col,
+                    min_span=int(args.self_dedup_trim),
+                    max_fp_df=args.max_fp_df, algo=args.dedup_algo,
+                )
+                if args.out:
+                    trimmed.write.mode("overwrite").parquet(args.out)
+                    trimmed = spark.read.parquet(args.out)
+                counts = trimmed.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum((~F.col("kept_intact")).cast("long")).alias("c"),
+                    F.sum("n_trimmed_chars").alias("t"),
+                ).first()
+            except ValueError as e:
+                print(f"dedup: {e}", file=sys.stderr)
+                return 2
+            result = {"rows": int(counts["n"]),
+                      "docs_cut": int(counts["c"] or 0),
+                      "chars_trimmed": int(counts["t"] or 0)}
+            if args.out:
+                result["out"] = args.out
+            print(json.dumps(result))
+            return 0
         if args.subtract:
             if args.build_index or args.append_index or args.index \
                     or args.ingest_index or args.lines or args.corpus \

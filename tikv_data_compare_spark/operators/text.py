@@ -1774,6 +1774,62 @@ def self_dedup_substring(
     Returns one row per input doc:
     ``(id, n_dup_partners, n_dup_starts, n_dup_chars, kept)``.
     """
+    hits = _self_dedup_hits(
+        docs, id_col, text_col, min_span, k, max_fp_df, algo, doc_fps,
+        hot_fp_mode,
+    )
+    partners = hits.groupBy("_idb").agg(
+        F.countDistinct("_ida").cast("long").alias("n_dup_partners")
+    )
+    # union of start positions across partners, then interval-union length:
+    # sorted starts s_1..s_m cover Σ min(min_span, s_j − s_{j−1}) + min_span
+    sunion = hits.select("_idb", "_i").distinct()
+    cov = (
+        sunion.groupBy("_idb")
+        .agg(F.sort_array(F.collect_list("_i")).alias("_sv"))
+        .select(
+            "_idb",
+            F.size("_sv").cast("long").alias("n_dup_starts"),
+            F.expr(
+                f"aggregate(slice(_sv, 2, greatest(size(_sv) - 1, 0)), "
+                f"named_struct('p', element_at(_sv, 1), 't', CAST({min_span} AS BIGINT)), "
+                f"(acc, s) -> named_struct('p', s, "
+                f"'t', acc.t + least(CAST({min_span} AS BIGINT), CAST(s - acc.p AS BIGINT))), "
+                f"acc -> acc.t)"
+            ).alias("n_dup_chars"),
+        )
+    )
+    verdict = partners.join(cov, "_idb")
+    return docs.select(id_col).join(
+        verdict.withColumnRenamed("_idb", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("n_dup_partners", F.lit(0)).cast("long").alias("n_dup_partners"),
+        F.coalesce("n_dup_starts", F.lit(0)).cast("long").alias("n_dup_starts"),
+        F.coalesce("n_dup_chars", F.lit(0)).cast("long").alias("n_dup_chars"),
+        F.col("n_dup_partners").isNull().alias("kept"),
+    )
+
+
+def _self_dedup_hits(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_span: int,
+    k: int,
+    max_fp_df: "int | None",
+    algo: str,
+    doc_fps: "DataFrame | None",
+    hot_fp_mode: str,
+) -> DataFrame:
+    """The shared candidate→verify machinery of :func:`self_dedup_substring`
+    and :func:`self_dedup_trim` (extracted r17): every (later doc, earlier
+    doc, 1-based start position) triple where the later doc's
+    ``min_span``-gram at that position occurs verbatim in the earlier doc —
+    winnow-fingerprint candidate pairs + per-pair verify, with the
+    ``max_fp_df`` hot-fingerprint rekey/drop split.  Returns
+    ``(_idb, _ida, _i)`` (may contain duplicate triples from the hot gram
+    join — consumers aggregate with distinct)."""
     if min_span < k + 1:
         raise ValueError(
             f"min_span must be >= k + 1 (= {k + 1}) so the winnow window "
@@ -1875,36 +1931,89 @@ def self_dedup_substring(
     hits = hit.select("_idb", "_ida", F.explode("_ss").alias("_i"))
     if hits_hot is not None:
         hits = hits.unionByName(hits_hot)
-    partners = hits.groupBy("_idb").agg(
-        F.countDistinct("_ida").cast("long").alias("n_dup_partners")
+    return hits
+
+
+def self_dedup_trim(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span: int = 20,
+    k: int = 5,
+    max_fp_df: "int | None" = None,
+    algo: str = "md5i64",
+    doc_fps: "DataFrame | None" = None,
+    hot_fp_mode: str = "rekey",
+) -> DataFrame:
+    """Span-SURGICAL ExactSubstr dedup (r17): instead of DROPPING a doc
+    that shares a verbatim span of ≥ ``min_span`` chars with a smaller-id
+    doc (:func:`self_dedup_substring`), CUT the duplicated spans out of
+    the later doc's text — the removal mode Lee et al. 2021 actually run
+    ("Deduplicating Training Data Makes Language Models Better": they
+    excise the duplicated substring, keeping the rest of the document).
+
+    Same machinery, same keep rule orientation: the candidate→verify
+    chain (:func:`_self_dedup_hits` — winnow fingerprints, pair verify,
+    hot-fingerprint rekey split, all knobs shared with the drop
+    operator) yields every 1-based start ``i`` in the LATER doc whose
+    ``min_span``-gram occurs in a smaller-id doc; the union of intervals
+    ``[i, i+min_span)`` is removed by one sorted-starts fold (O(chars),
+    map-side after the per-doc collect_list — the same shape as the drop
+    operator's ``n_dup_chars`` interval algebra, building the kept
+    segments instead of counting the cut ones).  EARLIER docs keep their
+    text whole (globally-first, like the drop rule), so the surviving
+    corpus retains exactly one copy of every duplicated span family
+    carrier chain's head occurrence.
+
+    NOT idempotent by design: cutting spans can create new adjacencies
+    that themselves form ≥ min_span duplicates — Lee et al. run one
+    pass; iterate externally if a fixpoint is wanted.
+
+    Returns one row per input doc (schema mirrors the drop operator's
+    verdict shape, with the surgery added):
+    ``(id, text_trimmed, n_trimmed_chars, kept_intact)`` —
+    ``text_trimmed`` is the doc's text with covered intervals removed
+    (NULL text stays NULL), ``n_trimmed_chars`` the removed char count
+    (provably equal to ``self_dedup_substring``'s ``n_dup_chars`` —
+    equivalence-tested), ``kept_intact`` true iff nothing was cut
+    (equal to the drop operator's ``kept``)."""
+    hits = _self_dedup_hits(
+        docs, id_col, text_col, min_span, k, max_fp_df, algo, doc_fps,
+        hot_fp_mode,
     )
-    # union of start positions across partners, then interval-union length:
-    # sorted starts s_1..s_m cover Σ min(min_span, s_j − s_{j−1}) + min_span
-    sunion = hits.select("_idb", "_i").distinct()
-    cov = (
-        sunion.groupBy("_idb")
+    sv = (
+        hits.select("_idb", "_i").distinct()
+        .groupBy("_idb")
         .agg(F.sort_array(F.collect_list("_i")).alias("_sv"))
-        .select(
-            "_idb",
-            F.size("_sv").cast("long").alias("n_dup_starts"),
-            F.expr(
-                f"aggregate(slice(_sv, 2, greatest(size(_sv) - 1, 0)), "
-                f"named_struct('p', element_at(_sv, 1), 't', CAST({min_span} AS BIGINT)), "
-                f"(acc, s) -> named_struct('p', s, "
-                f"'t', acc.t + least(CAST({min_span} AS BIGINT), CAST(s - acc.p AS BIGINT))), "
-                f"acc -> acc.t)"
-            ).alias("n_dup_chars"),
-        )
+        .withColumnRenamed("_idb", id_col)
     )
-    verdict = partners.join(cov, "_idb")
-    return docs.select(id_col).join(
-        verdict.withColumnRenamed("_idb", id_col), id_col, "left"
-    ).select(
+    out = docs.select(id_col, F.col(text_col).alias("_t")).join(sv, id_col, "left")
+    # fold sorted starts into the trimmed text: acc.p = the next uncovered
+    # 1-based scan position; each start s appends the uncovered gap
+    # [acc.p, s) and advances coverage to s + min_span; the finisher
+    # appends the tail.  Overlapping/adjacent intervals merge for free
+    # (s <= acc.p appends nothing and greatest() keeps the farther edge).
+    trim = F.expr(
+        f"aggregate(_sv, "
+        f"named_struct('p', CAST(1 AS BIGINT), 't', CAST('' AS STRING)), "
+        f"(acc, s) -> named_struct("
+        f"'p', greatest(acc.p, CAST(s + {min_span} AS BIGINT)), "
+        f"'t', CASE WHEN s > acc.p "
+        f"THEN concat(acc.t, substr(_t, CAST(acc.p AS INT), CAST(s - acc.p AS INT))) "
+        f"ELSE acc.t END), "
+        f"acc -> concat(acc.t, substr(_t, CAST(acc.p AS INT))))"
+    )
+    return out.select(
         id_col,
-        F.coalesce("n_dup_partners", F.lit(0)).cast("long").alias("n_dup_partners"),
-        F.coalesce("n_dup_starts", F.lit(0)).cast("long").alias("n_dup_starts"),
-        F.coalesce("n_dup_chars", F.lit(0)).cast("long").alias("n_dup_chars"),
-        F.col("n_dup_partners").isNull().alias("kept"),
+        F.when(F.col("_sv").isNull(), F.col("_t"))
+        .otherwise(trim)
+        .alias("text_trimmed"),
+        F.when(F.col("_sv").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            (F.length("_t") - F.length(trim)).cast("long")
+        )
+        .alias("n_trimmed_chars"),
+        F.col("_sv").isNull().alias("kept_intact"),
     )
 
 

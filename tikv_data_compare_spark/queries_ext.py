@@ -1359,6 +1359,14 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       distinct start count, covered-char (trim) size, and keep verdict.
       The oracle recomputes ALL of it brute force over every ordered doc
       pair (the fixture corpus shares hundreds of natural 24-char spans);
+    - ``self_dedup_trim`` (r17): the span-SURGICAL removal mode — the
+      duplicated intervals are CUT out of the later doc's text (Lee et
+      al.'s actual excision) by a sorted-starts fold; gated as
+      ``sd_trim_len`` + ``sd_trim_md5`` (md5 of the full trimmed text),
+      and the oracle rebuilds every trimmed doc per character (a position
+      survives iff no duplicate start covers it), so the string surgery
+      is byte-exact against ground truth, same rekey split + shared
+      winnow frame as the drop mode;
     - ``bloom`` prefilter (since r12): the docs' span-24 winnow
       fingerprints probed against a 5040-bit / 4-probe Bloom filter of the
       SAME probe corpus's fingerprints (``operators/bloom.py``) —
@@ -1400,6 +1408,18 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup_starts").alias("sd_starts"),
         F.col("n_dup_chars").alias("sd_chars"),
         F.col("kept").cast("long").alias("sd_kept"),
+    )
+    # r17: the span-SURGICAL removal mode (self_dedup_trim — cut the
+    # duplicated spans instead of dropping the doc), same rekey split and
+    # shared winnow frame; the md5 of every trimmed text is in the hash
+    # gate, so the interval fold's string surgery is checked byte-exactly
+    # against the oracle's per-char anti-join rebuild
+    sdt = tx.self_dedup_trim(
+        docs, min_span=24, max_fp_df=50, doc_fps=d_fp20_all
+    ).select(
+        "doc_id",
+        F.length("text_trimmed").cast("long").alias("sd_trim_len"),
+        F.md5(F.col("text_trimmed").cast("binary")).alias("sd_trim_md5"),
     )
     fp = tx.fingerprint(docs)
     wn = (
@@ -1465,6 +1485,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(conta, "doc_id")
         .join(wd, "doc_id")
         .join(sd, "doc_id")
+        .join(sdt, "doc_id")
         .join(blm, "doc_id", "left")
         .withColumn("bl_hits", F.coalesce("bl_hits", F.lit(0).cast("long")))
         .join(fz, "doc_id")
@@ -1619,6 +1640,31 @@ sd AS (
   LEFT JOIN sd_partners p ON d.doc_id = p.idb
   LEFT JOIN sd_cov v ON d.doc_id = v.idb
 ),
+-- r17 span-surgical trim replay: rebuild each hit doc's trimmed text
+-- per character (a position survives iff NO duplicate start covers it),
+-- byte-exact ground truth for self_dedup_trim's interval fold
+sd_trim_chars AS (
+  SELECT idb, pos, substr(t, pos, 1) AS ch FROM (
+    SELECT h.idb, d.text AS t,
+           unnest(generate_series(1, length(d.text))) AS pos
+    FROM (SELECT DISTINCT idb FROM sd_hit) h
+    JOIN documents d ON d.doc_id = h.idb
+  )
+),
+sd_trimmed AS (
+  SELECT c.idb, string_agg(c.ch, '' ORDER BY c.pos) AS trimmed
+  FROM sd_trim_chars c
+  ANTI JOIN sd_sunion u ON u.idb = c.idb AND c.pos >= u.i AND c.pos < u.i + 24
+  GROUP BY c.idb
+),
+sd_trim AS (
+  SELECT d.doc_id,
+         CASE WHEN h.idb IS NULL THEN d.text
+              ELSE coalesce(tr.trimmed, '') END AS trimmed
+  FROM documents d
+  LEFT JOIN (SELECT DISTINCT idb FROM sd_hit) h ON h.idb = d.doc_id
+  LEFT JOIN sd_trimmed tr ON tr.idb = d.doc_id
+),
 -- r12 bloom prefilter: span-24 winnow fingerprints of docs probed against
 -- a {_BL_M}-bit / {_BL_K}-probe filter of the probe corpus's fingerprints
 -- — operators/bloom.py replayed bit-for-bit, false positives included
@@ -1695,6 +1741,8 @@ SELECT fp.doc_id, fp.fingerprint, wn.n_fp, wn.fp_xor,
        c.n_grams, c.n_hit_grams, c.hit_frac_c,
        w2.wd_contam_probes, w2.wd_contaminated,
        sd.sd_partners, sd.sd_starts, sd.sd_chars, sd.sd_kept,
+       CAST(length(st.trimmed) AS BIGINT) AS sd_trim_len,
+       md5(st.trimmed) AS sd_trim_md5,
        coalesce(b2.bl_hits, 0) AS bl_hits,
        coalesce(z.fz_cands, 0) AS fz_cands,
        coalesce(z.fz_hits, 0) AS fz_hits,
@@ -1703,6 +1751,7 @@ SELECT fp.doc_id, fp.fingerprint, wn.n_fp, wn.fp_xor,
 FROM fp JOIN wn ON fp.doc_id = wn.doc_id JOIN conta c ON fp.doc_id = c.doc_id
 JOIN wdec w2 ON fp.doc_id = w2.doc_id
 JOIN sd ON fp.doc_id = sd.doc_id
+JOIN sd_trim st ON fp.doc_id = st.doc_id
 LEFT JOIN bl b2 ON fp.doc_id = b2.doc_id
 LEFT JOIN fz z ON fp.doc_id = z.doc_id
 """
