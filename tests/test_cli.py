@@ -1354,3 +1354,32 @@ def test_cli_dedup_self_trim(capsys, spark, tmp_path):
     assert cli.main(["dedup", "--src", src, "--self-dedup-trim", "24",
                      "--lines"]) == 2
     capsys.readouterr()
+
+
+def test_cli_curate_self_dedup_trim_flag(capsys, spark, tmp_path):
+    """--self-dedup-trim-span trims survivors' shared spans (a transform —
+    the funnel is unchanged) through the curate CLI (r17)."""
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    good = ("a storm is coming over the hills and the farmers are bringing "
+            "in the harvest before the rain starts to fall on open fields")
+    other = ("the old lighthouse keeper walks along the shore every evening "
+             "and he watches the ships as they pass by the rocky coast")
+    docs = spark.createDataFrame(
+        [(1, f"{good} {span}"), (2, f"{other} {span}")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.pq")
+    docs.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "kept.pq")
+    rc = cli.main([
+        "curate", "--src", src, "--out", out,
+        "--self-dedup-trim-span", "24",
+        "--near-dup-jaccard-c", "10001", "--max-dup-word-frac-c", "10000",
+        "--max-top-bigram-frac-c", "10000",
+    ])
+    assert rc == 0
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2}          # transform, not a gate
+    assert span in got[1]               # earlier carrier keeps its span
+    assert span not in got[2]           # later doc trimmed
+    capsys.readouterr()

@@ -731,3 +731,61 @@ def test_curate_self_dedup_own_geometry_winnow_is_persisted(spark, monkeypatch):
         assert seen["persisted_at_call"], "doc_fps frame was not persisted"
     finally:
         kept.unpersist()
+
+
+def test_curate_self_dedup_trim_transform(spark):
+    """r17: self_dedup_trim_span is a TRANSFORM (redact_pii convention) —
+    attrition is byte-identical to a non-trimming run, survivors' text has
+    the shared spans cut out (matching the standalone operator), and the
+    trim reference is the FULL corpus (a span donated by a doc another
+    gate dropped still trims the survivor)."""
+    from tikv_data_compare_spark.operators import text as tx
+
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    # every doc passes the core gates (GOOD/GOOD2 shapes); 1 and 2 share
+    # the planted span, 1 is the earlier carrier
+    docs = spark.createDataFrame(
+        [
+            (1, f"{GOOD} {span}"),
+            (2, f"{GOOD2} {span}"),
+            (3, "the old lighthouse keeper walks along the shore every "
+                "evening and he watches the ships as they pass by the "
+                "rocky coast under a clear and quiet evening sky"),
+        ],
+        "doc_id long, text string",
+    )
+    off = dict(near_dup_jaccard_c=10001, max_dup_word_frac_c=10000,
+               max_top_bigram_frac_c=10000)
+    plain_kept, plain_attr = curate(docs, **off)
+    trim_kept, trim_attr = curate(docs, self_dedup_trim_span=24, **off)
+    try:
+        # attrition identical: trim gates nothing
+        assert sorted(map(tuple, plain_attr.collect())) == sorted(
+            map(tuple, trim_attr.collect())
+        )
+        got = {r["doc_id"]: r["text"] for r in trim_kept.collect()}
+        exp = {
+            r["doc_id"]: r["text_trimmed"]
+            for r in tx.self_dedup_trim(docs, min_span=24).collect()
+        }
+        assert set(got) == {1, 2, 3}, f"core gates dropped docs: {sorted(got)}"
+        assert got == {k: exp[k] for k in got}
+        assert span in got[1] and span not in got[2]
+        assert got[3] == exp[3] and "lighthouse" in got[3]
+    finally:
+        plain_kept.unpersist()
+        trim_kept.unpersist()
+    # composes with the DROP stage at a different span, and the algo/cap
+    # knobs are legal with trim as the only span stage
+    both_kept, both_attr = curate(
+        docs, self_dedup_span=30, self_dedup_trim_span=24,
+        decontam_max_fp_df=50, decontam_algo="xxhash64", **off
+    )
+    try:
+        stages = {r["stage"] for r in both_attr.collect()}
+        assert "self_dedup_span" in stages
+        # doc 2 dropped by the stage; doc 1 kept whole (earlier carrier)
+        ids = {r["doc_id"] for r in both_kept.collect()}
+        assert ids == {1, 3}
+    finally:
+        both_kept.unpersist()

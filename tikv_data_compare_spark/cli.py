@@ -385,6 +385,13 @@ def main(argv: list[str] | None = None) -> int:
                         "chars with a smaller-id doc drop.  When equal to "
                         "--decontam-span (with --probes), the corpus is "
                         "winnowed once for both stages")
+    p.add_argument("--self-dedup-trim-span", type=int, default=0,
+                   help="if > 0, span-surgically TRIMS survivors instead of "
+                        "gating: every verbatim span of at least this many "
+                        "chars shared with a smaller-id doc is cut out of "
+                        "the kept doc's text (text.self_dedup_trim — a "
+                        "transform like --redact-pii, attrition unchanged; "
+                        "composes with --self-dedup-span)")
     p.add_argument("--keep-langs", default="",
                    help="comma-separated language codes: appends a 'language' "
                         "stage keeping only docs whose stopword-overlap "
@@ -1404,6 +1411,10 @@ def main(argv: list[str] | None = None) -> int:
                 decontam_algo=args.decontam_algo or None,
                 self_dedup_span=(
                     args.self_dedup_span if args.self_dedup_span != 0 else None
+                ),
+                self_dedup_trim_span=(
+                    args.self_dedup_trim_span
+                    if args.self_dedup_trim_span != 0 else None
                 ),
                 keep_langs=args.keep_langs.split(",") if args.keep_langs else None,
                 # 0 = off; a NEGATIVE cap passes through so curate()'s own

@@ -62,6 +62,7 @@ def curate(
     decontam_max_fp_df: int | None = None,
     decontam_algo: str | None = None,
     self_dedup_span: int | None = None,
+    self_dedup_trim_span: int | None = None,
     decontam_fuzzy_jaccard_c: int | None = None,
     keep_langs: list[str] | None = None,
     max_lm_nll_c: int | None = None,
@@ -125,6 +126,19 @@ def curate(
     through their ``doc_fps=`` seams — one winnow pass in the plan
     instead of two (plan-pinned; ~200 cpu-s per 50k docs at sf1 saved,
     BASELINE.md r15 attribution).
+    ``self_dedup_trim_span`` (r17) is the span-SURGICAL sibling — a
+    TRANSFORM, not a gate (the ``redact_pii`` convention): survivors keep
+    their row with every verbatim span of at least that many chars shared
+    with a smaller-id doc CUT out of their text
+    (``text.self_dedup_trim``, Lee et al.'s removal mode), so the
+    attrition funnel is byte-identical to a non-trimming run.  The trim
+    reference is the full input corpus (duplicated content is duplicated
+    regardless of whether its earlier carrier survived); runs before PII
+    redaction; shares the winnow frame when its span matches the other
+    span stages' geometry and threads ``decontam_max_fp_df`` /
+    ``decontam_algo`` like them.  Both drop and trim may run (at the same
+    or different spans): drop removes whole near-copy docs, trim excises
+    what remains.
     ``decontam_fuzzy_jaccard_c`` (r13) appends an INDEPENDENT
     ``decontamination_fuzzy`` stage — the paraphrase-level screen
     (``text.decontaminate_fuzzy``): docs whose shingle-set Jaccard with
@@ -223,26 +237,29 @@ def curate(
             "decontam_bloom_m_bits requires probes= AND decontam_span= "
             "(it is the exact-substring stage's corpus-sized-probe mode)"
         )
-    if decontam_max_fp_df is not None and (
-        (probes is None or decontam_span is None) and self_dedup_span is None
-    ):
+    _no_span_stage = (
+        (probes is None or decontam_span is None)
+        and self_dedup_span is None
+        and self_dedup_trim_span is None
+    )
+    if decontam_max_fp_df is not None and _no_span_stage:
         # same loud-validation convention: a silently-ignored cap would let
         # the caller believe the hot-fingerprint prune ran when it didn't
         raise ValueError(
             "decontam_max_fp_df requires a span stage — probes= AND "
-            "decontam_span=, and/or self_dedup_span= (it routes both "
-            "stages' hot fingerprints through the exact rekey split)"
+            "decontam_span=, and/or self_dedup_span= / "
+            "self_dedup_trim_span= (it routes the stages' hot "
+            "fingerprints through the exact rekey split)"
         )
-    if decontam_algo is not None and (
-        (probes is None or decontam_span is None) and self_dedup_span is None
-    ):
+    if decontam_algo is not None and _no_span_stage:
         # r17 (ADVICE): decontam_algo only feeds the exact-span winnow
-        # stages; with neither configured it would be silently ignored —
+        # stages; with none configured it would be silently ignored —
         # the caller believing the throughput hash ran when nothing did
         raise ValueError(
             "decontam_algo requires a span stage — probes= AND "
-            "decontam_span=, and/or self_dedup_span= (it selects the "
-            "exact-substring stages' winnow gram hash)"
+            "decontam_span=, and/or self_dedup_span= / "
+            "self_dedup_trim_span= (it selects the exact-substring "
+            "stages' winnow gram hash)"
         )
     if decontam_fuzzy_jaccard_c is not None and probes is None:
         raise ValueError(
@@ -385,35 +402,32 @@ def curate(
         fps_span = int(decontam_span)
     elif self_dedup_span is not None:
         fps_span = int(self_dedup_span)
+    elif self_dedup_trim_span is not None:
+        fps_span = int(self_dedup_trim_span)
     if fps_span is not None:
         shared_fps = tx.winnow_fingerprints(
             docs, id_col, text_col,
             k=_sd_k, w=fps_span - _sd_k + 1, algo=da,
         ).persist()
-    # the self-dedup stage reuses the frame only when its geometry matches
-    sd_fps = (
-        shared_fps
-        if (
-            shared_fps is not None
-            and self_dedup_span is not None
-            and int(self_dedup_span) == fps_span
-        )
-        else None
-    )
-    # r17 (ADVICE): when the self-dedup geometry DIFFERS from the shared
-    # frame's, build the self-dedup winnow here and persist it too — the
-    # operator consumes its doc_fps subtree in up to three places (the
-    # self-join's two sides; with max_fp_df also the hot-df aggregate +
-    # affected-id semi-join), and an unpersisted frame recomputes the
-    # ~200-cpu-s/50k-doc HOF chain per consumer.  Released with the other
-    # curate caches below.
-    sd_own_fps = None
-    if self_dedup_span is not None and sd_fps is None:
-        sd_own_fps = tx.winnow_fingerprints(
+    # r17 (ADVICE): a span stage whose geometry DIFFERS from the shared
+    # frame's gets its OWN persisted winnow — the operators consume their
+    # doc_fps subtree in up to three places (the self-join's two sides;
+    # with max_fp_df also the hot-df aggregate + affected-id semi-join),
+    # and an unpersisted frame recomputes the ~200-cpu-s/50k-doc HOF
+    # chain per consumer.  All released with the other curate caches.
+    _own_fps: list = []
+
+    def _fps_for(span: int):
+        if shared_fps is not None and int(span) == fps_span:
+            return shared_fps
+        f = tx.winnow_fingerprints(
             docs, id_col, text_col,
-            k=_sd_k, w=int(self_dedup_span) - _sd_k + 1, algo=da,
+            k=_sd_k, w=int(span) - _sd_k + 1, algo=da,
         ).persist()
-        sd_fps = sd_own_fps
+        _own_fps.append(f)
+        return f
+
+    sd_fps = _fps_for(self_dedup_span) if self_dedup_span is not None else None
     if probes is not None:
         # probe id column: the conventional 'probe_id' (the contamination
         # contract), else any first column stands in — the id only keys the
@@ -656,6 +670,27 @@ def curate(
     kept = docs.join(
         flags.filter(F.col(stage_cols[-1])).select(id_col), id_col, "left_semi"
     )
+    if self_dedup_trim_span is not None:
+        # a TRANSFORM, not a gate (the redact_pii convention): survivors
+        # keep their row with every >= span-char verbatim span shared with
+        # a SMALLER-id doc cut out of their text (text.self_dedup_trim —
+        # Lee et al.'s span-surgical removal; the doc-level drop
+        # alternative is the self_dedup_span STAGE above, and both may
+        # run at different spans).  The trim reference is the FULL input
+        # corpus, not the survivor set: duplicated content is duplicated
+        # regardless of whether its earlier carrier survived the funnel.
+        # Runs before redaction so PII masking sees the final text.
+        trimmed = tx.self_dedup_trim(
+            docs, id_col, text_col,
+            min_span=int(self_dedup_trim_span), k=_sd_k, algo=da,
+            doc_fps=_fps_for(self_dedup_trim_span),
+            max_fp_df=decontam_max_fp_df,
+        ).select(id_col, F.col("text_trimmed"))
+        kept = (
+            kept.join(trimmed, id_col)
+            .withColumn(text_col, F.col("text_trimmed"))
+            .drop("text_trimmed")
+        )
     if redact_pii:
         # a TRANSFORM, not a gate: survivors keep their row (attrition is
         # unchanged) with PII spans masked by typed placeholders — the
@@ -675,8 +710,8 @@ def curate(
     sh.unpersist()
     if shared_fps is not None:
         shared_fps.unpersist()
-    if sd_own_fps is not None:
-        sd_own_fps.unpersist()
+    for f in _own_fps:
+        f.unpersist()
     # drop any operator-module broadcasts created along the way (plane/query
     # matrices etc.) — a long-lived session calling curate() in a loop must
     # not accumulate executor-side broadcast blocks
