@@ -640,3 +640,21 @@ def test_decontam_rekey_gram_join_broadcasts_probes(spark, documents):
     )
     assert "CartesianProduct" not in s
     assert "BroadcastHashJoin" in s
+
+
+def test_self_dedup_trim_plan_shape(spark, documents):
+    """r17 trim mode: the candidate search is a fingerprint equi-join (never
+    cartesian — the drop operator's contract, shared machinery), and the
+    surgery itself is one per-doc aggregate + fold — no extra shuffle
+    beyond the hits aggregation."""
+    from tikv_data_compare_spark.operators.text import self_dedup_trim
+
+    df = self_dedup_trim(documents.limit(200), min_span=24)
+    s = plans.plan_string(df)
+    assert "CartesianProduct" not in s
+    assert plans.join_strategies(df) & {
+        "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"
+    }
+    # rekey split keeps the same shape (its gram join is bounded + equi)
+    df2 = self_dedup_trim(documents.limit(200), min_span=24, max_fp_df=2)
+    assert "CartesianProduct" not in plans.plan_string(df2)
