@@ -789,3 +789,28 @@ def test_curate_self_dedup_trim_transform(spark):
         assert ids == {1, 3}
     finally:
         both_kept.unpersist()
+
+
+def test_curate_span_floor_validated_in_preamble(spark, monkeypatch):
+    """A too-small span must raise from curate()'s preamble (zero frames
+    built), not from the operator after the winnow frame is persisted."""
+    from tikv_data_compare_spark.operators import text as tx
+
+    docs = _docs(spark)
+    calls = []
+    real = tx.winnow_fingerprints
+
+    def counting(df, *a, **kw):
+        calls.append(1)
+        return real(df, *a, **kw)
+
+    monkeypatch.setattr(tx, "winnow_fingerprints", counting)
+    for kw in (
+        dict(self_dedup_span=5),
+        dict(self_dedup_trim_span=3),
+        dict(probes=docs.selectExpr("doc_id AS probe_id", "text"),
+             decontam_span=2),
+    ):
+        with pytest.raises(ValueError, match="winnow geometry floor"):
+            curate(docs, **kw)
+    assert calls == []

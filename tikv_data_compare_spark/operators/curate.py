@@ -237,6 +237,19 @@ def curate(
             "decontam_bloom_m_bits requires probes= AND decontam_span= "
             "(it is the exact-substring stage's corpus-sized-probe mode)"
         )
+    # span geometry floor (= the operators' min_span >= k+1 with the
+    # funnel's k=5): checked HERE so a bad span can't raise after frames
+    # are built/persisted (the same leak class the preamble exists for)
+    for _nm, _sp in (
+        ("decontam_span", decontam_span),
+        ("self_dedup_span", self_dedup_span),
+        ("self_dedup_trim_span", self_dedup_trim_span),
+    ):
+        if _sp is not None and int(_sp) < 6:
+            raise ValueError(
+                f"{_nm} must be >= 6 (the winnow geometry floor: "
+                f"min_span >= k + 1 with k = 5), got {_sp}"
+            )
     _no_span_stage = (
         (probes is None or decontam_span is None)
         and self_dedup_span is None
