@@ -109,7 +109,20 @@ class ProcTreeCpuMeter:
     mid-window therefore contributes exactly its pre-window cpu to both
     window edges — delta clean, nothing negative.  A transient scan miss
     that resurrects (same pid+starttime reappears) is pulled back out of
-    the tally, so no double count."""
+    the tally, so no double count.
+
+    r18 (ADVICE): the meter's per-pid reading is utime+stime ONLY — the
+    departed tally is the single accounting path for EVERY exit, reaped
+    or auto-reaped.  Previously the scan also summed cutime+cstime, so a
+    descendant reaped WITH accounting (parent wait()s — daemon restarts,
+    JVM-forked helpers) was counted twice: once in the tally (last-seen
+    cpu) and again, forever, in its parent's cutime.  The trade: a child
+    that is spawned, burns, and is accounted-reaped entirely BETWEEN two
+    samples is now invisible (it never entered the tally and its cutime
+    is ignored) — a bounded undercount in a window the meter never saw,
+    vs a permanent overcount; the kernel-auto-reap case (pyspark's
+    SIGCHLD-ignored workers) loses that window's tail in both designs.
+    tests/test_bench_cpu_metric.py pins the accounted-reap delta ≈ 1×."""
 
     def __init__(self, root: int | None = None):
         self.root = root if root is not None else os.getpid()
@@ -135,7 +148,12 @@ class ProcTreeCpuMeter:
 
 
 def _proc_tree_cpu_scan_full(root: int) -> dict[int, tuple[int, float]]:
-    """One /proc walk → {pid: (starttime, cpu_sec)} for the root's tree."""
+    """One /proc walk → {pid: (starttime, cpu_sec)} for the root's tree.
+
+    utime+stime ONLY (no cutime/cstime): this scan feeds the stateful
+    ProcTreeCpuMeter, whose departed tally accounts for every exit path —
+    adding cutime here double-counts any accounted-reaped descendant
+    (tally + parent cutime; see the meter docstring, r18 ADVICE fix)."""
     hz = os.sysconf("SC_CLK_TCK")
     ppid_map: dict[int, int] = {}
     info: dict[int, tuple[int, float]] = {}
@@ -151,7 +169,7 @@ def _proc_tree_cpu_scan_full(root: int) -> dict[int, tuple[int, float]]:
         ppid_map[int(d)] = int(rest[1])
         info[int(d)] = (
             int(rest[19]),  # starttime — the (pid, starttime) identity key
-            (int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])) / hz,
+            (int(rest[11]) + int(rest[12])) / hz,
         )
     mine: dict[int, tuple[int, float]] = {}
     for pid in info:

@@ -88,6 +88,36 @@ def test_meter_keeps_cpu_of_autoreaped_children():
     assert meter.sample() >= after - 1e-9
 
 
+def test_meter_counts_accounted_reap_exactly_once():
+    """r18 ADVICE fix: a descendant that burns, exits, and is reaped WITH
+    accounting (parent wait()s) must contribute ~1x its burn to the meter
+    delta.  Before the fix the full scan summed cutime+cstime, so the
+    child's cpu landed twice: once in the departed tally (last-seen) and
+    again, forever, in our cutime — delta ~2x the burn."""
+    import os
+
+    meter = bench.ProcTreeCpuMeter()
+    base = meter.sample()
+    proc = subprocess.Popen([sys.executable, "-c", BURN])
+    pid = proc.pid
+    # poll while alive so the tally's last-seen reading tracks the burn
+    deadline = time.time() + 30
+    while proc.poll() is None and time.time() < deadline:
+        meter.sample()
+        time.sleep(0.05)
+    proc.wait()  # accounted reap: child's cpu lands in OUR cutime
+    assert not os.path.exists(f"/proc/{pid}") or proc.returncode is not None
+    after = meter.sample()
+    delta = after - base
+    # burn = 1.0 cpu-s (+ small interpreter startup).  Double-counting
+    # (tally + cutime) would put the delta at >= ~1.8; counted-once sits
+    # near 1.0-1.3.  The ceiling is the finding's tripwire.
+    assert delta >= 0.8, f"accounted-reaped child's cpu vanished: {delta}"
+    assert delta < 1.7, f"accounted reap double-counted: delta {delta} ~ 2x burn"
+    # monotone still holds
+    assert meter.sample() >= after - 1e-9
+
+
 def test_meter_resurrection_does_not_double_count():
     """A transient scan miss that 'resurrects' (same pid+starttime seen
     again) must be pulled back out of the departed tally — simulated by
