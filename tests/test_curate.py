@@ -477,11 +477,28 @@ def test_curate_span_stages_share_one_winnow_pass(spark, monkeypatch):
         assert len(calls) == 3, f"unequal spans: expected 3 winnows, saw {len(calls)}"
     finally:
         kept2.unpersist()
+    # r18 (ADVICE): _fps_for memoizes by span — the drop stage and the trim
+    # transform at the SAME non-shared span build ONE winnow frame, not two
+    # (corpus span-30 shared + probe + one span-26 frame for both = 3)
+    calls.clear()
+    kept3, _ = cur_mod.curate(
+        docs, probes=probes, decontam_span=30,
+        self_dedup_span=26, self_dedup_trim_span=26, **off
+    )
+    try:
+        assert len(calls) == 3, (
+            f"equal-geometry drop+trim must share one winnow frame, "
+            f"saw {len(calls)} winnow calls"
+        )
+    finally:
+        kept3.unpersist()
 
 
 def test_curate_decontam_algo_override(spark):
     """decontam_algo switches only the span stages' winnow hash; the
-    verbatim verdicts are algo-independent, so the kept set is identical."""
+    verbatim verdicts are algo-independent, so the kept set is identical.
+    r18: the no-override fallback is xxhash64 (no longer inherits the
+    near-dup ``algo``), so the md5 gate hash is the explicit override."""
     span = "the quick brown fox jumps over the lazy dog tonight"
     docs = spark.createDataFrame(
         [
@@ -493,10 +510,10 @@ def test_curate_decontam_algo_override(spark):
     probes = spark.createDataFrame([(9, span)], "probe_id long, text string")
     off = dict(near_dup_jaccard_c=10001, max_dup_word_frac_c=10000,
                max_top_bigram_frac_c=10000)
-    base, _ = curate(docs, probes=probes, decontam_span=30, **off)
-    fast, _ = curate(
-        docs, probes=probes, decontam_span=30, decontam_algo="xxhash64", **off
+    base, _ = curate(
+        docs, probes=probes, decontam_span=30, decontam_algo="md5i64", **off
     )
+    fast, _ = curate(docs, probes=probes, decontam_span=30, **off)
     try:
         assert {r["doc_id"] for r in fast.collect()} == {
             r["doc_id"] for r in base.collect()

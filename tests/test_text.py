@@ -637,7 +637,22 @@ def test_winnow_and_decontaminate_xxhash64_algo_path(spark, documents):
     """r15 algo knob: the winnow no-false-negative guarantee holds for any
     deterministic gram hash and the verify is verbatim, so the xxhash64
     fast path's VERIFIED columns equal the md5 gate path's on real docs
-    with planted spans; fingerprint values themselves differ."""
+    with planted spans; fingerprint values themselves differ.
+
+    r18: the span operators' DEFAULT algo is xxhash64 (the proven-identical
+    throughput hash — VERDICT r17 task 1), pinned by signature here; the
+    md5 side of each equivalence is therefore requested explicitly."""
+    import inspect
+
+    for op in (tx.decontaminate_substring, tx.self_dedup_substring,
+               tx.self_dedup_trim):
+        assert inspect.signature(op).parameters["algo"].default == "xxhash64"
+    # winnow_fingerprints itself keeps the oracle-replayable default: a
+    # doc_fps frame built with ITS default feeds the gated md5 rows
+    assert (
+        inspect.signature(tx.winnow_fingerprints).parameters["algo"].default
+        == "md5i64"
+    )
     docs = documents.limit(40).select("doc_id", "text").cache()
     donor = docs.filter(F.col("doc_id") == docs.agg(F.min("doc_id")).collect()[0][0])
     dtext = donor.collect()[0]["text"]
@@ -651,7 +666,9 @@ def test_winnow_and_decontaminate_xxhash64_algo_path(spark, documents):
     cols = ["doc_id", "n_contam_probes", "contaminated"]
     md5_out = {
         tuple(r[c] for c in cols)
-        for r in tx.decontaminate_substring(docs2, probes, min_span=24).collect()
+        for r in tx.decontaminate_substring(
+            docs2, probes, min_span=24, algo="md5i64"
+        ).collect()
     }
     xx_out = {
         tuple(r[c] for c in cols)
@@ -662,7 +679,12 @@ def test_winnow_and_decontaminate_xxhash64_algo_path(spark, documents):
     assert md5_out == xx_out
     assert any(r[2] for r in md5_out)  # the planted doc is flagged
     # self-dedup: full verified output identical across algos (no fp cap)
-    sd_md5 = sorted(map(tuple, tx.self_dedup_substring(docs2, min_span=24).collect()))
+    sd_md5 = sorted(
+        map(
+            tuple,
+            tx.self_dedup_substring(docs2, min_span=24, algo="md5i64").collect(),
+        )
+    )
     sd_xx = sorted(
         map(tuple, tx.self_dedup_substring(docs2, min_span=24, algo="xxhash64").collect())
     )
@@ -691,29 +713,46 @@ def test_winnow_doc_fps_reuse_seam(spark, documents):
     probes = spark.createDataFrame(
         [(77, "PAD " + dtext[5:50] + " PAD")], "probe_id long, text string"
     )
-    fps24 = tx.winnow_fingerprints(docs, k=5, w=20)  # min_span 24 geometry
+    fps24 = tx.winnow_fingerprints(docs, k=5, w=20)  # min_span 24, md5 stamp
     cols = ["doc_id", "n_contam_probes", "contaminated"]
     base = {
         tuple(r[c] for c in cols)
-        for r in tx.decontaminate_substring(docs, probes, min_span=24).collect()
+        for r in tx.decontaminate_substring(
+            docs, probes, min_span=24, algo="md5i64"
+        ).collect()
     }
     seam = {
         tuple(r[c] for c in cols)
         for r in tx.decontaminate_substring(
-            docs, probes, min_span=24, doc_fps=fps24
+            docs, probes, min_span=24, algo="md5i64", doc_fps=fps24
         ).collect()
     }
     assert seam == base
-    sd_base = sorted(map(tuple, tx.self_dedup_substring(docs, min_span=24).collect()))
+    sd_base = sorted(
+        map(
+            tuple,
+            tx.self_dedup_substring(docs, min_span=24, algo="md5i64").collect(),
+        )
+    )
     sd_seam = sorted(
-        map(tuple, tx.self_dedup_substring(docs, min_span=24, doc_fps=fps24).collect())
+        map(
+            tuple,
+            tx.self_dedup_substring(
+                docs, min_span=24, algo="md5i64", doc_fps=fps24
+            ).collect(),
+        )
     )
     assert sd_seam == sd_base
     # geometry mismatch raises: w differs (min_span 30 → w 26, frame has 20)
     with pytest.raises(ValueError, match="winnow_w=20.*vs 26"):
-        tx.decontaminate_substring(docs, probes, min_span=30, doc_fps=fps24)
+        tx.decontaminate_substring(
+            docs, probes, min_span=30, algo="md5i64", doc_fps=fps24
+        )
+    # algo-stamp mismatch stays loud — and since r18 the DEFAULT algo is
+    # xxhash64, so a winnow_fingerprints-default (md5) frame passed to a
+    # consumer-default call is exactly this error
     with pytest.raises(ValueError, match="winnow_algo"):
-        tx.self_dedup_substring(docs, min_span=24, algo="xxhash64", doc_fps=fps24)
+        tx.self_dedup_substring(docs, min_span=24, doc_fps=fps24)
     # shape check stays loud
     with pytest.raises(ValueError, match="doc_fps must carry"):
         tx.decontaminate_substring(docs, probes, min_span=24, doc_fps=docs)
@@ -721,10 +760,12 @@ def test_winnow_doc_fps_reuse_seam(spark, documents):
     bare = spark.createDataFrame(
         [(r["doc_id"], r["fp"]) for r in fps24.collect()], "doc_id long, fp long"
     )
+    # (an unstamped frame can't be algo-verified, so the CALLER must match
+    # the hash family the frame was built with — md5 here)
     seam2 = {
         tuple(r[c] for c in cols)
         for r in tx.decontaminate_substring(
-            docs, probes, min_span=24, doc_fps=bare
+            docs, probes, min_span=24, algo="md5i64", doc_fps=bare
         ).collect()
     }
     assert seam2 == base

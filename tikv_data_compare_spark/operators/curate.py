@@ -112,11 +112,11 @@ def curate(
     and uncapped decontamination costs 251 s where the split costs 26 s
     (identical kept sets, probe_curate_sf1).
     ``decontam_algo`` (r16) overrides the winnow gram hash for the
-    exact-substring stages ONLY (``md5i64``/``xxhash64``), letting the
-    near-dup stage keep the oracle-checkable ``algo`` while the
-    decontamination/self-dedup winnow runs the throughput hash — the
-    verified span verdicts are algo-independent (operator docstrings);
-    default None inherits ``algo``.
+    exact-substring stages ONLY (``md5i64``/``xxhash64``) — the verified
+    span verdicts are algo-independent (operator docstrings); default
+    None falls back to ``xxhash64`` (r18 — the throughput hash, ~2.2×
+    faster at sf1 with byte-identical verdicts; until r17 the fallback
+    inherited the near-dup ``algo``, so naive callers paid the md5 fold).
     ``self_dedup_span`` (r16) appends a ``self_dedup_span`` stage — the
     corpus-INTERNAL ExactSubstr pass (``text.self_dedup_substring``, Lee
     et al. 2021): any doc sharing a verbatim span of at least that many
@@ -147,10 +147,11 @@ def curate(
     criterion).  Docs the LSH candidate pass never surfaces keep (the
     pii/decontamination default-keep convention — an unscreened doc is
     not a confirmed leak).
-    ``algo`` selects the near-dup stage's shingle hash AND (r15) the
-    exact-decontamination stage's winnow gram hash — ``md5i64`` (default,
-    DuckDB-oracle checkable) or ``xxhash64`` (the throughput path, same
-    knob as the dedup/checksum operators).  The near-dup kept set is
+    ``algo`` selects the near-dup stage's shingle hash — ``md5i64``
+    (default, DuckDB-oracle checkable) or ``xxhash64`` (the throughput
+    path, same knob as the dedup/checksum operators); since r18 the span
+    stages take their hash from ``decontam_algo`` alone (above), no
+    longer from this knob.  The near-dup kept set is
     algo-dependent (a different, equally valid LSH family); the
     decontamination verdict is NOT (verbatim verify — operator docstring).  ``keep_langs``
     (optional, like ``drop_pii``/``probes``) appends a ``language`` stage:
@@ -403,7 +404,13 @@ def curate(
     # operators' default; the frame is released after the funnel counts
     # materialize, with the other curate caches.
     _sd_k = 5
-    da = decontam_algo if decontam_algo is not None else algo
+    # r18 (VERDICT r17 task 1): the span stages' fallback hash is xxhash64,
+    # decoupled from the near-dup ``algo`` — the span verdicts are
+    # algo-independent (operator docstrings) and xxhash64 measured ~2.2×
+    # faster at sf1, so the throughput hash is the right default for every
+    # caller who didn't pin one; pass decontam_algo="md5i64" to reproduce
+    # the DuckDB-replayable gate path.
+    da = decontam_algo if decontam_algo is not None else "xxhash64"
     # Persist whenever ANY span stage runs, not only when both share a
     # geometry: with max_fp_df set, decontaminate_substring consumes the
     # corpus winnow subtree in three places (hot-df aggregate, affected-id
@@ -428,16 +435,23 @@ def curate(
     # with max_fp_df also the hot-df aggregate + affected-id semi-join),
     # and an unpersisted frame recomputes the ~200-cpu-s/50k-doc HOF
     # chain per consumer.  All released with the other curate caches.
-    _own_fps: list = []
+    # r18 (ADVICE): memoized by span — with e.g. decontam_span=30 and
+    # self_dedup_span == self_dedup_trim_span == 20, the drop stage and
+    # the trim transform share ONE persisted span-20 frame instead of
+    # each building (and caching) an identical copy.
+    _own_fps: dict[int, "DataFrame"] = {}
 
     def _fps_for(span: int):
-        if shared_fps is not None and int(span) == fps_span:
+        span = int(span)
+        if shared_fps is not None and span == fps_span:
             return shared_fps
-        f = tx.winnow_fingerprints(
-            docs, id_col, text_col,
-            k=_sd_k, w=int(span) - _sd_k + 1, algo=da,
-        ).persist()
-        _own_fps.append(f)
+        f = _own_fps.get(span)
+        if f is None:
+            f = tx.winnow_fingerprints(
+                docs, id_col, text_col,
+                k=_sd_k, w=span - _sd_k + 1, algo=da,
+            ).persist()
+            _own_fps[span] = f
         return f
 
     sd_fps = _fps_for(self_dedup_span) if self_dedup_span is not None else None
@@ -458,8 +472,8 @@ def curate(
                 probe_id_col="_probe_id", probe_text_col=text_col,
                 min_span=int(decontam_span),
                 bloom_m_bits=decontam_bloom_m_bits,
-                # the span stages' own hash knob (r16: decontam_algo, falls
-                # back to the near-dup algo): the verified verdict is
+                # the span stages' own hash knob (decontam_algo; r18
+                # fallback xxhash64): the verified verdict is
                 # algo-independent (operator docstring), so the throughput
                 # path composes without touching results
                 algo=da,
@@ -723,7 +737,7 @@ def curate(
     sh.unpersist()
     if shared_fps is not None:
         shared_fps.unpersist()
-    for f in _own_fps:
+    for f in _own_fps.values():
         f.unpersist()
     # drop any operator-module broadcasts created along the way (plane/query
     # matrices etc.) — a long-lived session calling curate() in a loop must

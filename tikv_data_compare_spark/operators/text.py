@@ -1448,7 +1448,7 @@ def decontaminate_substring(
     k: int = 5,
     bloom_m_bits: int | None = None,
     bloom_k_hashes: int = 4,
-    algo: str = "md5i64",
+    algo: str = "xxhash64",
     max_fp_df: int | None = None,
     doc_fps: DataFrame | None = None,
     hot_fp_mode: str = "rekey",
@@ -1496,10 +1496,12 @@ def decontaminate_substring(
     ``n_contam_probes``/``contaminated`` are exact.  NULL/short texts are
     never contaminated (no span of ``min_span`` chars exists).
 
-    ``algo`` (r15) picks the winnow gram hash on BOTH sides — ``md5i64``
-    (default, oracle gate path) or ``xxhash64`` (throughput).  The winnow
-    no-false-negative guarantee holds for any deterministic hash and the
-    verify is a hash-independent verbatim ``contains``, so
+    ``algo`` (r15) picks the winnow gram hash on BOTH sides — ``xxhash64``
+    (default since r18 — the winnow hash only PRUNES and the verify is a
+    hash-independent verbatim ``contains``, so the verified columns are
+    identical across algos while xxhash64 measured ~2.2× faster at sf1,
+    tools/probe_trim_sf1_runs.jsonl) or ``md5i64`` (the DuckDB-replayable
+    gate hash — the gated ``text_fingerprints`` row pins it explicitly).
     ``n_contam_probes``/``contaminated`` are identical across algos
     (equivalence-tested); only the observability-only candidate count may
     differ (different hash → different coincidental collisions).
@@ -1690,7 +1692,7 @@ def self_dedup_substring(
     min_span: int = 20,
     k: int = 5,
     max_fp_df: int | None = None,
-    algo: str = "md5i64",
+    algo: str = "xxhash64",
     doc_fps: DataFrame | None = None,
     hot_fp_mode: str = "rekey",
 ) -> DataFrame:
@@ -1761,12 +1763,16 @@ def self_dedup_substring(
     Default ``max_fp_df=None`` = exact, equal to brute force (the
     oracle contract).
 
-    ``algo`` (r15) picks the winnow gram hash — ``md5i64`` (default, the
-    oracle gate path) or ``xxhash64`` (throughput; the PRUNE changes but
-    the verbatim verify is hash-independent, so the verified output is
-    identical — equivalence-tested).  Caveat: with ``max_fp_df`` set, the
-    hot-fingerprint cut is applied in hash space, so the approximation —
-    already documented as such — may differ across algos.
+    ``algo`` (r15) picks the winnow gram hash — ``xxhash64`` (default
+    since r18: the PRUNE changes but the verbatim verify is
+    hash-independent, so the verified output is identical across algos —
+    equivalence-tested — and xxhash64 measured ~2.2× faster at sf1) or
+    ``md5i64`` (the DuckDB-replayable gate hash; the gated
+    ``text_fingerprints`` row pins it explicitly).  Caveat: with
+    ``max_fp_df`` set AND ``hot_fp_mode="drop"``, the hot-fingerprint cut
+    is applied in hash space, so that approximation — already documented
+    as such — may differ across algos (the default ``"rekey"`` mode stays
+    byte-identical at any threshold and either algo).
     ``doc_fps`` (r15) reuses a precomputed :func:`winnow_fingerprints`
     frame (geometry metadata-verified) — see
     :func:`decontaminate_substring`.
@@ -1941,7 +1947,7 @@ def self_dedup_trim(
     min_span: int = 20,
     k: int = 5,
     max_fp_df: "int | None" = None,
-    algo: str = "md5i64",
+    algo: str = "xxhash64",
     doc_fps: "DataFrame | None" = None,
     hot_fp_mode: str = "rekey",
 ) -> DataFrame:

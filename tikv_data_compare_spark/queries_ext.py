@@ -1400,8 +1400,11 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the dsir_cache convention); harness sessions clearCache() anyway.
     d_fp20_all = tx.winnow_fingerprints(docs, "doc_id", "text", k=5, w=20).persist()
     _QUERY_CACHES.append(d_fp20_all)
+    # r18: the operators' algo default flipped to xxhash64 (throughput);
+    # this GATE row pins md5i64 explicitly — the oracle replays the md5
+    # winnow bit-for-bit, and the shared d_fp20_all frame is md5-stamped
     sd = tx.self_dedup_substring(
-        docs, min_span=24, max_fp_df=50, doc_fps=d_fp20_all
+        docs, min_span=24, max_fp_df=50, algo="md5i64", doc_fps=d_fp20_all
     ).select(
         "doc_id",
         F.col("n_dup_partners").alias("sd_partners"),
@@ -1415,7 +1418,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate, so the interval fold's string surgery is checked byte-exactly
     # against the oracle's per-char anti-join rebuild
     sdt = tx.self_dedup_trim(
-        docs, min_span=24, max_fp_df=50, doc_fps=d_fp20_all
+        docs, min_span=24, max_fp_df=50, algo="md5i64", doc_fps=d_fp20_all
     ).select(
         "doc_id",
         F.length("text_trimmed").cast("long").alias("sd_trim_len"),
@@ -1437,7 +1440,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id AS probe_id", "substr(text, 6, 45) AS text"
     )
     wd = tx.decontaminate_substring(
-        docs, wprobes, min_span=24, doc_fps=d_fp20_all
+        docs, wprobes, min_span=24, algo="md5i64", doc_fps=d_fp20_all
     ).select(
         "doc_id",
         F.col("n_contam_probes").alias("wd_contam_probes"),
