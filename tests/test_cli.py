@@ -1353,6 +1353,14 @@ def test_cli_dedup_self_trim(capsys, spark, tmp_path):
     # exclusive with the index/lines/subtract modes
     assert cli.main(["dedup", "--src", src, "--self-dedup-trim", "24",
                      "--lines"]) == 2
+    # r18 (ADVICE): the index-flow companions are rejected too, not
+    # silently dropped
+    assert cli.main(["dedup", "--src", src, "--self-dedup-trim", "24",
+                     "--corpus", src]) == 2
+    assert cli.main(["dedup", "--src", src, "--self-dedup-trim", "24",
+                     "--epoch", "3"]) == 2
+    assert cli.main(["dedup", "--src", src, "--self-dedup-trim", "24",
+                     "--pairs-out", str(tmp_path / "p.pq")]) == 2
     capsys.readouterr()
 
 

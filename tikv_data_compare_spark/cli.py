@@ -220,9 +220,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--src", required=True, help="documents parquet (dir or file)")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
-    p.add_argument("--dedup-algo", default="md5i64", choices=["md5i64", "xxhash64"],
-                   help="shingle-hash algorithm (index queries/appends read it "
-                        "from the index meta instead)")
+    p.add_argument("--dedup-algo", default="", choices=["", "md5i64", "xxhash64"],
+                   help="hash algorithm; unset resolves per mode — md5i64 "
+                        "for the shingle/minhash modes (oracle-checkable; "
+                        "kept sets are algo-dependent there) and xxhash64 "
+                        "for --self-dedup-trim (span verdicts are algo-"
+                        "independent, r18 operator default).  Index "
+                        "queries/appends read it from the index meta instead")
     p.add_argument("--build-index", default="",
                    help="persist --src's LSH band table to this dir (4 rows × "
                         "~32 B per doc) for later incremental queries")
@@ -694,8 +698,13 @@ def main(argv: list[str] | None = None) -> int:
         from tikv_data_compare_spark.operators import dedup_index as di
 
         if args.self_dedup_trim:
+            # r18 (ADVICE): the full companion-flag set is rejected, not
+            # just the index-building half — previously --corpus / --epoch /
+            # --pairs-out / --labels were silently dropped in this mode
             if args.subtract or args.build_index or args.append_index \
-                    or args.index or args.ingest_index or args.lines:
+                    or args.index or args.ingest_index or args.lines \
+                    or args.corpus or args.epoch is not None \
+                    or args.pairs_out or args.labels:
                 print("dedup: --self-dedup-trim is its own mode (only "
                       "--out/--max-fp-df/--dedup-algo apply)", file=sys.stderr)
                 return 2
@@ -706,7 +715,9 @@ def main(argv: list[str] | None = None) -> int:
                     spark.read.parquet(args.src),
                     id_col=args.id_col, text_col=args.text_col,
                     min_span=int(args.self_dedup_trim),
-                    max_fp_df=args.max_fp_df, algo=args.dedup_algo,
+                    max_fp_df=args.max_fp_df,
+                    # unset flag → the operator's throughput default (r18)
+                    algo=args.dedup_algo or "xxhash64",
                 )
                 if args.out:
                     trimmed.write.mode("overwrite").parquet(args.out)
@@ -813,7 +824,7 @@ def main(argv: list[str] | None = None) -> int:
                     pairs_out=args.pairs_out or None,
                     epoch_id=epoch,
                     id_col=args.id_col, text_col=args.text_col,
-                    algo=args.dedup_algo,
+                    algo=args.dedup_algo or "md5i64",
                     labels_path=args.labels or None,
                 )
                 result = {"ingested": bool(applied), "epoch": epoch,
@@ -827,7 +838,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.build_index:
                 meta = di.build_dedup_index(
                     docs, args.build_index, id_col=args.id_col,
-                    text_col=args.text_col, algo=args.dedup_algo,
+                    text_col=args.text_col, algo=args.dedup_algo or "md5i64",
                 )
                 print(json.dumps({"built": args.build_index, **meta}))
                 return 0
@@ -871,7 +882,7 @@ def main(argv: list[str] | None = None) -> int:
                     )
             else:
                 out_df = dd.jaccard_pairs(
-                    docs, args.id_col, args.text_col, algo=args.dedup_algo
+                    docs, args.id_col, args.text_col, algo=args.dedup_algo or "md5i64"
                 )
             result = {"pairs": out_df.count()}
             if args.out:

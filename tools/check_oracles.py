@@ -66,6 +66,11 @@ def main():
     sweep_out = None
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            # r18 (ADVICE): a missing value used to IndexError-traceback;
+            # match the --all path's usage-style exit instead
+            print("--out requires a path argument", file=sys.stderr)
+            sys.exit(2)
         sweep_out = args[i + 1]
         del args[i : i + 2]
     if "--all" in args:
