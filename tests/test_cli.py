@@ -1362,6 +1362,16 @@ def test_cli_dedup_self_trim(capsys, spark, tmp_path):
     assert cli.main(["dedup", "--src", src, "--self-dedup-trim", "24",
                      "--pairs-out", str(tmp_path / "p.pq")]) == 2
     capsys.readouterr()
+    # r18: --snap word keeps whole words around the splice
+    out_w = str(tmp_path / "trim_word.pq")
+    rc = cli.main(["dedup", "--src", src, "--self-dedup-trim", "24",
+                   "--snap", "word", "--out", out_w])
+    assert rc == 0
+    got_w = {r["doc_id"]: r for r in spark.read.parquet(out_w).collect()}
+    assert span not in got_w[2]["text_trimmed"]
+    src_words = set(f"beta head {span} beta tail".split())
+    assert set(got_w[2]["text_trimmed"].split()) <= src_words
+    capsys.readouterr()
 
 
 def test_cli_curate_self_dedup_trim_flag(capsys, spark, tmp_path):
@@ -1390,4 +1400,18 @@ def test_cli_curate_self_dedup_trim_flag(capsys, spark, tmp_path):
     assert set(got) == {1, 2}          # transform, not a gate
     assert span in got[1]               # earlier carrier keeps its span
     assert span not in got[2]           # later doc trimmed
+    capsys.readouterr()
+    # r18: the word-snap knob threads through; no word fragments survive
+    out2 = str(tmp_path / "kept2.pq")
+    rc = cli.main([
+        "curate", "--src", src, "--out", out2,
+        "--self-dedup-trim-span", "24", "--self-dedup-trim-snap", "word",
+        "--near-dup-jaccard-c", "10001", "--max-dup-word-frac-c", "10000",
+        "--max-top-bigram-frac-c", "10000",
+    ])
+    assert rc == 0
+    got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out2).collect()}
+    assert span not in got2[2]
+    words_in = set(f"{other} {span}".split())
+    assert set(got2[2].split()) <= words_in  # every surviving token is a word
     capsys.readouterr()

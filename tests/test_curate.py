@@ -494,6 +494,50 @@ def test_curate_span_stages_share_one_winnow_pass(spark, monkeypatch):
         kept3.unpersist()
 
 
+def test_curate_trim_snap_knob(spark, monkeypatch):
+    """r18: self_dedup_trim_snap threads to the operator; invalid values
+    and snap-without-span raise in the PREAMBLE (zero frames built)."""
+    from tikv_data_compare_spark.operators import curate as cur_mod
+    from tikv_data_compare_spark.operators import text as tx
+
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"head one {span} tail one " + "pad " * 15),
+            (2, f"headword{span}tailword " + "mat " * 15),
+        ],
+        "doc_id long, text string",
+    )
+    off = dict(near_dup_jaccard_c=10001, max_dup_word_frac_c=10000,
+               max_top_bigram_frac_c=10000)
+    kept, _ = cur_mod.curate(
+        docs, self_dedup_trim_span=24, self_dedup_trim_snap="word", **off
+    )
+    try:
+        got = {r["doc_id"]: r["text"] for r in kept.collect()}
+        assert span not in got[2]
+        # word snap: the flanking fragments 'headword'/'tailword' go too
+        assert "headword" not in got[2] and "tailword" not in got[2]
+    finally:
+        kept.unpersist()
+    calls = []
+    real = tx.winnow_fingerprints
+
+    def counting(df, *a, **kw):
+        calls.append(1)
+        return real(df, *a, **kw)
+
+    monkeypatch.setattr(tx, "winnow_fingerprints", counting)
+    with pytest.raises(ValueError, match="snap must be"):
+        cur_mod.curate(
+            docs, self_dedup_trim_span=24, self_dedup_trim_snap="sentence",
+            **off,
+        )
+    with pytest.raises(ValueError, match="requires self_dedup_trim_span"):
+        cur_mod.curate(docs, self_dedup_trim_snap="word", **off)
+    assert calls == [], "snap validation ran after frame building"
+
+
 def test_curate_decontam_algo_override(spark):
     """decontam_algo switches only the span stages' winnow hash; the
     verbatim verdicts are algo-independent, so the kept set is identical.

@@ -1375,3 +1375,95 @@ def test_self_dedup_trim_equals_bruteforce(spark, documents):
     for did, (_, n_trim, intact) in got.items():
         assert n_trim == drop[did][0], did
         assert intact == drop[did][1], did
+
+
+def test_self_dedup_trim_word_snap_equals_bruteforce(spark, documents):
+    """r18 snap='word' (VERDICT r17 task 4): each removed interval extends
+    to the enclosing whitespace boundaries so no word is partially cut —
+    checked against a pure-Python re-implementation of the snapping rule
+    over the brute-force start set, on fixture docs + planted MID-WORD
+    spans; kept_intact must equal the unsnapped run's, n_trimmed_chars
+    can only grow, and the splice is always whitespace-delimited."""
+    import itertools
+    import re
+
+    N = 24
+    base = [
+        (r["doc_id"], r["text"])
+        for r in documents.limit(30).select("doc_id", "text").collect()
+    ]
+    donor = base[3][1]
+    span = donor[10:44]  # 34 chars, interior of a real doc
+    rows = base + [
+        # span flanked by non-whitespace on both sides: both cut edges
+        # land mid-word and must snap outward
+        (900001, f"intro headword{span}tailword outro"),
+        # span flanked by whitespace: snapping is a no-op
+        (900002, f"clean lead {span} clean tail"),
+        (900003, None),
+        (900004, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_trimmed"], r["n_trimmed_chars"], r["kept_intact"])
+        for r in tx.self_dedup_trim(df, min_span=N, snap="word").collect()
+    }
+    plain = {
+        r["doc_id"]: (r["text_trimmed"], r["n_trimmed_chars"], r["kept_intact"])
+        for r in tx.self_dedup_trim(df, min_span=N).collect()
+    }
+
+    by_id = dict(rows)
+    starts: dict = {}
+    for ida, idb in itertools.combinations(sorted(by_id), 2):
+        at, bt = by_id[ida], by_id[idb]
+        if at is None or bt is None or len(at) < N or len(bt) < N:
+            continue
+        ss = [i for i in range(1, len(bt) - N + 2) if bt[i - 1 : i - 1 + N] in at]
+        if ss:
+            starts.setdefault(idb, set()).update(ss)
+
+    def ref_word_trim(t: str, sv: set) -> str:
+        ws = {i + 1 for i, c in enumerate(t) if re.fullmatch(r"\s", c)}
+        cov: set = set()
+        for s in sorted(sv):
+            e = s + N - 1
+            l = s
+            if s > 1 and (s - 1) not in ws and s not in ws:
+                l = max((w for w in ws if w < s), default=0) + 1
+            r = e
+            if e < len(t) and e not in ws and (e + 1) not in ws:
+                r = min((w for w in ws if w > e), default=len(t) + 1) - 1
+            cov.update(range(l - 1, r))  # 0-based cover of 1-based [l, r]
+        return "".join(c for i, c in enumerate(t) if i not in cov)
+
+    exp = {}
+    for did, t in by_id.items():
+        sv = starts.get(did)
+        if not sv:
+            exp[did] = (t, 0, True)
+        else:
+            trimmed = ref_word_trim(t, sv)
+            exp[did] = (trimmed, len(t) - len(trimmed), False)
+    assert got == exp
+    # the planted mid-word doc: whole flanking words removed, the splice
+    # sits between the surviving whitespace-delimited tokens
+    assert got[900001][0] == "intro  outro"
+    # whitespace-flanked span: word snap adds nothing over the plain cut
+    assert got[900002][0] == plain[900002][0]
+    # snapping only widens cuts and never changes WHETHER a doc was hit
+    for did in got:
+        assert got[did][1] >= plain[did][1], did
+        assert got[did][2] == plain[did][2], did
+    # rekey split stays byte-identical under snapping too
+    rekeyed = {
+        r["doc_id"]: (r["text_trimmed"], r["n_trimmed_chars"], r["kept_intact"])
+        for r in tx.self_dedup_trim(
+            df, min_span=N, snap="word", max_fp_df=2
+        ).collect()
+    }
+    assert rekeyed == exp
+    import pytest
+
+    with pytest.raises(ValueError, match="snap must be"):
+        tx.self_dedup_trim(df, min_span=N, snap="sentence")

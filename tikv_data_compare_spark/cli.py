@@ -282,6 +282,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --self-dedup-trim: hot-fingerprint rekey "
                         "threshold (exact at any value; bounds the candidate "
                         "join on template-heavy corpora)")
+    p.add_argument("--snap", default="none", choices=["none", "word"],
+                   help="with --self-dedup-trim: 'word' extends each cut to "
+                        "whitespace boundaries so no word is partially "
+                        "removed (r18; 'none' = the paper's exact spans)")
     p.add_argument("--out", default="", help="write result parquet here")
     p.add_argument("--concurrency", type=int, default=0)
 
@@ -396,6 +400,11 @@ def main(argv: list[str] | None = None) -> int:
                         "the kept doc's text (text.self_dedup_trim — a "
                         "transform like --redact-pii, attrition unchanged; "
                         "composes with --self-dedup-span)")
+    p.add_argument("--self-dedup-trim-snap", default="none",
+                   choices=["none", "word"],
+                   help="with --self-dedup-trim-span: 'word' extends each "
+                        "cut to whitespace boundaries so the spliced text "
+                        "never contains word fragments (r18)")
     p.add_argument("--keep-langs", default="",
                    help="comma-separated language codes: appends a 'language' "
                         "stage keeping only docs whose stopword-overlap "
@@ -718,6 +727,7 @@ def main(argv: list[str] | None = None) -> int:
                     max_fp_df=args.max_fp_df,
                     # unset flag → the operator's throughput default (r18)
                     algo=args.dedup_algo or "xxhash64",
+                    snap=args.snap,
                 )
                 if args.out:
                     trimmed.write.mode("overwrite").parquet(args.out)
@@ -1427,6 +1437,7 @@ def main(argv: list[str] | None = None) -> int:
                     args.self_dedup_trim_span
                     if args.self_dedup_trim_span != 0 else None
                 ),
+                self_dedup_trim_snap=args.self_dedup_trim_snap,
                 keep_langs=args.keep_langs.split(",") if args.keep_langs else None,
                 # 0 = off; a NEGATIVE cap passes through so curate()'s own
                 # validation rejects it loudly instead of silently disabling

@@ -63,6 +63,7 @@ def curate(
     decontam_algo: str | None = None,
     self_dedup_span: int | None = None,
     self_dedup_trim_span: int | None = None,
+    self_dedup_trim_snap: str = "none",
     decontam_fuzzy_jaccard_c: int | None = None,
     keep_langs: list[str] | None = None,
     max_lm_nll_c: int | None = None,
@@ -138,7 +139,10 @@ def curate(
     span stages' geometry and threads ``decontam_max_fp_df`` /
     ``decontam_algo`` like them.  Both drop and trim may run (at the same
     or different spans): drop removes whole near-copy docs, trim excises
-    what remains.
+    what remains.  ``self_dedup_trim_snap`` (r18) is the operator's
+    ``snap`` knob — ``"word"`` extends each cut to whitespace boundaries
+    so the spliced training text never contains word fragments (operator
+    docstring for the exact rule); requires the trim span.
     ``decontam_fuzzy_jaccard_c`` (r13) appends an INDEPENDENT
     ``decontamination_fuzzy`` stage — the paraphrase-level screen
     (``text.decontaminate_fuzzy``): docs whose shingle-set Jaccard with
@@ -251,6 +255,18 @@ def curate(
                 f"{_nm} must be >= 6 (the winnow geometry floor: "
                 f"min_span >= k + 1 with k = 5), got {_sp}"
             )
+    if self_dedup_trim_snap not in ("none", "word"):
+        # loud-validation + preamble hoist: the operator would reject it
+        # too, but only after the winnow frames were built and persisted
+        raise ValueError(
+            f"self_dedup_trim_snap must be 'none' or 'word', got "
+            f"{self_dedup_trim_snap!r}"
+        )
+    if self_dedup_trim_snap != "none" and self_dedup_trim_span is None:
+        raise ValueError(
+            "self_dedup_trim_snap requires self_dedup_trim_span= (it "
+            "shapes that transform's cut boundaries)"
+        )
     _no_span_stage = (
         (probes is None or decontam_span is None)
         and self_dedup_span is None
@@ -712,6 +728,7 @@ def curate(
             min_span=int(self_dedup_trim_span), k=_sd_k, algo=da,
             doc_fps=_fps_for(self_dedup_trim_span),
             max_fp_df=decontam_max_fp_df,
+            snap=self_dedup_trim_snap,
         ).select(id_col, F.col("text_trimmed"))
         kept = (
             kept.join(trimmed, id_col)

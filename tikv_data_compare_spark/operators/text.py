@@ -1950,6 +1950,7 @@ def self_dedup_trim(
     algo: str = "xxhash64",
     doc_fps: "DataFrame | None" = None,
     hot_fp_mode: str = "rekey",
+    snap: str = "none",
 ) -> DataFrame:
     """Span-SURGICAL ExactSubstr dedup (r17): instead of DROPPING a doc
     that shares a verbatim span of ≥ ``min_span`` chars with a smaller-id
@@ -1975,14 +1976,37 @@ def self_dedup_trim(
     that themselves form ≥ min_span duplicates — Lee et al. run one
     pass; iterate externally if a fixpoint is wanted.
 
+    ``snap`` (r18, VERDICT r17 task 4) controls cut-boundary hygiene:
+
+    * ``"none"`` (default — the paper's span semantics and the gated
+      path): remove exactly the covered intervals, even mid-word — the
+      splice can join two word fragments into a new token.
+    * ``"word"``: extend each removed interval to the enclosing
+      whitespace boundaries before merging, so no WORD is ever
+      partially removed — an edge that splits a run of non-whitespace
+      extends outward to the nearest whitespace (or the text edge) on
+      that side; edges already on whitespace (or against it) stay put.
+      Deterministic interval algebra over the doc's whitespace-position
+      array (regex class ``\\s``): for a raw interval ``[s, e]``,
+      ``l = prevWS(s)+1`` iff chars ``s-1`` and ``s`` are both
+      non-whitespace else ``s``; ``r = nextWS(e)-1`` iff chars ``e`` and
+      ``e+1`` are both non-whitespace else ``e``.  Whitespace BETWEEN
+      removed words is kept (cuts never merge across it unless covered),
+      so the splice is always whitespace-delimited.  Snapping can only
+      remove MORE characters, and ``kept_intact`` is unchanged (it
+      reports whether any span hit the doc, not how wide the cut was).
+
     Returns one row per input doc (schema mirrors the drop operator's
     verdict shape, with the surgery added):
     ``(id, text_trimmed, n_trimmed_chars, kept_intact)`` —
     ``text_trimmed`` is the doc's text with covered intervals removed
     (NULL text stays NULL), ``n_trimmed_chars`` the removed char count
-    (provably equal to ``self_dedup_substring``'s ``n_dup_chars`` —
-    equivalence-tested), ``kept_intact`` true iff nothing was cut
+    (with ``snap="none"`` provably equal to ``self_dedup_substring``'s
+    ``n_dup_chars`` — equivalence-tested; with ``snap="word"`` ≥ that),
+    ``kept_intact`` true iff nothing was cut
     (equal to the drop operator's ``kept``)."""
+    if snap not in ("none", "word"):
+        raise ValueError(f"snap must be 'none' or 'word', got {snap!r}")
     hits = _self_dedup_hits(
         docs, id_col, text_col, min_span, k, max_fp_df, algo, doc_fps,
         hot_fp_mode,
@@ -1994,21 +2018,67 @@ def self_dedup_trim(
         .withColumnRenamed("_idb", id_col)
     )
     out = docs.select(id_col, F.col(text_col).alias("_t")).join(sv, id_col, "left")
-    # fold sorted starts into the trimmed text: acc.p = the next uncovered
-    # 1-based scan position; each start s appends the uncovered gap
-    # [acc.p, s) and advances coverage to s + min_span; the finisher
-    # appends the tail.  Overlapping/adjacent intervals merge for free
-    # (s <= acc.p appends nothing and greatest() keeps the farther edge).
-    trim = F.expr(
-        f"aggregate(_sv, "
-        f"named_struct('p', CAST(1 AS BIGINT), 't', CAST('' AS STRING)), "
-        f"(acc, s) -> named_struct("
-        f"'p', greatest(acc.p, CAST(s + {min_span} AS BIGINT)), "
-        f"'t', CASE WHEN s > acc.p "
-        f"THEN concat(acc.t, substr(_t, CAST(acc.p AS INT), CAST(s - acc.p AS INT))) "
-        f"ELSE acc.t END), "
-        f"acc -> concat(acc.t, substr(_t, CAST(acc.p AS INT))))"
-    )
+    if snap == "none":
+        # fold sorted starts into the trimmed text: acc.p = the next
+        # uncovered 1-based scan position; each start s appends the
+        # uncovered gap [acc.p, s) and advances coverage to s + min_span;
+        # the finisher appends the tail.  Overlapping/adjacent intervals
+        # merge for free (s <= acc.p appends nothing and greatest() keeps
+        # the farther edge).
+        trim = F.expr(
+            f"aggregate(_sv, "
+            f"named_struct('p', CAST(1 AS BIGINT), 't', CAST('' AS STRING)), "
+            f"(acc, s) -> named_struct("
+            f"'p', greatest(acc.p, CAST(s + {min_span} AS BIGINT)), "
+            f"'t', CASE WHEN s > acc.p "
+            f"THEN concat(acc.t, substr(_t, CAST(acc.p AS INT), CAST(s - acc.p AS INT))) "
+            f"ELSE acc.t END), "
+            f"acc -> concat(acc.t, substr(_t, CAST(acc.p AS INT))))"
+        )
+    else:
+        # word-snapped surgery (r18): materialize the doc's whitespace
+        # positions once (only for docs with hits — _sv is non-NULL
+        # exactly there), snap each raw interval [s, s+min_span-1] to
+        # [l, r] per the docstring rule, then run the same sorted fold
+        # over snapped intervals.  L(s) is monotone in s (prevWS is
+        # monotone and an unextended edge sits at s itself), so the
+        # transform of the sorted starts is already l-sorted; array_sort
+        # keeps the invariant explicit rather than load-bearing.
+        e = f"(s + {min_span} - 1)"
+        out = out.withColumn(
+            "_wsv",
+            F.expr(
+                "CASE WHEN _sv IS NULL THEN NULL ELSE "
+                "filter(sequence(1, length(_t)), "
+                "p -> substr(_t, p, 1) rlike '^\\\\s$') END"
+            ),
+        ).withColumn(
+            "_iv",
+            F.expr(
+                f"array_sort(transform(_sv, s -> named_struct("
+                f"'l', CASE WHEN s > 1 AND NOT array_contains(_wsv, s - 1) "
+                f"AND NOT array_contains(_wsv, s) "
+                f"THEN coalesce(array_max(filter(_wsv, w -> w < s)), 0) + 1 "
+                f"ELSE s END, "
+                f"'r', CASE WHEN {e} < length(_t) "
+                f"AND NOT array_contains(_wsv, {e}) "
+                f"AND NOT array_contains(_wsv, {e} + 1) "
+                f"THEN coalesce(array_min(filter(_wsv, w -> w > {e})), "
+                f"length(_t) + 1) - 1 "
+                f"ELSE {e} END)))"
+            ),
+        )
+        trim = F.expr(
+            "aggregate(_iv, "
+            "named_struct('p', CAST(1 AS BIGINT), 't', CAST('' AS STRING)), "
+            "(acc, iv) -> named_struct("
+            "'p', greatest(acc.p, CAST(iv.r + 1 AS BIGINT)), "
+            "'t', CASE WHEN iv.l > acc.p "
+            "THEN concat(acc.t, substr(_t, CAST(acc.p AS INT), "
+            "CAST(iv.l - acc.p AS INT))) "
+            "ELSE acc.t END), "
+            "acc -> concat(acc.t, substr(_t, CAST(acc.p AS INT))))"
+        )
     return out.select(
         id_col,
         F.when(F.col("_sv").isNull(), F.col("_t"))
