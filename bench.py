@@ -239,7 +239,11 @@ BANDS = {
     "price_histogram": (0.2, 0.8),
     "targeted_diff_1pct": (0.5, 3.0),
     "diff_full_1pct": (0.3, 1.5),
-    "curation_pipeline": (2.0, 16.0),
+    # r18: the gated row now runs the self_dedup_trim transform in-funnel
+    # (VERDICT r17 task 5) — span surgery over the template-degenerate
+    # fixture where most docs genuinely share 24-char spans; solo measured
+    # 13.6 s at sf0.1 (was ~4.1 s without the trim)
+    "curation_pipeline": (2.0, 18.0),
     "topk_pq_rerank": (0.8, 6.0),
     "topk_ivfpq": (1.0, 6.0),
     "topk_ivfpq_join": (1.0, 7.0),
@@ -726,10 +730,13 @@ def main():
                 # count()-pruned rows execute real work) plus two new
                 # entries (semdedup_auto ~6 s, quality_classifier ~2.7 s)
                 # grew the honest floor; 27-entry totals measured 34.5
-                # and 45.7 s under ambient load
+                # and 45.7 s under ambient load.  Widened again r18 to
+                # 10-65 s: curation_pipeline gained the in-funnel
+                # self_dedup_trim transform (+~9.5 s of genuinely new
+                # gated work at sf0.1 — see its per-entry band note)
                 "suite_band": {
-                    "band": [10.0, 55.0],
-                    "breached": bool(sf == "0.1" and total > 55.0),
+                    "band": [10.0, 65.0],
+                    "breached": bool(sf == "0.1" and total > 65.0),
                     "regressed_entries": sorted(
                         n for n, r in solo_reruns.items()
                         if not r["in_band_solo"]

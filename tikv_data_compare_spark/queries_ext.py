@@ -2812,7 +2812,16 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       n_out, n_dropped) for exact_dedup → near_dedup → quality →
       repetition, the funnel every curation run is judged by;
     - ``part='corpus'``: the per-language summary of the kept documents
-      (n_docs, total tokens, total chars).
+      (n_docs, total tokens, total chars) — since r18 AFTER the
+      ``self_dedup_trim_span=24`` TRANSFORM (VERDICT r17 task 5), so the
+      in-funnel span surgery is driver-gated end-to-end: the oracle
+      rebuilds every trimmed doc per character (brute-force pair starts,
+      anti-join against covering intervals) and summarizes the kept set
+      over that ground-truth text.  The funnel itself is byte-identical
+      to a non-trimming run (transform convention, test-pinned), and the
+      trim runs the r18 default span hash (xxhash64) — gating the
+      throughput path's verdicts, complementing ``text_fingerprints``'s
+      pinned-md5 gate.
 
     The oracle recomputes every stage's survivor set declaratively (exact
     content-hash keep, minhash-banded candidates restricted to exact
@@ -2823,7 +2832,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tikv_data_compare_spark.operators.curate import curate
 
     docs = _load(spark, sf_dir, "documents")
-    kept, attrition = curate(docs)
+    # decontam_max_fp_df routes the template corpus's hot fingerprints
+    # through the exact rekey split (byte-identical at any threshold —
+    # operator contract, pinned) — without it the uncapped winnow
+    # self-join dominates the row (~9x at sf0.01, same degeneracy the
+    # text_fingerprints row caps)
+    kept, attrition = curate(
+        docs, self_dedup_trim_span=24, decontam_max_fp_df=50
+    )
     funnel = attrition.select(
         F.lit("funnel").alias("part"),
         F.col("stage").alias("label"),
@@ -2918,6 +2934,55 @@ r_keep AS (
   SELECT q.doc_id FROM q_keep q JOIN rep r ON r.doc_id = q.doc_id
   WHERE r.dup_word_frac_c <= 7000 AND r.top_bigram_frac_c <= 1800
 ),
+-- r18 trim transform replay (VERDICT r17 task 5): the gated curate call
+-- passes self_dedup_trim_span=24, so the kept corpus summary runs over
+-- span-surgically trimmed text.  Ground truth mirrors the
+-- text_fingerprints oracle's rebuild: brute-force duplicate starts over
+-- every (earlier, later) pair, per-character anti-join against the
+-- covering [i, i+24) intervals, string_agg in position order.
+-- the corpus summary consumes trimmed text only for KEPT docs, so the
+-- later-doc side is restricted to r_keep (the earlier side stays the
+-- FULL corpus — the transform's dedup reference, curate docstring)
+ct_pairs AS (
+  SELECT b.doc_id AS idb, b.text AS bt, a.text AS at2
+  FROM documents a
+  JOIN documents b ON a.doc_id < b.doc_id
+  JOIN r_keep rk ON rk.doc_id = b.doc_id
+  WHERE length(a.text) >= 24 AND length(b.text) >= 24
+),
+ct_hit AS (
+  SELECT idb, ss FROM (
+    SELECT idb,
+           list_filter(generate_series(1, length(bt) - 23),
+                       i -> contains(at2, substr(bt, i, 24))) AS ss
+    FROM ct_pairs
+  ) WHERE len(ss) > 0
+),
+ct_sunion AS (SELECT DISTINCT idb, unnest(ss) AS i FROM ct_hit),
+ct_chars AS (
+  SELECT idb, pos, substr(t, pos, 1) AS ch FROM (
+    SELECT h.idb, d.text AS t,
+           unnest(generate_series(1, length(d.text))) AS pos
+    FROM (SELECT DISTINCT idb FROM ct_hit) h
+    JOIN documents d ON d.doc_id = h.idb
+  )
+),
+ct_trimmed AS (
+  SELECT c.idb, string_agg(c.ch, '' ORDER BY c.pos) AS trimmed
+  FROM ct_chars c
+  ANTI JOIN ct_sunion u ON u.idb = c.idb AND c.pos >= u.i AND c.pos < u.i + 24
+  GROUP BY c.idb
+),
+ct_text AS (
+  -- a fully-trimmed doc has zero surviving chars: absent from ct_trimmed,
+  -- coalesce to '' (the engine fold's finisher yields '' the same way)
+  SELECT d.doc_id, d.lang,
+         CASE WHEN h.idb IS NULL THEN d.text
+              ELSE coalesce(tr.trimmed, '') END AS text
+  FROM documents d
+  LEFT JOIN (SELECT DISTINCT idb FROM ct_hit) h ON h.idb = d.doc_id
+  LEFT JOIN ct_trimmed tr ON tr.idb = d.doc_id
+),
 c0 AS (SELECT count(*) AS n FROM documents),
 c1 AS (SELECT count(*) AS n FROM hash_keep),
 c2 AS (SELECT count(*) AS n FROM near_keep),
@@ -2940,7 +3005,7 @@ SELECT 'corpus', d.lang,
        CAST(count(*) AS BIGINT),
        CAST(sum(len({sqlgen.split_words('d.text', DUCK)})) AS BIGINT),
        CAST(sum(length(d.text)) AS BIGINT)
-FROM r_keep k JOIN documents d ON d.doc_id = k.doc_id
+FROM r_keep k JOIN ct_text d ON d.doc_id = k.doc_id
 GROUP BY d.lang
 """
 
