@@ -675,8 +675,12 @@ def main():
         "dedup_simhash", "similarity_topk", "text_stats", "sessionize",
         "asof_join", "join_region_revenue",
     ]
-    print(
-        json.dumps(
+    # r18 (VERDICT r17 task 2): the round's primary perf artifact must be
+    # reproducible from the repo — the driver's BENCH_r{N}.json keeps only
+    # a truncated tail, so the ritual writes the FULL record to a committed
+    # file too (SPARK_GRAFT_BENCH_RECORD=tools/bench_r{N}_final.json).
+    record_path = os.environ.get("SPARK_GRAFT_BENCH_RECORD", "")
+    record = json.dumps(
             {
                 "metric": "headline_operator_suite_wall_clock",
                 "value": total,
@@ -744,7 +748,11 @@ def main():
                 },
             }
         )
-    )
+    print(record)
+    if record_path:
+        with open(record_path, "w") as f:
+            f.write(record + "\n")
+        print(f"[bench] full record written: {record_path}", file=sys.stderr)
     # exit-code-gated automation must see the breach too: the stderr line
     # and the JSON list are invisible to a `bench.py || alert` guard
     # (r9 ADVICE).  The JSON line above is always printed first.
