@@ -1377,6 +1377,48 @@ def test_self_dedup_trim_equals_bruteforce(spark, documents):
         assert intact == drop[did][1], did
 
 
+def test_self_dedup_trim_later_ids_restriction(spark, documents):
+    """r18 later_ids seam: trimming a subset of docs returns exactly the
+    full run's rows for those ids — the earlier-carrier reference and the
+    hot-fingerprint statistics stay corpus-wide — across plain, rekey-split
+    and word-snapped configurations."""
+    N = 24
+    base = [
+        (r["doc_id"], r["text"])
+        for r in documents.limit(30).select("doc_id", "text").collect()
+    ]
+    donor = base[3][1]
+    rows = base + [
+        (900001, "xx " + donor[10:50] + " yy"),
+        (900002, "aa " + donor[12:52] + " bb"),
+        (900003, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # an id set containing hit docs, clean docs, and the NULL-text doc
+    want = sorted({base[5][0], base[7][0], 900001, 900002, 900003})
+    ids = spark.createDataFrame([(i,) for i in want], "doc_id long")
+    for kw in (
+        {},
+        {"max_fp_df": 2},
+        {"snap": "word"},
+        {"max_fp_df": 1, "snap": "word"},
+    ):
+        full = {
+            r["doc_id"]: tuple(r)
+            for r in tx.self_dedup_trim(df, min_span=N, **kw).collect()
+        }
+        sub = sorted(
+            map(
+                tuple,
+                tx.self_dedup_trim(
+                    df, min_span=N, later_ids=ids, **kw
+                ).collect(),
+            )
+        )
+        assert sub == sorted(full[i] for i in want), f"diverged under {kw}"
+        assert [t[0] for t in sub] == want  # exactly one row per asked id
+
+
 def test_self_dedup_trim_word_snap_equals_bruteforce(spark, documents):
     """r18 snap='word' (VERDICT r17 task 4): each removed interval extends
     to the enclosing whitespace boundaries so no word is partially cut —

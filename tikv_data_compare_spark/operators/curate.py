@@ -723,12 +723,16 @@ def curate(
         # corpus, not the survivor set: duplicated content is duplicated
         # regardless of whether its earlier carrier survived the funnel.
         # Runs before redaction so PII masking sees the final text.
+        # r18: later_ids restricts the SURGERY to survivors (the dedup
+        # reference stays the full corpus — operator contract), skipping
+        # candidate+verify work for docs the gates above already dropped
         trimmed = tx.self_dedup_trim(
             docs, id_col, text_col,
             min_span=int(self_dedup_trim_span), k=_sd_k, algo=da,
             doc_fps=_fps_for(self_dedup_trim_span),
             max_fp_df=decontam_max_fp_df,
             snap=self_dedup_trim_snap,
+            later_ids=flags.filter(F.col(stage_cols[-1])).select(id_col),
         ).select(id_col, F.col("text_trimmed"))
         kept = (
             kept.join(trimmed, id_col)

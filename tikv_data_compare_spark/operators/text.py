@@ -1827,6 +1827,7 @@ def _self_dedup_hits(
     algo: str,
     doc_fps: "DataFrame | None",
     hot_fp_mode: str,
+    later_ids: "DataFrame | None" = None,
 ) -> DataFrame:
     """The shared candidate→verify machinery of :func:`self_dedup_substring`
     and :func:`self_dedup_trim` (extracted r17): every (later doc, earlier
@@ -1835,7 +1836,16 @@ def _self_dedup_hits(
     winnow-fingerprint candidate pairs + per-pair verify, with the
     ``max_fp_df`` hot-fingerprint rekey/drop split.  Returns
     ``(_idb, _ida, _i)`` (may contain duplicate triples from the hot gram
-    join — consumers aggregate with distinct)."""
+    join — consumers aggregate with distinct).
+
+    ``later_ids`` (r18, one ``{id_col}`` column) restricts the LATER
+    (``_idb``) side: candidate pairs, per-pair verifies, and the hot gram
+    join only produce triples whose later doc is in the set, while the
+    EARLIER side — and the hot-fingerprint document-frequency statistics —
+    still range over the full corpus, so the hits for every restricted
+    doc are exactly the full run's hits for that doc (parity-tested).
+    This is the trim-survivors-only seam: a curation funnel that drops a
+    third of the corpus has no use for those docs' surgery."""
     if min_span < k + 1:
         raise ValueError(
             f"min_span must be >= k + 1 (= {k + 1}) so the winnow window "
@@ -1878,11 +1888,18 @@ def _self_dedup_hits(
             # positional grams of the LATER doc join the distinct gram
             # sets of the EARLIER — one bounded gram equi-join computes
             # the complete hit triples for every affected×affected pair
-            # (gram equality IS the verbatim check, so no verify pass)
-            grams_pos = _span_grams(adocs, id_col, text_col, min_span, with_pos=True)
-            grams_set = grams_pos.select(
-                F.col(id_col).alias("_ida"), "gram"
-            ).distinct()
+            # (gram equality IS the verbatim check, so no verify pass).
+            # The _ida gram-set side stays the FULL affected set; only
+            # the positional _idb side narrows under later_ids.
+            bdocs = adocs
+            if later_ids is not None:
+                bdocs = adocs.join(
+                    later_ids.select(id_col), id_col, "left_semi"
+                )
+            grams_pos = _span_grams(bdocs, id_col, text_col, min_span, with_pos=True)
+            grams_set = _span_grams(
+                adocs, id_col, text_col, min_span, with_pos=True
+            ).select(F.col(id_col).alias("_ida"), "gram").distinct()
             hits_hot = (
                 grams_pos.select(F.col(id_col).alias("_idb"), "_i", "gram")
                 .join(grams_set, "gram")
@@ -1891,7 +1908,10 @@ def _self_dedup_hits(
             )
         fp = fp.join(hot, "fp", "left_anti")
     a = fp.select(F.col(id_col).alias("_ida"), "fp")
-    b = fp.select(F.col(id_col).alias("_idb"), "fp")
+    fp_b = fp
+    if later_ids is not None:
+        fp_b = fp.join(later_ids.select(id_col), id_col, "left_semi")
+    b = fp_b.select(F.col(id_col).alias("_idb"), "fp")
     cand = (
         a.join(b, "fp")
         .where(F.col("_ida") < F.col("_idb"))
@@ -1951,6 +1971,7 @@ def self_dedup_trim(
     doc_fps: "DataFrame | None" = None,
     hot_fp_mode: str = "rekey",
     snap: str = "none",
+    later_ids: "DataFrame | None" = None,
 ) -> DataFrame:
     """Span-SURGICAL ExactSubstr dedup (r17): instead of DROPPING a doc
     that shares a verbatim span of ≥ ``min_span`` chars with a smaller-id
@@ -1996,6 +2017,15 @@ def self_dedup_trim(
       remove MORE characters, and ``kept_intact`` is unchanged (it
       reports whether any span hit the doc, not how wide the cut was).
 
+    ``later_ids`` (r18, one ``{id_col}`` column) trims ONLY those docs —
+    one output row per id in the set — while the dedup REFERENCE (the
+    earlier-carrier side and the hot-fingerprint statistics) stays the
+    full ``docs`` corpus, so each returned row is byte-identical to the
+    full run's row for that id (parity-tested).  This is the funnel
+    seam: ``curate()`` trims survivors only, skipping the candidate and
+    verify work for docs its gates already dropped (~a third of the sf1
+    fixture corpus — tools/probe_trim_funnel_sf1_runs.jsonl).
+
     Returns one row per input doc (schema mirrors the drop operator's
     verdict shape, with the surgery added):
     ``(id, text_trimmed, n_trimmed_chars, kept_intact)`` —
@@ -2009,7 +2039,7 @@ def self_dedup_trim(
         raise ValueError(f"snap must be 'none' or 'word', got {snap!r}")
     hits = _self_dedup_hits(
         docs, id_col, text_col, min_span, k, max_fp_df, algo, doc_fps,
-        hot_fp_mode,
+        hot_fp_mode, later_ids=later_ids,
     )
     sv = (
         hits.select("_idb", "_i").distinct()
@@ -2017,7 +2047,10 @@ def self_dedup_trim(
         .agg(F.sort_array(F.collect_list("_i")).alias("_sv"))
         .withColumnRenamed("_idb", id_col)
     )
-    out = docs.select(id_col, F.col(text_col).alias("_t")).join(sv, id_col, "left")
+    base = docs
+    if later_ids is not None:
+        base = docs.join(later_ids.select(id_col), id_col, "left_semi")
+    out = base.select(id_col, F.col(text_col).alias("_t")).join(sv, id_col, "left")
     if snap == "none":
         # fold sorted starts into the trimmed text: acc.p = the next
         # uncovered 1-based scan position; each start s appends the
