@@ -658,3 +658,15 @@ def test_self_dedup_trim_plan_shape(spark, documents):
     # rekey split keeps the same shape (its gram join is bounded + equi)
     df2 = self_dedup_trim(documents.limit(200), min_span=24, max_fp_df=2)
     assert "CartesianProduct" not in plans.plan_string(df2)
+    # r18 later_ids seam: the survivors restriction lands as semi joins,
+    # never a cartesian, in both the plain and the rekey-split plans
+    from pyspark.sql import functions as F
+
+    ids = documents.limit(200).select("doc_id").where(F.col("doc_id") % 2 == 0)
+    for kw in ({}, {"max_fp_df": 2}):
+        df3 = self_dedup_trim(
+            documents.limit(200), min_span=24, later_ids=ids, **kw
+        )
+        s3 = plans.plan_string(df3)
+        assert "CartesianProduct" not in s3
+        assert "LeftSemi" in s3, "later_ids restriction lost its semi join"
