@@ -2836,9 +2836,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through the exact rekey split (byte-identical at any threshold —
     # operator contract, pinned) — without it the uncapped winnow
     # self-join dominates the row (~9x at sf0.01, same degeneracy the
-    # text_fingerprints row caps)
+    # text_fingerprints row caps).  200 is the measured sweet spot at
+    # both driver scales (sf0.01: 3.74->2.82 s, sf0.1: 9.16->7.61 s vs
+    # 50; 1000 degrades sf0.01 to 7.1 s —
+    # tools/probe_trim_cap_r18_runs.jsonl):
+    # the knob trades winnow-candidate fan-out against gram fan-out and
+    # the output is identical at every value
     kept, attrition = curate(
-        docs, self_dedup_trim_span=24, decontam_max_fp_df=50
+        docs, self_dedup_trim_span=24, decontam_max_fp_df=200
     )
     funnel = attrition.select(
         F.lit("funnel").alias("part"),
