@@ -1362,6 +1362,17 @@ def test_cli_dedup_self_trim(capsys, spark, tmp_path):
     assert cli.main(["dedup", "--src", src, "--self-dedup-trim", "24",
                      "--pairs-out", str(tmp_path / "p.pq")]) == 2
     capsys.readouterr()
+    # r18: --only-ids trims just the named docs against the full corpus
+    ids_pq = str(tmp_path / "ids.pq")
+    spark.createDataFrame([(2,)], "doc_id long").write.parquet(ids_pq)
+    out_i = str(tmp_path / "trim_only.pq")
+    rc = cli.main(["dedup", "--src", src, "--self-dedup-trim", "24",
+                   "--only-ids", ids_pq, "--out", out_i])
+    assert rc == 0
+    only = spark.read.parquet(out_i).collect()
+    assert [r["doc_id"] for r in only] == [2]
+    assert only[0]["text_trimmed"] == got[2]["text_trimmed"]
+    capsys.readouterr()
     # r18: --snap word keeps whole words around the splice
     out_w = str(tmp_path / "trim_word.pq")
     rc = cli.main(["dedup", "--src", src, "--self-dedup-trim", "24",

@@ -1417,6 +1417,19 @@ def test_self_dedup_trim_later_ids_restriction(spark, documents):
         )
         assert sub == sorted(full[i] for i in want), f"diverged under {kw}"
         assert [t[0] for t in sub] == want  # exactly one row per asked id
+    # the DROP operator shares the seam: verdicts-for-a-subset equal the
+    # full run's rows (kept still means vs the FULL corpus)
+    drop_full = {
+        r["doc_id"]: tuple(r)
+        for r in tx.self_dedup_substring(df, min_span=N).collect()
+    }
+    drop_sub = sorted(
+        map(
+            tuple,
+            tx.self_dedup_substring(df, min_span=N, later_ids=ids).collect(),
+        )
+    )
+    assert drop_sub == sorted(drop_full[i] for i in want)
 
 
 def test_self_dedup_trim_word_snap_equals_bruteforce(spark, documents):

@@ -286,6 +286,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --self-dedup-trim: 'word' extends each cut to "
                         "whitespace boundaries so no word is partially "
                         "removed (r18; 'none' = the paper's exact spans)")
+    p.add_argument("--only-ids", default="",
+                   help="with --self-dedup-trim: parquet whose id column "
+                        "names the docs to trim — the dedup reference stays "
+                        "the full --src corpus, each output row is identical "
+                        "to the full run's (r18 survivors-only seam)")
     p.add_argument("--out", default="", help="write result parquet here")
     p.add_argument("--concurrency", type=int, default=0)
 
@@ -715,7 +720,8 @@ def main(argv: list[str] | None = None) -> int:
                     or args.corpus or args.epoch is not None \
                     or args.pairs_out or args.labels:
                 print("dedup: --self-dedup-trim is its own mode (only "
-                      "--out/--max-fp-df/--dedup-algo apply)", file=sys.stderr)
+                      "--out/--max-fp-df/--dedup-algo/--snap/--only-ids "
+                      "apply)", file=sys.stderr)
                 return 2
             from tikv_data_compare_spark.operators import text as tx
 
@@ -728,6 +734,10 @@ def main(argv: list[str] | None = None) -> int:
                     # unset flag → the operator's throughput default (r18)
                     algo=args.dedup_algo or "xxhash64",
                     snap=args.snap,
+                    later_ids=(
+                        spark.read.parquet(args.only_ids).select(args.id_col)
+                        if args.only_ids else None
+                    ),
                 )
                 if args.out:
                     trimmed.write.mode("overwrite").parquet(args.out)

@@ -1695,6 +1695,7 @@ def self_dedup_substring(
     algo: str = "xxhash64",
     doc_fps: DataFrame | None = None,
     hot_fp_mode: str = "rekey",
+    later_ids: "DataFrame | None" = None,
 ) -> DataFrame:
     """Corpus-INTERNAL exact-substring deduplication (r12): span-level
     duplicate detection within the corpus itself — the suffix-array
@@ -1777,12 +1778,21 @@ def self_dedup_substring(
     frame (geometry metadata-verified) — see
     :func:`decontaminate_substring`.
 
+    ``later_ids`` (r18, one ``{id_col}`` column) scores ONLY those docs —
+    one output row per id in the set — while the earlier-carrier
+    reference and the hot-fingerprint statistics stay the full ``docs``
+    corpus, so each returned row equals the full run's row for that id
+    (parity-tested; the same seam as :func:`self_dedup_trim`).  Note the
+    restricted run is a VERDICT-for-a-subset, not a dedup of the subset:
+    ``kept`` still means "no smaller-id doc in the FULL corpus shares a
+    span".
+
     Returns one row per input doc:
     ``(id, n_dup_partners, n_dup_starts, n_dup_chars, kept)``.
     """
     hits = _self_dedup_hits(
         docs, id_col, text_col, min_span, k, max_fp_df, algo, doc_fps,
-        hot_fp_mode,
+        hot_fp_mode, later_ids=later_ids,
     )
     partners = hits.groupBy("_idb").agg(
         F.countDistinct("_ida").cast("long").alias("n_dup_partners")
@@ -1806,7 +1816,10 @@ def self_dedup_substring(
         )
     )
     verdict = partners.join(cov, "_idb")
-    return docs.select(id_col).join(
+    base = docs.select(id_col)
+    if later_ids is not None:
+        base = base.join(later_ids.select(id_col), id_col, "left_semi")
+    return base.join(
         verdict.withColumnRenamed("_idb", id_col), id_col, "left"
     ).select(
         id_col,
