@@ -1440,7 +1440,6 @@ def test_self_dedup_trim_word_snap_equals_bruteforce(spark, documents):
     spans; kept_intact must equal the unsnapped run's, n_trimmed_chars
     can only grow, and the splice is always whitespace-delimited."""
     import itertools
-    import re
 
     N = 24
     base = [
@@ -1479,7 +1478,9 @@ def test_self_dedup_trim_word_snap_equals_bruteforce(spark, documents):
             starts.setdefault(idb, set()).update(ss)
 
     def ref_word_trim(t: str, sv: set) -> str:
-        ws = {i + 1 for i, c in enumerate(t) if re.fullmatch(r"\s", c)}
+        # the engine's whitespace class: the six ASCII chars of Java \s
+        # (Python re \s additionally matches unicode spaces — pin ASCII)
+        ws = {i + 1 for i, c in enumerate(t) if c in " \t\n\x0b\f\r"}
         cov: set = set()
         for s in sorted(sv):
             e = s + N - 1

@@ -2021,7 +2021,8 @@ def self_dedup_trim(
       extends outward to the nearest whitespace (or the text edge) on
       that side; edges already on whitespace (or against it) stay put.
       Deterministic interval algebra over the doc's whitespace-position
-      array (regex class ``\\s``): for a raw interval ``[s, e]``,
+      array (the six ASCII chars of Java-regex ``\\s``: tab, LF, VT, FF,
+      CR, space): for a raw interval ``[s, e]``,
       ``l = prevWS(s)+1`` iff chars ``s-1`` and ``s`` are both
       non-whitespace else ``s``; ``r = nextWS(e)-1`` iff chars ``e`` and
       ``e+1`` are both non-whitespace else ``e``.  Whitespace BETWEEN
@@ -2082,36 +2083,59 @@ def self_dedup_trim(
             f"acc -> concat(acc.t, substr(_t, CAST(acc.p AS INT))))"
         )
     else:
-        # word-snapped surgery (r18): materialize the doc's whitespace
-        # positions once (only for docs with hits — _sv is non-NULL
-        # exactly there), snap each raw interval [s, s+min_span-1] to
-        # [l, r] per the docstring rule, then run the same sorted fold
-        # over snapped intervals.  L(s) is monotone in s (prevWS is
-        # monotone and an unextended edge sits at s itself), so the
-        # transform of the sorted starts is already l-sorted; array_sort
-        # keeps the invariant explicit rather than load-bearing.
-        e = f"(s + {min_span} - 1)"
+        # word-snapped surgery (r18): merge the raw [s, s+min_span)
+        # intervals FIRST (one fold over the sorted starts — merged runs
+        # are typically far fewer than starts on duplicate-dense docs),
+        # then snap only the merged runs' edges.  Equivalent to snapping
+        # every raw interval: an interior edge's extension stops at the
+        # nearest whitespace, which either lies inside the merged run
+        # (absorbed by the union) or coincides with the outer edge's
+        # extension target (no whitespace in between ⇒ same prevWS /
+        # nextWS) — the brute-force parity test pins this empirically.
+        # The whitespace-position array is materialized once per hit doc
+        # with an ascii() class test (the 6 Java-regex \s chars: 9-13,
+        # 32) — a per-char regex measured ~4.5× the whole operator at
+        # sf1 before this shape (probe_snap_sf1).
         out = out.withColumn(
             "_wsv",
             F.expr(
                 "CASE WHEN _sv IS NULL THEN NULL ELSE "
                 "filter(sequence(1, length(_t)), "
-                "p -> substr(_t, p, 1) rlike '^\\\\s$') END"
+                "p -> ascii(substr(_t, p, 1)) IN (9, 10, 11, 12, 13, 32)) "
+                "END"
+            ),
+        ).withColumn(
+            "_rv",
+            F.expr(
+                f"aggregate(_sv, "
+                f"named_struct("
+                f"'arr', CAST(array() AS array<struct<l: bigint, r: bigint>>), "
+                f"'cl', CAST(-1 AS BIGINT), 'cr', CAST(-1 AS BIGINT)), "
+                f"(acc, s) -> CASE "
+                f"WHEN acc.cl < 0 THEN named_struct('arr', acc.arr, "
+                f"'cl', CAST(s AS BIGINT), 'cr', CAST(s + {min_span} - 1 AS BIGINT)) "
+                f"WHEN s <= acc.cr + 1 THEN named_struct('arr', acc.arr, "
+                f"'cl', acc.cl, 'cr', greatest(acc.cr, CAST(s + {min_span} - 1 AS BIGINT))) "
+                f"ELSE named_struct("
+                f"'arr', array_append(acc.arr, named_struct('l', acc.cl, 'r', acc.cr)), "
+                f"'cl', CAST(s AS BIGINT), 'cr', CAST(s + {min_span} - 1 AS BIGINT)) END, "
+                f"acc -> CASE WHEN acc.cl < 0 THEN acc.arr "
+                f"ELSE array_append(acc.arr, named_struct('l', acc.cl, 'r', acc.cr)) END)"
             ),
         ).withColumn(
             "_iv",
             F.expr(
-                f"array_sort(transform(_sv, s -> named_struct("
-                f"'l', CASE WHEN s > 1 AND NOT array_contains(_wsv, s - 1) "
-                f"AND NOT array_contains(_wsv, s) "
-                f"THEN coalesce(array_max(filter(_wsv, w -> w < s)), 0) + 1 "
-                f"ELSE s END, "
-                f"'r', CASE WHEN {e} < length(_t) "
-                f"AND NOT array_contains(_wsv, {e}) "
-                f"AND NOT array_contains(_wsv, {e} + 1) "
-                f"THEN coalesce(array_min(filter(_wsv, w -> w > {e})), "
-                f"length(_t) + 1) - 1 "
-                f"ELSE {e} END)))"
+                "array_sort(transform(_rv, v -> named_struct("
+                "'l', CASE WHEN v.l > 1 AND NOT array_contains(_wsv, v.l - 1) "
+                "AND NOT array_contains(_wsv, v.l) "
+                "THEN coalesce(array_max(filter(_wsv, w -> w < v.l)), 0) + 1 "
+                "ELSE v.l END, "
+                "'r', CASE WHEN v.r < length(_t) "
+                "AND NOT array_contains(_wsv, v.r) "
+                "AND NOT array_contains(_wsv, v.r + 1) "
+                "THEN coalesce(array_min(filter(_wsv, w -> w > v.r)), "
+                "length(_t) + 1) - 1 "
+                "ELSE v.r END)))"
             ),
         )
         trim = F.expr(
