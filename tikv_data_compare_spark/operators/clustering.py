@@ -217,6 +217,22 @@ def kmeans(
     vi = emb.select(
         F.col(id_col).alias("_id"), F.expr(_canon_int_col(vec_col)).alias("_vi")
     )
+    centroids = _kmeans_centroids(vi, k, n_iter, assign_mode)
+    out = _assign(vi, centroids, assign_mode).select(
+        F.col("_id").alias(id_col), F.col("_c").alias("cluster")
+    )
+    return out, centroids
+
+
+def _kmeans_centroids(
+    vi: DataFrame, k: int, n_iter: int, assign_mode: str
+) -> list[list[float]]:
+    """The Lloyd training loop over a prepared ``(_id, _vi)`` frame —
+    extracted (r18) so :func:`semantic_dedup` can obtain the trained
+    centroids without :func:`kmeans` constructing a final-assignment frame
+    it never executes (which, on the broadcast path, would ship an unused
+    k·dim broadcast per call).  Bit-identical training: same seeding, same
+    canon integer sums, same empty-cluster rule."""
     seed_rows = vi.orderBy("_id").limit(k).collect()  # k rows, bounded
     if len(seed_rows) < k:
         raise ValueError(f"k={k} exceeds corpus size {len(seed_rows)}")
@@ -247,10 +263,7 @@ def kmeans(
             else centroids[j]  # empty cluster: keep previous centroid
             for j in range(k)
         ]
-    out = _assign(vi, centroids, assign_mode).select(
-        F.col("_id").alias(id_col), F.col("_c").alias("cluster")
-    )
-    return out, centroids
+    return centroids
 
 
 def semantic_dedup(
@@ -303,18 +316,50 @@ def semantic_dedup(
         k = max(1, -(-n // SEMDEDUP_CELL_TARGET))
     elif not isinstance(k, int):
         raise ValueError(f"k must be an int or 'auto', got {k!r}")
-    assign, _ = kmeans(
-        emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, assign_mode=assign_mode
-    )
-    v = emb.select(
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    # r18: assign the FINAL centroids inline on a frame that already carries
+    # the double vector — the r17 shape joined kmeans' assignment frame back
+    # to emb on the id (one extra Exchange of the vectors plus a second
+    # full assignment subtree per join branch).  The assignment is a pure
+    # per-row function of (vector, centroids), so inlining is the identical
+    # computation minus the join.  The per-vector NORM is hoisted here too:
+    # sqrt(Σx²) evaluated once per VECTOR instead of twice per PAIR — the
+    # same expression tree on the same doubles, so every pair's rounded
+    # cosine is bit-identical while the pair stage runs one HOF fold
+    # (the dot) instead of three.
+    # carry the RAW vector through the assignment (not the doubled copy):
+    # the broadcast-path assignment is a mapInPandas, which ships every
+    # column across the Python boundary — the raw float array is half the
+    # bytes of the array<double> projection, which is derived AFTER the
+    # assignment in the JVM instead
+    vi = emb.select(
         F.col(id_col).alias("_id"),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
-    ).join(assign.select(F.col(id_col).alias("_id"), "cluster"), "_id")
-    a = v.select(F.col("_id").alias("_ida"), F.col("_v").alias("_va"), "cluster")
-    b = v.select(F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), "cluster")
+        F.expr(_canon_int_col(vec_col)).alias("_vi"),
+        F.col(vec_col).alias("_raw"),
+    )
+    # train on the (_id, _vi) projection — the extra _raw column is pruned
+    # out of every iteration subtree by Catalyst, so training is the
+    # byte-identical kmeans() loop
+    cents = _kmeans_centroids(vi.select("_id", "_vi"), k, n_iter, assign_mode)
+    v = _assign(vi, cents, assign_mode).select(
+        "_id",
+        F.expr("transform(_raw, x -> CAST(x AS DOUBLE))").alias("_v"),
+        F.col("_c").alias("cluster"),
+    ).withColumn("_nrm", F.expr("sqrt(" + _dot("_v", "_v") + ")"))
+    a = v.select(
+        F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"), "cluster",
+    )
+    b = v.select(
+        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"), "cluster",
+    )
     cos = (
         "CAST(ROUND(10000.0 * " + _dot("_va", "_vb") + " / "
-        "(sqrt(" + _dot("_va", "_va") + ") * sqrt(" + _dot("_vb", "_vb") + "))) AS BIGINT)"
+        "(_na * _nb)) AS BIGINT)"
     )
     dropped = (
         a.join(b, "cluster")

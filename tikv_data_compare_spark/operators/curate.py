@@ -353,7 +353,14 @@ def curate(
     # caches only (id, flags) — the 100 TB difference between shipping doc
     # text per stage and shipping booleans.
     exact_ids = dd.dedup_exact(docs, id_col, text_col).select(id_col)
-    exact_docs = docs.join(exact_ids, id_col, "left_semi")
+    # widen the scan BEFORE the semi-join (r18): the shingle hashing below
+    # is a heavy map over a broadcast-semi-join output, which inherits the
+    # scan's split count — and shingle_arrays' own scale_out correctly
+    # refuses to .rdd-probe a join-shaped frame (doing so executes the
+    # dedup aggregation eagerly under AQE; session.scale_out docstring)
+    from tikv_data_compare_spark.session import scale_out
+
+    exact_docs = scale_out(docs, key=id_col).join(exact_ids, id_col, "left_semi")
     # cache the (id, shingles, shingle-hashes) projection: jaccard_pairs
     # reads it in three branches (signatures + both sides of the verify
     # join), and each would otherwise recompute the dedup-groupBy +
@@ -445,6 +452,13 @@ def curate(
             docs, id_col, text_col,
             k=_sd_k, w=fps_span - _sd_k + 1, algo=da,
         ).persist()
+        # materialize EAGERLY (r18): the span stages consume this frame in
+        # up to four subtrees of ONE job, and AQE materializes those query
+        # stages CONCURRENTLY — racing the lazy cache, each stage computed
+        # the full winnow itself (measured via the stage API: ~6 winnow
+        # executions of 4-9 cpu-s inside a single kept-count job).  One
+        # bounded count here warms the cache before any consumer plans.
+        shared_fps.count()
     # r17 (ADVICE): a span stage whose geometry DIFFERS from the shared
     # frame's gets its OWN persisted winnow — the operators consume their
     # doc_fps subtree in up to three places (the self-join's two sides;
@@ -467,6 +481,8 @@ def curate(
                 docs, id_col, text_col,
                 k=_sd_k, w=span - _sd_k + 1, algo=da,
             ).persist()
+            # eager warm-up for the same AQE cache race as shared_fps
+            f.count()
             _own_fps[span] = f
         return f
 

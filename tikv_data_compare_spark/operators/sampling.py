@@ -445,6 +445,7 @@ def _dsir_feats(
     text_col: str,
     n_buckets: int,
     algo: str = "md5i64",
+    carry: str | None = None,
 ) -> DataFrame:
     """Hashed n-gram features (DSIR's representation): every word unigram
     AND adjacent bigram of the doc, hashed into ``n_buckets`` buckets —
@@ -455,7 +456,13 @@ def _dsir_feats(
     ``algo`` mirrors the dedup/checksum switch: ``md5i64`` (default) is
     the oracle-checkable path the driver gate runs; ``xxhash64`` is the
     JVM-intrinsic fast path for throughput pipelines — the md5+hexfold
-    of every feature occurrence is this operator's dominant cost."""
+    of every feature occurrence is this operator's dominant cost.
+
+    ``carry`` (r18) threads one extra column through untouched (it takes
+    no part in the NULL-id exclusion or the bucketing) — the
+    quality_classifier shared-explode path carries the real doc id
+    alongside its synthetic row key so ONE feature pass can serve both
+    the per-row crawl statistics and the per-doc scoring."""
     from tikv_data_compare_spark.session import scale_out
 
     # the n-gram explode + md5 + hexfold is ~100× a plain scan's per-byte
@@ -471,6 +478,8 @@ def _dsir_feats(
         # reuses the feature-explode stage instead of running it twice
         frame = frame.where(F.col(id_col).isNotNull())
     ids = [F.col(id_col)] if id_col else []
+    if carry:
+        ids.append(F.col(carry))
     # stage the filtered word array into a COLUMN first: inlining the
     # split+filter expression inside the transform lambda would re-tokenize
     # the whole document once per bigram index (Catalyst does not CSE
@@ -837,13 +846,11 @@ def dsir_sample(
     # engine float op is involved, see dsir_weights) and broadcast-join on
     # the bucket, instead of inlining a ~55x ln expansion into the per-row
     # projection — which pushed the whole-stage-codegen method past the
-    # JVM's 64 KB limit (interpreted fallback) next to the 30x hexfold
+    # JVM's 64 KB limit (interpreted fallback) next to the 30x hexfold.
+    # The 10000-value table is a pure constant — memoized at module level
+    # (r18) so repeated dsir_sample calls skip the 10k-log rebuild.
     coins = df.sparkSession.createDataFrame(
-        [
-            (b, sqlgen.frozen_ln_c_py(10000.0 / (b + 1)))
-            for b in range(10000)
-        ],
-        "_u_bk long, _u_c long",
+        _coin_rows(), "_u_bk long, _u_c long"
     ).withColumnRenamed("_u_c", u_col)
     staged = (
         staged.withColumn("_u_bk", F.expr(bucket).cast("long"))
@@ -860,6 +867,20 @@ def dsir_sample(
     if cache is not None:
         out.dsir_cache = cache
     return out
+
+
+#: memoized 10000-row rejection-coin table (pure constants — a function of
+#: nothing; see dsir_sample).  NOT a data cache: no corpus value enters it.
+_COIN_ROWS: "list[tuple[int, int]] | None" = None
+
+
+def _coin_rows() -> "list[tuple[int, int]]":
+    global _COIN_ROWS
+    if _COIN_ROWS is None:
+        _COIN_ROWS = [
+            (b, sqlgen.frozen_ln_c_py(10000.0 / (b + 1))) for b in range(10000)
+        ]
+    return _COIN_ROWS
 
 
 def token_budget_sample(
@@ -1227,16 +1248,84 @@ def quality_classifier(
     ``q_sum_c`` (``qc_thr_c`` / ``qc_n_buckets`` / ``qc_algo`` /
     ``qc_text_col``).
     """
-    # ONE implementation: delegate to the fit/score seam below (r16 —
-    # quality_model trains and stamps the weight frame, score applies it;
-    # this one-call form exists for the eager fit-and-filter usage and
-    # the driver gate row)
-    model = quality_model(
-        docs, seed, crawl=crawl, text_col=text_col,
-        seed_text_col=seed_text_col, crawl_text_col=crawl_text_col,
-        n_buckets=n_buckets, algo=algo,
+    # Explicit-crawl calls delegate to the fit/score seam below (r16 —
+    # quality_model trains and stamps the weight frame, score applies it).
+    if crawl is not None:
+        model = quality_model(
+            docs, seed, crawl=crawl, text_col=text_col,
+            seed_text_col=seed_text_col, crawl_text_col=crawl_text_col,
+            n_buckets=n_buckets, algo=algo,
+        )
+        return quality_score_with_model(docs, model, id_col=id_col, text_col=text_col)
+
+    # crawl=None — the GPT-3 default where the corpus IS the negative
+    # class (the driver-gate and bench geometry).  r18: ONE corpus feature
+    # explode serves the crawl count table, the calibration histogram AND
+    # the scoring pass — the delegation path explodes+hashes the corpus
+    # twice (once into quality_model's crawl rc, once lazily at score
+    # time).  Features are keyed by a synthetic row id exactly like
+    # quality_model's crawl class (so NULL-``id_col`` rows still count as
+    # crawl mass and duplicate ids contribute per ROW — behavior
+    # unchanged, pinned by the model≡one-call parquet test) with the real
+    # id carried alongside for the per-doc score aggregation.  The
+    # persisted rc is released via the same cache registry as
+    # dsir_weights (``_DSIR_CACHES`` / release_all_dsir_caches) — eager
+    # training materializes it, lazy scoring re-reads it.
+    from tikv_data_compare_spark.operators.dedup import _check_algo
+
+    _check_algo(algo)
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    s_tc = seed_text_col or text_col
+    s_docs = seed.select(F.monotonically_increasing_id().alias("_qid"), F.col(s_tc))
+    s_feats = _dsir_feats(s_docs, "_qid", s_tc, n_buckets, algo=algo)
+    c_docs = docs.select(
+        F.monotonically_increasing_id().alias("_qid"),
+        F.col(id_col).alias("_doc"),
+        F.col(text_col),
     )
-    return quality_score_with_model(docs, model, id_col=id_col, text_col=text_col)
+    c_feats = _dsir_feats(
+        c_docs, "_qid", text_col, n_buckets, algo=algo, carry="_doc"
+    )
+
+    from pyspark.storagelevel import StorageLevel
+
+    s_rc = s_feats.groupBy("_qid", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_ct")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    c_rc = c_feats.groupBy("_qid", "_doc", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_ct")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        wtab, thr_c = _qc_train(docs.sparkSession, s_rc, c_rc, n_buckets)
+    finally:
+        s_rc.unpersist()
+    meta = {
+        "qc_thr_c": thr_c,
+        "qc_n_buckets": n_buckets,
+        "qc_algo": algo,
+        "qc_text_col": text_col,
+    }
+    per_doc = (
+        c_rc.join(F.broadcast(wtab), "_b", "left")
+        .groupBy("_doc")
+        .agg(
+            F.sum("_ct").cast("long").alias("q_n_feats"),
+            F.sum(F.col("_ct") * F.col("_w_c")).cast("long").alias("q_sum_c"),
+        )
+        .withColumnRenamed("_doc", id_col)
+    )
+    out = docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("q_n_feats", F.lit(0).cast("long")).alias("q_n_feats"),
+        F.col("q_sum_c").alias("q_sum_c", metadata=meta),
+        (F.col("q_sum_c") >= F.lit(thr_c) * F.col("q_n_feats")).alias("q_keep"),
+    )
+    # the scoring pass re-reads the persisted rc — expose/register the
+    # release handle exactly like dsir_weights' cache (docstring there)
+    out.dsir_cache = c_rc
+    _DSIR_CACHES.append(c_rc)
+    return out
 
 
 def quality_model(
@@ -1293,52 +1382,10 @@ def quality_model(
         F.count(F.lit(1)).cast("long").alias("_ct")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        seed_counts = {
-            int(r["_b"]): int(r["_c"])
-            for r in s_rc.groupBy("_b").agg(F.sum("_ct").alias("_c")).collect()
-        }
-        crawl_counts = {
-            int(r["_b"]): int(r["_c"])
-            for r in c_rc.groupBy("_b").agg(F.sum("_ct").alias("_c")).collect()
-        }
-        wtab_py = quality_weight_table(seed_counts, crawl_counts, n_buckets)
-        spark = docs.sparkSession
-        wtab = spark.createDataFrame(list(wtab_py.items()), "_b long, _w_c long")
-
-        def doc_scores(rc):
-            scored = rc.join(F.broadcast(wtab), "_b", "left")
-            return scored.groupBy("_qid").agg(
-                F.sum("_ct").cast("long").alias("_nf"),
-                F.sum(F.col("_ct") * F.col("_w_c")).cast("long").alias("_sc"),
-            )
-
-        def hist_bins(per_doc, label):
-            return per_doc.select(
-                F.lit(int(label)).alias("_y"),
-                F.greatest(
-                    F.lit(-QC_BIN_MAX),
-                    F.least(
-                        F.lit(QC_BIN_MAX),
-                        F.floor(
-                            F.col("_sc")
-                            / (F.col("_nf") * F.lit(float(QC_BIN_STEP_C)))
-                        ).cast("long"),
-                    ),
-                ).alias("_bin"),
-            )
-
-        hist_rows = (
-            hist_bins(doc_scores(s_rc), 1)
-            .unionByName(hist_bins(doc_scores(c_rc), 0))
-            .groupBy("_y", "_bin")
-            .agg(F.count(F.lit(1)).cast("long").alias("_n"))
-            .collect()
-        )
+        wtab, thr_c = _qc_train(docs.sparkSession, s_rc, c_rc, n_buckets)
     finally:
         s_rc.unpersist()
         c_rc.unpersist()
-    hist = {(int(r["_y"]), int(r["_bin"])): int(r["_n"]) for r in hist_rows}
-    thr_c = quality_threshold_c(hist)
     return wtab.select(
         "_b",
         F.col("_w_c").alias(
@@ -1351,6 +1398,57 @@ def quality_model(
             },
         ),
     )
+
+
+def _qc_train(spark, s_rc: DataFrame, c_rc: DataFrame, n_buckets: int):
+    """The classifier's driver-side trainer over two prepared per-row
+    bucket-count frames ``(_qid, _b, _ct)`` (extracted r18 — one source of
+    truth shared by :func:`quality_model` and the shared-explode path in
+    :func:`quality_classifier`): collect the two bounded per-bucket count
+    tables, freeze the NB weight table, bin the per-row mean log-odds
+    histogram, Newton-fit the logistic head.  Returns ``(wtab, thr_c)``."""
+    seed_counts = {
+        int(r["_b"]): int(r["_c"])
+        for r in s_rc.groupBy("_b").agg(F.sum("_ct").alias("_c")).collect()
+    }
+    crawl_counts = {
+        int(r["_b"]): int(r["_c"])
+        for r in c_rc.groupBy("_b").agg(F.sum("_ct").alias("_c")).collect()
+    }
+    wtab_py = quality_weight_table(seed_counts, crawl_counts, n_buckets)
+    wtab = spark.createDataFrame(list(wtab_py.items()), "_b long, _w_c long")
+
+    def doc_scores(rc):
+        scored = rc.join(F.broadcast(wtab), "_b", "left")
+        return scored.groupBy("_qid").agg(
+            F.sum("_ct").cast("long").alias("_nf"),
+            F.sum(F.col("_ct") * F.col("_w_c")).cast("long").alias("_sc"),
+        )
+
+    def hist_bins(per_doc, label):
+        return per_doc.select(
+            F.lit(int(label)).alias("_y"),
+            F.greatest(
+                F.lit(-QC_BIN_MAX),
+                F.least(
+                    F.lit(QC_BIN_MAX),
+                    F.floor(
+                        F.col("_sc")
+                        / (F.col("_nf") * F.lit(float(QC_BIN_STEP_C)))
+                    ).cast("long"),
+                ),
+            ).alias("_bin"),
+        )
+
+    hist_rows = (
+        hist_bins(doc_scores(s_rc), 1)
+        .unionByName(hist_bins(doc_scores(c_rc), 0))
+        .groupBy("_y", "_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .collect()
+    )
+    hist = {(int(r["_y"]), int(r["_bin"])): int(r["_n"]) for r in hist_rows}
+    return wtab, quality_threshold_c(hist)
 
 
 def quality_score_with_model(

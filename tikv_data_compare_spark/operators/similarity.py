@@ -414,25 +414,39 @@ def resolve_n_probe(
     return min(n_cells, max(p, floor, 1))
 
 
-def _train_centroids(emb: DataFrame, n_cells: int, sample_rows: int, seed: int, vec_col: str):
-    """Lloyd's k-means on a driver-side sample → (n_cells, dim) array.
-
-    Coarse quantizers are trained on samples even at FAISS scale; ~64·cells
-    sampled vectors through one collect is the standard recipe.  Fully
-    deterministic *by content*: the sample is the top-``sample_rows`` rows
+def _train_sample_rows(emb: DataFrame, sample_rows: int, vec_col: str) -> list:
+    """The trainers' shared deterministic sample: top-``sample_rows`` rows
     by a content hash of the vector (orderBy + limit = TakeOrdered — one
     job, independent of partition layout, unlike ``DataFrame.sample(seed)``
-    whose output shifts with the input partitioning), then seeded init and
-    a fixed iteration count.
-    """
-    import numpy as np
-
-    rows = (
+    whose output shifts with the input partitioning).  Extracted r18 so
+    the composed IVFPQ paths collect ONE sample and feed both quantizer
+    trainers instead of running the identical job twice."""
+    return (
         emb.select(vec_col, F.xxhash64(F.col(vec_col)).alias("_h"))
         .orderBy("_h")
         .limit(sample_rows)
         .collect()
     )
+
+
+def _train_centroids(emb: DataFrame, n_cells: int, sample_rows: int, seed: int, vec_col: str):
+    """Lloyd's k-means on a driver-side sample → (n_cells, dim) array.
+
+    Coarse quantizers are trained on samples even at FAISS scale; ~64·cells
+    sampled vectors through one collect is the standard recipe.  Fully
+    deterministic *by content* (see :func:`_train_sample_rows`), then
+    seeded init and a fixed iteration count.
+    """
+    return _train_centroids_from_rows(
+        _train_sample_rows(emb, sample_rows, vec_col), n_cells, seed, vec_col
+    )
+
+
+def _train_centroids_from_rows(rows: list, n_cells: int, seed: int, vec_col: str):
+    """The centroid trainer over an already-collected sample (r18 seam —
+    byte-identical training; the sample job is the caller's)."""
+    import numpy as np
+
     if not rows:
         raise ValueError("cannot train IVF centroids on an empty corpus")
     x = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
@@ -664,18 +678,65 @@ def topk_ivfpq_join(
     n_probe = resolve_n_probe(
         n_probe, emb.count() if n_probe == "auto" else 0, n_cells, k=k, rerank=rerank
     )
-    cent = _train_centroids(emb, n_cells, sample_rows, seed, "embedding")
+    # one sample collect feeds both quantizer trainers, and the corpus-side
+    # cell assign + PQ encode run as ONE Arrow pass (r18 — identical math,
+    # see _assign_encode); the candidate CELL equi-join and the decode
+    # scorer stay exactly the r17 plan (this path's contract is the
+    # no-broadcast-ceiling query side, pinned in test_plans)
+    sample = _train_sample_rows(emb, sample_rows, "embedding")
+    cent = _train_centroids_from_rows(sample, n_cells, seed, "embedding")
     cent_bc = _track(spark.sparkContext.broadcast(cent))
-    books = train_pq(emb, m=m, k_codes=k_codes, sample_rows=sample_rows, seed=seed)
+    books = _train_pq_from_rows(sample, m, k_codes, seed, "embedding")
     books_bc = _track(spark.sparkContext.broadcast(books))
-    corpus = pq_encode(
-        _assign_cells(emb.select("vec_id", "embedding"), cent_bc, "embedding"), books_bc
-    ).select("vec_id", "cell", "pq_code")
+    corpus = _assign_encode(emb.select("vec_id", "embedding"), cent_bc, books_bc)
 
     qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
     return _ivfpq_join_topk(
         emb, qdf, corpus, cent_bc, books_bc, k, n_probe, rerank, exclude_self
     )
+
+
+def _assign_encode(emb: DataFrame, cent_bc, books_bc, vec_col: str = "embedding") -> DataFrame:
+    """``(vec_id, cell, pq_code)`` in ONE Arrow pass — the fused form of
+    ``pq_encode(_assign_cells(...))`` for the composed IVFPQ paths (r18):
+    the same expanded-distance argmin picks the cell from the RAW vector
+    and the same :func:`_pq_codes_np` quantizes the normalized one, so
+    every row's (cell, code) is byte-identical to the two-stage chain —
+    the corpus just crosses the JVM↔Python boundary once instead of
+    twice.  The separate seams remain for the index build path."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        cent = cent_bc.value
+        books = books_bc.value
+        c2 = (cent**2).sum(axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
+            d2 = (mat**2).sum(axis=1, keepdims=True) - 2.0 * (mat @ cent.T) + c2[None, :]
+            cell = d2.argmin(axis=1).astype("int64")
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            codes = _pq_codes_np(mat / norms, books)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell,
+                    "pq_code": [c.tobytes() for c in codes],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            emb.schema["vec_id"],
+            T.StructField("cell", T.LongType()),
+            T.StructField("pq_code", T.BinaryType()),
+        ]
+    )
+    return _scaled(emb).mapInPandas(fn, out_schema)
 
 
 def _ivfpq_join_topk(
@@ -854,19 +915,21 @@ def train_pq(
     against codes needs only a per-query lookup table of ``m × k_codes``
     partial dot products (ADC, Jégou et al. 2011).
     """
-    import numpy as np
-
     if not 2 <= k_codes <= 256:
         raise ValueError(
             f"PQ codes are stored as one uint8 per subspace: k_codes must be "
             f"in [2, 256], got {k_codes}"
         )
-    rows = (
-        emb.select(vec_col, F.xxhash64(F.col(vec_col)).alias("_h"))
-        .orderBy("_h")
-        .limit(sample_rows)
-        .collect()
+    return _train_pq_from_rows(
+        _train_sample_rows(emb, sample_rows, vec_col), m, k_codes, seed, vec_col
     )
+
+
+def _train_pq_from_rows(rows: list, m: int, k_codes: int, seed: int, vec_col: str):
+    """The PQ codebook trainer over an already-collected sample (r18 seam —
+    byte-identical training; the sample job is the caller's)."""
+    import numpy as np
+
     rows = [r for r in rows if r[vec_col] is not None]
     if not rows:
         raise ValueError("cannot train PQ codebooks on an empty corpus")
@@ -917,28 +980,38 @@ def pq_encode(emb: DataFrame, books_bc, vec_col: str = "embedding") -> DataFrame
         import numpy as np
 
         books = books_bc.value
-        m, _, sub_d = books.shape
         for pdf in batches:
             if pdf.empty:
                 continue
             mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
-            mat = mat / norms
-            codes = np.empty((len(mat), m), dtype=np.uint8)
-            for j in range(m):
-                xj = mat[:, j * sub_d : (j + 1) * sub_d]
-                d2 = (
-                    (xj**2).sum(axis=1, keepdims=True)
-                    - 2.0 * (xj @ books[j].T)
-                    + (books[j] ** 2).sum(axis=1)[None, :]
-                )
-                codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+            codes = _pq_codes_np(mat / norms, books)
             out = pdf.copy()
             out["pq_code"] = [c.tobytes() for c in codes]
             yield out
 
     return _scaled(emb).mapInPandas(encode, out_schema)
+
+
+def _pq_codes_np(mat, books):
+    """PQ codes of an already-L2-normalized (rows, dim) float64 matrix —
+    the encode math shared by :func:`pq_encode` and the fused single-pass
+    scan paths (r18): per subspace, argmin of the exact expanded squared
+    distance.  Extracted verbatim so every path quantizes identically."""
+    import numpy as np
+
+    m, _, sub_d = books.shape
+    codes = np.empty((len(mat), m), dtype=np.uint8)
+    for j in range(m):
+        xj = mat[:, j * sub_d : (j + 1) * sub_d]
+        d2 = (
+            (xj**2).sum(axis=1, keepdims=True)
+            - 2.0 * (xj @ books[j].T)
+            + (books[j] ** 2).sum(axis=1)[None, :]
+        )
+        codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
 
 
 def topk_pq(
@@ -977,8 +1050,6 @@ def topk_pq(
 
     spark = emb.sparkSession
     books = train_pq(emb, m=m, k_codes=k_codes, sample_rows=sample_rows, seed=seed)
-    books_bc = _track(spark.sparkContext.broadcast(books))
-    corpus = pq_encode(emb.select("vec_id", "embedding"), books_bc).select("vec_id", "pq_code")
 
     qrows = _collect_queries(emb, n_queries)
     if not qrows:
@@ -991,19 +1062,30 @@ def topk_pq(
     mm, kk, sub_d = books.shape
     # luts[q, j, c] = <q_sub_j, codebook[j][c]>; ADC score = sum_j luts[q, j, code_j]
     luts = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qmat), mm, sub_d), books)
-    lut_bc = _track(spark.sparkContext.broadcast((qids, luts)))
+    # ONE broadcast, ONE Python pass (r18): the r17 shape ran pq_encode and
+    # the ADC scorer as two chained mapInPandas stages — every corpus row
+    # crossed the JVM↔Python boundary twice for what is one per-batch numpy
+    # computation.  Codes and scores are the identical math
+    # (_pq_codes_np + the same j-ordered LUT accumulation), and the
+    # per-batch top emit is a deterministic superset of the global
+    # top-``keep`` by (score desc, id asc), so the window output is
+    # byte-identical at any Arrow batch layout.
+    lut_bc = _track(spark.sparkContext.broadcast((qids, luts, books)))
 
-    def score_batches(batches):
+    def encode_score_batches(batches):
         import numpy as np
         import pandas as pd
 
-        q_ids, q_luts = lut_bc.value
+        q_ids, q_luts, books_v = lut_bc.value
         n_q, n_m, _ = q_luts.shape
         for pdf in batches:
             if pdf.empty:
                 continue
             ids = pdf["vec_id"].to_numpy()
-            codes = np.stack([np.frombuffer(c, dtype=np.uint8) for c in pdf["pq_code"]])
+            mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            codes = _pq_codes_np(mat / norms, books_v)
             # (q, batch): sum over subspaces of the per-code partials
             scores = np.zeros((n_q, len(ids)))
             for j in range(n_m):
@@ -1028,7 +1110,9 @@ def topk_pq(
             yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "score_c"])
 
     keep = max(k, rerank)
-    cands = corpus.mapInPandas(score_batches, "query_id long, neighbor_id long, score_c long")
+    cands = _scaled(emb.select("vec_id", "embedding")).mapInPandas(
+        encode_score_batches, "query_id long, neighbor_id long, score_c long"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_c"), F.asc("neighbor_id"))
     shortlist = (
         cands.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -1112,13 +1196,9 @@ def topk_ivfpq(
     n_probe = resolve_n_probe(
         n_probe, emb.count() if n_probe == "auto" else 0, n_cells, k=k, rerank=rerank
     )
-    cent = _train_centroids(emb, n_cells, sample_rows, seed, "embedding")
-    cent_bc = _track(spark.sparkContext.broadcast(cent))
-    books = train_pq(emb, m=m, k_codes=k_codes, sample_rows=sample_rows, seed=seed)
-    books_bc = _track(spark.sparkContext.broadcast(books))
-    corpus = pq_encode(
-        _assign_cells(emb.select("vec_id", "embedding"), cent_bc, "embedding"), books_bc
-    ).select("vec_id", "cell", "pq_code")
+    sample = _train_sample_rows(emb, sample_rows, "embedding")
+    cent = _train_centroids_from_rows(sample, n_cells, seed, "embedding")
+    books = _train_pq_from_rows(sample, m, k_codes, seed, "embedding")
 
     qrows = _collect_queries(emb, n_queries)
     if not qrows:
@@ -1130,61 +1210,71 @@ def topk_ivfpq(
     qmat = qraw / qnorms
     mm, _, sub_d = books.shape
     luts = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qmat), mm, sub_d), books)
-    lut_bc = _track(spark.sparkContext.broadcast((qids, luts)))
 
     # probe cells with the RAW query vectors (same as topk_ivf): the coarse
-    # quantizer was trained on raw vectors and _assign_cells bucketed the
-    # corpus with raw vectors, so probing with the L2-normalized copy would
-    # pick cells in a different space and silently cost recall when corpus
-    # norms vary (r8, ADVICE).  Normalization is only for the ADC LUTs,
-    # whose inner products approximate cosine.
+    # quantizer was trained on raw vectors and the corpus is bucketed with
+    # raw vectors, so probing with the L2-normalized copy would pick cells
+    # in a different space and silently cost recall when corpus norms vary
+    # (r8, ADVICE).  Normalization is only for the ADC LUTs, whose inner
+    # products approximate cosine.
     d2 = (qraw**2).sum(axis=1, keepdims=True) - 2.0 * (qraw @ cent.T) + (cent**2).sum(axis=1)[None, :]
     probe = min(n_probe, cent.shape[0])
     cells = np.argsort(d2, axis=1)[:, :probe]
-    q_cells = spark.createDataFrame(
-        [(int(qid), int(c)) for qid, row_cells in zip(qids, cells) for c in row_cells],
-        "query_id long, cell long",
-    )
-    cands = corpus.join(F.broadcast(q_cells), on="cell").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
 
     keep = max(k, rerank)
 
-    def score_batches(batches):
+    # ONE Python pass over the corpus (r18): the r17 shape ran THREE Arrow
+    # stages (cell assign, PQ encode, ADC score) bridged by a broadcast
+    # cell join — every corpus row crossed the JVM↔Python boundary three
+    # times.  The fused scan assigns, encodes and scores each batch with
+    # the identical numpy math (same expanded-distance argmin, same
+    # j-ordered LUT accumulation, same probe-cell candidate set including
+    # the self-exclusion), and emits each query's per-batch top by
+    # (score desc, id asc) — a deterministic superset of the global
+    # top-``keep``, so the window output is byte-identical at any Arrow
+    # batch layout.  The trainers share one sample collect too (two
+    # identical TakeOrdered jobs before).
+    fused_bc = _track(spark.sparkContext.broadcast((qids, luts, books, cent, cells)))
+
+    def fused_scan(batches):
         import numpy as np
         import pandas as pd
 
-        q_ids, q_luts = lut_bc.value
-        qidx = {int(q): i for i, q in enumerate(q_ids)}
+        q_ids, q_luts, books_v, cent_m, q_cells = fused_bc.value
+        c2 = (cent_m**2).sum(axis=1)
         n_m = q_luts.shape[1]
         for pdf in batches:
             if pdf.empty:
                 continue
-            codes = np.stack([np.frombuffer(c, dtype=np.uint8) for c in pdf["pq_code"]])
-            qi = np.asarray([qidx[int(q)] for q in pdf["query_id"]])
-            scores = np.zeros(len(pdf))
-            for j in range(n_m):
-                scores += q_luts[qi, j, codes[:, j]]
-            scaled = scores * 10000.0
-            c_all = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
-            out = pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "neighbor_id": pdf["vec_id"].to_numpy(),
-                    "score_c": c_all.astype("int64"),
-                }
-            )
-            # per-batch local cap, same contract as topk_pq: sorted by
-            # (score desc, id asc) so truncation is deterministic
-            out = out.sort_values(
-                ["query_id", "score_c", "neighbor_id"], ascending=[True, False, True]
-            )
-            out = out.groupby("query_id", sort=False).head(max(keep, 64))
-            yield out
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            d2b = (mat**2).sum(axis=1, keepdims=True) - 2.0 * (mat @ cent_m.T) + c2[None, :]
+            cell = d2b.argmin(axis=1)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            codes = _pq_codes_np(mat / norms, books_v)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(cell, q_cells[qi]) & (ids != qid)
+                if not mask.any():
+                    continue
+                cand_ids = ids[mask]
+                cm = codes[mask]
+                sc = np.zeros(len(cand_ids))
+                for j in range(n_m):
+                    sc += q_luts[qi, j, cm[:, j]]
+                scaled = sc * 10000.0
+                cand_c = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+                top = min(len(cand_ids), max(keep, 64))
+                idx = np.argpartition(-cand_c, top - 1)[:top]
+                idx = np.union1d(idx, np.nonzero(cand_c == cand_c[idx].min())[0])
+                order = np.lexsort((cand_ids[idx], -cand_c[idx]))[:top]
+                for i in order:
+                    out.append((int(qid), int(cand_ids[idx[i]]), int(cand_c[idx[i]])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "score_c"])
 
-    cands_scored = cands.mapInPandas(
-        score_batches, "query_id long, neighbor_id long, score_c long"
+    cands_scored = _scaled(emb.select("vec_id", "embedding")).mapInPandas(
+        fused_scan, "query_id long, neighbor_id long, score_c long"
     )
     w3 = Window.partitionBy("query_id").orderBy(F.desc("score_c"), F.asc("neighbor_id"))
     shortlist = (

@@ -1281,6 +1281,14 @@ def bm25_topk(
     the final per-query top-k window re-shuffles — bounded by candidate
     count.  No UDFs, no driver-side collect.
     """
+    # r18 note: pushing the query vocabulary below the tf/dfreq
+    # aggregations (broadcast left-semi on the word stream) was prototyped
+    # and MEASURED WORSE at sf1 (interleaved A/B, min-of-3: 32-34 cpu-s
+    # unfiltered vs 41-51 cpu-s filtered, walls equal): the tokenize +
+    # explode pass dominates this operator and runs either way, the big
+    # aggregations' exchanges are reused across the tf/dfreq branches, and
+    # the per-word broadcast probe only added cost.  Kept on the
+    # no-pushdown shape deliberately (OPTIMIZATION_r18.md).
     tf, dfreq, scalars = bm25_corpus_stats(df, id_col, text_col)
     return bm25_rank(
         tf, dfreq, scalars, queries,
@@ -1794,17 +1802,20 @@ def self_dedup_substring(
         docs, id_col, text_col, min_span, k, max_fp_df, algo, doc_fps,
         hot_fp_mode, later_ids=later_ids,
     )
-    partners = hits.groupBy("_idb").agg(
-        F.countDistinct("_ida").cast("long").alias("n_dup_partners")
-    )
-    # union of start positions across partners, then interval-union length:
-    # sorted starts s_1..s_m cover Σ min(min_span, s_j − s_{j−1}) + min_span
-    sunion = hits.select("_idb", "_i").distinct()
-    cov = (
-        sunion.groupBy("_idb")
-        .agg(F.sort_array(F.collect_list("_i")).alias("_sv"))
+    # ONE aggregation for partners + start union (r18; was two groupBys +
+    # a pair-stream distinct + a join): the distinct start positions dedupe
+    # inside the per-doc array, the partner count is the one genuinely
+    # DISTINCT aggregate.  Union-of-intervals length over sorted starts
+    # s_1..s_m covers Σ min(min_span, s_j − s_{j−1}) + min_span.
+    verdict = (
+        hits.groupBy("_idb")
+        .agg(
+            F.countDistinct("_ida").cast("long").alias("n_dup_partners"),
+            F.sort_array(F.array_distinct(F.collect_list("_i"))).alias("_sv"),
+        )
         .select(
             "_idb",
+            "n_dup_partners",
             F.size("_sv").cast("long").alias("n_dup_starts"),
             F.expr(
                 f"aggregate(slice(_sv, 2, greatest(size(_sv) - 1, 0)), "
@@ -1815,7 +1826,6 @@ def self_dedup_substring(
             ).alias("n_dup_chars"),
         )
     )
-    verdict = partners.join(cov, "_idb")
     base = docs.select(id_col)
     if later_ids is not None:
         base = base.join(later_ids.select(id_col), id_col, "left_semi")
@@ -1841,6 +1851,7 @@ def _self_dedup_hits(
     doc_fps: "DataFrame | None",
     hot_fp_mode: str,
     later_ids: "DataFrame | None" = None,
+    collapse_earlier: bool = False,
 ) -> DataFrame:
     """The shared candidate→verify machinery of :func:`self_dedup_substring`
     and :func:`self_dedup_trim` (extracted r17): every (later doc, earlier
@@ -1850,6 +1861,16 @@ def _self_dedup_hits(
     ``max_fp_df`` hot-fingerprint rekey/drop split.  Returns
     ``(_idb, _ida, _i)`` (may contain duplicate triples from the hot gram
     join — consumers aggregate with distinct).
+
+    ``collapse_earlier`` (r18, perf only): a consumer that never reads the
+    partner id (the trim's interval union is over ``(_idb, _i)`` alone)
+    sets this to reduce the hot gram join's build side to ONE row per
+    distinct gram — the minimum carrier id stands in for the carrier set,
+    and ``min < _idb`` holds iff ANY carrier is earlier.  The join output
+    is then bounded by the position count instead of positions × carriers
+    (quadratic on template corpora).  ``_ida`` in the returned triples is
+    then a witness, NOT the full partner set — never count partners from a
+    collapsed run.
 
     ``later_ids`` (r18, one ``{id_col}`` column) restricts the LATER
     (``_idb``) side: candidate pairs, per-pair verifies, and the hot gram
@@ -1897,7 +1918,17 @@ def _self_dedup_hits(
                 fp.join(F.broadcast(hot), "fp", "left_semi")
                 .select(id_col).distinct()
             )
-            adocs = docs.join(aff, id_col, "left_semi").select(id_col, text_col)
+            # widen the SCAN, then semi-join (r18): the gram explode below
+            # is the heavy map stage, and a broadcast semi-join output
+            # inherits the scan's (possibly single-split) partitioning —
+            # while probing the JOINED frame would finalize the AQE plan
+            # and execute the whole aff subtree eagerly (scale_out
+            # docstring).  The id-keyed repartition is satisfied by any
+            # later id-keyed shuffle, and is a cluster no-op.
+            from tikv_data_compare_spark.session import scale_out
+
+            wdocs = scale_out(docs.select(id_col, text_col), key=id_col)
+            adocs = wdocs.join(aff, id_col, "left_semi")
             # positional grams of the LATER doc join the distinct gram
             # sets of the EARLIER — one bounded gram equi-join computes
             # the complete hit triples for every affected×affected pair
@@ -1910,9 +1941,22 @@ def _self_dedup_hits(
                     later_ids.select(id_col), id_col, "left_semi"
                 )
             grams_pos = _span_grams(bdocs, id_col, text_col, min_span, with_pos=True)
-            grams_set = _span_grams(
-                adocs, id_col, text_col, min_span, with_pos=True
-            ).select(F.col(id_col).alias("_ida"), "gram").distinct()
+            if collapse_earlier:
+                # the consumer never reads the partner id: one row per
+                # DISTINCT gram with its minimum carrier replaces the
+                # per-(carrier, gram) set — "min carrier < _idb" holds iff
+                # any carrier is earlier, and the join output collapses
+                # from positions × carriers (quadratic on template
+                # corpora) to at most one row per position
+                grams_set = (
+                    _span_grams(adocs, id_col, text_col, min_span)
+                    .groupBy("gram")
+                    .agg(F.min(id_col).alias("_ida"))
+                )
+            else:
+                grams_set = _span_grams(
+                    adocs, id_col, text_col, min_span
+                ).select(F.col(id_col).alias("_ida"), "gram").distinct()
             hits_hot = (
                 grams_pos.select(F.col(id_col).alias("_idb"), "_i", "gram")
                 .join(grams_set, "gram")
@@ -1920,33 +1964,44 @@ def _self_dedup_hits(
                 .select("_idb", "_ida", "_i")
             )
         fp = fp.join(hot, "fp", "left_anti")
-    a = fp.select(F.col(id_col).alias("_ida"), "fp")
-    fp_b = fp
-    if later_ids is not None:
-        fp_b = fp.join(later_ids.select(id_col), id_col, "left_semi")
-    b = fp_b.select(F.col(id_col).alias("_idb"), "fp")
-    cand = (
-        a.join(b, "fp")
-        .where(F.col("_ida") < F.col("_idb"))
-        .select("_ida", "_idb")
-        .distinct()
-    )
     if hits_hot is not None:
-        # both-affected pairs are COMPLETE in the gram join — excluding
-        # them here only avoids redundant verify work (the downstream
-        # aggregation deduplicates hit triples either way)
-        aff_a = aff.select(F.col(id_col).alias("_ida"), F.lit(True).alias("_affa"))
-        aff_b = aff.select(F.col(id_col).alias("_idb"), F.lit(True).alias("_affb"))
+        # both-affected pairs are COMPLETE in the gram join.  Exclude them
+        # BEFORE the candidate distinct: the affected flag rides the fp
+        # rows into the self-join, so excluded pairs die inline in the
+        # join stage (codegen filter) instead of surviving into a
+        # pair-level distinct + two pair-stream joins — on the template
+        # corpora the hot path exists for, MOST candidate pairs are
+        # both-affected (sf0.1 fixture: ~1M distinct pairs built, every
+        # one then dropped by the post-distinct filter in the r17 shape).
+        fp = fp.join(aff.withColumn("_aff", F.lit(True)), id_col, "left")
+        a = fp.select(F.col(id_col).alias("_ida"), "fp", F.col("_aff").alias("_affa"))
+        fp_b = fp
+        if later_ids is not None:
+            fp_b = fp.join(later_ids.select(id_col), id_col, "left_semi")
+        b = fp_b.select(F.col(id_col).alias("_idb"), "fp", F.col("_aff").alias("_affb"))
         cand = (
-            cand.join(aff_a, "_ida", "left")
-            .join(aff_b, "_idb", "left")
+            a.join(b, "fp")
             .where(
-                ~(
+                (F.col("_ida") < F.col("_idb"))
+                & ~(
                     F.coalesce(F.col("_affa"), F.lit(False))
                     & F.coalesce(F.col("_affb"), F.lit(False))
                 )
             )
             .select("_ida", "_idb")
+            .distinct()
+        )
+    else:
+        a = fp.select(F.col(id_col).alias("_ida"), "fp")
+        fp_b = fp
+        if later_ids is not None:
+            fp_b = fp.join(later_ids.select(id_col), id_col, "left_semi")
+        b = fp_b.select(F.col(id_col).alias("_idb"), "fp")
+        cand = (
+            a.join(b, "fp")
+            .where(F.col("_ida") < F.col("_idb"))
+            .select("_ida", "_idb")
+            .distinct()
         )
     texts = docs.select(F.col(id_col), F.col(text_col))
     pairs = cand.join(
@@ -2054,11 +2109,17 @@ def self_dedup_trim(
     hits = _self_dedup_hits(
         docs, id_col, text_col, min_span, k, max_fp_df, algo, doc_fps,
         hot_fp_mode, later_ids=later_ids,
+        # the trim never reads the partner id — collapse the hot gram
+        # join's build side to one min-carrier row per distinct gram
+        # (r18 perf; _self_dedup_hits docstring)
+        collapse_earlier=True,
     )
+    # ONE aggregation (r18): dedupe the start positions inside the per-doc
+    # array instead of a pair-stream-wide distinct + second shuffle — the
+    # per-doc start sets are small (≤ doc length), the hit stream is not
     sv = (
-        hits.select("_idb", "_i").distinct()
-        .groupBy("_idb")
-        .agg(F.sort_array(F.collect_list("_i")).alias("_sv"))
+        hits.groupBy("_idb")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("_i"))).alias("_sv"))
         .withColumnRenamed("_idb", id_col)
     )
     base = docs

@@ -90,16 +90,60 @@ def scale_out(df, key: str | None = None):
 
     On a real cluster reading 100 TB the input has ~1e5 splits, the condition
     is false, and this is a no-op — no shuffle is ever inserted at scale.
+
+    r18 (measured via the stage API on the curation row): under AQE,
+    ``DataFrame.rdd`` FINALIZES the adaptive plan, which MATERIALIZES every
+    upstream shuffle stage as real jobs — probing a join-shaped frame here
+    executed its whole candidate subtree eagerly (15+ cpu-s per probe on
+    the trim path) and then the actual query re-ran it.  The probe is only
+    safe — and only needed — on shuffle-FREE plans (scans + maps), where
+    file splitting alone sets the width; a frame below any shuffle already
+    runs at ``spark.sql.shuffle.partitions``/AQE-advisory width, so it is
+    returned unchanged without touching ``.rdd``.  Callers that feed a
+    CPU-heavy map stage from a small broadcast-join output (whose
+    partitioning is the scan's) widen the SCAN before joining instead —
+    see operators/text._self_dedup_hits and operators/curate.
     """
     from pyspark.sql import functions as F
 
     if df.isStreaming:  # .rdd is undefined for streaming frames; micro-batch
         return df  # parallelism is the source's concern, not this helper's
+    if _has_shuffle_ancestor(df):
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, F.col(key)) if key else df.repartition(target)
+
+
+#: analyzed-plan node names that imply a shuffle (or an explicit
+#: repartition) somewhere below — the "do not .rdd-probe" markers.
+_SHUFFLE_NODE_TOKENS = (
+    "Join",
+    "Aggregate",
+    "Deduplicate",
+    "Distinct",
+    "Repartition",
+    "RepartitionByExpression",
+    "Window",
+    "Sort",
+    "Intersect",
+    "Except",
+)
+
+
+def _has_shuffle_ancestor(df) -> bool:
+    """True when the frame's ANALYZED logical plan contains any node that
+    plans to a shuffle.  Analysis-only — never optimizes or executes (the
+    whole point: ``.rdd`` on such frames runs jobs under AQE).  Substring
+    matching over the plan string can false-positive on exotic literals;
+    that direction is safe (the frame is just not probed/widened)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — no JVM plan (mocks): fall back to probing
+        return False
+    return any(tok in plan for tok in _SHUFFLE_NODE_TOKENS)
 
 
 def enable_runtime_bloom(spark: SparkSession) -> SparkSession:
