@@ -367,6 +367,12 @@ def curate(
     # semi-join subtree; caching the HASHES too means the md5 fold runs
     # once per corpus instead of once per signature-reading branch
     sh = dd.hashed_shingle_arrays(exact_docs, id_col, text_col, algo=algo).persist()
+    # materialize EAGERLY (r18): jaccard_pairs consumes this frame in three
+    # branches that AQE materializes as CONCURRENT query stages — lazily
+    # persisted, each raced the cache and recomputed the shingle+hash pass
+    # (the shared_fps race below, same mechanism, stage-API-measured);
+    # one bounded count warms the cache before any consumer plans
+    sh.count()
     losers = (
         dd.jaccard_pairs(exact_docs, id_col, text_col, algo=algo, shingles=sh)
         .filter(F.col("jaccard_c") >= near_dup_jaccard_c)

@@ -1947,22 +1947,53 @@ def _self_dedup_hits(
                 # per-(carrier, gram) set — "min carrier < _idb" holds iff
                 # any carrier is earlier, and the join output collapses
                 # from positions × carriers (quadratic on template
-                # corpora) to at most one row per position
+                # corpora) to at most one row per position.  The join key
+                # is the gram's 64-bit hash and the POSITION side ships
+                # ONLY (id, i, hash) — roughly half the shuffle bytes of
+                # carrying the span string — while exactness is restored
+                # by rebuilding the later doc's gram from (id, i) and
+                # comparing it to the set row's string: a hash collision
+                # fails the comparison, and every true hit matches its own
+                # gram's (hash, string) row.  The verify join is keyed by
+                # the later id, the same key the downstream hit
+                # aggregation shuffles on.
                 grams_set = (
                     _span_grams(adocs, id_col, text_col, min_span)
                     .groupBy("gram")
                     .agg(F.min(id_col).alias("_ida"))
+                    .select(
+                        F.xxhash64("gram").alias("_gh"),
+                        F.col("gram").alias("_gs"),
+                        "_ida",
+                    )
+                )
+                pos_slim = grams_pos.select(
+                    F.col(id_col).alias("_idb"),
+                    "_i",
+                    F.xxhash64("gram").alias("_gh"),
+                )
+                bt = docs.select(
+                    F.col(id_col).alias("_idb"), F.col(text_col).alias("_bt")
+                )
+                hits_hot = (
+                    pos_slim.join(grams_set, "_gh")
+                    .where(F.col("_ida") < F.col("_idb"))
+                    .join(bt, "_idb")
+                    .where(
+                        F.expr(f"substr(_bt, _i, {min_span})") == F.col("_gs")
+                    )
+                    .select("_idb", "_ida", "_i")
                 )
             else:
                 grams_set = _span_grams(
                     adocs, id_col, text_col, min_span
                 ).select(F.col(id_col).alias("_ida"), "gram").distinct()
-            hits_hot = (
-                grams_pos.select(F.col(id_col).alias("_idb"), "_i", "gram")
-                .join(grams_set, "gram")
-                .where(F.col("_ida") < F.col("_idb"))
-                .select("_idb", "_ida", "_i")
-            )
+                hits_hot = (
+                    grams_pos.select(F.col(id_col).alias("_idb"), "_i", "gram")
+                    .join(grams_set, "gram")
+                    .where(F.col("_ida") < F.col("_idb"))
+                    .select("_idb", "_ida", "_i")
+                )
         fp = fp.join(hot, "fp", "left_anti")
     if hits_hot is not None:
         # both-affected pairs are COMPLETE in the gram join.  Exclude them
