@@ -217,6 +217,19 @@ def test_scale_out_widens_and_noops(spark):
     assert widened.rdd.getNumPartitions() == target
     wide = spark.range(100).repartition(target + 4, "id")
     assert scale_out(wide, key="id") is wide
+    # r18: shuffle-shaped frames are returned UNCHANGED without touching
+    # .rdd — under AQE the partition probe finalizes the adaptive plan and
+    # EXECUTES every upstream shuffle stage as real jobs (measured on the
+    # curation row: 15+ cpu-s per probe), so such frames are never probed;
+    # their parallelism is already shuffle-partition/AQE-governed.
+    a = spark.range(50).withColumnRenamed("id", "k")
+    joined = a.join(spark.range(50).withColumnRenamed("id", "k"), "k")
+    assert scale_out(joined, key="k") is joined
+    agg = a.groupBy("k").count()
+    assert scale_out(agg, key="k") is agg
+    # plain round-robin repartition(n) shuffles too — not probed either
+    rr = spark.range(100).repartition(2)
+    assert scale_out(rr, key="id") is rr
 
 
 def test_scale_out_streaming_noop(spark):

@@ -117,20 +117,24 @@ def scale_out(df, key: str | None = None):
     return df.repartition(target, F.col(key)) if key else df.repartition(target)
 
 
-#: analyzed-plan node names that imply a shuffle (or an explicit
-#: repartition) somewhere below — the "do not .rdd-probe" markers.
+#: analyzed-plan node names that imply a shuffle somewhere below — the
+#: "do not .rdd-probe" markers.  Plain ``Repartition`` is NOT listed: its
+#: shuffle=false form is ``coalesce()``, which plans no exchange (and an
+#: under-split coalesced source is exactly what widening exists for); the
+#: shuffling form is matched by the regex below.
 _SHUFFLE_NODE_TOKENS = (
     "Join",
     "Aggregate",
     "Deduplicate",
     "Distinct",
-    "Repartition",
     "RepartitionByExpression",
     "Window",
     "Sort",
     "Intersect",
     "Except",
 )
+
+_REPARTITION_SHUFFLE_RE = None
 
 
 def _has_shuffle_ancestor(df) -> bool:
@@ -143,7 +147,16 @@ def _has_shuffle_ancestor(df) -> bool:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:  # noqa: BLE001 — no JVM plan (mocks): fall back to probing
         return False
-    return any(tok in plan for tok in _SHUFFLE_NODE_TOKENS)
+    if any(tok in plan for tok in _SHUFFLE_NODE_TOKENS):
+        return True
+    global _REPARTITION_SHUFFLE_RE
+    if _REPARTITION_SHUFFLE_RE is None:
+        import re
+
+        # ``Repartition <n>, true`` = repartition(n) (round-robin shuffle);
+        # ``..., false`` = coalesce (no exchange — probe-safe)
+        _REPARTITION_SHUFFLE_RE = re.compile(r"Repartition \d+, true")
+    return bool(_REPARTITION_SHUFFLE_RE.search(plan))
 
 
 def enable_runtime_bloom(spark: SparkSession) -> SparkSession:
