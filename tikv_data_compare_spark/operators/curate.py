@@ -370,9 +370,15 @@ def curate(
     # materialize EAGERLY (r18): jaccard_pairs consumes this frame in three
     # branches that AQE materializes as CONCURRENT query stages — lazily
     # persisted, each raced the cache and recomputed the shingle+hash pass
-    # (the shared_fps race below, same mechanism, stage-API-measured);
-    # one bounded count warms the cache before any consumer plans
-    sh.count()
+    # (the shared_fps race below, same mechanism, stage-API-measured).
+    # The warm-up counts run as OVERLAPPED jobs from a small thread pool
+    # (guide §2.6 — actions are only serial because the driver calls them
+    # serially); every future is joined before the first consumer's
+    # collect, so consumers still always see a warm cache.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _warm_pool = ThreadPoolExecutor(max_workers=2)
+    _warm_futs = [_warm_pool.submit(sh.count)]
     losers = (
         dd.jaccard_pairs(exact_docs, id_col, text_col, algo=algo, shingles=sh)
         .filter(F.col("jaccard_c") >= near_dup_jaccard_c)
@@ -463,8 +469,9 @@ def curate(
         # stages CONCURRENTLY — racing the lazy cache, each stage computed
         # the full winnow itself (measured via the stage API: ~6 winnow
         # executions of 4-9 cpu-s inside a single kept-count job).  One
-        # bounded count here warms the cache before any consumer plans.
-        shared_fps.count()
+        # bounded count warms the cache; it overlaps the shingle warm-up
+        # in the pool above and is joined before the funnel agg runs.
+        _warm_futs.append(_warm_pool.submit(shared_fps.count))
     # r17 (ADVICE): a span stage whose geometry DIFFERS from the shared
     # frame's gets its OWN persisted winnow — the operators consume their
     # doc_fps subtree in up to three places (the self-join's two sides;
@@ -488,7 +495,7 @@ def curate(
                 k=_sd_k, w=span - _sd_k + 1, algo=da,
             ).persist()
             # eager warm-up for the same AQE cache race as shared_fps
-            f.count()
+            _warm_futs.append(_warm_pool.submit(f.count))
             _own_fps[span] = f
         return f
 
@@ -723,6 +730,12 @@ def curate(
         stage_cols.append("s_src")
         stage_names.append("url_blocklist")
 
+    # join the warm-up futures collected so far: every persisted frame must
+    # be materialized before the funnel agg (whose subtrees consume the
+    # caches) runs.  The pool stays open — the trim transform below may
+    # still request a differently-spanned winnow frame.
+    for _f in _warm_futs:
+        _f.result()
     flags = flags.select(id_col, *stage_cols).persist()
     t0 = time.time()
     row = flags.agg(
@@ -769,6 +782,11 @@ def curate(
         # regexp_replace inside the same kept-materialization job.
         kept = tx.pii_redact(kept, text_col=text_col)
     kept = kept.persist()
+    # second warm-up barrier: the trim transform may have added a winnow
+    # frame after the funnel agg joined the first batch
+    for _f in _warm_futs:
+        _f.result()
+    _warm_pool.shutdown()
     t0 = time.time()
     kept.count()  # materialize so flags/shingles can be released below
     t_kept = time.time() - t0
