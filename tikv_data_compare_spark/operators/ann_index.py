@@ -38,13 +38,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tikv_data_compare_spark.operators.similarity import (
-    _assign_cells,
+    _assign_encode,
     _ivfpq_join_topk,
     _track,
-    _train_centroids,
-    pq_encode,
+    _train_pq_from_rows,
+    _train_sample_rows,
     resolve_n_probe,
-    train_pq,
 )
 
 INDEX_FORMAT_VERSION = 1
@@ -150,13 +149,19 @@ def build_ann_index(
     """
     spark = emb.sparkSession
     src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    cent = _train_centroids(src, n_cells, sample_rows, seed, "embedding")
-    books = train_pq(src, m=m, k_codes=k_codes, sample_rows=sample_rows, seed=seed)
+    # one trainer sample collect + one fused assign+encode Arrow pass
+    # (r18; byte-identical math — similarity._assign_encode): the build's
+    # corpus scan crosses the Python boundary once instead of twice
+    from tikv_data_compare_spark.operators.similarity import (
+        _train_centroids_from_rows,
+    )
+
+    sample = _train_sample_rows(src, sample_rows, "embedding")
+    cent = _train_centroids_from_rows(sample, n_cells, seed, "embedding")
+    books = _train_pq_from_rows(sample, m, k_codes, seed, "embedding")
     cent_bc = _track(spark.sparkContext.broadcast(cent))
     books_bc = _track(spark.sparkContext.broadcast(books))
-    vectors = pq_encode(_assign_cells(src, cent_bc, "embedding"), books_bc).select(
-        "vec_id", "cell", "pq_code"
-    )
+    vectors = _assign_encode(src, cent_bc, books_bc)
     vectors.write.mode("overwrite").parquet(f"{path}/vectors")
     spark.createDataFrame(
         _codebook_rows(cent, books), "kind string, i long, j long, vals array<double>"
@@ -340,9 +345,9 @@ def append_to_index(emb_new: DataFrame, path: str, id_col: str = "vec_id",
             warnings.warn(msg, UserWarning, stacklevel=2)
     cent_bc = _track(spark.sparkContext.broadcast(np.asarray(idx.centroids)))
     books_bc = _track(spark.sparkContext.broadcast(np.asarray(idx.books)))
-    new_vecs = pq_encode(_assign_cells(src, cent_bc, "embedding"), books_bc).select(
-        "vec_id", "cell", "pq_code"
-    )
+    # fused assign+encode (r18) — identical (cell, code) per row, one
+    # Arrow pass over the appended batch instead of two
+    new_vecs = _assign_encode(src, cent_bc, books_bc)
     try:
         new_vecs.write.mode("append").parquet(f"{path}/vectors")
     finally:
