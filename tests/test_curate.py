@@ -768,7 +768,10 @@ def test_curate_self_dedup_own_geometry_winnow_is_persisted(spark, monkeypatch):
     )
     probes = spark.createDataFrame([(9, span)], "probe_id long, text string")
     seen = {}
-    real = tx.self_dedup_substring
+    # r19: curate's gate consumes the partner-count-free kept variant
+    # (self_dedup_kept) — the persisted-doc_fps property pinned here is
+    # the same, just through the new seam
+    real = tx.self_dedup_kept
 
     def capturing(*a, **kw):
         fps = kw.get("doc_fps")
@@ -780,7 +783,7 @@ def test_curate_self_dedup_own_geometry_winnow_is_persisted(spark, monkeypatch):
             seen["persisted_at_call"] = lv.useMemory or lv.useDisk
         return real(*a, **kw)
 
-    monkeypatch.setattr(tx, "self_dedup_substring", capturing)
+    monkeypatch.setattr(tx, "self_dedup_kept", capturing)
     off = dict(near_dup_jaccard_c=10001, max_dup_word_frac_c=10000,
                max_top_bigram_frac_c=10000)
     kept, _ = curate(

@@ -1098,6 +1098,54 @@ def test_self_dedup_substring_equals_bruteforce(spark, documents):
         tx.self_dedup_substring(df, min_span=5, k=5)
 
 
+def test_self_dedup_kept_matches_full_operator(spark, documents):
+    """r19: the partner-count-free gate variant (self_dedup_kept — the
+    collapsed hot gram join + distinct dropped-id set) must return exactly
+    the full operator's ``kept`` column for every doc, on the same
+    fixture + planted-span + NULL/short corpus as the brute-force test,
+    at every hot-fingerprint cap (None = pure winnow path, 1 = nearly
+    everything re-keyed, 2 = mixed split)."""
+    N = 24
+    base = [
+        (r["doc_id"], r["text"])
+        for r in documents.limit(60).select("doc_id", "text").collect()
+    ]
+    donor = base[3][1]
+    planted = [
+        (900001, "xx " + donor[10:50] + " yy"),
+        (900002, None),
+        (900003, "tiny"),
+    ]
+    df = spark.createDataFrame(base + planted, "doc_id long, text string")
+    for cap in (None, 1, 2):
+        full = {
+            r["doc_id"]: r["kept"]
+            for r in tx.self_dedup_substring(df, min_span=N, max_fp_df=cap).collect()
+        }
+        gate = {
+            r["doc_id"]: r["kept"]
+            for r in tx.self_dedup_kept(df, min_span=N, max_fp_df=cap).collect()
+        }
+        assert gate == full, f"kept verdicts diverged at cap={cap}"
+    # later_ids seam: restricted run returns exactly the full run's rows
+    # for the restricted ids (the curate survivors-only geometry)
+    some_ids = spark.createDataFrame(
+        [(base[0][0],), (900001,), (900003,)], "doc_id long"
+    )
+    full = {
+        r["doc_id"]: r["kept"]
+        for r in tx.self_dedup_kept(df, min_span=N, max_fp_df=2).collect()
+    }
+    sub = {
+        r["doc_id"]: r["kept"]
+        for r in tx.self_dedup_kept(
+            df, min_span=N, max_fp_df=2, later_ids=some_ids
+        ).collect()
+    }
+    assert set(sub) == {base[0][0], 900001, 900003}
+    assert all(full[d] == kp for d, kp in sub.items())
+
+
 def test_bpe_encode_broadcast_matches_literal(spark, documents):
     """The scale path (broadcast ranks + Arrow priority-merge) must produce
     bit-identical id sequences to the plan-literal SQL fold — trained

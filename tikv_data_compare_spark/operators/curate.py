@@ -378,415 +378,440 @@ def curate(
     from concurrent.futures import ThreadPoolExecutor
 
     _warm_pool = ThreadPoolExecutor(max_workers=2)
-    _warm_futs = [_warm_pool.submit(sh.count)]
-    losers = (
-        dd.jaccard_pairs(exact_docs, id_col, text_col, algo=algo, shingles=sh)
-        .filter(F.col("jaccard_c") >= near_dup_jaccard_c)
-        .select(F.col("doc_b").alias(id_col))
-        .distinct()
-    )
-    q = tx.quality_flags(docs, id_col, text_col).select(id_col, "keep")
-    r = tx.repetition_stats(docs, id_col, text_col).select(
-        id_col,
-        (
-            (F.col("dup_word_frac_c") <= max_dup_word_frac_c)
-            & (F.col("top_bigram_frac_c") <= max_top_bigram_frac_c)
-        ).alias("_rep_ok"),
-    )
-
-    # Per-doc gate frames are LEFT-joined: an explode-based stage emits no
-    # row for a NULL/empty-text doc (split(NULL) explodes to nothing), and an
-    # inner join would erase such docs from every funnel count — n_in of
-    # exact_dedup would no longer equal the input doc count.  A missing gate
-    # row coalesces to "dropped at that stage" instead (r7, ADVICE).
-    q_ok = F.coalesce(F.col("keep") == 1, F.lit(False))
-    rep_ok = F.coalesce(F.col("_rep_ok"), F.lit(False))
-    flags = (
-        docs.select(id_col)
-        .join(exact_ids.withColumn("_e", F.lit(1)), id_col, "left")
-        .join(losers.withColumn("_l", F.lit(1)), id_col, "left")
-        .join(q, id_col, "left")
-        .join(r, id_col, "left")
-        .select(
+    # exception-safe pool lifetime (r19, ADVICE r18): anything raising
+    # between pool creation and shutdown used to leak the non-daemon
+    # worker threads and any in-flight warm-up jobs (driver exit then
+    # blocked on thread join while orphaned counts kept running)
+    try:
+        _warm_futs = [_warm_pool.submit(sh.count)]
+        losers = (
+            dd.jaccard_pairs(exact_docs, id_col, text_col, algo=algo, shingles=sh)
+            .filter(F.col("jaccard_c") >= near_dup_jaccard_c)
+            .select(F.col("doc_b").alias(id_col))
+            .distinct()
+        )
+        q = tx.quality_flags(docs, id_col, text_col).select(id_col, "keep")
+        r = tx.repetition_stats(docs, id_col, text_col).select(
             id_col,
-            (F.col("_e") == 1).alias("s_exact"),
-            ((F.col("_e") == 1) & F.col("_l").isNull()).alias("s_near"),
-            ((F.col("_e") == 1) & F.col("_l").isNull() & q_ok).alias("s_quality"),
             (
-                (F.col("_e") == 1)
-                & F.col("_l").isNull()
-                & q_ok
-                & rep_ok
-            ).alias("s_rep"),
+                (F.col("dup_word_frac_c") <= max_dup_word_frac_c)
+                & (F.col("top_bigram_frac_c") <= max_top_bigram_frac_c)
+            ).alias("_rep_ok"),
         )
-    )
-    stage_cols = ["s_exact", "s_near", "s_quality", "s_rep"]
-    stage_names = ["exact_dedup", "near_dedup", "quality", "repetition"]
-    if drop_pii:
-        pii_ok = tx.pii_counts(docs, id_col, text_col).select(
-            id_col, (F.col("has_pii") == 0).alias("_pii_ok")
-        )
-        flags = flags.join(pii_ok, id_col, "left").withColumn(
-            "s_pii", F.col(stage_cols[-1]) & F.coalesce(F.col("_pii_ok"), F.lit(True))
-        )
-        stage_cols.append("s_pii")
-        stage_names.append("pii")
-    # one winnow pass for both span stages (r16, VERDICT r15 task 6): when
-    # the exact-decontam and self-dedup stages run at the SAME span, the
-    # corpus fingerprint frame is computed once, persisted, and passed to
-    # both operators through their doc_fps= seams (geometry is re-verified
-    # by the frame's metadata stamp inside each operator).  k mirrors both
-    # operators' default; the frame is released after the funnel counts
-    # materialize, with the other curate caches.
-    _sd_k = 5
-    # r18 (VERDICT r17 task 1): the span stages' fallback hash is xxhash64,
-    # decoupled from the near-dup ``algo`` — the span verdicts are
-    # algo-independent (operator docstrings) and xxhash64 measured ~2.2×
-    # faster at sf1, so the throughput hash is the right default for every
-    # caller who didn't pin one; pass decontam_algo="md5i64" to reproduce
-    # the DuckDB-replayable gate path.
-    da = decontam_algo if decontam_algo is not None else "xxhash64"
-    # Persist whenever ANY span stage runs, not only when both share a
-    # geometry: with max_fp_df set, decontaminate_substring consumes the
-    # corpus winnow subtree in three places (hot-df aggregate, affected-id
-    # semi-join, cold side) — an unpersisted frame would recompute the
-    # ~200-cpu-s/50k-doc HOF chain per consumer.
-    shared_fps = None
-    fps_span = None
-    if probes is not None and decontam_span is not None:
-        fps_span = int(decontam_span)
-    elif self_dedup_span is not None:
-        fps_span = int(self_dedup_span)
-    elif self_dedup_trim_span is not None:
-        fps_span = int(self_dedup_trim_span)
-    if fps_span is not None:
-        shared_fps = tx.winnow_fingerprints(
-            docs, id_col, text_col,
-            k=_sd_k, w=fps_span - _sd_k + 1, algo=da,
-        ).persist()
-        # materialize EAGERLY (r18): the span stages consume this frame in
-        # up to four subtrees of ONE job, and AQE materializes those query
-        # stages CONCURRENTLY — racing the lazy cache, each stage computed
-        # the full winnow itself (measured via the stage API: ~6 winnow
-        # executions of 4-9 cpu-s inside a single kept-count job).  One
-        # bounded count warms the cache; it overlaps the shingle warm-up
-        # in the pool above and is joined before the funnel agg runs.
-        _warm_futs.append(_warm_pool.submit(shared_fps.count))
-    # r17 (ADVICE): a span stage whose geometry DIFFERS from the shared
-    # frame's gets its OWN persisted winnow — the operators consume their
-    # doc_fps subtree in up to three places (the self-join's two sides;
-    # with max_fp_df also the hot-df aggregate + affected-id semi-join),
-    # and an unpersisted frame recomputes the ~200-cpu-s/50k-doc HOF
-    # chain per consumer.  All released with the other curate caches.
-    # r18 (ADVICE): memoized by span — with e.g. decontam_span=30 and
-    # self_dedup_span == self_dedup_trim_span == 20, the drop stage and
-    # the trim transform share ONE persisted span-20 frame instead of
-    # each building (and caching) an identical copy.
-    _own_fps: dict[int, "DataFrame"] = {}
 
-    def _fps_for(span: int):
-        span = int(span)
-        if shared_fps is not None and span == fps_span:
-            return shared_fps
-        f = _own_fps.get(span)
-        if f is None:
-            f = tx.winnow_fingerprints(
-                docs, id_col, text_col,
-                k=_sd_k, w=span - _sd_k + 1, algo=da,
-            ).persist()
-            # eager warm-up for the same AQE cache race as shared_fps
-            _warm_futs.append(_warm_pool.submit(f.count))
-            _own_fps[span] = f
-        return f
-
-    sd_fps = _fps_for(self_dedup_span) if self_dedup_span is not None else None
-    if probes is not None:
-        # probe id column: the conventional 'probe_id' (the contamination
-        # contract), else any first column stands in — the id only keys the
-        # candidate-pair dedup.  Renamed DEFENSIVELY to '_probe_id' for
-        # EVERY probe-consuming stage: probes cut from the corpus itself
-        # carry the same 'doc_id' column as the docs side, and the
-        # candidate joins would hit an ambiguous-reference error (r10
-        # review; generalized from the exact-span branch in r13 when the
-        # fuzzy stage landed).
-        pid = "probe_id" if "probe_id" in probes.columns else probes.columns[0]
-        probes_n = probes.select(F.col(pid).alias("_probe_id"), F.col(text_col))
-        if decontam_span is not None:
-            conta_ok = tx.decontaminate_substring(
-                docs, probes_n, id_col, text_col,
-                probe_id_col="_probe_id", probe_text_col=text_col,
-                min_span=int(decontam_span),
-                bloom_m_bits=decontam_bloom_m_bits,
-                # the span stages' own hash knob (decontam_algo; r18
-                # fallback xxhash64): the verified verdict is
-                # algo-independent (operator docstring), so the throughput
-                # path composes without touching results
-                algo=da,
-                # hot-fingerprint threshold (r15): on template-heavy corpora
-                # the exact-decontam candidate join otherwise dominates the
-                # whole funnel (BASELINE.md r15 degeneracy measurement);
-                # r16: the operator's rekey default keeps this EXACT at any
-                # value; None = no split (the gate path)
-                max_fp_df=decontam_max_fp_df,
-                doc_fps=shared_fps,
-            ).select(id_col, (~F.col("contaminated")).alias("_ct_ok"))
-            stage_name = "decontamination_exact"
-        else:
-            conta_ok = tx.contamination(
-                docs, probes_n, id_col, text_col,
-                probe_id_col="_probe_id", probe_text_col=text_col,
-            ).select(
+        # Per-doc gate frames are LEFT-joined: an explode-based stage emits no
+        # row for a NULL/empty-text doc (split(NULL) explodes to nothing), and an
+        # inner join would erase such docs from every funnel count — n_in of
+        # exact_dedup would no longer equal the input doc count.  A missing gate
+        # row coalesces to "dropped at that stage" instead (r7, ADVICE).
+        q_ok = F.coalesce(F.col("keep") == 1, F.lit(False))
+        rep_ok = F.coalesce(F.col("_rep_ok"), F.lit(False))
+        flags = (
+            docs.select(id_col)
+            .join(exact_ids.withColumn("_e", F.lit(1)), id_col, "left")
+            .join(losers.withColumn("_l", F.lit(1)), id_col, "left")
+            .join(q, id_col, "left")
+            .join(r, id_col, "left")
+            .select(
                 id_col,
-                (F.col("n_hit_grams") <= max_contamination_hits).alias("_ct_ok"),
+                (F.col("_e") == 1).alias("s_exact"),
+                ((F.col("_e") == 1) & F.col("_l").isNull()).alias("s_near"),
+                ((F.col("_e") == 1) & F.col("_l").isNull() & q_ok).alias("s_quality"),
+                (
+                    (F.col("_e") == 1)
+                    & F.col("_l").isNull()
+                    & q_ok
+                    & rep_ok
+                ).alias("s_rep"),
             )
-            stage_name = "decontamination"
-        flags = flags.join(conta_ok, id_col, "left").withColumn(
-            "s_conta", F.col(stage_cols[-1]) & F.coalesce(F.col("_ct_ok"), F.lit(True))
         )
-        stage_cols.append("s_conta")
-        stage_names.append(stage_name)
-    if decontam_fuzzy_jaccard_c is not None:
-        # an independently appended stage: paraphrase-level overlap is a
-        # different criterion than the verbatim-span / n-gram stages, and
-        # published pipelines run both screens (probes_n: the shared
-        # defensively-renamed probe frame from the block above)
-        fuzzy_ok = tx.decontaminate_fuzzy(
-            docs, probes_n, id_col, text_col,
-            probe_id_col="_probe_id", probe_text_col=text_col,
-            threshold_bp=int(decontam_fuzzy_jaccard_c), algo=algo,
-        ).select(id_col, (~F.col("contaminated")).alias("_fz_ok"))
-        flags = flags.join(fuzzy_ok, id_col, "left").withColumn(
-            "s_fuzzy",
-            F.col(stage_cols[-1]) & F.coalesce(F.col("_fz_ok"), F.lit(True)),
-        )
-        stage_cols.append("s_fuzzy")
-        stage_names.append("decontamination_fuzzy")
-    if self_dedup_span is not None:
-        # corpus-internal ExactSubstr dedup (r16): globally-first keep rule
-        # — 'kept' is a definitive per-doc verdict (one row per input doc,
-        # short/NULL docs keep: no min_span span exists in them)
-        sd_ok = tx.self_dedup_substring(
-            docs, id_col, text_col,
-            min_span=int(self_dedup_span), k=_sd_k,
-            algo=da, doc_fps=sd_fps,
-            # the shared hot-fingerprint threshold (r16): rekey mode is
-            # exact at any value, so threading it here only bounds the
-            # candidate join — omitting it was measured CATASTROPHIC on
-            # the sf1 template corpus (uncapped winnow self-join = the
-            # r15 5.37e9-candidate path, killed at >15 min inside the
-            # funnel, vs ~90 s with the split)
-            max_fp_df=decontam_max_fp_df,
-        ).select(id_col, F.col("kept").alias("_sd_ok"))
-        flags = flags.join(sd_ok, id_col, "left").withColumn(
-            "s_sdd",
-            F.col(stage_cols[-1]) & F.coalesce(F.col("_sd_ok"), F.lit(True)),
-        )
-        stage_cols.append("s_sdd")
-        stage_names.append("self_dedup_span")
-    if keep_langs is not None:
-        # (normalized + validated in the preamble)
-        # cost note: this stage runs its own explode + stopword broadcast
-        # join over the corpus — the same tokenize pass quality_flags
-        # already runs (Spark does not dedupe the subplans).  At extreme
-        # scale, a shared explode feeding both n_stopwords and the c_*
-        # counts would halve that map stage; kept separate here for
-        # operator independence.
-        lang_ok = tx.lang_id(docs, id_col, text_col).select(
-            id_col, F.col("pred_lang").isin(list(keep_langs)).alias("_lang_ok")
-        )
-        flags = flags.join(lang_ok, id_col, "left").withColumn(
-            "s_lang", F.col(stage_cols[-1]) & F.coalesce(F.col("_lang_ok"), F.lit(False))
-        )
-        stage_cols.append("s_lang")
-        stage_names.append("language")
-    if max_lm_nll_c is not None:
-        lm_ok = tx.ngram_lm_score(docs, id_col, text_col, train=lm_train).select(
-            id_col,
-            (
-                F.col("lm_nll_c").isNotNull()
-                & (F.col("lm_nll_c") <= int(max_lm_nll_c))
-            ).alias("_lm_ok"),
-        )
-        flags = flags.join(lm_ok, id_col, "left").withColumn(
-            "s_lm", F.col(stage_cols[-1]) & F.coalesce(F.col("_lm_ok"), F.lit(False))
-        )
-        stage_cols.append("s_lm")
-        stage_names.append("fluency")
-    if dsir_target is not None:
-        # DSIR-style learned quality gate (Xie et al. 2023): hashed-n-gram
-        # importance weight of each doc against the target corpus
-        # (sampling.dsir_weights — integer-frozen, bounded broadcast bucket
-        # tables); docs below the pivot drop, as do unscoreable docs
-        # (zero features — the fluency gate's unconfirmable-drops
-        # convention).  For RESAMPLING (probabilistic, ∝ weight) instead
-        # of thresholding, run sampling.dsir_sample downstream.
-        from tikv_data_compare_spark.operators.sampling import dsir_weights
+        stage_cols = ["s_exact", "s_near", "s_quality", "s_rep"]
+        stage_names = ["exact_dedup", "near_dedup", "quality", "repetition"]
+        if drop_pii:
+            pii_ok = tx.pii_counts(docs, id_col, text_col).select(
+                id_col, (F.col("has_pii") == 0).alias("_pii_ok")
+            )
+            flags = flags.join(pii_ok, id_col, "left").withColumn(
+                "s_pii", F.col(stage_cols[-1]) & F.coalesce(F.col("_pii_ok"), F.lit(True))
+            )
+            stage_cols.append("s_pii")
+            stage_names.append("pii")
+        # one winnow pass for both span stages (r16, VERDICT r15 task 6): when
+        # the exact-decontam and self-dedup stages run at the SAME span, the
+        # corpus fingerprint frame is computed once, persisted, and passed to
+        # both operators through their doc_fps= seams (geometry is re-verified
+        # by the frame's metadata stamp inside each operator).  k mirrors both
+        # operators' default; the frame is released after the funnel counts
+        # materialize, with the other curate caches.
+        _sd_k = 5
+        # r18 (VERDICT r17 task 1): the span stages' fallback hash is xxhash64,
+        # decoupled from the near-dup ``algo`` — the span verdicts are
+        # algo-independent (operator docstrings) and xxhash64 measured ~2.2×
+        # faster at sf1, so the throughput hash is the right default for every
+        # caller who didn't pin one; pass decontam_algo="md5i64" to reproduce
+        # the DuckDB-replayable gate path.
+        da = decontam_algo if decontam_algo is not None else "xxhash64"
+        # Persist whenever ANY span stage runs, not only when both share a
+        # geometry: with max_fp_df set, decontaminate_substring consumes the
+        # corpus winnow subtree in three places (hot-df aggregate, affected-id
+        # semi-join, cold side) — an unpersisted frame would recompute the
+        # ~200-cpu-s/50k-doc HOF chain per consumer.
+        shared_fps = None
+        fps_span = None
+        if probes is not None and decontam_span is not None:
+            fps_span = int(decontam_span)
+        elif self_dedup_span is not None:
+            fps_span = int(self_dedup_span)
+        elif self_dedup_trim_span is not None:
+            fps_span = int(self_dedup_trim_span)
+        if fps_span is not None:
+            shared_fps = tx.winnow_fingerprints(
+                docs, id_col, text_col,
+                k=_sd_k, w=fps_span - _sd_k + 1, algo=da,
+            ).persist()
+            # materialize EAGERLY (r18): the span stages consume this frame in
+            # up to four subtrees of ONE job, and AQE materializes those query
+            # stages CONCURRENTLY — racing the lazy cache, each stage computed
+            # the full winnow itself (measured via the stage API: ~6 winnow
+            # executions of 4-9 cpu-s inside a single kept-count job).  One
+            # bounded count warms the cache; it overlaps the shingle warm-up
+            # in the pool above and is joined before the funnel agg runs.
+            _warm_futs.append(_warm_pool.submit(shared_fps.count))
+        # r17 (ADVICE): a span stage whose geometry DIFFERS from the shared
+        # frame's gets its OWN persisted winnow — the operators consume their
+        # doc_fps subtree in up to three places (the self-join's two sides;
+        # with max_fp_df also the hot-df aggregate + affected-id semi-join),
+        # and an unpersisted frame recomputes the ~200-cpu-s/50k-doc HOF
+        # chain per consumer.  All released with the other curate caches.
+        # r18 (ADVICE): memoized by span — with e.g. decontam_span=30 and
+        # self_dedup_span == self_dedup_trim_span == 20, the drop stage and
+        # the trim transform share ONE persisted span-20 frame instead of
+        # each building (and caching) an identical copy.
+        _own_fps: dict[int, "DataFrame"] = {}
 
-        dw = dsir_weights(
-            docs, dsir_target, id_col, text_col, n_buckets=int(dsir_n_buckets)
-        )
-        if dsir_top_frac is not None:
-            # relative mode: keep the top fraction of the corpus by weight
-            # — robust to the fact that raw log-weights shift with
-            # n_buckets and corpus mix (absolute 0 can sit above every doc
-            # at fine bucket grain).  EXACT rank via the bucketed
-            # global-index machinery (scan.with_global_index: data-derived
-            # range buckets + broadcast offsets — no single-partition
-            # window, no exact-percentile aggregate buffering every
-            # distinct weight in one task); ties break by id, keep count =
-            # ceil(frac · n_scored), n derived in-plan (1-row broadcast).
-            from tikv_data_compare_spark.operators.scan import (
-                with_global_index,
-            )
+        def _fps_for(span: int):
+            span = int(span)
+            if shared_fps is not None and span == fps_span:
+                return shared_fps
+            f = _own_fps.get(span)
+            if f is None:
+                f = tx.winnow_fingerprints(
+                    docs, id_col, text_col,
+                    k=_sd_k, w=span - _sd_k + 1, algo=da,
+                ).persist()
+                # eager warm-up for the same AQE cache race as shared_fps
+                _warm_futs.append(_warm_pool.submit(f.count))
+                _own_fps[span] = f
+            return f
 
-            scored = dw.where(F.col("dsir_logw_c").isNotNull()).withColumn(
-                "_dsir_neg", -F.col("dsir_logw_c")
+        sd_fps = _fps_for(self_dedup_span) if self_dedup_span is not None else None
+        if probes is not None:
+            # probe id column: the conventional 'probe_id' (the contamination
+            # contract), else any first column stands in — the id only keys the
+            # candidate-pair dedup.  Renamed DEFENSIVELY to '_probe_id' for
+            # EVERY probe-consuming stage: probes cut from the corpus itself
+            # carry the same 'doc_id' column as the docs side, and the
+            # candidate joins would hit an ambiguous-reference error (r10
+            # review; generalized from the exact-span branch in r13 when the
+            # fuzzy stage landed).
+            pid = "probe_id" if "probe_id" in probes.columns else probes.columns[0]
+            probes_n = probes.select(F.col(pid).alias("_probe_id"), F.col(text_col))
+            if decontam_span is not None:
+                conta_ok = tx.decontaminate_substring(
+                    docs, probes_n, id_col, text_col,
+                    probe_id_col="_probe_id", probe_text_col=text_col,
+                    min_span=int(decontam_span),
+                    bloom_m_bits=decontam_bloom_m_bits,
+                    # the span stages' own hash knob (decontam_algo; r18
+                    # fallback xxhash64): the verified verdict is
+                    # algo-independent (operator docstring), so the throughput
+                    # path composes without touching results
+                    algo=da,
+                    # hot-fingerprint threshold (r15): on template-heavy corpora
+                    # the exact-decontam candidate join otherwise dominates the
+                    # whole funnel (BASELINE.md r15 degeneracy measurement);
+                    # r16: the operator's rekey default keeps this EXACT at any
+                    # value; None = no split (the gate path)
+                    max_fp_df=decontam_max_fp_df,
+                    doc_fps=shared_fps,
+                ).select(id_col, (~F.col("contaminated")).alias("_ct_ok"))
+                stage_name = "decontamination_exact"
+            else:
+                conta_ok = tx.contamination(
+                    docs, probes_n, id_col, text_col,
+                    probe_id_col="_probe_id", probe_text_col=text_col,
+                ).select(
+                    id_col,
+                    (F.col("n_hit_grams") <= max_contamination_hits).alias("_ct_ok"),
+                )
+                stage_name = "decontamination"
+            flags = flags.join(conta_ok, id_col, "left").withColumn(
+                "s_conta", F.col(stage_cols[-1]) & F.coalesce(F.col("_ct_ok"), F.lit(True))
             )
-            ranked = with_global_index(
-                scored, ["_dsir_neg", id_col], name="_dsir_rk"
+            stage_cols.append("s_conta")
+            stage_names.append(stage_name)
+        if decontam_fuzzy_jaccard_c is not None:
+            # an independently appended stage: paraphrase-level overlap is a
+            # different criterion than the verbatim-span / n-gram stages, and
+            # published pipelines run both screens (probes_n: the shared
+            # defensively-renamed probe frame from the block above)
+            fuzzy_ok = tx.decontaminate_fuzzy(
+                docs, probes_n, id_col, text_col,
+                probe_id_col="_probe_id", probe_text_col=text_col,
+                threshold_bp=int(decontam_fuzzy_jaccard_c), algo=algo,
+            ).select(id_col, (~F.col("contaminated")).alias("_fz_ok"))
+            flags = flags.join(fuzzy_ok, id_col, "left").withColumn(
+                "s_fuzzy",
+                F.col(stage_cols[-1]) & F.coalesce(F.col("_fz_ok"), F.lit(True)),
             )
-            n_scored = scored.agg(
-                F.count(F.lit(1)).cast("long").alias("_dsir_n")
+            stage_cols.append("s_fuzzy")
+            stage_names.append("decontamination_fuzzy")
+        if self_dedup_span is not None:
+            # corpus-internal ExactSubstr dedup (r16): globally-first keep rule
+            # — 'kept' is a definitive per-doc verdict (one row per input doc,
+            # short/NULL docs keep: no min_span span exists in them).
+            # r19 (VERDICT r18 task 3): this gate consumes ONLY `kept`, so it
+            # takes the partner-count-free variant — the hot gram join runs
+            # collapse_earlier (one min-carrier row per distinct gram instead
+            # of the full per-(carrier, gram) set) and the verdict reduces to
+            # a distinct dropped-id set.  kept is byte-identical to the full
+            # operator's column (parity-pinned in tests/test_text_selfdedup).
+            sd_ok = tx.self_dedup_kept(
+                docs, id_col, text_col,
+                min_span=int(self_dedup_span), k=_sd_k,
+                algo=da, doc_fps=sd_fps,
+                # the shared hot-fingerprint threshold (r16): rekey mode is
+                # exact at any value, so threading it here only bounds the
+                # candidate join — omitting it was measured CATASTROPHIC on
+                # the sf1 template corpus (uncapped winnow self-join = the
+                # r15 5.37e9-candidate path, killed at >15 min inside the
+                # funnel, vs ~90 s with the split)
+                max_fp_df=decontam_max_fp_df,
+            ).select(id_col, F.col("kept").alias("_sd_ok"))
+            flags = flags.join(sd_ok, id_col, "left").withColumn(
+                "s_sdd",
+                F.col(stage_cols[-1]) & F.coalesce(F.col("_sd_ok"), F.lit(True)),
             )
-            dw_ok = (
-                ranked.crossJoin(F.broadcast(n_scored))
-                .select(
+            stage_cols.append("s_sdd")
+            stage_names.append("self_dedup_span")
+        if keep_langs is not None:
+            # (normalized + validated in the preamble)
+            # cost note: this stage runs its own explode + stopword broadcast
+            # join over the corpus — the same tokenize pass quality_flags
+            # already runs (Spark does not dedupe the subplans).  At extreme
+            # scale, a shared explode feeding both n_stopwords and the c_*
+            # counts would halve that map stage; kept separate here for
+            # operator independence.
+            lang_ok = tx.lang_id(docs, id_col, text_col).select(
+                id_col, F.col("pred_lang").isin(list(keep_langs)).alias("_lang_ok")
+            )
+            flags = flags.join(lang_ok, id_col, "left").withColumn(
+                "s_lang", F.col(stage_cols[-1]) & F.coalesce(F.col("_lang_ok"), F.lit(False))
+            )
+            stage_cols.append("s_lang")
+            stage_names.append("language")
+        if max_lm_nll_c is not None:
+            lm_ok = tx.ngram_lm_score(docs, id_col, text_col, train=lm_train).select(
+                id_col,
+                (
+                    F.col("lm_nll_c").isNotNull()
+                    & (F.col("lm_nll_c") <= int(max_lm_nll_c))
+                ).alias("_lm_ok"),
+            )
+            flags = flags.join(lm_ok, id_col, "left").withColumn(
+                "s_lm", F.col(stage_cols[-1]) & F.coalesce(F.col("_lm_ok"), F.lit(False))
+            )
+            stage_cols.append("s_lm")
+            stage_names.append("fluency")
+        if dsir_target is not None:
+            # DSIR-style learned quality gate (Xie et al. 2023): hashed-n-gram
+            # importance weight of each doc against the target corpus
+            # (sampling.dsir_weights — integer-frozen, bounded broadcast bucket
+            # tables); docs below the pivot drop, as do unscoreable docs
+            # (zero features — the fluency gate's unconfirmable-drops
+            # convention).  For RESAMPLING (probabilistic, ∝ weight) instead
+            # of thresholding, run sampling.dsir_sample downstream.
+            from tikv_data_compare_spark.operators.sampling import dsir_weights
+
+            dw = dsir_weights(
+                docs, dsir_target, id_col, text_col, n_buckets=int(dsir_n_buckets)
+            )
+            if dsir_top_frac is not None:
+                # relative mode: keep the top fraction of the corpus by weight
+                # — robust to the fact that raw log-weights shift with
+                # n_buckets and corpus mix (absolute 0 can sit above every doc
+                # at fine bucket grain).  EXACT rank via the bucketed
+                # global-index machinery (scan.with_global_index: data-derived
+                # range buckets + broadcast offsets — no single-partition
+                # window, no exact-percentile aggregate buffering every
+                # distinct weight in one task); ties break by id, keep count =
+                # ceil(frac · n_scored), n derived in-plan (1-row broadcast).
+                from tikv_data_compare_spark.operators.scan import (
+                    with_global_index,
+                )
+
+                scored = dw.where(F.col("dsir_logw_c").isNotNull()).withColumn(
+                    "_dsir_neg", -F.col("dsir_logw_c")
+                )
+                ranked = with_global_index(
+                    scored, ["_dsir_neg", id_col], name="_dsir_rk"
+                )
+                n_scored = scored.agg(
+                    F.count(F.lit(1)).cast("long").alias("_dsir_n")
+                )
+                dw_ok = (
+                    ranked.crossJoin(F.broadcast(n_scored))
+                    .select(
+                        id_col,
+                        (
+                            F.col("_dsir_rk")
+                            <= F.ceil(F.col("_dsir_n") * float(dsir_top_frac))
+                        ).alias("_dsir_ok"),
+                    )
+                )
+            else:
+                dw_ok = dw.select(
                     id_col,
                     (
-                        F.col("_dsir_rk")
-                        <= F.ceil(F.col("_dsir_n") * float(dsir_top_frac))
+                        F.col("dsir_logw_c").isNotNull()
+                        & (F.col("dsir_logw_c") >= int(min_dsir_logw_c))
                     ).alias("_dsir_ok"),
                 )
+            flags = flags.join(dw_ok, id_col, "left").withColumn(
+                "s_dsir",
+                F.col(stage_cols[-1]) & F.coalesce(F.col("_dsir_ok"), F.lit(False)),
             )
-        else:
-            dw_ok = dw.select(
+            stage_cols.append("s_dsir")
+            stage_names.append("dsir_quality")
+        if quality_seed is not None:
+            from tikv_data_compare_spark.operators.sampling import (
+                quality_classifier,
+            )
+
+            # quality_algo is its OWN knob (default md5i64), not a decontam_algo
+            # fallback: unlike the span stages' hash-independent verdicts, the
+            # classifier's kept set IS feature-hash-dependent (different bucket
+            # collisions → different weights), so switching it must be an
+            # explicit caller decision.  xxhash64 is the throughput path — the
+            # md5 feature fold dominates the stage's sf1 cost
+            # (probe_curate_sf1_runs r16).
+            qc = quality_classifier(
+                docs, quality_seed, crawl=quality_crawl,
+                id_col=id_col, text_col=text_col,
+                n_buckets=int(quality_n_buckets),
+                algo=quality_algo,
+            )
+            if min_quality_c is not None:
+                # explicit ×1e6 mean-log-odds threshold, cross-multiplied so
+                # the gate stays integer-exact (no division)
+                q_ok = qc.select(
+                    id_col,
+                    (
+                        F.col("q_sum_c")
+                        >= F.lit(int(min_quality_c)) * F.col("q_n_feats")
+                    ).alias("_qc_ok"),
+                )
+            else:
+                q_ok = qc.select(id_col, F.col("q_keep").alias("_qc_ok"))
+            flags = flags.join(q_ok, id_col, "left").withColumn(
+                "s_qc",
+                F.col(stage_cols[-1]) & F.coalesce(F.col("_qc_ok"), F.lit(False)),
+            )
+            stage_cols.append("s_qc")
+            stage_names.append("quality_classifier")
+        if c4_rules:
+            c4_ok = tx.c4_flags(
+                docs, id_col, text_col, min_kept_lines=c4_min_kept_lines
+            ).select(id_col, F.col("c4_keep").alias("_c4_ok"))
+            flags = flags.join(c4_ok, id_col, "left").withColumn(
+                "s_c4", F.col(stage_cols[-1]) & F.coalesce(F.col("_c4_ok"), F.lit(False))
+            )
+            stage_cols.append("s_c4")
+            stage_names.append("boilerplate")
+        if blocked_sources is not None:
+            # (normalized + validated in the preamble)
+            src_ok = docs.select(
                 id_col,
-                (
-                    F.col("dsir_logw_c").isNotNull()
-                    & (F.col("dsir_logw_c") >= int(min_dsir_logw_c))
-                ).alias("_dsir_ok"),
+                (~F.col(source_col).isin(blocked_sources)).alias("_src_ok"),
             )
-        flags = flags.join(dw_ok, id_col, "left").withColumn(
-            "s_dsir",
-            F.col(stage_cols[-1]) & F.coalesce(F.col("_dsir_ok"), F.lit(False)),
-        )
-        stage_cols.append("s_dsir")
-        stage_names.append("dsir_quality")
-    if quality_seed is not None:
-        from tikv_data_compare_spark.operators.sampling import (
-            quality_classifier,
-        )
-
-        # quality_algo is its OWN knob (default md5i64), not a decontam_algo
-        # fallback: unlike the span stages' hash-independent verdicts, the
-        # classifier's kept set IS feature-hash-dependent (different bucket
-        # collisions → different weights), so switching it must be an
-        # explicit caller decision.  xxhash64 is the throughput path — the
-        # md5 feature fold dominates the stage's sf1 cost
-        # (probe_curate_sf1_runs r16).
-        qc = quality_classifier(
-            docs, quality_seed, crawl=quality_crawl,
-            id_col=id_col, text_col=text_col,
-            n_buckets=int(quality_n_buckets),
-            algo=quality_algo,
-        )
-        if min_quality_c is not None:
-            # explicit ×1e6 mean-log-odds threshold, cross-multiplied so
-            # the gate stays integer-exact (no division)
-            q_ok = qc.select(
-                id_col,
-                (
-                    F.col("q_sum_c")
-                    >= F.lit(int(min_quality_c)) * F.col("q_n_feats")
-                ).alias("_qc_ok"),
+            flags = flags.join(src_ok, id_col, "left").withColumn(
+                "s_src",
+                F.col(stage_cols[-1]) & F.coalesce(F.col("_src_ok"), F.lit(True)),
             )
-        else:
-            q_ok = qc.select(id_col, F.col("q_keep").alias("_qc_ok"))
-        flags = flags.join(q_ok, id_col, "left").withColumn(
-            "s_qc",
-            F.col(stage_cols[-1]) & F.coalesce(F.col("_qc_ok"), F.lit(False)),
-        )
-        stage_cols.append("s_qc")
-        stage_names.append("quality_classifier")
-    if c4_rules:
-        c4_ok = tx.c4_flags(
-            docs, id_col, text_col, min_kept_lines=c4_min_kept_lines
-        ).select(id_col, F.col("c4_keep").alias("_c4_ok"))
-        flags = flags.join(c4_ok, id_col, "left").withColumn(
-            "s_c4", F.col(stage_cols[-1]) & F.coalesce(F.col("_c4_ok"), F.lit(False))
-        )
-        stage_cols.append("s_c4")
-        stage_names.append("boilerplate")
-    if blocked_sources is not None:
-        # (normalized + validated in the preamble)
-        src_ok = docs.select(
-            id_col,
-            (~F.col(source_col).isin(blocked_sources)).alias("_src_ok"),
-        )
-        flags = flags.join(src_ok, id_col, "left").withColumn(
-            "s_src",
-            F.col(stage_cols[-1]) & F.coalesce(F.col("_src_ok"), F.lit(True)),
-        )
-        stage_cols.append("s_src")
-        stage_names.append("url_blocklist")
+            stage_cols.append("s_src")
+            stage_names.append("url_blocklist")
 
-    # join the warm-up futures collected so far: every persisted frame must
-    # be materialized before the funnel agg (whose subtrees consume the
-    # caches) runs.  The pool stays open — the trim transform below may
-    # still request a differently-spanned winnow frame.
-    for _f in _warm_futs:
-        _f.result()
-    flags = flags.select(id_col, *stage_cols).persist()
-    t0 = time.time()
-    row = flags.agg(
-        F.count(F.lit(1)).alias("_n0"),
-        *[F.sum(F.col(c).cast("long")).alias(f"_n{i + 1}") for i, c in enumerate(stage_cols)],
-    ).collect()[0]
-    t_agg = time.time() - t0
-    counts = [int(row[f"_n{i}"]) for i in range(len(stage_cols) + 1)]
+        # join the warm-up futures collected so far: every persisted frame must
+        # be materialized before the funnel agg (whose subtrees consume the
+        # caches) runs.  The pool stays open — the trim transform below may
+        # still request a differently-spanned winnow frame.
+        for _f in _warm_futs:
+            _f.result()
+        t0 = time.time()
+        # localCheckpoint, not persist (r19, VERDICT r18 task 1): the flags
+        # frame is (id, booleans) — tiny by design — but its LINEAGE is the
+        # whole funnel (dedup groupBy, LSH join, every gate subplan), and a
+        # persisted frame still carries that full logical plan: every
+        # downstream consumer (kept semi-join, the trim's later_ids, the
+        # caller's actions over kept) re-ANALYZES it per action — measured
+        # ~3-4 s of driver-side Catalyst time per sf0.1 curation call, the
+        # reason 8 cores beat 32 on this entry.  The eager local checkpoint
+        # runs the same funnel computation once (inside the timed
+        # funnel_flags_agg stage, as before), stores the narrow rows, and
+        # TRUNCATES the plan to a leaf for every consumer (guide §3.3 / §5).
+        # Blocks are freed by the ContextCleaner when the frame is dropped —
+        # bounded: a few MB per call at sf0.1 geometry.
+        flags = flags.select(id_col, *stage_cols).localCheckpoint()
+        row = flags.agg(
+            F.count(F.lit(1)).alias("_n0"),
+            *[F.sum(F.col(c).cast("long")).alias(f"_n{i + 1}") for i, c in enumerate(stage_cols)],
+        ).collect()[0]
+        t_agg = time.time() - t0
+        counts = [int(row[f"_n{i}"]) for i in range(len(stage_cols) + 1)]
 
-    kept = docs.join(
-        flags.filter(F.col(stage_cols[-1])).select(id_col), id_col, "left_semi"
-    )
-    if self_dedup_trim_span is not None:
-        # a TRANSFORM, not a gate (the redact_pii convention): survivors
-        # keep their row with every >= span-char verbatim span shared with
-        # a SMALLER-id doc cut out of their text (text.self_dedup_trim —
-        # Lee et al.'s span-surgical removal; the doc-level drop
-        # alternative is the self_dedup_span STAGE above, and both may
-        # run at different spans).  The trim reference is the FULL input
-        # corpus, not the survivor set: duplicated content is duplicated
-        # regardless of whether its earlier carrier survived the funnel.
-        # Runs before redaction so PII masking sees the final text.
-        # r18: later_ids restricts the SURGERY to survivors (the dedup
-        # reference stays the full corpus — operator contract), skipping
-        # candidate+verify work for docs the gates above already dropped
-        trimmed = tx.self_dedup_trim(
-            docs, id_col, text_col,
-            min_span=int(self_dedup_trim_span), k=_sd_k, algo=da,
-            doc_fps=_fps_for(self_dedup_trim_span),
-            max_fp_df=decontam_max_fp_df,
-            snap=self_dedup_trim_snap,
-            later_ids=flags.filter(F.col(stage_cols[-1])).select(id_col),
-        ).select(id_col, F.col("text_trimmed"))
-        kept = (
-            kept.join(trimmed, id_col)
-            .withColumn(text_col, F.col("text_trimmed"))
-            .drop("text_trimmed")
+        kept = docs.join(
+            flags.filter(F.col(stage_cols[-1])).select(id_col), id_col, "left_semi"
         )
-    if redact_pii:
-        # a TRANSFORM, not a gate: survivors keep their row (attrition is
-        # unchanged) with PII spans masked by typed placeholders — the
-        # release-time alternative to drop_pii (both may run: drop flagged
-        # docs, then redaction is the belt-and-braces no-op).  Map-side
-        # regexp_replace inside the same kept-materialization job.
-        kept = tx.pii_redact(kept, text_col=text_col)
-    kept = kept.persist()
-    # second warm-up barrier: the trim transform may have added a winnow
-    # frame after the funnel agg joined the first batch
-    for _f in _warm_futs:
-        _f.result()
-    _warm_pool.shutdown()
+        if self_dedup_trim_span is not None:
+            # a TRANSFORM, not a gate (the redact_pii convention): survivors
+            # keep their row with every >= span-char verbatim span shared with
+            # a SMALLER-id doc cut out of their text (text.self_dedup_trim —
+            # Lee et al.'s span-surgical removal; the doc-level drop
+            # alternative is the self_dedup_span STAGE above, and both may
+            # run at different spans).  The trim reference is the FULL input
+            # corpus, not the survivor set: duplicated content is duplicated
+            # regardless of whether its earlier carrier survived the funnel.
+            # Runs before redaction so PII masking sees the final text.
+            # r18: later_ids restricts the SURGERY to survivors (the dedup
+            # reference stays the full corpus — operator contract), skipping
+            # candidate+verify work for docs the gates above already dropped
+            trimmed = tx.self_dedup_trim(
+                docs, id_col, text_col,
+                min_span=int(self_dedup_trim_span), k=_sd_k, algo=da,
+                doc_fps=_fps_for(self_dedup_trim_span),
+                max_fp_df=decontam_max_fp_df,
+                snap=self_dedup_trim_snap,
+                later_ids=flags.filter(F.col(stage_cols[-1])).select(id_col),
+            ).select(id_col, F.col("text_trimmed"))
+            kept = (
+                kept.join(trimmed, id_col)
+                .withColumn(text_col, F.col("text_trimmed"))
+                .drop("text_trimmed")
+            )
+        if redact_pii:
+            # a TRANSFORM, not a gate: survivors keep their row (attrition is
+            # unchanged) with PII spans masked by typed placeholders — the
+            # release-time alternative to drop_pii (both may run: drop flagged
+            # docs, then redaction is the belt-and-braces no-op).  Map-side
+            # regexp_replace inside the same kept-materialization job.
+            kept = tx.pii_redact(kept, text_col=text_col)
+        kept = kept.persist()
+        # second warm-up barrier: the trim transform may have added a winnow
+        # frame after the funnel agg joined the first batch
+        for _f in _warm_futs:
+            _f.result()
+    finally:
+        _warm_pool.shutdown(wait=False, cancel_futures=True)
     t0 = time.time()
     kept.count()  # materialize so flags/shingles can be released below
     t_kept = time.time() - t0
@@ -794,7 +819,8 @@ def curate(
     LAST_STAGE_TIMINGS.update(
         {"funnel_flags_agg": round(t_agg, 3), "kept_materialize": round(t_kept, 3)}
     )
-    flags.unpersist()
+    # (flags is a local checkpoint now — no unpersist handle; its blocks
+    # are reclaimed by the ContextCleaner once the frame is unreachable)
     sh.unpersist()
     if shared_fps is not None:
         shared_fps.unpersist()

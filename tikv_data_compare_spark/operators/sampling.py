@@ -1307,6 +1307,11 @@ def quality_classifier(
     c_rc = c_feats.groupBy("_qid", "_doc", "_b").agg(
         F.count(F.lit(1)).cast("long").alias("_ct")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # register the scoring cache BEFORE training (r19, ADVICE r18): if
+    # _qc_train raises, the finally below frees s_rc but c_rc would
+    # otherwise stay persisted with no handle anywhere —
+    # release_all_dsir_caches() could never find it
+    _DSIR_CACHES.append(c_rc)
     try:
         wtab, thr_c = _qc_train(docs.sparkSession, s_rc, c_rc, n_buckets)
     finally:
@@ -1332,10 +1337,10 @@ def quality_classifier(
         F.col("q_sum_c").alias("q_sum_c", metadata=meta),
         (F.col("q_sum_c") >= F.lit(thr_c) * F.col("q_n_feats")).alias("q_keep"),
     )
-    # the scoring pass re-reads the persisted rc — expose/register the
-    # release handle exactly like dsir_weights' cache (docstring there)
+    # the scoring pass re-reads the persisted rc — expose the release
+    # handle exactly like dsir_weights' cache (docstring there); already
+    # registered in _DSIR_CACHES above, pre-training
     out.dsir_cache = c_rc
-    _DSIR_CACHES.append(c_rc)
     return out
 
 

@@ -1807,11 +1807,17 @@ def self_dedup_substring(
     # inside the per-doc array, the partner count is the one genuinely
     # DISTINCT aggregate.  Union-of-intervals length over sorted starts
     # s_1..s_m covers Σ min(min_span, s_j − s_{j−1}) + min_span.
+    # collect_set, not array_distinct(collect_list(...)) (r19, ADVICE
+    # r18): the set dedupes INSIDE the aggregation buffer (and map-side,
+    # in the partial aggregate), so a template doc with thousands of
+    # near-duplicate partners buffers at most its distinct positions —
+    # the list buffered the full positions × partners hit stream.  Same
+    # value: _i is never NULL, and sort_array normalizes the order.
     verdict = (
         hits.groupBy("_idb")
         .agg(
             F.countDistinct("_ida").cast("long").alias("n_dup_partners"),
-            F.sort_array(F.array_distinct(F.collect_list("_i"))).alias("_sv"),
+            F.sort_array(F.collect_set("_i")).alias("_sv"),
         )
         .select(
             "_idb",
@@ -1838,6 +1844,48 @@ def self_dedup_substring(
         F.coalesce("n_dup_chars", F.lit(0)).cast("long").alias("n_dup_chars"),
         F.col("n_dup_partners").isNull().alias("kept"),
     )
+
+
+def self_dedup_kept(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span: int = 20,
+    k: int = 5,
+    max_fp_df: "int | None" = None,
+    algo: str = "xxhash64",
+    doc_fps: "DataFrame | None" = None,
+    hot_fp_mode: str = "rekey",
+    later_ids: "DataFrame | None" = None,
+) -> DataFrame:
+    """The ``kept`` verdict of :func:`self_dedup_substring` ALONE —
+    ``(id, kept)``, one row per input doc — for callers that gate on the
+    drop verdict and never read the partner/start/char counts (curate()'s
+    ``self_dedup_span`` stage consumes exactly this; r19, VERDICT r18
+    task 3).
+
+    ``kept`` is byte-identical to the full operator's column
+    (parity-tested): it only needs hit EXISTENCE per later doc, so the
+    hot-fingerprint gram join runs with ``collapse_earlier`` — ONE
+    min-carrier row per distinct gram instead of one row per (carrier,
+    gram) — and the hit stream reduces to a distinct id set instead of
+    the partner-count + position-union aggregation.  Existence is
+    preserved by the collapse (``min carrier < _idb`` ⟺ any carrier
+    earlier — :func:`_self_dedup_hits` docstring), which is exactly why
+    the full operator CANNOT use it: ``n_dup_partners`` needs the whole
+    carrier set.  All knobs behave as in :func:`self_dedup_substring`.
+    """
+    hits = _self_dedup_hits(
+        docs, id_col, text_col, min_span, k, max_fp_df, algo, doc_fps,
+        hot_fp_mode, later_ids=later_ids, collapse_earlier=True,
+    )
+    dropped = hits.select(F.col("_idb").alias(id_col)).distinct()
+    base = docs.select(id_col)
+    if later_ids is not None:
+        base = base.join(later_ids.select(id_col), id_col, "left_semi")
+    return base.join(
+        dropped.withColumn("_sd_hit", F.lit(True)), id_col, "left"
+    ).select(id_col, F.col("_sd_hit").isNull().alias("kept"))
 
 
 def _self_dedup_hits(
@@ -2147,10 +2195,14 @@ def self_dedup_trim(
     )
     # ONE aggregation (r18): dedupe the start positions inside the per-doc
     # array instead of a pair-stream-wide distinct + second shuffle — the
-    # per-doc start sets are small (≤ doc length), the hit stream is not
+    # per-doc start sets are small (≤ doc length), the hit stream is not.
+    # collect_set (r19, ADVICE r18): dedup happens inside the aggregation
+    # buffer (map-side too), bounding it at the distinct positions — the
+    # cold verify path still emits one row per (partner, position), so the
+    # list form buffered positions × partners on duplicate-dense docs.
     sv = (
         hits.groupBy("_idb")
-        .agg(F.sort_array(F.array_distinct(F.collect_list("_i"))).alias("_sv"))
+        .agg(F.sort_array(F.collect_set("_i")).alias("_sv"))
         .withColumnRenamed("_idb", id_col)
     )
     base = docs

@@ -134,29 +134,42 @@ _SHUFFLE_NODE_TOKENS = (
     "Except",
 )
 
-_REPARTITION_SHUFFLE_RE = None
+_SHUFFLE_NODE_RE = None
 
 
 def _has_shuffle_ancestor(df) -> bool:
     """True when the frame's ANALYZED logical plan contains any node that
     plans to a shuffle.  Analysis-only — never optimizes or executes (the
-    whole point: ``.rdd`` on such frames runs jobs under AQE).  Substring
-    matching over the plan string can false-positive on exotic literals;
-    that direction is safe (the frame is just not probed/widened)."""
+    whole point: ``.rdd`` on such frames runs jobs under AQE).
+
+    r19 (ADVICE r18): tokens are matched as plan-node HEADS (the first
+    word after the tree-drawing prefix of each line), not free substrings
+    — a relation/column name containing 'Join' or 'Sort' no longer
+    silently disables widening.  And when the JVM plan cannot be
+    inspected for a transient py4j reason the answer is now True (skip
+    the probe — the safe direction: probing a shuffle-shaped frame runs
+    its upstream stages as real jobs); only the no-JVM-plan mock case
+    (AttributeError: no ``_jdf``) falls through to probing, which mocks
+    stub out anyway."""
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
-    except Exception:  # noqa: BLE001 — no JVM plan (mocks): fall back to probing
+    except AttributeError:  # no JVM plan (mocks): fall back to probing
         return False
-    if any(tok in plan for tok in _SHUFFLE_NODE_TOKENS):
-        return True
-    global _REPARTITION_SHUFFLE_RE
-    if _REPARTITION_SHUFFLE_RE is None:
+    except Exception:  # noqa: BLE001 — transient py4j failure: fail CLOSED
+        return True  # (skip the probe; widening is only ever a perf aid)
+    global _SHUFFLE_NODE_RE
+    if _SHUFFLE_NODE_RE is None:
         import re
 
-        # ``Repartition <n>, true`` = repartition(n) (round-robin shuffle);
-        # ``..., false`` = coalesce (no exchange — probe-safe)
-        _REPARTITION_SHUFFLE_RE = re.compile(r"Repartition \d+, true")
-    return bool(_REPARTITION_SHUFFLE_RE.search(plan))
+        # node heads after the tree prefix ([+:|- ] drawing chars); plain
+        # ``Repartition <n>, true`` = repartition(n) (round-robin shuffle)
+        # while ``..., false`` = coalesce (no exchange — probe-safe)
+        _SHUFFLE_NODE_RE = re.compile(
+            r"^[+:\-|\s']*(?:%s)\b|^[+:\-|\s']*Repartition \d+, true"
+            % "|".join(_SHUFFLE_NODE_TOKENS),
+            re.MULTILINE,
+        )
+    return bool(_SHUFFLE_NODE_RE.search(plan))
 
 
 def enable_runtime_bloom(spark: SparkSession) -> SparkSession:
