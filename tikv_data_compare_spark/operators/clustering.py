@@ -266,6 +266,93 @@ def _kmeans_centroids(
     return centroids
 
 
+#: j-side block budget for the numpy pair scorer: blocks are m×B float64
+#: score matrices, capped near 32 MB regardless of cluster size.
+_PAIR_BLOCK_CELLS = 1 << 22
+
+
+def _semdedup_dropped_numpy(v: DataFrame, threshold_c: int) -> DataFrame:
+    """The dropped-id set of the SemDeDup pair stage, computed per cluster
+    in numpy — bit-identical to the SQL shape
+    ``a ⋈ b ON cluster WHERE _ida < _idb AND
+    CAST(ROUND(10000·dot/( _na·_nb)) AS BIGINT) >= threshold_c``
+    for ``threshold_c >= 1`` (the caller guards).  Exactness argument:
+
+    - the dot product accumulates PER DIMENSION, left to right
+      (``acc += A[:,i] * B[:,i]``) — element-wise IEEE multiply/add in
+      exactly the SQL fold's order (no BLAS, no pairwise re-association),
+      so every pair's dot is the same binary64;
+    - ``_nrm`` is computed JVM-side (the r18 hoist) and shipped through
+      Arrow unchanged; ``r = (10000.0 · dot) / (nrm_a · nrm_b)`` repeats
+      the SQL expression's operation order element-wise;
+    - Spark's ROUND on double is BigDecimal HALF_UP on the shortest
+      decimal repr; for an integer threshold t >= 1,
+      ``ROUND(r) >= t  ⟺  r >= t − 0.5`` as a BINARY comparison (t − 0.5
+      is exactly representable, and a shortest-repr decimal can only sit
+      on the boundary when the double IS the boundary), so no rounding is
+      replicated at all — the verdict is one float compare;
+    - non-finite corners match: r = NaN (null elements → Arrow NaN, zero
+      norms → 0/0, NaN data) fails the ``>=`` in both engines once
+      t >= 1 (SQL: NULL comparison, or CAST(NaN)=0 < t); r = +Inf passes
+      both (CAST = Long.MAX); −Inf fails both;
+    - NULL vectors are inert on both sides (SQL dot is NULL), and pairs
+      of DIFFERENT lengths are inert (``zip_with`` NULL-pads), so rows
+      are scored within same-length groups only.
+
+    Scale shape: one exchange of the corpus (groupBy cluster) — the SQL
+    join shuffled both sides — and one Arrow crossing; within a cluster
+    the j-side is processed in ~32 MB score blocks, so peak scratch is
+    bounded regardless of cluster size (cluster-size SKEW remains the k
+    knob's job, as with the join, but AQE's skew-join splitting does not
+    apply to a grouped map — another reason ``k='auto'`` is the default).
+    """
+    import pandas as pd  # noqa: F401 — executor-side import is the real one
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if pdf.empty:
+            return pd.DataFrame({"_id": pd.Series([], dtype="int64")})
+        pdf = pdf.sort_values("_id")
+        ids_all = pdf["_id"].to_numpy()
+        cells = pdf["_v"].tolist()
+        nrm_all = pdf["_nrm"].to_numpy(dtype="float64", na_value=float("nan"))
+        by_len: dict = {}
+        for pos, cell in enumerate(cells):
+            if cell is None:
+                continue
+            by_len.setdefault(len(cell), []).append(pos)
+        thr_bound = float(threshold_c) - 0.5
+        dropped: list = []
+        for dim, poss in by_len.items():
+            m = len(poss)
+            if m < 2:
+                continue
+            ids = ids_all[poss]  # ascending: pdf sorted, positions ordered
+            mat = np.stack([np.asarray(cells[p], dtype=np.float64) for p in poss])
+            nrm = nrm_all[poss]
+            blk = max(1, min(2048, _PAIR_BLOCK_CELLS // m))
+            for lo in range(1, m, blk):
+                hi = min(lo + blk, m)
+                acc = np.zeros((m, hi - lo), dtype=np.float64)
+                for d_i in range(dim):
+                    acc += mat[:, d_i : d_i + 1] * mat[lo:hi, d_i][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    r = (10000.0 * acc) / (nrm[:, None] * nrm[lo:hi][None, :])
+                earlier = np.arange(m)[:, None] < np.arange(lo, hi)[None, :]
+                hit = ((r >= thr_bound) & earlier).any(axis=0)
+                if hit.any():
+                    dropped.extend(ids[lo:hi][hit].tolist())
+        return pd.DataFrame({"_id": pd.Series(dropped, dtype="int64")})
+
+    return (
+        v.select("_id", "_v", "_nrm", "cluster")
+        .groupBy("cluster")
+        .applyInPandas(score, "_id long")
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: "int | str" = "auto",
@@ -349,26 +436,41 @@ def semantic_dedup(
         F.expr("transform(_raw, x -> CAST(x AS DOUBLE))").alias("_v"),
         F.col("_c").alias("cluster"),
     ).withColumn("_nrm", F.expr("sqrt(" + _dot("_v", "_v") + ")"))
-    a = v.select(
-        F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
-        F.col("_nrm").alias("_na"), "cluster",
-    )
-    b = v.select(
-        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"),
-        F.col("_nrm").alias("_nb"), "cluster",
-    )
-    cos = (
-        "CAST(ROUND(10000.0 * " + _dot("_va", "_vb") + " / "
-        "(_na * _nb)) AS BIGINT)"
-    )
-    dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .withColumn("_cos", F.expr(cos))
-        .filter(F.col("_cos") >= F.lit(threshold_c))
-        .select(F.col("_idb").alias("_id"))
-        .distinct()
-    )
+    if int(threshold_c) >= 1:
+        # r19 (VERDICT r18 task 4): the pair stage runs as ONE
+        # cluster-grouped Arrow pass (applyInPandas) instead of the
+        # cluster-keyed self-join + interpreted HOF fold per pair — each
+        # vector crosses one exchange ONCE (the join shuffled both sides)
+        # and the per-pair dot runs vectorized in numpy with the IDENTICAL
+        # left-to-right accumulation (guide §4.2).  Verdict-exactness is
+        # argued in _semdedup_dropped_numpy's docstring and pinned by a
+        # full-output parity sweep vs this SQL shape
+        # (tools/probe_semdedup_parity_r19).  threshold_c <= 0 keeps the
+        # SQL join: there Spark drops NaN-cosine pairs (NaN-data vectors,
+        # CAST(NaN AS BIGINT) = 0 >= thr) while Arrow's null/NaN conflation
+        # can't reproduce that corner bit-for-bit.
+        dropped = _semdedup_dropped_numpy(v, int(threshold_c))
+    else:
+        a = v.select(
+            F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
+            F.col("_nrm").alias("_na"), "cluster",
+        )
+        b = v.select(
+            F.col("_id").alias("_idb"), F.col("_v").alias("_vb"),
+            F.col("_nrm").alias("_nb"), "cluster",
+        )
+        cos = (
+            "CAST(ROUND(10000.0 * " + _dot("_va", "_vb") + " / "
+            "(_na * _nb)) AS BIGINT)"
+        )
+        dropped = (
+            a.join(b, "cluster")
+            .filter(F.col("_ida") < F.col("_idb"))
+            .withColumn("_cos", F.expr(cos))
+            .filter(F.col("_cos") >= F.lit(threshold_c))
+            .select(F.col("_idb").alias("_id"))
+            .distinct()
+        )
     return (
         v.join(dropped.withColumn("_dropped", F.lit(True)), "_id", "left")
         .select(

@@ -757,44 +757,85 @@ def _ivfpq_join_topk(
     vectors for the rerank; pass None for a code-only (ADC-ranked) result.
     """
     q = _probe_cells(qdf, cent_bc, n_probe, vec_col="q_emb")
-    cands = corpus.join(q, on="cell")
-    if exclude_self:
-        cands = cands.filter(F.col("vec_id") != F.col("query_id"))
 
     keep = max(k, rerank)
+    head_n = max(keep, 64)
 
-    def score_batches(batches):
+    # r19 (VERDICT r18 task 5): candidates meet in a cell COGROUP instead
+    # of a cell equi-join feeding a separate Python scorer.  The join
+    # attached the 8·dim-byte query vector to EVERY candidate row and
+    # shipped that across the Python boundary (and decoded each corpus
+    # code once per probing query); the cogroup ships each query vector
+    # once per probed CELL and each corpus code once, decodes per corpus
+    # row once, and scores per (query, corpus-chunk) with the IDENTICAL
+    # numpy expressions (elementwise multiply + per-row axis sum — no
+    # matmul, so every pair's score is bit-identical to the join shape).
+    # Still a shuffle-only plan — no broadcast of either side, preserving
+    # this path's no-ceiling contract (both sides exchange on the cell).
+    # Emitting per-(cell, corpus-chunk) heads instead of per-Arrow-batch
+    # heads changes only WHICH superset of the global top-k reaches the
+    # window — each query's true top rows live inside their own chunk's
+    # top-``head_n`` — so the window output is unchanged at any layout.
+    def score_cell(corp_pdf, q_pdf):
         import numpy as np
         import pandas as pd
 
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "score_c": pd.Series([], dtype="int64"),
+            }
+        )
+        if corp_pdf.empty or q_pdf.empty:
+            return empty
         books_v = books_bc.value
         n_m = books_v.shape[0]
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            codes = np.stack([np.frombuffer(c, dtype=np.uint8) for c in pdf["pq_code"]])
-            # decode: concatenate each subspace's codebook row — (batch, dim)
-            recon = np.concatenate([books_v[j][codes[:, j]] for j in range(n_m)], axis=1)
-            qmat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["q_emb"]])
-            qn = np.linalg.norm(qmat, axis=1, keepdims=True)
-            qn[qn == 0] = 1.0
-            scaled = ((qmat / qn) * recon).sum(axis=1) * 10000.0
-            c_all = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
-            out = pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "neighbor_id": pdf["vec_id"].to_numpy(),
-                    "score_c": c_all.astype("int64"),
-                }
+        qmat = np.stack([np.asarray(e, dtype=np.float64) for e in q_pdf["q_emb"]])
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        qhat = qmat / qn
+        qids = q_pdf["query_id"].to_numpy()
+        vids_all = corp_pdf["vec_id"].to_numpy()
+        dim = qmat.shape[1]
+        chunk = max(1, (1 << 22) // max(dim, 1))  # ~32 MB of recon floats
+        out_q, out_v, out_s = [], [], []
+        for lo in range(0, len(corp_pdf), chunk):
+            sl = corp_pdf["pq_code"].iloc[lo : lo + chunk]
+            codes = np.stack([np.frombuffer(c, dtype=np.uint8) for c in sl])
+            recon = np.concatenate(
+                [books_v[j][codes[:, j]] for j in range(n_m)], axis=1
             )
-            out = out.sort_values(
-                ["query_id", "score_c", "neighbor_id"], ascending=[True, False, True]
-            )
-            out = out.groupby("query_id", sort=False).head(max(keep, 64))
-            yield out
+            vids = vids_all[lo : lo + chunk]
+            for qi in range(len(qids)):
+                scaled = (qhat[qi][None, :] * recon).sum(axis=1) * 10000.0
+                c_all = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+                v, c = vids, c_all
+                if exclude_self:
+                    m = v != qids[qi]
+                    v, c = v[m], c[m]
+                # top head_n by (score desc, id asc); float keys so the
+                # NaN (worst — int cast gives LONG_MIN) / +Inf (best —
+                # LONG_MAX) corners order exactly like the int sort did
+                order = np.lexsort((v, -c))[:head_n]
+                out_q.append(np.full(len(order), qids[qi], dtype="int64"))
+                out_v.append(v[order])
+                out_s.append(c[order].astype("int64"))
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_v),
+                "score_c": np.concatenate(out_s),
+            }
+        )
 
-    cands_scored = cands.mapInPandas(
-        score_batches, "query_id long, neighbor_id long, score_c long"
+    cands_scored = (
+        corpus.select("vec_id", "cell", "pq_code")
+        .groupBy("cell")
+        .cogroup(q.select("query_id", "cell", "q_emb").groupBy("cell"))
+        .applyInPandas(score_cell, "query_id long, neighbor_id long, score_c long")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_c"), F.asc("neighbor_id"))
     shortlist = (
