@@ -261,6 +261,15 @@ def test_decontaminate_bloom_prefilter_equivalence(spark, documents):
     # a deliberately saturated 63-bit filter: everything flags, result same
     assert base == key(tx.decontaminate_substring(
         docs, wprobes, min_span=24, bloom_m_bits=63, bloom_k_hashes=1))
+    # r19 verdict_only composed with bloom mode AND the hot-fp rekey split
+    # (max_fp_df=1): the collapsed hot gram join runs NON-broadcast here —
+    # the verdict column must still match the base path's exactly
+    vo = tx.decontaminate_substring(
+        docs, wprobes, min_span=24, bloom_m_bits=63 * 80, max_fp_df=1,
+        verdict_only=True,
+    )
+    assert sorted((r["doc_id"], r["contaminated"]) for r in vo.collect()) \
+        == sorted((r[0], r[3]) for r in base)
 
 
 def test_curate_decontam_bloom_passthrough_equivalence(spark, documents):

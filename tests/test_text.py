@@ -808,6 +808,17 @@ def test_decontaminate_substring_max_fp_df_cap(spark, documents):
         if r["contaminated"]
     }
     assert dropped <= {r[0] for r in exact if r[2]}
+    # r19 verdict_only composes with drop mode (no hot path there — the
+    # projection must still match the full drop run's verdict column)
+    vo_drop = {
+        r["doc_id"]
+        for r in tx.decontaminate_substring(
+            docs, probes, min_span=24, max_fp_df=1, hot_fp_mode="drop",
+            verdict_only=True,
+        ).collect()
+        if r["contaminated"]
+    }
+    assert vo_drop == dropped
     for bad in (0, -5):
         with pytest.raises(ValueError, match="max_fp_df"):
             tx.decontaminate_substring(docs, probes, min_span=24, max_fp_df=bad)
@@ -845,6 +856,16 @@ def test_decontaminate_substring_equals_bruteforce(spark, documents):
     }
     assert got == brute
     assert any(got.values())  # planted spans guarantee hits
+
+    # r19 verdict_only: the (id, contaminated) projection equals brute force
+    # too — including through the collapsed hot gram join (max_fp_df=1 marks
+    # nearly every fingerprint hot, routing almost everything through it)
+    for kw in ({}, {"max_fp_df": 1}, {"max_fp_df": 3}):
+        vo = tx.decontaminate_substring(
+            docs, probes, min_span=24, verdict_only=True, **kw
+        )
+        assert vo.columns == ["doc_id", "contaminated"]
+        assert {r["doc_id"]: r["contaminated"] for r in vo.collect()} == brute
 
     import pytest
     with pytest.raises(ValueError, match="min_span"):
@@ -1012,6 +1033,15 @@ def test_substring_rekey_catches_hot_only_pairs(spark):
         ).collect()
     }
     assert dec_rekey == dec_exact
+    # r19 verdict_only on the SAME quadratic trap: the collapsed hot gram
+    # join (one row per distinct license gram) must flag the identical set
+    dec_vo = {
+        r["doc_id"]: r["contaminated"]
+        for r in tx.decontaminate_substring(
+            df, probes, min_span=24, max_fp_df=5, verdict_only=True
+        ).collect()
+    }
+    assert dec_vo == dec_exact
     dec_drop = {
         r["doc_id"]: r["contaminated"]
         for r in tx.decontaminate_substring(

@@ -534,6 +534,10 @@ def curate(
                     # value; None = no split (the gate path)
                     max_fp_df=decontam_max_fp_df,
                     doc_fps=shared_fps,
+                    # the gate consumes the verdict only (r19): the hot gram
+                    # join collapses to one row per distinct probe gram —
+                    # ``contaminated`` is byte-identical (operator contract)
+                    verdict_only=True,
                 ).select(id_col, (~F.col("contaminated")).alias("_ct_ok"))
                 stage_name = "decontamination_exact"
             else:

@@ -1460,6 +1460,7 @@ def decontaminate_substring(
     max_fp_df: int | None = None,
     doc_fps: DataFrame | None = None,
     hot_fp_mode: str = "rekey",
+    verdict_only: bool = False,
 ) -> DataFrame:
     """Exact-substring test-set decontamination (r10): flag every document
     sharing a VERBATIM character span of at least ``min_span`` with any
@@ -1562,6 +1563,22 @@ def decontaminate_substring(
     feeds three subtrees (hot-df aggregate, affected-id semi-join, cold
     side), and Spark does not dedupe unpersisted subplans — curate()
     passes a persisted frame whenever a span stage is active (r16).
+
+    ``verdict_only`` (r19, VERDICT r18 task 2) — the GATE projection:
+    returns ``(id, contaminated)`` only, and licenses the hot-fingerprint
+    gram join to COLLAPSE its probe side to ONE row per distinct gram
+    (the trim path's ``collapse_earlier`` treatment; the verdict is pure
+    existence, so even the witness probe id is dropped), keyed by the
+    gram's ``xxhash64`` with an exact in-flight string re-verify — join
+    output bounded by the affected docs' position count instead of
+    positions × probes-sharing-a-gram (the template-corpus quadratic).
+    ``contaminated`` is byte-identical to the full operator's column
+    (a doc is contaminated iff ANY (doc, probe) hot pair exists — every
+    hot pair verifies true — OR any cold candidate verifies;
+    parity-tested); the per-probe COUNTS cannot survive the collapse,
+    which is exactly why they are not returned.  ``curate()``'s
+    decontamination stage — which consumes only the verdict — passes
+    this.
     """
     if min_span < k + 1:
         raise ValueError(
@@ -1591,6 +1608,7 @@ def decontaminate_substring(
         probes, probe_id_col, probe_text_col, k=k, w=w, algo=algo
     ).select(probe_id_col, "fp")
     hot_pairs = None
+    hot_ids = None
     if max_fp_df is not None:
         hot = (
             d_fp.groupBy("fp")
@@ -1619,15 +1637,47 @@ def decontaminate_substring(
                 docs.join(d_aff, id_col, "left_semi"),
                 id_col, text_col, min_span,
             )
-            p_g = _span_grams(
-                probes.join(p_aff, probe_id_col, "left_semi"),
-                probe_id_col, probe_text_col, min_span,
-            ).distinct()
-            hot_pairs = (
-                d_g.join(p_g if bloom_m_bits is not None else F.broadcast(p_g), "gram")
-                .select(id_col, probe_id_col)
-                .distinct()
-            )
+            if verdict_only:
+                # the verdict is pure EXISTENCE, so the probe id is dropped
+                # before the join: ONE row per DISTINCT affected-probe gram
+                # (the trim path's collapse, r18) keyed by the gram's 64-bit
+                # hash — join output is bounded by the affected docs'
+                # position count instead of positions × probes-sharing-a-
+                # gram (the template-corpus quadratic), and exactness is
+                # restored by comparing the doc's in-flight gram string to
+                # the set row's (a hash collision fails the compare; every
+                # true hit matches its own gram's (hash, string) row).
+                p_gd = (
+                    _span_grams(
+                        probes.join(p_aff, probe_id_col, "left_semi"),
+                        probe_id_col, probe_text_col, min_span,
+                    )
+                    .select("gram").distinct()
+                    .select(
+                        F.xxhash64("gram").alias("_gh"),
+                        F.col("gram").alias("_gs"),
+                    )
+                )
+                hot_ids = (
+                    d_g.select(id_col, F.xxhash64("gram").alias("_gh"), "gram")
+                    .join(
+                        p_gd if bloom_m_bits is not None else F.broadcast(p_gd),
+                        "_gh",
+                    )
+                    .where(F.col("gram") == F.col("_gs"))
+                    .select(id_col)
+                    .distinct()
+                )
+            else:
+                p_g = _span_grams(
+                    probes.join(p_aff, probe_id_col, "left_semi"),
+                    probe_id_col, probe_text_col, min_span,
+                ).distinct()
+                hot_pairs = (
+                    d_g.join(p_g if bloom_m_bits is not None else F.broadcast(p_g), "gram")
+                    .select(id_col, probe_id_col)
+                    .distinct()
+                )
         d_fp = d_fp.join(F.broadcast(hot), "fp", "left_anti")
         p_fp = p_fp.join(F.broadcast(hot), "fp", "left_anti")
     if bloom_m_bits is not None:
@@ -1676,6 +1726,24 @@ def decontaminate_substring(
         f"i -> substr(_pt, i, {min_span})), g -> contains(_dt, g)) "
         f"ELSE false END, false)"
     )
+    if verdict_only:
+        # cold verdict per doc (the hot side never entered cand here); a
+        # doc is contaminated iff any cold candidate verifies OR any hot
+        # gram matched — the full operator's max(_hit) over cand ∪
+        # hot_pairs decomposes exactly this way because every hot pair
+        # verifies true (the shared gram is a probe gram contained in the
+        # doc), so the OR is byte-identical to the full column.
+        cold = pairs.withColumn("_hit", hit).groupBy(id_col).agg(
+            F.max(F.col("_hit")).alias("_chit")
+        )
+        out = docs.select(id_col).join(cold, id_col, "left")
+        flag = F.coalesce("_chit", F.lit(False))
+        if hot_ids is not None:
+            out = out.join(
+                hot_ids.withColumn("_hhit", F.lit(True)), id_col, "left"
+            )
+            flag = flag | F.coalesce("_hhit", F.lit(False))
+        return out.select(id_col, flag.alias("contaminated"))
     verdicts = pairs.withColumn("_hit", hit).groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_candidate_probes"),
         F.sum(F.col("_hit").cast("long")).cast("long").alias("n_contam_probes"),
